@@ -1,7 +1,6 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -76,6 +75,13 @@ final case class DV(keys: Vector[String], values: Vector[Any]) {
   /** map a function over every entry, keeping keys (map-columns on a dv,
     * cl-data-frame.lisp:363-365 via test cl-data-frame-tests.lisp:33). */
   def mapValues(f: Any => Any): DV = DV(keys, values.map(f))
+
+  /** reference print-object on data-vector (cl-data-frame.lisp:416-425):
+    * `#<DATA-VECTOR (n) key=value ...>` — part of the tested surface
+    * (cl-data-frame-tests.lisp:92-95). */
+  def render: String =
+    s"#<DATA-VECTOR ($ncol) ${keys.zip(values).map { case (k, v) => s"$k=$v" }.mkString(" ")}>"
+  override def toString: String = render
 }
 
 /** Immutable data-frame with the reference's semantic contract — ordered named
@@ -89,8 +95,15 @@ final case class DV(keys: Vector[String], values: Vector[Any]) {
   * Predicate/mask/projection paths never consult it, so Catalyst prunes it
   * away and the scale path pays nothing for it.
   */
-final class DF private (private[graft] val inner: DataFrame) {
+final class DF private (private[graft] val inner: DataFrame,
+                        private val idsDense: Boolean) {
   import DF.ROW_ID
+
+  /** this frame with contiguous 0-based row ids; identity when already dense
+    * (constructors produce dense ids; only filtering breaks contiguity).
+    * Memoized so repeated positional ops share one densify plan. */
+  private lazy val densified: DF =
+    if (idsDense) this else new DF(DF.reindex(inner, force = true), true)
 
   /** underlying Spark DataFrame without the hidden row id. */
   def toSpark: DataFrame = inner.drop(ROW_ID)
@@ -99,7 +112,10 @@ final class DF private (private[graft] val inner: DataFrame) {
   // ---- schema / key layer (ordered-keys, SURVEY §2.1) ----
   def keys: Vector[String] = inner.columns.filterNot(_ == ROW_ID).toVector
   def ncol: Int = keys.length
-  def nrow: Long = inner.count()
+  /** memoized: DF is immutable, so the row count of the underlying plan never
+    * changes; callers (addColumn/replaceColumn/slice) would otherwise trigger
+    * a fresh full-scan count job each time. */
+  lazy val nrow: Long = inner.count()
   def dims: (Long, Int) = (nrow, ncol)
   def keyIndex(key: String): Int = {
     val i = keys.indexOf(key)
@@ -136,40 +152,66 @@ final class DF private (private[graft] val inner: DataFrame) {
 
   private def select(ks: Seq[String]): DF = {
     ks.foreach(keyIndex)
-    new DF(inner.select((ks :+ ROW_ID).map(inner.col): _*))
+    new DF(inner.select((ks :+ ROW_ID).map(inner.col): _*), idsDense)
   }
 
   /** map a fn over every column, keeping keys (cl-data-frame.lisp:363-365). */
   def mapColumns(f: Column => Column): DF =
-    new DF(inner.select(keys.map(k => f(inner.col(k)).as(k)) :+ ROW_ID_COL: _*))
+    new DF(inner.select(keys.map(k => f(inner.col(k)).as(k)) :+ ROW_ID_COL: _*), idsDense)
 
   /** append a column; duplicate-key checked eagerly (Spark's withColumn
     * silently replaces — cl-data-frame.lisp:367-373 errors instead). */
   def addColumn(key: String, c: Column): DF = {
     checkAbsent(key)
-    new DF(inner.select(keys.map(inner.col) ++ Seq(c.as(key), ROW_ID_COL): _*))
+    new DF(inner.select(keys.map(inner.col) ++ Seq(c.as(key), ROW_ID_COL): _*), idsDense)
   }
   def addColumn(key: String, values: Seq[Any]): DF = {
     checkAbsent(key)
     val n = nrow
     if (values.length != n)
       throw new ColumnLengthException(n, values.length)
-    new DF(DF.joinLocalColumn(inner, key, values))
+    new DF(DF.joinLocalColumn(densified.inner, key, values), true)
   }
   def addColumns(cols: (String, Column)*): DF =
     cols.foldLeft(this) { case (d, (k, c)) => d.addColumn(k, c) }
+
+  /** append every column of another frame (the reference's
+    * ensure-arguments-alist accepts a whole data-frame as the thing to add,
+    * cl-data-frame.lisp:290-313 case at :306-308). Rows align by position:
+    * both sides densify and join on the row id — a co-partitioned equi-join,
+    * no driver materialization. */
+  def addColumns(other: DF): DF = {
+    other.keys.foreach(checkAbsent)
+    if (other.nrow != nrow) throw new ColumnLengthException(nrow, other.nrow)
+    val l = densified.inner
+    val r = other.densified.inner
+    val joined = l.join(r, Seq(ROW_ID), "inner")
+    new DF(joined.select(
+      (keys ++ other.keys).map(joined.col) :+ joined.col(ROW_ID): _*), true)
+  }
+
+  /** shallow copy with a key-renaming function (reference `copy` key-fn,
+    * cl-data-frame.lisp:337-343): the copy's schema diverges, data is shared
+    * (immutably). */
+  def copy(keyFn: String => String = identity): DF = {
+    val newKeys = keys.map(keyFn)
+    newKeys.diff(newKeys.distinct).headOption
+      .foreach(k => throw new DuplicateKeyException(k, newKeys))
+    new DF(inner.select(
+      keys.zip(newKeys).map { case (k, nk) => inner.col(k).as(nk) } :+ ROW_ID_COL: _*), idsDense)
+  }
 
   /** replace an existing column with an expression or with fn(old) per row
     * (cl-data-frame.lisp:570-583). */
   def replaceColumn(key: String, c: Column): DF = {
     keyIndex(key)
-    new DF(inner.select(keys.map(k => (if (k == key) c else inner.col(k)).as(k)) :+ ROW_ID_COL: _*))
+    new DF(inner.select(keys.map(k => (if (k == key) c else inner.col(k)).as(k)) :+ ROW_ID_COL: _*), idsDense)
   }
   def replaceColumn(key: String, values: Seq[Any]): DF = {
     keyIndex(key)
     val n = nrow
     if (values.length != n) throw new ColumnLengthException(n, values.length)
-    new DF(DF.joinLocalColumn(inner.drop(key), key, values))
+    new DF(DF.joinLocalColumn(densified.inner.drop(key), key, values), true)
       .select(keys) // preserve original key order
   }
   def replaceColumnFn(key: String, f: Column => Column): DF =
@@ -178,7 +220,7 @@ final class DF private (private[graft] val inner: DataFrame) {
   // ---- selection / filtering / slicing (SURVEY §2.4) ----
   /** distributed filter; the scale path for mask∘slice. Surviving rows keep
     * their relative order; ids re-densified lazily on positional access. */
-  def filter(cond: Column): DF = new DF(DF.reindex(inner.filter(cond)))
+  def filter(cond: Column): DF = new DF(inner.filter(cond), false)
 
   /** build a boolean mask from a row predicate over selected key columns
     * (mask-rows, cl-data-frame.lisp:554-559). Local parity form. */
@@ -223,7 +265,7 @@ final class DF private (private[graft] val inner: DataFrame) {
   def sliceCell(i: Int, key: String): Any = sliceRow(i)(key)
 
   private def rowAt(i: Int): DV = {
-    val dense = new DF(DF.reindex(inner, force = true))
+    val dense = densified
     val rs = dense.inner.filter(dense.ROW_ID_COL === i.toLong).collect()
     if (rs.isEmpty) throw new IndexOutOfBoundsException(s"row $i of $nrow")
     val r = rs.head
@@ -234,21 +276,39 @@ final class DF private (private[graft] val inner: DataFrame) {
     case Sel.All        => this
     case Sel.Pred(c)    => this.filter(c)
     case Sel.Mask(bits) =>
-      val dense = DF.reindex(inner, force = true)
-      val ids = bits.zipWithIndex.collect { case (true, i) => i.toLong }
-      new DF(DF.reindex(dense.filter(dense.col(ROW_ID).isin(ids: _*))))
+      selectByIds(bits.zipWithIndex.collect { case (true, i) => i.toLong })
     case Sel.Indices(is) =>
       val n = nrow.toInt
-      val ids = is.map(i => DF.resolveIndex(i, n).toLong)
-      val dense = DF.reindex(inner, force = true)
-      new DF(DF.reindex(dense.filter(dense.col(ROW_ID).isin(ids: _*))))
+      selectByIds(is.map(i => DF.resolveIndex(i, n).toLong))
     case Sel.Range(a, b) =>
-      val dense = DF.reindex(inner, force = true)
-      new DF(DF.reindex(dense.filter(dense.col(ROW_ID) >= a.toLong && dense.col(ROW_ID) < b.toLong)))
+      val dense = densified.inner
+      new DF(dense.filter(dense.col(ROW_ID) >= a.toLong && dense.col(ROW_ID) < b.toLong), false)
     case Sel.Index(i) =>
       filterRows(Sel.Indices(Seq(i)))
     case other =>
       throw new IllegalArgumentException(s"bad row selector $other")
+  }
+
+  /** positional row selection by dense id list, in SELECTOR order (the
+    * reference's index-vector slice follows the selector: kept rows are
+    * renumbered by their position in `ids`). Implemented as a broadcast join
+    * against the id list — never an `isin` literal list (which would inline
+    * every id into the plan) and never a single-partition stage. The id list
+    * itself is driver-local by definition (it came from a local mask/index
+    * selector — the parity path; `Sel.Pred` is the scale path). */
+  private def selectByIds(ids: Seq[Long]): DF = {
+    val dense = densified.inner
+    val sess = inner.sparkSession
+    val schema = StructType(Seq(
+      StructField(ROW_ID, LongType, nullable = false),
+      StructField("__new_id", LongType, nullable = false)))
+    val lookup = sess.createDataFrame(
+      sess.sparkContext.parallelize(
+        ids.zipWithIndex.map { case (id, p) => Row(id, p.toLong) },
+        math.max(1, ids.length / 500000 + 1)),
+      schema)
+    val joined = dense.join(broadcast(lookup), Seq(ROW_ID), "inner")
+    new DF(joined.select(keys.map(joined.col) :+ joined.col("__new_id").as(ROW_ID): _*), true)
   }
 
   // ---- row-wise transformation (SURVEY §2.5) ----
@@ -265,23 +325,55 @@ final class DF private (private[graft] val inner: DataFrame) {
       .collect().map(r => fn(ks.indices.map(r.get))).toVector
   }
 
+  /** typed mapRows — the Scala form of the reference's `:element-type`
+    * declaration (cl-data-frame.lisp:506-510): the type parameter IS the
+    * declared element type of the result vector. */
+  def mapRowsTyped[T](ks: Seq[String])(fn: Seq[Any] => T): Vector[T] =
+    mapRows(ks)(in => fn(in)).map(_.asInstanceOf[T])
+
   /** map-df: row fn → fixed-arity sequence → new frame with result keys;
     * arity asserted per row (cl-data-frame.lisp:528-552). Expression form:
     * each output is a Column. */
   def mapDF(outs: (String, Column)*): DF = {
     val ks = outs.map(_._1)
     ks.diff(ks.distinct).headOption.foreach(k => throw new DuplicateKeyException(k, ks))
-    new DF(inner.select(outs.map { case (k, c) => c.as(k) } :+ ROW_ID_COL: _*))
+    new DF(inner.select(outs.map { case (k, c) => c.as(k) } :+ ROW_ID_COL: _*), idsDense)
   }
-  def mapDFRows(ks: Seq[String], resultKeys: Seq[String])(fn: Seq[Any] => Seq[Any]): DF = {
-    val rows = mapRows(ks)(identity).map { in =>
-      val out = fn(in.asInstanceOf[Seq[Any]])
-      if (out.length != resultKeys.length)
+  /** lambda form of map-df, DISTRIBUTED: the fn runs inside executors via an
+    * RDD map (never a driver collect), carrying the row id through so the
+    * result keeps this frame's row order. `resultTypes` is the reference's
+    * `:element-type` declaration (cl-data-frame.lisp:528-541): when given, the
+    * output schema is exactly those types; when omitted, types are inferred
+    * from one sampled output row (costs one extra small job). Arity is
+    * asserted per row like the reference (cl-data-frame.lisp:548). */
+  def mapDFRows(ks: Seq[String], resultKeys: Seq[String],
+                resultTypes: Seq[DataType] = Nil)(fn: Seq[Any] => Seq[Any]): DF = {
+    ks.foreach(keyIndex)
+    val rks = resultKeys
+    rks.diff(rks.distinct).headOption.foreach(k => throw new DuplicateKeyException(k, rks))
+    if (resultTypes.nonEmpty && resultTypes.length != rks.length)
+      throw new IllegalArgumentException(
+        s"map-df: ${rks.length} result keys but ${resultTypes.length} result types")
+    val src = inner.select((ks :+ ROW_ID).map(inner.col): _*)
+    val nIn = ks.length
+    val applied = src.rdd.map { r =>
+      val out = fn((0 until nIn).map(r.get))
+      if (out.length != rks.length)
         throw new IllegalArgumentException(
-          s"map-df arity: expected ${resultKeys.length} outputs, got ${out.length}")
-      out
+          s"map-df arity: expected ${rks.length} outputs, got ${out.length}")
+      Row.fromSeq(out :+ r.getLong(nIn))
     }
-    DF.fromColumns(spark, resultKeys.zipWithIndex.map { case (k, i) => k -> rows.map(_(i)) })
+    val types =
+      if (resultTypes.nonEmpty) resultTypes
+      else {
+        val sample = src.take(1).headOption.map(r => fn((0 until nIn).map(r.get)))
+          .getOrElse(throw new EmptyFrameException)
+        sample.map(v => DF.inferType(Seq(v)))
+      }
+    val schema = StructType(
+      rks.zip(types).map { case (k, t) => StructField(k, t, nullable = true) } :+
+        StructField(ROW_ID, LongType, nullable = false))
+    new DF(spark.createDataFrame(applied, schema), idsDense)
   }
 
   /** side-effecting in-order traversal, first→last (cl-data-frame.lisp:518-526). */
@@ -335,7 +427,7 @@ object DF {
       Row.fromSeq(pairs.map(_._2(i)) :+ i.toLong)
     }
     new DF(spark.createDataFrame(
-      spark.sparkContext.parallelize(rows.toSeq, math.max(1, math.min(4, n))), schema))
+      spark.sparkContext.parallelize(rows.toSeq, math.max(1, math.min(4, n))), schema), true)
   }
 
   def apply(spark: SparkSession, pairs: (String, Seq[Any])*): DF =
@@ -353,33 +445,49 @@ object DF {
     */
   def fromSpark(df: DataFrame, orderBy: Seq[String] = Nil): DF = {
     val base = df.drop(ROW_ID)
-    val withId =
+    // Ordered ingestion = range-repartition on the order keys + per-partition
+    // sort + zipWithIndex: globally ordered dense ids with NO single-partition
+    // stage (a Window.orderBy row_number would funnel all rows through one
+    // partition — the scale-killer flagged in round 1).
+    val sorted =
       if (orderBy.nonEmpty)
-        base.withColumn(ROW_ID,
-          row_number().over(Window.orderBy(orderBy.map(base.col): _*)).cast(LongType) - 1L)
-      else {
-        val schema = base.schema.add(StructField(ROW_ID, LongType, nullable = false))
-        base.sparkSession.createDataFrame(
-          base.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }, schema)
-      }
-    new DF(withId)
+        base.repartitionByRange(orderBy.map(base.col): _*)
+          .sortWithinPartitions(orderBy.map(base.col): _*)
+      else base
+    val schema = sorted.schema.add(StructField(ROW_ID, LongType, nullable = false))
+    new DF(base.sparkSession.createDataFrame(
+      sorted.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }, schema), true)
   }
 
   def readParquet(spark: SparkSession, path: String, orderBy: Seq[String] = Nil): DF =
     fromSpark(spark.read.parquet(path), orderBy)
 
   /** keep ids order-preserving; densify only when positional semantics need
-    * contiguity (force=true). Densification = row_number over the previous
-    * order — a total sort, the documented cost of the positional API. */
+    * contiguity (force=true).
+    *
+    * Densification is the distributed zipWithIndex shape, NOT a global-window
+    * row_number (which funnels every row through one partition): range-
+    * repartition on the existing id so partitions cover sorted id ranges in
+    * partition order, sort within each partition, then zipWithIndex (one extra
+    * pass to count per-partition offsets). No single-partition stage anywhere,
+    * so positional ops survive a 100× scale-up. */
   private[graft] def reindex(df: DataFrame, force: Boolean = false): DataFrame =
     if (!force) df
-    else df.withColumn(ROW_ID,
-      row_number().over(Window.orderBy(col(ROW_ID))).cast(LongType) - 1L)
+    else {
+      val sorted = df.repartitionByRange(col(ROW_ID)).sortWithinPartitions(col(ROW_ID))
+      val schema = sorted.schema
+      val idIdx = schema.fieldIndex(ROW_ID)
+      val rdd = sorted.rdd.zipWithIndex.map { case (r, i) =>
+        Row.fromSeq(r.toSeq.updated(idIdx, i))
+      }
+      df.sparkSession.createDataFrame(rdd, schema)
+    }
 
-  /** attach a driver-local column by position (parity ctor path only). */
+  /** attach a driver-local column by position (parity ctor path only);
+    * callers pass a frame whose ids are already dense. */
   private[graft] def joinLocalColumn(df: DataFrame, key: String, values: Seq[Any]): DataFrame = {
     val spark = df.sparkSession
-    val dense = reindex(df, force = true)
+    val dense = df
     val schema = StructType(Seq(
       StructField(ROW_ID, LongType, nullable = false),
       StructField(key, inferType(values), nullable = true)))

@@ -1,13 +1,571 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.operators.{Dedup, Multimodal, Relational, Similarity, TextAnalysis}
+import graft.streaming.Streams
+
+/** Driver contract — see /root/repo/SURVEY.md §7.5 + the builder prompt.
+  *
+  * Every implemented operator has one entry in [[queries]]; every entry that
+  * is SQL-expressible has a DuckDB oracle in [[oracleSql]] over the same
+  * parquet tables. Determinism rules used throughout so the driver's
+  * row/schema/hash compare is stable across engines:
+  *  - every query ends in an explicit ORDER BY with a unique tiebreak;
+  *  - sums of doubles go through integer cents (`sum(cast(round(x*100) as
+  *    long))`) so the result is independent of accumulation order and
+  *    bit-identical in Spark and DuckDB (round-half-away == HALF_UP for
+  *    both engines on the same input bits);
+  *  - timestamps are output as epoch milliseconds (unix_millis / epoch_ms)
+  *    to dodge timezone-annotation mismatches between the two writers;
+  *  - computed integers are cast to BIGINT on both sides.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def rd(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized reader
+    * rejects; with spark.sql.legacy.parquet.nanosAsLong=true (set in
+    * Verify/Bench sessions) it arrives as raw nanos — convert to micros with
+    * integer division (`div`, no double round-trip: ns epochs exceed 2^53),
+    * matching DuckDB's own nanos→micros truncation. */
+  private def rdEvents(s: SparkSession, dir: String): DataFrame =
+    rd(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** Flagship query on /root/testdata/sf0.001 (SURVEY §7.2.1 M0): mask →
+    * filter → project → aggregate over lineitem, the reference composition of
+    * cl-data-frame-tests.lisp:66-70 at Spark scale. Driver smoke-checks
+    * rows>0. */
+  def entry(spark: SparkSession): DataFrame = {
+    val li = rd(spark, "/root/testdata/sf0.001", "lineitem")
+    DF.fromSpark(li)
+      .filter(col("l_quantity") * col("l_extendedprice") >= 50000)
+      .columns(Sel.Names(Seq("l_returnflag", "l_quantity")))
+      .toSpark
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  // exact cents of a double column: deterministic, order-independent sum
+  private def cents(c: org.apache.spark.sql.Column, scale: Long = 100L) =
+    round(c * scale).cast(LongType)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- parity surface (SURVEY §2.3-§2.6) ----
+    "q_mask_count" -> ((s, dir) => {
+      import s.implicits._
+      val d = DF.fromSpark(rd(s, dir, "lineitem"))
+      val n = d.countRows(col("l_quantity") * col("l_extendedprice") >= 50000)
+      Seq(n).toDF("cnt")
+    }),
+    "q_mask_slice" -> ((s, dir) => {
+      DF.fromSpark(rd(s, dir, "lineitem"))
+        .filter(col("l_quantity") >= 45)
+        .columns(Sel.Names(Seq("l_orderkey", "l_linenumber", "l_quantity")))
+        .toSpark.orderBy("l_orderkey", "l_linenumber")
+    }),
+    "q_slice_range" -> ((s, dir) => {
+      DF.fromSpark(rd(s, dir, "customer"), orderBy = Seq("c_custkey"))
+        .sliceFrame(Sel.Range(100, 110))
+        .toSpark.orderBy("c_custkey")
+    }),
+    "q_map_rows" -> ((s, dir) => {
+      DF.fromSpark(rd(s, dir, "lineitem"))
+        .mapDF(
+          "l_orderkey" -> col("l_orderkey"),
+          "l_linenumber" -> col("l_linenumber"),
+          "rev_cents" -> cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        .toSpark.orderBy("l_orderkey", "l_linenumber")
+    }),
+    "q_add_column" -> ((s, dir) => {
+      DF.fromSpark(rd(s, dir, "customer"))
+        .addColumn("bal_band", floor(col("c_acctbal") / 100).cast(LongType))
+        .toSpark.orderBy("c_custkey")
+    }),
+    "q_replace_column" -> ((s, dir) => {
+      DF.fromSpark(rd(s, dir, "customer"))
+        .replaceColumnFn("c_name", c => upper(c))
+        .toSpark.orderBy("c_custkey")
+    }),
+    "q_map_columns" -> ((s, dir) => {
+      DF.fromSpark(rd(s, dir, "customer"))
+        .columns(Sel.Names(Seq("c_custkey", "c_nationkey")))
+        .mapColumns(c => (c * 2).cast(LongType))
+        .toSpark.orderBy("c_custkey")
+    }),
+    "q_freq_table" -> ((s, dir) =>
+      Summary.frequencyTable(rd(s, dir, "lineitem"), "l_returnflag")),
+    "q_quantiles" -> ((s, dir) =>
+      Summary.quantileSummary(rd(s, dir, "lineitem"), "l_extendedprice")),
+    "q_bit_summary" -> ((s, dir) =>
+      Summary.bitSummaryTable(rd(s, dir, "lineitem"), col("l_discount") > 0.05)),
+    "q_distinct" -> ((s, dir) =>
+      rd(s, dir, "lineitem").select("l_returnflag", "l_linestatus")
+        .distinct().orderBy("l_returnflag", "l_linestatus")),
+    "q_count_distinct" -> ((s, dir) =>
+      rd(s, dir, "lineitem").agg(count_distinct(col("l_partkey")).as("n_parts"))),
+
+    // ---- [EXT] relational (SURVEY §2.9) ----
+    "q_join_broadcast" -> ((s, dir) => {
+      val cust = rd(s, dir, "customer")
+      val nation = rd(s, dir, "nation").withColumnRenamed("n_nationkey", "c_nationkey")
+      Relational.broadcastJoin(cust, nation, Seq("c_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_cust"), sum(cents(col("c_acctbal"))).as("bal_cents"))
+        .orderBy("n_name")
+    }),
+    "q_join_agg" -> ((s, dir) => {
+      val li = rd(s, dir, "lineitem")
+      val ord = rd(s, dir, "orders").withColumnRenamed("o_orderkey", "l_orderkey")
+      Relational.innerJoin(li, ord, Seq("l_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")), 10000L)).as("rev_tenk"))
+        .orderBy("o_orderstatus")
+    }),
+    "q_join_left" -> ((s, dir) => {
+      val cust = rd(s, dir, "customer").select("c_custkey")
+      val ord = rd(s, dir, "orders")
+        .select(col("o_custkey").as("c_custkey"), col("o_orderkey"))
+      Relational.leftJoin(cust, ord, Seq("c_custkey"))
+        .groupBy("c_custkey").agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy("c_custkey")
+    }),
+    "q_join_semi" -> ((s, dir) => {
+      val cust = rd(s, dir, "customer")
+      val ord = rd(s, dir, "orders").select(col("o_custkey").as("c_custkey"))
+      Relational.semiJoin(cust, ord, Seq("c_custkey"))
+        .select("c_custkey").orderBy("c_custkey")
+    }),
+    "q_join_anti" -> ((s, dir) => {
+      val cust = rd(s, dir, "customer")
+      val ord = rd(s, dir, "orders").select(col("o_custkey").as("c_custkey"))
+      Relational.antiJoin(cust, ord, Seq("c_custkey"))
+        .select("c_custkey").orderBy("c_custkey")
+    }),
+    "q_group_agg" -> ((s, dir) => {
+      Relational.groupAgg(rd(s, dir, "lineitem"),
+          Seq("l_returnflag", "l_linestatus"),
+          Seq(sum("l_quantity").as("sum_qty"),
+            sum(cents(col("l_extendedprice"))).as("base_cents"),
+            (sum("l_quantity") / count(lit(1))).as("avg_qty"),
+            count(lit(1)).as("count_order")))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+    "q_rollup" -> ((s, dir) => {
+      Relational.rollupAgg(rd(s, dir, "lineitem"),
+          Seq("l_returnflag", "l_linestatus"), Seq(count(lit(1)).as("n")))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+    }),
+    "q_cube" -> ((s, dir) => {
+      Relational.cubeAgg(rd(s, dir, "lineitem"),
+          Seq("l_returnflag", "l_linestatus"), Seq(count(lit(1)).as("n")))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+    }),
+    "q_pivot" -> ((s, dir) => {
+      Relational.pivot(rd(s, dir, "lineitem"), "l_returnflag", "l_linestatus",
+          Seq("F", "O"), sum("l_quantity"))
+        .orderBy("l_returnflag")
+    }),
+    "q_topk" -> ((s, dir) => {
+      Relational.topK(
+          rd(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_extendedprice"),
+          10, Seq(desc("l_extendedprice"), asc("l_orderkey"), asc("l_linenumber")))
+    }),
+    "q_top_per_group" -> ((s, dir) => {
+      Relational.topNPerGroup(rd(s, dir, "orders"), Seq("o_orderpriority"),
+          Seq(desc("o_totalprice"), asc("o_orderkey")), 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice")
+        .orderBy(asc("o_orderpriority"), desc("o_totalprice"), asc("o_orderkey"))
+    }),
+    "q_window_running" -> ((s, dir) => {
+      Relational.runningAgg(rd(s, dir, "orders"), Seq("o_custkey"),
+          Seq(col("o_orderdate"), col("o_orderkey")),
+          sum(cents(col("o_totalprice"))), "run_cents")
+        .select("o_custkey", "o_orderkey", "run_cents")
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+    "q_lag_lead" -> ((s, dir) => {
+      Relational.lagLead(rd(s, dir, "orders"), Seq("o_custkey"),
+          Seq(col("o_orderdate"), col("o_orderkey")), "o_totalprice")
+        .select("o_custkey", "o_orderkey", "o_totalprice_lag", "o_totalprice_lead")
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+    "q_union" -> ((s, dir) => {
+      Relational.unionDistinct(
+          rd(s, dir, "lineitem").select(col("l_partkey").as("k")),
+          rd(s, dir, "part").select(col("p_partkey").as("k")))
+        .orderBy("k")
+    }),
+    "q_intersect" -> ((s, dir) => {
+      Relational.intersect(
+          rd(s, dir, "customer").select(col("c_custkey").as("k")),
+          rd(s, dir, "orders").select(col("o_custkey").as("k")))
+        .orderBy("k")
+    }),
+    "q_except" -> ((s, dir) => {
+      Relational.except(
+          rd(s, dir, "customer").select(col("c_custkey").as("k")),
+          rd(s, dir, "orders").select(col("o_custkey").as("k")))
+        .orderBy("k")
+    }),
+    "q_asof_join" -> ((s, dir) => {
+      val ord = rd(s, dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+      val ev = rdEvents(s, dir)
+        .select(col("user_id").as("o_custkey"), col("ts"), col("value"))
+      Relational.asofJoin(ord, ev, Seq("o_custkey"), "o_orderdate", "ts", Seq("value"))
+        .select("o_orderkey", "o_custkey", "value")
+        .orderBy("o_orderkey")
+    }),
+
+    // ---- [EXT] dedup / text / similarity (north star) ----
+    "q_dedup_exact" -> ((s, dir) => {
+      Dedup.exactDedup(rd(s, dir, "documents"), col("text"), "doc_id")
+        .select("doc_id").orderBy("doc_id")
+    }),
+    "q_dedup_fingerprint" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+        .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+      Dedup.exactDedup(docs, col("fp"), "doc_id")
+        .select("doc_id").orderBy("doc_id")
+    }),
+    "q_token_count" -> ((s, dir) => {
+      rd(s, dir, "documents").select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast(LongType).as("n_tokens"))
+        .orderBy("doc_id")
+    }),
+    "q_stopword_ratio" -> ((s, dir) => {
+      rd(s, dir, "documents").select(col("doc_id"),
+          TextAnalysis.stopwordRatio(col("text")).as("stop_ratio"))
+        .orderBy("doc_id")
+    }),
+    "q_quality_score" -> ((s, dir) => {
+      rd(s, dir, "documents").select(col("doc_id"),
+          TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    }),
+    "q_lang_guess" -> ((s, dir) => {
+      rd(s, dir, "documents").select(col("doc_id"),
+          TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")
+    }),
+    "q_top_tokens" -> ((s, dir) =>
+      TextAnalysis.topTokens(rd(s, dir, "documents"), "text", 20)),
+    "q_ngram_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(rd(s, dir, "documents"), "doc_id", "text",
+          Seq(col("lang")), 0.3, 1)
+        .orderBy("id_a", "id_b")
+    }),
+    "q_cosine_topk" -> ((s, dir) => {
+      val emb = rd(s, dir, "embeddings")
+      Similarity.topKPerQuery(emb, emb.filter(col("vec_id") <= 3),
+          "vec_id", "vec_id", "embedding", 5)
+        .orderBy(asc("query_id"), desc("cos"), asc("neighbor_id"))
+    }),
+    // not oracle-expressible (xxhash64 / seeded hyperplanes don't exist in
+    // DuckDB) → rows-only checks, covered by ScalaTest instead:
+    "q_minhash_dedup" -> ((s, dir) => {
+      Dedup.minhashDedup(rd(s, dir, "documents"), "doc_id", "text", 0.5)
+        .select("doc_id").orderBy("doc_id")
+    }),
+    "q_simhash_dedup" -> ((s, dir) => {
+      Dedup.simhashDedup(rd(s, dir, "documents"), "doc_id", "text")
+        .select("doc_id").orderBy("doc_id")
+    }),
+    "q_lsh_ann" -> ((s, dir) => {
+      val emb = rd(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 1).select("embedding")
+        .head().getSeq[Float](0).map(_.toDouble)
+      Similarity.lshTopK(emb.filter(col("vec_id") =!= 1), "vec_id", "embedding",
+        q, 10, dim = 64, nBits = 8)
+    }),
+    "q_approx_distinct" -> ((s, dir) =>
+      rd(s, dir, "lineitem")
+        .agg(approx_count_distinct(col("l_partkey")).as("n_approx"))),
+
+    // ---- [EXT] multimodal plumbing ----
+    "q_media_meta" -> ((s, dir) =>
+      Multimodal.metadataStats(
+        Multimodal.asMedia(rd(s, dir, "documents"), "doc_id", "text"))
+        .orderBy("kind")),
+    "q_frame_sample" -> ((s, dir) => {
+      Multimodal.sampleFrames(
+          Multimodal.asMedia(rd(s, dir, "documents"), "doc_id", "text"),
+          frameBytes = 64, everyK = 2)
+        .select(col("media_id"), col("kind"),
+          col("frame_no").cast(LongType).as("frame_no"), col("byte_offset"))
+        .orderBy("media_id", "frame_no")
+    }),
+
+    // ---- [EXT] streaming transforms, batch-equivalent forms ----
+    "q_tumbling" -> ((s, dir) => {
+      Streams.tumblingAgg(rdEvents(s, dir), "1 hour")
+        .select(unix_millis(col("win_start")).as("win_ms"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy("win_ms", "event_type")
+    }),
+    "q_sliding" -> ((s, dir) => {
+      Streams.slidingAgg(rdEvents(s, dir), "1 hour", "30 minutes")
+        .select(unix_millis(col("win_start")).as("win_ms"), col("n"))
+        .orderBy("win_ms")
+    }),
+    "q_session" -> ((s, dir) => {
+      Streams.sessionAgg(rdEvents(s, dir), "30 minutes")
+        .select(unix_millis(col("sess_start")).as("sess_ms"),
+          col("user_id"), col("n_events"), col("sum_value"))
+        .orderBy("user_id", "sess_ms")
+    })
+  )
+
+  /** DuckDB oracle SQL per query (same result, same column names, same
+    * ORDER BY). Queries absent here are not SQL-expressible in DuckDB
+    * (seeded xxhash64 / hyperplane / HLL sketches) → driver records the
+    * weaker rows-only check. */
+  def oracleSql: Map[String, String] = Map(
+    "q_mask_count" ->
+      "SELECT count(*) AS cnt FROM lineitem WHERE l_quantity * l_extendedprice >= 50000",
+    "q_mask_slice" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+         WHERE l_quantity >= 45 ORDER BY l_orderkey, l_linenumber""",
+    "q_slice_range" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+         FROM customer ORDER BY c_custkey LIMIT 10 OFFSET 100""",
+    "q_map_rows" ->
+      """SELECT l_orderkey, l_linenumber,
+           CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS rev_cents
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+    "q_add_column" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+           CAST(floor(c_acctbal / 100) AS BIGINT) AS bal_band
+         FROM customer ORDER BY c_custkey""",
+    "q_replace_column" ->
+      """SELECT c_custkey, upper(c_name) AS c_name, c_nationkey, c_acctbal,
+           c_mktsegment FROM customer ORDER BY c_custkey""",
+    "q_map_columns" ->
+      """SELECT CAST(c_custkey * 2 AS BIGINT) AS c_custkey,
+           CAST(c_nationkey * 2 AS BIGINT) AS c_nationkey
+         FROM customer ORDER BY c_custkey""",
+    "q_freq_table" ->
+      """SELECT l_returnflag, count(*) AS cnt FROM lineitem
+         GROUP BY l_returnflag ORDER BY cnt DESC, l_returnflag""",
+    "q_quantiles" ->
+      """SELECT round(min(l_extendedprice), 6) AS vmin,
+           round(quantile_cont(l_extendedprice, 0.25), 6) AS q25,
+           round(quantile_cont(l_extendedprice, 0.50), 6) AS q50,
+           round(quantile_cont(l_extendedprice, 0.75), 6) AS q75,
+           round(max(l_extendedprice), 6) AS vmax
+         FROM lineitem""",
+    "q_bit_summary" ->
+      """SELECT CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS ones,
+           count(*) AS total FROM lineitem""",
+    "q_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+         ORDER BY l_returnflag, l_linestatus""",
+    "q_count_distinct" ->
+      "SELECT count(DISTINCT l_partkey) AS n_parts FROM lineitem",
+    "q_join_broadcast" ->
+      """SELECT n_name, count(*) AS n_cust,
+           CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name ORDER BY n_name""",
+    "q_join_agg" ->
+      """SELECT o_orderstatus, count(*) AS n,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS rev_tenk
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q_join_left" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders
+         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         GROUP BY c_custkey ORDER BY c_custkey""",
+    "q_join_semi" ->
+      """SELECT c_custkey FROM customer
+         WHERE c_custkey IN (SELECT o_custkey FROM orders) ORDER BY c_custkey""",
+    "q_join_anti" ->
+      """SELECT c_custkey FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+         ORDER BY c_custkey""",
+    "q_group_agg" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS base_cents,
+           sum(l_quantity) / count(*) AS avg_qty, count(*) AS count_order
+         FROM lineitem GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n FROM lineitem
+         GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n FROM lineitem
+         GROUP BY CUBE(l_returnflag, l_linestatus)
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "q_pivot" ->
+      """SELECT l_returnflag,
+           sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS "F",
+           sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS "O"
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_topk" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+         ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 10""",
+    "q_top_per_group" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+           SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+               ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           FROM orders) WHERE rn <= 3
+         ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey""",
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_cents
+         FROM orders ORDER BY o_custkey, o_orderkey""",
+    "q_lag_lead" ->
+      """SELECT o_custkey, o_orderkey,
+           lag(o_totalprice) OVER w AS o_totalprice_lag,
+           lead(o_totalprice) OVER w AS o_totalprice_lead
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+         ORDER BY o_custkey, o_orderkey""",
+    "q_union" ->
+      """SELECT l_partkey AS k FROM lineitem UNION
+         SELECT p_partkey FROM part ORDER BY k""",
+    "q_intersect" ->
+      """SELECT c_custkey AS k FROM customer INTERSECT
+         SELECT o_custkey FROM orders ORDER BY k""",
+    "q_except" ->
+      """SELECT c_custkey AS k FROM customer EXCEPT
+         SELECT o_custkey FROM orders ORDER BY k""",
+    "q_asof_join" ->
+      """SELECT o.o_orderkey, o.o_custkey, e.value
+         FROM orders o ASOF LEFT JOIN events e
+           ON o.o_custkey = e.user_id AND e.ts <= o.o_orderdate
+         ORDER BY o.o_orderkey""",
+    "q_dedup_exact" ->
+      """SELECT doc_id FROM documents
+         WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
+         ORDER BY doc_id""",
+    "q_dedup_fingerprint" ->
+      """SELECT doc_id FROM documents WHERE doc_id IN (
+           SELECT min(doc_id) FROM documents
+           GROUP BY md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))))
+         ORDER BY doc_id""",
+    "q_token_count" ->
+      """SELECT doc_id,
+           CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n_tokens
+         FROM documents ORDER BY doc_id""",
+    "q_stopword_ratio" ->
+      """SELECT doc_id,
+           round(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+               t -> list_contains(['the','a','an','of','to','and','in','is','it','that'], t)))
+             / len(string_split_regex(lower(trim(text)), '\s+')), 6) AS stop_ratio
+         FROM documents ORDER BY doc_id""",
+    "q_quality_score" ->
+      """WITH q AS (
+           SELECT doc_id, text, CAST(length(text) AS DOUBLE) AS n,
+             round(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                 t -> list_contains(['the','a','an','of','to','and','in','is','it','that'], t)))
+               / len(string_split_regex(lower(trim(text)), '\s+')), 6) AS sr
+           FROM documents)
+         SELECT doc_id, round((
+             CASE WHEN n >= 100 AND n <= 10000 THEN 1.0
+                  WHEN n >= 20 THEN 0.5 ELSE 0.0 END
+           + CASE WHEN sr > 0.05 THEN 1.0 ELSE 0.0 END
+           + CASE WHEN (n - length(regexp_replace(text, '[.,;:!?]', '', 'g'))) / n <= 0.2
+                  THEN 1.0 ELSE 0.0 END) / 3.0, 6) AS quality
+         FROM q ORDER BY doc_id""",
+    "q_lang_guess" ->
+      """WITH tk AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+           FROM documents),
+         c AS (
+           SELECT doc_id,
+             len(list_filter(t, x -> list_contains(['the','and','of','is'], x))) AS he,
+             len(list_filter(t, x -> list_contains(['el','los','las','es'], x))) AS hs,
+             len(list_filter(t, x -> list_contains(['le','les','est','une'], x))) AS hf,
+             len(list_filter(t, x -> list_contains(['der','die','das','ist'], x))) AS hd
+           FROM tk)
+         SELECT doc_id,
+           CASE WHEN he = 0 AND hs = 0 AND hf = 0 AND hd = 0 THEN 'und'
+                WHEN he >= hs AND he >= hf AND he >= hd THEN 'en'
+                WHEN hs >= hf AND hs >= hd THEN 'es'
+                WHEN hf >= hd THEN 'fr' ELSE 'de' END AS lang_pred
+         FROM c ORDER BY doc_id""",
+    "q_top_tokens" ->
+      """SELECT token, count(*) AS cnt FROM (
+           SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+           FROM documents)
+         WHERE len(token) > 0
+         GROUP BY token ORDER BY cnt DESC, token LIMIT 20""",
+    "q_ngram_jaccard" ->
+      """WITH tk AS (
+           SELECT doc_id, lang,
+             list_distinct(string_split_regex(
+               trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+')) AS t
+           FROM documents)
+         SELECT * FROM (
+           SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+             round(len(list_filter(l.t, x -> list_contains(r.t, x)))
+               / (len(l.t) + len(r.t) - len(list_filter(l.t, x -> list_contains(r.t, x)))), 6) AS jaccard
+           FROM tk l JOIN tk r ON l.lang = r.lang AND l.doc_id < r.doc_id)
+         WHERE jaccard >= 0.3 ORDER BY id_a, id_b""",
+    "q_cosine_topk" ->
+      """SELECT query_id, neighbor_id, cos FROM (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))
+               / (sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))), 6) AS cos,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY round(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))
+                 / (sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))), 6) DESC,
+                 c.vec_id) AS rn
+           FROM embeddings c JOIN embeddings q
+             ON q.vec_id <= 3 AND c.vec_id != q.vec_id)
+         WHERE rn <= 5 ORDER BY query_id, cos DESC, neighbor_id""",
+    "q_media_meta" ->
+      """SELECT 'image' AS kind, count(*) AS n,
+           CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
+           round(CAST(sum(strlen(text)) AS DOUBLE) / count(*), 4) AS avg_bytes
+         FROM documents""",
+    "q_frame_sample" ->
+      """SELECT media_id, kind, frame_no,
+           CAST(frame_no * 128 AS BIGINT) AS byte_offset
+         FROM (
+           SELECT doc_id AS media_id, 'image' AS kind,
+             unnest(range(0, CAST(greatest(1, floor(strlen(text) / 128.0)) AS BIGINT))) AS frame_no
+           FROM documents)
+         ORDER BY media_id, frame_no""",
+    "q_tumbling" ->
+      """SELECT epoch_ms(time_bucket(INTERVAL 1 HOUR, ts)) AS win_ms, event_type,
+           count(*) AS n,
+           sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
+         FROM events GROUP BY win_ms, event_type ORDER BY win_ms, event_type""",
+    "q_sliding" ->
+      """SELECT epoch_ms(w) AS win_ms, count(*) AS n FROM (
+           SELECT time_bucket(INTERVAL 30 MINUTE, ts) - k * INTERVAL 30 MINUTE AS w, ts
+           FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) ks)
+         WHERE ts >= w AND ts < w + INTERVAL 1 HOUR
+         GROUP BY win_ms ORDER BY win_ms""",
+    "q_session" ->
+      """WITH x AS (
+           SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         y AS (
+           SELECT user_id, ts, value,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS sess
+           FROM x)
+         SELECT epoch_ms(min(ts)) AS sess_ms, user_id,
+           count(*) AS n_events,
+           sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
+         FROM y GROUP BY user_id, sess ORDER BY user_id, sess_ms"""
+  )
 }

@@ -46,9 +46,12 @@ object Summary {
       (q.toSeq ++ f).mkString(", ")
     }
   }
-  final case class Quantiles(min: Double, q25: Double, q50: Double, q75: Double, max: Double) {
+  /** `reals` = number of non-null real elements the quantiles were computed
+    * over (the reference's "N reals" in the rendered summary). */
+  final case class Quantiles(reals: Long, min: Double, q25: Double, q50: Double,
+                             q75: Double, max: Double) {
     override def toString: String =
-      f"$min%s [q25=$q25%s, q50=$q50%s, q75=$q75%s] $max%s"
+      f"$reals reals, $min%s [q25=$q25%s, q50=$q50%s, q75=$q75%s] $max%s"
   }
 
   private def isNumeric(dt: DataType): Boolean = dt match {
@@ -56,8 +59,16 @@ object Summary {
     case _              => false
   }
 
-  /** one column's summary. Two aggregate jobs max: a groupBy-count for the
-    * frequency/distinct side, an exact percentile for the quantile side. */
+  /** Cap on the number of frequency entries brought to the driver: the
+    * reference collects the FULL distinct-value list (fine in-memory,
+    * cl-data-frame.lisp:67-71); at scale an unbounded collect of a
+    * high-cardinality column would OOM the driver, so we keep the top
+    * [[FrequencyCap]] by count — a documented delta from the reference. */
+  val FrequencyCap = 1000
+
+  /** one column's summary. Two aggregate jobs max: one combined aggregate for
+    * totals/distinct-count, then EITHER the capped frequency top-k OR the
+    * exact percentile job. */
   def columnSummary(df: DataFrame, key: String): ColSummary = {
     val dt = df.schema(key).dataType
     dt match {
@@ -67,19 +78,30 @@ object Summary {
           count(lit(1)).as("total")).head()
         BitSummary(Option(r.get(0)).map(_.toString.toLong).getOrElse(0L), r.getLong(1))
       case _ =>
-        // (value, count) pairs — the reference's sparse counter, as a hash agg
-        val freq = df.groupBy(col(key)).agg(count(lit(1)).as("count"))
-        val total = df.count()
-        val distinctReals =
-          if (isNumeric(dt)) freq.filter(col(key).isNotNull).count() else 0L
-        if (isNumeric(dt) && distinctReals > QuantilesThreshold) {
-          // weighted quantiles over the value distribution, exact
+        // single job: total rows, non-null count, distinct non-null count
+        val stats = df.agg(
+          count(lit(1)).as("total"),
+          count(col(key)).as("nonnull"),
+          count_distinct(col(key)).as("distinct")).head()
+        val (total, nonnull, distinct) =
+          (stats.getLong(0), stats.getLong(1), stats.getLong(2))
+        val nulls = total - nonnull
+        val nullFreq: Seq[(Any, Long)] = if (nulls > 0) Seq((null, nulls)) else Nil
+        if (isNumeric(dt) && distinct > QuantilesThreshold) {
+          // weighted quantiles over the value distribution, exact; non-real
+          // (null) elements stay in the frequency list like the reference
+          // (cl-data-frame.lisp:72-87).
           val q = df.agg(
             percentile(col(key).cast(DoubleType), lit(Array(0.0, 0.25, 0.5, 0.75, 1.0)))
               .as("qs")).head().getSeq[Double](0)
-          VectorSummary(total, Some(Quantiles(q(0), q(1), q(2), q(3), q(4))), Nil)
+          VectorSummary(total,
+            Some(Quantiles(nonnull, q(0), q(1), q(2), q(3), q(4))), nullFreq)
         } else {
-          val rows = freq.orderBy(desc("count"), col(key).cast(StringType))
+          // (value, count) pairs — the reference's sparse counter as a hash
+          // agg; collect capped at FrequencyCap entries.
+          val rows = df.groupBy(col(key)).agg(count(lit(1)).as("count"))
+            .orderBy(desc("count"), col(key).cast(StringType))
+            .limit(FrequencyCap)
             .collect().map(r => (r.get(0), r.getLong(1))).toSeq
           VectorSummary(total, None, rows)
         }

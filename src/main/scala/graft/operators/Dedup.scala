@@ -42,19 +42,25 @@ object Dedup {
       transform(idxs, i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
   }
 
-  // affine permutation constants: h_i(x) = (a_i*x + b_i) mod p  (p Mersenne61)
-  private val P: Long = (1L << 61) - 1
+  // Affine permutation constants: h_i(x) = (a_i*x + b_i) mod p over a 31-bit
+  // domain. p = 2^31-1 (Mersenne prime). Keeping x < 2^31 and a,b < 2^31
+  // bounds a*x + b < 2^62 + 2^31 — fits a Long with room to spare, so the
+  // expression is safe under Spark 4's default ANSI mode (no
+  // ARITHMETIC_OVERFLOW) and the universal-hash math is exact.
+  private val P: Long = (1L << 31) - 1
   private def hashParams(numHashes: Int): Seq[(Long, Long)] = {
     val rnd = new scala.util.Random(42) // fixed seed: signatures reproducible
-    Seq.fill(numHashes)((math.abs(rnd.nextLong()) % (P - 1) + 1, math.abs(rnd.nextLong()) % P))
+    Seq.fill(numHashes)((Math.floorMod(rnd.nextLong(), P - 1) + 1, Math.floorMod(rnd.nextLong(), P)))
   }
 
   /** MinHash signature: array of `numHashes` min-hashed shingle values.
-    * One pass per hash over the shingle array, fully codegen'd. */
+    * One pass per hash over the shingle array, fully codegen'd. The raw
+    * xxhash64 is first reduced mod 2^31 so every intermediate stays in the
+    * overflow-free 31-bit domain. */
   def minhashSignature(shingleCol: Column, numHashes: Int = 64): Column = {
     val hs = hashParams(numHashes).map { case (a, b) =>
       array_min(transform(shingleCol,
-        s => pmod(pmod(xxhash64(s), lit(P)) * lit(a) + lit(b), lit(P))))
+        s => pmod(pmod(xxhash64(s), lit(1L << 31)) * lit(a) + lit(b), lit(P))))
     }
     array(hs: _*)
   }
@@ -75,7 +81,16 @@ object Dedup {
     * only. */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 64, bands: Int = 16,
-                        shingleSize: Int = 3): DataFrame = {
+                        shingleSize: Int = 3): DataFrame =
+    minhashCandidatesWithSigs(df, idCol, textCol, numHashes, bands, shingleSize)._1
+
+  /** as [[minhashCandidates]] but also returns the cached signature frame so
+    * the caller can `unpersist` it once the pairs are materialized (the cache
+    * is reused 3× inside the candidate plan; leaving it pinned for the session
+    * would leak executor storage in a long-running pipeline). */
+  def minhashCandidatesWithSigs(df: DataFrame, idCol: String, textCol: String,
+                                numHashes: Int = 64, bands: Int = 16,
+                                shingleSize: Int = 3): (DataFrame, DataFrame) = {
     val sigs = df.select(col(idCol),
       minhashSignature(shingles(col(textCol), shingleSize), numHashes).as("sig"))
       .cache()
@@ -86,7 +101,7 @@ object Dedup {
         col(s"l.$idCol") < col(s"r.$idCol"))
       .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"))
       .distinct()
-    pairs
+    val withEst = pairs
       .join(sigs.select(col(idCol).as("id_a"), col("sig").as("sig_a")), "id_a")
       .join(sigs.select(col(idCol).as("id_b"), col("sig").as("sig_b")), "id_b")
       .withColumn("est_jaccard", round(
@@ -95,6 +110,7 @@ object Dedup {
           lit(0), (acc, v) => acc + v)
           .cast(DoubleType) / size(col("sig_a")), 6))
       .select("id_a", "id_b", "est_jaccard")
+    (withEst, sigs)
   }
 
   /** MinHash-LSH dedup: drop every doc that is LSH-similar (est. Jaccard ≥
@@ -104,9 +120,17 @@ object Dedup {
   def minhashDedup(df: DataFrame, idCol: String, textCol: String,
                    threshold: Double = 0.8, numHashes: Int = 64,
                    bands: Int = 16): DataFrame = {
-    val dupIds = minhashCandidates(df, idCol, textCol, numHashes, bands)
+    val (cands, sigs) = minhashCandidatesWithSigs(df, idCol, textCol, numHashes, bands)
+    // dup ids are tiny (ids only); materialize them so the signature cache
+    // can be released instead of staying pinned for the session.
+    val dupIds = cands
       .filter(col("est_jaccard") >= threshold)
       .select(col("id_b").as(idCol)).distinct()
+      .cache()
+    dupIds.count()
+    sigs.unpersist(blocking = false)
+    // no broadcast hint: the dup-id set can be a large fraction of the corpus
+    // at scale — let AQE pick broadcast vs shuffle from the observed size.
     df.join(dupIds, Seq(idCol), "left_anti")
   }
 
@@ -142,6 +166,10 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         blockCols: Seq[Column], threshold: Double,
                         ngram: Int = 1): DataFrame = {
+    require(blockCols.nonEmpty,
+      "ngramJaccardPairs requires non-empty blockCols: an unblocked self-join " +
+        "is an O(n²) cartesian product — block on e.g. (lang, length band) " +
+        "or an LSH sign bucket")
     val toks =
       if (ngram == 1) array_distinct(TextAnalysis.tokens(TextAnalysis.normalized(col(textCol))))
       else shingles(col(textCol), ngram)
@@ -160,11 +188,16 @@ object Dedup {
   }
 
   /** embedding-cosine near-dup pairs: normalized-vector dot product over a
-    * blocked candidate set (block = coarse LSH sign-bucket by default to stay
-    * linear; callers can pass their own blocking). */
+    * blocked candidate set. Blocking is REQUIRED (an unblocked self-join is
+    * cartesian); use [[Similarity.lshSignature]] as a ready-made LSH
+    * sign-bucket block when no natural key exists. */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                             threshold: Double,
-                            blockCols: Seq[Column] = Nil): DataFrame = {
+                            blockCols: Seq[Column]): DataFrame = {
+    require(blockCols.nonEmpty,
+      "embeddingNearDupPairs requires non-empty blockCols: an unblocked " +
+        "self-join is an O(n²) cartesian product — pass an LSH sign bucket " +
+        "(Similarity.lshSignature) or a domain blocking key")
     val prepared = df.select(
       (Seq(col(idCol), col(vecCol).as("__v")) ++ blockCols.zipWithIndex.map {
         case (c, i) => c.as(s"__b$i")

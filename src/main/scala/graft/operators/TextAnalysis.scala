@@ -64,18 +64,21 @@ object TextAnalysis {
     round((lenScore + stopScore + punctScore) / 3.0, 6)
   }
 
-  /** Language ID: marker-token heuristic over a fixed per-language marker
-    * set. Counts marker hits per language and takes the argmax (ties broken
-    * by language code order, deterministic). Closed-form — the DuckDB oracle
-    * runs the same CASE/array logic. At scale this is a pure map (codegen'd
-    * regexp counts), no shuffle.
+  /** Language GUESS — honestly a marker-token heuristic, not real language
+    * identification: it counts hits from small per-language stopword marker
+    * sets over whitespace tokens and takes the argmax (ties broken by marker
+    * list order, deterministic). It can only ever distinguish languages whose
+    * markers are disjoint Latin-script tokens — CJK or anything unsegmented is
+    * out of scope by construction (a real n-gram language model would replace
+    * the marker table; the plan shape — a pure codegen'd map, no shuffle —
+    * stays the same). Closed-form, so the DuckDB oracle runs identical
+    * CASE/list logic.
     */
   val LangMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "is"),
-    "es" -> Seq("el", "la", "los", "es"),
-    "fr" -> Seq("le", "la", "les", "est"),
-    "de" -> Seq("der", "die", "das", "ist"),
-    "zh" -> Seq("de", "shi", "zhe", "na"))
+    "es" -> Seq("el", "los", "las", "es"),
+    "fr" -> Seq("le", "les", "est", "une"),
+    "de" -> Seq("der", "die", "das", "ist"))
 
   def markerHits(text: Column, markers: Seq[String]): Column = {
     val toks = tokens(text)
@@ -102,10 +105,15 @@ object TextAnalysis {
   def fingerprint(text: Column): Column = md5(to_binary(normalized(text), lit("utf-8")))
 
   /** rolling (polynomial) hash over normalized tokens — order-sensitive
-    * fingerprint: h = Σ h*31 + xxhash64(token), as a fold. */
-  def rollingHash(text: Column): Column =
+    * fingerprint: h' = (h*31 + (xxhash64(token) mod 2^31)) mod (2^31-1), as a
+    * fold. Every term is reduced into a 31-bit domain BEFORE the multiply so
+    * intermediates stay < 2^36 — no Long overflow, safe under Spark 4's
+    * default ANSI mode. */
+  def rollingHash(text: Column): Column = {
+    val p = lit((1L << 31) - 1)
     aggregate(tokens(normalized(text)), lit(0L),
-      (acc, t) => acc * lit(31L) + xxhash64(t))
+      (acc, t) => pmod(acc * lit(31L) + pmod(xxhash64(t), lit(1L << 31)), p))
+  }
 
   /** global token frequency: explode + count. Shuffle is on the token key
     * (high cardinality → well-spread); partial aggregation happens map-side. */

@@ -61,23 +61,53 @@ object Streams {
                    event_type: String, value: Double)
   case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
 
-  /** custom state: running per-user totals via flatMapGroupsWithState —
-    * the arbitrary-stateful-processing path (state evicted by timeout).
+  /** custom state: running per-user totals via flatMapGroupsWithState.
+    * State IS evicted: EventTimeTimeout + a per-user timeout set `idleTTL`
+    * past the user's latest event time — once the watermark passes it, the
+    * user's state is dropped, so state size is bounded by the number of users
+    * active within one TTL window (the property that makes this safe on an
+    * unbounded 100 TB/day stream). Streaming callers must put
+    * `.withWatermark("ts", ...)` on the input; in batch mode timeouts are
+    * ignored (state is transient anyway).
     * Accumulates exact integer cents so the result is independent of the
     * (arbitrary) iterator order within a group. */
-  def runningUserTotals(events: Dataset[Event]): Dataset[UserRunning] = {
+  def runningUserTotals(events: Dataset[Event],
+                        idleTTL: String = "1 hour"): Dataset[UserRunning] = {
     val spark = events.sparkSession
     import spark.implicits._
+    val ttlMs = {
+      val parts = idleTTL.trim.toLowerCase.split("\\s+")
+      val n = parts(0).toLong
+      parts.lift(1).getOrElse("ms") match {
+        case u if u.startsWith("day")  => n * 86400000L
+        case u if u.startsWith("hour") => n * 3600000L
+        case u if u.startsWith("min")  => n * 60000L
+        case u if u.startsWith("sec")  => n * 1000L
+        case _                         => n
+      }
+    }
     events.groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         (uid: Long, it: Iterator[Event], state: GroupState[UserRunning]) => {
-          val prev = state.getOption.getOrElse(UserRunning(uid, 0L, 0.0))
-          var n = prev.n_events
-          var cents = math.rint(prev.total_value * 100).toLong
-          it.foreach { e => n += 1; cents += math.rint(e.value * 100).toLong }
-          val next = UserRunning(uid, n, cents / 100.0)
-          state.update(next)
-          Iterator(next)
+          if (state.hasTimedOut) {
+            state.remove() // watermark passed the user's TTL: evict
+            Iterator.empty
+          } else {
+            val prev = state.getOption.getOrElse(UserRunning(uid, 0L, 0.0))
+            var n = prev.n_events
+            var cents = math.rint(prev.total_value * 100).toLong
+            var maxTs = Long.MinValue
+            it.foreach { e =>
+              n += 1; cents += math.rint(e.value * 100).toLong
+              if (e.ts.getTime > maxTs) maxTs = e.ts.getTime
+            }
+            val next = UserRunning(uid, n, cents / 100.0)
+            state.update(next)
+            if (maxTs != Long.MinValue)
+              try state.setTimeoutTimestamp(maxTs + ttlMs)
+              catch { case _: UnsupportedOperationException => () } // batch mode
+            Iterator(next)
+          }
         })
   }
 
