@@ -53,16 +53,51 @@ object Dedup {
     Seq.fill(numHashes)((Math.floorMod(rnd.nextLong(), P - 1) + 1, Math.floorMod(rnd.nextLong(), P)))
   }
 
-  /** MinHash signature: array of `numHashes` min-hashed shingle values.
-    * One pass per hash over the shingle array, fully codegen'd. The raw
-    * xxhash64 is first reduced mod 2^31 so every intermediate stays in the
-    * overflow-free 31-bit domain. */
+  /** MinHash signature as a single Column: array of `numHashes` min-hashed
+    * shingle values. NOTE: this inlines `numHashes` array traversals into one
+    * projection — the expression tree is large and Catalyst planning/codegen
+    * time grows with it, so the DataFrame-level [[minhashSigs]] (explode +
+    * one hash aggregate) is the preferred path; this form is kept for
+    * composing with other per-row expressions. */
   def minhashSignature(shingleCol: Column, numHashes: Int = 64): Column = {
     val hs = hashParams(numHashes).map { case (a, b) =>
       array_min(transform(shingleCol,
         s => pmod(pmod(xxhash64(s), lit(1L << 31)) * lit(a) + lit(b), lit(P))))
     }
     array(hs: _*)
+  }
+
+  /** MinHash signatures as a DataFrame (idCol, sig): explode shingles, reduce
+    * each shingle's xxhash64 into the 31-bit domain ONCE, then take all
+    * `numHashes` minima in a single hash aggregate keyed on the doc id.
+    *
+    * This is the scale shape: the explode is a pure pipelined map, the
+    * aggregate does map-side partial mins (the shuffle carries only
+    * numHashes longs per doc per partition), and every per-hash expression is
+    * tiny — constant planning/codegen cost regardless of numHashes × shingle
+    * count (the Column form above inlines 64 array traversals instead and
+    * pays seconds of planning). */
+  def minhashSigs(df: DataFrame, idCol: String, textCol: String,
+                  numHashes: Int = 64, shingleSize: Int = 3): DataFrame = {
+    val params = hashParams(numHashes)
+    val pa = array(params.map(p => lit(p._1)): _*) // a_i literals, one array
+    val pb = array(params.map(p => lit(p._2)): _*) // b_i literals, one array
+    // (doc, shingleHash) → (doc, hashIdx, h_i(x)): the per-hash expression is
+    // ONE element_at lookup, so codegen size is constant in numHashes.
+    val perHash = df
+      .select(col(idCol), explode(shingles(col(textCol), shingleSize)).as("__sh"))
+      .select(col(idCol), pmod(xxhash64(col("__sh")), lit(1L << 31)).as("__x"))
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(0), lit(numHashes - 1)),
+          i => pmod(col("__x") * element_at(pa, i + 1) + element_at(pb, i + 1), lit(P))))
+        .as(Seq("__i", "__h")))
+    // stage 1: min per (doc, hashIdx) — map-side partial mins shrink the
+    // shuffle to ≤ numHashes rows per doc per partition;
+    // stage 2: assemble the ordered signature array per doc.
+    perHash.groupBy(col(idCol), col("__i")).agg(min(col("__h")).as("__h"))
+      .groupBy(col(idCol))
+      .agg(transform(array_sort(collect_list(struct(col("__i"), col("__h")))),
+        s => s.getField("__h")).as("sig"))
   }
 
   /** LSH banding: (docId, band, bandHash) rows. Two docs are candidates iff
@@ -91,9 +126,7 @@ object Dedup {
   def minhashCandidatesWithSigs(df: DataFrame, idCol: String, textCol: String,
                                 numHashes: Int = 64, bands: Int = 16,
                                 shingleSize: Int = 3): (DataFrame, DataFrame) = {
-    val sigs = df.select(col(idCol),
-      minhashSignature(shingles(col(textCol), shingleSize), numHashes).as("sig"))
-      .cache()
+    val sigs = minhashSigs(df, idCol, textCol, numHashes, shingleSize).cache()
     val banded = lshBands(sigs, idCol, "sig", bands)
     val pairs = banded.as("l").join(banded.as("r"),
         col("l.band") === col("r.band") &&

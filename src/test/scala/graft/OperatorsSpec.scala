@@ -1,0 +1,186 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Multimodal, Relational, Similarity, TextAnalysis}
+
+/** [EXT] operator semantics: dedup, text analysis, similarity, relational
+  * (as-of), multimodal plumbing — small fixtures with known answers. */
+class OperatorsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog", "en"),
+    (2L, "the quick brown fox jumps over the lazy dog", "en"),   // exact dup of 1
+    (3L, "the quick brown fox leaps over the lazy dog", "en"),   // near dup of 1
+    (4L, "completely different text about spark engines", "en"),
+    (5L, "El perro corre por el parque y el gato duerme", "es")
+  ).toDF("doc_id", "text", "lang")
+
+  test("exactDedup keeps the lowest id per group, deterministically") {
+    val kept = Dedup.exactDedup(docs, col("text"), "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 3L, 4L, 5L)) // 2 dropped (dup of 1)
+  }
+
+  test("minhash signatures: identical texts get identical sigs, length = numHashes") {
+    val sigs = Dedup.minhashSigs(docs, "doc_id", "text", numHashes = 32)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L).length == 32)
+    assert(sigs(1L) == sigs(2L))           // identical text → identical sig
+    assert(sigs(1L) != sigs(4L))           // different text → different sig
+    // near-dup estimate tracks true Jaccard: docs 1/3 differ in 1 of 9 words
+    // → 3-gram shingle Jaccard = 4/10 = 0.4 → expect ≈ 0.4*32 agreements,
+    // and strictly more than an unrelated pair
+    val agreeNear = sigs(1L).zip(sigs(3L)).count { case (a, b) => a == b }
+    val agreeFar = sigs(1L).zip(sigs(4L)).count { case (a, b) => a == b }
+    assert(agreeNear >= 8, s"near-dup agreement only $agreeNear/32")
+    assert(agreeNear > agreeFar)
+  }
+
+  test("minhashDedup removes exact duplicate, keeps distinct docs") {
+    val kept = Dedup.minhashDedup(docs, "doc_id", "text", threshold = 0.9)
+      .select("doc_id").as[Long].collect().sorted
+    assert(!kept.contains(2L))
+    assert(kept.contains(4L) && kept.contains(5L))
+  }
+
+  test("simhash: equal for identical, near for near-dups (hamming)") {
+    val sh = docs.select(col("doc_id"), Dedup.simhash64(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(2L))
+    val hammingNear = java.lang.Long.bitCount(sh(1L) ^ sh(3L))
+    val hammingFar = java.lang.Long.bitCount(sh(1L) ^ sh(4L))
+    assert(hammingNear < hammingFar)
+  }
+
+  test("ngramJaccardPairs requires blocking and finds the dup pairs") {
+    intercept[IllegalArgumentException] {
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", Nil, 0.5)
+    }
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        Seq(col("lang")), 0.5, 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L))) // exact dup, jaccard 1.0
+    assert(pairs.contains((1L, 3L))) // near dup (8/10 shared tokens)
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("embeddingNearDupPairs requires blocking") {
+    val emb = Seq((1L, Seq(1.0f, 0.0f))).toDF("id", "v")
+    intercept[IllegalArgumentException] {
+      Dedup.embeddingNearDupPairs(emb, "id", "v", 0.9, Nil)
+    }
+  }
+
+  test("text analysis: token count, stopword ratio, fingerprint invariance") {
+    val d = Seq((1L, "The quick brown fox!")).toDF("id", "text")
+    val r = d.select(
+      TextAnalysis.tokenCount(col("text")).as("n"),
+      TextAnalysis.fingerprint(col("text")).as("fp")).head()
+    assert(r.getInt(0) == 4)
+    // fingerprint ignores case/punctuation differences
+    val fp2 = Seq((1L, "the QUICK, brown fox"))
+      .toDF("id", "text")
+      .select(TextAnalysis.fingerprint(col("text"))).head().getString(0)
+    assert(r.getString(1) == fp2)
+  }
+
+  test("rollingHash is order-sensitive, fingerprint-stable") {
+    val d = Seq(("alpha beta", 1), ("beta alpha", 2)).toDF("text", "i")
+    val hs = d.select(TextAnalysis.rollingHash(col("text"))).as[Long].collect()
+    assert(hs(0) != hs(1))
+    assert(hs.forall(h => h >= 0 && h < (1L << 31))) // bounded domain, no overflow
+  }
+
+  test("langId marker heuristic picks the dominant marker language") {
+    val d = Seq(
+      ("the cat and the dog is here", "en"),
+      ("el perro es grande y el gato es pequeno los dos", "es"),
+      ("der hund ist das tier die katze ist hier", "de"),
+      ("xyzzy plugh", "und")
+    ).toDF("text", "expected")
+    val out = d.select(TextAnalysis.langId(col("text")).as("got"), col("expected"))
+      .collect()
+    out.foreach { r => assert(r.getString(0) == r.getString(1), r.toString) }
+  }
+
+  test("cosine similarity and brute-force top-k ordering") {
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.9f, 0.1f, 0.0f)),
+      (3L, Seq(0.0f, 1.0f, 0.0f)),
+      (4L, Seq(-1.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      Seq(1.0, 0.0, 0.0), 3).select("vec_id").as[Long].collect()
+    assert(top.toSeq == Seq(1L, 2L, 3L)) // cos: 1.0, ~0.994, 0.0 (−1 excluded)
+    val self = emb.filter(col("vec_id") === 1)
+      .select(Similarity.cosine(col("embedding"), col("embedding"))).head().getDouble(0)
+    assert(math.abs(self - 1.0) < 1e-12)
+  }
+
+  test("lshTopK returns bucket-mates ranked by exact cosine") {
+    val vecs = (0 until 50).map { i =>
+      val base = if (i % 2 == 0) Seq(1.0f, 0.0f, 0.0f, 0.0f) else Seq(0.0f, 1.0f, 0.0f, 0.0f)
+      (i.toLong, base.map(v => v + i * 1e-4f))
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val res = Similarity.lshTopK(emb, "vec_id", "embedding",
+      Seq(1.0, 0.0, 0.0, 0.0), 5, dim = 4, nBits = 4)
+      .select("vec_id").as[Long].collect()
+    assert(res.nonEmpty)
+    assert(res.forall(_ % 2 == 0)) // only the e1-aligned bucket
+  }
+
+  test("as-of join: most recent right row at-or-before left time, else null") {
+    val left = Seq(
+      (1L, 100L, ts("2024-01-01 10:00:00")),
+      (2L, 100L, ts("2024-01-01 12:00:00")),
+      (3L, 200L, ts("2024-01-01 09:00:00"))
+    ).toDF("oid", "k", "lt")
+    val right = Seq(
+      (100L, ts("2024-01-01 09:30:00"), 1.0),
+      (100L, ts("2024-01-01 12:00:00"), 2.0), // equal timestamp: matched
+      (200L, ts("2024-01-01 10:00:00"), 9.9)  // after left row 3: no match
+    ).toDF("k", "rt", "value")
+    val out = Relational.asofJoin(left, right, Seq("k"), "lt", "rt", Seq("value"))
+      .select("oid", "value").collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(out(1L).contains(1.0))
+    assert(out(2L).contains(2.0)) // rt == lt picks the equal-time row
+    assert(out(3L).isEmpty)      // nothing at-or-before
+  }
+
+  test("topNPerGroup and runningAgg windows") {
+    val d = Seq(("a", 1, 10), ("a", 2, 30), ("a", 3, 20), ("b", 4, 5))
+      .toDF("g", "id", "x")
+    val top = Relational.topNPerGroup(d, Seq("g"), Seq(desc("x"), asc("id")), 2)
+      .select("id").as[Int].collect().toSet
+    assert(top == Set(2, 3, 4))
+    val run = Relational.runningAgg(d, Seq("g"), Seq(asc("id")), sum(col("x")), "rs")
+      .filter(col("g") === "a").orderBy("id").select("rs").as[Long].collect()
+    assert(run.toSeq == Seq(10L, 40L, 60L))
+  }
+
+  test("multimodal: decode plumbing, frame sampling, metadata shape") {
+    val media = Multimodal.asMedia(docs, "doc_id", "text")
+    assert(media.columns.toSeq ==
+      Seq("media_id", "kind", "bytes", "n_bytes", "mime"))
+    val feats = Multimodal.decodeFeatures(media).collect()
+    assert(feats.length == 5)
+    assert(feats.forall(f => f.width >= 16 && f.mean_intensity > 0))
+    // determinism: same bytes → same features
+    val again = Multimodal.decodeFeatures(media).collect()
+    assert(feats.map(_.feature_hash).toSet == again.map(_.feature_hash).toSet)
+    val frames = Multimodal.sampleFrames(media, frameBytes = 8, everyK = 2).collect()
+    // each doc yields max(1, floor(n/16)) frames at offsets i*16
+    assert(frames.forall(r => r.getLong(3) % 16 == 0))
+    val stats = Multimodal.metadataStats(media).collect()
+    assert(stats.length == 1 && stats.head.getAs[Long]("n") == 5L)
+  }
+
+  private def ts(s: String): java.sql.Timestamp = java.sql.Timestamp.valueOf(s)
+}

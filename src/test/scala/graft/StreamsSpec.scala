@@ -1,0 +1,96 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.Streams
+import graft.streaming.Streams.{Event, UserRunning}
+
+/** [EXT] Structured Streaming: batch-equivalence of the window transforms and
+  * a real MemoryStream run of the stateful path proving state EVICTION past
+  * the watermark (the round-1 unbounded-state bug). */
+class StreamsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def events = {
+    import spark.implicits._
+    Seq(
+      (1L, ts("2024-01-01 10:05:00"), 7L, "click", 1.0),
+      (2L, ts("2024-01-01 10:20:00"), 7L, "click", 2.0),
+      (3L, ts("2024-01-01 11:10:00"), 7L, "view", 4.0),  // >30min gap: new session
+      (4L, ts("2024-01-01 10:15:00"), 8L, "click", 8.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+  }
+
+  test("tumbling window batch aggregation") {
+    val out = Streams.tumblingAgg(events, "1 hour")
+      .orderBy("win_start", "event_type").collect()
+    // 10:00 window: click n=2 sum=3.0 (u7) + u8 click 8.0 → click n=3 sum=11.0
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("n") == 3L)
+    assert(out(0).getAs[Double]("sum_value") == 11.0)
+    assert(out(1).getAs[String]("event_type") == "view")
+  }
+
+  test("session windows: 30-minute gap splits sessions") {
+    val out = Streams.sessionAgg(events, "30 minutes")
+      .orderBy("user_id", "sess_start").collect()
+    // u7: (10:05,10:20) one session, 11:10 a second; u8: one session
+    assert(out.length == 3)
+    assert(out(0).getAs[Long]("n_events") == 2L)
+    assert(out(1).getAs[Long]("n_events") == 1L)
+  }
+
+  test("runningUserTotals on a real stream evicts state past the watermark TTL") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val totals = Streams.runningUserTotals(
+      mem.toDS().withWatermark("ts", "10 minutes"), idleTTL = "1 hour")
+    val q = totals.writeStream.outputMode("append")
+      .format("memory").queryName("running_totals").start()
+    try {
+      // batch 1: user 7 accumulates twice
+      mem.addData(Event(1L, ts("2024-01-01 10:00:00"), 7L, "click", 1.0))
+      q.processAllAvailable()
+      mem.addData(Event(2L, ts("2024-01-01 10:05:00"), 7L, "click", 2.0))
+      q.processAllAvailable()
+      // batch 2: another user far in the future pushes the watermark past
+      // user 7's TTL (10:05 + 1h) → user 7's state must be evicted
+      mem.addData(Event(3L, ts("2024-01-01 14:00:00"), 8L, "view", 5.0))
+      q.processAllAvailable()
+      // batch 3: user 7 returns — totals must have RESTARTED from zero
+      mem.addData(Event(4L, ts("2024-01-01 14:05:00"), 7L, "click", 10.0))
+      q.processAllAvailable()
+      val rows = spark.table("running_totals").as[UserRunning].collect()
+      val u7 = rows.filter(_.user_id == 7L)
+      assert(u7.map(r => (r.n_events, r.total_value)).toSet ==
+        Set((1L, 1.0), (2L, 3.0), (1L, 10.0)),
+        s"got ${u7.mkString(", ")}")
+      // the key assertion: the last u7 update has n_events == 1, not 3 —
+      // state was dropped, not carried across the TTL
+      assert(u7.exists(r => r.n_events == 1L && r.total_value == 10.0))
+      assert(!u7.exists(_.n_events == 3L))
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS running_totals")
+    }
+  }
+
+  test("file-stream smoke: batch transform runs as a streaming query") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    events.write.mode("overwrite").parquet(dir)
+    Streams.runFileStream(spark, dir,
+      df => Streams.tumblingAgg(df, "1 hour", streaming = true),
+      "tumbling_stream")
+    val out = spark.table("tumbling_stream").collect()
+    // append mode with watermark: windows may be withheld until watermark
+    // passes; the transform planning + execution path is what's under test
+    assert(out.length >= 0)
+    spark.sql("DROP TABLE IF EXISTS tumbling_stream")
+  }
+}
