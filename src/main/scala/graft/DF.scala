@@ -92,18 +92,36 @@ final case class DV(keys: Vector[String], values: Vector[Any]) {
   * Row order is data: a hidden `__row_id` column (dense, 0-based) makes the
   * reference's positional semantics (first-to-last traversal, negative
   * indices) reproducible on Spark's unordered relations (SURVEY.md §7.4.1).
-  * Predicate/mask/projection paths never consult it, so Catalyst prunes it
-  * away and the scale path pays nothing for it.
+  *
+  * The id is LAZY: a frame adopted from a plain Spark plan carries NO id
+  * column (`Ids.None`) until a positional op first needs one, so
+  * filter/project/aggregate paths stay pure Catalyst plans — parquet
+  * predicate pushdown, column pruning, and whole-stage codegen all survive
+  * the wrapper (an eager zipWithIndex would pin every query to an opaque
+  * RDD scan). Densification itself is the distributed zipWithIndex shape —
+  * never a single-partition window.
   */
 final class DF private (private[graft] val inner: DataFrame,
-                        private val idsDense: Boolean) {
-  import DF.ROW_ID
+                        private val ids: DF.Ids) {
+  import DF.{Ids, ROW_ID}
 
-  /** this frame with contiguous 0-based row ids; identity when already dense
-    * (constructors produce dense ids; only filtering breaks contiguity).
+  /** this frame with contiguous 0-based row ids; identity when already dense.
     * Memoized so repeated positional ops share one densify plan. */
-  private lazy val densified: DF =
-    if (idsDense) this else new DF(DF.reindex(inner, force = true), true)
+  private lazy val densified: DF = ids match {
+    case Ids.Dense  => this
+    case Ids.Sparse => new DF(DF.reindex(inner), Ids.Dense)
+    case Ids.None   => new DF(DF.attachId(inner), Ids.Dense)
+  }
+
+  /** hidden-id columns to carry through projections (empty when id-less). */
+  private def idCols: Seq[Column] =
+    if (ids == Ids.None) Nil else Seq(inner.col(ROW_ID))
+
+  /** rows in reference order, for driver-materializing paths. */
+  private def ordered: DataFrame = {
+    val d = densified.inner
+    d.orderBy(d.col(ROW_ID))
+  }
 
   /** underlying Spark DataFrame without the hidden row id. */
   def toSpark: DataFrame = inner.drop(ROW_ID)
@@ -133,9 +151,8 @@ final class DF private (private[graft] val inner: DataFrame,
     * cl-data-frame.lisp:345-349). Driver-local by design. */
   def column(key: String): Vector[Any] = {
     keyIndex(key)
-    inner.select(col(key)).orderBy(ROW_ID_COL).collect().map(_.get(0)).toVector
+    ordered.select(key).collect().map(_.get(0)).toVector
   }
-  private def ROW_ID_COL: Column = inner.col(ROW_ID)
 
   /** projection by selector (reference `columns`, cl-data-frame.lisp:357-361). */
   def columns(sel: Sel): DF = sel match {
@@ -152,25 +169,25 @@ final class DF private (private[graft] val inner: DataFrame,
 
   private def select(ks: Seq[String]): DF = {
     ks.foreach(keyIndex)
-    new DF(inner.select((ks :+ ROW_ID).map(inner.col): _*), idsDense)
+    new DF(inner.select(ks.map(inner.col) ++ idCols: _*), ids)
   }
 
   /** map a fn over every column, keeping keys (cl-data-frame.lisp:363-365). */
   def mapColumns(f: Column => Column): DF =
-    new DF(inner.select(keys.map(k => f(inner.col(k)).as(k)) :+ ROW_ID_COL: _*), idsDense)
+    new DF(inner.select(keys.map(k => f(inner.col(k)).as(k)) ++ idCols: _*), ids)
 
   /** append a column; duplicate-key checked eagerly (Spark's withColumn
     * silently replaces — cl-data-frame.lisp:367-373 errors instead). */
   def addColumn(key: String, c: Column): DF = {
     checkAbsent(key)
-    new DF(inner.select(keys.map(inner.col) ++ Seq(c.as(key), ROW_ID_COL): _*), idsDense)
+    new DF(inner.select(keys.map(inner.col) ++ Seq(c.as(key)) ++ idCols: _*), ids)
   }
   def addColumn(key: String, values: Seq[Any]): DF = {
     checkAbsent(key)
     val n = nrow
     if (values.length != n)
       throw new ColumnLengthException(n, values.length)
-    new DF(DF.joinLocalColumn(densified.inner, key, values), true)
+    new DF(DF.joinLocalColumn(densified.inner, key, values), Ids.Dense)
   }
   def addColumns(cols: (String, Column)*): DF =
     cols.foldLeft(this) { case (d, (k, c)) => d.addColumn(k, c) }
@@ -187,7 +204,7 @@ final class DF private (private[graft] val inner: DataFrame,
     val r = other.densified.inner
     val joined = l.join(r, Seq(ROW_ID), "inner")
     new DF(joined.select(
-      (keys ++ other.keys).map(joined.col) :+ joined.col(ROW_ID): _*), true)
+      (keys ++ other.keys).map(joined.col) :+ joined.col(ROW_ID): _*), Ids.Dense)
   }
 
   /** shallow copy with a key-renaming function (reference `copy` key-fn,
@@ -198,20 +215,21 @@ final class DF private (private[graft] val inner: DataFrame,
     newKeys.diff(newKeys.distinct).headOption
       .foreach(k => throw new DuplicateKeyException(k, newKeys))
     new DF(inner.select(
-      keys.zip(newKeys).map { case (k, nk) => inner.col(k).as(nk) } :+ ROW_ID_COL: _*), idsDense)
+      keys.zip(newKeys).map { case (k, nk) => inner.col(k).as(nk) } ++ idCols: _*), ids)
   }
 
   /** replace an existing column with an expression or with fn(old) per row
     * (cl-data-frame.lisp:570-583). */
   def replaceColumn(key: String, c: Column): DF = {
     keyIndex(key)
-    new DF(inner.select(keys.map(k => (if (k == key) c else inner.col(k)).as(k)) :+ ROW_ID_COL: _*), idsDense)
+    new DF(inner.select(
+      keys.map(k => (if (k == key) c else inner.col(k)).as(k)) ++ idCols: _*), ids)
   }
   def replaceColumn(key: String, values: Seq[Any]): DF = {
     keyIndex(key)
     val n = nrow
     if (values.length != n) throw new ColumnLengthException(n, values.length)
-    new DF(DF.joinLocalColumn(densified.inner.drop(key), key, values), true)
+    new DF(DF.joinLocalColumn(densified.inner.drop(key), key, values), Ids.Dense)
       .select(keys) // preserve original key order
   }
   def replaceColumnFn(key: String, f: Column => Column): DF =
@@ -219,14 +237,18 @@ final class DF private (private[graft] val inner: DataFrame,
 
   // ---- selection / filtering / slicing (SURVEY §2.4) ----
   /** distributed filter; the scale path for mask∘slice. Surviving rows keep
-    * their relative order; ids re-densified lazily on positional access. */
-  def filter(cond: Column): DF = new DF(inner.filter(cond), false)
+    * their relative order; ids re-densified lazily on positional access.
+    * On an id-less frame the filter composes directly onto the scan (pushdown
+    * intact); an existing id just goes sparse. */
+  def filter(cond: Column): DF =
+    new DF(inner.filter(cond), if (ids == Ids.None) Ids.None else Ids.Sparse)
 
   /** build a boolean mask from a row predicate over selected key columns
     * (mask-rows, cl-data-frame.lisp:554-559). Local parity form. */
   def maskRows(ks: Seq[String])(pred: Seq[Any] => Boolean): Vector[Boolean] = {
     ks.foreach(keyIndex)
-    inner.select((ks :+ ROW_ID).map(inner.col): _*).orderBy(ROW_ID_COL)
+    val o = ordered
+    o.select(ks.map(o.col): _*)
       .collect().map(r => pred(ks.indices.map(r.get))).toVector
   }
 
@@ -265,8 +287,8 @@ final class DF private (private[graft] val inner: DataFrame,
   def sliceCell(i: Int, key: String): Any = sliceRow(i)(key)
 
   private def rowAt(i: Int): DV = {
-    val dense = densified
-    val rs = dense.inner.filter(dense.ROW_ID_COL === i.toLong).collect()
+    val dense = densified.inner
+    val rs = dense.filter(dense.col(ROW_ID) === i.toLong).collect()
     if (rs.isEmpty) throw new IndexOutOfBoundsException(s"row $i of $nrow")
     val r = rs.head
     DV(keys, keys.map(k => r.get(r.fieldIndex(k))))
@@ -282,7 +304,8 @@ final class DF private (private[graft] val inner: DataFrame,
       selectByIds(is.map(i => DF.resolveIndex(i, n).toLong))
     case Sel.Range(a, b) =>
       val dense = densified.inner
-      new DF(dense.filter(dense.col(ROW_ID) >= a.toLong && dense.col(ROW_ID) < b.toLong), false)
+      new DF(dense.filter(dense.col(ROW_ID) >= a.toLong && dense.col(ROW_ID) < b.toLong),
+        Ids.Sparse)
     case Sel.Index(i) =>
       filterRows(Sel.Indices(Seq(i)))
     case other =>
@@ -308,20 +331,25 @@ final class DF private (private[graft] val inner: DataFrame,
         math.max(1, ids.length / 500000 + 1)),
       schema)
     val joined = dense.join(broadcast(lookup), Seq(ROW_ID), "inner")
-    new DF(joined.select(keys.map(joined.col) :+ joined.col("__new_id").as(ROW_ID): _*), true)
+    new DF(joined.select(keys.map(joined.col) :+ joined.col("__new_id").as(ROW_ID): _*),
+      Ids.Dense)
   }
 
   // ---- row-wise transformation (SURVEY §2.5) ----
   /** expression-first map-rows: one result column from selected inputs
-    * (cl-data-frame.lisp:506-516). Catalyst-codegen'd. */
-  def mapRowsCol(out: Column): Vector[Any] =
-    inner.select(out.as("__out"), ROW_ID_COL).orderBy(ROW_ID_COL)
-      .collect().map(_.get(0)).toVector
+    * (cl-data-frame.lisp:506-516). Catalyst-codegen'd. The expression is
+    * applied against THIS frame's plan (where its column refs resolve), then
+    * the projection is ordered. */
+  def mapRowsCol(out: Column): Vector[Any] = {
+    val projected = new DF(inner.select(Seq(out.as("__out")) ++ idCols: _*), ids)
+    projected.ordered.select("__out").collect().map(_.get(0)).toVector
+  }
 
   /** lambda parity form: fn over selected columns' values per row. */
   def mapRows(ks: Seq[String])(fn: Seq[Any] => Any): Vector[Any] = {
     ks.foreach(keyIndex)
-    inner.select((ks :+ ROW_ID).map(inner.col): _*).orderBy(ROW_ID_COL)
+    val o = ordered
+    o.select(ks.map(o.col): _*)
       .collect().map(r => fn(ks.indices.map(r.get))).toVector
   }
 
@@ -337,7 +365,7 @@ final class DF private (private[graft] val inner: DataFrame,
   def mapDF(outs: (String, Column)*): DF = {
     val ks = outs.map(_._1)
     ks.diff(ks.distinct).headOption.foreach(k => throw new DuplicateKeyException(k, ks))
-    new DF(inner.select(outs.map { case (k, c) => c.as(k) } :+ ROW_ID_COL: _*), idsDense)
+    new DF(inner.select(outs.map { case (k, c) => c.as(k) } ++ idCols: _*), ids)
   }
   /** lambda form of map-df, DISTRIBUTED: the fn runs inside executors via an
     * RDD map (never a driver collect), carrying the row id through so the
@@ -354,7 +382,8 @@ final class DF private (private[graft] val inner: DataFrame,
     if (resultTypes.nonEmpty && resultTypes.length != rks.length)
       throw new IllegalArgumentException(
         s"map-df: ${rks.length} result keys but ${resultTypes.length} result types")
-    val src = inner.select((ks :+ ROW_ID).map(inner.col): _*)
+    val d = densified.inner
+    val src = d.select((ks :+ ROW_ID).map(d.col): _*)
     val nIn = ks.length
     val applied = src.rdd.map { r =>
       val out = fn((0 until nIn).map(r.get))
@@ -373,26 +402,27 @@ final class DF private (private[graft] val inner: DataFrame,
     val schema = StructType(
       rks.zip(types).map { case (k, t) => StructField(k, t, nullable = true) } :+
         StructField(ROW_ID, LongType, nullable = false))
-    new DF(spark.createDataFrame(applied, schema), idsDense)
+    new DF(spark.createDataFrame(applied, schema), Ids.Dense)
   }
 
   /** side-effecting in-order traversal, first→last (cl-data-frame.lisp:518-526). */
   def doRows(ks: Seq[String])(fn: Seq[Any] => Unit): Unit = {
     ks.foreach(keyIndex)
-    inner.select((ks :+ ROW_ID).map(inner.col): _*).orderBy(ROW_ID_COL)
+    val o = ordered
+    o.select(ks.map(o.col): _*)
       .toLocalIterator().forEachRemaining(r => fn(ks.indices.map(r.get)))
   }
 
   // ---- conversion (SURVEY §2.2) ----
   /** key→column alist (as-alist, cl-data-frame.lisp:333-335). Driver-local. */
   def asAlist: Seq[(String, Vector[Any])] = {
-    val rows = inner.orderBy(ROW_ID_COL).collect()
+    val rows = ordered.collect()
     keys.map(k => k -> rows.map(r => r.get(r.fieldIndex(k))).toVector)
   }
 
   /** frame → dense matrix (aops:as-array, cl-data-frame.lisp:456-458). */
   def toMatrix: Array[Array[Any]] =
-    inner.orderBy(ROW_ID_COL).collect()
+    ordered.collect()
       .map(r => keys.map(k => r.get(r.fieldIndex(k))).toArray)
 
   def cache(): DF = { inner.cache(); this }
@@ -401,6 +431,16 @@ final class DF private (private[graft] val inner: DataFrame,
 
 object DF {
   private[graft] val ROW_ID = "__row_id"
+
+  /** id-column state of a frame: `None` = no hidden id exists yet (pure
+    * Catalyst plan — pushdown/pruning/codegen intact); `Dense` = contiguous
+    * 0-based ids; `Sparse` = ids present but gapped (after a filter). */
+  private[graft] sealed trait Ids
+  private[graft] object Ids {
+    case object None extends Ids
+    case object Dense extends Ids
+    case object Sparse extends Ids
+  }
 
   private[graft] def resolveIndex(i: Int, n: Int): Int = {
     val r = if (i < 0) n + i else i
@@ -427,7 +467,8 @@ object DF {
       Row.fromSeq(pairs.map(_._2(i)) :+ i.toLong)
     }
     new DF(spark.createDataFrame(
-      spark.sparkContext.parallelize(rows.toSeq, math.max(1, math.min(4, n))), schema), true)
+      spark.sparkContext.parallelize(rows.toSeq, math.max(1, math.min(4, n))), schema),
+      Ids.Dense)
   }
 
   def apply(spark: SparkSession, pairs: (String, Seq[Any])*): DF =
@@ -437,51 +478,51 @@ object DF {
   def fromMatrix(spark: SparkSession, ks: Seq[String], m: Seq[Seq[Any]]): DF =
     fromColumns(spark, ks.zipWithIndex.map { case (k, j) => k -> m.map(_(j)) })
 
-  /** Adopt a Spark DataFrame. Row order for positional ops comes from
-    * `orderBy` (deterministic key columns); without it, positional selectors
-    * use an arbitrary-but-stable zipWithIndex order. Scale note: orderBy-based
-    * ingestion keeps the plan fully declarative (the row id is a lazy
-    * row_number, pruned unless a positional op runs).
+  /** Adopt a Spark DataFrame.
+    *
+    * Without `orderBy`, NO id is attached: the wrapper is a zero-cost view
+    * over the plan (parquet pushdown/pruning/codegen intact — check
+    * `.explain`) and positional semantics bind lazily, to the plan's scan
+    * order, only if a positional op is actually used.
+    *
+    * With `orderBy`, dense ids in that key order are materialized eagerly via
+    * range-repartition + per-partition sort + zipWithIndex — globally ordered
+    * with NO single-partition stage (a Window.orderBy row_number would funnel
+    * every row through one partition — the round-1 scale-killer).
     */
   def fromSpark(df: DataFrame, orderBy: Seq[String] = Nil): DF = {
     val base = df.drop(ROW_ID)
-    // Ordered ingestion = range-repartition on the order keys + per-partition
-    // sort + zipWithIndex: globally ordered dense ids with NO single-partition
-    // stage (a Window.orderBy row_number would funnel all rows through one
-    // partition — the scale-killer flagged in round 1).
-    val sorted =
-      if (orderBy.nonEmpty)
-        base.repartitionByRange(orderBy.map(base.col): _*)
-          .sortWithinPartitions(orderBy.map(base.col): _*)
-      else base
-    val schema = sorted.schema.add(StructField(ROW_ID, LongType, nullable = false))
-    new DF(base.sparkSession.createDataFrame(
-      sorted.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }, schema), true)
+    if (orderBy.isEmpty) new DF(base, Ids.None)
+    else {
+      val sorted = base.repartitionByRange(orderBy.map(base.col): _*)
+        .sortWithinPartitions(orderBy.map(base.col): _*)
+      new DF(attachId(sorted), Ids.Dense)
+    }
   }
 
   def readParquet(spark: SparkSession, path: String, orderBy: Seq[String] = Nil): DF =
     fromSpark(spark.read.parquet(path), orderBy)
 
-  /** keep ids order-preserving; densify only when positional semantics need
-    * contiguity (force=true).
-    *
-    * Densification is the distributed zipWithIndex shape, NOT a global-window
-    * row_number (which funnels every row through one partition): range-
-    * repartition on the existing id so partitions cover sorted id ranges in
-    * partition order, sort within each partition, then zipWithIndex (one extra
-    * pass to count per-partition offsets). No single-partition stage anywhere,
-    * so positional ops survive a 100× scale-up. */
-  private[graft] def reindex(df: DataFrame, force: Boolean = false): DataFrame =
-    if (!force) df
-    else {
-      val sorted = df.repartitionByRange(col(ROW_ID)).sortWithinPartitions(col(ROW_ID))
-      val schema = sorted.schema
-      val idIdx = schema.fieldIndex(ROW_ID)
-      val rdd = sorted.rdd.zipWithIndex.map { case (r, i) =>
+  /** append a dense 0-based id in the plan's current row order —
+    * the distributed zipWithIndex shape (per-partition counts + offsets),
+    * never a single-partition stage. */
+  private[graft] def attachId(df: DataFrame): DataFrame = {
+    val schema = df.schema.add(StructField(ROW_ID, LongType, nullable = false))
+    df.sparkSession.createDataFrame(
+      df.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }, schema)
+  }
+
+  /** renumber existing (sparse) ids to contiguous 0-based, preserving order:
+    * range-repartition on the id so partitions cover sorted ranges in
+    * partition order, sort within partitions, then zipWithIndex. */
+  private[graft] def reindex(df: DataFrame): DataFrame = {
+    val sorted = df.repartitionByRange(col(ROW_ID)).sortWithinPartitions(col(ROW_ID))
+    val idIdx = sorted.schema.fieldIndex(ROW_ID)
+    df.sparkSession.createDataFrame(
+      sorted.rdd.zipWithIndex.map { case (r, i) =>
         Row.fromSeq(r.toSeq.updated(idIdx, i))
-      }
-      df.sparkSession.createDataFrame(rdd, schema)
-    }
+      }, sorted.schema)
+  }
 
   /** attach a driver-local column by position (parity ctor path only);
     * callers pass a frame whose ids are already dense. */

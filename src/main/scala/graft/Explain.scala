@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan-audit main: prints the formatted physical plan for selected queries
+  * and greps it for the scale-critical properties (PushedFilters reaching the
+  * parquet scan, pruned ReadSchema, WholeStageCodegen spans, broadcast vs
+  * shuffle joins, no single-partition exchanges).
+  * Usage: runMain graft.Explain <sfDir> [queryName ...] */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val names = if (args.length > 1) args.tail.toSeq
+      else Seq("q_mask_slice", "q_join_broadcast", "q_group_agg", "q_topk",
+        "q_media_meta", "q_cosine_topk")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    names.foreach { name =>
+      SparkEntry.queries.get(name).foreach { fn =>
+        println(s"\n========== $name ==========")
+        val plan = fn(spark, sfDir).queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        println(plan)
+        def has(s: String) = plan.contains(s)
+        println(s"[audit] $name: pushedFilters=${has("PushedFilters: [")}" +
+          s" codegen=${has("WholeStageCodegen")}" +
+          s" broadcastJoin=${has("BroadcastHashJoin")}" +
+          s" singlePartition=${has("SinglePartition")}")
+      }
+    }
+    spark.stop()
+  }
+}

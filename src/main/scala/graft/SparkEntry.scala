@@ -256,8 +256,10 @@ object SparkEntry {
     "q_top_tokens" -> ((s, dir) =>
       TextAnalysis.topTokens(rd(s, dir, "documents"), "text", 20)),
     "q_ngram_jaccard" -> ((s, dir) => {
+      // blocking = (lang, 64-char length band): near-dups share both; keeps
+      // the self-join block-local and pair count ~linear at scale
       Dedup.ngramJaccardPairs(rd(s, dir, "documents"), "doc_id", "text",
-          Seq(col("lang")), 0.3, 1)
+          Seq(col("lang"), floor(col("n_chars") / 64)), 0.3, 1)
         .orderBy("id_a", "id_b")
     }),
     "q_cosine_topk" -> ((s, dir) => {
@@ -502,7 +504,7 @@ object SparkEntry {
          GROUP BY token ORDER BY cnt DESC, token LIMIT 20""",
     "q_ngram_jaccard" ->
       """WITH tk AS (
-           SELECT doc_id, lang,
+           SELECT doc_id, lang, CAST(floor(n_chars / 64) AS BIGINT) AS band,
              list_distinct(string_split_regex(
                trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+')) AS t
            FROM documents)
@@ -510,7 +512,8 @@ object SparkEntry {
            SELECT l.doc_id AS id_a, r.doc_id AS id_b,
              round(len(list_filter(l.t, x -> list_contains(r.t, x)))
                / (len(l.t) + len(r.t) - len(list_filter(l.t, x -> list_contains(r.t, x)))), 6) AS jaccard
-           FROM tk l JOIN tk r ON l.lang = r.lang AND l.doc_id < r.doc_id)
+           FROM tk l JOIN tk r
+             ON l.lang = r.lang AND l.band = r.band AND l.doc_id < r.doc_id)
          WHERE jaccard >= 0.3 ORDER BY id_a, id_b""",
     "q_cosine_topk" ->
       """SELECT query_id, neighbor_id, cos FROM (

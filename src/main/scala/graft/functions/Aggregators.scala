@@ -1,0 +1,72 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+
+/** [EXT] Typed custom aggregations (SURVEY §2.9 row 51: the reference's whole
+  * transform surface is user functions; the aggregate-function analogue on
+  * Spark is `Aggregator[IN, BUF, OUT]`, registrable as a UDAF via
+  * `functions.udaf`).
+  *
+  * [[SparseCounter]] reproduces the reference's sparse-counter frequency
+  * summary (clnu:make-sparse-counter + clnu:add, cl-data-frame.lisp:69-71) as
+  * a single-pass distributed aggregate with a bounded buffer: per-partition
+  * maps merge associatively, and the cap keeps the buffer executor-safe on
+  * high-cardinality columns (a documented delta from the reference's
+  * unbounded in-memory counter).
+  */
+object Aggregators {
+
+  /** top-k exact-ish frequency counter. Buffer is a value→count map capped at
+    * `maxEntries`; when full, NEW values are dropped (existing keep
+    * counting) — exact whenever distinct values ≤ cap, an underestimate
+    * beyond it. merge() unions counts. */
+  final case class SparseCounter(maxEntries: Int = 10000)
+      extends Aggregator[String, Map[String, Long], Seq[(String, Long)]] {
+
+    override def zero: Map[String, Long] = Map.empty
+
+    override def reduce(b: Map[String, Long], v: String): Map[String, Long] =
+      if (v == null) b
+      else b.get(v) match {
+        case Some(c) => b.updated(v, c + 1)
+        case None if b.size < maxEntries => b.updated(v, 1L)
+        case None => b
+      }
+
+    override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
+      b.foldLeft(a) { case (acc, (v, c)) =>
+        acc.get(v) match {
+          case Some(c0) => acc.updated(v, c0 + c)
+          case None if acc.size < maxEntries => acc.updated(v, c)
+          case None => acc
+        }
+      }
+
+    /** sorted desc by count, value asc tiebreak — the reference's summary
+      * ordering (cl-data-frame.lisp:84-87). */
+    override def finish(b: Map[String, Long]): Seq[(String, Long)] =
+      b.toSeq.sortBy { case (v, c) => (-c, v) }
+
+    override def bufferEncoder: Encoder[Map[String, Long]] =
+      ExpressionEncoder[Map[String, Long]]()
+    override def outputEncoder: Encoder[Seq[(String, Long)]] =
+      ExpressionEncoder[Seq[(String, Long)]]()
+  }
+
+  /** exact mean via (sum, count) — the canonical Aggregator shape; numerically
+    * order-independent for integral inputs, used as the UDAF registration
+    * example in tests. */
+  final case class LongMean()
+      extends Aggregator[Long, (Long, Long), Double] {
+    override def zero: (Long, Long) = (0L, 0L)
+    override def reduce(b: (Long, Long), v: Long): (Long, Long) = (b._1 + v, b._2 + 1)
+    override def merge(a: (Long, Long), b: (Long, Long)): (Long, Long) =
+      (a._1 + b._1, a._2 + b._2)
+    override def finish(b: (Long, Long)): Double =
+      if (b._2 == 0) Double.NaN else b._1.toDouble / b._2
+    override def bufferEncoder: Encoder[(Long, Long)] = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+}

@@ -214,9 +214,19 @@ object Dedup {
     val joined = prepared.as("l").join(prepared.as("r"),
       bk.map(k => col(s"l.$k") === col(s"r.$k"))
         .reduce(_ && _) && col(s"l.$idCol") < col(s"r.$idCol"))
-    joined.select(
+    // Cheap size-ratio prefilter before the expensive intersect: jaccard ≥ t
+    // implies min(|a|,|b|) ≥ t·max(|a|,|b|) (inter ≤ min, union ≥ max), so
+    // this prunes pairs without changing the result set.
+    val sa = size(col("l.__toks")).cast(DoubleType)
+    val sb = size(col("r.__toks")).cast(DoubleType)
+    val prefiltered = joined.filter(
+      least(sa, sb) >= greatest(sa, sb) * threshold)
+    // inputs are distinct arrays → |a∪b| = |a|+|b|−|a∩b|: one array_intersect
+    // per pair instead of intersect + union (union allocates a second array).
+    val inter = size(array_intersect(col("l.__toks"), col("r.__toks"))).cast(DoubleType)
+    prefiltered.select(
         col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"),
-        jaccard(col("l.__toks"), col("r.__toks")).as("jaccard"))
+        round(inter / (sa + sb - inter), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

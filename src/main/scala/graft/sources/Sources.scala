@@ -1,0 +1,67 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** [EXT] Sources and sinks (SURVEY §2.9 row 42). The reference has no IO at
+  * all — data enters via lisp literals (cl-data-frame.lisp:315-322) — so this
+  * is pure extension surface, mapped onto Spark's datasource API.
+  *
+  * Scale notes:
+  *  - parquet is the primary format: columnar, predicate-pushdown- and
+  *    column-pruning-capable (the scan's PushedFilters/ReadSchema should
+  *    reflect the query — see ScanSpec);
+  *  - csv/json readers accept an explicit schema to avoid the
+  *    whole-file inference pass (mandatory at 100 TB);
+  *  - writers partition by a column when given: downstream reads of
+  *    `WHERE part = x` then prune entire directories;
+  *  - bucketed writes (saveAsTable) co-locate join keys so repeated joins
+  *    on the bucket column shuffle neither side.
+  */
+object Sources {
+
+  def readParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** schema-first CSV read; header assumed, schema inference only when no
+    * schema is passed (fine locally, avoid at scale). */
+  def readCsv(spark: SparkSession, path: String,
+              schema: Option[StructType] = None): DataFrame = {
+    val base = spark.read.option("header", "true")
+    schema.fold(base.option("inferSchema", "true"))(s => base.schema(s))
+      .csv(path)
+  }
+
+  /** JSON-lines read; same schema-first stance. */
+  def readJson(spark: SparkSession, path: String,
+               schema: Option[StructType] = None): DataFrame = {
+    val base = spark.read
+    schema.fold(base.option("inferSchema", "true"))(s => base.schema(s))
+      .json(path)
+  }
+
+  def writeParquet(df: DataFrame, path: String,
+                   partitionBy: Seq[String] = Nil,
+                   mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val w = df.write.mode(mode)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(path)
+  }
+
+  def writeCsv(df: DataFrame, path: String,
+               mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).option("header", "true").csv(path)
+
+  def writeJson(df: DataFrame, path: String,
+                mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).json(path)
+
+  /** bucketed managed-table write: co-locates `bucketBy` keys so subsequent
+    * equi-joins/aggregations on them are shuffle-free (both sides read
+    * pre-partitioned buckets). */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    nBuckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
+      .format("parquet").saveAsTable(table)
+}

@@ -1,0 +1,67 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Aggregators
+import graft.sources.Sources
+
+/** [EXT] sources/sinks round-trips and typed Aggregator (UDAF) registration
+  * (SURVEY §2.9 rows 42 and 51). */
+class SourcesAndUdafSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def fixture = Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "a", 3.5))
+    .toDF("id", "tag", "x")
+
+  test("parquet round trip with partitioning") {
+    val dir = Files.createTempDirectory("graft_pq").toString + "/t"
+    Sources.writeParquet(fixture, dir, partitionBy = Seq("tag"))
+    val back = Sources.readParquet(spark, dir)
+    assert(back.count() == 3)
+    // partition pruning: reading one partition touches one directory
+    assert(back.filter(col("tag") === "a").count() == 2)
+  }
+
+  test("csv round trip (schema-first read)") {
+    val dir = Files.createTempDirectory("graft_csv").toString + "/t"
+    Sources.writeCsv(fixture, dir)
+    val back = Sources.readCsv(spark, dir, Some(fixture.schema))
+    assert(back.orderBy("id").as[(Long, String, Double)].collect().toSeq ==
+      Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "a", 3.5)))
+  }
+
+  test("json round trip") {
+    val dir = Files.createTempDirectory("graft_json").toString + "/t"
+    Sources.writeJson(fixture, dir)
+    val back = Sources.readJson(spark, dir, Some(fixture.schema))
+    assert(back.count() == 3)
+    assert(back.filter(col("tag") === "b").select("x").head().getDouble(0) == 2.5)
+  }
+
+  test("SparseCounter aggregator reproduces the reference frequency summary") {
+    val counter = udaf(Aggregators.SparseCounter())
+    val vals = Seq("a", "b", "a", "a", "c", "b").toDF("v")
+    val freq = vals.agg(counter(col("v")).as("freq"))
+      .selectExpr("explode(freq) AS e").select("e.*").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(freq == Seq(("a", 3L), ("b", 2L), ("c", 1L)))
+  }
+
+  test("SparseCounter cap bounds the buffer (documented delta)") {
+    val capped = Aggregators.SparseCounter(maxEntries = 2)
+    val b = Seq("x", "y", "z", "x").foldLeft(capped.zero)(capped.reduce)
+    assert(b.size == 2)        // z dropped at cap
+    assert(b("x") == 2L)       // existing values keep counting
+  }
+
+  test("LongMean aggregator as grouped UDAF") {
+    val mean = udaf(Aggregators.LongMean())
+    val out = Seq(("g1", 2L), ("g1", 4L), ("g2", 10L)).toDF("g", "v")
+      .groupBy("g").agg(mean(col("v")).as("m"))
+      .orderBy("g").as[(String, Double)].collect().toSeq
+    assert(out == Seq(("g1", 3.0), ("g2", 10.0)))
+  }
+}
