@@ -288,6 +288,43 @@ object SparkEntry {
     "q_approx_distinct" -> ((s, dir) =>
       rd(s, dir, "lineitem")
         .agg(approx_count_distinct(col("l_partkey")).as("n_approx"))),
+    "q_embedding_neardup" -> ((s, dir) => {
+      // blocking = 4-bit LSH sign bucket (the required non-cartesian path).
+      // The synthetic embeddings contain no true near-dups (max pairwise
+      // cosine ≈ 0.51), so the threshold is set to surface the genuinely
+      // most-similar bucket-local pairs rather than return an empty set.
+      val emb = rd(s, dir, "embeddings")
+      Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", 0.35,
+          Seq(Similarity.lshSignature(col("embedding"), dim = 64, nBits = 4)))
+        .orderBy("id_a", "id_b")
+    }),
+    "q_media_decode" -> ((s, dir) => {
+      Multimodal.decodeFeatures(
+          Multimodal.asMedia(rd(s, dir, "documents"), "doc_id", "text"))
+        .toDF().orderBy("media_id")
+    }),
+    "q_running_totals" -> ((s, dir) => {
+      import s.implicits._
+      val ds = rdEvents(s, dir)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .as[Streams.Event]
+      // batch form of the stateful flatMapGroupsWithState path: state starts
+      // empty and each group is processed once → one total row per user,
+      // which a plain GROUP BY oracle can check
+      Streams.runningUserTotals(ds).toDF().orderBy("user_id")
+    }),
+    "q_range_join" -> ((s, dir) => {
+      val ord = rd(s, dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+      val ev = rdEvents(s, dir).select(col("user_id"), col("ts"), col("value"))
+      // equality key (custkey = user) + residual range predicate: planned as a
+      // hash join with a filter, not a nested-loop cross product
+      Relational.rangeJoin(ord, ev,
+          col("o_custkey") === col("user_id") &&
+            col("ts") >= col("o_orderdate") &&
+            col("ts") < col("o_orderdate") + expr("INTERVAL 7 DAYS"), "left")
+        .groupBy("o_orderkey").agg(count(col("value")).as("n_ev"))
+        .orderBy("o_orderkey")
+    }),
 
     // ---- [EXT] multimodal plumbing ----
     "q_media_meta" -> ((s, dir) =>
@@ -446,6 +483,16 @@ object SparkEntry {
          FROM orders o ASOF LEFT JOIN events e
            ON o.o_custkey = e.user_id AND e.ts <= o.o_orderdate
          ORDER BY o.o_orderkey""",
+    "q_running_totals" ->
+      """SELECT user_id, count(*) AS n_events,
+           sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value
+         FROM events GROUP BY user_id ORDER BY user_id""",
+    "q_range_join" ->
+      """SELECT o_orderkey, count(e.value) AS n_ev
+         FROM orders o LEFT JOIN events e
+           ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+          AND e.ts < o.o_orderdate + INTERVAL 7 DAY
+         GROUP BY o_orderkey ORDER BY o_orderkey""",
     "q_dedup_exact" ->
       """SELECT doc_id FROM documents
          WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)

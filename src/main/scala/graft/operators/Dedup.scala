@@ -181,10 +181,31 @@ object Dedup {
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** SimHash signatures as a DataFrame (idCol, simhash): explode distinct
+    * tokens, hash each ONCE, explode the 64 bit positions, majority-vote per
+    * (doc, bit) in a hash aggregate, then OR the winning bits together.
+    * Same constant-codegen rationale as [[minhashSigs]] — the Column form
+    * [[simhash64]] inlines 64 array folds and pays seconds of planning.
+    * Bit values are identical to [[simhash64]]. */
+  def simhashSigs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val perTok = df.select(col(idCol), explode(array_distinct(
+        TextAnalysis.tokens(TextAnalysis.normalized(col(textCol))))).as("__tok"))
+      .select(col(idCol), xxhash64(col("__tok")).as("__x"))
+    val perBit = perTok
+      .select(col(idCol), col("__x"), explode(sequence(lit(0), lit(63))).as("__i"))
+      .groupBy(col(idCol), col("__i"))
+      .agg(sum(expr("CASE WHEN (shiftright(__x, __i) & 1) = 1 THEN 1 ELSE -1 END")).as("__v"))
+    // bit 63 as a sum would overflow a signed Long — use bit_or to assemble
+    perBit.groupBy(col(idCol))
+      .agg(bit_or(expr(
+        "CASE WHEN __v > 0 THEN shiftleft(CAST(1 AS BIGINT), __i) ELSE CAST(0 AS BIGINT) END"))
+        .as("simhash"))
+  }
+
   /** SimHash near-dup groups: bucket by full signature (hamming distance 0)
     * or by signature prefix for a looser match. */
   def simhashDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val sig = df.select(col(idCol), simhash64(col(textCol)).as("simhash"))
+    val sig = simhashSigs(df, idCol, textCol)
     exactDedup(sig, col("simhash"), idCol).join(df, Seq(idCol))
   }
 
