@@ -288,6 +288,14 @@ object SparkEntry {
     "q_approx_distinct" -> ((s, dir) =>
       rd(s, dir, "lineitem")
         .agg(approx_count_distinct(col("l_partkey")).as("n_approx"))),
+    "q_ivf_ann" -> ((s, dir) => {
+      val emb = rd(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 1).select("embedding")
+        .head().getSeq[Float](0).map(_.toDouble)
+      val (model, assigned) = Similarity.ivfBuild(emb, "embedding", k = 16)
+      Similarity.ivfTopK(assigned.filter(col("vec_id") =!= 1), model,
+        "vec_id", "embedding", q, topK = 10, nprobe = 4)
+    }),
     "q_embedding_neardup" -> ((s, dir) => {
       // blocking = 4-bit LSH sign bucket (the required non-cartesian path).
       // The synthetic embeddings contain no true near-dups (max pairwise

@@ -86,6 +86,26 @@ object Relational {
       .drop((valueCols.map(c => s"__v_$c") :+ "__t" :+ "__side"): _*)
   }
 
+  /** Skew-salted inner equi-join for when ONE fact key is hot enough to
+    * overwhelm a single reducer even under AQE's skew splitting: the fact
+    * side gets a random salt in [0, buckets), the (small) other side is
+    * replicated `buckets` times, and the join key becomes (key, salt) — the
+    * hot key's rows spread over `buckets` reducers.
+    *
+    * Use only when the right side is replicable (dim-sized): replication
+    * multiplies it by `buckets`. For fact-fact skew prefer AQE
+    * (spark.sql.adaptive.skewJoin, on by default). Deterministic variant:
+    * salt = pmod(hash of a high-cardinality fact column), so reruns produce
+    * identical partitioning. */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+                 buckets: Int, saltSource: Column): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val salted = fact.withColumn("__salt", pmod(xxhash64(saltSource), lit(buckets)))
+    val replicated = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(buckets - 1)).cast("array<long>")))
+    salted.join(replicated, Seq(key, "__salt"), "inner").drop("__salt")
+  }
+
   // ---- aggregation ----
   def groupAgg(df: DataFrame, keys: Seq[String], aggs: Seq[Column]): DataFrame =
     df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)

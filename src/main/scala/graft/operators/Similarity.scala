@@ -91,6 +91,42 @@ object Similarity {
       .orderBy(desc("cos"), col(idCol)).limit(k)
   }
 
+  /** IVF (inverted-file) ANN — the k-means scale path beside the LSH one.
+    *
+    * Build: one MLlib KMeans fit assigns every corpus vector to its nearest
+    * of `k` centroids (offline at 100 TB — the fit runs on a sample, the
+    * assignment is a pure map). Query: rank centroids against the query
+    * DRIVER-side (k ≪ corpus, a few KB of centers), probe only the `nprobe`
+    * nearest clusters' rows, exact cosine rerank inside — the scan touches
+    * ~corpus·nprobe/k rows instead of everything. Deterministic via fixed
+    * seed.
+    */
+  def ivfBuild(df: DataFrame, vecCol: String, k: Int = 16,
+               seed: Long = 42L): (org.apache.spark.ml.clustering.KMeansModel, DataFrame) = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val withVec = df.withColumn("__vec", array_to_vector(col(vecCol)))
+    val model = new org.apache.spark.ml.clustering.KMeans()
+      .setK(k).setSeed(seed)
+      .setFeaturesCol("__vec").setPredictionCol("__cluster")
+      .fit(withVec)
+    (model, model.transform(withVec).drop("__vec"))
+  }
+
+  /** probe the `nprobe` clusters nearest the query, exact rerank inside. */
+  def ivfTopK(assigned: DataFrame, model: org.apache.spark.ml.clustering.KMeansModel,
+              idCol: String, vecCol: String, query: Seq[Double], topK: Int,
+              nprobe: Int = 4): DataFrame = {
+    val qArr = query.toArray
+    val probes = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      val d = c.toArray.zip(qArr).map { case (a, b) => val t = a - b; t * t }.sum
+      (i, d)
+    }.sortBy(_._2).take(nprobe).map(_._1)
+    val q = array(query.map(lit): _*)
+    assigned.filter(col("__cluster").isin(probes.map(Int.box): _*))
+      .select(col(idCol), round(cosine(col(vecCol), q), 6).as("cos"))
+      .orderBy(desc("cos"), col(idCol)).limit(topK)
+  }
+
   /** IVF-style bucket stats: how balanced are the ANN buckets (diagnostic —
     * at scale you want bucket sizes ≪ partition size). */
   def bucketStats(df: DataFrame, vecCol: String, dim: Int, nBits: Int = 8,

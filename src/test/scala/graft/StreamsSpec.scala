@@ -81,6 +81,38 @@ class StreamsSpec extends AnyFunSuite {
     }
   }
 
+  test("late data beyond the watermark is dropped from finalized windows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val agg = Streams.tumblingAgg(mem.toDS().toDF(), "1 hour",
+      watermark = "10 minutes", streaming = true)
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("late_test").start()
+    try {
+      mem.addData(Event(1L, ts("2024-01-01 10:05:00"), 7L, "click", 1.0))
+      q.processAllAvailable()
+      // advance watermark to 12:20 → the 10:00-11:00 window finalizes (n=1)
+      mem.addData(Event(2L, ts("2024-01-01 12:30:00"), 7L, "click", 2.0))
+      q.processAllAvailable()
+      // LATE: 10:30 is hours behind the watermark — must be dropped
+      mem.addData(Event(3L, ts("2024-01-01 10:30:00"), 7L, "click", 99.0))
+      q.processAllAvailable()
+      // advance again so any (incorrect) re-emission would have flushed
+      mem.addData(Event(4L, ts("2024-01-01 15:00:00"), 7L, "view", 0.5))
+      q.processAllAvailable()
+      val rows = spark.table("late_test")
+        .select("win_start", "n", "sum_value").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getDouble(2)))
+      val win10 = rows.filter(_._1.startsWith("2024-01-01 10:"))
+      assert(win10.toSeq == Seq(("2024-01-01 10:00:00.0", 1L, 1.0)),
+        s"late event leaked into a finalized window: ${rows.mkString(", ")}")
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS late_test")
+    }
+  }
+
   test("file-stream smoke: batch transform runs as a streaming query") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
     events.write.mode("overwrite").parquet(dir)
