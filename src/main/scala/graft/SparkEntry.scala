@@ -268,6 +268,23 @@ object SparkEntry {
           "vec_id", "vec_id", "embedding", 5)
         .orderBy(asc("query_id"), desc("cos"), asc("neighbor_id"))
     }),
+    "q_cosine_expr" -> ((s, dir) => {
+      // same query through the native codegen'd Catalyst expression
+      // (CosineSimilarityExpr) — results are bit-identical to the
+      // functions-based path, so it shares q_cosine_topk's oracle
+      GraftExtensions.register(s)
+      val emb = rd(s, dir, "embeddings")
+      val joined = emb.as("c").join(
+        broadcast(emb.filter(col("vec_id") <= 3)
+          .select(col("vec_id").as("query_id"), col("embedding").as("__qv"))),
+        col("c.vec_id") =!= col("query_id"))
+      val scored = joined.select(col("query_id"),
+        col("c.vec_id").as("neighbor_id"),
+        round(call_function("graft_cosine", col("c.embedding"), col("__qv")), 6).as("cos"))
+      Relational.topNPerGroup(scored, Seq("query_id"),
+          Seq(desc("cos"), asc("neighbor_id")), 5)
+        .orderBy(asc("query_id"), desc("cos"), asc("neighbor_id"))
+    }),
     // not oracle-expressible (xxhash64 / seeded hyperplanes don't exist in
     // DuckDB) → rows-only checks, covered by ScalaTest instead:
     "q_minhash_dedup" -> ((s, dir) => {
@@ -367,6 +384,23 @@ object SparkEntry {
         .orderBy("user_id", "sess_ms")
     })
   )
+
+  /** shared by q_cosine_topk (functions-based) and q_cosine_expr (native
+    * Catalyst expression) — both produce bit-identical similarities. */
+  private val CosineTopkOracle =
+    """SELECT query_id, neighbor_id, cos FROM (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))
+               / (sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))), 6) AS cos,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY round(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))
+                 / (sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))), 6) DESC,
+                 c.vec_id) AS rn
+           FROM embeddings c JOIN embeddings q
+             ON q.vec_id <= 3 AND c.vec_id != q.vec_id)
+         WHERE rn <= 5 ORDER BY query_id, cos DESC, neighbor_id"""
 
   /** DuckDB oracle SQL per query (same result, same column names, same
     * ORDER BY). Queries absent here are not SQL-expressible in DuckDB
@@ -570,20 +604,8 @@ object SparkEntry {
            FROM tk l JOIN tk r
              ON l.lang = r.lang AND l.band = r.band AND l.doc_id < r.doc_id)
          WHERE jaccard >= 0.3 ORDER BY id_a, id_b""",
-    "q_cosine_topk" ->
-      """SELECT query_id, neighbor_id, cos FROM (
-           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-             round(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))
-               / (sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))
-                * sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))), 6) AS cos,
-             row_number() OVER (PARTITION BY q.vec_id
-               ORDER BY round(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))
-                 / (sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))
-                  * sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))), 6) DESC,
-                 c.vec_id) AS rn
-           FROM embeddings c JOIN embeddings q
-             ON q.vec_id <= 3 AND c.vec_id != q.vec_id)
-         WHERE rn <= 5 ORDER BY query_id, cos DESC, neighbor_id""",
+    "q_cosine_topk" -> CosineTopkOracle,
+    "q_cosine_expr" -> CosineTopkOracle,
     "q_media_meta" ->
       """SELECT 'image' AS kind, count(*) AS n,
            CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
