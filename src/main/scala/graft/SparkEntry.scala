@@ -108,6 +108,16 @@ object SparkEntry {
         .distinct().orderBy("l_returnflag", "l_linestatus")),
     "q_count_distinct" -> ((s, dir) =>
       rd(s, dir, "lineitem").agg(count_distinct(col("l_partkey")).as("n_parts"))),
+    "q_json_extract" -> ((s, dir) => {
+      // semi-structured scalar functions over the events.props JSON column
+      rd(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          count_distinct(col("k")).as("n_k"))
+        .orderBy("event_type")
+    }),
 
     // ---- [EXT] relational (SURVEY §2.9) ----
     "q_join_broadcast" -> ((s, dir) => {
@@ -448,6 +458,11 @@ object SparkEntry {
          ORDER BY l_returnflag, l_linestatus""",
     "q_count_distinct" ->
       "SELECT count(DISTINCT l_partkey) AS n_parts FROM lineitem",
+    "q_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           count(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "q_join_broadcast" ->
       """SELECT n_name, count(*) AS n_cust,
            CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
