@@ -34,13 +34,27 @@ object Dedup {
     df.join(keep.select(col(idCol)), Seq(idCol), "left_semi")
   }
 
-  /** word n-gram shingles of the normalized text, distinct. */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val toks = TextAnalysis.tokens(TextAnalysis.normalized(text))
+  /** word n-gram shingles over an ALREADY-MATERIALIZED token-array column.
+    * Callers must compute the token array in its own projection first:
+    * expressions referenced inside a higher-order-function lambda are NOT
+    * subexpression-eliminated, so passing `tokens(normalized(text))` directly
+    * would re-run the regex/split per lambda reference (measured 2-3× cost).
+    */
+  def shinglesFromTokens(toks: Column, n: Int = 3,
+                         distinct: Boolean = true): Column = {
     val idxs = sequence(lit(0), greatest(size(toks) - n, lit(0)))
-    array_distinct(
-      transform(idxs, i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+    val raw = transform(idxs, i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+    // array_distinct is O(shingles²) string compares per doc — skip it where
+    // set semantics aren't required (MinHash: min over a multiset ≡ min over
+    // its set, so duplicates are harmless)
+    if (distinct) array_distinct(raw) else raw
   }
+
+  /** word n-gram shingles of the normalized text, distinct. Convenience
+    * Column form — inlines the tokenization into the lambda (one reference);
+    * prefer a two-step projection + [[shinglesFromTokens]] in pipelines. */
+  def shingles(text: Column, n: Int = 3): Column =
+    shinglesFromTokens(TextAnalysis.tokens(TextAnalysis.normalized(text)), n)
 
   // Affine permutation constants: h_i(x) = (a_i*x + b_i) mod p over a 31-bit
   // domain. p = 2^31-1 (Mersenne prime). Keeping x < 2^31 and a,b < 2^31
@@ -84,8 +98,13 @@ object Dedup {
     val pb = array(params.map(p => lit(p._2)): _*) // b_i literals, one array
     // (doc, shingleHash) → (doc, hashIdx, h_i(x)): the per-hash expression is
     // ONE element_at lookup, so codegen size is constant in numHashes.
+    // tokens materialized in their own projection so the shingle lambda's
+    // references don't re-run the regex/split (no CSE inside HOF lambdas)
     val perHash = df
-      .select(col(idCol), explode(shingles(col(textCol), shingleSize)).as("__sh"))
+      .select(col(idCol),
+        TextAnalysis.tokens(TextAnalysis.normalized(col(textCol))).as("__toks"))
+      .select(col(idCol),
+        explode(shinglesFromTokens(col("__toks"), shingleSize, distinct = false)).as("__sh"))
       .select(col(idCol), pmod(xxhash64(col("__sh")), lit(1L << 31)).as("__x"))
       .select(col(idCol), posexplode(
         transform(sequence(lit(0), lit(numHashes - 1)),
