@@ -20,8 +20,21 @@ import org.apache.spark.sql.types._
 object Similarity {
 
   /** cosine similarity of two float/double array columns, computed in double.
-    * Fold order is left-to-right — deterministic across runs/engines. */
+    * Production path: the native codegen'd [[graft.functions.CosineSimilarityExpr]]
+    * — one fused loop, no per-row intermediate array. Accumulation order is
+    * left-to-right, bit-identical to [[cosineFns]] (proven in CosineExprSpec). */
   def cosine(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    import org.apache.spark.sql.catalyst.expressions.Cast
+    import org.apache.spark.sql.types.{ArrayType, DoubleType => DT}
+    GraftSqlBridge.column(graft.functions.CosineSimilarityExpr(
+      Cast(GraftSqlBridge.expression(a), ArrayType(DT)),
+      Cast(GraftSqlBridge.expression(b), ArrayType(DT))))
+  }
+
+  /** reference formulation from org.apache.spark.sql.functions only —
+    * kept for cross-checking the native kernel. */
+  def cosineFns(a: Column, b: Column): Column = {
     def dot(x: Column, y: Column): Column =
       aggregate(zip_with(x, y, (p, q) => p.cast(DoubleType) * q.cast(DoubleType)),
         lit(0.0), (acc, v) => acc + v)

@@ -22,9 +22,11 @@ class CosineExprSpec extends AnyFunSuite {
 
   test("graft_cosine is bit-identical to the functions-based cosine") {
     GraftExtensions.register(spark)
+    // cosineFns is the org.apache.spark.sql.functions-only reference
+    // formulation (Similarity.cosine itself routes to the native kernel)
     val out = fixture.select(
       call_function("graft_cosine", col("a"), col("b")).as("native"),
-      Similarity.cosine(col("a"), col("b")).as("fns")).collect()
+      Similarity.cosineFns(col("a"), col("b")).as("fns")).collect()
     out.foreach { r =>
       assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
         java.lang.Double.doubleToLongBits(r.getDouble(1)),
