@@ -248,6 +248,19 @@ object SparkEntry {
           TextAnalysis.tokenCount(col("text")).cast(LongType).as("n_tokens"))
         .orderBy("doc_id")
     }),
+    "q_subword_count" -> ((s, dir) => {
+      rd(s, dir, "documents").select(col("doc_id"),
+          TextAnalysis.subwordCount(col("text")).cast(LongType).as("n_subwords"))
+        .orderBy("doc_id")
+    }),
+    "q_date_filter" -> ((s, dir) => {
+      // timestamp predicate reaches the parquet scan (PushedFilters)
+      rd(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= to_timestamp(lit("1998-05-24 00:00:00")))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
     "q_stopword_ratio" -> ((s, dir) => {
       rd(s, dir, "documents").select(col("doc_id"),
           TextAnalysis.stopwordRatio(col("text")).as("stop_ratio"))
@@ -563,6 +576,15 @@ object SparkEntry {
       """SELECT doc_id,
            CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n_tokens
          FROM documents ORDER BY doc_id""",
+    "q_subword_count" ->
+      """SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]')) AS BIGINT)
+             AS n_subwords
+         FROM documents ORDER BY doc_id""",
+    "q_date_filter" ->
+      """SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-05-24 00:00:00'
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_stopword_ratio" ->
       """SELECT doc_id,
            round(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),

@@ -21,11 +21,12 @@ object TextAnalysis {
   def tokenCount(text: Column): Column =
     size(tokens(text))
 
-  /** BPE-ish subword count estimate: word-piece regex split — letters runs,
-    * digit runs, and single punctuation each count as one token. */
+  /** BPE-ish subword count estimate: alphanumeric runs and single non-space
+    * punctuation each count as one token. Formulated as regexp_extract_all
+    * (RE2-compatible — no lookaround) so the DuckDB oracle can run the exact
+    * same pattern, and cheaper than a lookaround split. */
   def subwordCount(text: Column): Column =
-    size(filter(split(lower(text), "(?<=[^a-z0-9])|(?=[^a-z0-9])"),
-      t => length(trim(t)) > 0))
+    size(regexp_extract_all(lower(text), lit("[a-z0-9]+|[^a-z0-9\\s]"), lit(0)))
 
   /** n-character count, alphabetic ratio, punctuation ratio, mean word length
     * — the standard cheap quality signals. */
