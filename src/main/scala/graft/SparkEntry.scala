@@ -314,6 +314,13 @@ object SparkEntry {
       Dedup.minhashDedup(rd(s, dir, "documents"), "doc_id", "text", 0.5)
         .select("doc_id").orderBy("doc_id")
     }),
+    "q_minhash_oracle" -> ((s, dir) => {
+      // md5-based MinHash-LSH variant whose ENTIRE pipeline (shingling,
+      // affine min-hash, banding, candidate join, jaccard estimate,
+      // dedup policy) is replicated exactly in the DuckDB oracle
+      Dedup.minhashDedupPortable(rd(s, dir, "documents"), "doc_id", "text", 0.5)
+        .select("doc_id").orderBy("doc_id")
+    }),
     "q_simhash_dedup" -> ((s, dir) => {
       Dedup.simhashDedup(rd(s, dir, "documents"), "doc_id", "text")
         .select("doc_id").orderBy("doc_id")
@@ -425,11 +432,60 @@ object SparkEntry {
              ON q.vec_id <= 3 AND c.vec_id != q.vec_id)
          WHERE rn <= 5 ORDER BY query_id, cos DESC, neighbor_id"""
 
+  /** full MinHash-LSH dedup pipeline in DuckDB SQL, generated with the SAME
+    * seed-42 affine parameters as Dedup.minhashDedupPortable. 16 hashes,
+    * 4 bands × 4 rows, threshold 0.5, 3-gram shingles. */
+  private val MinhashOracle: String = {
+    val params = Dedup.hashParams(16)
+    val valuesList = params.zipWithIndex
+      .map { case ((a, b), i) => s"($i, ${a}, ${b})" }.mkString(", ")
+    s"""WITH tk AS (
+         SELECT doc_id, string_split_regex(
+           trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\\s+') AS t
+         FROM documents),
+       sh AS (
+         SELECT doc_id, concat_ws(' ', t[i+1], t[i+2], t[i+3]) AS s
+         FROM (SELECT doc_id, t,
+                 unnest(range(0, greatest(len(t) - 3, 0) + 1)) AS i
+               FROM tk)),
+       xs AS (
+         SELECT doc_id,
+           CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT) % 2147483648 AS x
+         FROM sh),
+       hs AS (
+         SELECT doc_id, hp.i AS i, min((hp.a * x + hp.b) % 2147483647) AS h
+         FROM xs CROSS JOIN (VALUES $valuesList) AS hp(i, a, b)
+         GROUP BY doc_id, hp.i),
+       sigs AS (
+         SELECT doc_id, list(h ORDER BY i) AS sig FROM hs GROUP BY doc_id),
+       banded AS (
+         SELECT doc_id, b,
+           md5(concat_ws(',',
+             CAST(sig[b*4+1] AS VARCHAR), CAST(sig[b*4+2] AS VARCHAR),
+             CAST(sig[b*4+3] AS VARCHAR), CAST(sig[b*4+4] AS VARCHAR))) AS bk
+         FROM sigs CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) bs),
+       pairs AS (
+         SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+         FROM banded l JOIN banded r
+           ON l.b = r.b AND l.bk = r.bk AND l.doc_id < r.doc_id),
+       dups AS (
+         SELECT DISTINCT id_b FROM (
+           SELECT p.id_a, p.id_b,
+             len(list_filter(range(1, 17), i -> sa.sig[i] = sb.sig[i])) / 16.0 AS e
+           FROM pairs p
+           JOIN sigs sa ON sa.doc_id = p.id_a
+           JOIN sigs sb ON sb.doc_id = p.id_b)
+         WHERE e >= 0.5)
+       SELECT doc_id FROM documents
+       WHERE doc_id NOT IN (SELECT id_b FROM dups) ORDER BY doc_id"""
+  }
+
   /** DuckDB oracle SQL per query (same result, same column names, same
     * ORDER BY). Queries absent here are not SQL-expressible in DuckDB
     * (seeded xxhash64 / hyperplane / HLL sketches) → driver records the
     * weaker rows-only check. */
   def oracleSql: Map[String, String] = Map(
+    "q_minhash_oracle" -> MinhashOracle,
     "q_mask_count" ->
       "SELECT count(*) AS cnt FROM lineitem WHERE l_quantity * l_extendedprice >= 50000",
     "q_mask_slice" ->

@@ -62,7 +62,7 @@ object Dedup {
   // expression is safe under Spark 4's default ANSI mode (no
   // ARITHMETIC_OVERFLOW) and the universal-hash math is exact.
   private val P: Long = (1L << 31) - 1
-  private def hashParams(numHashes: Int): Seq[(Long, Long)] = {
+  private[graft] def hashParams(numHashes: Int): Seq[(Long, Long)] = {
     val rnd = new scala.util.Random(42) // fixed seed: signatures reproducible
     Seq.fill(numHashes)((Math.floorMod(rnd.nextLong(), P - 1) + 1, Math.floorMod(rnd.nextLong(), P)))
   }
@@ -183,6 +183,60 @@ object Dedup {
     sigs.unpersist(blocking = false)
     // no broadcast hint: the dup-id set can be a large fraction of the corpus
     // at scale — let AQE pick broadcast vs shuffle from the observed size.
+    df.join(dupIds, Seq(idCol), "left_anti")
+  }
+
+  /** MinHash-LSH dedup with an md5-derived hash base — functionally the same
+    * pipeline as [[minhashDedup]] (shingle → affine min-hash → banding →
+    * bucket-local candidates → estimated-Jaccard threshold → drop higher id),
+    * but every primitive (md5, hex parse, modular arithmetic, banding via
+    * md5-of-concat) exists in DuckDB too, so the WHOLE pipeline is verified
+    * by an exact SQL oracle (the xxhash64 production variant can only get a
+    * rows-only check). Same (a,b) parameters (seed 42) are embedded in the
+    * generated oracle SQL. */
+  def minhashDedupPortable(df: DataFrame, idCol: String, textCol: String,
+                           threshold: Double = 0.5, numHashes: Int = 16,
+                           bands: Int = 4, shingleSize: Int = 3): DataFrame = {
+    val params = hashParams(numHashes)
+    val pa = array(params.map(p => lit(p._1)): _*)
+    val pb = array(params.map(p => lit(p._2)): _*)
+    val rows = numHashes / bands
+    val perHash = df
+      .select(col(idCol),
+        TextAnalysis.tokens(TextAnalysis.normalized(col(textCol))).as("__toks"))
+      .select(col(idCol),
+        explode(shinglesFromTokens(col("__toks"), shingleSize, distinct = false)).as("__sh"))
+      .select(col(idCol),
+        pmod(conv(substring(md5(to_binary(col("__sh"), lit("utf-8"))), 1, 8), 16, 10)
+          .cast(LongType), lit(1L << 31)).as("__x"))
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(0), lit(numHashes - 1)),
+          i => pmod(col("__x") * element_at(pa, i + 1) + element_at(pb, i + 1), lit(P))))
+        .as(Seq("__i", "__h")))
+    val sigs = perHash.groupBy(col(idCol), col("__i")).agg(min(col("__h")).as("__h"))
+      .groupBy(col(idCol))
+      .agg(transform(array_sort(collect_list(struct(col("__i"), col("__h")))),
+        s => s.getField("__h")).as("sig"))
+      .cache()
+    val banded = sigs.select(col(idCol), posexplode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => md5(to_binary(concat_ws(",",
+            transform(slice(col("sig"), b * rows + 1, lit(rows)), h => h.cast(StringType))), lit("utf-8")))))
+      .as(Seq("band", "band_key")))
+    val pairs = banded.as("l").join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.band_key") === col("r.band_key") &&
+          col(s"l.$idCol") < col(s"r.$idCol"))
+      .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b")).distinct()
+    val dupIds = pairs
+      .join(sigs.select(col(idCol).as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col(idCol).as("id_b"), col("sig").as("sig_b")), "id_b")
+      .filter(
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast(DoubleType) / numHashes >= threshold)
+      .select(col("id_b").as(idCol)).distinct().cache()
+    dupIds.count()
+    sigs.unpersist(blocking = false)
     df.join(dupIds, Seq(idCol), "left_anti")
   }
 
