@@ -325,6 +325,19 @@ object SparkEntry {
       Dedup.simhashDedup(rd(s, dir, "documents"), "doc_id", "text")
         .select("doc_id").orderBy("doc_id")
     }),
+    "q_simhash_oracle" -> ((s, dir) => {
+      // md5-based 60-bit SimHash — full pipeline replicated in the oracle
+      Dedup.simhashDedupPortable(rd(s, dir, "documents"), "doc_id", "text")
+        .select("doc_id").orderBy("doc_id")
+    }),
+    "q_embedding_neardup_oracle" -> ((s, dir) => {
+      // blocked on the label column (a domain blocking key) so the pair set
+      // is oracle-expressible with DuckDB's list arithmetic
+      Dedup.embeddingNearDupPairs(rd(s, dir, "embeddings"), "vec_id",
+          "embedding", 0.35, Seq(col("label")))
+        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+        .orderBy("id_a", "id_b")
+    }),
     "q_lsh_ann" -> ((s, dir) => {
       val emb = rd(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") === 1).select("embedding")
@@ -486,6 +499,37 @@ object SparkEntry {
     * weaker rows-only check. */
   def oracleSql: Map[String, String] = Map(
     "q_minhash_oracle" -> MinhashOracle,
+    "q_simhash_oracle" ->
+      """WITH tk AS (
+           SELECT doc_id, list_distinct(string_split_regex(
+             trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+')) AS t
+           FROM documents),
+         tx AS (
+           SELECT doc_id,
+             CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS x
+           FROM (SELECT doc_id, unnest(t) AS tok FROM tk)),
+         vb AS (
+           SELECT doc_id, i,
+             sum(CASE WHEN ((x >> i) & 1) = 1 THEN 1 ELSE -1 END) AS v
+           FROM tx CROSS JOIN (SELECT unnest(range(0, 60)) AS i) bits
+           GROUP BY doc_id, i),
+         sg AS (
+           SELECT doc_id,
+             CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS sig
+           FROM vb GROUP BY doc_id),
+         keep AS (SELECT min(doc_id) AS doc_id FROM sg GROUP BY sig)
+         SELECT doc_id FROM documents
+         WHERE doc_id IN (SELECT doc_id FROM keep) ORDER BY doc_id""",
+    "q_embedding_neardup_oracle" ->
+      """WITH e AS (
+           SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         p AS (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS c
+           FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+         SELECT id_a, id_b, round(c, 6) AS cos FROM p
+         WHERE c >= 0.35 ORDER BY id_a, id_b""",
     "q_mask_count" ->
       "SELECT count(*) AS cnt FROM lineitem WHERE l_quantity * l_extendedprice >= 50000",
     "q_mask_slice" ->

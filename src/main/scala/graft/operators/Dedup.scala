@@ -282,6 +282,31 @@ object Dedup {
     exactDedup(sig, col("simhash"), idCol).join(df, Seq(idCol))
   }
 
+  /** 60-bit SimHash dedup on md5-derived token hashes — same per-bit
+    * majority-vote construction as [[simhashSigs]], but md5/hex/bit-ops all
+    * exist in DuckDB, so the whole pipeline gets an exact SQL oracle
+    * (15 hex chars = 60 bits keeps the value positive in a signed BIGINT
+    * for both engines). */
+  def simhashDedupPortable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val nBits = 60
+    val perBit = df
+      .select(col(idCol),
+        TextAnalysis.tokens(TextAnalysis.normalized(col(textCol))).as("__toks"))
+      .select(col(idCol), explode(array_distinct(col("__toks"))).as("__tok"))
+      .select(col(idCol),
+        conv(substring(md5(to_binary(col("__tok"), lit("utf-8"))), 1, 15), 16, 10)
+          .cast(LongType).as("__x"))
+      .select(col(idCol), col("__x"),
+        explode(sequence(lit(0), lit(nBits - 1))).as("__i"))
+      .groupBy(col(idCol), col("__i"))
+      .agg(sum(expr("CASE WHEN (shiftright(__x, __i) & 1) = 1 THEN 1 ELSE -1 END")).as("__v"))
+    val sig = perBit.groupBy(col(idCol))
+      .agg(sum(expr(
+        "CASE WHEN __v > 0 THEN shiftleft(CAST(1 AS BIGINT), __i) ELSE CAST(0 AS BIGINT) END"))
+        .as("simhash")) // distinct powers < 2^60: plain sum is an exact OR
+    exactDedup(sig, col("simhash"), idCol).join(df, Seq(idCol))
+  }
+
   /** exact token-set Jaccard similarity between two token arrays. */
   def jaccard(a: Column, b: Column): Column =
     round(size(array_intersect(a, b)).cast(DoubleType) /
