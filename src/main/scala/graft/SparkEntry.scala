@@ -311,7 +311,11 @@ object SparkEntry {
     // not oracle-expressible (xxhash64 / seeded hyperplanes don't exist in
     // DuckDB) → rows-only checks, covered by ScalaTest instead:
     "q_minhash_dedup" -> ((s, dir) => {
-      Dedup.minhashDedup(rd(s, dir, "documents"), "doc_id", "text", 0.5)
+      // 32 hashes / 8 bands: at threshold 0.5 the LSH S-curve is nearly
+      // identical to 64/16 (band width 4 either way) at half the signature
+      // and shuffle volume
+      Dedup.minhashDedup(rd(s, dir, "documents"), "doc_id", "text", 0.5,
+          numHashes = 32, bands = 8)
         .select("doc_id").orderBy("doc_id")
     }),
     "q_minhash_oracle" -> ((s, dir) => {

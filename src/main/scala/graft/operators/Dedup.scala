@@ -81,43 +81,47 @@ object Dedup {
     array(hs: _*)
   }
 
+  /** shared signature assembly: from one row per (doc, 31-bit shingle hash)
+    * to (idCol, sig) in a SINGLE hash aggregate — `numHashes` tiny
+    * `min(a_i·x + b_i mod P)` aggregate columns over the shingle-hash rows.
+    *
+    * This is the scale shape: the shingle explode is a pure pipelined map,
+    * each affine hash is applied once per shingle inside a partial (map-side)
+    * min, and the shuffle carries exactly `numHashes` longs per doc per
+    * partition. Earlier rounds posexploded `numHashes` rows per shingle
+    * (64× the intermediate volume) and needed a second aggregate to
+    * re-assemble the array — measured 85 s at sf0.1 in the round-2 driver
+    * bench vs this one-aggregate form. */
+  private def sigsFromShingleHash(perShingle: DataFrame, idCol: String,
+                                  numHashes: Int): DataFrame = {
+    val params = hashParams(numHashes)
+    val mins = params.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("__x") * lit(a) + lit(b), lit(P))).as(s"__h$i")
+    }
+    perShingle.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+      .select(col(idCol),
+        array((0 until numHashes).map(i => col(s"__h$i")): _*).as("sig"))
+  }
+
+  /** (idCol, __x) rows: one 31-bit xxhash64 per shingle occurrence. Tokens
+    * are materialized in their own projection so the shingle lambda's
+    * references don't re-run the regex/split (no CSE inside HOF lambdas). */
+  private def shingleHashRows(df: DataFrame, idCol: String, textCol: String,
+                              shingleSize: Int): DataFrame = df
+    .select(col(idCol),
+      TextAnalysis.tokens(TextAnalysis.normalized(col(textCol))).as("__toks"))
+    .select(col(idCol),
+      explode(shinglesFromTokens(col("__toks"), shingleSize, distinct = false)).as("__sh"))
+    .select(col(idCol), pmod(xxhash64(col("__sh")), lit(1L << 31)).as("__x"))
+
   /** MinHash signatures as a DataFrame (idCol, sig): explode shingles, reduce
     * each shingle's xxhash64 into the 31-bit domain ONCE, then take all
-    * `numHashes` minima in a single hash aggregate keyed on the doc id.
-    *
-    * This is the scale shape: the explode is a pure pipelined map, the
-    * aggregate does map-side partial mins (the shuffle carries only
-    * numHashes longs per doc per partition), and every per-hash expression is
-    * tiny — constant planning/codegen cost regardless of numHashes × shingle
-    * count (the Column form above inlines 64 array traversals instead and
-    * pays seconds of planning). */
+    * `numHashes` minima in one wide hash aggregate (see
+    * [[sigsFromShingleHash]] for the scale rationale). */
   def minhashSigs(df: DataFrame, idCol: String, textCol: String,
-                  numHashes: Int = 64, shingleSize: Int = 3): DataFrame = {
-    val params = hashParams(numHashes)
-    val pa = array(params.map(p => lit(p._1)): _*) // a_i literals, one array
-    val pb = array(params.map(p => lit(p._2)): _*) // b_i literals, one array
-    // (doc, shingleHash) → (doc, hashIdx, h_i(x)): the per-hash expression is
-    // ONE element_at lookup, so codegen size is constant in numHashes.
-    // tokens materialized in their own projection so the shingle lambda's
-    // references don't re-run the regex/split (no CSE inside HOF lambdas)
-    val perHash = df
-      .select(col(idCol),
-        TextAnalysis.tokens(TextAnalysis.normalized(col(textCol))).as("__toks"))
-      .select(col(idCol),
-        explode(shinglesFromTokens(col("__toks"), shingleSize, distinct = false)).as("__sh"))
-      .select(col(idCol), pmod(xxhash64(col("__sh")), lit(1L << 31)).as("__x"))
-      .select(col(idCol), posexplode(
-        transform(sequence(lit(0), lit(numHashes - 1)),
-          i => pmod(col("__x") * element_at(pa, i + 1) + element_at(pb, i + 1), lit(P))))
-        .as(Seq("__i", "__h")))
-    // stage 1: min per (doc, hashIdx) — map-side partial mins shrink the
-    // shuffle to ≤ numHashes rows per doc per partition;
-    // stage 2: assemble the ordered signature array per doc.
-    perHash.groupBy(col(idCol), col("__i")).agg(min(col("__h")).as("__h"))
-      .groupBy(col(idCol))
-      .agg(transform(array_sort(collect_list(struct(col("__i"), col("__h")))),
-        s => s.getField("__h")).as("sig"))
-  }
+                  numHashes: Int = 64, shingleSize: Int = 3): DataFrame =
+    sigsFromShingleHash(shingleHashRows(df, idCol, textCol, shingleSize),
+      idCol, numHashes)
 
   /** LSH banding: (docId, band, bandHash) rows. Two docs are candidates iff
     * they share a bandHash in some band. */
@@ -171,7 +175,16 @@ object Dedup {
     * iterative connected components.) */
   def minhashDedup(df: DataFrame, idCol: String, textCol: String,
                    threshold: Double = 0.8, numHashes: Int = 64,
-                   bands: Int = 16): DataFrame = {
+                   bands: Int = 16): DataFrame =
+    minhashDedupWithHandle(df, idCol, textCol, threshold, numHashes, bands)._1
+
+  /** as [[minhashDedup]] but also returns the cached dup-id frame: the
+    * returned dedup result references it lazily (left_anti), so a
+    * long-running session should `unpersist` the handle once the result is
+    * materialized — otherwise each call pins a small cached frame forever. */
+  def minhashDedupWithHandle(df: DataFrame, idCol: String, textCol: String,
+                             threshold: Double = 0.8, numHashes: Int = 64,
+                             bands: Int = 16): (DataFrame, DataFrame) = {
     val (cands, sigs) = minhashCandidatesWithSigs(df, idCol, textCol, numHashes, bands)
     // dup ids are tiny (ids only); materialize them so the signature cache
     // can be released instead of staying pinned for the session.
@@ -183,7 +196,7 @@ object Dedup {
     sigs.unpersist(blocking = false)
     // no broadcast hint: the dup-id set can be a large fraction of the corpus
     // at scale — let AQE pick broadcast vs shuffle from the observed size.
-    df.join(dupIds, Seq(idCol), "left_anti")
+    (df.join(dupIds, Seq(idCol), "left_anti"), dupIds)
   }
 
   /** MinHash-LSH dedup with an md5-derived hash base — functionally the same
@@ -194,30 +207,34 @@ object Dedup {
     * by an exact SQL oracle (the xxhash64 production variant can only get a
     * rows-only check). Same (a,b) parameters (seed 42) are embedded in the
     * generated oracle SQL. */
-  def minhashDedupPortable(df: DataFrame, idCol: String, textCol: String,
-                           threshold: Double = 0.5, numHashes: Int = 16,
-                           bands: Int = 4, shingleSize: Int = 3): DataFrame = {
-    val params = hashParams(numHashes)
-    val pa = array(params.map(p => lit(p._1)): _*)
-    val pb = array(params.map(p => lit(p._2)): _*)
+  /** (idCol, __x) rows with an md5-derived 31-bit shingle hash — every
+    * primitive (md5, hex parse, mod) exists in DuckDB, so pipelines built on
+    * this are exactly replicable by a SQL oracle. */
+  private def shingleHashRowsPortable(df: DataFrame, idCol: String,
+                                      textCol: String, shingleSize: Int): DataFrame = df
+    .select(col(idCol),
+      TextAnalysis.tokens(TextAnalysis.normalized(col(textCol))).as("__toks"))
+    .select(col(idCol),
+      explode(shinglesFromTokens(col("__toks"), shingleSize, distinct = false)).as("__sh"))
+    .select(col(idCol),
+      pmod(conv(substring(md5(to_binary(col("__sh"), lit("utf-8"))), 1, 8), 16, 10)
+        .cast(LongType), lit(1L << 31)).as("__x"))
+
+  /** md5-portable MinHash signatures (same one-aggregate scale shape as
+    * [[minhashSigs]]). */
+  def minhashSigsPortable(df: DataFrame, idCol: String, textCol: String,
+                          numHashes: Int = 16, shingleSize: Int = 3): DataFrame =
+    sigsFromShingleHash(shingleHashRowsPortable(df, idCol, textCol, shingleSize),
+      idCol, numHashes)
+
+  /** md5-portable LSH candidate pairs (id_a, id_b, est_jaccard) + the cached
+    * signature frame (caller unpersists after materializing). Banding keys
+    * are md5-of-concat so DuckDB can reproduce them. */
+  def minhashCandidatesPortableWithSigs(df: DataFrame, idCol: String,
+                                        textCol: String, numHashes: Int = 16,
+                                        bands: Int = 4, shingleSize: Int = 3): (DataFrame, DataFrame) = {
     val rows = numHashes / bands
-    val perHash = df
-      .select(col(idCol),
-        TextAnalysis.tokens(TextAnalysis.normalized(col(textCol))).as("__toks"))
-      .select(col(idCol),
-        explode(shinglesFromTokens(col("__toks"), shingleSize, distinct = false)).as("__sh"))
-      .select(col(idCol),
-        pmod(conv(substring(md5(to_binary(col("__sh"), lit("utf-8"))), 1, 8), 16, 10)
-          .cast(LongType), lit(1L << 31)).as("__x"))
-      .select(col(idCol), posexplode(
-        transform(sequence(lit(0), lit(numHashes - 1)),
-          i => pmod(col("__x") * element_at(pa, i + 1) + element_at(pb, i + 1), lit(P))))
-        .as(Seq("__i", "__h")))
-    val sigs = perHash.groupBy(col(idCol), col("__i")).agg(min(col("__h")).as("__h"))
-      .groupBy(col(idCol))
-      .agg(transform(array_sort(collect_list(struct(col("__i"), col("__h")))),
-        s => s.getField("__h")).as("sig"))
-      .cache()
+    val sigs = minhashSigsPortable(df, idCol, textCol, numHashes, shingleSize).cache()
     val banded = sigs.select(col(idCol), posexplode(
         transform(sequence(lit(0), lit(bands - 1)),
           b => md5(to_binary(concat_ws(",",
@@ -227,13 +244,23 @@ object Dedup {
         col("l.band") === col("r.band") && col("l.band_key") === col("r.band_key") &&
           col(s"l.$idCol") < col(s"r.$idCol"))
       .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b")).distinct()
-    val dupIds = pairs
+    val withEst = pairs
       .join(sigs.select(col(idCol).as("id_a"), col("sig").as("sig_a")), "id_a")
       .join(sigs.select(col(idCol).as("id_b"), col("sig").as("sig_b")), "id_b")
-      .filter(
+      .withColumn("est_jaccard",
         aggregate(zip_with(col("sig_a"), col("sig_b"),
             (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, v) => acc + v).cast(DoubleType) / numHashes >= threshold)
+          lit(0), (acc, v) => acc + v).cast(DoubleType) / numHashes)
+      .select(col("id_a"), col("id_b"), col("est_jaccard"))
+    (withEst, sigs)
+  }
+
+  def minhashDedupPortable(df: DataFrame, idCol: String, textCol: String,
+                           threshold: Double = 0.5, numHashes: Int = 16,
+                           bands: Int = 4, shingleSize: Int = 3): DataFrame = {
+    val (cands, sigs) = minhashCandidatesPortableWithSigs(
+      df, idCol, textCol, numHashes, bands, shingleSize)
+    val dupIds = cands.filter(col("est_jaccard") >= threshold)
       .select(col("id_b").as(idCol)).distinct().cache()
     dupIds.count()
     sigs.unpersist(blocking = false)
