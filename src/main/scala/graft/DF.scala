@@ -298,6 +298,11 @@ final class DF private (private[graft] val inner: DataFrame,
     case Sel.All        => this
     case Sel.Pred(c)    => this.filter(c)
     case Sel.Mask(bits) =>
+      // the reference's mask path errors on length mismatch (like the ctor
+      // equal-length assert); silently dropping extra bits / deselecting the
+      // tail would hide caller bugs
+      if (bits.length != nrow)
+        throw new ColumnLengthException(nrow, bits.length)
       selectByIds(bits.zipWithIndex.collect { case (true, i) => i.toLong })
     case Sel.Indices(is) =>
       val n = nrow.toInt
@@ -372,8 +377,11 @@ final class DF private (private[graft] val inner: DataFrame,
     * result keeps this frame's row order. `resultTypes` is the reference's
     * `:element-type` declaration (cl-data-frame.lisp:528-541): when given, the
     * output schema is exactly those types; when omitted, types are inferred
-    * from one sampled output row (costs one extra small job). Arity is
-    * asserted per row like the reference (cl-data-frame.lisp:548). */
+    * from one sampled output row (costs one extra small job, and NOTE: fn
+    * runs TWICE for that first row — once on the driver for inference, once
+    * in the executor — so pass resultTypes when fn is expensive or
+    * side-effecting). Arity is asserted per row like the reference
+    * (cl-data-frame.lisp:548). */
   def mapDFRows(ks: Seq[String], resultKeys: Seq[String],
                 resultTypes: Seq[DataType] = Nil)(fn: Seq[Any] => Seq[Any]): DF = {
     ks.foreach(keyIndex)

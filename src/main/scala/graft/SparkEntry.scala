@@ -279,10 +279,15 @@ object SparkEntry {
     "q_top_tokens" -> ((s, dir) =>
       TextAnalysis.topTokens(rd(s, dir, "documents"), "text", 20)),
     "q_ngram_jaccard" -> ((s, dir) => {
-      // blocking = (lang, 64-char length band): near-dups share both; keeps
-      // the self-join block-local and pair count ~linear at scale
-      Dedup.ngramJaccardPairs(rd(s, dir, "documents"), "doc_id", "text",
-          Seq(col("lang"), floor(col("n_chars") / 64)), 0.3, 1)
+      // scale-safe blocking: MinHash-LSH candidates (md5-portable, 3-gram
+      // shingles so the S-curve approximates the verified shingle-set
+      // jaccard) + exact-jaccard verification on candidates only. Attribute
+      // blocks (lang, length band) are O(block²) — a single (en, band-k)
+      // block is O(corpus) at 100 TB; LSH bucket size is set by band-key
+      // collisions. (Unigram jaccard is useless on this corpus: shared vocab
+      // puts 73% of ALL pairs above 0.5 — 3-gram shingles discriminate.)
+      Dedup.ngramJaccardLshPortable(rd(s, dir, "documents"), "doc_id", "text",
+          threshold = 0.5, numHashes = 16, bands = 8, ngram = 3)
         .orderBy("id_a", "id_b")
     }),
     "q_cosine_topk" -> ((s, dir) => {
@@ -495,6 +500,54 @@ object SparkEntry {
          WHERE e >= 0.5)
        SELECT doc_id FROM documents
        WHERE doc_id NOT IN (SELECT id_b FROM dups) ORDER BY doc_id"""
+  }
+
+  /** LSH-blocked n-gram Jaccard pipeline in DuckDB SQL, generated with the
+    * SAME seed-42 affine parameters as Dedup.ngramJaccardLshPortable:
+    * 3-gram md5 min-hash (16 hashes), 8 bands × 2 rows, bucket-local
+    * candidate pairs, exact shingle-set jaccard ≥ 0.5 on candidates only. */
+  private val NgramJaccardLshOracle: String = {
+    val params = Dedup.hashParams(16)
+    val valuesList = params.zipWithIndex
+      .map { case ((a, b), i) => s"($i, ${a}, ${b})" }.mkString(", ")
+    s"""WITH tk AS (
+         SELECT doc_id, string_split_regex(
+           trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\\s+') AS t
+         FROM documents),
+       sh AS (
+         SELECT doc_id, concat_ws(' ', t[i+1], t[i+2], t[i+3]) AS s
+         FROM (SELECT doc_id, t,
+                 unnest(range(0, greatest(len(t) - 3, 0) + 1)) AS i
+               FROM tk)),
+       xs AS (
+         SELECT doc_id,
+           CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT) % 2147483648 AS x
+         FROM sh),
+       hs AS (
+         SELECT doc_id, hp.i AS i, min((hp.a * x + hp.b) % 2147483647) AS h
+         FROM xs CROSS JOIN (VALUES $valuesList) AS hp(i, a, b)
+         GROUP BY doc_id, hp.i),
+       sigs AS (
+         SELECT doc_id, list(h ORDER BY i) AS sig FROM hs GROUP BY doc_id),
+       banded AS (
+         SELECT doc_id, b,
+           md5(concat_ws(',',
+             CAST(sig[b*2+1] AS VARCHAR), CAST(sig[b*2+2] AS VARCHAR))) AS bk
+         FROM sigs CROSS JOIN (SELECT unnest(range(0, 8)) AS b) bs),
+       pairs AS (
+         SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+         FROM banded l JOIN banded r
+           ON l.b = r.b AND l.bk = r.bk AND l.doc_id < r.doc_id),
+       dt AS (
+         SELECT doc_id, list_distinct(list(s)) AS t FROM sh GROUP BY doc_id)
+       SELECT id_a, id_b, jaccard FROM (
+         SELECT p.id_a, p.id_b,
+           round(len(list_filter(a.t, x -> list_contains(b.t, x)))
+             / (len(a.t) + len(b.t) - len(list_filter(a.t, x -> list_contains(b.t, x)))), 6) AS jaccard
+         FROM pairs p
+         JOIN dt a ON a.doc_id = p.id_a
+         JOIN dt b ON b.doc_id = p.id_b)
+       WHERE jaccard >= 0.5 ORDER BY id_a, id_b"""
   }
 
   /** DuckDB oracle SQL per query (same result, same column names, same
@@ -732,19 +785,7 @@ object SparkEntry {
            FROM documents)
          WHERE len(token) > 0
          GROUP BY token ORDER BY cnt DESC, token LIMIT 20""",
-    "q_ngram_jaccard" ->
-      """WITH tk AS (
-           SELECT doc_id, lang, CAST(floor(n_chars / 64) AS BIGINT) AS band,
-             list_distinct(string_split_regex(
-               trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+')) AS t
-           FROM documents)
-         SELECT * FROM (
-           SELECT l.doc_id AS id_a, r.doc_id AS id_b,
-             round(len(list_filter(l.t, x -> list_contains(r.t, x)))
-               / (len(l.t) + len(r.t) - len(list_filter(l.t, x -> list_contains(r.t, x)))), 6) AS jaccard
-           FROM tk l JOIN tk r
-             ON l.lang = r.lang AND l.band = r.band AND l.doc_id < r.doc_id)
-         WHERE jaccard >= 0.3 ORDER BY id_a, id_b""",
+    "q_ngram_jaccard" -> NgramJaccardLshOracle,
     "q_cosine_topk" -> CosineTopkOracle,
     "q_cosine_expr" -> CosineTopkOracle,
     "q_media_meta" ->

@@ -127,6 +127,11 @@ object Dedup {
     * they share a bandHash in some band. */
   def lshBands(df: DataFrame, idCol: String, sigCol: String,
                bands: Int, numHashes: Int = 64): DataFrame = {
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must be a multiple of bands ($bands): a " +
+        "trailing partial band would slice past the signature end, hash the " +
+        "empty slice identically for every doc, and degenerate that band " +
+        "into one corpus-wide O(n²) bucket")
     val rows = math.max(1, numHashes / bands)
     df.select(col(idCol), posexplode(
         transform(sequence(lit(0), lit(bands - 1)),
@@ -150,13 +155,8 @@ object Dedup {
                                 numHashes: Int = 64, bands: Int = 16,
                                 shingleSize: Int = 3): (DataFrame, DataFrame) = {
     val sigs = minhashSigs(df, idCol, textCol, numHashes, shingleSize).cache()
-    val banded = lshBands(sigs, idCol, "sig", bands)
-    val pairs = banded.as("l").join(banded.as("r"),
-        col("l.band") === col("r.band") &&
-        col("l.band_hash") === col("r.band_hash") &&
-        col(s"l.$idCol") < col(s"r.$idCol"))
-      .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"))
-      .distinct()
+    val pairs = bandSelfJoinPairs(
+      lshBands(sigs, idCol, "sig", bands, numHashes), idCol, "band_hash")
     val withEst = pairs
       .join(sigs.select(col(idCol).as("id_a"), col("sig").as("sig_a")), "id_a")
       .join(sigs.select(col(idCol).as("id_b"), col("sig").as("sig_b")), "id_b")
@@ -227,23 +227,37 @@ object Dedup {
     sigsFromShingleHash(shingleHashRowsPortable(df, idCol, textCol, shingleSize),
       idCol, numHashes)
 
-  /** md5-portable LSH candidate pairs (id_a, id_b, est_jaccard) + the cached
-    * signature frame (caller unpersists after materializing). Banding keys
-    * are md5-of-concat so DuckDB can reproduce them. */
-  def minhashCandidatesPortableWithSigs(df: DataFrame, idCol: String,
-                                        textCol: String, numHashes: Int = 16,
-                                        bands: Int = 4, shingleSize: Int = 3): (DataFrame, DataFrame) = {
+  /** bucket-local candidate self-join over banded rows (idCol, band, key):
+    * distinct (id_a, id_b) pairs sharing a band key. Both sides are the same
+    * subplan shuffled on the same keys, so Spark's exchange reuse computes the
+    * banding once even when `banded` is uncached. */
+  private def bandSelfJoinPairs(banded: DataFrame, idCol: String,
+                                keyCol: String): DataFrame =
+    banded.as("l").join(banded.as("r"),
+        col("l.band") === col("r.band") && col(s"l.$keyCol") === col(s"r.$keyCol") &&
+          col(s"l.$idCol") < col(s"r.$idCol"))
+      .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b")).distinct()
+
+  /** md5-portable LSH banding + bucket-local candidate self-join. Banding
+    * keys are md5-of-concat so DuckDB can reproduce them. */
+  private def portableBandPairs(sigs: DataFrame, idCol: String,
+                                numHashes: Int, bands: Int): DataFrame = {
     val rows = numHashes / bands
-    val sigs = minhashSigsPortable(df, idCol, textCol, numHashes, shingleSize).cache()
     val banded = sigs.select(col(idCol), posexplode(
         transform(sequence(lit(0), lit(bands - 1)),
           b => md5(to_binary(concat_ws(",",
             transform(slice(col("sig"), b * rows + 1, lit(rows)), h => h.cast(StringType))), lit("utf-8")))))
       .as(Seq("band", "band_key")))
-    val pairs = banded.as("l").join(banded.as("r"),
-        col("l.band") === col("r.band") && col("l.band_key") === col("r.band_key") &&
-          col(s"l.$idCol") < col(s"r.$idCol"))
-      .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b")).distinct()
+    bandSelfJoinPairs(banded, idCol, "band_key")
+  }
+
+  /** md5-portable LSH candidate pairs (id_a, id_b, est_jaccard) + the cached
+    * signature frame (caller unpersists after materializing). */
+  def minhashCandidatesPortableWithSigs(df: DataFrame, idCol: String,
+                                        textCol: String, numHashes: Int = 16,
+                                        bands: Int = 4, shingleSize: Int = 3): (DataFrame, DataFrame) = {
+    val sigs = minhashSigsPortable(df, idCol, textCol, numHashes, shingleSize).cache()
+    val pairs = portableBandPairs(sigs, idCol, numHashes, bands)
     val withEst = pairs
       .join(sigs.select(col(idCol).as("id_a"), col("sig").as("sig_a")), "id_a")
       .join(sigs.select(col(idCol).as("id_b"), col("sig").as("sig_b")), "id_b")
@@ -374,6 +388,59 @@ object Dedup {
         col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"),
         round(inter / (sa + sb - inter), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** exact token-set Jaccard verification over a supplied candidate pair set
+    * (id_a, id_b): joins each side to its distinct token (or n-gram shingle)
+    * array and keeps pairs with jaccard ≥ threshold. Cost is linear in the
+    * candidate count — pair generation (LSH banding, attribute blocks) decides
+    * scale, this step only verifies. */
+  def verifyJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                         pairs: DataFrame, threshold: Double,
+                         ngram: Int = 1): DataFrame = {
+    val toks =
+      if (ngram == 1) array_distinct(TextAnalysis.tokens(TextAnalysis.normalized(col(textCol))))
+      else shingles(col(textCol), ngram)
+    val sides = df.select(col(idCol), toks.as("__toks"))
+    val joined = pairs.select("id_a", "id_b")
+      .join(sides.select(col(idCol).as("id_a"), col("__toks").as("__ta")), "id_a")
+      .join(sides.select(col(idCol).as("id_b"), col("__toks").as("__tb")), "id_b")
+    val sa = size(col("__ta")).cast(DoubleType)
+    val sb = size(col("__tb")).cast(DoubleType)
+    // size-ratio prefilter (result-preserving: jaccard ≥ t ⇒ min ≥ t·max)
+    val prefiltered = joined.filter(least(sa, sb) >= greatest(sa, sb) * threshold)
+    val inter = size(array_intersect(col("__ta"), col("__tb"))).cast(DoubleType)
+    prefiltered
+      .select(col("id_a"), col("id_b"),
+        round(inter / (sa + sb - inter), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** n-gram Jaccard near-dup pairs with LSH candidate blocking — the
+    * scale-safe replacement for attribute blocking: candidates come from
+    * MinHash-LSH over the SAME n-gram shingles whose exact Jaccard is then
+    * verified (the LSH S-curve approximates the verified similarity), so
+    * block size is governed by the band-key collision rate, not by how many
+    * documents share an attribute. Exact Jaccard runs only on candidate
+    * pairs. xxhash64 signatures (production path — rows-only oracle). */
+  def ngramJaccardLsh(df: DataFrame, idCol: String, textCol: String,
+                      threshold: Double = 0.5, numHashes: Int = 16,
+                      bands: Int = 8, ngram: Int = 3): DataFrame = {
+    val sigs = minhashSigs(df, idCol, textCol, numHashes, shingleSize = ngram)
+    val cands = bandSelfJoinPairs(
+      lshBands(sigs, idCol, "sig", bands, numHashes), idCol, "band_hash")
+    verifyJaccardPairs(df, idCol, textCol, cands, threshold, ngram)
+  }
+
+  /** as [[ngramJaccardLsh]] but on the md5-portable MinHash base, so the WHOLE
+    * pipeline (n-gram min-hash, banding, bucket-local candidates, exact
+    * jaccard ≥ threshold) is replicable by a DuckDB SQL oracle. */
+  def ngramJaccardLshPortable(df: DataFrame, idCol: String, textCol: String,
+                              threshold: Double = 0.5, numHashes: Int = 16,
+                              bands: Int = 8, ngram: Int = 3): DataFrame = {
+    val sigs = minhashSigsPortable(df, idCol, textCol, numHashes, shingleSize = ngram)
+    val cands = portableBandPairs(sigs, idCol, numHashes, bands)
+    verifyJaccardPairs(df, idCol, textCol, cands, threshold, ngram)
   }
 
   /** embedding-cosine near-dup pairs: normalized-vector dot product over a

@@ -95,10 +95,12 @@ object Streams {
           } else {
             val prev = state.getOption.getOrElse(UserRunning(uid, 0L, 0.0))
             var n = prev.n_events
-            var cents = math.rint(prev.total_value * 100).toLong
+            // math.round = HALF_UP, matching every other money path and the
+            // DuckDB oracle's round(); rint (HALF_EVEN) diverges on exact .5
+            var cents = math.round(prev.total_value * 100)
             var maxTs = Long.MinValue
             it.foreach { e =>
-              n += 1; cents += math.rint(e.value * 100).toLong
+              n += 1; cents += math.round(e.value * 100)
               if (e.ts.getTime > maxTs) maxTs = e.ts.getTime
             }
             val next = UserRunning(uid, n, cents / 100.0)

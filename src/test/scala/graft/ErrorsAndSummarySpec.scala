@@ -21,6 +21,13 @@ class ErrorsAndSummarySpec extends AnyFunSuite {
       DF(spark, "a" -> Seq(1, 2), "b" -> Seq(1)))
   }
 
+  test("mask length must equal row count (reference mask-rows semantics)") {
+    val d = DF(spark, "a" -> Seq(1, 2, 3))
+    intercept[ColumnLengthException](d.sliceFrame(Sel.Mask(Seq(true, false))))
+    intercept[ColumnLengthException](
+      d.sliceFrame(Sel.Mask(Seq(true, false, true, true))))
+  }
+
   test("key-not-found carries the valid key set (cl-data-frame.lisp:185-192)") {
     val d = DF(spark, "a" -> Seq(1))
     val e = intercept[KeyNotFoundException](d.column("zz"))

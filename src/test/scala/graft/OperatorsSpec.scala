@@ -69,6 +69,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("ngramJaccardLsh: LSH-blocked candidates verified with exact jaccard") {
+    val pairs = Dedup.ngramJaccardLsh(docs, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect()
+    val ids = pairs.map(p => (p._1, p._2)).toSet
+    assert(ids.contains((1L, 2L)))                        // exact dup pair
+    assert(!ids.exists(p => p._1 == 4L || p._2 == 4L))    // unrelated doc
+    // reported jaccard is the EXACT shingle-set value, not the LSH estimate
+    assert(pairs.find(p => (p._1, p._2) == (1L, 2L)).get._3 == 1.0)
+    // md5-portable variant agrees on the sure pair
+    val portable = Dedup.ngramJaccardLshPortable(docs, "doc_id", "text",
+        threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(portable.contains((1L, 2L)))
+    assert(!portable.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("lshBands rejects a numHashes/bands mismatch (partial-band hazard)") {
+    val sigs = Dedup.minhashSigs(docs, "doc_id", "text", numHashes = 32)
+    intercept[IllegalArgumentException] {
+      Dedup.lshBands(sigs, "doc_id", "sig", bands = 5, numHashes = 32)
+    }
+  }
+
   test("embeddingNearDupPairs requires blocking") {
     val emb = Seq((1L, Seq(1.0f, 0.0f))).toDF("id", "v")
     intercept[IllegalArgumentException] {
