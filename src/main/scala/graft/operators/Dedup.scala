@@ -443,6 +443,30 @@ object Dedup {
     verifyJaccardPairs(df, idCol, textCol, cands, threshold, ngram)
   }
 
+  /** embedding-cosine near-dup pairs with banded-LSH blocking — the scale
+    * path when no natural blocking key exists. Candidates = pairs sharing a
+    * bandBits-bit random-hyperplane signature in ANY of `bands` bands
+    * (bucket-local self-join per band, like MinHash banding); exact cosine
+    * verifies candidates only. A single flat table needs tiny buckets for
+    * selectivity but then misses near-dups that disagree on one plane —
+    * banding buys that recall back without shrinking buckets. Bucket count
+    * per band is 2^bandBits: raise bandBits with log₂(corpus) so the
+    * bucket-local join stays ~linear, raise bands to hold recall. */
+  def embeddingNearDupLsh(df: DataFrame, idCol: String, vecCol: String,
+                          threshold: Double, dim: Int, bandBits: Int = 16,
+                          bands: Int = 4, seed: Long = 42L): DataFrame = {
+    val banded = Similarity.lshBandSignatures(df, idCol, vecCol, dim,
+      bandBits, bands, seed)
+    val cands = bandSelfJoinPairs(banded, idCol, "sig")
+    val vecs = df.select(col(idCol), col(vecCol))
+    cands
+      .join(vecs.select(col(idCol).as("id_a"), col(vecCol).as("__va")), "id_a")
+      .join(vecs.select(col(idCol).as("id_b"), col(vecCol).as("__vb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        Similarity.cosine(col("__va"), col("__vb")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** embedding-cosine near-dup pairs: normalized-vector dot product over a
     * blocked candidate set. Blocking is REQUIRED (an unblocked self-join is
     * cartesian); use [[Similarity.lshSignature]] as a ready-made LSH

@@ -90,48 +90,149 @@ object Similarity {
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
-  /** LSH-bucketed ANN top-k for one query vector: probe only the query's
-    * bucket (hamming-0 probe; callers widen with multi-probe by flipping
-    * signature bits), exact cosine rerank inside the bucket. */
+  /** driver-side signature of one literal query vector — same planes, same
+    * left-to-right double accumulation as [[lshSignature]], so the bits are
+    * identical to what the executors compute for an equal vector. */
+  private[operators] def signatureOf(query: Seq[Double], dim: Int, nBits: Int,
+                                     seed: Long): Long =
+    hyperplanes(dim, nBits, seed).zipWithIndex.foldLeft(0L) {
+      case (acc, (plane, i)) =>
+        val dot = plane.zip(query).foldLeft(0.0) { case (s, (a, b)) => s + a * b }
+        if (dot >= 0) acc | (1L << i) else acc
+    }
+
+  /** all signatures within hamming distance ≤ maxFlips of `sig` — the
+    * multi-probe set. Count is Σ C(nBits, f): 17 for (16, 1), 137 for (16, 2),
+    * 697 for (16, 3) — always a tiny literal IN list, never a scan. */
+  private[operators] def probeSignatures(sig: Long, nBits: Int,
+                                         maxFlips: Int): Seq[Long] = {
+    var acc = Set(sig)
+    var frontier = Set(sig)
+    for (_ <- 1 to maxFlips) {
+      frontier = for (s <- frontier; i <- (0 until nBits).toSet[Int])
+        yield s ^ (1L << i)
+      acc ++= frontier
+    }
+    acc.toSeq.sorted
+  }
+
+  /** LSH-bucketed ANN top-k for one query vector: probe the query's bucket
+    * plus every bucket within `maxFlips` bit flips (multi-probe — recovers
+    * the recall a single hamming-0 probe loses when a near neighbor falls on
+    * the far side of one or two hyperplanes), exact cosine rerank inside the
+    * probed set. Probed fraction ≈ Σ C(nBits,f) / 2^nBits — e.g. 1.1% for
+    * (16, 3) — independent of corpus size, so the scan stays sub-linear at
+    * 100×. */
   def lshTopK(df: DataFrame, idCol: String, vecCol: String,
               query: Seq[Double], k: Int, dim: Int, nBits: Int = 8,
-              seed: Long = 42L): DataFrame = {
+              seed: Long = 42L, maxFlips: Int = 0): DataFrame = {
+    val qSig = signatureOf(query, dim, nBits, seed)
+    val probes = probeSignatures(qSig, nBits, maxFlips)
     val bucketed = df.withColumn("__sig", lshSignature(col(vecCol), dim, nBits, seed))
-    val qSig = lshSignature(array(query.map(lit): _*), dim, nBits, seed)
     val q = array(query.map(lit): _*)
-    bucketed.filter(col("__sig") === qSig)
+    bucketed.filter(col("__sig").isin(probes.map(Long.box): _*))
       .select(col(idCol), round(cosine(col(vecCol), q), 6).as("cos"))
       .orderBy(desc("cos"), col(idCol)).limit(k)
   }
 
+  /** banded LSH signatures: one row per (id, band, sig), all bands sliced
+    * from ONE pooled `bandBits × bands`-bit signature (a single projection of
+    * ≤64 dot products). The near-dup blocking analog of MinHash banding:
+    * bandBits sets per-band selectivity (2^bandBits buckets — grow it with
+    * log₂(corpus)), bands buys recall (P(candidate) = 1-(1-p^bandBits)^bands
+    * for per-bit agreement p). */
+  def lshBandSignatures(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+                        bandBits: Int = 16, bands: Int = 4,
+                        seed: Long = 42L): DataFrame = {
+    require(bandBits * bands <= 64,
+      s"bandBits*bands (${bandBits * bands}) must fit the 64-bit pooled signature")
+    val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
+    val bandSigs = (0 until bands).map(b =>
+      shiftright(col("__fullsig"), b * bandBits).bitwiseAND(lit(mask)))
+    df.select(col(idCol),
+        lshSignature(col(vecCol), dim, bandBits * bands, seed).as("__fullsig"))
+      .select(col(idCol), posexplode(array(bandSigs: _*)).as(Seq("band", "sig")))
+  }
+
   /** IVF (inverted-file) ANN — the k-means scale path beside the LSH one.
     *
-    * Build: one MLlib KMeans fit assigns every corpus vector to its nearest
-    * of `k` centroids (offline at 100 TB — the fit runs on a sample, the
-    * assignment is a pure map). Query: rank centroids against the query
-    * DRIVER-side (k ≪ corpus, a few KB of centers), probe only the `nprobe`
-    * nearest clusters' rows, exact cosine rerank inside — the scan touches
-    * ~corpus·nprobe/k rows instead of everything. Deterministic via fixed
-    * seed.
+    * Build: Lloyd's k-means fit on a CAPPED sample collected to the driver
+    * (fitSampleCap rows ≈ a megabyte — the fit is pure local math, zero Spark
+    * jobs beyond the sample read; at 100 TB this is exactly the offline
+    * index-build step, and centroid quality needs only a sample). Assignment
+    * is a pure codegen'd map: argmin over k centroid distances as one
+    * projection — no MLlib, no iterative jobs over the corpus. Query: rank
+    * centroids against the query DRIVER-side (k ≪ corpus, a few KB), probe
+    * only the `nprobe` nearest clusters' rows, exact cosine rerank inside —
+    * the scan touches ~corpus·nprobe/k rows. Deterministic via fixed seed.
     */
+  final case class IvfModel(centers: Array[Array[Double]])
+
+  /** driver-local Lloyd's fit on the first `fitSampleCap` rows. */
+  def ivfFit(df: DataFrame, vecCol: String, k: Int = 16, seed: Long = 42L,
+             fitSampleCap: Int = 2048, maxIter: Int = 10): IvfModel = {
+    val sample: Array[Array[Double]] =
+      df.select(col(vecCol)).limit(fitSampleCap).collect()
+        .map(_.getSeq[Number](0).map(_.doubleValue()).toArray)
+    require(sample.nonEmpty, "ivfFit: empty input")
+    val kk = math.min(k, sample.length)
+    val dim = sample.head.length
+    def nearest(cs: Array[Array[Double]], v: Array[Double]): Int = {
+      var best = 0; var bestD = Double.MaxValue; var i = 0
+      while (i < cs.length) {
+        var d = 0.0; var j = 0
+        while (j < dim) { val t = cs(i)(j) - v(j); d += t * t; j += 1 }
+        if (d < bestD) { bestD = d; best = i }
+        i += 1
+      }
+      best
+    }
+    val rnd = new scala.util.Random(seed)
+    var centers = rnd.shuffle(sample.indices.toVector).take(kk)
+      .map(sample(_).clone()).toArray
+    for (_ <- 0 until maxIter) {
+      val sums = Array.fill(kk)(new Array[Double](dim))
+      val counts = new Array[Long](kk)
+      sample.foreach { v =>
+        val c = nearest(centers, v)
+        counts(c) += 1
+        var j = 0; while (j < dim) { sums(c)(j) += v(j); j += 1 }
+      }
+      centers = centers.zipWithIndex.map { case (old, i) =>
+        if (counts(i) == 0) old // empty cluster keeps its center
+        else sums(i).map(_ / counts(i))
+      }
+    }
+    IvfModel(centers)
+  }
+
+  /** cluster assignment as ONE codegen'd projection: argmin over the k
+    * centroid distances (|c|² − 2·v·c ranks identically to full squared L2;
+    * ties break to the lower cluster id via struct ordering). */
+  def ivfAssign(df: DataFrame, vecCol: String, model: IvfModel): DataFrame = {
+    val v = col(vecCol)
+    val scored = model.centers.zipWithIndex.map { case (c, i) =>
+      val cNormSq = c.map(x => x * x).sum
+      struct((lit(cNormSq) - lit(2.0) * dotProduct(v, array(c.map(lit): _*)))
+        .as("d"), lit(i).as("i"))
+    }
+    df.withColumn("__cluster", array_min(array(scored: _*)).getField("i"))
+  }
+
+  /** sampled fit + map-only assignment in one call. */
   def ivfBuild(df: DataFrame, vecCol: String, k: Int = 16,
-               seed: Long = 42L): (org.apache.spark.ml.clustering.KMeansModel, DataFrame) = {
-    import org.apache.spark.ml.functions.array_to_vector
-    val withVec = df.withColumn("__vec", array_to_vector(col(vecCol)))
-    val model = new org.apache.spark.ml.clustering.KMeans()
-      .setK(k).setSeed(seed)
-      .setFeaturesCol("__vec").setPredictionCol("__cluster")
-      .fit(withVec)
-    (model, model.transform(withVec).drop("__vec"))
+               seed: Long = 42L): (IvfModel, DataFrame) = {
+    val model = ivfFit(df, vecCol, k, seed)
+    (model, ivfAssign(df, vecCol, model))
   }
 
   /** probe the `nprobe` clusters nearest the query, exact rerank inside. */
-  def ivfTopK(assigned: DataFrame, model: org.apache.spark.ml.clustering.KMeansModel,
+  def ivfTopK(assigned: DataFrame, model: IvfModel,
               idCol: String, vecCol: String, query: Seq[Double], topK: Int,
               nprobe: Int = 4): DataFrame = {
     val qArr = query.toArray
-    val probes = model.clusterCenters.zipWithIndex.map { case (c, i) =>
-      val d = c.toArray.zip(qArr).map { case (a, b) => val t = a - b; t * t }.sum
+    val probes = model.centers.zipWithIndex.map { case (c, i) =>
+      val d = c.zip(qArr).map { case (a, b) => val t = a - b; t * t }.sum
       (i, d)
     }.sortBy(_._2).take(nprobe).map(_._1)
     val q = array(query.map(lit): _*)

@@ -25,6 +25,53 @@ class SkewAndIvfSpec extends AnyFunSuite {
     assert(plain.count(_._3 == "hot") == 90)
   }
 
+  test("multi-probe LSH ANN: recall ≥ 0.8 vs brute force and ≥ single-probe") {
+    // 200 vectors in 4 tight clusters + jitter — a corpus with real neighbor
+    // structure (recall against random vectors is meaningless: no sub-linear
+    // method can hit it when true neighbors sit at cosine ~0.4)
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 200).map { i =>
+      val base = Array.fill(16)(0.0f)
+      base(i % 4 * 4) = 1.0f
+      (i.toLong, base.map(v => v + rnd.nextGaussian().toFloat * 0.05f).toSeq)
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val query = vecs.head._2.map(_.toDouble)
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val k = 10
+    val brute = Similarity.bruteForceTopK(corpus, "vec_id", "embedding", query, k)
+      .select("vec_id").as[Long].collect().toSet
+    def recallAt(maxFlips: Int): Double = {
+      val got = Similarity.lshTopK(corpus, "vec_id", "embedding", query, k,
+        dim = 16, nBits = 12, maxFlips = maxFlips)
+        .select("vec_id").as[Long].collect().toSet
+      got.intersect(brute).size.toDouble / k
+    }
+    val single = recallAt(0)
+    val multi = recallAt(2)
+    assert(multi >= single, s"multi-probe recall $multi < single-probe $single")
+    assert(multi >= 0.8, s"multi-probe recall@$k = $multi < 0.8")
+  }
+
+  test("banded near-dup LSH finds planted near-dup pairs, candidates stay bucket-local") {
+    val rnd = new scala.util.Random(11)
+    // 60 random unit-ish vectors + 5 planted near-duplicates of the first 5
+    val baseVecs = (0 until 60).map { i =>
+      (i.toLong, Seq.fill(16)(rnd.nextGaussian().toFloat))
+    }
+    val dups = (0 until 5).map { i =>
+      (100L + i, baseVecs(i)._2.map(v => v + rnd.nextGaussian().toFloat * 0.02f))
+    }
+    val emb = (baseVecs ++ dups).toDF("vec_id", "embedding")
+    val pairs = graft.operators.Dedup.embeddingNearDupLsh(emb, "vec_id",
+        "embedding", threshold = 0.9, dim = 16, bandBits = 8, bands = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // every planted pair recovered, nothing else at cosine ≥ 0.9
+    assert((0 until 5).forall(i => pairs.contains((i.toLong, 100L + i))),
+      s"missing planted pairs: $pairs")
+    assert(pairs.size == 5, s"unexpected extra pairs: $pairs")
+  }
+
   test("IVF ANN: probing nprobe clusters finds the true nearest neighbors") {
     // two tight clusters around e1 and e2
     val vecs = (0 until 40).map { i =>
