@@ -19,8 +19,10 @@ import org.apache.spark.sql.types._
   *    [[Summary.MinimumLength]] (=10, cl-data-frame.lisp:463-464), else raw.
   *
   * All aggregation is distributed (hash aggregate with partial/map-side
-  * combine; exact `percentile` over the shuffled values): one Spark job per
-  * column, no driver-side loops over data.
+  * combine; exact `percentile` over the shuffled values), and the whole
+  * frame summarizes in ONE aggregate job regardless of column count —
+  * frequency counter, non-null count, and percentiles run side by side in
+  * a single pass (the reference's one loop, cl-data-frame.lisp:69-87).
   */
 object Summary {
   val QuantilesThreshold = 10 // *column-summary-quantiles-threshold*
@@ -66,47 +68,74 @@ object Summary {
     * [[FrequencyCap]] by count — a documented delta from the reference. */
   val FrequencyCap = 1000
 
-  /** one column's summary. Two aggregate jobs max: one combined aggregate for
-    * totals/distinct-count, then EITHER the capped frequency top-k OR the
-    * exact percentile job. */
-  def columnSummary(df: DataFrame, key: String): ColSummary = {
-    val dt = df.schema(key).dataType
-    dt match {
-      case BooleanType =>
-        val r = df.agg(
-          sum(col(key).cast(IntegerType)).as("ones"),
-          count(lit(1)).as("total")).head()
-        BitSummary(Option(r.get(0)).map(_.toString.toLong).getOrElse(0L), r.getLong(1))
-      case _ =>
-        // single job: total rows, non-null count, distinct non-null count
-        val stats = df.agg(
-          count(lit(1)).as("total"),
-          count(col(key)).as("nonnull"),
-          count_distinct(col(key)).as("distinct")).head()
-        val (total, nonnull, distinct) =
-          (stats.getLong(0), stats.getLong(1), stats.getLong(2))
+  /** all columns' summaries in ONE aggregate job (SURVEY §4.1): per column
+    * the [[graft.functions.Aggregators.SparseCounter]] frequency map, the
+    * non-null count, and (numeric only) the exact percentile array are
+    * computed side by side in a single global hash aggregate — the
+    * reference's one pass over the data (cl-data-frame.lisp:69-87), where
+    * earlier rounds ran 2 sequential jobs per column (2N jobs for a wide
+    * frame). The quantiles-vs-frequency switch is decided from the counter's
+    * observed size AFTER the pass, so no second look at the data is needed.
+    * Returns (row count, per-column summaries in schema order). */
+  def frameColumnSummaries(df: DataFrame): (Long, Seq[(String, ColSummary)]) = {
+    val counter = udaf(graft.functions.Aggregators.SparseCounter(FrequencyCap))
+    val aggs = scala.collection.mutable.ArrayBuffer[Column](count(lit(1)))
+    var idx = 1
+    // per field: Left(name, onesIdx) for booleans,
+    // Right(name, nonnullIdx, freqIdx, quantileIdx) otherwise
+    val exts = df.schema.fields.map { f =>
+      val c = df.col(f.name)
+      f.dataType match {
+        case BooleanType =>
+          aggs += sum(c.cast(LongType))
+          val e = Left((f.name, idx)); idx += 1; e
+        case dt =>
+          val nn = idx; aggs += count(c); idx += 1
+          val fr = idx; aggs += counter(c.cast(StringType)); idx += 1
+          val qi = if (isNumeric(dt)) {
+            val q = idx
+            aggs += percentile(c.cast(DoubleType),
+              lit(Array(0.0, 0.25, 0.5, 0.75, 1.0)))
+            idx += 1; Some(q)
+          } else None
+          Right((f.name, nn, fr, qi))
+      }
+    }
+    val row = df.agg(aggs.head, aggs.tail.toSeq: _*).head()
+    val total = row.getLong(0)
+    val sums: Seq[(String, ColSummary)] = exts.toSeq.map {
+      case Left((name, onesIdx)) =>
+        name -> (BitSummary(Option(row.get(onesIdx))
+          .map(_.toString.toLong).getOrElse(0L), total): ColSummary)
+      case Right((name, nnIdx, frIdx, qIdx)) =>
+        val nonnull = row.getLong(nnIdx)
         val nulls = total - nonnull
-        val nullFreq: Seq[(Any, Long)] = if (nulls > 0) Seq((null, nulls)) else Nil
-        if (isNumeric(dt) && distinct > QuantilesThreshold) {
-          // weighted quantiles over the value distribution, exact; non-real
-          // (null) elements stay in the frequency list like the reference
-          // (cl-data-frame.lisp:72-87).
-          val q = df.agg(
-            percentile(col(key).cast(DoubleType), lit(Array(0.0, 0.25, 0.5, 0.75, 1.0)))
-              .as("qs")).head().getSeq[Double](0)
-          VectorSummary(total,
-            Some(Quantiles(nonnull, q(0), q(1), q(2), q(3), q(4))), nullFreq)
-        } else {
-          // (value, count) pairs — the reference's sparse counter as a hash
-          // agg; collect capped at FrequencyCap entries.
-          val rows = df.groupBy(col(key)).agg(count(lit(1)).as("count"))
-            .orderBy(desc("count"), col(key).cast(StringType))
-            .limit(FrequencyCap)
-            .collect().map(r => (r.get(0), r.getLong(1))).toSeq
-          VectorSummary(total, None, rows)
+        val freq = row.getSeq[org.apache.spark.sql.Row](frIdx)
+          .map(r => (r.getString(0), r.getLong(1)))
+        qIdx match {
+          case Some(q) if freq.size > QuantilesThreshold =>
+            // non-real (null) elements stay in the frequency list like the
+            // reference (cl-data-frame.lisp:72-87)
+            val qs = row.getSeq[Double](q)
+            name -> (VectorSummary(total,
+              Some(Quantiles(nonnull, qs(0), qs(1), qs(2), qs(3), qs(4))),
+              if (nulls > 0) Seq((null, nulls)) else Nil): ColSummary)
+          case _ =>
+            val entries: Seq[(Any, Long)] =
+              (freq.map(e => (e._1: Any, e._2)) ++
+                (if (nulls > 0) Seq((null: Any, nulls)) else Nil))
+                .sortBy { case (v, c) => (-c, if (v == null) "" else v.toString) }
+            name -> (VectorSummary(total, None, entries): ColSummary)
         }
     }
+    (total, sums)
   }
+
+  /** one column's summary — the same single-job pass over just that column.
+    * Frequency values are rendered via their string form (the counter is a
+    * string-keyed aggregate); the reference prints them the same way. */
+  def columnSummary(df: DataFrame, key: String): ColSummary =
+    frameColumnSummaries(df.select(df.col(key)))._2.head._2
 
   /** the frequency-table side of column-summary as a distributed plan
     * (cl-data-frame.lisp:67-71, 84-90): per-distinct-value exact counts,
@@ -133,14 +162,14 @@ object Summary {
       count(lit(1)).as("total"))
 
   /** frame-level summary: summarize every column when nrow ≥ MinimumLength,
-    * else render raw rows (print-object, cl-data-frame.lisp:465-476). */
+    * else render raw rows (print-object, cl-data-frame.lisp:465-476).
+    * ONE aggregate job for any column count (plus a raw-rows collect for
+    * small frames) — never a job-per-column loop. */
   def frameSummary(df: DataFrame): String = {
-    val n = df.count()
+    val (n, sums) = frameColumnSummaries(df)
     val header = s"#<DATA-FRAME (${df.columns.length} x $n)"
     if (n >= MinimumLength) {
-      val body = df.columns.map { k =>
-        s"  $k: ${columnSummary(df, k)}"
-      }.mkString("\n")
+      val body = sums.map { case (k, s) => s"  $k: $s" }.mkString("\n")
       s"$header\n$body>"
     } else {
       val rows = df.collect().map(_.toSeq.mkString(" ")).mkString("\n  ")

@@ -19,9 +19,14 @@ import org.apache.spark.sql.expressions.Aggregator
 object Aggregators {
 
   /** top-k exact-ish frequency counter. Buffer is a value→count map capped at
-    * `maxEntries`; when full, NEW values are dropped (existing keep
-    * counting) — exact whenever distinct values ≤ cap, an underestimate
-    * beyond it. merge() unions counts. */
+    * `maxEntries`; per-partition reduce drops NEW values when full (existing
+    * keep counting), merge unions ALL counts then trims to the top
+    * `maxEntries` by (count desc, value asc) — exact whenever distinct
+    * values ≤ cap, an underestimate beyond it. Beyond the cap the result
+    * depends on which values each partition saw first, so it is
+    * deterministic only for deterministic input partitions (a parquet read
+    * is; a shuffled intermediate may not be) — a documented delta from the
+    * reference's unbounded counter. */
   final case class SparseCounter(maxEntries: Int = 10000)
       extends Aggregator[String, Map[String, Long], Seq[(String, Long)]] {
 
@@ -35,14 +40,13 @@ object Aggregators {
         case None => b
       }
 
-    override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
-      b.foldLeft(a) { case (acc, (v, c)) =>
-        acc.get(v) match {
-          case Some(c0) => acc.updated(v, c0 + c)
-          case None if acc.size < maxEntries => acc.updated(v, c)
-          case None => acc
-        }
+    override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
+      val union = b.foldLeft(a) { case (acc, (v, c)) =>
+        acc.updated(v, acc.getOrElse(v, 0L) + c)
       }
+      if (union.size <= maxEntries) union
+      else union.toSeq.sortBy { case (v, c) => (-c, v) }.take(maxEntries).toMap
+    }
 
     /** sorted desc by count, value asc tiebreak — the reference's summary
       * ordering (cl-data-frame.lisp:84-87). */

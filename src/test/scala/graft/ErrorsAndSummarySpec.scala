@@ -78,4 +78,27 @@ class ErrorsAndSummarySpec extends AnyFunSuite {
     val big = DF(spark, "x" -> (1 to 12).map(i => s"v${i % 2}"))
     assert(Summary.frameSummary(big.toSpark).contains("x:")) // summarized
   }
+
+  test("frame summary of an N-column frame is one aggregate pass (≤2 AQE jobs)") {
+    val d = DF(spark,
+      "s" -> (1 to 30).map(i => s"v${i % 3}"),
+      "x" -> (1 to 30).map(_.toDouble),
+      "flag" -> (1 to 30).map(i => i % 2 == 0))
+    val sdf = d.toSpark
+    sdf.count() // materialize anything lazy before counting jobs
+    spark.sparkContext.setJobGroup("summary-onepass", "job-count assertion")
+    val txt =
+      try Summary.frameSummary(sdf)
+      finally spark.sparkContext.clearJobGroup()
+    assert(txt.contains("s:") && txt.contains("x:") && txt.contains("flag:"))
+    // status store is event-bus fed: poll briefly until it settles
+    def jobs = spark.sparkContext.statusTracker
+      .getJobIdsForGroup("summary-onepass").length
+    val deadline = System.currentTimeMillis() + 5000
+    while (jobs == 0 && System.currentTimeMillis() < deadline) Thread.sleep(50)
+    Thread.sleep(200) // absorb any trailing job-start events
+    // one aggregate pass = at most 2 scheduler jobs under AQE (partial-agg
+    // shuffle stage + final stage); the old per-column loop ran 2N
+    assert(jobs <= 2, s"frame summary ran $jobs jobs, expected <= 2")
+  }
 }
