@@ -335,6 +335,12 @@ object SparkEntry {
       Dedup.minhashDedupPortable(rd(s, dir, "documents"), "doc_id", "text", 0.5)
         .select("doc_id").orderBy("doc_id")
     }),
+    "q_cluster_dedup" -> ((s, dir) => {
+      // transitive connected-components dedup (md5-portable candidates) —
+      // the DuckDB oracle replicates the components as a recursive CTE
+      Dedup.clusterDedupPortable(rd(s, dir, "documents"), "doc_id", "text", 0.5)
+        .select("doc_id").orderBy("doc_id")
+    }),
     "q_simhash_dedup" -> ((s, dir) => {
       Dedup.simhashDedup(rd(s, dir, "documents"), "doc_id", "text")
         .select("doc_id").orderBy("doc_id")
@@ -518,6 +524,61 @@ object SparkEntry {
        WHERE doc_id NOT IN (SELECT id_b FROM dups) ORDER BY doc_id"""
   }
 
+  /** transitive (connected-components) MinHash-LSH dedup in DuckDB SQL —
+    * same seed-42 portable pipeline as MinhashOracle up to the thresholded
+    * candidate pairs, then components via a recursive CTE (min reachable id
+    * per node) instead of the greedy drop-id_b policy. */
+  private val ClusterDedupOracle: String = {
+    val params = Dedup.hashParams(16)
+    val valuesList = params.zipWithIndex
+      .map { case ((a, b), i) => s"($i, ${a}, ${b})" }.mkString(", ")
+    s"""WITH RECURSIVE tk AS (
+         SELECT doc_id, string_split_regex(
+           trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\\s+') AS t
+         FROM documents),
+       sh AS (
+         SELECT doc_id, concat_ws(' ', t[i+1], t[i+2], t[i+3]) AS s
+         FROM (SELECT doc_id, t,
+                 unnest(range(0, greatest(len(t) - 3, 0) + 1)) AS i
+               FROM tk)),
+       xs AS (
+         SELECT doc_id,
+           CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT) % 2147483648 AS x
+         FROM sh),
+       hs AS (
+         SELECT doc_id, hp.i AS i, min((hp.a * x + hp.b) % 2147483647) AS h
+         FROM xs CROSS JOIN (VALUES $valuesList) AS hp(i, a, b)
+         GROUP BY doc_id, hp.i),
+       sigs AS (
+         SELECT doc_id, list(h ORDER BY i) AS sig FROM hs GROUP BY doc_id),
+       banded AS (
+         SELECT doc_id, b,
+           md5(concat_ws(',',
+             CAST(sig[b*4+1] AS VARCHAR), CAST(sig[b*4+2] AS VARCHAR),
+             CAST(sig[b*4+3] AS VARCHAR), CAST(sig[b*4+4] AS VARCHAR))) AS bk
+         FROM sigs CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) bs),
+       pairs AS (
+         SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+         FROM banded l JOIN banded r
+           ON l.b = r.b AND l.bk = r.bk AND l.doc_id < r.doc_id),
+       sim AS (
+         SELECT p.id_a, p.id_b FROM pairs p
+         JOIN sigs sa ON sa.doc_id = p.id_a
+         JOIN sigs sb ON sb.doc_id = p.id_b
+         WHERE len(list_filter(range(1, 17), i -> sa.sig[i] = sb.sig[i])) / 16.0 >= 0.5),
+       edges AS (
+         SELECT id_a AS src, id_b AS dst FROM sim
+         UNION SELECT id_b, id_a FROM sim),
+       reach(id, r) AS (
+         SELECT src, src FROM edges
+         UNION
+         SELECT e.src, rr.r FROM edges e JOIN reach rr ON e.dst = rr.id),
+       labels AS (SELECT id, min(r) AS label FROM reach GROUP BY id)
+       SELECT doc_id FROM documents
+       WHERE doc_id NOT IN (SELECT id FROM labels WHERE label < id)
+       ORDER BY doc_id"""
+  }
+
   /** LSH-blocked n-gram Jaccard pipeline in DuckDB SQL, generated with the
     * SAME seed-42 affine parameters as Dedup.ngramJaccardLshPortable:
     * 3-gram md5 min-hash (16 hashes), 8 bands × 2 rows, bucket-local
@@ -572,6 +633,7 @@ object SparkEntry {
     * weaker rows-only check. */
   def oracleSql: Map[String, String] = Map(
     "q_minhash_oracle" -> MinhashOracle,
+    "q_cluster_dedup" -> ClusterDedupOracle,
     "q_simhash_oracle" ->
       """WITH tk AS (
            SELECT doc_id, list_distinct(string_split_regex(

@@ -281,6 +281,84 @@ object Dedup {
     df.join(dupIds, Seq(idCol), "left_anti")
   }
 
+  /** connected components over a candidate pair graph by iterative min-label
+    * propagation: every node starts labeled with its own id; each round takes
+    * the min of its label and its neighbors' labels; fixpoint = each
+    * component labeled by its minimum id. Rounds are bounded by the
+    * component diameter (near-dup graphs are shallow — chains of dups), and
+    * each round is two bucket-local shuffles (edge join + min aggregate), so
+    * the loop is safe at corpus scale where a driver-side union-find is not.
+    * Returns (id, label) for every node that appears in `pairs`. */
+  def clusterLabels(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+                    maxIter: Int = 20): DataFrame = {
+    // truncate lineage up front: the pair set usually carries a deep
+    // candidate-generation plan (minhash signatures, banding, self-join) and
+    // an iterative loop must not re-analyze that whole tree every round —
+    // measured minutes of pure Catalyst analysis at sf0.01 without this.
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = edges.as("e")
+        .join(labels.as("l"), col("e.src") === col("l.id"))
+        .groupBy(col("e.dst").as("id"))
+        .agg(min(col("l.label")).as("nl"))
+      // localCheckpoint materializes eagerly AND keeps every round's plan
+      // constant-size (labels_i never references labels_{i-1}'s plan)
+      val next = labels.as("l").join(nbrMin.as("n"), Seq("id"), "left")
+        .select(col("id"),
+          least(col("l.label"), coalesce(col("n.nl"), col("l.label"))).as("label"))
+        .localCheckpoint()
+      changed = next.as("a").join(labels.as("b"), Seq("id"))
+        .filter(col("a.label") =!= col("b.label")).count()
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
+  /** transitive dedup over an explicit candidate pair set: keep only each
+    * connected component's minimum id (plus every unpaired doc). This is the
+    * policy production near-dup dedup uses; the greedy drop-id_b policy in
+    * [[minhashDedup]] keeps a doc that is similar to a dropped doc's
+    * neighbor — e.g. pairs (1,3),(2,3): greedy keeps {1,2}, clustering
+    * collapses the whole component to {1}. */
+  def clusterDedupFromPairs(df: DataFrame, idCol: String,
+                            pairs: DataFrame): DataFrame = {
+    val dupIds = clusterLabels(pairs).filter(col("label") =!= col("id"))
+      .select(col("id").as(idCol))
+    df.join(dupIds, Seq(idCol), "left_anti")
+  }
+
+  /** MinHash-LSH candidates + transitive connected-components dedup
+    * (xxhash64 production path). */
+  def clusterDedup(df: DataFrame, idCol: String, textCol: String,
+                   threshold: Double = 0.8, numHashes: Int = 64,
+                   bands: Int = 16): DataFrame = {
+    val (cands, sigs) = minhashCandidatesWithSigs(df, idCol, textCol, numHashes, bands)
+    val pairs = cands.filter(col("est_jaccard") >= threshold)
+      .select("id_a", "id_b").localCheckpoint()
+    sigs.unpersist(blocking = false)
+    clusterDedupFromPairs(df, idCol, pairs)
+  }
+
+  /** md5-portable variant of [[clusterDedup]] — the DuckDB oracle replicates
+    * the whole pipeline, with the connected components as a recursive CTE. */
+  def clusterDedupPortable(df: DataFrame, idCol: String, textCol: String,
+                           threshold: Double = 0.5, numHashes: Int = 16,
+                           bands: Int = 4, shingleSize: Int = 3): DataFrame = {
+    val (cands, sigs) = minhashCandidatesPortableWithSigs(
+      df, idCol, textCol, numHashes, bands, shingleSize)
+    val pairs = cands.filter(col("est_jaccard") >= threshold)
+      .select("id_a", "id_b").localCheckpoint()
+    sigs.unpersist(blocking = false)
+    clusterDedupFromPairs(df, idCol, pairs)
+  }
+
   /** 64-bit SimHash over tokens: per-bit majority vote of token hashes,
     * computed as one fold over the token array into a 64-long vote vector —
     * single codegen'd projection, no shuffle. */

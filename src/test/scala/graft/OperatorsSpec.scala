@@ -69,6 +69,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("clusterLabels: transitive components collapse to the min id") {
+    // component {1,2,3} via 3; chain 4-5-6-7 (diameter 3); isolated pair 10-11
+    val pairs = Seq((1L, 3L), (2L, 3L), (4L, 5L), (5L, 6L), (6L, 7L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val labels = Dedup.clusterLabels(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 4L, 5L -> 4L, 6L -> 4L, 7L -> 4L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("clusterDedupFromPairs collapses what greedy min-id keeps") {
+    // A~C and B~C but not A~B: greedy (drop id_b per pair) keeps {1,2,4};
+    // transitive clustering keeps only the component min {1} plus unpaired 4
+    val pairs = Seq((1L, 3L), (2L, 3L)).toDF("id_a", "id_b")
+    val frame = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "t")
+    val kept = Dedup.clusterDedupFromPairs(frame, "id", pairs)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(1L, 4L))
+  }
+
   test("ngramJaccardLsh: LSH-blocked candidates verified with exact jaccard") {
     val pairs = Dedup.ngramJaccardLsh(docs, "doc_id", "text", threshold = 0.5)
       .select("id_a", "id_b", "jaccard")
