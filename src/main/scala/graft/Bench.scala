@@ -24,20 +24,31 @@ object Bench {
     // stable iteration order so per-round bench numbers are comparable
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L }
+      val err = try { fn(spark, sfDir).count(); None } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(120))
+      }
       val dt = (System.nanoTime() - t0) / 1e9
       // queries are independent: drop any caches a query pinned and collect
       // garbage so later queries aren't timed under earlier queries'
       // memory pressure
       spark.catalog.clearCache()
       System.gc()
-      name -> dt
+      (name, dt, err)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    // a failed query must be LOUD, not a silent timing: its wall time stays
+    // out of the total and out of "queries"; it lands in "errors" instead
+    val ok = results.filter(_._3.isEmpty)
+    val qs = ok.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val errsJson =
+      if (results.forall(_._3.isEmpty)) ""
+      else results.collect { case (k, _, Some(m)) =>
+        "\"" + k + "\":\"" + m.replaceAll("[\"\\\\\\n\\r\\t]", " ") + "\""
+      }.mkString(""","errors":{""", ",", "}")
+    val total = ok.map(_._2).sum
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$errsJson,"sf":"$sfDir"}"""
     println(line)
     try Files.writeString(Paths.get("BENCH_LOCAL.json"), line + "\n")
     catch { case _: Throwable => () }

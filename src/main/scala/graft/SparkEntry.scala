@@ -398,6 +398,8 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
     "q_media_decode" -> ((s, dir) => {
+      // fake decode kernel is md5-derived → the whole mapPartitions decode
+      // path is verified by an exact SQL oracle (was rows-only pre-r3)
       Multimodal.decodeFeatures(
           Multimodal.asMedia(rd(s, dir, "documents"), "doc_id", "text"))
         .toDF().orderBy("media_id")
@@ -866,6 +868,21 @@ object SparkEntry {
     "q_ngram_jaccard" -> NgramJaccardLshOracle,
     "q_cosine_topk" -> CosineTopkOracle,
     "q_cosine_expr" -> CosineTopkOracle,
+    "q_media_decode" ->
+      """WITH m AS (
+           SELECT doc_id AS media_id,
+             CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) AS h,
+             length(text) AS n,
+             list_sum(list_transform(range(1, length(text) + 1),
+               i -> ascii(substr(text, i, 1)))) AS bsum
+           FROM documents)
+         SELECT media_id,
+           CAST(16 + h % 1024 AS INT) AS width,
+           CAST(16 + (h // 1024) % 1024 AS INT) AS height,
+           CASE WHEN n = 0 THEN 0.0
+                ELSE round(CAST(bsum AS DOUBLE) / n, 6) END AS mean_intensity,
+           h AS feature_hash
+         FROM m ORDER BY media_id""",
     "q_media_meta" ->
       """SELECT 'image' AS kind, count(*) AS n,
            CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,

@@ -47,17 +47,23 @@ object Multimodal {
   case class MediaFeatures(media_id: Long, width: Int, height: Int,
                            mean_intensity: Double, feature_hash: Long)
 
-  /** STUB KERNEL — deterministic fake "decode": derives width/height from a
-    * hash of the bytes and mean intensity from the byte values. A real
+  /** STUB KERNEL — deterministic fake "decode": derives width/height/hash
+    * from the first 32 bits of md5(bytes) (unsigned) and mean intensity from
+    * the byte values. md5-derived (like the portable minhash/simhash
+    * pipelines) so a DuckDB oracle can replicate the fake exactly. A real
     * implementation would call an image codec here (and nothing else in this
     * file would change). */
-  private def fakeDecode(id: Long, bytes: Array[Byte]): MediaFeatures = {
-    val h = java.util.Arrays.hashCode(bytes)
-    val w = 16 + math.abs(h % 1024)
-    val ht = 16 + math.abs((h / 1024) % 1024)
+  private def fakeDecode(md: java.security.MessageDigest, id: Long,
+                         bytes: Array[Byte]): MediaFeatures = {
+    md.reset()
+    val d = md.digest(bytes)
+    val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    val w = (16 + h % 1024).toInt
+    val ht = (16 + (h / 1024) % 1024).toInt
     val mean = if (bytes.isEmpty) 0.0
       else bytes.foldLeft(0L)((a, b) => a + (b & 0xff)).toDouble / bytes.length
-    MediaFeatures(id, w, ht, math.rint(mean * 1e6) / 1e6, h.toLong)
+    MediaFeatures(id, w, ht, math.rint(mean * 1e6) / 1e6, h)
   }
 
   /** batched decode via mapPartitions: one kernel instantiation per
@@ -68,8 +74,11 @@ object Multimodal {
     import spark.implicits._
     media.select("media_id", "bytes").as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        // real codec init would happen once here, per partition
-        it.map { case (id, bytes) => fakeDecode(id, Option(bytes).getOrElse(Array.empty)) }
+        // real codec init would happen once here, per partition (the digest
+        // instance stands in for it)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, bytes) =>
+          fakeDecode(md, id, Option(bytes).getOrElse(Array.empty)) }
       }
   }
 
