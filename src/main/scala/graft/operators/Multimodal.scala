@@ -63,7 +63,9 @@ object Multimodal {
     val ht = (16 + (h / 1024) % 1024).toInt
     val mean = if (bytes.isEmpty) 0.0
       else bytes.foldLeft(0L)((a, b) => a + (b & 0xff)).toDouble / bytes.length
-    MediaFeatures(id, w, ht, math.rint(mean * 1e6) / 1e6, h)
+    // HALF_UP like every other rounding path (math.rint's HALF_EVEN diverges
+    // from the oracle's round() on exact .5 micro-units, e.g. mean 93.7265625)
+    MediaFeatures(id, w, ht, math.floor(mean * 1e6 + 0.5) / 1e6, h)
   }
 
   /** batched decode via mapPartitions: one kernel instantiation per
