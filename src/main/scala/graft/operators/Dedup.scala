@@ -479,7 +479,13 @@ object Dedup {
     val toks =
       if (ngram == 1) array_distinct(TextAnalysis.tokens(TextAnalysis.normalized(col(textCol))))
       else shingles(col(textCol), ngram)
-    val sides = df.select(col(idCol), toks.as("__toks"))
+    // only docs that appear in a candidate pair need their shingle set:
+    // semi-join first so the tokenize+shingle projection runs over the
+    // (small) candidate vertex set, not the whole corpus — per join side
+    val candIds = pairs.select(col("id_a").as(idCol))
+      .union(pairs.select(col("id_b").as(idCol))).distinct()
+    val sides = df.join(candIds, Seq(idCol), "left_semi")
+      .select(col(idCol), toks.as("__toks"))
     val joined = pairs.select("id_a", "id_b")
       .join(sides.select(col(idCol).as("id_a"), col("__toks").as("__ta")), "id_a")
       .join(sides.select(col(idCol).as("id_b"), col("__toks").as("__tb")), "id_b")
