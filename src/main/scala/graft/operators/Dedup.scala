@@ -308,14 +308,16 @@ object Dedup {
         .groupBy(col("e.dst").as("id"))
         .agg(min(col("l.label")).as("nl"))
       // localCheckpoint materializes eagerly AND keeps every round's plan
-      // constant-size (labels_i never references labels_{i-1}'s plan)
+      // constant-size (labels_i never references labels_{i-1}'s plan); the
+      // old label rides along so convergence is a filter on the checkpointed
+      // frame, not another join
       val next = labels.as("l").join(nbrMin.as("n"), Seq("id"), "left")
         .select(col("id"),
-          least(col("l.label"), coalesce(col("n.nl"), col("l.label"))).as("label"))
+          least(col("l.label"), coalesce(col("n.nl"), col("l.label"))).as("label"),
+          col("l.label").as("__old"))
         .localCheckpoint()
-      changed = next.as("a").join(labels.as("b"), Seq("id"))
-        .filter(col("a.label") =!= col("b.label")).count()
-      labels = next
+      changed = next.filter(col("label") =!= col("__old")).count()
+      labels = next.drop("__old")
       iter += 1
     }
     labels
