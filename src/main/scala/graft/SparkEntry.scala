@@ -283,6 +283,15 @@ object SparkEntry {
     }),
     "q_top_tokens" -> ((s, dir) =>
       TextAnalysis.topTokens(rd(s, dir, "documents"), "text", 20)),
+    "q_repetition" -> ((s, dir) => {
+      rd(s, dir, "documents").select(col("doc_id"),
+          TextAnalysis.repetitionRatio(col("text"), 2).as("rep_ratio"))
+        .orderBy("doc_id")
+    }),
+    "q_tfidf" -> ((s, dir) => {
+      TextAnalysis.tfIdfTopTerms(rd(s, dir, "documents"), "doc_id", "text", 5)
+        .orderBy(asc("doc_id"), desc("tfidf"), asc("term"))
+    }),
     "q_ngram_jaccard" -> ((s, dir) => {
       // scale-safe blocking: MinHash-LSH candidates (md5-portable, 3-gram
       // shingles so the S-curve approximates the verified shingle-set
@@ -866,6 +875,40 @@ object SparkEntry {
          WHERE len(token) > 0
          GROUP BY token ORDER BY cnt DESC, token LIMIT 20""",
     "q_ngram_jaccard" -> NgramJaccardLshOracle,
+    "q_repetition" ->
+      """WITH tk AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+           FROM documents),
+         g AS (
+           SELECT doc_id, list(concat_ws(' ', t[i+1], t[i+2])) AS gs
+           FROM (SELECT doc_id, t,
+                   unnest(range(0, greatest(len(t) - 2, 0) + 1)) AS i
+                 FROM tk)
+           GROUP BY doc_id)
+         SELECT doc_id,
+           round(1.0 - CAST(len(list_distinct(gs)) AS DOUBLE) / len(gs), 6)
+             AS rep_ratio
+         FROM g ORDER BY doc_id""",
+    "q_tfidf" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+           FROM documents),
+         tf AS (
+           SELECT doc_id, term, count(*) AS tf FROM tok
+           WHERE len(term) > 0 GROUP BY doc_id, term),
+         dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         n AS (SELECT count(*) AS n FROM documents),
+         scored AS (
+           SELECT doc_id, tf.term AS term,
+             round(tf * ln(CAST(n.n AS DOUBLE) / df), 6) AS tfidf
+           FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n),
+         ranked AS (
+           SELECT doc_id, term, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY tfidf DESC, term) AS rn
+           FROM scored)
+         SELECT doc_id, term, tfidf FROM ranked WHERE rn <= 5
+         ORDER BY doc_id, tfidf DESC, term""",
     "q_cosine_topk" -> CosineTopkOracle,
     "q_cosine_expr" -> CosineTopkOracle,
     "q_media_decode" ->

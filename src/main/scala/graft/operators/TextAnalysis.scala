@@ -123,6 +123,38 @@ object TextAnalysis {
       .groupBy("token").agg(count(lit(1)).as("cnt"))
       .orderBy(desc("cnt"), asc("token")).limit(k)
 
+  /** within-document repetition: fraction of duplicate word n-grams,
+    * 1 − |distinct n-grams| / |n-grams| — the Gopher/C4-style quality signal
+    * that flags boilerplate and degenerate (looping) text. Pure codegen'd
+    * map over the scan, no shuffle. */
+  def repetitionRatio(text: Column, n: Int = 2): Column = {
+    val grams = Dedup.shinglesFromTokens(tokens(text), n, distinct = false)
+    round(lit(1.0) -
+      size(array_distinct(grams)).cast(DoubleType) / size(grams), 6)
+  }
+
+  /** top-k TF-IDF terms per document: tf = in-doc term count, idf =
+    * ln(N / doc-frequency), ranked per doc on the ROUNDED score (term asc
+    * tiebreak) so the ordering is reproducible across engines. Scale shape:
+    * two hash aggregates keyed on (doc, term) and (term) — both map-side
+    * combined — then a per-doc top-k window; the doc-frequency table is tiny
+    * (vocabulary-sized) and AQE broadcasts the join. */
+  def tfIdfTopTerms(df: DataFrame, idCol: String, textCol: String,
+                    k: Int = 5): DataFrame = {
+    val n = df.count()
+    val tf = df
+      .select(col(idCol),
+        explode(filter(tokens(col(textCol)), t => length(t) > 0)).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfreq, "term")
+      .withColumn("tfidf",
+        round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
+    Relational.topNPerGroup(scored, Seq(idCol),
+        Seq(desc("tfidf"), asc("term")), k)
+      .select(col(idCol), col("term"), col("tfidf"))
+  }
+
   /** per-document stats frame (used by q_text_* queries). */
   def docStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(

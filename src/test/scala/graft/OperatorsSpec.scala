@@ -133,6 +133,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r.getString(1) == fp2)
   }
 
+  test("repetitionRatio flags degenerate text, near-zero for varied text") {
+    val d = Seq(
+      (1L, "spam spam spam spam spam spam"),     // one distinct bigram of 5
+      (2L, "one two three four five six")        // all bigrams distinct
+    ).toDF("id", "text")
+    val r = d.select(col("id"),
+        TextAnalysis.repetitionRatio(col("text"), 2).as("r"))
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r(1L) == 0.8)   // 1 - 1/5
+    assert(r(2L) == 0.0)
+  }
+
+  test("tfIdfTopTerms ranks distinctive terms above ubiquitous ones") {
+    val d = Seq(
+      (1L, "zebra zebra common"),
+      (2L, "common common apple"),
+      (3L, "common banana banana")
+    ).toDF("id", "text")
+    val top = TextAnalysis.tfIdfTopTerms(d, "id", "text", 1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // "common" appears in every doc → idf = ln(1) = 0; the distinctive term
+    // wins each doc
+    assert(top == Map(1L -> "zebra", 2L -> "apple", 3L -> "banana"))
+  }
+
   test("rollingHash is order-sensitive, fingerprint-stable") {
     val d = Seq(("alpha beta", 1), ("beta alpha", 2)).toDF("text", "i")
     val hs = d.select(TextAnalysis.rollingHash(col("text"))).as[Long].collect()
