@@ -24,12 +24,18 @@ object Explain {
     names.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
         println(s"\n========== $name ==========")
-        val plan = fn(spark, sfDir).queryExecution.explainString(
+        val df = fn(spark, sfDir)
+        // collect() executes df's OWN queryExecution (count() would spawn a
+        // separate one and leave this plan non-final under AQE)
+        df.collect()
+        val plan = df.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)
         println(plan)
         def has(s: String) = plan.contains(s)
+        // formatted mode marks whole-stage-codegen'd operators with a
+        // [codegen id : N] annotation on the executed plan
         println(s"[audit] $name: pushedFilters=${has("PushedFilters: [")}" +
-          s" codegen=${has("WholeStageCodegen")}" +
+          s" codegen=${has("[codegen id :")}" +
           s" broadcastJoin=${has("BroadcastHashJoin")}" +
           s" singlePartition=${has("SinglePartition")}")
       }

@@ -77,7 +77,16 @@ object Summary {
     * frame). The quantiles-vs-frequency switch is decided from the counter's
     * observed size AFTER the pass, so no second look at the data is needed.
     * Returns (row count, per-column summaries in schema order). */
-  def frameColumnSummaries(df: DataFrame): (Long, Seq[(String, ColSummary)]) = {
+  def frameColumnSummaries(df: DataFrame): (Long, Seq[(String, ColSummary)]) =
+    frameColumnSummaries(df, exactQuantiles = true)
+
+  /** `exactQuantiles = false` swaps the exact `percentile` (which buffers
+    * the full value multiset per column — unbounded executor memory at
+    * 100 TB) for `approx_percentile` (KLL-style sketch, bounded memory,
+    * default accuracy ±1e-4 rank error) — the scale path; the exact default
+    * keeps reference parity and the oracle checks. */
+  def frameColumnSummaries(df: DataFrame,
+                           exactQuantiles: Boolean): (Long, Seq[(String, ColSummary)]) = {
     val counter = udaf(graft.functions.Aggregators.SparseCounter(FrequencyCap))
     val aggs = scala.collection.mutable.ArrayBuffer[Column](count(lit(1)))
     var idx = 1
@@ -94,8 +103,14 @@ object Summary {
           val fr = idx; aggs += counter(c.cast(StringType)); idx += 1
           val qi = if (isNumeric(dt)) {
             val q = idx
-            aggs += percentile(c.cast(DoubleType),
-              lit(Array(0.0, 0.25, 0.5, 0.75, 1.0)))
+            val qsCol =
+              if (exactQuantiles)
+                percentile(c.cast(DoubleType),
+                  lit(Array(0.0, 0.25, 0.5, 0.75, 1.0)))
+              else
+                approx_percentile(c.cast(DoubleType),
+                  lit(Array(0.0, 0.25, 0.5, 0.75, 1.0)), lit(10000))
+            aggs += qsCol
             idx += 1; Some(q)
           } else None
           Right((f.name, nn, fr, qi))

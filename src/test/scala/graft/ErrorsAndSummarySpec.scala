@@ -72,6 +72,18 @@ class ErrorsAndSummarySpec extends AnyFunSuite {
     }
   }
 
+  test("approx-quantile scale path tracks the exact summary") {
+    val vals = (1 to 1000).map(_.toDouble)
+    val d = DF(spark, "x" -> vals)
+    def qs(exact: Boolean) =
+      Summary.frameColumnSummaries(d.toSpark, exactQuantiles = exact)
+        ._2.head._2.asInstanceOf[Summary.VectorSummary].quantiles.get
+    val (e, a) = (qs(true), qs(false))
+    assert(e.min == a.min && e.max == a.max)
+    // KLL sketch with accuracy 10000 is exact at this cardinality
+    assert(math.abs(e.q50 - a.q50) <= 1.0 && math.abs(e.q25 - a.q25) <= 1.0)
+  }
+
   test("frame summary switches raw↔summary at nrow 10 (cl-data-frame.lisp:463-476)") {
     val small = DF(spark, "x" -> Seq(1, 2, 3))
     assert(!Summary.frameSummary(small.toSpark).contains("%")) // raw rows
