@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
-import graft.operators.{Dedup, Multimodal, Relational, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Relational, Sampling, Similarity, TextAnalysis}
 import graft.streaming.Streams
 
 /** Driver contract — see /root/repo/SURVEY.md §7.5 + the builder prompt.
@@ -283,6 +283,14 @@ object SparkEntry {
     }),
     "q_top_tokens" -> ((s, dir) =>
       TextAnalysis.topTokens(rd(s, dir, "documents"), "text", 20)),
+    "q_hash_sample" -> ((s, dir) => {
+      // deterministic content-hash sampling, stratified by language:
+      // reproducible regardless of partitioning/cluster topology (df.sample's
+      // seeded RNG is not), and md5-replicable by the oracle
+      Sampling.stratifiedHashSample(rd(s, dir, "documents"), col("doc_id"),
+          col("lang"), Map("en" -> 0.5), default = 0.2)
+        .select("doc_id", "lang").orderBy("doc_id")
+    }),
     "q_repetition" -> ((s, dir) => {
       rd(s, dir, "documents").select(col("doc_id"),
           TextAnalysis.repetitionRatio(col("text"), 2).as("rep_ratio"))
@@ -875,6 +883,12 @@ object SparkEntry {
          WHERE len(token) > 0
          GROUP BY token ORDER BY cnt DESC, token LIMIT 20""",
     "q_ngram_jaccard" -> NgramJaccardLshOracle,
+    "q_hash_sample" ->
+      """SELECT doc_id, lang FROM documents
+         WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                 % 10000
+               < CASE WHEN lang = 'en' THEN 5000 ELSE 2000 END
+         ORDER BY doc_id""",
     "q_repetition" ->
       """WITH tk AS (
            SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t

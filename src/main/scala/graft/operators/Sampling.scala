@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** [EXT] Deterministic content-hash sampling for training-data pipelines.
+  *
+  * `df.sample()` draws from a seeded RNG whose stream depends on partition
+  * layout, so the selected set changes under repartitioning, AQE, or a
+  * different executor count — unacceptable for reproducible dataset builds.
+  * Hash sampling instead keys the decision on the ROW's content: a row is in
+  * the sample iff its key's md5-derived bucket falls under the threshold.
+  * The same row is always in (or out) regardless of cluster topology, the
+  * filter is a pure codegen'd map that pipelines with the scan, and the md5
+  * arithmetic exists in DuckDB so sampled queries stay oracle-exact.
+  */
+object Sampling {
+
+  val Buckets = 10000 // basis-point resolution
+
+  /** stable bucket in [0, buckets) from the key's md5 (first 32 bits). */
+  def hashBucket(key: Column, buckets: Int = Buckets): Column =
+    pmod(conv(substring(md5(to_binary(key.cast(StringType), lit("utf-8"))), 1, 8), 16, 10)
+      .cast(LongType), lit(buckets.toLong))
+
+  /** keep ~fraction of rows, decided by content hash of `key`. */
+  def hashSample(df: DataFrame, key: Column, fraction: Double): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction $fraction not in [0,1]")
+    df.filter(hashBucket(key) < math.round(fraction * Buckets))
+  }
+
+  /** stratified variant: per-stratum sampling rates (stratum value →
+    * fraction), `default` for unlisted strata — the class-rebalancing
+    * primitive (e.g. downsample dominant languages). Single codegen'd
+    * filter, no shuffle, no per-stratum scans. */
+  def stratifiedHashSample(df: DataFrame, key: Column, stratum: Column,
+                           fractions: Map[String, Double],
+                           default: Double = 0.0): DataFrame = {
+    (fractions.values ++ Seq(default)).foreach(f =>
+      require(f >= 0.0 && f <= 1.0, s"fraction $f not in [0,1]"))
+    // deterministic threshold expression: sorted iteration order
+    val thr = fractions.toSeq.sortBy(_._1).foldLeft(
+      lit(math.round(default * Buckets))) { case (acc, (s, f)) =>
+        when(stratum === s, lit(math.round(f * Buckets))).otherwise(acc)
+      }
+    df.filter(hashBucket(key) < thr)
+  }
+}

@@ -57,6 +57,20 @@ object Streams {
         col("user_id"), col("n_events"), col("sum_value"))
   }
 
+  /** streaming exact dedup: drop rows whose dedup key was already seen
+    * within the watermark horizon — the streaming analogue of
+    * [[graft.operators.Dedup.exactDedup]] for an ingest pipeline (dedupe
+    * events/documents as they arrive). State is BOUNDED: Spark evicts a
+    * key's state once the watermark passes it plus `delay`, so memory is
+    * proportional to keys seen within one delay window, not the stream's
+    * lifetime. Duplicates farther apart than `delay` are not caught — that
+    * is the documented contract of dropDuplicatesWithinWatermark, and the
+    * batch backfill (exactDedup) catches them offline. */
+  def streamingDedup(events: DataFrame, keyCols: Seq[String], tsCol: String,
+                     delay: String = "10 minutes"): DataFrame =
+    events.withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                    event_type: String, value: Double)
   case class UserRunning(user_id: Long, n_events: Long, total_value: Double)

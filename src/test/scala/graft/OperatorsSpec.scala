@@ -4,7 +4,7 @@ import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Dedup, Multimodal, Relational, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Relational, Sampling, Similarity, TextAnalysis}
 
 /** [EXT] operator semantics: dedup, text analysis, similarity, relational
   * (as-of), multimodal plumbing — small fixtures with known answers. */
@@ -131,6 +131,27 @@ class OperatorsSpec extends AnyFunSuite {
       .toDF("id", "text")
       .select(TextAnalysis.fingerprint(col("text"))).head().getString(0)
     assert(r.getString(1) == fp2)
+  }
+
+  test("hashSample is deterministic, rate-accurate, partition-independent") {
+    val d = (1L to 2000L).toDF("id")
+    val s1 = Sampling.hashSample(d, col("id"), 0.3).as[Long].collect().toSet
+    val s2 = Sampling.hashSample(d.repartition(7), col("id"), 0.3)
+      .as[Long].collect().toSet
+    assert(s1 == s2)                         // layout-independent selection
+    assert(math.abs(s1.size / 2000.0 - 0.3) < 0.05)
+    // monotone: a bigger sample contains the smaller one (same hash basis)
+    val s3 = Sampling.hashSample(d, col("id"), 0.6).as[Long].collect().toSet
+    assert(s1.subsetOf(s3))
+    // stratified: per-stratum rates respected
+    val strat = (1L to 2000L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+      .toDF("id", "lang")
+    val out = Sampling.stratifiedHashSample(strat, col("id"), col("lang"),
+        Map("en" -> 0.8), default = 0.1)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(out("en") / 1000.0 - 0.8) < 0.08)
+    assert(math.abs(out.getOrElse("de", 0L) / 1000.0 - 0.1) < 0.08)
   }
 
   test("repetitionRatio flags degenerate text, near-zero for varied text") {

@@ -113,6 +113,33 @@ class StreamsSpec extends AnyFunSuite {
     }
   }
 
+  test("streamingDedup drops in-watermark duplicates, bounded state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val deduped = Streams.streamingDedup(mem.toDF(), Seq("event_id"), "ts",
+      delay = "10 minutes")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_stream").start()
+    try {
+      mem.addData(
+        Event(1L, ts("2024-01-01 10:00:00"), 7L, "click", 1.0),
+        Event(1L, ts("2024-01-01 10:00:01"), 7L, "click", 1.0), // dup in batch
+        Event(2L, ts("2024-01-01 10:01:00"), 7L, "view", 2.0))
+      q.processAllAvailable()
+      mem.addData( // dup across batches, still within the watermark horizon
+        Event(2L, ts("2024-01-01 10:02:00"), 7L, "view", 2.0),
+        Event(3L, ts("2024-01-01 10:03:00"), 8L, "click", 3.0))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_stream")
+        .select("event_id").as[Long].collect().sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L), s"got ${ids.mkString(",")}")
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS dedup_stream")
+    }
+  }
+
   test("file-stream smoke: batch transform runs as a streaming query") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
     events.write.mode("overwrite").parquet(dir)
