@@ -178,10 +178,11 @@ object Dedup {
                    bands: Int = 16): DataFrame =
     minhashDedupWithHandle(df, idCol, textCol, threshold, numHashes, bands)._1
 
-  /** as [[minhashDedup]] but also returns the cached dup-id frame: the
-    * returned dedup result references it lazily (left_anti), so a
-    * long-running session should `unpersist` the handle once the result is
-    * materialized — otherwise each call pins a small cached frame forever. */
+  /** as [[minhashDedup]] but also returns the materialized dup-id frame.
+    * dupIds is `localCheckpoint`ed, not cached: it materializes eagerly (so
+    * the signature cache can be released immediately) and its blocks are
+    * freed by the ContextCleaner once the frame is unreferenced — no cached
+    * frame stays pinned for the session's lifetime. */
   def minhashDedupWithHandle(df: DataFrame, idCol: String, textCol: String,
                              threshold: Double = 0.8, numHashes: Int = 64,
                              bands: Int = 16): (DataFrame, DataFrame) = {
@@ -191,8 +192,7 @@ object Dedup {
     val dupIds = cands
       .filter(col("est_jaccard") >= threshold)
       .select(col("id_b").as(idCol)).distinct()
-      .cache()
-    dupIds.count()
+      .localCheckpoint()
     sigs.unpersist(blocking = false)
     // no broadcast hint: the dup-id set can be a large fraction of the corpus
     // at scale — let AQE pick broadcast vs shuffle from the observed size.
@@ -274,9 +274,10 @@ object Dedup {
                            bands: Int = 4, shingleSize: Int = 3): DataFrame = {
     val (cands, sigs) = minhashCandidatesPortableWithSigs(
       df, idCol, textCol, numHashes, bands, shingleSize)
+    // localCheckpoint, not cache: eager materialization without pinning a
+    // cached frame for the session (see minhashDedupWithHandle)
     val dupIds = cands.filter(col("est_jaccard") >= threshold)
-      .select(col("id_b").as(idCol)).distinct().cache()
-    dupIds.count()
+      .select(col("id_b").as(idCol)).distinct().localCheckpoint()
     sigs.unpersist(blocking = false)
     df.join(dupIds, Seq(idCol), "left_anti")
   }
