@@ -283,6 +283,21 @@ object SparkEntry {
     }),
     "q_top_tokens" -> ((s, dir) =>
       TextAnalysis.topTokens(rd(s, dir, "documents"), "text", 20)),
+    "q_topk_agg" -> ((s, dir) => {
+      // bounded top-k AGGREGATE: map-side partial top-k ships <=k rows per
+      // group per partition, vs the window row_number form (q_top_per_group)
+      // that sorts and shuffles every row — the 100 TB shape for small k
+      val topk = udaf(graft.functions.Aggregators.TopK(5))
+      rd(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          col("l_extendedprice").cast("double").as("price"),
+          (col("l_orderkey") * 100 + col("l_linenumber")).cast(LongType).as("lid"))
+        .groupBy("l_returnflag")
+        .agg(topk(col("price"), col("lid")).as("tk"))
+        .select(col("l_returnflag"), explode(col("tk")).as("e"))
+        .select(col("l_returnflag"), col("e._1").as("price"), col("e._2").as("lid"))
+        .orderBy(asc("l_returnflag"), desc("price"), asc("lid"))
+    }),
     "q_hash_sample" -> ((s, dir) => {
       // deterministic content-hash sampling, stratified by language:
       // reproducible regardless of partitioning/cluster topology (df.sample's
@@ -883,6 +898,15 @@ object SparkEntry {
          WHERE len(token) > 0
          GROUP BY token ORDER BY cnt DESC, token LIMIT 20""",
     "q_ngram_jaccard" -> NgramJaccardLshOracle,
+    "q_topk_agg" ->
+      """SELECT l_returnflag, price, lid FROM (
+           SELECT l_returnflag, CAST(l_extendedprice AS DOUBLE) AS price,
+             CAST(l_orderkey * 100 + l_linenumber AS BIGINT) AS lid,
+             row_number() OVER (PARTITION BY l_returnflag
+               ORDER BY CAST(l_extendedprice AS DOUBLE) DESC,
+                        l_orderkey * 100 + l_linenumber) AS rn
+           FROM lineitem)
+         WHERE rn <= 5 ORDER BY l_returnflag, price DESC, lid""",
     "q_hash_sample" ->
       """SELECT doc_id, lang FROM documents
          WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)

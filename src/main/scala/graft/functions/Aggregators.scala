@@ -59,6 +59,30 @@ object Aggregators {
       ExpressionEncoder[Seq[(String, Long)]]()
   }
 
+  /** bounded top-k per group: keeps only the k largest (ord, id) pairs (id
+    * asc breaks ties) through BOTH reduce and merge, so partial aggregation
+    * ships at most k rows per group per partition — the shuffle-minimal
+    * alternative to a window `row_number`, which must sort and shuffle every
+    * row of every group. Exact and deterministic (total order on (-ord, id)).
+    * The list-resort per reduce is O(k log k); a production kernel would use
+    * a bounded heap, the aggregate's shape and guarantees are identical. */
+  final case class TopK(k: Int)
+      extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
+    require(k > 0, s"k must be positive, got $k")
+    private def best(b: Seq[(Double, Long)]): Seq[(Double, Long)] =
+      b.sortBy { case (o, id) => (-o, id) }.take(k)
+    override def zero: Seq[(Double, Long)] = Nil
+    override def reduce(b: Seq[(Double, Long)], v: (Double, Long)): Seq[(Double, Long)] =
+      best(v +: b)
+    override def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] =
+      best(a ++ b)
+    override def finish(b: Seq[(Double, Long)]): Seq[(Double, Long)] = best(b)
+    override def bufferEncoder: Encoder[Seq[(Double, Long)]] =
+      ExpressionEncoder[Seq[(Double, Long)]]()
+    override def outputEncoder: Encoder[Seq[(Double, Long)]] =
+      ExpressionEncoder[Seq[(Double, Long)]]()
+  }
+
   /** exact mean via (sum, count) — the canonical Aggregator shape; numerically
     * order-independent for integral inputs, used as the UDAF registration
     * example in tests. */

@@ -64,4 +64,23 @@ class SourcesAndUdafSpec extends AnyFunSuite {
       .orderBy("g").as[(String, Double)].collect().toSeq
     assert(out == Seq(("g1", 3.0), ("g2", 10.0)))
   }
+
+  test("TopK aggregator ≡ window row_number top-k (incl. tie-break)") {
+    import graft.operators.Relational
+    val rnd = new scala.util.Random(5)
+    val d = (1L to 300L).map(i => (s"g${i % 3}", rnd.nextInt(40).toDouble, i))
+      .toDF("g", "ord", "id")
+    val topk = udaf(Aggregators.TopK(4))
+    val viaAgg = d.groupBy("g").agg(topk(col("ord"), col("id")).as("tk"))
+      .select(col("g"), explode(col("tk")).as("e"))
+      .select(col("g"), col("e._1").as("ord"), col("e._2").as("id"))
+      .as[(String, Double, Long)].collect().toSet
+    val viaWindow = Relational.topNPerGroup(d, Seq("g"),
+        Seq(desc("ord"), asc("id")), 4)
+      .select("g", "ord", "id")
+      .as[(String, Double, Long)].collect().toSet
+    // random duplicate ord values force the id tie-break on both paths
+    assert(viaAgg == viaWindow)
+    assert(viaAgg.size == 12)
+  }
 }
