@@ -283,6 +283,21 @@ object SparkEntry {
     }),
     "q_top_tokens" -> ((s, dir) =>
       TextAnalysis.topTokens(rd(s, dir, "documents"), "text", 20)),
+    "q_salted_join" -> ((s, dir) => {
+      // skew-salted join is RESULT-PRESERVING (salt splits a hot key across
+      // reducers; the dim side replicates per salt) so the oracle is the
+      // plain join — this verifies the salting rewrite end-to-end
+      val ord = rd(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      val cust = rd(s, dir, "customer")
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+      Relational.saltedJoin(ord, cust, "o_custkey", buckets = 8,
+          saltSource = col("o_orderkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          (sum(round(col("o_totalprice") * 100).cast(LongType)) / 100.0).as("sum_price"))
+        .orderBy("c_mktsegment")
+    }),
     "q_topk_agg" -> ((s, dir) => {
       // bounded top-k AGGREGATE: map-side partial top-k ships <=k rows per
       // group per partition, vs the window row_number form (q_top_per_group)
@@ -898,6 +913,12 @@ object SparkEntry {
          WHERE len(token) > 0
          GROUP BY token ORDER BY cnt DESC, token LIMIT 20""",
     "q_ngram_jaccard" -> NgramJaccardLshOracle,
+    "q_salted_join" ->
+      """SELECT c_mktsegment, count(*) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             AS sum_price
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "q_topk_agg" ->
       """SELECT l_returnflag, price, lid FROM (
            SELECT l_returnflag, CAST(l_extendedprice AS DOUBLE) AS price,
