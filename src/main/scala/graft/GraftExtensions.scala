@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.CosineSimilarityExpr
+import graft.functions.{CosineSimilarityExpr, MinHashSigExpr}
 
 /** Session extensions registering graft's native Catalyst expressions
   * (SURVEY §7.3 tier (b)). Activate either at session build time
@@ -16,8 +16,10 @@ import graft.functions.CosineSimilarityExpr
   * `graft_cosine(a, b)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.cosineDescriptor)
+    ext.injectFunction(GraftExtensions.minhashDescriptor)
+  }
 }
 
 object GraftExtensions {
@@ -33,8 +35,30 @@ object GraftExtensions {
       CosineSimilarityExpr(asDouble.head, asDouble.last)
     })
 
+  private val minhashDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_minhash"),
+    new ExpressionInfo(classOf[MinHashSigExpr].getName, "graft_minhash"),
+    (args: Seq[Expression]) => {
+      require(args.length == 2,
+        s"graft_minhash takes (array<long> shingleHashes, int numHashes), got ${args.length} args")
+      val numHashes = args(1) match {
+        case e if e.foldable => e.eval() match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"graft_minhash numHashes must be an integer literal, got $other")
+        }
+        case _ => throw new IllegalArgumentException(
+          "graft_minhash numHashes must be a literal")
+      }
+      MinHashSigExpr(args.head, numHashes)
+    })
+
   /** imperative registration on an existing session (idempotent). */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       cosineDescriptor._1, cosineDescriptor._2, cosineDescriptor._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      minhashDescriptor._1, minhashDescriptor._2, minhashDescriptor._3)
+  }
 }

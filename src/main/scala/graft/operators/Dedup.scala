@@ -67,18 +67,30 @@ object Dedup {
     Seq.fill(numHashes)((Math.floorMod(rnd.nextLong(), P - 1) + 1, Math.floorMod(rnd.nextLong(), P)))
   }
 
-  /** MinHash signature as a single Column: array of `numHashes` min-hashed
-    * shingle values. NOTE: this inlines `numHashes` array traversals into one
-    * projection — the expression tree is large and Catalyst planning/codegen
-    * time grows with it, so the DataFrame-level [[minhashSigs]] (explode +
-    * one hash aggregate) is the preferred path; this form is kept for
-    * composing with other per-row expressions. */
+  /** MinHash signature as a single Column, reference HOF formulation: array
+    * of `numHashes` min-hashed shingle values. NOTE: this inlines `numHashes`
+    * array traversals into one projection (planning grows linearly and the
+    * HOF lambdas are CodegenFallback) — kept as the cross-check reference
+    * for [[minhashSignatureNative]] (the fused codegen'd kernel), the way
+    * `Similarity.cosineFns` backs `CosineSimilarityExpr`. Corpus-scale
+    * signature tables use [[minhashSigs]] (explode + one hash aggregate). */
   def minhashSignature(shingleCol: Column, numHashes: Int = 64): Column = {
     val hs = hashParams(numHashes).map { case (a, b) =>
       array_min(transform(shingleCol,
         s => pmod(pmod(xxhash64(s), lit(1L << 31)) * lit(a) + lit(b), lit(P))))
     }
     array(hs: _*)
+  }
+
+  /** MinHash signature as a single Column via the NATIVE fused kernel
+    * ([[graft.functions.MinHashSigExpr]]): one expression node and one pass
+    * over the shingle array regardless of numHashes — replaces the
+    * numHashes-tree [[minhashSignature]] for per-row/inline uses (streaming
+    * ingest, signatures inside wider projections). Bit-identical values. */
+  def minhashSignatureNative(shingleCol: Column, numHashes: Int = 64): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(graft.functions.MinHashSigExpr(
+      GraftSqlBridge.expression(shingleCol), numHashes))
   }
 
   /** shared signature assembly: from one row per (doc, 31-bit shingle hash)
