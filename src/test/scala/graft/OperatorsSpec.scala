@@ -133,6 +133,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r.getString(1) == fp2)
   }
 
+  test("dedup invariants: output ⊆ input, identity-free, idempotent") {
+    import org.apache.spark.sql.DataFrame
+    def ids(d: DataFrame) = d.select("doc_id").as[Long].collect().toSet
+    val all = ids(docs)
+    // every dedup flavor returns a subset of the input ids
+    val outs = Seq(
+      Dedup.minhashDedup(docs, "doc_id", "text", 0.5),
+      Dedup.minhashDedupPortable(docs, "doc_id", "text", 0.5),
+      Dedup.simhashDedup(docs, "doc_id", "text"),
+      Dedup.clusterDedup(docs, "doc_id", "text", 0.5))
+    outs.foreach(o => assert(ids(o).subsetOf(all)))
+    // exactDedup is idempotent: deduping a deduped frame changes nothing
+    val once = Dedup.exactDedup(docs, col("text"), "doc_id")
+    val twice = Dedup.exactDedup(once, col("text"), "doc_id")
+    assert(ids(once) == ids(twice))
+  }
+
+  test("hashSample boundary fractions: 0 keeps nothing, 1 keeps everything") {
+    val d = (1L to 100L).toDF("id")
+    assert(Sampling.hashSample(d, col("id"), 0.0).count() == 0L)
+    assert(Sampling.hashSample(d, col("id"), 1.0).count() == 100L)
+  }
+
   test("hashSample is deterministic, rate-accurate, partition-independent") {
     val d = (1L to 2000L).toDF("id")
     val s1 = Sampling.hashSample(d, col("id"), 0.3).as[Long].collect().toSet
