@@ -336,16 +336,65 @@ object Dedup {
     labels
   }
 
+  /** pair count below which components are solved with a driver-side
+    * union-find instead of the iterative distributed loop: 2M pairs ≈ 32 MB
+    * of longs — trivially driver-safe. The candidate-pair set is bounded by
+    * ACTUAL near-duplicates (LSH keeps non-dup collisions ~linear), so even
+    * 100 TB corpora usually land under this; the distributed loop remains
+    * the fallback for pathological dup-heavy inputs. */
+  val DriverUnionFindMaxPairs: Long = 2L * 1000 * 1000
+
+  /** driver-side union-find over a collected pair list → ids whose component
+    * label is not the minimum (the drop set). */
+  private def unionFindDupIds(pairRows: Array[(Long, Long)]): Seq[Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x // path compression
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    pairRows.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { // union by min: root is always the component minimum
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+      parent.getOrElseUpdate(a, find(a)); parent.getOrElseUpdate(b, find(b))
+    }
+    val nodes = pairRows.iterator.flatMap(p => Iterator(p._1, p._2)).toSet
+    nodes.iterator.filter(n => find(n) != n).toSeq
+  }
+
   /** transitive dedup over an explicit candidate pair set: keep only each
     * connected component's minimum id (plus every unpaired doc). This is the
     * policy production near-dup dedup uses; the greedy drop-id_b policy in
     * [[minhashDedup]] keeps a doc that is similar to a dropped doc's
     * neighbor — e.g. pairs (1,3),(2,3): greedy keeps {1,2}, clustering
-    * collapses the whole component to {1}. */
-  def clusterDedupFromPairs(df: DataFrame, idCol: String,
-                            pairs: DataFrame): DataFrame = {
-    val dupIds = clusterLabels(pairs).filter(col("label") =!= col("id"))
-      .select(col("id").as(idCol))
+    * collapses the whole component to {1}.
+    *
+    * Hybrid execution: when the pair set fits the driver budget
+    * ([[DriverUnionFindMaxPairs]]) the components are solved with a local
+    * union-find (two jobs total); otherwise the distributed min-label
+    * propagation ([[clusterLabels]]) runs. Identical results either way
+    * (`maxDriverPairs = 0` forces the distributed path — used in tests). */
+  def clusterDedupFromPairs(df: DataFrame, idCol: String, pairs: DataFrame,
+                            maxDriverPairs: Long = DriverUnionFindMaxPairs): DataFrame = {
+    val longIds = pairs.schema.fields.take(2).forall(_.dataType == LongType)
+    val nPairs = if (longIds) pairs.count() else -1L
+    val dupIds =
+      if (longIds && nPairs <= maxDriverPairs) {
+        val collected = pairs
+          .select(col(pairs.columns(0)).cast(LongType), col(pairs.columns(1)).cast(LongType))
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        val drop = unionFindDupIds(collected)
+        val spark = df.sparkSession
+        import spark.implicits._
+        broadcast(drop.toDF(idCol))
+      } else {
+        clusterLabels(pairs).filter(col("label") =!= col("id"))
+          .select(col("id").as(idCol))
+      }
     df.join(dupIds, Seq(idCol), "left_anti")
   }
 

@@ -89,6 +89,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(kept == Set(1L, 4L))
   }
 
+  test("driver union-find path ≡ distributed propagation path") {
+    val rnd = new scala.util.Random(3)
+    // random graph over 80 nodes: chains, triangles, isolated pairs
+    val pairs = (1 to 120).map { _ =>
+      val a = rnd.nextInt(80).toLong; val b = rnd.nextInt(80).toLong
+      (math.min(a, b), math.max(a, b))
+    }.filter(p => p._1 != p._2).toDF("id_a", "id_b")
+    val frame = (0L until 80L).map(i => (i, s"d$i")).toDF("id", "t")
+    val viaDriver = Dedup.clusterDedupFromPairs(frame, "id", pairs)
+      .select("id").as[Long].collect().toSet
+    val viaDistributed = Dedup.clusterDedupFromPairs(frame, "id", pairs,
+        maxDriverPairs = 0)
+      .select("id").as[Long].collect().toSet
+    assert(viaDriver == viaDistributed)
+  }
+
   test("ngramJaccardLsh: LSH-blocked candidates verified with exact jaccard") {
     val pairs = Dedup.ngramJaccardLsh(docs, "doc_id", "text", threshold = 0.5)
       .select("id_a", "id_b", "jaccard")
