@@ -40,6 +40,20 @@ object Sources {
       .json(path)
   }
 
+  /** ORC read — the second columnar format (built into Spark): same
+    * predicate-pushdown and column-pruning behavior as parquet, relevant
+    * when ingesting Hive-era data lakes. */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String,
+               partitionBy: Seq[String] = Nil,
+               mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val w = df.write.mode(mode)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .orc(path)
+  }
+
   def writeParquet(df: DataFrame, path: String,
                    partitionBy: Seq[String] = Nil,
                    mode: SaveMode = SaveMode.Overwrite): Unit = {

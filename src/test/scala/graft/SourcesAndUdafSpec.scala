@@ -41,6 +41,21 @@ class SourcesAndUdafSpec extends AnyFunSuite {
     assert(back.filter(col("tag") === "b").select("x").head().getDouble(0) == 2.5)
   }
 
+  test("orc round trip with partitioning and predicate pushdown") {
+    val dir = Files.createTempDirectory("graft_orc").toString + "/t"
+    Sources.writeOrc(fixture, dir, partitionBy = Seq("tag"))
+    val back = Sources.readOrc(spark, dir)
+    assert(back.count() == 3)
+    assert(back.filter(col("tag") === "b").select("x").head().getDouble(0) == 2.5)
+    // non-partition predicate reaches the ORC scan as a pushed filter
+    val q = back.filter(col("id") === 2L)
+    q.collect()
+    val plan = q.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("PushedFilters: ["), plan)
+    assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*EqualTo\\(id,2\\).*"), plan)
+  }
+
   test("SparseCounter aggregator reproduces the reference frequency summary") {
     val counter = udaf(Aggregators.SparseCounter())
     val vals = Seq("a", "b", "a", "a", "c", "b").toDF("v")
