@@ -64,6 +64,10 @@ final case class DV(keys: Vector[String], values: Vector[Any]) {
       val ri = is.map(DF.resolveIndex(_, ncol))
       SliceResult.Record(DV(ri.toVector.map(keys), ri.toVector.map(values)))
     case Sel.Mask(bits) =>
+      // same equal-length contract as the frame's row-mask path (DF.filterRows)
+      // and the reference's ctor assert: a short/long mask is a caller bug
+      if (bits.length != ncol)
+        throw new ColumnLengthException(ncol, bits.length)
       val kept = keys.indices.filter(i => bits(i))
       SliceResult.Record(DV(kept.toVector.map(keys), kept.toVector.map(values)))
     case Sel.Range(a, b) =>
@@ -377,11 +381,11 @@ final class DF private (private[graft] val inner: DataFrame,
     * result keeps this frame's row order. `resultTypes` is the reference's
     * `:element-type` declaration (cl-data-frame.lisp:528-541): when given, the
     * output schema is exactly those types; when omitted, types are inferred
-    * from one sampled output row (costs one extra small job, and NOTE: fn
-    * runs TWICE for that first row — once on the driver for inference, once
-    * in the executor — so pass resultTypes when fn is expensive or
-    * side-effecting). Arity is asserted per row like the reference
-    * (cl-data-frame.lisp:548). */
+    * from one sampled output row (costs one extra small job). Either way fn
+    * runs EXACTLY ONCE per row: the executor reuses the driver's sampled
+    * output for the sampled row instead of re-invoking fn, so expensive or
+    * side-effecting lambdas are safe. Arity is asserted per row like the
+    * reference (cl-data-frame.lisp:548). */
   def mapDFRows(ks: Seq[String], resultKeys: Seq[String],
                 resultTypes: Seq[DataType] = Nil)(fn: Seq[Any] => Seq[Any]): DF = {
     ks.foreach(keyIndex)
@@ -393,24 +397,43 @@ final class DF private (private[graft] val inner: DataFrame,
     val d = densified.inner
     val src = d.select((ks :+ ROW_ID).map(d.col): _*)
     val nIn = ks.length
+    // Type inference samples ONE row and invokes fn on the driver; that
+    // (row id, output) is shipped in the closure and REUSED on the executor
+    // so fn still runs exactly once per row (r2 advice: the old form
+    // re-invoked fn for the sampled row — side effects fired twice).
+    val sampled: Option[(Long, Seq[Any])] =
+      if (resultTypes.nonEmpty) None
+      else {
+        val r = src.take(1).headOption.getOrElse(throw new EmptyFrameException)
+        val out = fn((0 until nIn).map(r.get))
+        if (out.length != rks.length)
+          throw new IllegalArgumentException(
+            s"map-df arity: expected ${rks.length} outputs, got ${out.length}")
+        Some((r.getLong(nIn), out))
+      }
     val applied = src.rdd.map { r =>
-      val out = fn((0 until nIn).map(r.get))
+      val id = r.getLong(nIn)
+      val out = sampled match {
+        case Some((sid, sout)) if sid == id => sout
+        case _ => fn((0 until nIn).map(r.get))
+      }
       if (out.length != rks.length)
         throw new IllegalArgumentException(
           s"map-df arity: expected ${rks.length} outputs, got ${out.length}")
-      Row.fromSeq(out :+ r.getLong(nIn))
+      Row.fromSeq(out :+ id)
     }
     val types =
       if (resultTypes.nonEmpty) resultTypes
-      else {
-        val sample = src.take(1).headOption.map(r => fn((0 until nIn).map(r.get)))
-          .getOrElse(throw new EmptyFrameException)
-        sample.map(v => DF.inferType(Seq(v)))
-      }
+      else sampled.get._2.map(v => DF.inferType(Seq(v)))
     val schema = StructType(
       rks.zip(types).map { case (k, t) => StructField(k, t, nullable = true) } :+
         StructField(ROW_ID, LongType, nullable = false))
-    new DF(spark.createDataFrame(applied, schema), Ids.Dense)
+    // localCheckpoint: evaluate the lambda EAGERLY AND ONCE (the reference's
+    // map-df is eager). A lazy plan would re-run fn on every action — and
+    // even a single sort re-runs it for range-partition sampling — which is
+    // unsafe for side-effecting lambdas. Blocks are freed by the
+    // ContextCleaner once the frame is unreferenced.
+    new DF(spark.createDataFrame(applied, schema).localCheckpoint(), Ids.Dense)
   }
 
   /** side-effecting in-order traversal, first→last (cl-data-frame.lisp:518-526). */

@@ -40,7 +40,7 @@ object GraftExtensions {
     new ExpressionInfo(classOf[MinHashSigExpr].getName, "graft_minhash"),
     (args: Seq[Expression]) => {
       require(args.length == 2,
-        s"graft_minhash takes (array<long> shingleHashes, int numHashes), got ${args.length} args")
+        s"graft_minhash takes (array<string> shingles, int numHashes), got ${args.length} args")
       val numHashes = args(1) match {
         case e if e.foldable => e.eval() match {
           case i: Int => i

@@ -419,6 +419,33 @@ object SparkEntry {
     "q_approx_distinct" -> ((s, dir) =>
       rd(s, dir, "lineitem")
         .agg(approx_count_distinct(col("l_partkey")).as("n_approx"))),
+    "q_lsh_recall" -> ((s, dir) => {
+      // recall@10 of the multi-probe LSH ANN vs exact brute force, as ONE
+      // oracle-checkable row: the DuckDB oracle replicates the hyperplane
+      // signatures bit-for-bit (the seed-42 plane weights are embedded in the
+      // generated SQL as exact double literals), computes the same probed
+      // set (hamming ≤ maxFlips), the same rounded-cosine rerank, and the
+      // exact top-10 — so the ANN quality metric itself is oracle-pinned,
+      // not just ScalaTest-asserted (round-3 verdict item #4).
+      // nBits is sized to log₂(corpus) per the lshTopK scaladoc — the
+      // q_lsh_ann production setting (16 bits) is for the 100× target, where
+      // these fixture corpora (500-2k rows) would leave the probed buckets
+      // nearly empty. The fixture also has NO planted neighbor structure
+      // (true top-10 sits at cosine ~0.4-0.5), which bounds achievable
+      // sub-linear recall — the metric is the honest measurement of that.
+      val emb = rd(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 1).select("embedding")
+        .head().getSeq[Float](0).map(_.toDouble)
+      val corpus = emb.filter(col("vec_id") =!= 1)
+      val lsh = Similarity.lshTopK(corpus, "vec_id", "embedding", q, 10,
+        dim = 64, nBits = LshRecallBits, maxFlips = LshRecallFlips).select("vec_id")
+      val bf = Similarity.bruteForceTopK(corpus, "vec_id", "embedding", q, 10)
+        .select("vec_id")
+      lsh.join(bf, Seq("vec_id"))
+        .agg(count(lit(1)).as("n_matched"))
+        .select(col("n_matched"),
+          round(col("n_matched") / 10.0, 6).as("recall_at_10"))
+    }),
     "q_ivf_ann" -> ((s, dir) => {
       val emb = rd(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") === 1).select("embedding")
@@ -674,6 +701,54 @@ object SparkEntry {
          JOIN dt a ON a.doc_id = p.id_a
          JOIN dt b ON b.doc_id = p.id_b)
        WHERE jaccard >= 0.5 ORDER BY id_a, id_b"""
+  }
+
+  /** recall@10 of lshTopK(nBits=16, maxFlips=3) vs brute force in DuckDB:
+    * the seed-42 hyperplane weights are embedded as exact double literals
+    * (Double.toString round-trips, so DuckDB parses the identical bits), the
+    * per-plane dot products use list_dot_product (same left-to-right double
+    * accumulation as Spark's zip_with+aggregate — the bit-equality q_cosine's
+    * oracle already relies on), hamming ≤ 3 reproduces the multi-probe set,
+    * and the rounded-cosine rerank matches lshTopK's ordering exactly. */
+  /** q_lsh_recall LSH parameters — nBits ≈ log₂(fixture corpus), the
+    * small-corpus setting the lshTopK scaladoc prescribes (the 16-bit
+    * q_lsh_ann setting targets the 100× corpus). Oracle SQL below is
+    * generated from the same constants. */
+  private val LshRecallBits = 8
+  private val LshRecallFlips = 3
+
+  private val LshRecallOracle: String = {
+    val valuesList = Similarity.hyperplanes(64, LshRecallBits, 42L).zipWithIndex.flatMap {
+      case (plane, b) => plane.zipWithIndex.map { case (w, j) => s"($b, $j, $w)" }
+    }.mkString(", ")
+    s"""WITH planes(b, j, w) AS (VALUES $valuesList),
+       pl AS (SELECT b, list(w ORDER BY j) AS pw FROM planes GROUP BY b),
+       e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       q AS (SELECT v AS qv FROM e WHERE vec_id = 1),
+       c AS (SELECT vec_id, v FROM e WHERE vec_id != 1),
+       sigs AS (
+         SELECT c.vec_id,
+           CAST(sum(CASE WHEN list_dot_product(c.v, pl.pw) >= 0
+                    THEN (CAST(1 AS BIGINT) << pl.b) ELSE 0 END) AS BIGINT) AS sig
+         FROM c CROSS JOIN pl GROUP BY c.vec_id),
+       qs AS (
+         SELECT CAST(sum(CASE WHEN list_dot_product(q.qv, pl.pw) >= 0
+                    THEN (CAST(1 AS BIGINT) << pl.b) ELSE 0 END) AS BIGINT) AS qsig
+         FROM q CROSS JOIN pl),
+       cos AS (
+         SELECT c.vec_id,
+           round(list_dot_product(c.v, q.qv)
+             / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos
+         FROM c CROSS JOIN q),
+       lsh AS (
+         SELECT s.vec_id FROM sigs s CROSS JOIN qs
+         JOIN cos ON cos.vec_id = s.vec_id
+         WHERE len(list_filter(range(0, $LshRecallBits),
+                 i -> ((s.sig >> i) & 1) != ((qs.qsig >> i) & 1))) <= $LshRecallFlips
+         ORDER BY cos.cos DESC, s.vec_id LIMIT 10),
+       bf AS (SELECT vec_id FROM cos ORDER BY cos DESC, vec_id LIMIT 10),
+       m AS (SELECT count(*) AS nm FROM lsh JOIN bf USING (vec_id))
+       SELECT CAST(nm AS BIGINT) AS n_matched, round(nm / 10.0, 6) AS recall_at_10 FROM m"""
   }
 
   /** DuckDB oracle SQL per query (same result, same column names, same
@@ -970,6 +1045,12 @@ object SparkEntry {
          ORDER BY doc_id, tfidf DESC, term""",
     "q_cosine_topk" -> CosineTopkOracle,
     "q_cosine_expr" -> CosineTopkOracle,
+    "q_lsh_recall" -> LshRecallOracle,
+    // NOTE: parity holds because the documents fixture is ASCII-only — the
+    // Spark kernel's mean_intensity averages UTF-8 BYTES while ascii(substr)
+    // here averages CODEPOINTS over the CHARACTER count; any multi-byte text
+    // would diverge (a false alarm, not a product bug). DuckDB has no
+    // per-byte blob indexing to express the byte-exact form.
     "q_media_decode" ->
       """WITH m AS (
            SELECT doc_id AS media_id,

@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -35,6 +36,15 @@ case class MinHashSigExpr(child: Expression, numHashes: Int)
     extends UnaryExpression {
 
   require(numHashes > 0, s"numHashes must be positive, got $numHashes")
+
+  /** analysis-time type check: a wrong-typed argument (e.g. array<bigint>)
+    * must fail with a clear analysis error, not a runtime
+    * ClassCastException from getUTF8String. */
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_minhash requires array<string> shingles, got ${other.catalogString}")
+  }
 
   private lazy val params: Array[(Long, Long)] =
     graft.operators.Dedup.hashParams(numHashes).toArray

@@ -26,6 +26,8 @@ import org.apache.spark.sql.types._
   */
 object Dedup {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** exact dedup on a key expression: keep the lowest id per group.
     * groupBy+min is deterministic (unlike dropDuplicates, which keeps an
     * arbitrary row) and oracle-expressible. One shuffle on the dedup key. */
@@ -79,7 +81,10 @@ object Dedup {
       array_min(transform(shingleCol,
         s => pmod(pmod(xxhash64(s), lit(1L << 31)) * lit(a) + lit(b), lit(P))))
     }
-    array(hs: _*)
+    // empty input → NULL, matching the native kernel's contract (no shingles,
+    // no signature) — a bare array(hs) would yield numHashes NULLs instead
+    // and the two forms would disagree on zero-shingle documents
+    when(size(shingleCol) > 0, array(hs: _*)).otherwise(lit(null))
   }
 
   /** MinHash signature as a single Column via the NATIVE fused kernel
@@ -316,6 +321,9 @@ object Dedup {
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
+      // rounds are bounded by component diameter; each is two bucket-local
+      // shuffles over constant-size checkpointed plans, so iterating to the
+      // fixpoint is cheap — maxIter is only a runaway guard (see below)
       val nbrMin = edges.as("e")
         .join(labels.as("l"), col("e.src") === col("l.id"))
         .groupBy(col("e.dst").as("id"))
@@ -333,15 +341,29 @@ object Dedup {
       labels = next.drop("__old")
       iter += 1
     }
+    // exiting on iter with changed > 0 would silently return PARTIAL labels —
+    // downstream dedup would keep docs a converged run drops, breaking the
+    // "identical results either way" contract of clusterDedupFromPairs. Fail
+    // loudly instead: a component diameter above maxIter means the caller
+    // should raise maxIter (rounds are cheap), not ship a wrong answer.
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"clusterLabels: min-label propagation did not converge in $maxIter " +
+          s"rounds ($changed labels still changing) — component diameter " +
+          "exceeds maxIter; raise maxIter (each round is two bucket-local " +
+          "shuffles over constant-size checkpointed plans)")
+    log.info(s"clusterLabels: converged in $iter rounds")
     labels
   }
 
   /** pair count below which components are solved with a driver-side
     * union-find instead of the iterative distributed loop: 2M pairs ≈ 32 MB
-    * of longs — trivially driver-safe. The candidate-pair set is bounded by
-    * ACTUAL near-duplicates (LSH keeps non-dup collisions ~linear), so even
-    * 100 TB corpora usually land under this; the distributed loop remains
-    * the fallback for pathological dup-heavy inputs. */
+    * of longs — trivially driver-safe. LSH keeps non-dup collisions ~linear,
+    * so the candidate count tracks the TRUE near-dup count — which at 100 TB
+    * of crawl data (dup rates of 20-50% are normal) far exceeds 2M: the
+    * distributed min-label loop is the EXPECTED regime at that scale, and the
+    * driver path is the small-corpus / interactive fast path. The switch is
+    * automatic either way. */
   val DriverUnionFindMaxPairs: Long = 2L * 1000 * 1000
 
   /** driver-side union-find over a collected pair list → ids whose component
@@ -382,8 +404,13 @@ object Dedup {
                             maxDriverPairs: Long = DriverUnionFindMaxPairs): DataFrame = {
     val longIds = pairs.schema.fields.take(2).forall(_.dataType == LongType)
     val nPairs = if (longIds) pairs.count() else -1L
+    val useDriver = longIds && nPairs <= maxDriverPairs
+    // observability for the regime switch: at 100 TB you want the log to say
+    // which path fired and how close the pair count came to the budget
+    log.info(s"clusterDedupFromPairs: $nPairs candidate pairs (driver budget " +
+      s"$maxDriverPairs) -> ${if (useDriver) "driver union-find" else "distributed min-label propagation"}")
     val dupIds =
-      if (longIds && nPairs <= maxDriverPairs) {
+      if (useDriver) {
         val collected = pairs
           .select(col(pairs.columns(0)).cast(LongType), col(pairs.columns(1)).cast(LongType))
           .collect().map(r => (r.getLong(0), r.getLong(1)))
@@ -564,20 +591,73 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** per-doc DISTINCT n-gram shingle arrays (idCol, __sh) — the projection
+    * SHARED by LSH candidate generation and exact-jaccard verification in
+    * [[ngramJaccardLsh]]/[[ngramJaccardLshPortable]]: tokenize+shingle runs
+    * over the corpus exactly once. `localCheckpoint` materializes the arrays
+    * (blocks freed by the ContextCleaner once unreferenced); at 100 TB this
+    * is the "write the shingle table once" step every production dedup
+    * pipeline has, instead of two full tokenize passes. distinct is REQUIRED
+    * by the jaccard verify and harmless for MinHash (min over a set ≡ min
+    * over its multiset). */
+  private def shingleArrays(df: DataFrame, idCol: String, textCol: String,
+                            ngram: Int): DataFrame = df
+    .select(col(idCol),
+      TextAnalysis.tokens(TextAnalysis.normalized(col(textCol))).as("__toks"))
+    .select(col(idCol),
+      shinglesFromTokens(col("__toks"), ngram, distinct = true).as("__sh"))
+    .localCheckpoint()
+
+  /** (idCol, __x) 31-bit shingle-hash rows from materialized shingle arrays —
+    * xxhash64 (production) or md5-derived (oracle-portable) base. */
+  private def shingleHashRowsFromArrays(sh: DataFrame, idCol: String,
+                                        portable: Boolean): DataFrame = {
+    val e = sh.select(col(idCol), explode(col("__sh")).as("__s"))
+    if (portable)
+      e.select(col(idCol),
+        pmod(conv(substring(md5(to_binary(col("__s"), lit("utf-8"))), 1, 8), 16, 10)
+          .cast(LongType), lit(1L << 31)).as("__x"))
+    else
+      e.select(col(idCol), pmod(xxhash64(col("__s")), lit(1L << 31)).as("__x"))
+  }
+
+  /** exact jaccard ≥ threshold over candidate pairs, joining each side to its
+    * PRE-MATERIALIZED distinct shingle array (idCol, __sh) — no re-tokenize. */
+  private def verifyJaccardOnShingleArrays(sh: DataFrame, idCol: String,
+                                           pairs: DataFrame,
+                                           threshold: Double): DataFrame = {
+    val joined = pairs.select("id_a", "id_b")
+      .join(sh.select(col(idCol).as("id_a"), col("__sh").as("__ta")), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("__sh").as("__tb")), "id_b")
+    val sa = size(col("__ta")).cast(DoubleType)
+    val sb = size(col("__tb")).cast(DoubleType)
+    // size-ratio prefilter (result-preserving: jaccard ≥ t ⇒ min ≥ t·max)
+    val prefiltered = joined.filter(least(sa, sb) >= greatest(sa, sb) * threshold)
+    val inter = size(array_intersect(col("__ta"), col("__tb"))).cast(DoubleType)
+    prefiltered
+      .select(col("id_a"), col("id_b"),
+        round(inter / (sa + sb - inter), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** n-gram Jaccard near-dup pairs with LSH candidate blocking — the
     * scale-safe replacement for attribute blocking: candidates come from
     * MinHash-LSH over the SAME n-gram shingles whose exact Jaccard is then
     * verified (the LSH S-curve approximates the verified similarity), so
     * block size is governed by the band-key collision rate, not by how many
     * documents share an attribute. Exact Jaccard runs only on candidate
-    * pairs. xxhash64 signatures (production path — rows-only oracle). */
+    * pairs, and signatures + verification share ONE materialized shingle
+    * projection ([[shingleArrays]]). xxhash64 signatures (production path —
+    * rows-only oracle). */
   def ngramJaccardLsh(df: DataFrame, idCol: String, textCol: String,
                       threshold: Double = 0.5, numHashes: Int = 16,
                       bands: Int = 8, ngram: Int = 3): DataFrame = {
-    val sigs = minhashSigs(df, idCol, textCol, numHashes, shingleSize = ngram)
+    val sh = shingleArrays(df, idCol, textCol, ngram)
+    val sigs = sigsFromShingleHash(
+      shingleHashRowsFromArrays(sh, idCol, portable = false), idCol, numHashes)
     val cands = bandSelfJoinPairs(
       lshBands(sigs, idCol, "sig", bands, numHashes), idCol, "band_hash")
-    verifyJaccardPairs(df, idCol, textCol, cands, threshold, ngram)
+    verifyJaccardOnShingleArrays(sh, idCol, cands, threshold)
   }
 
   /** as [[ngramJaccardLsh]] but on the md5-portable MinHash base, so the WHOLE
@@ -586,9 +666,11 @@ object Dedup {
   def ngramJaccardLshPortable(df: DataFrame, idCol: String, textCol: String,
                               threshold: Double = 0.5, numHashes: Int = 16,
                               bands: Int = 8, ngram: Int = 3): DataFrame = {
-    val sigs = minhashSigsPortable(df, idCol, textCol, numHashes, shingleSize = ngram)
+    val sh = shingleArrays(df, idCol, textCol, ngram)
+    val sigs = sigsFromShingleHash(
+      shingleHashRowsFromArrays(sh, idCol, portable = true), idCol, numHashes)
     val cands = portableBandPairs(sigs, idCol, numHashes, bands)
-    verifyJaccardPairs(df, idCol, textCol, cands, threshold, ngram)
+    verifyJaccardOnShingleArrays(sh, idCol, cands, threshold)
   }
 
   /** embedding-cosine near-dup pairs with banded-LSH blocking — the scale

@@ -73,8 +73,11 @@ object Similarity {
       Seq(desc("cos"), asc("neighbor_id")), k)
   }
 
-  // deterministic random hyperplanes (seeded driver-side, shipped as literals)
-  private def hyperplanes(dim: Int, nBits: Int, seed: Long): Seq[Seq[Double]] = {
+  // deterministic random hyperplanes (seeded driver-side, shipped as
+  // literals). private[graft]: SparkEntry embeds the same plane weights as
+  // literal doubles in the generated DuckDB oracle SQL for q_lsh_recall
+  // (Double.toString round-trips exactly, so both engines see identical bits).
+  private[graft] def hyperplanes(dim: Int, nBits: Int, seed: Long): Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(seed)
     Seq.fill(nBits)(Seq.fill(dim)(rnd.nextGaussian()))
   }
@@ -122,7 +125,14 @@ object Similarity {
     * the far side of one or two hyperplanes), exact cosine rerank inside the
     * probed set. Probed fraction ≈ Σ C(nBits,f) / 2^nBits — e.g. 1.1% for
     * (16, 3) — independent of corpus size, so the scan stays sub-linear at
-    * 100×. */
+    * 100×.
+    *
+    * NOTE: may return FEWER than k rows when the probed buckets hold fewer
+    * than k vectors — expected at small corpus sizes with a bucket count
+    * sized for the 100× target (e.g. 2^16 buckets over a few hundred rows).
+    * Callers needing exactly k at any scale should grow nBits with
+    * log₂(corpus) (as [[lshBandSignatures]] prescribes for bandBits) or
+    * raise maxFlips. */
   def lshTopK(df: DataFrame, idCol: String, vecCol: String,
               query: Seq[Double], k: Int, dim: Int, nBits: Int = 8,
               seed: Long = 42L, maxFlips: Int = 0): DataFrame = {

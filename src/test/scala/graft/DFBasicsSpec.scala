@@ -125,6 +125,21 @@ class DFBasicsSpec extends AnyFunSuite {
     assert(out.toSpark.schema("m").dataType == BooleanType)
   }
 
+  test("map-df lambda with inferred types runs fn EXACTLY once per row") {
+    // type inference samples one row on the driver; the executor must reuse
+    // that output instead of re-invoking fn (side effects would fire twice).
+    // Static object counter: local-mode executors share the JVM, while a
+    // captured counter would be serialized per task and mutate a copy.
+    DFBasicsSpec.evalCount.set(0)
+    val out = df.mapDFRows(Seq("vv"), Seq("d")) { r =>
+      DFBasicsSpec.evalCount.incrementAndGet()
+      Seq(r.head.asInstanceOf[Int] * 2)
+    }
+    assert(out.column("d") == Vector(2, 4, 6, 8))
+    assert(DFBasicsSpec.evalCount.get == 4,
+      s"fn ran ${DFBasicsSpec.evalCount.get} times for 4 rows")
+  }
+
   test("map-df arity assert per row (cl-data-frame.lisp:548)") {
     intercept[Exception] {
       df.mapDFRows(Seq("vv"), Seq("p", "m"))(r => Seq(r.head)).column("p")
@@ -175,4 +190,10 @@ class DFBasicsSpec extends AnyFunSuite {
     assert(txt.startsWith("#<DATA-FRAME (3 x 4)"))
     assert(df.sliceRow(0).render.startsWith("#<DATA-VECTOR (3)"))
   }
+}
+
+/** static (JVM-wide) invocation counter for the exactly-once mapDFRows test —
+  * referenced via the object so local-mode tasks hit the same instance. */
+object DFBasicsSpec {
+  val evalCount = new java.util.concurrent.atomic.AtomicInteger(0)
 }

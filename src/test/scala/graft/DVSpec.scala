@@ -44,6 +44,14 @@ class DVSpec extends AnyFunSuite {
     }
   }
 
+  test("mask slice length mismatch raises column-length error") {
+    // same equal-length contract as the frame row-mask path (DF.filterRows)
+    intercept[ColumnLengthException] { dv.slice(Sel.Mask(Seq(true, false))) }
+    intercept[ColumnLengthException] {
+      dv.slice(Sel.Mask(Seq(true, false, true, true)))
+    }
+  }
+
   test("mapValues preserves keys (map-columns on dv, tests.lisp:33)") {
     val doubled = dv.mapValues { case i: Int => i * 2 }
     assert(doubled.keys == dv.keys)

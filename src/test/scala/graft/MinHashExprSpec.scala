@@ -54,5 +54,18 @@ class MinHashExprSpec extends AnyFunSuite {
     assert(edge.isNullAt(0))           // no shingles → no signature
     assert(edge.getSeq[Long](1).length == 8)
     assert(edge.isNullAt(2))           // null in → null out
+    // the HOF reference form agrees on empty input (normalized to NULL —
+    // a bare array of per-hash array_min would yield numHashes NULLs)
+    val hofEdge = Seq(Seq.empty[String]).toDF("s")
+      .select(Dedup.minhashSignature(col("s"), 8)).head()
+    assert(hofEdge.isNullAt(0))
+  }
+
+  test("wrong-typed input rejected at analysis time, not runtime CCE") {
+    GraftExtensions.register(spark)
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_minhash(array(1, 2), 8)").collect()
+    }
+    assert(e.getMessage.contains("array<string>"), e.getMessage)
   }
 }

@@ -89,6 +89,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(kept == Set(1L, 4L))
   }
 
+  test("clusterLabels fails loudly when maxIter is below the component diameter") {
+    // a silent partial result would keep dups the converged run drops —
+    // the loop must throw, not return, when it exits unconverged
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("id_a", "id_b")
+    intercept[IllegalStateException] {
+      Dedup.clusterLabels(chain, maxIter = 1).collect()
+    }
+    // and the same chain converges fine under the default budget
+    val labels = Dedup.clusterLabels(chain).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(labels.values.toSet == Set(1L))
+  }
+
   test("driver union-find path ≡ distributed propagation path") {
     val rnd = new scala.util.Random(3)
     // random graph over 80 nodes: chains, triangles, isolated pairs
