@@ -98,8 +98,15 @@ object Bench {
     val t0w = System.nanoTime()
     warmup(spark, sfDir)
     System.err.println(f"[bench] warmup took ${(System.nanoTime() - t0w) / 1e9}%.1f s (untimed)")
-    // stable iteration order so per-round bench numbers are comparable
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // stable iteration order so per-round bench numbers are comparable;
+    // SPARK_GRAFT_BENCH_ORDER=reverse exists to DEMONSTRATE order
+    // independence (with the warm-up above, per-query times must match
+    // between the two orders — they did not before it)
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val toRun =
+      if (sys.env.get("SPARK_GRAFT_BENCH_ORDER").contains("reverse")) ordered.reverse
+      else ordered
+    val results = toRun.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val err = try { fn(spark, sfDir).count(); None } catch {
         case e: Throwable =>
