@@ -532,7 +532,67 @@ object SparkEntry {
         .select(unix_millis(col("sess_start")).as("sess_ms"),
           col("user_id"), col("n_events"), col("sum_value"))
         .orderBy("user_id", "sess_ms")
-    })
+    }),
+
+    // ---- [EXT] round-4 additions: join completeness + pipeline passes ----
+    "q_join_full" -> ((s, dir) => {
+      // full-outer completeness: customers with no orders AND orders whose
+      // customer is filtered out both survive with nulls
+      val cust = rd(s, dir, "customer").filter(col("c_custkey") % 3 === 0)
+        .select("c_custkey", "c_name")
+      val ord = rd(s, dir, "orders").filter(col("o_custkey") % 2 === 0)
+        .select(col("o_custkey").as("c_custkey"), col("o_orderkey"))
+      Relational.fullJoin(cust, ord, Seq("c_custkey"))
+        .groupBy("c_custkey")
+        .agg(max(col("c_name")).as("c_name"), count(col("o_orderkey")).as("n_orders"))
+        .orderBy("c_custkey")
+    }),
+    "q_bloom_join" -> ((s, dir) => {
+      // bloom-prefiltered semi join is RESULT-PRESERVING (no false
+      // negatives), so the oracle is the plain semi join — this verifies the
+      // sketch build + BloomFilterMightContain prefilter end-to-end
+      val li = rd(s, dir, "lineitem").select("l_orderkey", "l_linenumber")
+      val hot = rd(s, dir, "orders")
+        .filter(col("o_totalprice") >= 400000).select("o_orderkey")
+      Relational.bloomSemiJoin(li, hot, "l_orderkey", "o_orderkey",
+          expectedItems = 100000L, numBits = 1L << 20)
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+    "q_source_cap" -> ((s, dir) => {
+      // per-domain quota — the "at most N docs per source/domain" crawl
+      // rebalancing pass: deterministic keep-set (longest docs win, doc_id
+      // tiebreak), one window shuffle keyed on the domain
+      Relational.topNPerGroup(
+          rd(s, dir, "documents").select("doc_id", "source", "n_chars"),
+          Seq("source"), Seq(desc("n_chars"), asc("doc_id")), 50)
+        .orderBy("doc_id")
+    }),
+    "q_redact" -> ((s, dir) => {
+      // the fixture corpus carries no PII, so the query PLANTS a synthetic
+      // email/URL trailer per doc (derived from its own fields) and then
+      // redacts it — exercising match+replace+count on every row rather
+      // than vacuously passing on clean text
+      val planted = rd(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), lit(" contact "), col("source"), lit("-"),
+          col("doc_id"), lit("@example.com or https://"), col("source"),
+          lit(".example/d/"), col("doc_id")).as("text"))
+      val (emails, urls) = TextAnalysis.piiCounts(col("text"))
+      planted.select(col("doc_id"),
+          emails.cast(LongType).as("n_emails"), urls.cast(LongType).as("n_urls"),
+          TextAnalysis.redactPii(col("text")).as("clean_text"))
+        .orderBy("doc_id")
+    }),
+    "q_unigram_lm" -> ((s, dir) =>
+      TextAnalysis.unigramLogProb(rd(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+    "q_pack_chunks" -> ((s, dir) =>
+      TextAnalysis.chunkAssignments(rd(s, dir, "documents"),
+          "doc_id", "text", "source", budget = 2048)
+        .orderBy("doc_id")),
+    "q_embedding_centroid" -> ((s, dir) =>
+      Similarity.labelCentroids(rd(s, dir, "embeddings"), "label", "embedding")
+        .select(col("label"), col("pos").cast(LongType).as("pos"), col("centroid"))
+        .orderBy("label", "pos"))
   )
 
   /** shared by q_cosine_topk (functions-based) and q_cosine_expr (native
@@ -1106,6 +1166,84 @@ object SparkEntry {
          SELECT epoch_ms(min(ts)) AS sess_ms, user_id,
            count(*) AS n_events,
            sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
-         FROM y GROUP BY user_id, sess ORDER BY user_id, sess_ms"""
+         FROM y GROUP BY user_id, sess ORDER BY user_id, sess_ms""",
+
+    // ---- round-4 additions ----
+    "q_join_full" ->
+      """SELECT coalesce(c.c_custkey, o.o_custkey) AS c_custkey,
+           max(c_name) AS c_name, count(o_orderkey) AS n_orders
+         FROM (SELECT c_custkey, c_name FROM customer WHERE c_custkey % 3 = 0) c
+         FULL OUTER JOIN
+           (SELECT o_custkey, o_orderkey FROM orders WHERE o_custkey % 2 = 0) o
+           ON c.c_custkey = o.o_custkey
+         GROUP BY coalesce(c.c_custkey, o.o_custkey)
+         ORDER BY c_custkey""",
+    // the bloom prefilter is result-preserving (no false negatives) → the
+    // oracle is the PLAIN semi join the bloom path must reproduce exactly
+    "q_bloom_join" ->
+      """SELECT l_orderkey, l_linenumber FROM lineitem
+         WHERE l_orderkey IN
+           (SELECT o_orderkey FROM orders WHERE o_totalprice >= 400000)
+         ORDER BY l_orderkey, l_linenumber""",
+    "q_source_cap" ->
+      """SELECT doc_id, source, n_chars FROM (
+           SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY source
+               ORDER BY n_chars DESC, doc_id) AS rn
+           FROM documents) WHERE rn <= 50
+         ORDER BY doc_id""",
+    "q_redact" ->
+      """WITH p AS (
+           SELECT doc_id,
+             concat(text, ' contact ', source, '-', doc_id,
+               '@example.com or https://', source, '.example/d/', doc_id) AS text
+           FROM documents)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS BIGINT)
+             AS n_urls,
+           regexp_replace(
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+             'https?://[^\s]+', '[URL]', 'g') AS clean_text
+         FROM p ORDER BY doc_id""",
+    "q_unigram_lm" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+           FROM documents),
+         tk AS (SELECT doc_id, term FROM tok WHERE len(term) > 0),
+         vocab AS (SELECT term, count(*) AS cnt FROM tk GROUP BY term),
+         tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vocab)
+         SELECT doc_id,
+           round(sum(round(ln(cnt / CAST(total AS DOUBLE)), 9)) / count(*), 6)
+             AS avg_logp
+         FROM tk JOIN vocab USING (term) CROSS JOIN tot
+         GROUP BY doc_id ORDER BY doc_id""",
+    "q_pack_chunks" ->
+      """WITH t AS (
+           SELECT doc_id, source,
+             CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]'))
+               AS BIGINT) AS n_tokens
+           FROM documents),
+         o AS (
+           SELECT doc_id, source, n_tokens,
+             CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS start_offset
+           FROM t)
+         SELECT doc_id, source, n_tokens, start_offset,
+           CAST(floor(start_offset / 2048.0) AS BIGINT) AS chunk_id
+         FROM o ORDER BY doc_id""",
+    "q_embedding_centroid" ->
+      """WITH e AS (
+           SELECT label, unnest(embedding) AS v,
+             generate_subscripts(embedding, 1) - 1 AS pos
+           FROM embeddings)
+         SELECT label, CAST(pos AS BIGINT) AS pos,
+           round(CAST(sum(CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT))
+               AS BIGINT) / 1000000.0 / count(*), 6) AS centroid
+         FROM e GROUP BY label, pos ORDER BY label, pos"""
   )
 }

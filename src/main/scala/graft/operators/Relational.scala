@@ -30,6 +30,48 @@ object Relational {
     l.join(r, keys, "left_semi")
   def antiJoin(l: DataFrame, r: DataFrame, keys: Seq[String]): DataFrame =
     l.join(r, keys, "left_anti")
+  def fullJoin(l: DataFrame, r: DataFrame, keys: Seq[String]): DataFrame =
+    l.join(r, keys, "full_outer")
+
+  /** Bloom-prefiltered left-semi join — the manual form of Spark's own
+    * runtime-filter rewrite (InjectRuntimeFilter), for when the optimizer
+    * can't prove it itself (e.g. the build side is an arbitrary frame, not a
+    * selective filter on a join). Builds a bloom filter over `rightKey` with
+    * ONE aggregate on the right side (BloomFilterAggregate — the same
+    * Catalyst aggregate the optimizer injects), ships the resulting sketch
+    * (driver-bounded: `numBits/8` bytes ≈ 1.2 MB at the defaults, the same
+    * order as any broadcast) as a literal, and filters the left side with the
+    * codegen'd `BloomFilterMightContain` BEFORE the exact left-semi join.
+    *
+    * RESULT-PRESERVING: a bloom filter has no false negatives, so
+    * prefilter + semi join ≡ semi join — the oracle for any query through
+    * this path is the plain semi join. The payoff at 100 TB: the fact scan
+    * drops non-matching rows in the scan's own codegen stage (and the
+    * xxhash64+bloom probe costs ~ns/row), so the shuffle for the semi join
+    * moves only surviving rows — when the dim matches 1% of fact keys,
+    * that's a 100× smaller shuffle for one map-side sketch aggregate. */
+  def bloomSemiJoin(fact: DataFrame, dim: DataFrame, factKey: String,
+                    dimKey: String, expectedItems: Long = 1000000L,
+                    numBits: Long = 8388608L): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val bloomAgg = GraftSqlBridge.column(
+      new BloomFilterAggregate(
+        GraftSqlBridge.expression(xxhash64(dim.col(dimKey))),
+        org.apache.spark.sql.catalyst.expressions.Literal(expectedItems),
+        org.apache.spark.sql.catalyst.expressions.Literal(numBits))
+        .toAggregateExpression)
+    // one row, one binary value — materialized like an executed scalar
+    // subquery (exactly what InjectRuntimeFilter's subquery evaluates to)
+    val sketch: Array[Byte] = dim.agg(bloomAgg.as("bf"))
+      .head.getAs[Array[Byte]]("bf")
+    val mightContain = GraftSqlBridge.column(BloomFilterMightContain(
+      GraftSqlBridge.expression(lit(sketch)),
+      GraftSqlBridge.expression(xxhash64(fact.col(factKey)))))
+    fact.filter(mightContain)
+      .join(dim.select(col(dimKey).as(factKey)), Seq(factKey), "left_semi")
+  }
 
   /** fact ⋈ small dim with an explicit broadcast hint: the fact side never
     * shuffles; each executor hash-probes a replicated dim. */

@@ -251,6 +251,24 @@ object Similarity {
       .orderBy(desc("cos"), col(idCol)).limit(topK)
   }
 
+  /** Per-label mean embedding (mean pooling) — centroids for class-level
+    * analysis, IVF seeding, or label-blocked near-dup. One posexplode + one
+    * hash aggregate keyed on (label, dim-index): map-side partial sums make
+    * the shuffle `labels × dim` rows regardless of corpus size.
+    *
+    * Determinism: floats are fixed to integer MICROS before summing (each
+    * element is exact in a Long; sums are order-independent integer adds, no
+    * float accumulation-order sensitivity), divided by the count at the end.
+    * Output is row form (label, pos, centroid) — array order is the
+    * consumer's reassembly (`sort_array(collect_list(struct(pos, v)))`);
+    * row form keeps the result engine-comparable. */
+  def labelCentroids(df: DataFrame, labelCol: String, vecCol: String): DataFrame =
+    df.select(col(labelCol), posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy(col(labelCol), col("pos"))
+      .agg(round(
+        sum(round(col("v").cast(DoubleType) * 1000000L).cast(LongType))
+          / lit(1000000.0) / count(lit(1)), 6).as("centroid"))
+
   /** IVF-style bucket stats: how balanced are the ANN buckets (diagnostic —
     * at scale you want bucket sizes ≪ partition size). */
   def bucketStats(df: DataFrame, vecCol: String, dim: Int, nBits: Int = 8,

@@ -155,6 +155,82 @@ object TextAnalysis {
       .select(col(idCol), col("term"), col("tfidf"))
   }
 
+  /** PII scrubbing — the pre-training redaction pass. Patterns are kept in
+    * the common Java-regex ∩ RE2 subset (no lookaround, no backrefs) so the
+    * DuckDB oracle runs the IDENTICAL patterns, and the whole thing is a pure
+    * codegen'd map over the scan — no shuffle, no UDF. Emails are replaced
+    * before URLs so `mailto:`-style overlaps resolve deterministically. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlPattern = "https?://[^\\s]+"
+
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailPattern, "[EMAIL]"),
+      UrlPattern, "[URL]")
+
+  def piiCounts(text: Column): (Column, Column) = (
+    size(regexp_extract_all(text, lit(EmailPattern), lit(0))),
+    size(regexp_extract_all(text, lit(UrlPattern), lit(0))))
+
+  /** Unigram language-model score: mean ln p(token) per document, with
+    * p(token) = corpus_count(token) / corpus_total — the cheap perplexity
+    * proxy used to rank documents for quality filtering (CCNet-style, with
+    * the KenLM swapped for the corpus's own unigram table).
+    *
+    * Scale shape: one explode + two hash aggregates build the frequency
+    * table (map-side combined, keyed on the token — high cardinality, well
+    * spread), then tokens join the table and average per doc. The table is
+    * vocabulary-sized (Zipf: millions of rows at 100 TB, not billions), so
+    * AQE broadcasts the join at any realistic vocab; `vocabCap > 0`
+    * additionally truncates to the top-`vocabCap` tokens and scores the tail
+    * at the out-of-vocabulary floor ln(1 / (total + 1)) — bounding the
+    * broadcast no matter how degenerate the corpus.
+    *
+    * Determinism: the per-doc mean divides an order-independent SUM of
+    * per-token ln values only after rounding each ln to 9 decimals (ln is
+    * correctly-rounded-adjacent in both engines; rounding first removes any
+    * last-ulp libm disagreement from the sum), then rounds to 6. */
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String,
+                     vocabCap: Int = 0): DataFrame = {
+    val tok = df.select(col(idCol),
+      explode(filter(tokens(col(textCol)), t => length(t) > 0)).as("term"))
+    val fullVocab = tok.groupBy("term").agg(count(lit(1)).as("cnt"))
+    val total = fullVocab.agg(sum("cnt")).head.getLong(0)
+    val vocab =
+      if (vocabCap <= 0) fullVocab
+      else fullVocab.orderBy(desc("cnt"), asc("term")).limit(vocabCap)
+    val oovLogP = round(log(lit(1.0) / (total + 1.0)), 9)
+    tok.join(vocab, Seq("term"), "left")
+      .groupBy(col(idCol))
+      .agg(round(
+        sum(coalesce(round(log(col("cnt") / total.toDouble), 9), oovLogP))
+          / count(lit(1)), 6).as("avg_logp"))
+  }
+
+  /** Sequence packing (concat-and-chunk): lay each group's documents end to
+    * end in deterministic (`orderCol`) order and assign every document the
+    * training chunk its FIRST token lands in — chunk = floor(start_offset /
+    * budget). This is the standard pre-tokenization packing pass (documents
+    * are concatenated into fixed-size training sequences; a document
+    * straddling a boundary is split downstream by the loader).
+    *
+    * Scale shape: the running offset is a window per `groupCol` — each
+    * group packs independently, so parallelism = number of groups (at 100 TB
+    * the group is a shard/domain key, thousands of them; NEVER a global
+    * window, which would serialize on one partition). */
+  def chunkAssignments(df: DataFrame, idCol: String, textCol: String,
+                       groupCol: String, budget: Int): DataFrame = {
+    require(budget > 0, s"token budget must be positive, got $budget")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select(col(idCol), col(groupCol),
+        subwordCount(col(textCol)).cast(LongType).as("n_tokens"))
+      .withColumn("start_offset",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("chunk_id", floor(col("start_offset") / budget))
+  }
+
   /** per-document stats frame (used by q_text_* queries). */
   def docStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(

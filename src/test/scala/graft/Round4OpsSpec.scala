@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Relational, Similarity, TextAnalysis}
+
+/** [EXT] round-4 operators: full-outer join, bloom-prefiltered semi join,
+  * PII redaction, unigram LM scoring, sequence packing, label centroids. */
+class Round4OpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("fullJoin keeps unmatched rows from BOTH sides with nulls") {
+    val l = Seq((1L, "a"), (2L, "b")).toDF("k", "lv")
+    val r = Seq((2L, "x"), (3L, "y")).toDF("k", "rv")
+    val rows = Relational.fullJoin(l, r, Seq("k"))
+      .orderBy("k").collect()
+      .map(x => (x.getLong(0), Option(x.getString(1)), Option(x.getString(2))))
+    assert(rows.toSeq == Seq(
+      (1L, Some("a"), None), (2L, Some("b"), Some("x")), (3L, None, Some("y"))))
+  }
+
+  test("bloomSemiJoin is result-identical to the plain semi join") {
+    val fact = spark.range(0, 5000)
+      .select(col("id").as("k"), (col("id") % 97).as("payload"))
+    val dim = spark.range(0, 5000).filter(col("id") % 17 === 0)
+      .select(col("id").as("dk"))
+    val viaBloom = Relational.bloomSemiJoin(fact, dim, "k", "dk",
+        expectedItems = 1000L, numBits = 1L << 14)
+      .select("k").as[Long].collect().sorted.toSeq
+    val plain = fact.join(dim.select(col("dk").as("k")), Seq("k"), "left_semi")
+      .select("k").as[Long].collect().sorted.toSeq
+    assert(viaBloom == plain)
+    assert(viaBloom.nonEmpty && viaBloom.forall(_ % 17 == 0))
+  }
+
+  test("redactPii replaces emails and urls, counts match") {
+    val df = Seq(
+      (1L, "mail me at jane.doe+x@sub.example.org thanks"),
+      (2L, "see https://example.com/a?b=1 and http://t.co/x"),
+      (3L, "no pii here at all")
+    ).toDF("id", "text")
+    val out = df.select(col("id"),
+        TextAnalysis.redactPii(col("text")).as("clean"),
+        TextAnalysis.piiCounts(col("text"))._1.as("ne"),
+        TextAnalysis.piiCounts(col("text"))._2.as("nu"))
+      .orderBy("id").collect()
+    assert(out(0).getString(1) == "mail me at [EMAIL] thanks")
+    assert(out(0).getInt(2) == 1 && out(0).getInt(3) == 0)
+    assert(out(1).getString(1) == "see [URL] and [URL]")
+    assert(out(1).getInt(2) == 0 && out(1).getInt(3) == 2)
+    assert(out(2).getString(1) == "no pii here at all")
+    assert(out(2).getInt(2) == 0 && out(2).getInt(3) == 0)
+  }
+
+  test("unigramLogProb: uniform corpus scores ln(1/V); rare-token doc scores lower") {
+    // 4 docs over a 2-token uniform vocab: every token has p = 1/2
+    val uniform = Seq((1L, "aa bb"), (2L, "bb aa")).toDF("doc_id", "text")
+    val u = TextAnalysis.unigramLogProb(uniform, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val expected = BigDecimal(math.rint(math.log(0.5) * 1e9) / 1e9)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(u(1L) == expected && u(2L) == expected)
+
+    val skewed = Seq(
+      (1L, "common common common common"),
+      (2L, "common common common rareword")).toDF("doc_id", "text")
+    val s = TextAnalysis.unigramLogProb(skewed, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(s(2L) < s(1L), s"rare-token doc should score lower: $s")
+  }
+
+  test("unigramLogProb vocabCap floors out-of-vocabulary tokens") {
+    val df = Seq(
+      (1L, "common common common common"),
+      (2L, "common rareword")).toDF("doc_id", "text")
+    // cap = 1 keeps only "common"; "rareword" takes the OOV floor
+    val capped = TextAnalysis.unigramLogProb(df, "doc_id", "text", vocabCap = 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val full = TextAnalysis.unigramLogProb(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // OOV floor ln(1/(total+1)) is below the true ln(1/6) for rareword
+    assert(capped(2L) < full(2L))
+    assert(capped(1L) == full(1L)) // all-in-vocab doc unchanged
+  }
+
+  test("chunkAssignments packs per group in id order with correct boundaries") {
+    val df = Seq(
+      (1L, "a b c d", "s1"),   // 4 tokens, offset 0,  chunk 0
+      (2L, "e f g", "s1"),     // 3 tokens, offset 4,  chunk 0
+      (3L, "h i j k l", "s1"), // 5 tokens, offset 7,  chunk 1 (budget 5)
+      (4L, "m n", "s2")        // other group restarts at 0
+    ).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.chunkAssignments(df, "doc_id", "text", "source", budget = 5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (1L, 4L, 0L, 0L), (2L, 3L, 4L, 0L), (3L, 5L, 7L, 1L), (4L, 2L, 0L, 0L)))
+  }
+
+  test("labelCentroids: hand-computed means, invariant under repartitioning") {
+    val df = Seq(
+      (1L, Seq(1.0f, 2.0f), "x"),
+      (2L, Seq(3.0f, 6.0f), "x"),
+      (3L, Seq(10.0f, 20.0f), "y")
+    ).toDF("vec_id", "embedding", "label")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Similarity.labelCentroids(d, "label", "embedding")
+        .orderBy("label", "pos").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getDouble(2))).toSeq
+    val base = run(df)
+    assert(base == Seq(("x", 0, 2.0), ("x", 1, 4.0), ("y", 0, 10.0), ("y", 1, 20.0)))
+    // integer-micros fixing makes the mean order-independent: any partition
+    // layout must produce bit-identical centroids
+    assert(run(df.repartition(7)) == base)
+  }
+}
