@@ -1217,7 +1217,8 @@ object SparkEntry {
          vocab AS (SELECT term, count(*) AS cnt FROM tk GROUP BY term),
          tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vocab)
          SELECT doc_id,
-           round(sum(round(ln(cnt / CAST(total AS DOUBLE)), 9)) / count(*), 6)
+           round(CAST(sum(CAST(round(ln(cnt / CAST(total AS DOUBLE)) * 1e9)
+               AS BIGINT)) AS DOUBLE) / count(*) / 1e9, 6)
              AS avg_logp
          FROM tk JOIN vocab USING (term) CROSS JOIN tot
          GROUP BY doc_id ORDER BY doc_id""",
@@ -1236,14 +1237,17 @@ object SparkEntry {
          SELECT doc_id, source, n_tokens, start_offset,
            CAST(floor(start_offset / 2048.0) AS BIGINT) AS chunk_id
          FROM o ORDER BY doc_id""",
+    // mean is rounded to INTEGER micros (scale-0 rounding is boundary-safe
+    // across engines; scale-6 rounding of the fraction is not — a mean of
+    // exactly x.xxxxxx5 diverged at sf0.1), then divided exactly by 1e6
     "q_embedding_centroid" ->
       """WITH e AS (
            SELECT label, unnest(embedding) AS v,
              generate_subscripts(embedding, 1) - 1 AS pos
            FROM embeddings)
          SELECT label, CAST(pos AS BIGINT) AS pos,
-           round(CAST(sum(CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT))
-               AS BIGINT) / 1000000.0 / count(*), 6) AS centroid
+           CAST(round(CAST(sum(CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT))
+               AS DOUBLE) / count(*)) AS BIGINT) / 1000000.0 AS centroid
          FROM e GROUP BY label, pos ORDER BY label, pos"""
   )
 }

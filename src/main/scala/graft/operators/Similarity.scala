@@ -258,16 +258,22 @@ object Similarity {
     *
     * Determinism: floats are fixed to integer MICROS before summing (each
     * element is exact in a Long; sums are order-independent integer adds, no
-    * float accumulation-order sensitivity), divided by the count at the end.
+    * float accumulation-order sensitivity), the MEAN is rounded to integer
+    * micros (scale-0 rounding never hits the cross-engine decimal-boundary
+    * hazard that scale-6 rounding of a fraction does — e.g. a mean of
+    * exactly 0.0032135 rounds differently in BigDecimal-HALF_UP vs a
+    * multiply-based round), and only then divided by 1e6 — an exact, bit-
+    * identical final division in any IEEE engine.
     * Output is row form (label, pos, centroid) — array order is the
     * consumer's reassembly (`sort_array(collect_list(struct(pos, v)))`);
     * row form keeps the result engine-comparable. */
   def labelCentroids(df: DataFrame, labelCol: String, vecCol: String): DataFrame =
     df.select(col(labelCol), posexplode(col(vecCol)).as(Seq("pos", "v")))
       .groupBy(col(labelCol), col("pos"))
-      .agg(round(
+      .agg((round(
         sum(round(col("v").cast(DoubleType) * 1000000L).cast(LongType))
-          / lit(1000000.0) / count(lit(1)), 6).as("centroid"))
+          .cast(DoubleType) / count(lit(1))).cast(LongType)
+        / lit(1000000.0)).as("centroid"))
 
   /** IVF-style bucket stats: how balanced are the ANN buckets (diagnostic —
     * at scale you want bucket sizes ≪ partition size). */

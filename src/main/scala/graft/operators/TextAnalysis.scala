@@ -186,10 +186,11 @@ object TextAnalysis {
     * at the out-of-vocabulary floor ln(1 / (total + 1)) — bounding the
     * broadcast no matter how degenerate the corpus.
     *
-    * Determinism: the per-doc mean divides an order-independent SUM of
-    * per-token ln values only after rounding each ln to 9 decimals (ln is
-    * correctly-rounded-adjacent in both engines; rounding first removes any
-    * last-ulp libm disagreement from the sum), then rounds to 6. */
+    * Determinism: each token's ln is fixed to integer NANOS (round to
+    * integer is boundary-safe across engines; ln itself is correctly-
+    * rounded-adjacent in both) so the per-doc sum is order-independent
+    * integer addition — no float accumulation-order sensitivity across
+    * partitionings — and the mean divides back out at the end. */
   def unigramLogProb(df: DataFrame, idCol: String, textCol: String,
                      vocabCap: Int = 0): DataFrame = {
     val tok = df.select(col(idCol),
@@ -199,12 +200,13 @@ object TextAnalysis {
     val vocab =
       if (vocabCap <= 0) fullVocab
       else fullVocab.orderBy(desc("cnt"), asc("term")).limit(vocabCap)
-    val oovLogP = round(log(lit(1.0) / (total + 1.0)), 9)
+    val oovNanos = round(log(lit(1.0) / (total + 1.0)) * 1e9).cast(LongType)
     tok.join(vocab, Seq("term"), "left")
       .groupBy(col(idCol))
       .agg(round(
-        sum(coalesce(round(log(col("cnt") / total.toDouble), 9), oovLogP))
-          / count(lit(1)), 6).as("avg_logp"))
+        sum(coalesce(
+          round(log(col("cnt") / total.toDouble) * 1e9).cast(LongType), oovNanos))
+          .cast(DoubleType) / count(lit(1)) / 1e9, 6).as("avg_logp"))
   }
 
   /** Sequence packing (concat-and-chunk): lay each group's documents end to

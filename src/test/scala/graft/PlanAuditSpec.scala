@@ -55,4 +55,38 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("SinglePartition"),
       s"single-partition exchange in:\n$plan")
   }
+
+  test("bloomSemiJoin: might_contain filters the fact scan stage, codegen'd") {
+    import graft.operators.Relational
+    val fact = spark.read.parquet(dir)
+    val dim = spark.read.parquet(dir).filter(col("grp") === 0).select(col("id").as("dk"))
+    val plan = finalPlan(Relational.bloomSemiJoin(fact, dim, "id", "dk",
+      expectedItems = 100L, numBits = 1L << 12))
+    // the bloom probe must sit in a Filter on the fact side (same codegen
+    // stage as the scan), not after the join
+    assert(plan.contains("might_contain"), s"no bloom probe in:\n$plan")
+    assert(plan.contains("[codegen id :"), s"no codegen span in:\n$plan")
+  }
+
+  test("chunkAssignments window partitions by the group key (no SinglePartition)") {
+    import graft.operators.TextAnalysis
+    val docs = (1L to 300L).map(i => (i, s"tok$i word another t$i", s"s${i % 5}"))
+      .toDF("doc_id", "text", "source")
+    val plan = finalPlan(
+      TextAnalysis.chunkAssignments(docs, "doc_id", "text", "source", budget = 16))
+    assert(!plan.contains("SinglePartition"),
+      s"global window would serialize packing:\n$plan")
+  }
+
+  test("labelCentroids aggregates with partial (map-side) combine") {
+    import graft.operators.Similarity
+    val emb = (1L to 200L).map(i =>
+      (i, Seq.fill(8)((i % 13).toFloat), s"l${i % 3}")).toDF("id", "embedding", "label")
+    val plan = finalPlan(Similarity.labelCentroids(emb, "label", "embedding"))
+    // two HashAggregates (partial + final) around one exchange — the shuffle
+    // carries labels × dim rows, not corpus × dim
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"missing partial aggregate in:\n$plan")
+    assert(!plan.contains("SinglePartition"), s"single-partition agg in:\n$plan")
+  }
 }
