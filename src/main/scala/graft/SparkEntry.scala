@@ -592,7 +592,34 @@ object SparkEntry {
     "q_embedding_centroid" -> ((s, dir) =>
       Similarity.labelCentroids(rd(s, dir, "embeddings"), "label", "embedding")
         .select(col("label"), col("pos").cast(LongType).as("pos"), col("centroid"))
-        .orderBy("label", "pos"))
+        .orderBy("label", "pos")),
+    "q_containment" -> ((s, dir) =>
+      // asymmetric near-dup: |A∩B| / min(|A|,|B|) catches small-doc-inside-
+      // big-doc duplication that symmetric jaccard misses; same LSH blocking
+      // + shared shingle projection as q_ngram_jaccard
+      Dedup.ngramContainmentLshPortable(rd(s, dir, "documents"), "doc_id", "text",
+          threshold = 0.7, numHashes = 16, bands = 8, ngram = 3)
+        .orderBy("id_a", "id_b")),
+    "q_grouped_median" -> ((s, dir) =>
+      // exact interpolated percentile per group. Determinism: the median of
+      // INTEGER cents interpolates with frac ∈ {0, 0.5} only — exact in
+      // double under either a+f·(b−a) or (1−f)·a+f·b, so Spark and DuckDB
+      // agree bit-for-bit (a p90 over raw doubles would not)
+      rd(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(
+          expr("percentile(cast(round(l_extendedprice * 100) as bigint), 0.5)")
+            .as("median_cents"),
+          expr("percentile(l_quantity, 0.5)").as("median_qty"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")),
+    "q_string_agg" -> ((s, dir) =>
+      // deterministic group concat: collect_list is order-nondeterministic
+      // under parallelism, so sort before joining — the portable form of
+      // string_agg(x ORDER BY x)
+      rd(s, dir, "nation").groupBy("n_regionkey")
+        .agg(array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"),
+          count(lit(1)).as("n_nations"))
+        .orderBy("n_regionkey"))
   )
 
   /** shared by q_cosine_topk (functions-based) and q_cosine_expr (native
@@ -715,11 +742,14 @@ object SparkEntry {
        ORDER BY doc_id"""
   }
 
-  /** LSH-blocked n-gram Jaccard pipeline in DuckDB SQL, generated with the
-    * SAME seed-42 affine parameters as Dedup.ngramJaccardLshPortable:
-    * 3-gram md5 min-hash (16 hashes), 8 bands × 2 rows, bucket-local
-    * candidate pairs, exact shingle-set jaccard ≥ 0.5 on candidates only. */
-  private val NgramJaccardLshOracle: String = {
+  /** LSH-blocked n-gram similarity pipeline in DuckDB SQL, generated with
+    * the SAME seed-42 affine parameters as Dedup.ngramJaccardLshPortable /
+    * ngramContainmentLshPortable: 3-gram md5 min-hash (16 hashes), 8 bands
+    * × 2 rows, bucket-local candidate pairs, then the exact pair score
+    * (`scoreExpr` over distinct shingle lists `a.t` / `b.t`, aliased
+    * `scoreName`) ≥ threshold on candidates only. */
+  private def ngramLshOracle(scoreExpr: String, scoreName: String,
+                             threshold: Double): String = {
     val params = Dedup.hashParams(16)
     val valuesList = params.zipWithIndex
       .map { case ((a, b), i) => s"($i, ${a}, ${b})" }.mkString(", ")
@@ -753,15 +783,24 @@ object SparkEntry {
            ON l.b = r.b AND l.bk = r.bk AND l.doc_id < r.doc_id),
        dt AS (
          SELECT doc_id, list_distinct(list(s)) AS t FROM sh GROUP BY doc_id)
-       SELECT id_a, id_b, jaccard FROM (
+       SELECT id_a, id_b, $scoreName FROM (
          SELECT p.id_a, p.id_b,
-           round(len(list_filter(a.t, x -> list_contains(b.t, x)))
-             / (len(a.t) + len(b.t) - len(list_filter(a.t, x -> list_contains(b.t, x)))), 6) AS jaccard
+           $scoreExpr AS $scoreName
          FROM pairs p
          JOIN dt a ON a.doc_id = p.id_a
          JOIN dt b ON b.doc_id = p.id_b)
-       WHERE jaccard >= 0.5 ORDER BY id_a, id_b"""
+       WHERE $scoreName >= $threshold ORDER BY id_a, id_b"""
   }
+
+  private val NgramJaccardLshOracle: String = ngramLshOracle(
+    """round(len(list_filter(a.t, x -> list_contains(b.t, x)))
+             / (len(a.t) + len(b.t) - len(list_filter(a.t, x -> list_contains(b.t, x)))), 6)""",
+    "jaccard", 0.5)
+
+  private val NgramContainmentLshOracle: String = ngramLshOracle(
+    """round(len(list_filter(a.t, x -> list_contains(b.t, x)))
+             / least(len(a.t), len(b.t)), 6)""",
+    "containment", 0.7)
 
   /** recall@10 of lshTopK(nBits=16, maxFlips=3) vs brute force in DuckDB:
     * the seed-42 hyperplane weights are embedded as exact double literals
@@ -1248,6 +1287,19 @@ object SparkEntry {
          SELECT label, CAST(pos AS BIGINT) AS pos,
            CAST(round(CAST(sum(CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT))
                AS DOUBLE) / count(*)) AS BIGINT) / 1000000.0 AS centroid
-         FROM e GROUP BY label, pos ORDER BY label, pos"""
+         FROM e GROUP BY label, pos ORDER BY label, pos""",
+    "q_containment" -> NgramContainmentLshOracle,
+    "q_grouped_median" ->
+      """SELECT l_returnflag,
+           quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.5)
+             AS median_cents,
+           quantile_cont(l_quantity, 0.5) AS median_qty,
+           count(*) AS n
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_string_agg" ->
+      """SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations,
+           count(*) AS n_nations
+         FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"""
   )
 }

@@ -673,6 +673,38 @@ object Dedup {
     verifyJaccardOnShingleArrays(sh, idCol, cands, threshold)
   }
 
+  /** Asymmetric CONTAINMENT near-dup pairs: containment(A,B) =
+    * |A∩B| / min(|A|,|B|) over distinct n-gram shingle sets — flags a
+    * document largely CONTAINED in another (quote farms, boilerplate
+    * wrappers, page-of-a-book extracts) that symmetric Jaccard misses
+    * (a 100-shingle doc inside a 10k-shingle doc has jaccard ≈ 0.01 but
+    * containment 1.0). Candidates come from the same MinHash-LSH banding as
+    * [[ngramJaccardLshPortable]] and share its ONE materialized shingle
+    * projection; no size-ratio prefilter applies (wild size mismatch is
+    * exactly the signal).
+    *
+    * Scale caveat (honest recall statement): MinHash-LSH banding collides on
+    * JACCARD, so extreme small-in-big containment pairs under-collide — at
+    * 100 TB a dedicated containment index (prefix filtering on the smaller
+    * side's rarest shingles) would replace candidate generation; the verify
+    * stage here is unchanged by that swap. */
+  def ngramContainmentLshPortable(df: DataFrame, idCol: String, textCol: String,
+                                  threshold: Double = 0.7, numHashes: Int = 16,
+                                  bands: Int = 8, ngram: Int = 3): DataFrame = {
+    val sh = shingleArrays(df, idCol, textCol, ngram)
+    val sigs = sigsFromShingleHash(
+      shingleHashRowsFromArrays(sh, idCol, portable = true), idCol, numHashes)
+    val cands = portableBandPairs(sigs, idCol, numHashes, bands)
+    val joined = cands.select("id_a", "id_b")
+      .join(sh.select(col(idCol).as("id_a"), col("__sh").as("__ta")), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("__sh").as("__tb")), "id_b")
+    val inter = size(array_intersect(col("__ta"), col("__tb"))).cast(DoubleType)
+    joined.select(col("id_a"), col("id_b"),
+        round(inter / least(size(col("__ta")), size(col("__tb"))).cast(DoubleType), 6)
+          .as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   /** embedding-cosine near-dup pairs with banded-LSH blocking — the scale
     * path when no natural blocking key exists. Candidates = pairs sharing a
     * bandBits-bit random-hyperplane signature in ANY of `bands` bands

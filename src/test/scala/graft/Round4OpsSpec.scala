@@ -99,6 +99,35 @@ class Round4OpsSpec extends AnyFunSuite {
       (1L, 4L, 0L, 0L), (2L, 3L, 4L, 0L), (3L, 5L, 7L, 1L), (4L, 2L, 0L, 0L)))
   }
 
+  test("containment flags a small doc inside a big one that jaccard misses") {
+    import graft.operators.Dedup
+    val small = "alpha beta gamma delta epsilon zeta eta theta"
+    val filler = (1 to 120).map(i => s"filler$i word$i").mkString(" ")
+    val docs = Seq(
+      (1L, small),
+      (2L, small + " " + filler), // contains ALL of doc 1 + much more
+      (3L, "completely unrelated content about engines")
+    ).toDF("doc_id", "text")
+    // verify stage directly (candidate pairs supplied): containment sees the
+    // subset relation at 1.0 while jaccard on the same pair is far below 0.5
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val sh = docs.select(col("doc_id"),
+      Dedup.shinglesFromTokens(
+        graft.operators.TextAnalysis.tokens(col("text")), 3, distinct = true).as("t"))
+    val joined = pairs
+      .join(sh.select(col("doc_id").as("id_a"), col("t").as("ta")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("t").as("tb")), "id_b")
+    val inter = size(array_intersect(col("ta"), col("tb"))).cast("double")
+    val scored = joined.select(col("id_a"), col("id_b"),
+        (inter / least(size(col("ta")), size(col("tb"))).cast("double")).as("cont"),
+        (inter / (size(col("ta")) + size(col("tb")) - inter).cast("double")).as("jac"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getDouble(3))).toMap
+    val (cont12, jac12) = scored((1L, 2L))
+    assert(cont12 > 0.9, s"subset pair containment $cont12 should be ~1")
+    assert(jac12 < 0.2, s"subset pair jaccard $jac12 should be small")
+    assert(scored((1L, 3L))._1 < 0.2)
+  }
+
   test("labelCentroids: hand-computed means, invariant under repartitioning") {
     val df = Seq(
       (1L, Seq(1.0f, 2.0f), "x"),
