@@ -68,6 +68,27 @@ object Bench {
         val w = Window.partitionBy("doc_id").orderBy("doc_id")
         docs.select(col("doc_id"), row_number().over(w).as("rn"),
           sum(length(col("text"))).over(w).as("s")).count()
+      }),
+      // round-4 families: bloom sketch agg + might_contain probe,
+      // exact percentile agg, PII regex extract/replace, posexplode means
+      "bloom_semi" -> (() => {
+        import graft.operators.Relational
+        Relational.bloomSemiJoin(docs, docs.select(col("doc_id").as("dk")).limit(64),
+          "doc_id", "dk", expectedItems = 64L, numBits = 1L << 12).count()
+      }),
+      "percentile_agg" -> (() =>
+        docs.groupBy(col("doc_id") % 3)
+          .agg(expr("percentile(length(text), 0.5)")).count()),
+      "pii_regex" -> (() => {
+        import graft.operators.TextAnalysis
+        docs.select(TextAnalysis.redactPii(col("text")),
+          TextAnalysis.piiCounts(col("text"))._1).count()
+      }),
+      "posexplode_mean" -> (() => {
+        import graft.operators.Similarity
+        Similarity.labelCentroids(
+          emb.selectExpr("vec_id", "embedding", "cast(vec_id % 3 as string) as label"),
+          "label", "embedding").count()
       }))
     steps.foreach { case (name, step) =>
       try step()
