@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarityExpr, MinHashSigExpr}
+import graft.functions.{CosineSimilarityExpr, HyperplaneSigExpr, MinHashSigExpr}
 
 /** Session extensions registering graft's native Catalyst expressions
   * (SURVEY §7.3 tier (b)). Activate either at session build time
@@ -19,6 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.cosineDescriptor)
     ext.injectFunction(GraftExtensions.minhashDescriptor)
+    ext.injectFunction(GraftExtensions.hyperplaneDescriptor)
   }
 }
 
@@ -54,11 +55,39 @@ object GraftExtensions {
       MinHashSigExpr(args.head, numHashes)
     })
 
+  private def intLiteral(e: Expression, what: String): Int = e match {
+    case l if l.foldable => l.eval() match {
+      case i: Int => i
+      case lg: Long => lg.toInt
+      case other => throw new IllegalArgumentException(
+        s"graft_hyperplane_sig $what must be an integer literal, got $other")
+    }
+    case _ => throw new IllegalArgumentException(
+      s"graft_hyperplane_sig $what must be a literal")
+  }
+
+  private val hyperplaneDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_hyperplane_sig"),
+    new ExpressionInfo(classOf[HyperplaneSigExpr].getName, "graft_hyperplane_sig"),
+    (args: Seq[Expression]) => {
+      require(args.length == 3 || args.length == 4,
+        "graft_hyperplane_sig takes (array vec, int dim, int nBits[, bigint seed])" +
+          s", got ${args.length} args")
+      val seed = if (args.length == 4) intLiteral(args(3), "seed").toLong else 42L
+      // explicit element cast: float-array columns arrive as array<float>
+      val vec = org.apache.spark.sql.catalyst.expressions.Cast(args.head,
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))
+      HyperplaneSigExpr(vec, intLiteral(args(1), "dim"),
+        intLiteral(args(2), "nBits"), seed)
+    })
+
   /** imperative registration on an existing session (idempotent). */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       cosineDescriptor._1, cosineDescriptor._2, cosineDescriptor._3)
     spark.sessionState.functionRegistry.registerFunction(
       minhashDescriptor._1, minhashDescriptor._2, minhashDescriptor._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      hyperplaneDescriptor._1, hyperplaneDescriptor._2, hyperplaneDescriptor._3)
   }
 }

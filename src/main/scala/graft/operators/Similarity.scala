@@ -83,9 +83,24 @@ object Similarity {
   }
 
   /** random-hyperplane LSH signature: one bit per plane = sign(v·plane).
-    * Vectors with equal signatures land in the same ANN bucket. */
+    * Vectors with equal signatures land in the same ANN bucket.
+    * Production path: the native codegen'd
+    * [[graft.functions.HyperplaneSigExpr]] — one fused loop nest instead of
+    * nBits CodegenFallback HOF dot products, bit-identical to
+    * [[lshSignatureFns]] (proven in HyperplaneExprSpec). */
   def lshSignature(vecCol: Column, dim: Int, nBits: Int = 16,
                    seed: Long = 42L): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    import org.apache.spark.sql.catalyst.expressions.Cast
+    GraftSqlBridge.column(graft.functions.HyperplaneSigExpr(
+      Cast(GraftSqlBridge.expression(vecCol), ArrayType(DoubleType)),
+      dim, nBits, seed))
+  }
+
+  /** reference formulation from org.apache.spark.sql.functions only —
+    * kept for cross-checking the native kernel. */
+  def lshSignatureFns(vecCol: Column, dim: Int, nBits: Int = 16,
+                      seed: Long = 42L): Column = {
     val bits = hyperplanes(dim, nBits, seed).zipWithIndex.map { case (plane, i) =>
       val planeCol = array(plane.map(lit): _*)
       when(dotProduct(vecCol, planeCol) >= 0, lit(1L << i)).otherwise(lit(0L))
