@@ -20,10 +20,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * out of whole-stage codegen. This kernel is one expression node regardless
   * of numHashes, hashes each shingle exactly once, allocates nothing but the
   * output array, and `doGenCode` emits the loop straight into the codegen
-  * body. (The DataFrame-level explode+aggregate form in `Dedup.minhashSigs`
-  * remains the corpus-scale path — it gets map-side partial mins across
-  * rows; this expression serves per-row/inline uses: streaming ingest,
-  * signature columns inside wider projections.)
+  * body. (For per-doc TEXT input prefer [[MinHashTokensSigExpr]], which also
+  * fuses the shingling and avoids the projection-collapse re-tokenize trap;
+  * this expression serves callers that already hold a shingle array —
+  * streaming ingest, signature columns inside wider projections. The
+  * explode+aggregate form `Dedup.minhashSigsAgg` remains for inputs that
+  * arrive as one-row-per-shingle tables.)
   *
   * The (a_i, b_i) affine family is `Dedup.hashParams(numHashes)` (seed 42)
   * and the shingle hash is `pmod(xxhash64(s), 2^31)` — output is
@@ -124,5 +126,106 @@ object MinHashSigExpr {
   def hash31(s: UTF8String): Long = {
     val h = XxHash64Function.hash(s, StringType, 42L) % TwoPow31
     if (h < 0) h + TwoPow31 else h
+  }
+}
+
+/** MinHash signature straight from a TOKEN array: word n-gram shingling +
+  * hashing + all `numHashes` minima fused into ONE expression — no
+  * intermediate shingle array at all.
+  *
+  * Why (the projection-collapse trap): building the shingle array with the
+  * `transform(sequence(...), i -> concat_ws(slice(toks, ...)))` HOF and
+  * feeding it to [[MinHashSigExpr]] leaves a CodegenFallback HOF in the
+  * projection AND — because Catalyst's CollapseProject substitutes alias
+  * references into lambda bodies, where common-subexpression elimination
+  * does not reach — re-evaluates the upstream tokenize/regex per reference.
+  * Measured at sf0.1: 6.9 s for the HOF-shingled kernel vs 1.6 s for
+  * explode+aggregate (which only dodges collapse because Generate blocks
+  * it). This expression references the token array exactly ONCE, so
+  * collapsing the tokenize projection into it is safe, and the whole
+  * doc→signature pipeline stays inside whole-stage codegen: 0.4 s.
+  *
+  * Shingle semantics mirror [[graft.operators.Dedup.shinglesFromTokens]]
+  * exactly: windows start at 0..max(len−n, 0) (so a doc shorter than n
+  * yields ONE shorter shingle, and an empty token array yields the empty
+  * string — never a null signature here), tokens join with a single space,
+  * null tokens are skipped like concat_ws does. Bit-identical signatures to
+  * the explode+aggregate form (asserted in OperatorsSpec).
+  */
+case class MinHashTokensSigExpr(child: Expression, ngram: Int, numHashes: Int)
+    extends UnaryExpression {
+
+  require(ngram > 0, s"ngram must be positive, got $ngram")
+  require(numHashes > 0, s"numHashes must be positive, got $numHashes")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_minhash_tokens requires array<string> tokens, got ${other.catalogString}")
+  }
+
+  private lazy val params: Array[(Long, Long)] =
+    graft.operators.Dedup.hashParams(numHashes).toArray
+  private lazy val aArr: Array[Long] = params.map(_._1)
+  private lazy val bArr: Array[Long] = params.map(_._2)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_minhash_tokens"
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashTokensSigExpr.compute(
+      input.asInstanceOf[ArrayData], ngram, aArr, bArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, xs => {
+      val aRef = ctx.addReferenceObj("minhashA", aArr, "long[]")
+      val bRef = ctx.addReferenceObj("minhashB", bArr, "long[]")
+      s"""
+         |${ev.value} = graft.functions.MinHashTokensSigExpr.compute(
+         |  $xs, $ngram, $aRef, $bRef);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashTokensSigExpr =
+    copy(child = newChild)
+}
+
+object MinHashTokensSigExpr {
+  private val Space = UTF8String.fromString(" ")
+
+  /** shared by interpreted eval and generated code: one pass, one
+    * UTF8String allocation per shingle (the same strings concat_ws built),
+    * minima updated in place. */
+  def compute(toks: ArrayData, ngram: Int,
+              a: Array[Long], b: Array[Long]): GenericArrayData = {
+    val len = toks.numElements()
+    val numHashes = a.length
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    val nShingles = math.max(len - ngram, 0) + 1
+    val parts = new Array[UTF8String](ngram)
+    var s = 0
+    while (s < nShingles) {
+      val end = math.min(s + ngram, len)
+      var m = 0
+      var j = s
+      while (j < end) {
+        // concat_ws semantics: null elements are skipped
+        if (!toks.isNullAt(j)) { parts(m) = toks.getUTF8String(j); m += 1 }
+        j += 1
+      }
+      val shingle =
+        if (m == ngram) UTF8String.concatWs(Space, parts: _*)
+        else UTF8String.concatWs(Space, java.util.Arrays.copyOf(parts, m): _*)
+      val x = MinHashSigExpr.hash31(shingle)
+      var i = 0
+      while (i < numHashes) {
+        val v = (x * a(i) + b(i)) % MinHashSigExpr.P
+        if (v < mins(i)) mins(i) = v
+        i += 1
+      }
+      s += 1
+    }
+    new GenericArrayData(mins)
   }
 }

@@ -29,6 +29,11 @@ class OperatorsSpec extends AnyFunSuite {
   test("minhash signatures: identical texts get identical sigs, length = numHashes") {
     val sigs = Dedup.minhashSigs(docs, "doc_id", "text", numHashes = 32)
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // the row-local native path must be bit-identical to the explode+agg
+    // form (same affine family; min over multiset ≡ min over set)
+    val aggSigs = Dedup.minhashSigsAgg(docs, "doc_id", "text", numHashes = 32)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs == aggSigs)
     assert(sigs(1L).length == 32)
     assert(sigs(1L) == sigs(2L))           // identical text → identical sig
     assert(sigs(1L) != sigs(4L))           // different text → different sig
