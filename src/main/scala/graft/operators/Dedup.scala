@@ -487,13 +487,25 @@ object Dedup {
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
-  /** SimHash signatures as a DataFrame (idCol, simhash): explode distinct
-    * tokens, hash each ONCE, explode the 64 bit positions, majority-vote per
-    * (doc, bit) in a hash aggregate, then OR the winning bits together.
-    * Same constant-codegen rationale as [[minhashSigs]] — the Column form
-    * [[simhash64]] inlines 64 array folds and pays seconds of planning.
-    * Bit values are identical to [[simhash64]]. */
+  /** SimHash signatures as a DataFrame (idCol, simhash), computed ROW-LOCALLY
+    * by the fused tokens→signature kernel
+    * ([[graft.functions.SimHashTokensExpr]]): distinct-token dedup, xxhash64,
+    * and all 64 majority votes in one codegen'd pass — no explode, no
+    * shuffle. Bit-identical to [[simhash64]] and to [[simhashSigsAgg]]
+    * (asserted in OperatorsSpec). Measured at sf0.1: the aggregate form
+    * shipped 64 shuffle rows PER TOKEN through two hash aggregates. */
   def simhashSigs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge
+    val toks = TextAnalysis.tokens(TextAnalysis.normalized(col(textCol)))
+    df.select(col(idCol),
+      GraftSqlBridge.column(graft.functions.SimHashTokensExpr(
+        GraftSqlBridge.expression(toks))).as("simhash"))
+  }
+
+  /** SimHash via explode + majority-vote hash aggregates — the shape for
+    * inputs that arrive as one-row-per-token tables; for per-doc text input
+    * [[simhashSigs]]'s row-local kernel needs no shuffle and replaces this. */
+  def simhashSigsAgg(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val perTok = df.select(col(idCol), explode(array_distinct(
         TextAnalysis.tokens(TextAnalysis.normalized(col(textCol))))).as("__tok"))
       .select(col(idCol), xxhash64(col("__tok")).as("__x"))

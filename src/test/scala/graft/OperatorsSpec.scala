@@ -56,6 +56,13 @@ class OperatorsSpec extends AnyFunSuite {
   test("simhash: equal for identical, near for near-dups (hamming)") {
     val sh = docs.select(col("doc_id"), Dedup.simhash64(col("text")).as("s"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // all three formulations must agree bit-for-bit: the 64-fold Column
+    // form, the fused kernel, and the explode+vote aggregate
+    val kernel = Dedup.simhashSigs(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val agg = Dedup.simhashSigsAgg(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kernel == sh && agg == sh)
     assert(sh(1L) == sh(2L))
     val hammingNear = java.lang.Long.bitCount(sh(1L) ^ sh(3L))
     val hammingFar = java.lang.Long.bitCount(sh(1L) ^ sh(4L))
