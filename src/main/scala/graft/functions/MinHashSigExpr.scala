@@ -34,7 +34,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * non-negative (no ANSI overflow; `%` ≡ pmod). Empty input → NULL (no
   * shingles, no signature); null elements are skipped.
   */
-case class MinHashSigExpr(child: Expression, numHashes: Int)
+case class MinHashSigExpr(child: Expression, numHashes: Int,
+                          md5Portable: Boolean = false)
     extends UnaryExpression {
 
   require(numHashes > 0, s"numHashes must be positive, got $numHashes")
@@ -57,58 +58,21 @@ case class MinHashSigExpr(child: Expression, numHashes: Int)
   override def nullable: Boolean = true // empty input → null signature
   override def prettyName: String = "graft_minhash"
 
-  override def nullSafeEval(input: Any): Any = {
-    val xs = input.asInstanceOf[ArrayData]
-    val n = xs.numElements()
-    val mins = Array.fill(numHashes)(Long.MaxValue)
-    var any = false
-    var i = 0
-    while (i < n) {
-      if (!xs.isNullAt(i)) {
-        any = true
-        val x = MinHashSigExpr.hash31(xs.getUTF8String(i))
-        var j = 0
-        while (j < numHashes) {
-          val v = (x * aArr(j) + bArr(j)) % MinHashSigExpr.P
-          if (v < mins(j)) mins(j) = v
-          j += 1
-        }
-      }
-      i += 1
-    }
-    if (!any) null else new GenericArrayData(mins)
-  }
+  override def nullSafeEval(input: Any): Any =
+    MinHashSigExpr.compute(input.asInstanceOf[ArrayData], aArr, bArr, md5Portable)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, xs => {
       val aRef = ctx.addReferenceObj("minhashA", aArr, "long[]")
       val bRef = ctx.addReferenceObj("minhashB", bArr, "long[]")
-      val n = ctx.freshName("n")
-      val i = ctx.freshName("i")
-      val j = ctx.freshName("j")
-      val x = ctx.freshName("x")
-      val v = ctx.freshName("v")
-      val any = ctx.freshName("any")
-      val mins = ctx.freshName("mins")
+      val res = ctx.freshName("res")
       s"""
-         |int $n = $xs.numElements();
-         |long[] $mins = new long[$numHashes];
-         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
-         |boolean $any = false;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if (!$xs.isNullAt($i)) {
-         |    $any = true;
-         |    long $x = graft.functions.MinHashSigExpr.hash31($xs.getUTF8String($i));
-         |    for (int $j = 0; $j < $numHashes; $j++) {
-         |      long $v = ($x * $aRef[$j] + $bRef[$j]) % ${MinHashSigExpr.P}L;
-         |      if ($v < $mins[$j]) $mins[$j] = $v;
-         |    }
-         |  }
-         |}
-         |if (!$any) {
+         |org.apache.spark.sql.catalyst.util.GenericArrayData $res =
+         |  graft.functions.MinHashSigExpr.compute($xs, $aRef, $bRef, $md5Portable);
+         |if ($res == null) {
          |  ${ev.isNull} = true;
          |} else {
-         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+         |  ${ev.value} = $res;
          |}
        """.stripMargin
     })
@@ -126,6 +90,61 @@ object MinHashSigExpr {
   def hash31(s: UTF8String): Long = {
     val h = XxHash64Function.hash(s, StringType, 42L) % TwoPow31
     if (h < 0) h + TwoPow31 else h
+  }
+
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** pmod(conv(substring(md5(bytes), 1, 8), 16, 10), 2^31) — the md5-derived
+    * 31-bit hash every portable (DuckDB-replicable) pipeline uses. The first
+    * 8 hex characters of the digest ARE the first 4 bytes big-endian, so this
+    * parses no hex. Value < 2^32 is non-negative → plain % ≡ pmod. */
+  def hash31Md5(s: UTF8String): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    val v = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    v % TwoPow31
+  }
+
+  /** first 15 hex chars of md5 as a long — conv(substring(md5, 1, 15), 16,
+    * 10): top 60 bits of the first 8 digest bytes (drop the 16th nibble). */
+  def hash60Md5(s: UTF8String): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+
+  /** shared by interpreted eval and generated code (both hash bases). */
+  def compute(xs: ArrayData, a: Array[Long], b: Array[Long],
+              md5Portable: Boolean): GenericArrayData = {
+    val n = xs.numElements()
+    val numHashes = a.length
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var any = false
+    var i = 0
+    while (i < n) {
+      if (!xs.isNullAt(i)) {
+        any = true
+        val s = xs.getUTF8String(i)
+        val x = if (md5Portable) hash31Md5(s) else hash31(s)
+        var j = 0
+        while (j < numHashes) {
+          val v = (x * a(j) + b(j)) % P
+          if (v < mins(j)) mins(j) = v
+          j += 1
+        }
+      }
+      i += 1
+    }
+    if (!any) null else new GenericArrayData(mins)
   }
 }
 
@@ -152,7 +171,8 @@ object MinHashSigExpr {
   * null tokens are skipped like concat_ws does. Bit-identical signatures to
   * the explode+aggregate form (asserted in OperatorsSpec).
   */
-case class MinHashTokensSigExpr(child: Expression, ngram: Int, numHashes: Int)
+case class MinHashTokensSigExpr(child: Expression, ngram: Int, numHashes: Int,
+                                md5Portable: Boolean = false)
     extends UnaryExpression {
 
   require(ngram > 0, s"ngram must be positive, got $ngram")
@@ -175,7 +195,7 @@ case class MinHashTokensSigExpr(child: Expression, ngram: Int, numHashes: Int)
 
   override def nullSafeEval(input: Any): Any =
     MinHashTokensSigExpr.compute(
-      input.asInstanceOf[ArrayData], ngram, aArr, bArr)
+      input.asInstanceOf[ArrayData], ngram, aArr, bArr, md5Portable)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, xs => {
@@ -183,7 +203,7 @@ case class MinHashTokensSigExpr(child: Expression, ngram: Int, numHashes: Int)
       val bRef = ctx.addReferenceObj("minhashB", bArr, "long[]")
       s"""
          |${ev.value} = graft.functions.MinHashTokensSigExpr.compute(
-         |  $xs, $ngram, $aRef, $bRef);
+         |  $xs, $ngram, $aRef, $bRef, $md5Portable);
        """.stripMargin
     })
 
@@ -198,7 +218,8 @@ object MinHashTokensSigExpr {
     * UTF8String allocation per shingle (the same strings concat_ws built),
     * minima updated in place. */
   def compute(toks: ArrayData, ngram: Int,
-              a: Array[Long], b: Array[Long]): GenericArrayData = {
+              a: Array[Long], b: Array[Long],
+              md5Portable: Boolean): GenericArrayData = {
     val len = toks.numElements()
     val numHashes = a.length
     val mins = Array.fill(numHashes)(Long.MaxValue)
@@ -217,7 +238,8 @@ object MinHashTokensSigExpr {
       val shingle =
         if (m == ngram) UTF8String.concatWs(Space, parts: _*)
         else UTF8String.concatWs(Space, java.util.Arrays.copyOf(parts, m): _*)
-      val x = MinHashSigExpr.hash31(shingle)
+      val x = if (md5Portable) MinHashSigExpr.hash31Md5(shingle)
+        else MinHashSigExpr.hash31(shingle)
       var i = 0
       while (i < numHashes) {
         val v = (x * a(i) + b(i)) % MinHashSigExpr.P

@@ -24,7 +24,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * yields votes of all zero → signature 0L, matching `simhash64` (a
   * zero-token doc cannot occur from the tokenizer, which yields [""]).
   */
-case class SimHashTokensExpr(child: Expression) extends UnaryExpression {
+case class SimHashTokensExpr(child: Expression, md5Portable: Boolean = false)
+    extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -37,30 +38,35 @@ case class SimHashTokensExpr(child: Expression) extends UnaryExpression {
   override def prettyName: String = "graft_simhash_tokens"
 
   override def nullSafeEval(input: Any): Any =
-    SimHashTokensExpr.compute(input.asInstanceOf[ArrayData])
+    SimHashTokensExpr.compute(input.asInstanceOf[ArrayData], md5Portable)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, xs =>
-      s"${ev.value} = graft.functions.SimHashTokensExpr.compute($xs);")
+      s"${ev.value} = graft.functions.SimHashTokensExpr.compute($xs, $md5Portable);")
 
   override protected def withNewChildInternal(newChild: Expression): SimHashTokensExpr =
     copy(child = newChild)
 }
 
 object SimHashTokensExpr {
-  /** shared by interpreted eval and generated code. */
-  def compute(toks: ArrayData): Long = {
+  /** shared by interpreted eval and generated code. md5Portable = the
+    * DuckDB-replicable 60-bit variant: token hash = first 15 md5 hex chars
+    * (top 60 bits of the first 8 digest bytes), votes over 60 bit positions
+    * — matching `conv(substring(md5(tok), 1, 15), 16, 10)` exactly. */
+  def compute(toks: ArrayData, md5Portable: Boolean): Long = {
+    val nBits = if (md5Portable) 60 else 64
     val len = toks.numElements()
-    val votes = new Array[Int](64)
+    val votes = new Array[Int](nBits)
     val seen = new java.util.HashSet[UTF8String](math.max(16, len * 2))
     var t = 0
     while (t < len) {
       if (!toks.isNullAt(t)) {
         val tok = toks.getUTF8String(t)
         if (seen.add(tok)) {
-          val h = XxHash64Function.hash(tok, StringType, 42L)
+          val h = if (md5Portable) MinHashSigExpr.hash60Md5(tok)
+            else XxHash64Function.hash(tok, StringType, 42L)
           var i = 0
-          while (i < 64) {
+          while (i < nBits) {
             if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
             i += 1
           }
@@ -70,7 +76,7 @@ object SimHashTokensExpr {
     }
     var sig = 0L
     var i = 0
-    while (i < 64) {
+    while (i < nBits) {
       if (votes(i) > 0) sig |= (1L << i)
       i += 1
     }

@@ -260,10 +260,25 @@ object Dedup {
       pmod(conv(substring(md5(to_binary(col("__sh"), lit("utf-8"))), 1, 8), 16, 10)
         .cast(LongType), lit(1L << 31)).as("__x"))
 
-  /** md5-portable MinHash signatures (same one-aggregate scale shape as
-    * [[minhashSigs]]). */
+  /** md5-portable MinHash signatures, fused like [[minhashSigs]]: the same
+    * tokens→signature kernel on the md5-derived hash base (first 4 digest
+    * bytes ≡ the oracle's `conv(substring(md5(s),1,8),16,10)`), so the whole
+    * projection stays row-local and codegen'd while remaining exactly
+    * DuckDB-replicable. */
   def minhashSigsPortable(df: DataFrame, idCol: String, textCol: String,
-                          numHashes: Int = 16, shingleSize: Int = 3): DataFrame =
+                          numHashes: Int = 16, shingleSize: Int = 3): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge
+    val toks = TextAnalysis.tokens(TextAnalysis.normalized(col(textCol)))
+    df.select(col(idCol),
+      GraftSqlBridge.column(graft.functions.MinHashTokensSigExpr(
+        GraftSqlBridge.expression(toks), shingleSize, numHashes,
+        md5Portable = true)).as("sig"))
+  }
+
+  /** md5-portable MinHash signatures via explode + one wide aggregate — the
+    * one-row-per-shingle table shape (see [[minhashSigsAgg]]). */
+  def minhashSigsPortableAgg(df: DataFrame, idCol: String, textCol: String,
+                             numHashes: Int = 16, shingleSize: Int = 3): DataFrame =
     sigsFromShingleHash(shingleHashRowsPortable(df, idCol, textCol, shingleSize),
       idCol, numHashes)
 
@@ -527,28 +542,18 @@ object Dedup {
     exactDedup(sig, col("simhash"), idCol).join(df, Seq(idCol))
   }
 
-  /** 60-bit SimHash dedup on md5-derived token hashes — same per-bit
-    * majority-vote construction as [[simhashSigs]], but md5/hex/bit-ops all
-    * exist in DuckDB, so the whole pipeline gets an exact SQL oracle
-    * (15 hex chars = 60 bits keeps the value positive in a signed BIGINT
-    * for both engines). */
+  /** 60-bit SimHash dedup on md5-derived token hashes — same construction as
+    * [[simhashSigs]] but on the hash base DuckDB can replicate (first 15 md5
+    * hex chars = 60 bits keeps the value positive in a signed BIGINT for
+    * both engines), so the whole pipeline gets an exact SQL oracle. Fused
+    * row-local kernel like the xxhash64 path; the explode+vote aggregate
+    * formulation it replaced survives as the oracle's CTE chain. */
   def simhashDedupPortable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val nBits = 60
-    val perBit = df
-      .select(col(idCol),
-        TextAnalysis.tokens(TextAnalysis.normalized(col(textCol))).as("__toks"))
-      .select(col(idCol), explode(array_distinct(col("__toks"))).as("__tok"))
-      .select(col(idCol),
-        conv(substring(md5(to_binary(col("__tok"), lit("utf-8"))), 1, 15), 16, 10)
-          .cast(LongType).as("__x"))
-      .select(col(idCol), col("__x"),
-        explode(sequence(lit(0), lit(nBits - 1))).as("__i"))
-      .groupBy(col(idCol), col("__i"))
-      .agg(sum(expr("CASE WHEN (shiftright(__x, __i) & 1) = 1 THEN 1 ELSE -1 END")).as("__v"))
-    val sig = perBit.groupBy(col(idCol))
-      .agg(sum(expr(
-        "CASE WHEN __v > 0 THEN shiftleft(CAST(1 AS BIGINT), __i) ELSE CAST(0 AS BIGINT) END"))
-        .as("simhash")) // distinct powers < 2^60: plain sum is an exact OR
+    import org.apache.spark.sql.GraftSqlBridge
+    val toks = TextAnalysis.tokens(TextAnalysis.normalized(col(textCol)))
+    val sig = df.select(col(idCol),
+      GraftSqlBridge.column(graft.functions.SimHashTokensExpr(
+        GraftSqlBridge.expression(toks), md5Portable = true)).as("simhash"))
     exactDedup(sig, col("simhash"), idCol).join(df, Seq(idCol))
   }
 
@@ -643,17 +648,17 @@ object Dedup {
       shinglesFromTokens(col("__toks"), ngram, distinct = true).as("__sh"))
     .localCheckpoint()
 
-  /** (idCol, __x) 31-bit shingle-hash rows from materialized shingle arrays —
-    * xxhash64 (production) or md5-derived (oracle-portable) base. */
-  private def shingleHashRowsFromArrays(sh: DataFrame, idCol: String,
-                                        portable: Boolean): DataFrame = {
-    val e = sh.select(col(idCol), explode(col("__sh")).as("__s"))
-    if (portable)
-      e.select(col(idCol),
-        pmod(conv(substring(md5(to_binary(col("__s"), lit("utf-8"))), 1, 8), 16, 10)
-          .cast(LongType), lit(1L << 31)).as("__x"))
-    else
-      e.select(col(idCol), pmod(xxhash64(col("__s")), lit(1L << 31)).as("__x"))
+  /** MinHash signatures straight off pre-materialized shingle arrays
+    * (idCol, __sh) via the fused kernel — one codegen'd projection over the
+    * checkpointed arrays instead of explode + wide aggregate. The single
+    * column reference makes projection collapse harmless. */
+  private def sigsFromShingleArrays(sh: DataFrame, idCol: String,
+                                    numHashes: Int, portable: Boolean): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge
+    sh.select(col(idCol),
+      GraftSqlBridge.column(graft.functions.MinHashSigExpr(
+        GraftSqlBridge.expression(col("__sh")), numHashes,
+        md5Portable = portable)).as("sig"))
   }
 
   /** exact jaccard ≥ threshold over candidate pairs, joining each side to its
@@ -688,8 +693,7 @@ object Dedup {
                       threshold: Double = 0.5, numHashes: Int = 16,
                       bands: Int = 8, ngram: Int = 3): DataFrame = {
     val sh = shingleArrays(df, idCol, textCol, ngram)
-    val sigs = sigsFromShingleHash(
-      shingleHashRowsFromArrays(sh, idCol, portable = false), idCol, numHashes)
+    val sigs = sigsFromShingleArrays(sh, idCol, numHashes, portable = false)
     val cands = bandSelfJoinPairs(
       lshBands(sigs, idCol, "sig", bands, numHashes), idCol, "band_hash")
     verifyJaccardOnShingleArrays(sh, idCol, cands, threshold)
@@ -702,8 +706,7 @@ object Dedup {
                               threshold: Double = 0.5, numHashes: Int = 16,
                               bands: Int = 8, ngram: Int = 3): DataFrame = {
     val sh = shingleArrays(df, idCol, textCol, ngram)
-    val sigs = sigsFromShingleHash(
-      shingleHashRowsFromArrays(sh, idCol, portable = true), idCol, numHashes)
+    val sigs = sigsFromShingleArrays(sh, idCol, numHashes, portable = true)
     val cands = portableBandPairs(sigs, idCol, numHashes, bands)
     verifyJaccardOnShingleArrays(sh, idCol, cands, threshold)
   }
@@ -727,8 +730,7 @@ object Dedup {
                                   threshold: Double = 0.7, numHashes: Int = 16,
                                   bands: Int = 8, ngram: Int = 3): DataFrame = {
     val sh = shingleArrays(df, idCol, textCol, ngram)
-    val sigs = sigsFromShingleHash(
-      shingleHashRowsFromArrays(sh, idCol, portable = true), idCol, numHashes)
+    val sigs = sigsFromShingleArrays(sh, idCol, numHashes, portable = true)
     val cands = portableBandPairs(sigs, idCol, numHashes, bands)
     val joined = cands.select("id_a", "id_b")
       .join(sh.select(col(idCol).as("id_a"), col("__sh").as("__ta")), "id_a")
