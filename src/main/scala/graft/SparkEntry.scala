@@ -365,8 +365,11 @@ object SparkEntry {
           Seq(desc("cos"), asc("neighbor_id")), 5)
         .orderBy(asc("query_id"), desc("cos"), asc("neighbor_id"))
     }),
-    // not oracle-expressible (xxhash64 / seeded hyperplanes don't exist in
-    // DuckDB) → rows-only checks, covered by ScalaTest instead:
+    // not oracle-expressible (xxhash64 / HLL / the IVF sampled fit are
+    // data-dependent or absent in DuckDB) → rows-only checks, covered by
+    // ScalaTest instead (the seeded-hyperplane queries q_lsh_ann and
+    // q_embedding_neardup DO carry full oracles — plane weights embed as
+    // exact double literals):
     "q_minhash_dedup" -> ((s, dir) => {
       // 32 hashes / 8 bands: at threshold 0.5 the LSH S-curve is nearly
       // identical to 64/16 (band width 4 either way) at half the signature
@@ -469,6 +472,7 @@ object SparkEntry {
       val emb = rd(s, dir, "embeddings")
       Dedup.embeddingNearDupLsh(emb, "vec_id", "embedding", 0.35,
           dim = 64, bandBits = 12, bands = 5)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
         .orderBy("id_a", "id_b")
     }),
     "q_media_decode" -> ((s, dir) => {
@@ -816,10 +820,17 @@ object SparkEntry {
   private val LshRecallBits = 8
   private val LshRecallFlips = 3
 
-  private val LshRecallOracle: String = {
-    val valuesList = Similarity.hyperplanes(64, LshRecallBits, 42L).zipWithIndex.flatMap {
+  /** seed-42 hyperplane weights as a DuckDB VALUES list — Double.toString
+    * round-trips exactly, so DuckDB parses the identical bits the Spark-side
+    * kernel uses. hyperplanes(dim, n, seed) draws gaussians sequentially, so
+    * an n-bit list is a prefix-consistent extension of any shorter one. */
+  private def hyperplaneValues(nBits: Int): String =
+    Similarity.hyperplanes(64, nBits, 42L).zipWithIndex.flatMap {
       case (plane, b) => plane.zipWithIndex.map { case (w, j) => s"($b, $j, $w)" }
     }.mkString(", ")
+
+  private val LshRecallOracle: String = {
+    val valuesList = hyperplaneValues(LshRecallBits)
     s"""WITH planes(b, j, w) AS (VALUES $valuesList),
        pl AS (SELECT b, list(w ORDER BY j) AS pw FROM planes GROUP BY b),
        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -848,6 +859,73 @@ object SparkEntry {
        bf AS (SELECT vec_id FROM cos ORDER BY cos DESC, vec_id LIMIT 10),
        m AS (SELECT count(*) AS nm FROM lsh JOIN bf USING (vec_id))
        SELECT CAST(nm AS BIGINT) AS n_matched, round(nm / 10.0, 6) AS recall_at_10 FROM m"""
+  }
+
+  /** q_lsh_ann in DuckDB: the full 16-bit multi-probe ANN — signatures from
+    * the same seed-42 planes (exact double literals, left-to-right
+    * list_dot_product accumulation), the probe set as hamming ≤ 3 against
+    * the query signature, rounded-cosine rerank, top-10. Upgrades the ANN
+    * production query from rows-only to a full oracle (only the
+    * data-DEPENDENT sketches — HLL, IVF's sampled fit, xxhash64 — remain
+    * inherently rows-only). */
+  private val LshAnnOracle: String = {
+    s"""WITH planes(b, j, w) AS (VALUES ${hyperplaneValues(16)}),
+       pl AS (SELECT b, list(w ORDER BY j) AS pw FROM planes GROUP BY b),
+       e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       q AS (SELECT v AS qv FROM e WHERE vec_id = 1),
+       c AS (SELECT vec_id, v FROM e WHERE vec_id != 1),
+       sigs AS (
+         SELECT c.vec_id,
+           CAST(sum(CASE WHEN list_dot_product(c.v, pl.pw) >= 0
+                    THEN (CAST(1 AS BIGINT) << pl.b) ELSE 0 END) AS BIGINT) AS sig
+         FROM c CROSS JOIN pl GROUP BY c.vec_id),
+       qs AS (
+         SELECT CAST(sum(CASE WHEN list_dot_product(q.qv, pl.pw) >= 0
+                    THEN (CAST(1 AS BIGINT) << pl.b) ELSE 0 END) AS BIGINT) AS qsig
+         FROM q CROSS JOIN pl),
+       cos AS (
+         SELECT c.vec_id,
+           round(list_dot_product(c.v, q.qv)
+             / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos
+         FROM c CROSS JOIN q)
+       SELECT s.vec_id, cos.cos AS cos FROM sigs s CROSS JOIN qs
+       JOIN cos ON cos.vec_id = s.vec_id
+       WHERE len(list_filter(range(0, 16),
+               i -> ((s.sig >> i) & 1) != ((qs.qsig >> i) & 1))) <= 3
+       ORDER BY cos.cos DESC, s.vec_id LIMIT 10"""
+  }
+
+  /** q_embedding_neardup in DuckDB: the full 5-band × 12-bit banded-LSH
+    * near-dup — one pooled 60-bit signature from the seed-42 planes, bands
+    * sliced by shift/mask, bucket-local distinct pairs, exact-cosine verify.
+    * The threshold filters on the RAW cosine exactly like the Spark
+    * operator (identical IEEE accumulation both sides); the emitted score is
+    * rounded to 6 for engine-stable hashing. */
+  private val EmbeddingNearDupLshOracle: String = {
+    s"""WITH planes(b, j, w) AS (VALUES ${hyperplaneValues(60)}),
+       pl AS (SELECT b, list(w ORDER BY j) AS pw FROM planes GROUP BY b),
+       e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       sigs AS (
+         SELECT e.vec_id,
+           CAST(sum(CASE WHEN list_dot_product(e.v, pl.pw) >= 0
+                    THEN (CAST(1 AS BIGINT) << pl.b) ELSE 0 END) AS BIGINT) AS fs
+         FROM e CROSS JOIN pl GROUP BY e.vec_id),
+       banded AS (
+         SELECT vec_id, bb AS band, (fs >> (bb * 12)) & 4095 AS sig
+         FROM sigs CROSS JOIN (SELECT unnest(range(0, 5)) AS bb) bs),
+       pairs AS (
+         SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+         FROM banded l JOIN banded r
+           ON l.band = r.band AND l.sig = r.sig AND l.vec_id < r.vec_id),
+       scored AS (
+         SELECT p.id_a, p.id_b,
+           list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS raw
+         FROM pairs p
+         JOIN e a ON a.vec_id = p.id_a
+         JOIN e b ON b.vec_id = p.id_b)
+       SELECT id_a, id_b, round(raw, 6) AS cos FROM scored
+       WHERE raw >= 0.35 ORDER BY id_a, id_b"""
   }
 
   /** DuckDB oracle SQL per query (same result, same column names, same
@@ -1145,6 +1223,8 @@ object SparkEntry {
     "q_cosine_topk" -> CosineTopkOracle,
     "q_cosine_expr" -> CosineTopkOracle,
     "q_lsh_recall" -> LshRecallOracle,
+    "q_lsh_ann" -> LshAnnOracle,
+    "q_embedding_neardup" -> EmbeddingNearDupLshOracle,
     // NOTE: parity holds because the documents fixture is ASCII-only — the
     // Spark kernel's mean_intensity averages UTF-8 BYTES while ascii(substr)
     // here averages CODEPOINTS over the CHARACTER count; any multi-byte text
