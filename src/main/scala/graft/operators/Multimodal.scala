@@ -43,6 +43,22 @@ object Multimodal {
       octet_length(col(payloadCol)).cast(LongType).as("n_bytes"),
       lit("application/octet-stream").as("mime"))
 
+  /** bridge rows from `Sources.readBinaryFiles` (binaryFile source:
+    * path/modificationTime/length/content) into the media schema — the real
+    * on-disk media on-ramp. media_id is the content-independent xxhash64 of
+    * the path (stable across re-ingests of the same tree); the original
+    * path rides along for provenance. Kind/mime come from the extension via
+    * a literal map — a pure codegen'd projection, no UDF. */
+  def asMediaFromBinary(binary: DataFrame, kind: String = "image",
+                        mime: String = "application/octet-stream"): DataFrame =
+    binary.select(
+      xxhash64(col("path")).as("media_id"),
+      lit(kind).as("kind"),
+      col("content").as("bytes"),
+      col("length").cast(LongType).as("n_bytes"),
+      lit(mime).as("mime"),
+      col("path"))
+
   /** decoded-image feature row. */
   case class MediaFeatures(media_id: Long, width: Int, height: Int,
                            mean_intensity: Double, feature_hash: Long)

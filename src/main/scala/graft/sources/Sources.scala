@@ -78,4 +78,28 @@ object Sources {
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
       .format("parquet").saveAsTable(table)
+
+  /** raw binary-file ingest — the media on-ramp for the multimodal pipeline
+    * (`operators.Multimodal` consumes blob + metadata frames of exactly this
+    * shape): one row per file with (path, modificationTime, length, content).
+    * `pathGlob` prunes at LISTING time (e.g. `*.jpg`), and Multimodal's
+    * blob-pruned metadata scans apply directly since content is its own
+    * column. At 100 TB the files live behind an object-store listing;
+    * `maxFileBytes`, when set, refuses oversized blobs EARLY (length filter
+    * before content read) instead of OOMing an executor on a stray video. */
+  def readBinaryFiles(spark: SparkSession, dir: String,
+                      pathGlob: String = "*",
+                      maxFileBytes: Long = 0L): DataFrame = {
+    val base = spark.read.format("binaryFile")
+      .option("pathGlobFilter", pathGlob).load(dir)
+    if (maxFileBytes > 0) base.filter(org.apache.spark.sql.functions.col("length") <= maxFileBytes)
+    else base
+  }
+
+  /** line-oriented text ingest (one row per line, column `value`) — the raw
+    * corpus on-ramp before parsing; `wholetext=true` instead yields one row
+    * per FILE, the document shape the text-analysis operators consume. */
+  def readText(spark: SparkSession, path: String,
+               wholeFile: Boolean = false): DataFrame =
+    spark.read.option("wholetext", wholeFile.toString).text(path)
 }

@@ -98,4 +98,41 @@ class SourcesAndUdafSpec extends AnyFunSuite {
     assert(viaAgg == viaWindow)
     assert(viaAgg.size == 12)
   }
+
+  test("binaryFile ingest: glob pruning, size cap, media bridge") {
+    import graft.operators.Multimodal
+    val dir = Files.createTempDirectory("graft_bin")
+    Files.write(dir.resolve("a.jpg"), "fake-jpeg-bytes".getBytes("UTF-8"))
+    Files.write(dir.resolve("b.jpg"), ("x" * 2048).getBytes("UTF-8"))
+    Files.write(dir.resolve("notes.txt"), "not media".getBytes("UTF-8"))
+    val all = Sources.readBinaryFiles(spark, dir.toString, pathGlob = "*.jpg")
+    assert(all.count() == 2) // glob drops the .txt at listing time
+    val capped = Sources.readBinaryFiles(spark, dir.toString,
+      pathGlob = "*.jpg", maxFileBytes = 1024)
+    assert(capped.count() == 1) // oversized blob refused by the length filter
+    val media = Multimodal.asMediaFromBinary(all)
+    val rows = media.orderBy("n_bytes").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[Long]("n_bytes") == 15L)
+    assert(new String(rows(0).getAs[Array[Byte]]("bytes"), "UTF-8") == "fake-jpeg-bytes")
+    // metadata stats work on the bridged frame without touching blobs
+    val stats = Multimodal.metadataStats(media).collect()
+    assert(stats.length == 1 && stats(0).getAs[Long]("total_bytes") == 2063L)
+  }
+
+  test("text ingest: per-line and whole-file document shapes") {
+    val dir = Files.createTempDirectory("graft_txt")
+    Files.write(dir.resolve("d1.txt"), "line one\nline two".getBytes("UTF-8"))
+    Files.write(dir.resolve("d2.txt"), "single doc".getBytes("UTF-8"))
+    val lines = Sources.readText(spark, dir.toString)
+    assert(lines.count() == 3)
+    val docs = Sources.readText(spark, dir.toString, wholeFile = true)
+    val texts = docs.as[String].collect().toSet
+    assert(texts == Set("line one\nline two", "single doc"))
+    // whole-file rows feed the text operators directly
+    val toks = docs.select(
+      graft.operators.TextAnalysis.tokenCount(col("value")).as("n")).as[Int]
+      .collect().sorted
+    assert(toks.toSeq == Seq(2, 4))
+  }
 }
