@@ -71,6 +71,28 @@ object Streams {
     events.withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** streaming NEAR-dup dedup on document content: key the watermarked
+    * dedup on the fused SimHash signature
+    * ([[graft.functions.SimHashTokensExpr]] — a pure codegen'd projection,
+    * so it composes with any streaming source) instead of an exact key.
+    * Documents whose token sets vote to the same 64-bit signature within
+    * the watermark horizon collapse to the first arrival; state stays
+    * bounded exactly as in [[streamingDedup]]. Hamming-distance > 0
+    * matching needs the banded-LSH batch pipeline — this is the
+    * ingest-time "drop obvious near-copies" pass in front of it. */
+  def streamingSimhashDedup(docs: DataFrame, textCol: String, tsCol: String,
+                            delay: String = "10 minutes"): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge
+    val toks = graft.operators.TextAnalysis.tokens(
+      graft.operators.TextAnalysis.normalized(col(textCol)))
+    docs
+      .withColumn("__simhash", GraftSqlBridge.column(
+        graft.functions.SimHashTokensExpr(GraftSqlBridge.expression(toks))))
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("__simhash")
+      .drop("__simhash")
+  }
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                    event_type: String, value: Double)
   case class UserRunning(user_id: Long, n_events: Long, total_value: Double)

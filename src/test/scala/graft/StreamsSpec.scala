@@ -140,6 +140,34 @@ class StreamsSpec extends AnyFunSuite {
     }
   }
 
+  test("streamingSimhashDedup drops same-signature near-copies at ingest") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val docs = mem.toDF().toDF("doc_id", "text", "ts")
+    val deduped = Streams.streamingSimhashDedup(docs, "text", "ts",
+      delay = "10 minutes")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("simhash_stream").start()
+    try {
+      mem.addData(
+        (1L, "the quick brown fox jumps over the lazy dog", ts("2024-01-01 10:00:00")),
+        // same token SET (same simhash) — punctuation/case normalize away
+        (2L, "The quick brown fox jumps over the lazy dog!!", ts("2024-01-01 10:00:05")),
+        (3L, "completely different text about spark engines", ts("2024-01-01 10:01:00")))
+      q.processAllAvailable()
+      mem.addData( // cross-batch near-copy within the watermark horizon
+        (4L, "the QUICK brown fox jumps over the lazy dog", ts("2024-01-01 10:02:00")))
+      q.processAllAvailable()
+      val ids = spark.table("simhash_stream")
+        .select("doc_id").as[Long].collect().sorted
+      assert(ids.toSeq == Seq(1L, 3L), s"got ${ids.mkString(",")}")
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS simhash_stream")
+    }
+  }
+
   test("file-stream smoke: batch transform runs as a streaming query") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
     events.write.mode("overwrite").parquet(dir)
