@@ -120,6 +120,27 @@ class SourcesAndUdafSpec extends AnyFunSuite {
     assert(stats.length == 1 && stats(0).getAs[Long]("total_bytes") == 2063L)
   }
 
+  test("writeRangePartitioned: files cover disjoint sorted ranges") {
+    val dir = Files.createTempDirectory("graft_range").toString + "/t"
+    val data = spark.range(0, 10000).select(
+      col("id"), (col("id") * 7 % 97).as("payload"))
+    Sources.writeRangePartitioned(data, dir, "id", numFiles = 4)
+    val back = Sources.readParquet(spark, dir)
+    assert(back.count() == 10000)
+    // per-file [min, max] intervals must be pairwise disjoint — the layout
+    // property that lets parquet min/max stats skip whole files for range
+    // predicates
+    val ranges = back
+      .select(input_file_name().as("f"), col("id"))
+      .groupBy("f").agg(min("id").as("lo"), max("id").as("hi"))
+      .collect().map(r => (r.getAs[Long]("lo"), r.getAs[Long]("hi")))
+      .sortBy(_._1)
+    assert(ranges.length >= 2)
+    ranges.sliding(2).foreach { case Array((_, hi1), (lo2, _)) =>
+      assert(hi1 < lo2, s"overlapping file ranges: $ranges")
+    }
+  }
+
   test("text ingest: per-line and whole-file document shapes") {
     val dir = Files.createTempDirectory("graft_txt")
     Files.write(dir.resolve("d1.txt"), "line one\nline two".getBytes("UTF-8"))
