@@ -610,14 +610,21 @@ object Dedup {
     val toks =
       if (ngram == 1) array_distinct(TextAnalysis.tokens(TextAnalysis.normalized(col(textCol))))
       else shingles(col(textCol), ngram)
+    // the candidate pair set is referenced three times below (two vertex
+    // projections + the join base) and usually carries the whole
+    // LSH/banding subtree — materialize it ONCE (it is tiny: candidate
+    // pairs only) so the candidate generation isn't re-executed per
+    // reference
+    val p = pairs.select("id_a", "id_b").localCheckpoint()
     // only docs that appear in a candidate pair need their shingle set:
     // semi-join first so the tokenize+shingle projection runs over the
-    // (small) candidate vertex set, not the whole corpus — per join side
-    val candIds = pairs.select(col("id_a").as(idCol))
-      .union(pairs.select(col("id_b").as(idCol))).distinct()
+    // (small) candidate vertex set, not the whole corpus — and materialize
+    // it, since both join sides reference it
+    val candIds = p.select(col("id_a").as(idCol))
+      .union(p.select(col("id_b").as(idCol))).distinct()
     val sides = df.join(candIds, Seq(idCol), "left_semi")
-      .select(col(idCol), toks.as("__toks"))
-    val joined = pairs.select("id_a", "id_b")
+      .select(col(idCol), toks.as("__toks")).localCheckpoint()
+    val joined = p
       .join(sides.select(col(idCol).as("id_a"), col("__toks").as("__ta")), "id_a")
       .join(sides.select(col(idCol).as("id_b"), col("__toks").as("__tb")), "id_b")
     val sa = size(col("__ta")).cast(DoubleType)
@@ -631,15 +638,18 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** per-doc DISTINCT n-gram shingle arrays (idCol, __sh) — the projection
-    * SHARED by LSH candidate generation and exact-jaccard verification in
-    * [[ngramJaccardLsh]]/[[ngramJaccardLshPortable]]: tokenize+shingle runs
-    * over the corpus exactly once. `localCheckpoint` materializes the arrays
-    * (blocks freed by the ContextCleaner once unreferenced); at 100 TB this
-    * is the "write the shingle table once" step every production dedup
-    * pipeline has, instead of two full tokenize passes. distinct is REQUIRED
-    * by the jaccard verify and harmless for MinHash (min over a set ≡ min
-    * over its multiset). */
+  /** per-doc DISTINCT n-gram shingle arrays (idCol, __sh), materialized once
+    * (`localCheckpoint`; blocks freed by the ContextCleaner when
+    * unreferenced) — the projection SHARED by LSH candidate generation and
+    * exact verification in the ngram*Lsh pipelines. Measured trade at sf0.1:
+    * one upfront materialization keeps the whole pipeline (signatures off
+    * the arrays via the fused kernel, banding self-join, verify joins) in
+    * TWO scheduler jobs — the candidates-only alternative (signatures from
+    * text, [[verifyJaccardPairs]] re-shingling just the candidate vertex
+    * set) needs four sequential materializations and measured ~2× slower.
+    * At 100 TB, where a corpus-wide shingle write is the bigger cost, use
+    * the standalone [[verifyJaccardPairs]]/[[verifyContainmentPairs]]
+    * composition instead — same results, candidate-bounded IO. */
   private def shingleArrays(df: DataFrame, idCol: String, textCol: String,
                             ngram: Int): DataFrame = df
     .select(col(idCol),
@@ -650,8 +660,7 @@ object Dedup {
 
   /** MinHash signatures straight off pre-materialized shingle arrays
     * (idCol, __sh) via the fused kernel — one codegen'd projection over the
-    * checkpointed arrays instead of explode + wide aggregate. The single
-    * column reference makes projection collapse harmless. */
+    * checkpointed arrays. */
   private def sigsFromShingleArrays(sh: DataFrame, idCol: String,
                                     numHashes: Int, portable: Boolean): DataFrame = {
     import org.apache.spark.sql.GraftSqlBridge
@@ -680,15 +689,30 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** containment = |A∩B| / min(|A|,|B|) over pre-materialized shingle
+    * arrays; NO size-ratio prefilter (size mismatch is the signal). */
+  private def verifyContainmentOnShingleArrays(sh: DataFrame, idCol: String,
+                                               pairs: DataFrame,
+                                               threshold: Double): DataFrame = {
+    val joined = pairs.select("id_a", "id_b")
+      .join(sh.select(col(idCol).as("id_a"), col("__sh").as("__ta")), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("__sh").as("__tb")), "id_b")
+    val inter = size(array_intersect(col("__ta"), col("__tb"))).cast(DoubleType)
+    joined.select(col("id_a"), col("id_b"),
+        round(inter / least(size(col("__ta")), size(col("__tb"))).cast(DoubleType), 6)
+          .as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   /** n-gram Jaccard near-dup pairs with LSH candidate blocking — the
     * scale-safe replacement for attribute blocking: candidates come from
     * MinHash-LSH over the SAME n-gram shingles whose exact Jaccard is then
     * verified (the LSH S-curve approximates the verified similarity), so
     * block size is governed by the band-key collision rate, not by how many
-    * documents share an attribute. Exact Jaccard runs only on candidate
-    * pairs, and signatures + verification share ONE materialized shingle
-    * projection ([[shingleArrays]]). xxhash64 signatures (production path —
-    * rows-only oracle). */
+    * documents share an attribute. Signatures come from the fused kernel
+    * over ONE materialized shingle projection shared with verification
+    * (see [[shingleArrays]] for the measured job-count rationale).
+    * xxhash64 signatures (production path — rows-only oracle). */
   def ngramJaccardLsh(df: DataFrame, idCol: String, textCol: String,
                       threshold: Double = 0.5, numHashes: Int = 16,
                       bands: Int = 8, ngram: Int = 3): DataFrame = {
@@ -711,15 +735,41 @@ object Dedup {
     verifyJaccardOnShingleArrays(sh, idCol, cands, threshold)
   }
 
+  /** exact containment ≥ threshold over supplied candidate pairs — the
+    * asymmetric analog of [[verifyJaccardPairs]]: |A∩B| / min(|A|,|B|) over
+    * distinct n-gram shingle sets, tokenizing only the candidate vertex set.
+    * NO size-ratio prefilter (wild size mismatch is exactly the signal). */
+  def verifyContainmentPairs(df: DataFrame, idCol: String, textCol: String,
+                             pairs: DataFrame, threshold: Double,
+                             ngram: Int = 3): DataFrame = {
+    val toks =
+      if (ngram == 1) array_distinct(TextAnalysis.tokens(TextAnalysis.normalized(col(textCol))))
+      else shingles(col(textCol), ngram)
+    // same materialization discipline as verifyJaccardPairs: the pair set
+    // and the candidate shingle sides are each referenced twice+
+    val p = pairs.select("id_a", "id_b").localCheckpoint()
+    val candIds = p.select(col("id_a").as(idCol))
+      .union(p.select(col("id_b").as(idCol))).distinct()
+    val sides = df.join(candIds, Seq(idCol), "left_semi")
+      .select(col(idCol), toks.as("__toks")).localCheckpoint()
+    val joined = p
+      .join(sides.select(col(idCol).as("id_a"), col("__toks").as("__ta")), "id_a")
+      .join(sides.select(col(idCol).as("id_b"), col("__toks").as("__tb")), "id_b")
+    val inter = size(array_intersect(col("__ta"), col("__tb"))).cast(DoubleType)
+    joined.select(col("id_a"), col("id_b"),
+        round(inter / least(size(col("__ta")), size(col("__tb"))).cast(DoubleType), 6)
+          .as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   /** Asymmetric CONTAINMENT near-dup pairs: containment(A,B) =
     * |A∩B| / min(|A|,|B|) over distinct n-gram shingle sets — flags a
     * document largely CONTAINED in another (quote farms, boilerplate
     * wrappers, page-of-a-book extracts) that symmetric Jaccard misses
     * (a 100-shingle doc inside a 10k-shingle doc has jaccard ≈ 0.01 but
-    * containment 1.0). Candidates come from the same MinHash-LSH banding as
-    * [[ngramJaccardLshPortable]] and share its ONE materialized shingle
-    * projection; no size-ratio prefilter applies (wild size mismatch is
-    * exactly the signal).
+    * containment 1.0). Candidates come from the same fused MinHash-LSH
+    * banding as [[ngramJaccardLshPortable]] over the same shared shingle
+    * projection.
     *
     * Scale caveat (honest recall statement): MinHash-LSH banding collides on
     * JACCARD, so extreme small-in-big containment pairs under-collide — at
@@ -732,14 +782,7 @@ object Dedup {
     val sh = shingleArrays(df, idCol, textCol, ngram)
     val sigs = sigsFromShingleArrays(sh, idCol, numHashes, portable = true)
     val cands = portableBandPairs(sigs, idCol, numHashes, bands)
-    val joined = cands.select("id_a", "id_b")
-      .join(sh.select(col(idCol).as("id_a"), col("__sh").as("__ta")), "id_a")
-      .join(sh.select(col(idCol).as("id_b"), col("__sh").as("__tb")), "id_b")
-    val inter = size(array_intersect(col("__ta"), col("__tb"))).cast(DoubleType)
-    joined.select(col("id_a"), col("id_b"),
-        round(inter / least(size(col("__ta")), size(col("__tb"))).cast(DoubleType), 6)
-          .as("containment"))
-      .filter(col("containment") >= threshold)
+    verifyContainmentOnShingleArrays(sh, idCol, cands, threshold)
   }
 
   /** embedding-cosine near-dup pairs with banded-LSH blocking — the scale
