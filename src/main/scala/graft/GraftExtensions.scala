@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarityExpr, HyperplaneSigExpr, MinHashSigExpr}
+import graft.functions.{CosineSimilarityExpr, HyperplaneSigExpr, MinHashSigExpr, MinHashTokensSigExpr, SimHashTokensExpr}
 
 /** Session extensions registering graft's native Catalyst expressions
   * (SURVEY §7.3 tier (b)). Activate either at session build time
@@ -20,6 +20,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.cosineDescriptor)
     ext.injectFunction(GraftExtensions.minhashDescriptor)
     ext.injectFunction(GraftExtensions.hyperplaneDescriptor)
+    ext.injectFunction(GraftExtensions.minhashTokensDescriptor)
+    ext.injectFunction(GraftExtensions.simhashTokensDescriptor)
   }
 }
 
@@ -60,10 +62,10 @@ object GraftExtensions {
       case i: Int => i
       case lg: Long => lg.toInt
       case other => throw new IllegalArgumentException(
-        s"graft_hyperplane_sig $what must be an integer literal, got $other")
+        s"$what must be an integer literal, got $other")
     }
     case _ => throw new IllegalArgumentException(
-      s"graft_hyperplane_sig $what must be a literal")
+      s"$what must be a literal")
   }
 
   private val hyperplaneDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
@@ -81,13 +83,36 @@ object GraftExtensions {
         intLiteral(args(2), "nBits"), seed)
     })
 
+  /** fused tokens→MinHash-signature kernel for SQL:
+    * graft_minhash_tokens(array<string> tokens, int ngram, int numHashes) —
+    * the full tokenize-side pipeline as one function call. */
+  private val minhashTokensDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_minhash_tokens"),
+    new ExpressionInfo(classOf[MinHashTokensSigExpr].getName, "graft_minhash_tokens"),
+    (args: Seq[Expression]) => {
+      require(args.length == 3,
+        "graft_minhash_tokens takes (array<string> tokens, int ngram, int numHashes)" +
+          s", got ${args.length} args")
+      MinHashTokensSigExpr(args.head,
+        intLiteral(args(1), "ngram"), intLiteral(args(2), "numHashes"))
+    })
+
+  /** fused tokens→SimHash kernel for SQL:
+    * graft_simhash_tokens(array<string> tokens). */
+  private val simhashTokensDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_simhash_tokens"),
+    new ExpressionInfo(classOf[SimHashTokensExpr].getName, "graft_simhash_tokens"),
+    (args: Seq[Expression]) => {
+      require(args.length == 1,
+        s"graft_simhash_tokens takes (array<string> tokens), got ${args.length} args")
+      SimHashTokensExpr(args.head)
+    })
+
   /** imperative registration on an existing session (idempotent). */
   def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.registerFunction(
-      cosineDescriptor._1, cosineDescriptor._2, cosineDescriptor._3)
-    spark.sessionState.functionRegistry.registerFunction(
-      minhashDescriptor._1, minhashDescriptor._2, minhashDescriptor._3)
-    spark.sessionState.functionRegistry.registerFunction(
-      hyperplaneDescriptor._1, hyperplaneDescriptor._2, hyperplaneDescriptor._3)
+    Seq(cosineDescriptor, minhashDescriptor, hyperplaneDescriptor,
+      minhashTokensDescriptor, simhashTokensDescriptor).foreach { d =>
+      spark.sessionState.functionRegistry.registerFunction(d._1, d._2, d._3)
+    }
   }
 }

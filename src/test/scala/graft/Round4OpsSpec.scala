@@ -128,6 +128,60 @@ class Round4OpsSpec extends AnyFunSuite {
     assert(scored((1L, 3L))._1 < 0.2)
   }
 
+  test("SQL kernels: graft_minhash_tokens / graft_simhash_tokens match operators") {
+    import graft.operators.{Dedup, TextAnalysis}
+    GraftExtensions.register(spark)
+    val docs = Seq((1L, "the quick brown fox jumps"), (2L, "a different doc"))
+      .toDF("doc_id", "text")
+    val toks = TextAnalysis.tokens(TextAnalysis.normalized(col("text")))
+    val viaSql = docs.select(col("doc_id"),
+        call_function("graft_minhash_tokens", toks, lit(3), lit(16)).as("sig"),
+        call_function("graft_simhash_tokens", toks).as("sh"))
+      .collect().map(r => r.getLong(0) -> (r.getSeq[Long](1), r.getLong(2))).toMap
+    val opSigs = Dedup.minhashSigs(docs, "doc_id", "text", 16, 3)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val opSims = Dedup.simhashSigs(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    viaSql.foreach { case (id, (sig, sh)) =>
+      assert(sig == opSigs(id) && sh == opSims(id))
+    }
+  }
+
+  test("redactPii is idempotent and leaves no matchable pattern behind") {
+    import graft.operators.TextAnalysis
+    val df = Seq(
+      "nested bob@x.org text", "u: https://a.b/c?d=e end",
+      "both a@b.co and http://x.y", "clean").toDF("text")
+    val once = df.select(TextAnalysis.redactPii(col("text")).as("text"))
+    // no residual matches after one pass...
+    val residual = once.select(
+      (TextAnalysis.piiCounts(col("text"))._1 +
+        TextAnalysis.piiCounts(col("text"))._2).as("n"))
+      .agg(sum("n")).head.getLong(0)
+    assert(residual == 0L)
+    // ...so a second pass is the identity
+    val twice = once.select(TextAnalysis.redactPii(col("text")).as("text"))
+    assert(once.collect().toSeq == twice.collect().toSeq)
+  }
+
+  test("chunkAssignments: offsets are monotone and gapless per group") {
+    import graft.operators.TextAnalysis
+    val docs = (1L to 200L).map(i =>
+      (i, Seq.fill((i % 7 + 1).toInt)("tok").mkString(" "), s"s${i % 3}"))
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.chunkAssignments(docs, "doc_id", "text", "source", 32)
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    out.values.foreach { rows =>
+      val sorted = rows.sortBy(_._2)
+      var expected = 0L
+      sorted.foreach { case (_, _, n, off) =>
+        assert(off == expected, s"offset gap: $sorted")
+        expected += n
+      }
+    }
+  }
+
   test("labelCentroids: hand-computed means, invariant under repartitioning") {
     val df = Seq(
       (1L, Seq(1.0f, 2.0f), "x"),
