@@ -66,6 +66,10 @@ object Relational {
     // subquery (exactly what InjectRuntimeFilter's subquery evaluates to)
     val sketch: Array[Byte] = dim.agg(bloomAgg.as("bf"))
       .head.getAs[Array[Byte]]("bf")
+    // an EMPTY build side yields a null sketch (aggregate over zero rows) —
+    // the semi join is then provably empty; short-circuit instead of
+    // building a probe on a null literal
+    if (sketch == null) return fact.filter(lit(false))
     val mightContain = GraftSqlBridge.column(BloomFilterMightContain(
       GraftSqlBridge.expression(lit(sketch)),
       GraftSqlBridge.expression(xxhash64(fact.col(factKey)))))

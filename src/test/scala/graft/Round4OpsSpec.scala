@@ -35,6 +35,14 @@ class Round4OpsSpec extends AnyFunSuite {
     assert(viaBloom.nonEmpty && viaBloom.forall(_ % 17 == 0))
   }
 
+  test("bloomSemiJoin with an empty build side returns empty, not an error") {
+    val fact = spark.range(0, 100).select(col("id").as("k"))
+    val dim = spark.range(0, 100).filter(col("id") < 0).select(col("id").as("dk"))
+    val out = Relational.bloomSemiJoin(fact, dim, "k", "dk",
+      expectedItems = 10L, numBits = 1L << 10)
+    assert(out.count() == 0)
+  }
+
   test("redactPii replaces emails and urls, counts match") {
     val df = Seq(
       (1L, "mail me at jane.doe+x@sub.example.org thanks"),
