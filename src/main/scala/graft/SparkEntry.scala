@@ -616,6 +616,15 @@ object SparkEntry {
           expr("percentile(l_quantity, 0.5)").as("median_qty"),
           count(lit(1)).as("n"))
         .orderBy("l_returnflag")),
+    "q_curation" -> ((s, dir) =>
+      // the COMPOSED curation pass: language gate → quality gate →
+      // fingerprint dedup → portable MinHash-LSH near-dedup → hash sample.
+      // Each stage is an already-verified operator; this verifies they
+      // CHAIN (the oracle composes the same verified CTE fragments)
+      graft.operators.Curation.curate(rd(s, dir, "documents"),
+          "doc_id", "text", lang = "en", minQuality = 0.6,
+          nearDupThreshold = 0.5, sampleFraction = 0.5)
+        .select("doc_id", "source").orderBy("doc_id")),
     "q_string_agg" -> ((s, dir) =>
       // deterministic group concat: collect_list is order-nondeterministic
       // under parallelism, so sort before joining — the portable form of
@@ -646,14 +655,19 @@ object SparkEntry {
   /** full MinHash-LSH dedup pipeline in DuckDB SQL, generated with the SAME
     * seed-42 affine parameters as Dedup.minhashDedupPortable. 16 hashes,
     * 4 bands × 4 rows, threshold 0.5, 3-gram shingles. */
-  private val MinhashOracle: String = {
+  /** the portable MinHash-LSH dedup CTE chain (16 hashes / 4 bands,
+    * est-jaccard ≥ threshold, drop-higher-id), reading (doc_id, text) from
+    * `src` — parameterized so composed pipelines (q_curation) can run the
+    * IDENTICAL verified chain over a filtered source. Yields CTEs up to
+    * `dups` (the distinct id_b set to drop). */
+  private def minhashDedupChainSql(src: String, threshold: Double): String = {
     val params = Dedup.hashParams(16)
     val valuesList = params.zipWithIndex
       .map { case ((a, b), i) => s"($i, ${a}, ${b})" }.mkString(", ")
-    s"""WITH tk AS (
+    s"""tk AS (
          SELECT doc_id, string_split_regex(
            trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\\s+') AS t
-         FROM documents),
+         FROM $src),
        sh AS (
          SELECT doc_id, concat_ws(' ', t[i+1], t[i+2], t[i+3]) AS s
          FROM (SELECT doc_id, t,
@@ -686,10 +700,56 @@ object SparkEntry {
            FROM pairs p
            JOIN sigs sa ON sa.doc_id = p.id_a
            JOIN sigs sb ON sb.doc_id = p.id_b)
-         WHERE e >= 0.5)
+         WHERE e >= $threshold)"""
+  }
+
+  private val MinhashOracle: String =
+    s"""WITH ${minhashDedupChainSql("documents", 0.5)}
        SELECT doc_id FROM documents
        WHERE doc_id NOT IN (SELECT id_b FROM dups) ORDER BY doc_id"""
-  }
+
+  /** q_curation in DuckDB: the COMPOSED curation pass — quality + language
+    * gates (the q_quality_score / q_lang_guess CASE logic), fingerprint
+    * dedup (min doc_id per md5 of normalized text), the portable
+    * MinHash-LSH near-dedup chain over the SURVIVORS, then the md5
+    * hash-sample filter. Every stage is the already-verified oracle
+    * fragment; the composition verifies that the operators chain. */
+  private val CurationOracle: String =
+    s"""WITH gate AS (
+         SELECT doc_id, text, source FROM (
+           SELECT doc_id, text, source,
+             CAST(length(text) AS DOUBLE) AS n,
+             round(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                 t -> list_contains(['the','a','an','of','to','and','in','is','it','that'], t)))
+               / len(string_split_regex(lower(trim(text)), '\\s+')), 6) AS sr,
+             string_split_regex(lower(trim(text)), '\\s+') AS tt
+           FROM documents)
+         WHERE round((
+             CASE WHEN n >= 100 AND n <= 10000 THEN 1.0
+                  WHEN n >= 20 THEN 0.5 ELSE 0.0 END
+           + CASE WHEN sr > 0.05 THEN 1.0 ELSE 0.0 END
+           + CASE WHEN (n - length(regexp_replace(text, '[.,;:!?]', '', 'g'))) / n <= 0.2
+                  THEN 1.0 ELSE 0.0 END) / 3.0, 6) >= 0.6
+           AND (SELECT CASE
+                  WHEN he = 0 AND hs = 0 AND hf = 0 AND hd = 0 THEN 'und'
+                  WHEN he >= hs AND he >= hf AND he >= hd THEN 'en'
+                  WHEN hs >= hf AND hs >= hd THEN 'es'
+                  WHEN hf >= hd THEN 'fr' ELSE 'de' END
+                FROM (SELECT
+                  len(list_filter(tt, x -> list_contains(['the','and','of','is'], x))) AS he,
+                  len(list_filter(tt, x -> list_contains(['el','los','las','es'], x))) AS hs,
+                  len(list_filter(tt, x -> list_contains(['le','les','est','une'], x))) AS hf,
+                  len(list_filter(tt, x -> list_contains(['der','die','das','ist'], x))) AS hd)) = 'en'),
+       exact AS (
+         SELECT doc_id, text, source FROM gate WHERE doc_id IN (
+           SELECT min(doc_id) FROM gate
+           GROUP BY md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))))),
+       ${minhashDedupChainSql("exact", 0.5)}
+       SELECT doc_id, source FROM exact
+       WHERE doc_id NOT IN (SELECT id_b FROM dups)
+         AND CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 10000 < 5000
+       ORDER BY doc_id"""
 
   /** transitive (connected-components) MinHash-LSH dedup in DuckDB SQL —
     * same seed-42 portable pipeline as MinhashOracle up to the thresholded
@@ -934,6 +994,7 @@ object SparkEntry {
     * weaker rows-only check. */
   def oracleSql: Map[String, String] = Map(
     "q_minhash_oracle" -> MinhashOracle,
+    "q_curation" -> CurationOracle,
     "q_cluster_dedup" -> ClusterDedupOracle,
     "q_simhash_oracle" ->
       """WITH tk AS (

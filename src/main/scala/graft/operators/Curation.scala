@@ -1,0 +1,36 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** [EXT] End-to-end corpus curation — the composed training-data pass every
+  * LLM pipeline runs, as ONE operator: language gate → quality gate → exact
+  * (fingerprint) dedup → MinHash-LSH near-dedup → deterministic hash
+  * sample. Exists to prove the engine's operators COMPOSE: each stage is
+  * the already-verified primitive, and the composition itself carries a
+  * full DuckDB oracle (q_curation) built from the same verified CTE chains.
+  *
+  * Scale shape: the two gates are pure codegen'd filters that reach the
+  * scan; each dedup stage then operates on the SURVIVORS of the previous
+  * one (filters first = the cheap stages shrink the corpus before the
+  * shuffling stages touch it); the final sample is a content-hash filter,
+  * reproducible under any partitioning. */
+object Curation {
+
+  /** language + quality gates → fingerprint dedup → portable MinHash-LSH
+    * near-dedup → hash sample. Returns surviving rows of `df` unchanged. */
+  def curate(df: DataFrame, idCol: String, textCol: String,
+             lang: String = "en", minQuality: Double = 0.6,
+             nearDupThreshold: Double = 0.5,
+             sampleFraction: Double = 0.5): DataFrame = {
+    val gated = df.filter(
+      TextAnalysis.langId(col(textCol)) === lang &&
+        TextAnalysis.qualityScore(col(textCol)) >= minQuality)
+    val exact = Dedup.exactDedup(
+        gated.withColumn("__fp", TextAnalysis.fingerprint(col(textCol))),
+        col("__fp"), idCol)
+      .drop("__fp")
+    val near = Dedup.minhashDedupPortable(exact, idCol, textCol, nearDupThreshold)
+    Sampling.hashSample(near, col(idCol), sampleFraction)
+  }
+}

@@ -190,6 +190,28 @@ class Round4OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("curate: every stage only shrinks the set; survivors pass every gate") {
+    import graft.operators.{Curation, TextAnalysis}
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val out = Curation.curate(docs, "doc_id", "text",
+      lang = "en", minQuality = 0.6, nearDupThreshold = 0.5, sampleFraction = 0.5)
+    val n = docs.count()
+    val survivors = out.count()
+    assert(survivors > 0 && survivors < n)
+    // survivors all satisfy both gates (the filters really composed)
+    val violating = out.filter(
+      TextAnalysis.langId(col("text")) =!= "en" ||
+        TextAnalysis.qualityScore(col("text")) < 0.6).count()
+    assert(violating == 0)
+    // deterministic: a rerun (and a repartitioned rerun) yields the same set
+    val ids = out.select("doc_id").as[Long].collect().sorted.toSeq
+    val again = Curation.curate(docs.repartition(5), "doc_id", "text",
+        lang = "en", minQuality = 0.6, nearDupThreshold = 0.5, sampleFraction = 0.5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids == again)
+  }
+
   test("labelCentroids: hand-computed means, invariant under repartitioning") {
     val df = Seq(
       (1L, Seq(1.0f, 2.0f), "x"),
