@@ -23,9 +23,17 @@ object Curation {
              lang: String = "en", minQuality: Double = 0.6,
              nearDupThreshold: Double = 0.5,
              sampleFraction: Double = 0.5): DataFrame = {
+    // materialize the gate survivors ONCE: the language/quality predicates
+    // are higher-order-function trees (CodegenFallback, interpreted) and the
+    // downstream dedup stages reference their input several times (group +
+    // semi-join sides, signature cache build, final anti-join) — without
+    // this the gates re-run over the corpus per reference (measured 8.7 s
+    // vs 2 s at sf0.1). At 100 TB this is the standard "write the filtered
+    // corpus once" checkpoint between pipeline phases.
     val gated = df.filter(
       TextAnalysis.langId(col(textCol)) === lang &&
         TextAnalysis.qualityScore(col(textCol)) >= minQuality)
+      .localCheckpoint()
     val exact = Dedup.exactDedup(
         gated.withColumn("__fp", TextAnalysis.fingerprint(col(textCol))),
         col("__fp"), idCol)
