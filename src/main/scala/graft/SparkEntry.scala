@@ -400,6 +400,15 @@ object SparkEntry {
       Dedup.simhashDedupPortable(rd(s, dir, "documents"), "doc_id", "text")
         .select("doc_id").orderBy("doc_id")
     }),
+    "q_simhash_hamming" -> ((s, dir) => {
+      // Manku-style banded hamming ≤ 3 near-dup search on the portable
+      // 60-bit signatures — upgrades simhash from exact-signature matching
+      // to a real near-dup operator; the oracle replicates banding,
+      // bucket-local candidates, and the bit_count verify
+      Dedup.simhashHammingPairs(rd(s, dir, "documents"), "doc_id", "text",
+          maxHamming = 3, portable = true)
+        .orderBy("id_a", "id_b")
+    }),
     "q_embedding_neardup_oracle" -> ((s, dir) => {
       // blocked on the label column (a domain blocking key) so the pair set
       // is oracle-expressible with DuckDB's list arithmetic
@@ -806,6 +815,30 @@ object SparkEntry {
        ORDER BY doc_id"""
   }
 
+  /** the md5-portable 60-bit SimHash signature CTE chain (documents →
+    * (doc_id, sig)) — shared by q_simhash_oracle (hamming-0 dedup) and
+    * q_simhash_hamming (banded hamming ≤ 3 search). Distinct tokens, token
+    * hash = first 15 md5 hex chars (= the kernel's hash60Md5), per-bit
+    * majority vote over 60 positions. */
+  private val SimhashSigChainSql: String =
+    """tk AS (
+         SELECT doc_id, list_distinct(string_split_regex(
+           trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+')) AS t
+         FROM documents),
+       tx AS (
+         SELECT doc_id,
+           CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS x
+         FROM (SELECT doc_id, unnest(t) AS tok FROM tk)),
+       vb AS (
+         SELECT doc_id, i,
+           sum(CASE WHEN ((x >> i) & 1) = 1 THEN 1 ELSE -1 END) AS v
+         FROM tx CROSS JOIN (SELECT unnest(range(0, 60)) AS i) bits
+         GROUP BY doc_id, i),
+       sg AS (
+         SELECT doc_id,
+           CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS sig
+         FROM vb GROUP BY doc_id)"""
+
   /** LSH-blocked n-gram similarity pipeline in DuckDB SQL, generated with
     * the SAME seed-42 affine parameters as Dedup.ngramJaccardLshPortable /
     * ngramContainmentLshPortable: 3-gram md5 min-hash (16 hashes), 8 bands
@@ -997,26 +1030,26 @@ object SparkEntry {
     "q_curation" -> CurationOracle,
     "q_cluster_dedup" -> ClusterDedupOracle,
     "q_simhash_oracle" ->
-      """WITH tk AS (
-           SELECT doc_id, list_distinct(string_split_regex(
-             trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+')) AS t
-           FROM documents),
-         tx AS (
-           SELECT doc_id,
-             CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS x
-           FROM (SELECT doc_id, unnest(t) AS tok FROM tk)),
-         vb AS (
-           SELECT doc_id, i,
-             sum(CASE WHEN ((x >> i) & 1) = 1 THEN 1 ELSE -1 END) AS v
-           FROM tx CROSS JOIN (SELECT unnest(range(0, 60)) AS i) bits
-           GROUP BY doc_id, i),
-         sg AS (
-           SELECT doc_id,
-             CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS sig
-           FROM vb GROUP BY doc_id),
+      s"""WITH $SimhashSigChainSql,
          keep AS (SELECT min(doc_id) AS doc_id FROM sg GROUP BY sig)
          SELECT doc_id FROM documents
          WHERE doc_id IN (SELECT doc_id FROM keep) ORDER BY doc_id""",
+    // banded hamming ≤ 3 search over the same 60-bit portable signatures:
+    // 4 disjoint 15-bit bands (pigeonhole recall), bucket-local band
+    // self-join, bit_count verify — DuckDB's xor()/bit_count replicate the
+    // Spark kernel exactly (DuckDB's ^ is power, hence xor())
+    "q_simhash_hamming" ->
+      s"""WITH $SimhashSigChainSql,
+         banded AS (
+           SELECT doc_id, sig, b, (sig >> (b * 15)) & 32767 AS bb
+           FROM sg CROSS JOIN (SELECT unnest(range(0, 4)) AS b) bs),
+         pairs AS (
+           SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+             CAST(bit_count(xor(l.sig, r.sig)) AS BIGINT) AS hamming
+           FROM banded l JOIN banded r
+             ON l.b = r.b AND l.bb = r.bb AND l.doc_id < r.doc_id
+           WHERE bit_count(xor(l.sig, r.sig)) <= 3)
+         SELECT id_a, id_b, hamming FROM pairs ORDER BY id_a, id_b""",
     "q_embedding_neardup_oracle" ->
       """WITH e AS (
            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -16,8 +16,9 @@ import org.apache.spark.sql.types._
   *    explodes to (band, bandHash) keys and joins WITHIN buckets only, so the
   *    candidate set is ~linear in input (never the O(n²) cross join);
   *  - SimHash: 64-bit signature via a fold over token hashes; near-dup =
-  *    same signature bucket (or small hamming distance within a prefix
-  *    bucket);
+  *    same signature bucket (hamming 0) or, Manku-style, hamming ≤ k via
+  *    banded search ([[simhashHammingPairs]]: k+1 disjoint bands, pigeonhole
+  *    recall guarantee, bucket-local self-join, bit_count verify);
   *  - verification (exact Jaccard on candidates) touches only candidate
   *    pairs.
   *
@@ -535,26 +536,108 @@ object Dedup {
         .as("simhash"))
   }
 
-  /** SimHash near-dup groups: bucket by full signature (hamming distance 0)
-    * or by signature prefix for a looser match. */
+  /** SimHash near-dup groups at hamming distance 0: bucket by full
+    * signature. For hamming distance > 0 (real Manku-style near-dup
+    * matching) use [[simhashHammingPairs]] / [[simhashDedupHamming]]. */
   def simhashDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val sig = simhashSigs(df, idCol, textCol)
     exactDedup(sig, col("simhash"), idCol).join(df, Seq(idCol))
   }
 
-  /** 60-bit SimHash dedup on md5-derived token hashes — same construction as
-    * [[simhashSigs]] but on the hash base DuckDB can replicate (first 15 md5
-    * hex chars = 60 bits keeps the value positive in a signed BIGINT for
-    * both engines), so the whole pipeline gets an exact SQL oracle. Fused
-    * row-local kernel like the xxhash64 path; the explode+vote aggregate
-    * formulation it replaced survives as the oracle's CTE chain. */
-  def simhashDedupPortable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** 60-bit md5-portable SimHash signatures (idCol, simhash) — same fused
+    * row-local kernel as [[simhashSigs]] but on the hash base DuckDB can
+    * replicate (first 15 md5 hex chars = 60 bits keeps the value positive in
+    * a signed BIGINT for both engines). */
+  def simhashSigsPortable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     import org.apache.spark.sql.GraftSqlBridge
     val toks = TextAnalysis.tokens(TextAnalysis.normalized(col(textCol)))
-    val sig = df.select(col(idCol),
+    df.select(col(idCol),
       GraftSqlBridge.column(graft.functions.SimHashTokensExpr(
         GraftSqlBridge.expression(toks), md5Portable = true)).as("simhash"))
+  }
+
+  /** 60-bit SimHash dedup on md5-derived token hashes — as [[simhashDedup]]
+    * (hamming distance 0) on [[simhashSigsPortable]] signatures, so the
+    * whole pipeline gets an exact SQL oracle. The explode+vote aggregate
+    * formulation it replaced survives as the oracle's CTE chain. */
+  def simhashDedupPortable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sig = simhashSigsPortable(df, idCol, textCol)
     exactDedup(sig, col("simhash"), idCol).join(df, Seq(idCol))
+  }
+
+  /** candidate pairs within hamming distance ≤ maxHamming over an existing
+    * signature frame (idCol, sigCol) — the Manku-style banded search: the
+    * signature's low `nBits` bits are split into `maxHamming + 1` disjoint
+    * bands (pigeonhole: two signatures differing in ≤ maxHamming bits must
+    * agree EXACTLY on at least one band), candidates are the bucket-local
+    * band self-join on (band, band bits), and verification is one
+    * `bit_count(a ^ b)` per candidate.
+    *
+    * Scale shape: banded rows carry the 8-byte signature itself, so
+    * verification is a per-row expression on the join output — no join back
+    * to the corpus; the self-join shuffles on (band, band bits) only and
+    * both sides are the same subplan, so exchange reuse computes the banding
+    * once (same shape as MinHash [[bandSelfJoinPairs]]). Band width =
+    * nBits/(maxHamming+1) sets bucket selectivity — at 60 bits and
+    * maxHamming 3 each band has 2^15 buckets; a larger corpus wants a wider
+    * signature (e.g. 128-bit as two longs), not a lower maxHamming. */
+  def simhashHammingPairsFromSigs(sigs: DataFrame, idCol: String, sigCol: String,
+                                  nBits: Int, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < nBits,
+      s"maxHamming ($maxHamming) must be in [0, nBits=$nBits)")
+    val bands = maxHamming + 1
+    // uneven splits are fine for the pigeonhole guarantee — widths differ by
+    // at most 1 so selectivity stays balanced
+    val base = nBits / bands
+    val rem = nBits % bands
+    val widths = (0 until bands).map(b => base + (if (b < rem) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    val bandCols = (0 until bands).map { b =>
+      // unsigned shift: a 64-bit signature with bit 63 set must not smear
+      // sign bits into the top band's bucket key
+      shiftrightunsigned(col(sigCol), offsets(b))
+        .bitwiseAND(lit((1L << widths(b)) - 1))
+    }
+    val banded = sigs.select(col(idCol), col(sigCol),
+      posexplode(array(bandCols: _*)).as(Seq("band", "band_bits")))
+    // a pair colliding in several bands appears once per band → distinct at
+    // the end; `hamming` is functional on the pair so it dedups with it
+    banded.as("l").join(banded.as("r"),
+        col("l.band") === col("r.band") &&
+          col("l.band_bits") === col("r.band_bits") &&
+          col(s"l.$idCol") < col(s"r.$idCol"))
+      .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"),
+        bit_count(col(s"l.$sigCol").bitwiseXOR(col(s"r.$sigCol")))
+          .cast(LongType).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** SimHash near-dup pairs at hamming distance ≤ maxHamming straight from a
+    * text column — signature kernel + banded search. `portable = true` uses
+    * the 60-bit md5 hash base so the whole pipeline (tokenize → vote →
+    * banding → bucket-local candidates → bit_count verify) is replicable by
+    * a DuckDB SQL oracle; the default is the 64-bit xxhash64 production
+    * base. */
+  def simhashHammingPairs(df: DataFrame, idCol: String, textCol: String,
+                          maxHamming: Int = 3,
+                          portable: Boolean = false): DataFrame = {
+    val sigs = if (portable) simhashSigsPortable(df, idCol, textCol)
+               else simhashSigs(df, idCol, textCol)
+    simhashHammingPairsFromSigs(sigs, idCol, "simhash",
+      nBits = if (portable) 60 else 64, maxHamming = maxHamming)
+  }
+
+  /** SimHash near-dup dedup at hamming distance ≤ maxHamming: drop every doc
+    * within maxHamming bits of a lower-id doc (greedy min-id policy, like
+    * [[minhashDedup]]; feed [[simhashHammingPairs]] to
+    * [[clusterDedupFromPairs]] for the transitive variant). */
+  def simhashDedupHamming(df: DataFrame, idCol: String, textCol: String,
+                          maxHamming: Int = 3,
+                          portable: Boolean = false): DataFrame = {
+    val dupIds = simhashHammingPairs(df, idCol, textCol, maxHamming, portable)
+      .select(col("id_b").as(idCol)).distinct().localCheckpoint()
+    df.join(dupIds, Seq(idCol), "left_anti")
   }
 
   /** exact token-set Jaccard similarity between two token arrays. */

@@ -77,9 +77,16 @@ object Streams {
     * so it composes with any streaming source) instead of an exact key.
     * Documents whose token sets vote to the same 64-bit signature within
     * the watermark horizon collapse to the first arrival; state stays
-    * bounded exactly as in [[streamingDedup]]. Hamming-distance > 0
-    * matching needs the banded-LSH batch pipeline — this is the
-    * ingest-time "drop obvious near-copies" pass in front of it. */
+    * bounded exactly as in [[streamingDedup]]. Ingest-time matching stays
+    * hamming-0 BY DESIGN: banded hamming ≤ k matching places each doc in
+    * k+1 band buckets, and a drop decision needs consensus ACROSS buckets
+    * (any bucket may hold the match) — in streaming that is a second
+    * stateful stage plus a per-doc vote combine, 4× the state and an extra
+    * shuffle per microbatch, for a pass that is only the cheap prefilter.
+    * Hamming ≤ k near-dup matching runs in the batch compaction over the
+    * ingested corpus ([[graft.operators.Dedup.simhashHammingPairs]] — the
+    * pigeonhole-banded search), where the candidate self-join is one
+    * bucket-local batch shuffle. */
   def streamingSimhashDedup(docs: DataFrame, textCol: String, tsCol: String,
                             delay: String = "10 minutes"): DataFrame = {
     import org.apache.spark.sql.GraftSqlBridge

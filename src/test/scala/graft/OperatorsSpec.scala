@@ -69,6 +69,68 @@ class OperatorsSpec extends AnyFunSuite {
     assert(hammingNear < hammingFar)
   }
 
+  test("simhashHammingPairsFromSigs: pigeonhole recall at d<=k, rejects d>k") {
+    // signatures engineered around a 60-bit base: every pair at hamming <= 3
+    // MUST be found (banding is guaranteed-recall by pigeonhole, regardless
+    // of WHICH bits differ), pairs at hamming > 3 must be rejected even when
+    // they share a band bucket
+    val base = 0x0123456789ABCDL // 60-bit value
+    val sigs = Seq(
+      1L -> base,
+      2L -> (base ^ 1L),                               // d=1 (band 0)
+      3L -> (base ^ ((1L << 14) | (1L << 29) | (1L << 59))), // d=3, one flip in bands 0,1,3
+      4L -> (base ^ ((1L << 5) | (1L << 20) | (1L << 35) | (1L << 50))), // d=4: one flip in EVERY band
+      5L -> (base ^ 0xFFL)                             // d=8, all in band 0
+    ).toDF("doc_id", "simhash")
+    val pairs = Dedup.simhashHammingPairsFromSigs(sigs, "doc_id", "simhash",
+        nBits = 60, maxHamming = 3)
+      .select("id_a", "id_b", "hamming")
+      .as[(Long, Long, Long)].collect()
+      .map(p => (p._1, p._2) -> p._3).toMap
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) == 1L)
+    assert(pairs.contains((1L, 3L)) && pairs((1L, 3L)) == 3L)
+    assert(!pairs.contains((1L, 4L))) // d=4 > maxHamming: no band agrees anyway
+    assert(!pairs.contains((1L, 5L))) // candidate via bands 1-3, killed by verify
+    assert(!pairs.contains((2L, 3L))) // 2 vs 3 differ in bits {0,14,29,59}: d=4
+  }
+
+  test("simhashHammingPairs finds a planted near-copy exact matching misses") {
+    // a long doc and a near-copy differing in ONE token: enough shared
+    // tokens that the majority votes move by <= 3 bits — the planted pair
+    // exact-signature dedup cannot see
+    val words = (1 to 80).map(i => s"w$i").mkString(" ")
+    val nearCopy = (1 to 80).map(i => if (i == 40) "CHANGED" else s"w$i").mkString(" ")
+    val planted = Seq(
+      (1L, words), (2L, nearCopy),
+      (3L, "completely unrelated text about spark engines and parquet files")
+    ).toDF("doc_id", "text")
+    // ground truth from the signatures themselves
+    val sigs = Dedup.simhashSigsPortable(planted, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val d12 = java.lang.Long.bitCount(sigs(1L) ^ sigs(2L))
+    assert(sigs(1L) != sigs(2L), "near-copy must NOT be an exact signature match")
+    val k = math.max(3, d12) // plant guarantees small-but-nonzero distance
+    val pairs = Dedup.simhashHammingPairs(planted, "doc_id", "text",
+        maxHamming = k, portable = true)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)),
+      s"planted pair at hamming $d12 not found at maxHamming=$k")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    // brute-force cross-check on the 3-doc corpus: banded search result ==
+    // all-pairs bit_count filter (recall guarantee, not just spot hits)
+    val ids = sigs.keys.toSeq.sorted
+    val brute = (for {
+      a <- ids; b <- ids if a < b
+      if java.lang.Long.bitCount(sigs(a) ^ sigs(b)) <= k
+    } yield (a, b)).toSet
+    assert(pairs == brute)
+    // and the greedy dedup drops exactly the higher id of the planted pair
+    val kept = Dedup.simhashDedupHamming(planted, "doc_id", "text",
+        maxHamming = k, portable = true)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L))
+  }
+
   test("ngramJaccardPairs requires blocking and finds the dup pairs") {
     intercept[IllegalArgumentException] {
       Dedup.ngramJaccardPairs(docs, "doc_id", "text", Nil, 0.5)
