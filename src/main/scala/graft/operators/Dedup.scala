@@ -581,6 +581,15 @@ object Dedup {
     * nBits/(maxHamming+1) sets bucket selectivity — at 60 bits and
     * maxHamming 3 each band has 2^15 buckets; a larger corpus wants a wider
     * signature (e.g. 128-bit as two longs), not a lower maxHamming. */
+  /** low-`width` ones mask. A full-width band (maxHamming=0 over a 64-bit
+    * signature) needs an explicit all-ones mask — the JVM shift is mod 64,
+    * so `(1L << 64) - 1` would be 0 and every row would share bucket 0,
+    * silently degrading the bucket-local self-join to an O(n^2) cross join
+    * (results stay correct via the bit_count verify, but the linear-
+    * candidate guarantee is lost). */
+  private[graft] def bandMask(width: Int): Long =
+    if (width >= 64) -1L else (1L << width) - 1
+
   def simhashHammingPairsFromSigs(sigs: DataFrame, idCol: String, sigCol: String,
                                   nBits: Int, maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming < nBits,
@@ -595,8 +604,7 @@ object Dedup {
     val bandCols = (0 until bands).map { b =>
       // unsigned shift: a 64-bit signature with bit 63 set must not smear
       // sign bits into the top band's bucket key
-      shiftrightunsigned(col(sigCol), offsets(b))
-        .bitwiseAND(lit((1L << widths(b)) - 1))
+      shiftrightunsigned(col(sigCol), offsets(b)).bitwiseAND(lit(bandMask(widths(b))))
     }
     val banded = sigs.select(col(idCol), col(sigCol),
       posexplode(array(bandCols: _*)).as(Seq("band", "band_bits")))

@@ -237,7 +237,7 @@ object Similarity {
   def ivfAssign(df: DataFrame, vecCol: String, model: IvfModel): DataFrame = {
     val v = col(vecCol)
     val scored = model.centers.zipWithIndex.map { case (c, i) =>
-      val cNormSq = c.map(x => x * x).sum
+      val cNormSq = sqNorm(c)
       struct((lit(cNormSq) - lit(2.0) * dotProduct(v, array(c.map(lit): _*)))
         .as("d"), lit(i).as("i"))
     }
@@ -251,15 +251,44 @@ object Similarity {
     (model, ivfAssign(df, vecCol, model))
   }
 
+  /** squared L2 norm, sequential left-to-right accumulation — the SAME
+    * value [[ivfAssign]] embeds as the per-centroid `|c|²` literal, exposed
+    * so an engine-external oracle can embed the identical bits. */
+  private[graft] def sqNorm(c: Array[Double]): Double = {
+    var s = 0.0; var j = 0
+    while (j < c.length) { s += c(j) * c(j); j += 1 }
+    s
+  }
+
+  /** sequential left-to-right dot product — matches both Spark's
+    * `aggregate(zip_with(...))` accumulation and DuckDB's
+    * `list_dot_product`, so driver-side probe ranking is bit-identical to
+    * what a SQL oracle computes from the same literals. */
+  private[graft] def seqDot(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var j = 0
+    while (j < a.length) { s += a(j) * b(j); j += 1 }
+    s
+  }
+
+  /** the `nprobe` cluster ids nearest the query, ranked by
+    * `|c|² − 2·c·q` (identical ordering to squared L2 — the |q|² term is
+    * constant) with ties to the lower cluster id. Pure driver math (k ≪
+    * corpus); the ranking formula and accumulation order are exactly
+    * replicable in SQL from the centroid literals, so oracle probe sets
+    * match bit-for-bit. */
+  private[graft] def ivfProbes(model: IvfModel, query: Seq[Double],
+                               nprobe: Int): Seq[Int] = {
+    val qArr = query.toArray
+    model.centers.zipWithIndex.map { case (c, i) =>
+      (i, sqNorm(c) - 2.0 * seqDot(c, qArr))
+    }.sortBy { case (i, d) => (d, i) }.take(nprobe).map(_._1).toSeq
+  }
+
   /** probe the `nprobe` clusters nearest the query, exact rerank inside. */
   def ivfTopK(assigned: DataFrame, model: IvfModel,
               idCol: String, vecCol: String, query: Seq[Double], topK: Int,
               nprobe: Int = 4): DataFrame = {
-    val qArr = query.toArray
-    val probes = model.centers.zipWithIndex.map { case (c, i) =>
-      val d = c.zip(qArr).map { case (a, b) => val t = a - b; t * t }.sum
-      (i, d)
-    }.sortBy(_._2).take(nprobe).map(_._1)
+    val probes = ivfProbes(model, query, nprobe)
     val q = array(query.map(lit): _*)
     assigned.filter(col("__cluster").isin(probes.map(Int.box): _*))
       .select(col(idCol), round(cosine(col(vecCol), q), 6).as("cos"))

@@ -94,6 +94,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!pairs.contains((2L, 3L))) // 2 vs 3 differ in bits {0,14,29,59}: d=4
   }
 
+  test("bandMask: full-width band keeps all 64 bits (JVM shift-mod-64 trap)") {
+    // (1L << 64) - 1 is 0 on the JVM — a width-64 band (maxHamming=0 over a
+    // 64-bit signature) must mask to all-ones or every row lands in bucket 0
+    // and the bucket-local self-join degrades to an O(n^2) cross join
+    assert(Dedup.bandMask(64) == -1L)
+    assert(Dedup.bandMask(63) == Long.MaxValue)
+    assert(Dedup.bandMask(15) == 0x7FFFL)
+    assert(Dedup.bandMask(1) == 1L)
+    // end-to-end at the trap configuration: maxHamming=0, nBits=64, high bit
+    // set — exact-equal signatures pair, any differing signature must not
+    val sigs = Seq(
+      1L -> 0x8000000000000001L, // bit 63 set: distinguishes signed smear too
+      2L -> 0x8000000000000001L, // exact dup of 1
+      3L -> 0x8000000000000000L, // d=1 from 1/2 — must NOT pair at maxHamming=0
+      4L -> 0x0000000000000001L  // d=1 from 1/2 in the top bit
+    ).toDF("doc_id", "simhash")
+    val pairs = Dedup.simhashHammingPairsFromSigs(sigs, "doc_id", "simhash",
+        nBits = 64, maxHamming = 0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
   test("simhashHammingPairs finds a planted near-copy exact matching misses") {
     // a long doc and a near-copy differing in ONE token: enough shared
     // tokens that the majority votes move by <= 3 bits — the planted pair
