@@ -475,6 +475,39 @@ object SparkEntry {
         .select(col("n_matched"),
           round(col("n_matched") / 10.0, 6).as("recall_at_10"))
     }),
+    "q_lsh_recall_planted" -> ((s, dir) => {
+      // recall@10 AT THE PRODUCTION ANN PARAMETERS (nBits=16, maxFlips=3 —
+      // the q_lsh_ann setting): the fixture corpora have no natural
+      // neighbor structure (max cosine ~0.48), so q_lsh_recall's honest
+      // measurement can't validate the production configuration itself
+      // (round-4 verdict item #3). This query PLANTS 10 known near
+      // neighbors — the query vector plus seeded deterministic gaussian
+      // perturbations spanning cosine ~0.93-0.999 (the near-dup regime the
+      // config targets) — so exact brute-force top-10 is the planted set
+      // and recall@10 measures how much of it the 1.1%-of-signature-space
+      // multi-probe recovers. Fully oracle-pinned: the perturbation
+      // literals are exact doubles in the generated SQL, and both engines
+      // derive the planted vectors from the same data row with one IEEE
+      // addition per element.
+      import s.implicits._
+      val emb = rd(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 1).select("embedding")
+        .head().getSeq[Float](0).map(_.toDouble)
+      val planted = PlantedPerturbations.map { case (id, w) =>
+        (id, q.zip(w).map { case (a, b) => a + b })
+      }
+      val corpus = emb.filter(col("vec_id") =!= 1)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .unionAll(planted.toDF("vec_id", "v"))
+      val lsh = Similarity.lshTopK(corpus, "vec_id", "v", q, 10,
+        dim = 64, nBits = 16, maxFlips = 3).select("vec_id")
+      val bf = Similarity.bruteForceTopK(corpus, "vec_id", "v", q, 10)
+        .select("vec_id")
+      lsh.join(bf, Seq("vec_id"))
+        .agg(count(lit(1)).as("n_matched"))
+        .select(col("n_matched"),
+          round(col("n_matched") / 10.0, 6).as("recall_at_10"))
+    }),
     "q_ivf_ann" -> ((s, dir) => {
       val emb = rd(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") === 1).select("embedding")
