@@ -987,6 +987,28 @@ object SparkEntry {
   private val LshRecallBits = 8
   private val LshRecallFlips = 3
 
+  /** planted near-neighbor perturbations for q_lsh_recall_planted: 10 rows
+    * of seeded deterministic gaussians (java.util.Random(20260812) — the
+    * polar-method spec pins the exact bit sequence across JVMs), each
+    * normalized to unit length then scaled to ε = tan(acos(target)) for
+    * targets stepping 0.999 → 0.93. The fixture embeddings are unit-norm
+    * (|q| ≈ 1.0 at every sf), so a perturbation ~⊥ q of length ε yields
+    * cos(q, q+w) ≈ target — all ≫ the corpus's natural max (~0.51), which
+    * makes the exact brute-force top-10 the planted set by construction.
+    * Ids start at 100001, disjoint from every fixture corpus (max 1999).
+    * The same doubles are embedded as exact literals in the DuckDB oracle
+    * (Double.toString round-trips), and BOTH engines derive the planted
+    * vectors from the same data row with one IEEE addition per element. */
+  private val PlantedPerturbations: Seq[(Long, Seq[Double])] = {
+    val rng = new java.util.Random(20260812L)
+    (0 until 10).map { i =>
+      val g = Array.fill(64)(rng.nextGaussian())
+      val norm = math.sqrt(g.map(x => x * x).sum)
+      val eps = math.tan(math.acos(0.999 - i * (0.069 / 9.0)))
+      (100001L + i, g.map(_ * eps / norm).toSeq)
+    }
+  }
+
   /** seed-42 hyperplane weights as a DuckDB VALUES list — Double.toString
     * round-trips exactly, so DuckDB parses the identical bits the Spark-side
     * kernel uses. hyperplanes(dim, n, seed) draws gaussians sequentially, so
@@ -1060,6 +1082,53 @@ object SparkEntry {
        WHERE len(list_filter(range(0, 16),
                i -> ((s.sig >> i) & 1) != ((qs.qsig >> i) & 1))) <= 3
        ORDER BY cos.cos DESC, s.vec_id LIMIT 10"""
+  }
+
+  /** q_lsh_recall_planted in DuckDB: the [[LshRecallOracle]] chain at the
+    * PRODUCTION parameters (16 bits, ≤3 flips) over the corpus augmented
+    * with the 10 planted neighbors. The perturbation doubles are exact
+    * literals; DuckDB rebuilds each planted vector as qv[j] + w[j] (lists
+    * are 1-indexed, hence pj + 1) — the identical IEEE addition the Spark
+    * side performs driver-side — so signatures, probe set, rerank, and the
+    * recall fraction are all bit-pinned. */
+  private val LshRecallPlantedOracle: String = {
+    val pertValues = PlantedPerturbations.flatMap { case (id, w) =>
+      w.zipWithIndex.map { case (x, j) => s"($id, $j, $x)" }
+    }.mkString(", ")
+    s"""WITH planes(b, j, w) AS (VALUES ${hyperplaneValues(16)}),
+       pl AS (SELECT b, list(w ORDER BY j) AS pw FROM planes GROUP BY b),
+       pert(pid, pj, pw2) AS (VALUES $pertValues),
+       e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       q AS (SELECT v AS qv FROM e0 WHERE vec_id = 1),
+       planted AS (
+         SELECT pid AS vec_id, list(qv[pj + 1] + pw2 ORDER BY pj) AS v
+         FROM pert CROSS JOIN q GROUP BY pid),
+       c AS (SELECT vec_id, v FROM e0 WHERE vec_id != 1
+             UNION ALL SELECT vec_id, v FROM planted),
+       sigs AS (
+         SELECT c.vec_id,
+           CAST(sum(CASE WHEN list_dot_product(c.v, pl.pw) >= 0
+                    THEN (CAST(1 AS BIGINT) << pl.b) ELSE 0 END) AS BIGINT) AS sig
+         FROM c CROSS JOIN pl GROUP BY c.vec_id),
+       qs AS (
+         SELECT CAST(sum(CASE WHEN list_dot_product(q.qv, pl.pw) >= 0
+                    THEN (CAST(1 AS BIGINT) << pl.b) ELSE 0 END) AS BIGINT) AS qsig
+         FROM q CROSS JOIN pl),
+       cos AS (
+         SELECT c.vec_id,
+           round(list_dot_product(c.v, q.qv)
+             / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos
+         FROM c CROSS JOIN q),
+       lsh AS (
+         SELECT s.vec_id FROM sigs s CROSS JOIN qs
+         JOIN cos ON cos.vec_id = s.vec_id
+         WHERE len(list_filter(range(0, 16),
+                 i -> ((s.sig >> i) & 1) != ((qs.qsig >> i) & 1))) <= 3
+         ORDER BY cos.cos DESC, s.vec_id LIMIT 10),
+       bf AS (SELECT vec_id FROM cos ORDER BY cos DESC, vec_id LIMIT 10),
+       m AS (SELECT count(*) AS nm FROM lsh JOIN bf USING (vec_id))
+       SELECT CAST(nm AS BIGINT) AS n_matched,
+         round(nm / 10.0, 6) AS recall_at_10 FROM m"""
   }
 
   /** q_ivf_ann / q_ivf_recall in DuckDB: the full IVF probe path from the
@@ -1450,6 +1519,7 @@ object SparkEntry {
     "q_cosine_topk" -> CosineTopkOracle,
     "q_cosine_expr" -> CosineTopkOracle,
     "q_lsh_recall" -> LshRecallOracle,
+    "q_lsh_recall_planted" -> LshRecallPlantedOracle,
     "q_lsh_ann" -> LshAnnOracle,
     "q_embedding_neardup" -> EmbeddingNearDupLshOracle,
     // NOTE: parity holds because the documents fixture is ASCII-only — the
