@@ -1504,7 +1504,7 @@ object SparkEntry {
            SELECT doc_id, term, count(*) AS tf FROM tok
            WHERE len(term) > 0 GROUP BY doc_id, term),
          dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-         n AS (SELECT count(*) AS n FROM documents),
+         n AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
          scored AS (
            SELECT doc_id, tf.term AS term,
              round(tf * ln(CAST(n.n AS DOUBLE) / df), 6) AS tfidf

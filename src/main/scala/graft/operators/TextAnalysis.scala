@@ -138,18 +138,30 @@ object TextAnalysis {
     * tiebreak) so the ordering is reproducible across engines. Scale shape:
     * two hash aggregates keyed on (doc, term) and (term) — both map-side
     * combined — then a per-doc top-k window; the doc-frequency table is tiny
-    * (vocabulary-sized) and AQE broadcasts the join. */
+    * (vocabulary-sized) and AQE broadcasts the join.
+    *
+    * The `tf` doc-term matrix is the operator's working set and is consumed
+    * THREE times (scoring join, doc-frequency, N); it is localCheckpoint'd
+    * so the corpus is scanned and tokenized exactly ONCE per call — the
+    * same materialize-TF-then-derive-IDF shape as MLlib's CountVectorizer →
+    * IDF. (Leaving it lazy is worse: column pruning specializes each tf
+    * reference differently, defeating exchange reuse → 3 corpus scans.)
+    * N is derived from the checkpoint as countDistinct(id) (= documents
+    * contributing ≥1 term; a token-less document has no tf rows and never
+    * appears in the output anyway) and cross-joined as a broadcast 1-row
+    * frame — no df.count() action, no driver synchronization. */
   def tfIdfTopTerms(df: DataFrame, idCol: String, textCol: String,
                     k: Int = 5): DataFrame = {
-    val n = df.count()
     val tf = df
       .select(col(idCol),
         explode(filter(tokens(col(textCol)), t => length(t) > 0)).as("term"))
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val scored = tf.join(dfreq, "term")
+    val nRow = tf.agg(countDistinct(col(idCol)).as("__n_docs"))
+    val scored = tf.join(dfreq, "term").crossJoin(broadcast(nRow))
       .withColumn("tfidf",
-        round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
+        round(col("tf") * log(col("__n_docs").cast(DoubleType) / col("df")), 6))
     Relational.topNPerGroup(scored, Seq(idCol),
         Seq(desc("tfidf"), asc("term")), k)
       .select(col(idCol), col("term"), col("tfidf"))
@@ -195,7 +207,14 @@ object TextAnalysis {
                      vocabCap: Int = 0): DataFrame = {
     val tok = df.select(col(idCol),
       explode(filter(tokens(col(textCol)), t => length(t) > 0)).as("term"))
+    // localCheckpoint the vocabulary aggregate (vocabulary-sized — tiny by
+    // Zipf even at 100 TB): `total` is then a scan of the checkpoint, not a
+    // second pass over the corpus, and the scoring join below reads the
+    // checkpoint too — so the final job tokenizes the corpus exactly ONCE
+    // (previously: tok was re-derived for the vocab branch AND the join
+    // branch, plus a third full pass for the total).
     val fullVocab = tok.groupBy("term").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
     val total = fullVocab.agg(sum("cnt")).head.getLong(0)
     val vocab =
       if (vocabCap <= 0) fullVocab

@@ -89,4 +89,65 @@ class PlanAuditSpec extends AnyFunSuite {
       s"missing partial aggregate in:\n$plan")
     assert(!plan.contains("SinglePartition"), s"single-partition agg in:\n$plan")
   }
+
+  // parquet corpus fixture for the single-scan text-operator audits: scan
+  // counting needs a real file source ("Scan parquet" nodes), not a LocalRelation
+  private lazy val docsDir: String = {
+    val d = Files.createTempDirectory("graft_plan_docs").toString
+    (1L to 300L).map(i =>
+        (i, s"alpha tok$i beta gamma${i % 7} delta common words here t$i"))
+      .toDF("doc_id", "text")
+      .repartition(4).write.mode("overwrite").parquet(d)
+    d
+  }
+
+  private def countInGroup(group: String)(body: => Unit): Int = {
+    spark.sparkContext.setJobGroup(group, "job-count assertion")
+    try body finally spark.sparkContext.clearJobGroup()
+    def jobs = spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
+    Thread.sleep(200) // absorb trailing job-start events (event-bus fed)
+    jobs
+  }
+
+  /** the Final-Plan section only — formatted AQE explain repeats every node
+    * in the Initial-Plan and node-detail sections, so substring counts over
+    * the whole string overcount scans 3×. */
+  private def finalSection(plan: String): String =
+    plan.split("== Initial Plan ==")(0)
+
+  test("tfIdfTopTerms scans the corpus ONCE (tf checkpointed, no df.count action)") {
+    import graft.operators.TextAnalysis
+    val corpus = spark.read.parquet(docsDir)
+    var result: org.apache.spark.sql.DataFrame = null
+    // construction = the tf-matrix checkpoint, ONE aggregate pass over the
+    // corpus (≤2 AQE scheduler jobs: partial-agg shuffle stage + final).
+    // The old implementation additionally ran a full df.count() corpus scan
+    // + driver sync, and left tf lazy → 3 corpus scans in the scoring job.
+    val buildJobs = countInGroup("tfidf-build") {
+      result = TextAnalysis.tfIdfTopTerms(corpus, "doc_id", "text", 3)
+    }
+    assert(buildJobs <= 2,
+      s"tfIdfTopTerms ran $buildJobs jobs at construction, expected <= 2 (one corpus pass)")
+    val plan = finalSection(finalPlan(result))
+    // scoring job reads only the checkpointed tf matrix — zero parquet scans
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 0, s"scoring job re-scans the corpus ($scans scans) in:\n$plan")
+    assert(plan.contains("ExistingRDD"),
+      s"tf matrix not read from the checkpoint in:\n$plan")
+    assert(result.count() > 0)
+  }
+
+  test("unigramLogProb scoring plan reads the corpus ONCE (vocab from checkpoint)") {
+    import graft.operators.TextAnalysis
+    val corpus = spark.read.parquet(docsDir)
+    val result = TextAnalysis.unigramLogProb(corpus, "doc_id", "text")
+    val plan = finalSection(finalPlan(result))
+    // vocab side must come from the localCheckpoint (ExistingRDD), leaving a
+    // single parquet scan — previously the corpus was tokenized twice in the
+    // scoring job (vocab branch + join branch) plus once for the total
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"expected 1 corpus scan, found $scans in:\n$plan")
+    assert(plan.contains("ExistingRDD"),
+      s"vocabulary not read from the checkpoint in:\n$plan")
+  }
 }
