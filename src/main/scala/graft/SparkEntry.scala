@@ -682,10 +682,11 @@ object SparkEntry {
         .orderBy("label", "pos")),
     "q_containment" -> ((s, dir) =>
       // asymmetric near-dup: |A∩B| / min(|A|,|B|) catches small-doc-inside-
-      // big-doc duplication that symmetric jaccard misses; same LSH blocking
-      // + shared shingle projection as q_ngram_jaccard
-      Dedup.ngramContainmentLshPortable(rd(s, dir, "documents"), "doc_id", "text",
-          threshold = 0.7, numHashes = 16, bands = 8, ngram = 3)
+      // big-doc duplication that symmetric jaccard misses. Candidates via
+      // LOSSLESS prefix filtering (rarest shingles of the smaller side), so
+      // the oracle below is ground truth, not a blocking replica
+      Dedup.ngramContainmentPrefix(rd(s, dir, "documents"), "doc_id", "text",
+          threshold = 0.7, ngram = 3)
         .orderBy("id_a", "id_b")),
     "q_grouped_median" -> ((s, dir) =>
       // exact interpolated percentile per group. Determinism: the median of
@@ -914,8 +915,8 @@ object SparkEntry {
          FROM vb GROUP BY doc_id)"""
 
   /** LSH-blocked n-gram similarity pipeline in DuckDB SQL, generated with
-    * the SAME seed-42 affine parameters as Dedup.ngramJaccardLshPortable /
-    * ngramContainmentLshPortable: 3-gram md5 min-hash (16 hashes), 8 bands
+    * the SAME seed-42 affine parameters as Dedup.ngramJaccardLshPortable:
+    * 3-gram md5 min-hash (16 hashes), 8 bands
     * × 2 rows, bucket-local candidate pairs, then the exact pair score
     * (`scoreExpr` over distinct shingle lists `a.t` / `b.t`, aliased
     * `scoreName`) ≥ threshold on candidates only. */
@@ -968,10 +969,34 @@ object SparkEntry {
              / (len(a.t) + len(b.t) - len(list_filter(a.t, x -> list_contains(b.t, x)))), 6)""",
     "jaccard", 0.5)
 
-  private val NgramContainmentLshOracle: String = ngramLshOracle(
-    """round(len(list_filter(a.t, x -> list_contains(b.t, x)))
-             / least(len(a.t), len(b.t)), 6)""",
-    "containment", 0.7)
+  /** GROUND-TRUTH containment oracle: ALL pairs sharing ≥1 shingle (the
+    * only pairs with containment > 0), overlap counted by a pair-grouped
+    * aggregate over distinct postings (|A∩B| = count of shared shingles —
+    * no per-pair list_intersect, which is 30× slower at sf0.1). Because the
+    * Spark side's prefix filter is lossless, this checks the blocking's
+    * COMPLETENESS, not merely replicates it — a recall bug on either side
+    * hash-mismatches. */
+  private val NgramContainmentPrefixOracle: String =
+    """WITH tk AS (
+         SELECT doc_id, string_split_regex(
+           trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+') AS t
+         FROM documents),
+       sh AS (
+         SELECT doc_id, concat_ws(' ', t[i+1], t[i+2], t[i+3]) AS s
+         FROM (SELECT doc_id, t,
+                 unnest(range(0, greatest(len(t) - 3, 0) + 1)) AS i
+               FROM tk)),
+       ds AS (SELECT DISTINCT doc_id, s FROM sh),
+       sz AS (SELECT doc_id, count(*) AS sz FROM ds GROUP BY doc_id),
+       ov AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ov
+         FROM ds a JOIN ds b ON a.s = b.s AND a.doc_id < b.doc_id
+         GROUP BY 1, 2)
+       SELECT id_a, id_b,
+         round(CAST(ov AS DOUBLE) / least(x.sz, y.sz), 6) AS containment
+       FROM ov JOIN sz x ON x.doc_id = id_a JOIN sz y ON y.doc_id = id_b
+       WHERE round(CAST(ov AS DOUBLE) / least(x.sz, y.sz), 6) >= 0.7
+       ORDER BY id_a, id_b"""
 
   /** recall@10 of lshTopK(nBits=16, maxFlips=3) vs brute force in DuckDB:
     * the seed-42 hyperplane weights are embedded as exact double literals
@@ -1665,7 +1690,7 @@ object SparkEntry {
            CAST(round(CAST(sum(CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT))
                AS DOUBLE) / count(*)) AS BIGINT) / 1000000.0 AS centroid
          FROM e GROUP BY label, pos ORDER BY label, pos""",
-    "q_containment" -> NgramContainmentLshOracle,
+    "q_containment" -> NgramContainmentPrefixOracle,
     "q_grouped_median" ->
       """SELECT l_returnflag,
            quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.5)

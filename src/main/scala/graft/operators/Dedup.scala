@@ -858,21 +858,52 @@ object Dedup {
     * document largely CONTAINED in another (quote farms, boilerplate
     * wrappers, page-of-a-book extracts) that symmetric Jaccard misses
     * (a 100-shingle doc inside a 10k-shingle doc has jaccard ≈ 0.01 but
-    * containment 1.0). Candidates come from the same fused MinHash-LSH
-    * banding as [[ngramJaccardLshPortable]] over the same shared shingle
-    * projection.
+    * containment 1.0).
     *
-    * Scale caveat (honest recall statement): MinHash-LSH banding collides on
-    * JACCARD, so extreme small-in-big containment pairs under-collide — at
-    * 100 TB a dedicated containment index (prefix filtering on the smaller
-    * side's rarest shingles) would replace candidate generation; the verify
-    * stage here is unchanged by that swap. */
-  def ngramContainmentLshPortable(df: DataFrame, idCol: String, textCol: String,
-                                  threshold: Double = 0.7, numHashes: Int = 16,
-                                  bands: Int = 8, ngram: Int = 3): DataFrame = {
+    * Candidates come from PREFIX FILTERING, not MinHash banding: banding
+    * collides on JACCARD, so it silently misses exactly the small-in-big
+    * pairs this operator exists for (their jaccard sits below any useful
+    * band S-curve). Prefix-filter theorem (the ssjoin/PPJoin family): if
+    * containment(A,B) ≥ t with |A| ≤ |B|, B contains ≥ ⌈t·|A|⌉ of A's
+    * shingles, i.e. misses at most |A| − ⌈t·|A|⌉ of them — so ANY
+    * |A| − ⌈t·|A|⌉ + 1 of A's shingles must include a shared one.
+    * Candidates = (designated-smaller side's prefix shingles) ⋈ (other
+    * side's full postings); LOSSLESS for containment ≥ t, which is why the
+    * q_containment oracle can be ground truth (all shingle-sharing pairs)
+    * rather than a replica of the blocking. Prefix shingles are chosen
+    * globally-RAREST-first (document frequency asc, shingle asc —
+    * deterministic), so the candidate join probes the short posting lists,
+    * not the stopword-n-gram ones.
+    *
+    * Scale shape: the doc-frequency table is vocabulary-sized (AQE
+    * broadcasts it); the prefix rank is a per-document window (parallelism
+    * = documents, never a global window); the candidate join keys on the
+    * shingle with fan-out bounded by RARE posting lists; exact verify runs
+    * on candidates only, off the same checkpointed shingle projection. At
+    * t=0.7 the probe side carries ~30% of postings — the standard
+    * containment-index shape at 100 TB. */
+  def ngramContainmentPrefix(df: DataFrame, idCol: String, textCol: String,
+                             threshold: Double = 0.7, ngram: Int = 3): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"containment threshold must be in (0,1], got $threshold")
     val sh = shingleArrays(df, idCol, textCol, ngram)
-    val sigs = sigsFromShingleArrays(sh, idCol, numHashes, portable = true)
-    val cands = portableBandPairs(sigs, idCol, numHashes, bands)
+    val ex = sh.select(col(idCol), size(col("__sh")).as("__sz"),
+      explode(col("__sh")).as("__s"))
+    val freq = ex.groupBy("__s").agg(count(lit(1)).as("__freq"))
+    val w = Window.partitionBy(col(idCol)).orderBy(asc("__freq"), asc("__s"))
+    val prefix = ex.join(freq, "__s")
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= col("__sz") - ceil(lit(threshold) * col("__sz")) + lit(1))
+      .select(col(idCol).as("__pid"), col("__sz").as("__psz"), col("__s"))
+    // designated smaller side = lexicographically smaller (size, id); its
+    // size IS min(|A|,|B|), so the pigeonhole guarantee above applies
+    val full = ex.select(col(idCol).as("__fid"), col("__sz").as("__fsz"), col("__s"))
+    val cands = prefix.join(full, "__s")
+      .filter(col("__psz") < col("__fsz") ||
+        (col("__psz") === col("__fsz") && col("__pid") < col("__fid")))
+      .select(least(col("__pid"), col("__fid")).as("id_a"),
+        greatest(col("__pid"), col("__fid")).as("id_b"))
+      .distinct()
     verifyContainmentOnShingleArrays(sh, idCol, cands, threshold)
   }
 

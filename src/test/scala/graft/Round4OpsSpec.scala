@@ -136,6 +136,37 @@ class Round4OpsSpec extends AnyFunSuite {
     assert(scored((1L, 3L))._1 < 0.2)
   }
 
+  test("prefix-filter containment finds a small-in-big pair that jaccard banding misses") {
+    import graft.operators.Dedup
+    // doc 1's shingles are a strict subset of doc 2's (containment = 1.0),
+    // but jaccard ≈ 10/250 ≈ 0.04 — far below the 16-hash/8-band S-curve
+    val small = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val filler = (1 to 120).map(i => s"filler$i word$i").mkString(" ")
+    val docs = Seq(
+      (1L, small),
+      (2L, small + " " + filler),
+      (3L, "completely unrelated content about spark engines and planning")
+    ).toDF("doc_id", "text")
+    // the q_containment-r7 banding config provably yields ZERO candidates
+    // for the planted pair: the md5-portable signatures (seed-42 affine
+    // params, deterministic) collide in no band
+    val (bandCands, sigs) = Dedup.minhashCandidatesPortableWithSigs(
+      docs, "doc_id", "text", numHashes = 16, bands = 8, shingleSize = 3)
+    val banded = bandCands.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    sigs.unpersist(blocking = false)
+    assert(!banded.contains((1L, 2L)),
+      "planted pair unexpectedly collided in a band — pick a smaller jaccard fixture")
+    // the prefix-filter operator finds it end-to-end with containment 1.0
+    val pairs = Dedup.ngramContainmentPrefix(docs, "doc_id", "text", threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs.contains((1L, 2L)),
+      s"prefix filter missed the planted small-in-big pair; found ${pairs.keySet}")
+    assert(pairs((1L, 2L)) == 1.0, s"containment should be exactly 1.0, got ${pairs((1L, 2L))}")
+    assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L),
+      "unrelated doc must not pair with anything")
+  }
+
   test("SQL kernels: graft_minhash_tokens / graft_simhash_tokens match operators") {
     import graft.operators.{Dedup, TextAnalysis}
     GraftExtensions.register(spark)
@@ -187,6 +218,24 @@ class Round4OpsSpec extends AnyFunSuite {
         assert(off == expected, s"offset gap: $sorted")
         expected += n
       }
+    }
+  }
+
+  test("approx_count_distinct (q_approx_distinct) is within the HLL rsd bound of exact") {
+    // q_approx_distinct is the one query no DuckDB oracle can constrain (HLL
+    // sketch); pin its accuracy here instead: default rsd = 0.05, assert
+    // |estimate − exact| ≤ 3·rsd·exact (≥ 99.7% of seeds; the sketch is
+    // deterministic for a fixed column, so this cannot flake) at both
+    // verify scale factors.
+    for (sf <- Seq("sf0.01", "sf0.1")) {
+      val li = spark.read.parquet(s"/root/testdata/$sf/lineitem.parquet")
+      val est = li.agg(approx_count_distinct(col("l_partkey")).as("n"))
+        .head().getLong(0)
+      val exact = li.agg(countDistinct(col("l_partkey")).as("n"))
+        .head().getLong(0)
+      val rtol = 3 * 0.05
+      assert(math.abs(est - exact) <= rtol * exact,
+        s"$sf: HLL estimate $est outside ±${rtol * 100}% of exact $exact")
     }
   }
 
