@@ -34,10 +34,14 @@ object Curation {
       TextAnalysis.langId(col(textCol)) === lang &&
         TextAnalysis.qualityScore(col(textCol)) >= minQuality)
       .localCheckpoint()
+    // the exact-dedup survivors feed the near-dedup stage TWICE (signature
+    // build + final anti-join); checkpoint them once so the fingerprint
+    // groupBy + semi-join doesn't re-run per reference
     val exact = Dedup.exactDedup(
         gated.withColumn("__fp", TextAnalysis.fingerprint(col(textCol))),
         col("__fp"), idCol)
       .drop("__fp")
+      .localCheckpoint()
     val near = Dedup.minhashDedupPortable(exact, idCol, textCol, nearDupThreshold)
     Sampling.hashSample(near, col(idCol), sampleFraction)
   }

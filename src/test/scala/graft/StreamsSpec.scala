@@ -168,6 +168,66 @@ class StreamsSpec extends AnyFunSuite {
     }
   }
 
+  test("out-of-order 3-batch replay of events.parquet converges to the batch answers") {
+    // the one verification mode the DuckDB harness can't see: the STREAMING
+    // path (watermark + append finalization) must produce exactly the batch
+    // q_tumbling/q_session rows when the corpus is replayed out of order.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000"))) // nanos fixture
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val rows = batch.as[Event].collect()
+    assert(rows.length == 1000)
+    // id % 3 interleaves the full 30-day span across batches → heavy
+    // cross-batch disorder; the 35-day watermark tolerates all of it
+    val batches = rows.groupBy(_.event_id % 3).toSeq.sortBy(_._1).map(_._2)
+    val maxTs = rows.map(_.ts.getTime).max
+    // far-future flush events advance the watermark past every real window
+    // (wm = flush − 35d = max + 5d); their own windows are never emitted
+    def flush(i: Int) = Event(-1L - i,
+      new Timestamp(maxTs + (40L + i) * 24 * 3600 * 1000), -1L, "flush", 0.0)
+
+    val expTumbling = Streams.tumblingAgg(batch, "1 hour").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val expSession = Streams.sessionAgg(batch, "30 minutes").collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+
+    def replay(name: String, agg: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Unit = {
+      val mem = MemoryStream[Event]
+      val q = agg(mem.toDS().toDF()).writeStream
+        .outputMode("append").format("memory").queryName(name).start()
+      try {
+        batches.foreach { b => mem.addData(b.toSeq); q.processAllAvailable() }
+        mem.addData(flush(0)); q.processAllAvailable()
+        mem.addData(flush(1)); q.processAllAvailable() // emission lags wm by one batch
+      } finally q.stop()
+    }
+
+    replay("bt_tumbling",
+      df => Streams.tumblingAgg(df, "1 hour", watermark = "35 days", streaming = true))
+    val gotTumbling = spark.table("bt_tumbling")
+      .filter(col("event_type") =!= "flush").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(gotTumbling == expTumbling,
+      s"stream≠batch tumbling: missing ${(expTumbling -- gotTumbling).take(3)}, " +
+        s"extra ${(gotTumbling -- expTumbling).take(3)} " +
+        s"(${gotTumbling.size} vs ${expTumbling.size} rows)")
+
+    replay("bt_session",
+      df => Streams.sessionAgg(df, "30 minutes", watermark = "35 days", streaming = true))
+    val gotSession = spark.table("bt_session")
+      .filter(col("user_id") =!= -1L).collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(gotSession == expSession,
+      s"stream≠batch sessions: missing ${(expSession -- gotSession).take(3)}, " +
+        s"extra ${(gotSession -- expSession).take(3)} " +
+        s"(${gotSession.size} vs ${expSession.size} rows)")
+
+    spark.sql("DROP TABLE IF EXISTS bt_tumbling")
+    spark.sql("DROP TABLE IF EXISTS bt_session")
+  }
+
   test("file-stream smoke: batch transform runs as a streaming query") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
     events.write.mode("overwrite").parquet(dir)
