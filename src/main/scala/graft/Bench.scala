@@ -89,7 +89,22 @@ object Bench {
         Similarity.labelCentroids(
           emb.selectExpr("vec_id", "embedding", "cast(vec_id % 3 as string) as label"),
           "label", "embedding").count()
-      }))
+      }),
+      // round-7/8 families: Manku banded hamming search, IVF fit+probe,
+      // multi-probe LSH top-k (the planted-recall config), and the
+      // prefix-filter containment join (freq rank window + posting join)
+      "simhash_hamming" -> (() =>
+        Dedup.simhashHammingPairs(docs, "doc_id", "text", maxHamming = 3).count()),
+      "ivf_probe" -> (() => {
+        val model = Similarity.ivfFit(emb, "embedding", k = 4)
+        Similarity.ivfTopK(Similarity.ivfAssign(emb, "embedding", model),
+          model, "vec_id", "embedding", qv, topK = 5, nprobe = 2).count()
+      }),
+      "lsh_multiprobe" -> (() =>
+        Similarity.lshTopK(emb, "vec_id", "embedding", qv, 5,
+          dim = 64, nBits = 16, maxFlips = 3).count()),
+      "containment_prefix" -> (() =>
+        Dedup.ngramContainmentPrefix(docs, "doc_id", "text", 0.7).count()))
     steps.foreach { case (name, step) =>
       try step()
       catch { case e: Throwable =>
@@ -155,8 +170,25 @@ object Bench {
     val total = ok.map(_._2).sum
     val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$errsJson,"sf":"$sfDir"}"""
     println(line)
-    try Files.writeString(Paths.get("BENCH_LOCAL.json"), line + "\n")
-    catch { case _: Throwable => () }
+    // BENCH_LOCAL.json is the canonical committed snapshot and totals are
+    // only comparable at the SAME sf: refuse to overwrite it from a run at
+    // a different sf (an sf0.001 run once silently replaced the sf0.1
+    // baseline and read as a false 25% speedup) — divert to a per-sf file.
+    try {
+      val canonical = Paths.get("BENCH_LOCAL.json")
+      val prevSf =
+        if (Files.exists(canonical))
+          "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(Files.readString(canonical))
+            .map(_.group(1))
+        else None
+      if (prevSf.exists(_ != sfDir)) {
+        val alt = "BENCH_LOCAL." +
+          Paths.get(sfDir).getFileName.toString + ".json"
+        System.err.println(s"[bench] BENCH_LOCAL.json holds ${prevSf.get}; " +
+          s"this run is $sfDir — writing $alt instead")
+        Files.writeString(Paths.get(alt), line + "\n")
+      } else Files.writeString(canonical, line + "\n")
+    } catch { case _: Throwable => () }
     spark.stop()
   }
 }
