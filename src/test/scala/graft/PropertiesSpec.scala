@@ -68,4 +68,37 @@ class PropertiesSpec extends AnyFunSuite {
       a == b && b == c.toLong && a == xs.count(_ > theta).toLong
     })
   }
+
+  test("prefix-filter containment ≡ brute-force all-pairs (lossless blocking)") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    // tiny vocabulary → heavy cross-doc shingle sharing, the adversarial
+    // regime for candidate generation: every missed candidate is a missed
+    // TRUE pair. Brute force is computed driver-side with the exact
+    // tokenize→3-gram-shingle semantics the operator uses.
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val docGen = Gen.choose(3, 12).flatMap(len =>
+      Gen.listOfN(len, Gen.oneOf(vocab)).map(_.mkString(" ")))
+    val corpusGen = Gen.choose(3, 7).flatMap(k => Gen.listOfN(k, docGen))
+    def shingleSet(text: String): Set[String] = {
+      val toks = text.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim.split("\\s+").toSeq
+      (0 to math.max(toks.length - 3, 0))
+        .map(i => toks.slice(i, math.min(i + 3, toks.length)).mkString(" ")).toSet
+    }
+    def round6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    check(Prop.forAll(corpusGen, Gen.oneOf(0.5, 0.7, 0.9)) { (texts, t) =>
+      val docs = texts.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+        .toDF("doc_id", "text")
+      val got = Dedup.ngramContainmentPrefix(docs, "doc_id", "text", t)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val sets = texts.zipWithIndex.map { case (s, i) => i.toLong -> shingleSet(s) }
+      val want = (for {
+        (a, sa) <- sets; (b, sb) <- sets if a < b
+        c = round6(sa.intersect(sb).size.toDouble / math.min(sa.size, sb.size))
+        if c >= t
+      } yield (a, b) -> c).toMap
+      got == want
+    }, n = 6)
+  }
 }
