@@ -688,6 +688,23 @@ object SparkEntry {
       Dedup.ngramContainmentPrefix(rd(s, dir, "documents"), "doc_id", "text",
           threshold = 0.7, ngram = 3)
         .orderBy("id_a", "id_b")),
+    "q_contamination" -> ((s, dir) => {
+      // benchmark-overlap scores: src0 plays the eval set; every doc scores
+      // |shingles ∩ pooled-src0-shingles| / |shingles| in one broadcast pass
+      val docs = rd(s, dir, "documents")
+      Dedup.contaminationScores(docs, "doc_id", "text",
+          docs.filter(col("source") === "src0"), "text", ngram = 3)
+        .orderBy("doc_id")
+    }),
+    "q_decontaminate" -> ((s, dir) => {
+      // end-to-end decontamination: drop docs ≥0.8 contaminated vs src0
+      // (src0 itself + its cross-source near-copies), keep survivors
+      val docs = rd(s, dir, "documents")
+      Dedup.decontaminate(docs, "doc_id", "text",
+          docs.filter(col("source") === "src0"), "text",
+          maxContamination = 0.8, ngram = 3)
+        .select("doc_id", "source").orderBy("doc_id")
+    }),
     "q_grouped_median" -> ((s, dir) =>
       // exact interpolated percentile per group. Determinism: the median of
       // INTEGER cents interpolates with frac ∈ {0, 0.5} only — exact in
@@ -968,6 +985,34 @@ object SparkEntry {
     """round(len(list_filter(a.t, x -> list_contains(b.t, x)))
              / (len(a.t) + len(b.t) - len(list_filter(a.t, x -> list_contains(b.t, x)))), 6)""",
     "jaccard", 0.5)
+
+  /** shared CTE chain for the decontamination oracles: distinct 3-gram
+    * shingles per doc (same tokenize/shingle shape as the containment
+    * oracle), pooled src0 shingles as the benchmark set, per-doc hit
+    * counts. DuckDB sum() returns HUGEINT — cast to BIGINT for the
+    * schema/hash compare. */
+  private val ContaminationCte: String =
+    """WITH tk AS (
+         SELECT doc_id, source, string_split_regex(
+           trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+') AS t
+         FROM documents),
+       sh AS (
+         SELECT doc_id, source, concat_ws(' ', t[i+1], t[i+2], t[i+3]) AS s
+         FROM (SELECT doc_id, source, t,
+                 unnest(range(0, greatest(len(t) - 3, 0) + 1)) AS i
+               FROM tk)),
+       ds AS (SELECT DISTINCT doc_id, source, s FROM sh),
+       bs AS (SELECT DISTINCT s FROM ds WHERE source = 'src0'),
+       sc AS (
+         SELECT doc_id, count(*) AS n_shingles,
+           CAST(sum(CASE WHEN s IN (SELECT s FROM bs) THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_hits
+         FROM ds GROUP BY doc_id)"""
+
+  private val ContaminationOracle: String = ContaminationCte + """
+       SELECT doc_id, n_shingles, n_hits,
+         round(CAST(n_hits AS DOUBLE) / n_shingles, 6) AS contamination
+       FROM sc ORDER BY doc_id"""
 
   /** GROUND-TRUTH containment oracle: ALL pairs sharing ≥1 shingle (the
     * only pairs with containment > 0), overlap counted by a pair-grouped
@@ -1691,6 +1736,14 @@ object SparkEntry {
                AS DOUBLE) / count(*)) AS BIGINT) / 1000000.0 AS centroid
          FROM e GROUP BY label, pos ORDER BY label, pos""",
     "q_containment" -> NgramContainmentPrefixOracle,
+    "q_contamination" -> ContaminationOracle,
+    "q_decontaminate" ->
+      (ContaminationCte + """
+       SELECT d.doc_id, d.source FROM documents d
+       WHERE d.doc_id NOT IN (
+         SELECT doc_id FROM sc
+         WHERE round(CAST(n_hits AS DOUBLE) / n_shingles, 6) >= 0.8)
+       ORDER BY d.doc_id"""),
     "q_grouped_median" ->
       """SELECT l_returnflag,
            quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.5)

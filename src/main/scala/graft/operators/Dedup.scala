@@ -886,7 +886,20 @@ object Dedup {
                              threshold: Double = 0.7, ngram: Int = 3): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"containment threshold must be in (0,1], got $threshold")
-    val sh = shingleArrays(df, idCol, textCol, ngram)
+    // shingles are carried as xxhash64 LONGS end to end: the freq window,
+    // candidate join, and array_intersect verify all move 8-byte keys
+    // instead of ~20-byte strings (~2.5× less shuffle, cheaper compares).
+    // A hash collision would perturb a set size (P ≈ n²/2⁶⁵ per corpus —
+    // none at any tested SF) and the STRING-exact ground-truth oracle
+    // would catch it as a hash mismatch, so the shortcut is verified, not
+    // assumed.
+    val sh = df
+      .select(col(idCol),
+        TextAnalysis.tokens(TextAnalysis.normalized(col(textCol))).as("__toks"))
+      .select(col(idCol), array_distinct(transform(
+          shinglesFromTokens(col("__toks"), ngram, distinct = false),
+          s => xxhash64(s))).as("__sh"))
+      .localCheckpoint()
     val ex = sh.select(col(idCol), size(col("__sh")).as("__sz"),
       explode(col("__sh")).as("__s"))
     val freq = ex.groupBy("__s").agg(count(lit(1)).as("__freq"))
@@ -905,6 +918,54 @@ object Dedup {
         greatest(col("__pid"), col("__fid")).as("id_b"))
       .distinct()
     verifyContainmentOnShingleArrays(sh, idCol, cands, threshold)
+  }
+
+  /** Benchmark DECONTAMINATION scores — the training-data hygiene pass every
+    * LLM pipeline runs before training: score each corpus document's n-gram
+    * overlap against a pooled BENCHMARK/eval shingle set, so the model is
+    * not trained on its own test set (the GPT-3 appendix-C / Gopher-style
+    * n-gram decontamination).
+    *
+    * contamination(doc) = |shingles(doc) ∩ benchShingles| / |shingles(doc)|
+    * with benchmark shingles pooled across all benchmark rows — a document
+    * stitching together pieces of several eval items still scores high.
+    *
+    * Scale shape: the benchmark is SMALL by definition (eval sets are
+    * thousands of items; the corpus is 100 TB), so its distinct shingle set
+    * is explicitly broadcast and the corpus side is ONE shingle-postings
+    * pass (row-local projection + broadcast-hash left join + per-doc
+    * aggregate) — no shuffle of the corpus text, no self-join, and a doc
+    * with zero benchmark overlap scores 0 without special-casing. */
+  def contaminationScores(corpus: DataFrame, idCol: String, textCol: String,
+                          bench: DataFrame, benchTextCol: String,
+                          ngram: Int = 3): DataFrame = {
+    val benchSh = bench
+      .select(explode(shingles(col(benchTextCol), ngram)).as("__s"))
+      .distinct().withColumn("__hit", lit(1))
+    val ex = corpus
+      .select(col(idCol),
+        TextAnalysis.tokens(TextAnalysis.normalized(col(textCol))).as("__toks"))
+      .select(col(idCol),
+        explode(shinglesFromTokens(col("__toks"), ngram, distinct = true)).as("__s"))
+    ex.join(broadcast(benchSh), Seq("__s"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("__hit"), lit(0))).cast(LongType).as("n_hits"))
+      .withColumn("contamination",
+        round(col("n_hits").cast(DoubleType) / col("n_shingles"), 6))
+  }
+
+  /** remove corpus documents whose [[contaminationScores]] contamination is
+    * ≥ `maxContamination` — returns surviving corpus rows unchanged. The
+    * flagged-id set is tiny (contaminated docs), so the anti-join broadcasts. */
+  def decontaminate(corpus: DataFrame, idCol: String, textCol: String,
+                    bench: DataFrame, benchTextCol: String,
+                    maxContamination: Double = 0.8, ngram: Int = 3): DataFrame = {
+    val flagged = contaminationScores(corpus, idCol, textCol, bench,
+        benchTextCol, ngram)
+      .filter(col("contamination") >= maxContamination)
+      .select(col(idCol))
+    corpus.join(broadcast(flagged), Seq(idCol), "left_anti")
   }
 
   /** embedding-cosine near-dup pairs with banded-LSH blocking — the scale

@@ -221,6 +221,32 @@ class Round4OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("decontaminate: benchmark copies and quotes are flagged, clean docs survive") {
+    import graft.operators.Dedup
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("bid", "btext")
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),       // exact eval item
+      (2L, "he said the quick brown fox jumps over it and left"), // partial quote
+      (3L, "completely unrelated prose about spark query planning")
+    ).toDF("doc_id", "text")
+    val scores = Dedup.contaminationScores(corpus, "doc_id", "text", bench, "btext")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(scores(1L) == 1.0, s"exact copy must score 1.0, got ${scores(1L)}")
+    assert(scores(2L) > 0.0 && scores(2L) < 0.8,
+      s"partial quote should score in (0, 0.8), got ${scores(2L)}")
+    assert(scores(3L) == 0.0, s"clean doc must score 0.0, got ${scores(3L)}")
+    val kept = Dedup.decontaminate(corpus, "doc_id", "text", bench, "btext",
+        maxContamination = 0.8)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(2L, 3L))
+    // the benchmark side must broadcast — the corpus is never shuffled
+    val plan = Dedup.contaminationScores(corpus, "doc_id", "text", bench, "btext")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoop") ||
+      plan.contains("broadcast"), s"benchmark set not broadcast:\n$plan")
+  }
+
   test("approx_count_distinct (q_approx_distinct) is within the HLL rsd bound of exact") {
     // q_approx_distinct is the one query no DuckDB oracle can constrain (HLL
     // sketch); pin its accuracy here instead: default rsd = 0.05, assert
