@@ -902,15 +902,30 @@ object Dedup {
       .localCheckpoint()
     val ex = sh.select(col(idCol), size(col("__sh")).as("__sz"),
       explode(col("__sh")).as("__s"))
-    val freq = ex.groupBy("__s").agg(count(lit(1)).as("__freq"))
-    val w = Window.partitionBy(col(idCol)).orderBy(asc("__freq"), asc("__s"))
-    val prefix = ex.join(freq, "__s")
+    // SHARED vocabulary only: a shingle with document frequency 1 cannot
+    // witness a pair (no second document holds it), so restricting BOTH
+    // candidate-join sides to freq ≥ 2 shingles is lossless — and in a
+    // natural corpus most shingles are unique, so this collapses the join.
+    // Checkpointed because it feeds two joins and is small (shared vocab),
+    // which also lets AQE broadcast it instead of shuffling the postings.
+    val shared = ex.groupBy("__s").agg(count(lit(1)).as("__freq"))
+      .filter(col("__freq") >= 2)
+      .localCheckpoint()
+    // rank still runs over ALL of a doc's shingles (freq-1 ones coalesce to
+    // frequency 1) so the prefix is the same rarest-first set as before;
+    // freq-1 members of the prefix are then dropped — they match nothing
+    val exf = ex.join(shared, Seq("__s"), "left")
+      .withColumn("__f", coalesce(col("__freq"), lit(1L)))
+    val w = Window.partitionBy(col(idCol)).orderBy(asc("__f"), asc("__s"))
+    val prefix = exf
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= col("__sz") - ceil(lit(threshold) * col("__sz")) + lit(1))
+      .filter(col("__f") >= 2)
       .select(col(idCol).as("__pid"), col("__sz").as("__psz"), col("__s"))
     // designated smaller side = lexicographically smaller (size, id); its
     // size IS min(|A|,|B|), so the pigeonhole guarantee above applies
-    val full = ex.select(col(idCol).as("__fid"), col("__sz").as("__fsz"), col("__s"))
+    val full = ex.join(shared.select("__s"), "__s")
+      .select(col(idCol).as("__fid"), col("__sz").as("__fsz"), col("__s"))
     val cands = prefix.join(full, "__s")
       .filter(col("__psz") < col("__fsz") ||
         (col("__psz") === col("__fsz") && col("__pid") < col("__fid")))
