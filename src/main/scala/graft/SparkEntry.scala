@@ -688,6 +688,18 @@ object SparkEntry {
       Dedup.ngramContainmentPrefix(rd(s, dir, "documents"), "doc_id", "text",
           threshold = 0.7, ngram = 3)
         .orderBy("id_a", "id_b")),
+    "q_span_overlap" -> ((s, dir) =>
+      // substring-level duplication: longest verbatim shared token run per
+      // pair (≥8 tokens), via positional 8-window postings + per-diagonal
+      // gaps-and-islands — the overlap Jaccard/containment dilute away
+      Dedup.spanOverlapPairs(rd(s, dir, "documents"), "doc_id", "text",
+          minRun = 8)
+        .orderBy("id_a", "id_b")),
+    "q_span_dedup" -> ((s, dir) =>
+      // keep-first substring dedup: drop every doc sharing a ≥8-token
+      // verbatim run with a lower-id'd doc
+      Dedup.spanDedup(rd(s, dir, "documents"), "doc_id", "text", minRun = 8)
+        .select("doc_id", "source").orderBy("doc_id")),
     "q_contamination" -> ((s, dir) => {
       // benchmark-overlap scores: src0 plays the eval set; every doc scores
       // |shingles ∩ pooled-src0-shingles| / |shingles| in one broadcast pass
@@ -1042,6 +1054,46 @@ object SparkEntry {
        FROM ov JOIN sz x ON x.doc_id = id_a JOIN sz y ON y.doc_id = id_b
        WHERE round(CAST(ov AS DOUBLE) / least(x.sz, y.sz), 6) >= 0.7
        ORDER BY id_a, id_b"""
+
+  /** shared CTE chain for the span-overlap oracles: positional 8-token
+    * windows (NO distinct — positions are the signal), window-equality
+    * self-join, per-(pair, diagonal) gaps-and-islands via row_number. A
+    * shared run of L ≥ 8 tokens is L−7 consecutive windows on one diagonal,
+    * so max(island)+7 is the longest verbatim shared run — ground truth for
+    * the Spark side's freq≥2-pruned join (the pruning is lossless, so this
+    * checks completeness, not merely the blocking). */
+  private val SpanOverlapCte: String =
+    """WITH tk AS (
+         SELECT doc_id, string_split_regex(
+           trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+') AS t
+         FROM documents),
+       sh AS (
+         SELECT doc_id, i AS pos,
+           concat_ws(' ', t[i+1], t[i+2], t[i+3], t[i+4],
+                          t[i+5], t[i+6], t[i+7], t[i+8]) AS s
+         FROM (SELECT doc_id, t, unnest(range(0, len(t) - 7)) AS i
+               FROM tk WHERE len(t) >= 8)),
+       m AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pa,
+           a.pos - b.pos AS d
+         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id),
+       runs AS (
+         SELECT id_a, id_b, count(*) AS c
+         FROM (SELECT id_a, id_b, d, pa,
+                 pa - row_number() OVER (
+                   PARTITION BY id_a, id_b, d ORDER BY pa) AS grp
+               FROM m)
+         GROUP BY id_a, id_b, d, grp)"""
+
+  private val SpanOverlapOracle: String = SpanOverlapCte + """
+       SELECT id_a, id_b, CAST(max(c) + 7 AS BIGINT) AS max_run,
+         CAST(sum(c) AS BIGINT) AS n_windows
+       FROM runs GROUP BY id_a, id_b ORDER BY id_a, id_b"""
+
+  private val SpanDedupOracle: String = SpanOverlapCte + """
+       SELECT doc_id, source FROM documents
+       WHERE doc_id NOT IN (SELECT DISTINCT id_b FROM m)
+       ORDER BY doc_id"""
 
   /** recall@10 of lshTopK(nBits=16, maxFlips=3) vs brute force in DuckDB:
     * the seed-42 hyperplane weights are embedded as exact double literals
@@ -1736,6 +1788,8 @@ object SparkEntry {
                AS DOUBLE) / count(*)) AS BIGINT) / 1000000.0 AS centroid
          FROM e GROUP BY label, pos ORDER BY label, pos""",
     "q_containment" -> NgramContainmentPrefixOracle,
+    "q_span_overlap" -> SpanOverlapOracle,
+    "q_span_dedup" -> SpanDedupOracle,
     "q_contamination" -> ContaminationOracle,
     "q_decontaminate" ->
       (ContaminationCte + """

@@ -935,6 +935,83 @@ object Dedup {
     verifyContainmentOnShingleArrays(sh, idCol, cands, threshold)
   }
 
+  /** Verbatim SHARED-SPAN pairs: documents sharing an exact run of at least
+    * `minRun` consecutive tokens, with the longest such run per pair —
+    * substring-level duplication (Lee et al. 2021, "Deduplicating Training
+    * Data Makes Language Models Better") that set-based Jaccard/containment
+    * DILUTE away: a 50-token verbatim quote shared by two long documents
+    * moves set overlap toward 0 yet is exactly what substring dedup targets.
+    *
+    * Detection identity: a shared run of L ≥ k tokens ⟺ L−k+1 consecutive
+    * shared k-token windows lying on one (pos_a − pos_b) DIAGONAL. So:
+    *  1. positional k-shingle postings (id, pos, window) — order kept, no
+    *     array_distinct (positions are the signal);
+    *  2. both join sides restricted to windows occurring ≥ 2 times globally
+    *     (lossless superset: a window occurring once in the corpus cannot be
+    *     shared — the same pruning as [[ngramContainmentPrefix]]; occurrence
+    *     count over-approximates document frequency, which only keeps a few
+    *     same-doc repeats, never drops a true pair);
+    *  3. window-keyed self-join (id_a < id_b) → matching position pairs;
+    *  4. gaps-and-islands per (pair, diagonal): row_number by pos_a, group by
+    *     pos_a − rn; an island of c consecutive windows is a shared run of
+    *     c + k − 1 tokens; the per-pair max is the longest shared run.
+    *
+    * Scale shape: the postings table is one row-local projection; the
+    * shared-vocabulary filter is a checkpointed aggregate (AQE broadcasts
+    * it); the self-join keys on k-token windows, whose posting lists at
+    * k ≥ 8 are far shorter than 3-gram lists (fan-out per window is tiny);
+    * the islands window partitions by (pair, diagonal) — parallelism =
+    * matched diagonals, never a global window. Documents shorter than k
+    * tokens cannot contain a k-run and are dropped up front. At 100 TB the
+    * one remaining knob is capping pathological window frequencies
+    * (boilerplate); at k = 8 none of the fixture corpora need it.
+    *
+    * Returns (id_a, id_b, max_run, n_windows): longest shared token run and
+    * the total count of matching k-windows across all diagonals. */
+  def spanOverlapPairs(df: DataFrame, idCol: String, textCol: String,
+                       minRun: Int = 8): DataFrame = {
+    require(minRun >= 2, s"minRun must be >= 2, got $minRun")
+    val k = minRun
+    val ex = df
+      .select(col(idCol),
+        TextAnalysis.tokens(TextAnalysis.normalized(col(textCol))).as("__toks"))
+      .filter(size(col("__toks")) >= k)
+      .select(col(idCol), posexplode(
+        shinglesFromTokens(col("__toks"), k, distinct = false)))
+      .toDF(idCol, "__pos", "__s")
+    val shared = ex.groupBy("__s").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= 2).select("__s")
+      .localCheckpoint()
+    val exs = ex.join(shared, "__s")
+    val m = exs.select(col(idCol).as("id_a"), col("__pos").as("__pa"), col("__s"))
+      .join(exs.select(col(idCol).as("id_b"), col("__pos").as("__pb"), col("__s")),
+        "__s")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("__pa"),
+        (col("__pa") - col("__pb")).as("__d"))
+    val w = Window.partitionBy(col("id_a"), col("id_b"), col("__d"))
+      .orderBy(col("__pa"))
+    val islands = m
+      .withColumn("__grp", col("__pa") - row_number().over(w))
+      .groupBy(col("id_a"), col("id_b"), col("__d"), col("__grp"))
+      .agg(count(lit(1)).as("__c"))
+    islands.groupBy(col("id_a"), col("id_b"))
+      .agg((max(col("__c")) + lit(k - 1)).as("max_run"),
+        sum(col("__c")).cast(LongType).as("n_windows"))
+  }
+
+  /** remove, per [[spanOverlapPairs]], every document that shares a
+    * ≥ `minRun`-token verbatim run with a LOWER-id'd document — the
+    * keep-first policy of [[exactDedup]] applied to substring duplication.
+    * Survivor rows are returned unchanged. The flagged set is the higher id
+    * of each overlapping pair, broadcast into an anti-join. */
+  def spanDedup(df: DataFrame, idCol: String, textCol: String,
+                minRun: Int = 8): DataFrame = {
+    val flagged = spanOverlapPairs(df, idCol, textCol, minRun)
+      .select(col("id_b").as(idCol)).distinct()
+    df.join(broadcast(flagged), Seq(idCol), "left_anti")
+  }
+
   /** Benchmark DECONTAMINATION scores — the training-data hygiene pass every
     * LLM pipeline runs before training: score each corpus document's n-gram
     * overlap against a pooled BENCHMARK/eval shingle set, so the model is
@@ -1029,5 +1106,56 @@ object Dedup {
       .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"),
         Similarity.cosine(col("l.__v"), col("r.__v")).as("cos"))
       .filter(col("cos") >= threshold)
+  }
+
+  /** SemDeDup-style SEMANTIC near-dup pairs (Abbas et al. 2023,
+    * arXiv:2303.09540): k-means-cluster the embedding space offline, then
+    * compare pairwise cosine only WITHIN each cluster — the quadratic term
+    * is bounded per cluster, and near-semantic duplicates land in the same
+    * cluster by construction (they are near each other, hence near the same
+    * centroid). Complements [[embeddingNearDupLsh]]: LSH banding targets
+    * tight near-copies (cos ≳ 0.95) with per-band recall; cluster blocking
+    * stays effective down at the "semantically redundant but differently
+    * phrased" regime (the paper dedups at cos ≈ 0.93–0.95 on normalized
+    * embeddings) where hyperplane buckets would need too many probes.
+    *
+    * Scale shape: the model is the offline sampled [[Similarity.ivfFit]]
+    * (driver Lloyd's, zero iterative Spark jobs); assignment is one
+    * codegen'd argmin projection; the within-cluster self-join shuffles on
+    * cluster id. Scale k with the corpus (the paper runs ~11k clusters on
+    * LAION-scale data) so per-cluster row counts — and the bucket-local
+    * join — stay bounded; AQE's skew split handles an oversized cluster.
+    *
+    * Pair emission matches the other near-dup families: (id_a < id_b,
+    * rounded cosine), threshold applied to the RAW cosine. */
+  def semanticNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                           model: Similarity.IvfModel,
+                           threshold: Double = 0.95): DataFrame = {
+    val assigned = Similarity.ivfAssign(
+      df.select(col(idCol), col(vecCol)), vecCol, model)
+    val a = assigned.select(col(idCol).as("id_a"), col("__cluster"),
+      col(vecCol).as("__va"))
+    val b = assigned.select(col(idCol).as("id_b"), col("__cluster"),
+      col(vecCol).as("__vb"))
+    a.join(b, "__cluster")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Similarity.cosine(col("__va"), col("__vb")).as("__raw"))
+      .filter(col("__raw") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("__raw"), 6).as("cos"))
+  }
+
+  /** SemDeDup keep-one policy over [[semanticNearDupPairs]]: drop every row
+    * whose embedding has a semantic near-dup with a LOWER id — deterministic
+    * keep-first, consistent with [[exactDedup]]/[[spanDedup]] (the paper
+    * keeps the example farthest from the centroid; min-id is deterministic,
+    * order-independent, and exactly SQL-verifiable). Flagged ids are a tiny
+    * set — broadcast anti-join. */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    model: Similarity.IvfModel,
+                    threshold: Double = 0.95): DataFrame = {
+    val flagged = semanticNearDupPairs(df, idCol, vecCol, model, threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    df.join(broadcast(flagged), Seq(idCol), "left_anti")
   }
 }

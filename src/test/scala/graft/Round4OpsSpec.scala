@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Relational, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Relational, Similarity, TextAnalysis}
 
 /** [EXT] round-4 operators: full-outer join, bloom-prefiltered semi join,
   * PII redaction, unigram LM scoring, sequence packing, label centroids. */
@@ -245,6 +245,47 @@ class Round4OpsSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoop") ||
       plan.contains("broadcast"), s"benchmark set not broadcast:\n$plan")
+  }
+
+  test("spanOverlapPairs: longest run exact, islands summed, sub-minRun pair absent") {
+    def filler(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
+    val run12 = (1 to 12).map(i => s"shared$i").mkString(" ")
+    val run8 = (1 to 8).map(i => s"eight$i").mkString(" ")
+    val run7 = (1 to 7).map(i => s"seven$i").mkString(" ")
+    val docs = Seq(
+      // docs 1,2 share a 12-token run AND a separate 8-token run at
+      // different offsets (two diagonals); docs 3,4 share only a 7-token
+      // run — below minRun, must be absent
+      (1L, s"${filler("a", 30)} $run12 ${filler("b", 30)} $run8 ${filler("c", 10)}"),
+      (2L, s"${filler("d", 20)} $run12 ${filler("e", 40)} $run8 ${filler("f", 5)}"),
+      (3L, s"${filler("g", 25)} $run7 ${filler("h", 25)}"),
+      (4L, s"${filler("i", 25)} $run7 ${filler("j", 25)}")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.spanOverlapPairs(docs, "doc_id", "text", minRun = 8)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(pairs.keySet == Set((1L, 2L)), s"expected only (1,2), got $pairs")
+    // longest shared run is the planted 12; windows: 12-8+1=5 on the run12
+    // diagonal + exactly 1 on the run8 diagonal
+    assert(pairs((1L, 2L)) == ((12L, 6L)), s"got ${pairs((1L, 2L))}")
+    // the same pair's set-level jaccard is diluted far below any useful
+    // near-dup threshold — the regime this operator exists for
+    val jac = Dedup.ngramJaccardLshPortable(docs, "doc_id", "text",
+      threshold = 0.5).count()
+    assert(jac == 0, "jaccard near-dup should miss the span-sharing pair")
+  }
+
+  test("spanDedup keeps the first doc, drops later substring-duplicated docs") {
+    val base = (1 to 40).map(i => s"t$i").mkString(" ")
+    val docs = Seq(
+      (1L, base),                                    // original
+      (2L, s"pre1 pre2 $base post1"),                // contains the original
+      (3L, (1 to 40).map(i => s"u$i").mkString(" ")) // clean
+    ).toDF("doc_id", "text")
+    val kept = Dedup.spanDedup(docs, "doc_id", "text", minRun = 8)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 3L))
   }
 
   test("approx_count_distinct (q_approx_distinct) is within the HLL rsd bound of exact") {
