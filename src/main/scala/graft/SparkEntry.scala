@@ -620,6 +620,16 @@ object SparkEntry {
           col("user_id"), col("n_events"), col("sum_value"))
         .orderBy("user_id", "sess_ms")
     }),
+    "q_interval_join" -> ((s, dir) => {
+      // stream-stream-shaped attribution: each click joined to the same
+      // user's purchases within 1 hour after it; the identical plan runs
+      // watermarked on readStream (StreamsSpec proves stream ≡ batch)
+      Streams.attributionJoin(rdEvents(s, dir), "click", "purchase", "1 hour")
+        .select(col("user_id"), col("from_id"), col("to_id"),
+          unix_millis(col("from_ts")).as("from_ms"),
+          unix_millis(col("to_ts")).as("to_ms"), col("value"))
+        .orderBy("from_id", "to_id")
+    }),
 
     // ---- [EXT] round-4 additions: join completeness + pipeline passes ----
     "q_join_full" -> ((s, dir) => {
@@ -688,6 +698,18 @@ object SparkEntry {
       Dedup.ngramContainmentPrefix(rd(s, dir, "documents"), "doc_id", "text",
           threshold = 0.7, ngram = 3)
         .orderBy("id_a", "id_b")),
+    "q_semdedup_pairs" -> ((s, dir) =>
+      // SemDeDup: cluster-blocked pairwise cosine — k-means cells bound the
+      // quadratic term; reuses the memoized offline IVF fit, so the oracle
+      // can replicate assignment from the same centroid literals
+      Dedup.semanticNearDupPairs(rd(s, dir, "embeddings"), "vec_id",
+          "embedding", ivfModelFor(s, dir), threshold = 0.35)
+        .orderBy("id_a", "id_b")),
+    "q_semdedup" -> ((s, dir) =>
+      // keep-first semantic dedup over the cluster-blocked pairs
+      Dedup.semanticDedup(rd(s, dir, "embeddings"), "vec_id", "embedding",
+          ivfModelFor(s, dir), threshold = 0.35)
+        .select("vec_id", "label").orderBy("vec_id")),
     "q_span_overlap" -> ((s, dir) =>
       // substring-level duplication: longest verbatim shared token run per
       // pair (≥8 tokens), via positional 8-window postings + per-diagonal
@@ -1301,6 +1323,56 @@ object SparkEntry {
          ORDER BY cos.cos DESC, a.vec_id LIMIT 10)"""
   }
 
+  /** q_semdedup_pairs / q_semdedup in DuckDB: the full SemDeDup path from
+    * the same fitted centroid literals as the IVF oracles — argmin
+    * assignment (bit-identical ranking, ties to lower cluster id), within-
+    * cluster pairs, raw-cosine threshold, rounded emission. Cluster blocking
+    * is part of the SEMANTICS here (pairs in different cells are out of
+    * scope by design), so the oracle replicates the assignment exactly
+    * rather than approximating it. */
+  private def semDedupChainSql(model: Similarity.IvfModel,
+                               threshold: Double): String = {
+    val cents = model.centers.zipWithIndex.flatMap { case (c, i) =>
+      c.zipWithIndex.map { case (w, j) => s"($i, $j, $w)" }
+    }.mkString(", ")
+    val norms = model.centers.zipWithIndex.map { case (c, i) =>
+      s"($i, ${Similarity.sqNorm(c)})"
+    }.mkString(", ")
+    s"""cents(ci, cj, cw) AS (VALUES $cents),
+       cl AS (SELECT ci, list(cw ORDER BY cj) AS cv FROM cents GROUP BY ci),
+       cn(ci, n2) AS (VALUES $norms),
+       e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+             FROM embeddings),
+       assign AS (
+         SELECT vec_id, ci FROM (
+           SELECT e.vec_id, cl.ci,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY cn.n2 - 2.0 * list_dot_product(e.v, cl.cv), cl.ci) AS rn
+           FROM e CROSS JOIN cl JOIN cn ON cn.ci = cl.ci)
+         WHERE rn = 1),
+       sd AS (
+         SELECT id_a, id_b, round(raw, 6) AS cos FROM (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_dot_product(x.v, y.v)
+               / (sqrt(list_dot_product(x.v, x.v))
+                  * sqrt(list_dot_product(y.v, y.v))) AS raw
+           FROM assign a JOIN assign b
+             ON a.ci = b.ci AND a.vec_id < b.vec_id
+           JOIN e x ON x.vec_id = a.vec_id
+           JOIN e y ON y.vec_id = b.vec_id)
+         WHERE raw >= $threshold)"""
+  }
+
+  private def semDedupPairsOracle(model: Similarity.IvfModel): String =
+    s"""WITH ${semDedupChainSql(model, 0.35)}
+       SELECT id_a, id_b, cos FROM sd ORDER BY id_a, id_b"""
+
+  private def semDedupOracle(model: Similarity.IvfModel): String =
+    s"""WITH ${semDedupChainSql(model, 0.35)}
+       SELECT vec_id, label FROM embeddings
+       WHERE vec_id NOT IN (SELECT DISTINCT id_b FROM sd)
+       ORDER BY vec_id"""
+
   private def ivfAnnOracle(model: Similarity.IvfModel): String =
     s"""WITH ${ivfChainSql(model, 4)}
        SELECT vec_id, cos FROM ivf ORDER BY cos DESC, vec_id"""
@@ -1677,6 +1749,14 @@ object SparkEntry {
              unnest(range(0, CAST(greatest(1, floor(strlen(text) / 128.0)) AS BIGINT))) AS frame_no
            FROM documents)
          ORDER BY media_id, frame_no""",
+    "q_interval_join" ->
+      """SELECT l.user_id, l.event_id AS from_id, r.event_id AS to_id,
+           epoch_ms(l.ts) AS from_ms, epoch_ms(r.ts) AS to_ms, r.value
+         FROM events l JOIN events r
+           ON r.user_id = l.user_id
+           AND l.event_type = 'click' AND r.event_type = 'purchase'
+           AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR
+         ORDER BY from_id, to_id""",
     "q_tumbling" ->
       """SELECT epoch_ms(time_bucket(INTERVAL 1 HOUR, ts)) AS win_ms, event_type,
            count(*) AS n,
@@ -1813,6 +1893,8 @@ object SparkEntry {
   ) ++ lastIvfDir.flatMap(ivfModels.get).map { m =>
     // generated from the fitted model the query loop memoized (one sf dir
     // per Verify process); absent only when no IVF query ran this process
-    Map("q_ivf_ann" -> ivfAnnOracle(m), "q_ivf_recall" -> ivfRecallOracle(m))
+    Map("q_ivf_ann" -> ivfAnnOracle(m), "q_ivf_recall" -> ivfRecallOracle(m),
+      "q_semdedup_pairs" -> semDedupPairsOracle(m),
+      "q_semdedup" -> semDedupOracle(m))
   }.getOrElse(Map.empty)
 }

@@ -100,6 +100,52 @@ object Streams {
       .drop("__simhash")
   }
 
+  /** stream-stream INNER interval join, generic form: rows of `left` joined
+    * to rows of `right` with equal `leftKey`/`rightKey` and
+    * `rightTs ∈ [leftTs, leftTs + horizon]`. In streaming mode BOTH sides
+    * carry watermarks and the join condition bounds event time on both
+    * sides, which is exactly what lets Spark evict join state: a buffered
+    * left row is droppable once the right watermark passes `leftTs +
+    * horizon`, a right row once the left watermark passes `rightTs` — state
+    * is proportional to one horizon+delay window of traffic, never the
+    * stream's lifetime. Column names must be disjoint (callers project
+    * first); ts columns must be distinct names so both appear in output. */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   leftKey: String, rightKey: String,
+                   leftTs: String, rightTs: String,
+                   horizon: String,
+                   watermark: String = "10 minutes",
+                   streaming: Boolean = false): DataFrame = {
+    val lw = if (streaming) left.withWatermark(leftTs, watermark) else left
+    val rw = if (streaming) right.withWatermark(rightTs, watermark) else right
+    lw.join(rw,
+      col(leftKey) === col(rightKey) &&
+        col(rightTs) >= col(leftTs) &&
+        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $horizon"))
+  }
+
+  /** ATTRIBUTION join over the events shape: each `fromType` event paired
+    * with the same user's `toType` events within `horizon` after it (the
+    * click→purchase conversion join every event pipeline runs). Batch and
+    * streaming run the same plan; the batch form is the DuckDB-oracle
+    * surface (q_interval_join), the streaming form is the watermarked
+    * stream-stream join proven stream ≡ batch in StreamsSpec. */
+  def attributionJoin(events: DataFrame, fromType: String, toType: String,
+                      horizon: String = "1 hour",
+                      watermark: String = "10 minutes",
+                      streaming: Boolean = false): DataFrame = {
+    val l = events.filter(col("event_type") === fromType)
+      .select(col("user_id"), col("event_id").as("from_id"),
+        col("ts").as("from_ts"))
+    val r = events.filter(col("event_type") === toType)
+      .select(col("user_id").as("__ruid"), col("event_id").as("to_id"),
+        col("ts").as("to_ts"), col("value"))
+    intervalJoin(l, r, "user_id", "__ruid", "from_ts", "to_ts",
+        horizon, watermark, streaming)
+      .select(col("user_id"), col("from_id"), col("to_id"),
+        col("from_ts"), col("to_ts"), col("value"))
+  }
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                    event_type: String, value: Double)
   case class UserRunning(user_id: Long, n_events: Long, total_value: Double)

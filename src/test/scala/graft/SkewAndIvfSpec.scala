@@ -91,4 +91,36 @@ class SkewAndIvfSpec extends AnyFunSuite {
       Seq(1.0, 0.0, 0.0, 0.0), 5).select("vec_id").as[Long].collect()
     assert(res.toSet == brute.toSet)
   }
+
+  test("semanticNearDupPairs/semanticDedup: planted near-pair found, keep-first") {
+    import graft.operators.Dedup
+    // two tight clusters; within cluster A, ids 1 and 2 are nearly identical
+    // (cos > 0.999) while 3 is same-cluster but distinct (cos < 0.99)
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.010f, 0.0f)),
+      (2L, Seq(1.0f, 0.0f, 0.0102f, 0.0f)),
+      (3L, Seq(0.95f, 0.0f, 0.31f, 0.0f)),
+      (10L, Seq(0.0f, 1.0f, 0.0f, 0.02f)),
+      (11L, Seq(0.0f, 0.95f, 0.0f, 0.31f)))
+    val emb = vecs.toDF("vec_id", "embedding")
+    val model = Similarity.ivfFit(emb.orderBy("vec_id"), "embedding", k = 2)
+    val pairs = Dedup.semanticNearDupPairs(emb, "vec_id", "embedding",
+        model, threshold = 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
+    val kept = Dedup.semanticDedup(emb, "vec_id", "embedding",
+        model, threshold = 0.99)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 3L, 10L, 11L))
+    // the cluster-blocked pair set at this threshold equals brute force over
+    // ALL pairs: near-identical vectors land in the same cell by construction
+    val all = vecs.map { case (i, v) => (i, v.map(_.toDouble).toArray) }
+    val brutePairs = (for {
+      (ia, va) <- all; (ib, vb) <- all if ia < ib
+      dot = va.zip(vb).map { case (x, y) => x * y }.sum
+      cos = dot / (math.sqrt(va.map(x => x * x).sum) * math.sqrt(vb.map(x => x * x).sum))
+      if cos >= 0.99
+    } yield (ia, ib)).toSet
+    assert(pairs == brutePairs)
+  }
 }

@@ -228,6 +228,35 @@ class StreamsSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS bt_session")
   }
 
+  test("stream-stream interval join: out-of-order replay equals the batch join") {
+    // inner interval joins emit eagerly as both sides arrive, so a click in
+    // one microbatch must still pair with a purchase replayed two batches
+    // later (both buffered in join state until the watermark clears them)
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000"))) // nanos fixture
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val exp = Streams.attributionJoin(batch, "click", "purchase", "1 hour")
+      .select("from_id", "to_id").as[(Long, Long)].collect().toSet
+    assert(exp.nonEmpty, "fixture should contain click→purchase pairs")
+    val rows = batch.as[Event].collect()
+    val batches = rows.groupBy(_.event_id % 3).toSeq.sortBy(_._1).map(_._2)
+    val mem = MemoryStream[Event]
+    val q = Streams.attributionJoin(mem.toDS().toDF(), "click", "purchase",
+        "1 hour", watermark = "35 days", streaming = true)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("bt_attr").start()
+    try batches.foreach { b => mem.addData(b.toSeq); q.processAllAvailable() }
+    finally q.stop()
+    val got = spark.table("bt_attr")
+      .select("from_id", "to_id").as[(Long, Long)].collect().toSet
+    assert(got == exp,
+      s"stream≠batch interval join: missing ${(exp -- got).take(3)}, " +
+        s"extra ${(got -- exp).take(3)} (${got.size} vs ${exp.size} rows)")
+    spark.sql("DROP TABLE IF EXISTS bt_attr")
+  }
+
   test("file-stream smoke: batch transform runs as a streaming query") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
     events.write.mode("overwrite").parquet(dir)
