@@ -182,4 +182,61 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("ExistingRDD"),
       s"vocabulary not read from the checkpoint in:\n$plan")
   }
+
+  test("spanOverlapPairs: keyed joins only, diagonal windows stay partitioned") {
+    import graft.operators.Dedup
+    val run = (1 to 10).map(i => s"shared$i").mkString(" ")
+    val docs = (1L to 120L).map { i =>
+      val base = (1 to 30).map(j => s"w${i}x$j").mkString(" ")
+      (i, if (i % 2 == 0) s"$base $run tail$i" else base)
+    }.toDF("doc_id", "text")
+    val plan = finalPlan(Dedup.spanOverlapPairs(docs, "doc_id", "text", minRun = 8))
+    // the self-join must key on the window hash and the islands window must
+    // partition by (pair, diagonal) — a global window or an unkeyed join
+    // would serialize/explode at scale
+    assert(!plan.contains("SinglePartition"), s"global funnel in:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"unkeyed join in:\n$plan")
+  }
+
+  test("semanticNearDupPairs: cluster-keyed join, argmin assignment is a projection") {
+    import graft.operators.{Dedup, Similarity}
+    val emb = (1L to 200L).map { i =>
+      (i, (0 until 8).map(j => (if (j == (i % 4).toInt) 1.0f else 0.0f) +
+        (i % 7) * 1e-3f).toSeq)
+    }.toDF("vec_id", "embedding")
+    val model = Similarity.ivfFit(emb.orderBy("vec_id"), "embedding", k = 4)
+    val plan = finalPlan(
+      Dedup.semanticNearDupPairs(emb, "vec_id", "embedding", model, 0.999))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"within-cluster pairing must join ON the cluster id:\n$plan")
+    assert(!plan.contains("SinglePartition"), s"global funnel in:\n$plan")
+  }
+
+  test("contaminationScores: benchmark side broadcasts; corpus join is BHJ") {
+    import graft.operators.Dedup
+    val corpus = spark.read.parquet(docsDir)
+    val bench = corpus.filter(col("doc_id") % 50 === 0)
+    val plan = finalPlan(
+      Dedup.contaminationScores(corpus, "doc_id", "text", bench, "text"))
+    // the pooled eval-set shingles must reach the corpus as a broadcast —
+    // a sort-merge join here would shuffle the full corpus postings
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus postings shuffled for the benchmark join:\n$plan")
+  }
+
+  test("attributionJoin (batch form): equi-keyed join with range condition, no cartesian") {
+    import graft.streaming.Streams
+    val events = (1L to 400L).map { i =>
+      (i, new java.sql.Timestamp(1700000000000L + i * 60000L), i % 20,
+        if (i % 3 == 0) "click" else "purchase", i * 1.0)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val plan = finalPlan(
+      Streams.attributionJoin(events, "click", "purchase", "1 hour"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"attribution join lost its user_id equi-key:\n$plan")
+  }
 }
