@@ -698,6 +698,13 @@ object SparkEntry {
       Dedup.ngramContainmentPrefix(rd(s, dir, "documents"), "doc_id", "text",
           threshold = 0.7, ngram = 3)
         .orderBy("id_a", "id_b")),
+    "q_quality_model" -> ((s, dir) =>
+      // learned quality filter (hashing-trick linear model): weights are
+      // plan literals, score is the mean bucket weight (logit — monotone in
+      // sigmoid, no cross-engine exp hazard), keep decided on rounded bits
+      TextAnalysis.hashedQualityScore(rd(s, dir, "documents"), "doc_id",
+          "text", TextAnalysis.syntheticQualityModel())
+        .orderBy("doc_id")),
     "q_semdedup_pairs" -> ((s, dir) =>
       // SemDeDup: cluster-blocked pairwise cosine — k-means cells bound the
       // quadratic term; reuses the memoized offline IVF fit, so the oracle
@@ -1076,6 +1083,32 @@ object SparkEntry {
        FROM ov JOIN sz x ON x.doc_id = id_a JOIN sz y ON y.doc_id = id_b
        WHERE round(CAST(ov AS DOUBLE) / least(x.sz, y.sz), 6) >= 0.7
        ORDER BY id_a, id_b"""
+
+  /** q_quality_model in DuckDB: the identical hashing-trick scorer — same
+    * md5 31-bit bucket hash (the portable-minhash base), same weight
+    * literals (integer micros → exact order-independent sums), same single
+    * division chain and rounded-logit keep decision. */
+  private val QualityModelOracle: String = {
+    val vals = TextAnalysis.syntheticQualityModel().zipWithIndex
+      .map { case (w, b) => s"($b, $w)" }.mkString(", ")
+    s"""WITH w(b, wm) AS (VALUES $vals),
+       tk AS (
+         SELECT doc_id, unnest(string_split_regex(
+           trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\\s+')) AS t
+         FROM documents),
+       bx AS (
+         SELECT doc_id,
+           CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT)
+             % 2147483648 % 256 AS b
+         FROM tk),
+       sc AS (
+         SELECT doc_id, count(*) AS n_tokens, CAST(sum(wm) AS BIGINT) AS s
+         FROM bx JOIN w USING (b) GROUP BY doc_id)
+       SELECT doc_id, n_tokens,
+         round(CAST(s AS DOUBLE) / n_tokens / 1e6, 6) AS logit,
+         round(CAST(s AS DOUBLE) / n_tokens / 1e6, 6) >= 0.0 AS keep
+       FROM sc ORDER BY doc_id"""
+  }
 
   /** shared CTE chain for the span-overlap oracles: positional 8-token
     * windows (NO distinct — positions are the signal), window-equality
@@ -1617,6 +1650,7 @@ object SparkEntry {
                t -> list_contains(['the','a','an','of','to','and','in','is','it','that'], t)))
              / len(string_split_regex(lower(trim(text)), '\s+')), 6) AS stop_ratio
          FROM documents ORDER BY doc_id""",
+    "q_quality_model" -> QualityModelOracle,
     "q_quality_score" ->
       """WITH q AS (
            SELECT doc_id, text, CAST(length(text) AS DOUBLE) AS n,

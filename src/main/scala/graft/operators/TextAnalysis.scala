@@ -252,6 +252,58 @@ object TextAnalysis {
       .withColumn("chunk_id", floor(col("start_offset") / budget))
   }
 
+  /** MODEL-BASED quality scoring — the learned-filter pass of every large
+    * curation pipeline (GPT-3's LR quality classifier over CommonCrawl,
+    * fastText in CCNet/RedPajama): a linear model over a HASHED bag of
+    * words (the hashing trick — a fixed `weightsMicros.length`-dimensional
+    * model, no vocabulary join, out-of-vocabulary impossible), mean-pooled
+    * over the document's tokens.
+    *
+    * The trained weights ship as a LITERAL array inside the plan — an
+    * offline model is kilobytes, so it rides the task binary to every
+    * executor; scoring is tokenize → md5-bucket → element_at(weights), one
+    * codegen'd projection plus one partial-agg'd per-document sum (the same
+    * postings-aggregate shape as tfIdfTopTerms — at 100 TB the shuffle
+    * carries (doc, bucket-weight) longs, nothing wider).
+    *
+    * The emitted score is the LOGIT (mean bucket weight): monotone in the
+    * classifier probability, so thresholding it ≡ thresholding sigmoid(·),
+    * WITHOUT a cross-engine exp() rounding hazard. Weights are integer
+    * MICROS: the per-document sum is exact integer arithmetic
+    * (order-independent), and the single double division chain after it is
+    * IEEE-identical in any engine — `keep` is decided on the ROUNDED logit
+    * so both engines decide from identical bits. */
+  def hashedQualityScore(df: DataFrame, idCol: String, textCol: String,
+                         weightsMicros: Seq[Long],
+                         keepThreshold: Double = 0.0): DataFrame = {
+    val nb = weightsMicros.length
+    require(nb > 0, "hashedQualityScore requires a non-empty weight vector")
+    val wLit = array(weightsMicros.map(lit): _*)
+    val bucket = pmod(
+      conv(substring(md5(to_binary(col("__t"), lit("utf-8"))), 1, 8), 16, 10)
+        .cast(LongType), lit(1L << 31)) % nb
+    df.select(col(idCol), explode(tokens(normalized(col(textCol)))).as("__t"))
+      .select(col(idCol),
+        element_at(wLit, (bucket + lit(1)).cast(IntegerType)).as("__w"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("__w")).as("__s"))
+      .withColumn("logit",
+        round(col("__s").cast(DoubleType) / col("n_tokens") / lit(1e6), 6))
+      .withColumn("keep", col("logit") >= keepThreshold)
+      .select(col(idCol), col("n_tokens"), col("logit"), col("keep"))
+  }
+
+  /** deterministic stand-in for an offline-trained quality model: seeded
+    * uniform weights in ±1.0 (integer micros). Production callers pass
+    * their fastText/LR weights; the fixture pipeline and the DuckDB oracle
+    * both embed THESE literals, which is what makes q_quality_model
+    * oracle-exact. */
+  def syntheticQualityModel(nBuckets: Int = 256,
+                            seed: Long = 20260812L): Seq[Long] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(nBuckets)((rnd.nextInt(2000001) - 1000000).toLong)
+  }
+
   /** per-document stats frame (used by q_text_* queries). */
   def docStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(

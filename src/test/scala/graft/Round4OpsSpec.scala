@@ -247,6 +247,29 @@ class Round4OpsSpec extends AnyFunSuite {
       plan.contains("broadcast"), s"benchmark set not broadcast:\n$plan")
   }
 
+  test("hashedQualityScore: deterministic, partitioning-independent, keep ≡ logit ≥ t") {
+    val model = TextAnalysis.syntheticQualityModel()
+    assert(model.length == 256 && model == TextAnalysis.syntheticQualityModel())
+    val docs = (1L to 60L).map(i =>
+      (i, (1 to 20).map(j => s"tok${(i * 7 + j) % 41}").mkString(" ")))
+      .toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.hashedQualityScore(df, "doc_id", "text", model)
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2), r.getBoolean(3))))
+        .toMap
+    val a = run(docs)
+    val b = run(docs.repartition(7)) // content-derived: layout must not matter
+    assert(a == b)
+    assert(a.size == 60)
+    a.values.foreach { case (n, logit, keep) =>
+      assert(n == 20L)
+      assert(keep == (logit >= 0.0))
+      assert(logit.abs <= 1.0) // mean of ±1.0-micro weights
+    }
+    // the model discriminates: not all docs land on one side
+    assert(a.values.exists(_._3) && a.values.exists(!_._3))
+  }
+
   test("spanOverlapPairs: longest run exact, islands summed, sub-minRun pair absent") {
     def filler(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
     val run12 = (1 to 12).map(i => s"shared$i").mkString(" ")
