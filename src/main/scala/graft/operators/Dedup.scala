@@ -968,10 +968,10 @@ object Dedup {
     *
     * Returns (id_a, id_b, max_run, n_windows): longest shared token run and
     * the total count of matching k-windows across all diagonals. */
-  def spanOverlapPairs(df: DataFrame, idCol: String, textCol: String,
-                       minRun: Int = 8): DataFrame = {
-    require(minRun >= 2, s"minRun must be >= 2, got $minRun")
-    val k = minRun
+  /** matched k-window position pairs (id_a, id_b, __pa, __d) — the shared
+    * candidate stage of [[spanOverlapPairs]] and [[spanDedup]]. */
+  private def spanWindowMatches(df: DataFrame, idCol: String, textCol: String,
+                                k: Int): DataFrame = {
     val ex = df
       .select(col(idCol),
         TextAnalysis.tokens(TextAnalysis.normalized(col(textCol))).as("__toks"))
@@ -983,12 +983,19 @@ object Dedup {
       .filter(col("__n") >= 2).select("__s")
       .localCheckpoint()
     val exs = ex.join(shared, "__s")
-    val m = exs.select(col(idCol).as("id_a"), col("__pos").as("__pa"), col("__s"))
+    exs.select(col(idCol).as("id_a"), col("__pos").as("__pa"), col("__s"))
       .join(exs.select(col(idCol).as("id_b"), col("__pos").as("__pb"), col("__s")),
         "__s")
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("__pa"),
         (col("__pa") - col("__pb")).as("__d"))
+  }
+
+  def spanOverlapPairs(df: DataFrame, idCol: String, textCol: String,
+                       minRun: Int = 8): DataFrame = {
+    require(minRun >= 2, s"minRun must be >= 2, got $minRun")
+    val k = minRun
+    val m = spanWindowMatches(df, idCol, textCol, k)
     val w = Window.partitionBy(col("id_a"), col("id_b"), col("__d"))
       .orderBy(col("__pa"))
     val islands = m
@@ -1000,14 +1007,20 @@ object Dedup {
         sum(col("__c")).cast(LongType).as("n_windows"))
   }
 
-  /** remove, per [[spanOverlapPairs]], every document that shares a
-    * ≥ `minRun`-token verbatim run with a LOWER-id'd document — the
-    * keep-first policy of [[exactDedup]] applied to substring duplication.
-    * Survivor rows are returned unchanged. The flagged set is the higher id
-    * of each overlapping pair, broadcast into an anti-join. */
+  /** remove every document that shares a ≥ `minRun`-token verbatim run with
+    * a LOWER-id'd document — the keep-first policy of [[exactDedup]] applied
+    * to substring duplication. Survivor rows are returned unchanged.
+    *
+    * Cheaper than [[spanOverlapPairs]] + filter: ONE shared k-window already
+    * implies a shared run ≥ k tokens, so the dedup decision needs only
+    * EXISTENCE of a match — the per-diagonal gaps-and-islands stage (a
+    * window + two aggregates, only needed to measure run LENGTH) is skipped
+    * entirely. The flagged set is the higher id of each matched pair,
+    * broadcast into an anti-join. */
   def spanDedup(df: DataFrame, idCol: String, textCol: String,
                 minRun: Int = 8): DataFrame = {
-    val flagged = spanOverlapPairs(df, idCol, textCol, minRun)
+    require(minRun >= 2, s"minRun must be >= 2, got $minRun")
+    val flagged = spanWindowMatches(df, idCol, textCol, minRun)
       .select(col("id_b").as(idCol)).distinct()
     df.join(broadcast(flagged), Seq(idCol), "left_anti")
   }
