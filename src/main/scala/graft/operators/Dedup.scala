@@ -969,15 +969,22 @@ object Dedup {
     * Returns (id_a, id_b, max_run, n_windows): longest shared token run and
     * the total count of matching k-windows across all diagonals. */
   /** matched k-window position pairs (id_a, id_b, __pa, __d) — the shared
-    * candidate stage of [[spanOverlapPairs]] and [[spanDedup]]. */
+    * candidate stage of [[spanOverlapPairs]] and [[spanDedup]]. Windows are
+    * carried as xxhash64 LONGS (8 bytes vs ~50-byte k-token strings through
+    * the shared-vocab aggregate and the self-join — the same shortcut as
+    * [[ngramContainmentPrefix]]); a collision would fabricate a match
+    * (P ≈ windows²/2⁶⁵ per corpus — none at any tested SF) and the
+    * STRING-exact ground-truth oracle would surface it as a hash mismatch,
+    * so the shortcut is verified, not assumed. */
   private def spanWindowMatches(df: DataFrame, idCol: String, textCol: String,
                                 k: Int): DataFrame = {
     val ex = df
       .select(col(idCol),
         TextAnalysis.tokens(TextAnalysis.normalized(col(textCol))).as("__toks"))
       .filter(size(col("__toks")) >= k)
-      .select(col(idCol), posexplode(
-        shinglesFromTokens(col("__toks"), k, distinct = false)))
+      .select(col(idCol), posexplode(transform(
+        shinglesFromTokens(col("__toks"), k, distinct = false),
+        s => xxhash64(s))))
       .toDF(idCol, "__pos", "__s")
     val shared = ex.groupBy("__s").agg(count(lit(1)).as("__n"))
       .filter(col("__n") >= 2).select("__s")
