@@ -758,6 +758,20 @@ object SparkEntry {
           expr("percentile(l_quantity, 0.5)").as("median_qty"),
           count(lit(1)).as("n"))
         .orderBy("l_returnflag")),
+    "q_curation_full" -> ((s, dir) => {
+      // the FULL composed pass: gates → learned quality filter → benchmark
+      // decontamination → fingerprint dedup → MinHash-LSH near-dedup →
+      // shared-span dedup → hash sample — every round-8 stage chained, the
+      // oracle composed from the same verified CTE fragments
+      val docs = rd(s, dir, "documents")
+      // keepLogit = the synthetic model's median logit over this corpus
+      // family (a trained classifier's calibrated operating point) — keeps
+      // the filter discriminative instead of degenerate
+      graft.operators.Curation.curateFull(docs, "doc_id", "text",
+          docs.filter(col("source") === "src0"), "text",
+          TextAnalysis.syntheticQualityModel(), keepLogit = -0.15)
+        .select("doc_id", "source").orderBy("doc_id")
+    }),
     "q_curation" -> ((s, dir) =>
       // the COMPOSED curation pass: language gate → quality gate →
       // fingerprint dedup → portable MinHash-LSH near-dedup → hash sample.
@@ -850,21 +864,18 @@ object SparkEntry {
        SELECT doc_id FROM documents
        WHERE doc_id NOT IN (SELECT id_b FROM dups) ORDER BY doc_id"""
 
-  /** q_curation in DuckDB: the COMPOSED curation pass — quality + language
-    * gates (the q_quality_score / q_lang_guess CASE logic), fingerprint
-    * dedup (min doc_id per md5 of normalized text), the portable
-    * MinHash-LSH near-dedup chain over the SURVIVORS, then the md5
-    * hash-sample filter. Every stage is the already-verified oracle
-    * fragment; the composition verifies that the operators chain. */
-  private val CurationOracle: String =
-    s"""WITH gate AS (
+  /** the language+quality gate CTE ("gate") — the q_quality_score /
+    * q_lang_guess CASE logic over `documents`, shared by q_curation and
+    * q_curation_full. */
+  private val GateCte: String =
+    """gate AS (
          SELECT doc_id, text, source FROM (
            SELECT doc_id, text, source,
              CAST(length(text) AS DOUBLE) AS n,
-             round(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+             round(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
                  t -> list_contains(['the','a','an','of','to','and','in','is','it','that'], t)))
-               / len(string_split_regex(lower(trim(text)), '\\s+')), 6) AS sr,
-             string_split_regex(lower(trim(text)), '\\s+') AS tt
+               / len(string_split_regex(lower(trim(text)), '\s+')), 6) AS sr,
+             string_split_regex(lower(trim(text)), '\s+') AS tt
            FROM documents)
          WHERE round((
              CASE WHEN n >= 100 AND n <= 10000 THEN 1.0
@@ -881,7 +892,16 @@ object SparkEntry {
                   len(list_filter(tt, x -> list_contains(['the','and','of','is'], x))) AS he,
                   len(list_filter(tt, x -> list_contains(['el','los','las','es'], x))) AS hs,
                   len(list_filter(tt, x -> list_contains(['le','les','est','une'], x))) AS hf,
-                  len(list_filter(tt, x -> list_contains(['der','die','das','ist'], x))) AS hd)) = 'en'),
+                  len(list_filter(tt, x -> list_contains(['der','die','das','ist'], x))) AS hd)) = 'en')"""
+
+  /** q_curation in DuckDB: the COMPOSED curation pass — quality + language
+    * gates (the q_quality_score / q_lang_guess CASE logic), fingerprint
+    * dedup (min doc_id per md5 of normalized text), the portable
+    * MinHash-LSH near-dedup chain over the SURVIVORS, then the md5
+    * hash-sample filter. Every stage is the already-verified oracle
+    * fragment; the composition verifies that the operators chain. */
+  private val CurationOracle: String =
+    s"""WITH $GateCte,
        exact AS (
          SELECT doc_id, text, source FROM gate WHERE doc_id IN (
            SELECT min(doc_id) FROM gate
@@ -892,6 +912,87 @@ object SparkEntry {
          AND CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
                % 10000 < 5000
        ORDER BY doc_id"""
+
+  /** q_curation_full in DuckDB: the full composed pass — gate → learned
+    * quality filter (the q_quality_model scorer over gate survivors) →
+    * benchmark decontamination (pooled src0 shingles from the FULL corpus,
+    * the q_contamination logic) → fingerprint dedup → portable MinHash-LSH
+    * near-dedup → shared-span (8-token window) dedup → hash sample. Every
+    * fragment is an already-verified oracle chain; the composition verifies
+    * the stages CHAIN in the order the Spark pipeline runs them. */
+  private val CurationFullOracle: String = {
+    val qvals = TextAnalysis.syntheticQualityModel().zipWithIndex
+      .map { case (w, b) => s"($b, $w)" }.mkString(", ")
+    s"""WITH $GateCte,
+       qw(b, wm) AS (VALUES $qvals),
+       qsc AS (
+         SELECT qbx.doc_id, count(*) AS nt, CAST(sum(qw.wm) AS BIGINT) AS sw
+         FROM (SELECT doc_id,
+                 CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT)
+                   % 2147483648 % 256 AS b
+               FROM (SELECT doc_id, unnest(string_split_regex(
+                       trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+                       '\\s+')) AS t
+                     FROM gate) qtk) qbx
+         JOIN qw ON qw.b = qbx.b
+         GROUP BY qbx.doc_id),
+       mq AS (
+         SELECT g.doc_id, g.text, g.source FROM gate g
+         JOIN qsc ON qsc.doc_id = g.doc_id
+         WHERE round(CAST(qsc.sw AS DOUBLE) / qsc.nt / 1e6, 6) >= -0.15),
+       cbs AS (
+         SELECT DISTINCT concat_ws(' ', t[i+1], t[i+2], t[i+3]) AS s
+         FROM (SELECT t, unnest(range(0, greatest(len(t) - 3, 0) + 1)) AS i
+               FROM (SELECT string_split_regex(
+                       trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+                       '\\s+') AS t
+                     FROM documents WHERE source = 'src0') cbt) cbu),
+       cds AS (
+         SELECT DISTINCT doc_id, s FROM (
+           SELECT doc_id, concat_ws(' ', t[i+1], t[i+2], t[i+3]) AS s
+           FROM (SELECT doc_id, t,
+                   unnest(range(0, greatest(len(t) - 3, 0) + 1)) AS i
+                 FROM (SELECT doc_id, string_split_regex(
+                         trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+                         '\\s+') AS t
+                       FROM mq) ctk) csh0) csh1),
+       csc AS (
+         SELECT doc_id, count(*) AS ns,
+           CAST(sum(CASE WHEN s IN (SELECT s FROM cbs) THEN 1 ELSE 0 END)
+             AS BIGINT) AS nh
+         FROM cds GROUP BY doc_id),
+       dec AS (
+         SELECT m.doc_id, m.text, m.source FROM mq m
+         WHERE m.doc_id NOT IN (
+           SELECT doc_id FROM csc
+           WHERE round(CAST(nh AS DOUBLE) / ns, 6) >= 0.8)),
+       exact AS (
+         SELECT doc_id, text, source FROM dec WHERE doc_id IN (
+           SELECT min(doc_id) FROM dec
+           GROUP BY md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))))),
+       ${minhashDedupChainSql("exact", 0.5)},
+       near AS (
+         SELECT doc_id, text, source FROM exact
+         WHERE doc_id NOT IN (SELECT id_b FROM dups)),
+       ssh AS (
+         SELECT doc_id, i AS pos,
+           concat_ws(' ', t[i+1], t[i+2], t[i+3], t[i+4],
+                          t[i+5], t[i+6], t[i+7], t[i+8]) AS s
+         FROM (SELECT doc_id, t, unnest(range(0, len(t) - 7)) AS i
+               FROM (SELECT doc_id, string_split_regex(
+                       trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+                       '\\s+') AS t
+                     FROM near) stk
+               WHERE len(t) >= 8) ssg),
+       sfl AS (
+         SELECT DISTINCT b.doc_id AS id_b
+         FROM ssh a JOIN ssh b ON a.s = b.s AND a.doc_id < b.doc_id)
+       SELECT doc_id, source FROM near
+       WHERE doc_id NOT IN (SELECT id_b FROM sfl)
+         AND CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 10000 < 5000
+       ORDER BY doc_id"""
+  }
 
   /** transitive (connected-components) MinHash-LSH dedup in DuckDB SQL —
     * same seed-42 portable pipeline as MinhashOracle up to the thresholded
@@ -1457,6 +1558,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q_minhash_oracle" -> MinhashOracle,
     "q_curation" -> CurationOracle,
+    "q_curation_full" -> CurationFullOracle,
     "q_cluster_dedup" -> ClusterDedupOracle,
     "q_simhash_oracle" ->
       s"""WITH $SimhashSigChainSql,

@@ -45,4 +45,51 @@ object Curation {
     val near = Dedup.minhashDedupPortable(exact, idCol, textCol, nearDupThreshold)
     Sampling.hashSample(near, col(idCol), sampleFraction)
   }
+
+  /** the FULL curation pass, composing every round-8 stage the short
+    * [[curate]] pipeline predates: heuristic gates → LEARNED quality filter
+    * ([[TextAnalysis.hashedQualityScore]], keep ⇔ logit ≥ 0) → benchmark
+    * DECONTAMINATION ([[Dedup.decontaminate]] vs `bench`) → exact
+    * (fingerprint) dedup → MinHash-LSH near-dedup → SUBSTRING (shared-span)
+    * dedup → deterministic hash sample. Returns surviving rows unchanged.
+    *
+    * Stage order is cost-ordered, cheap filters first: the two codegen'd
+    * gates and the model filter shrink the corpus before any shuffling
+    * stage; decontamination is one broadcast postings pass; the three dedup
+    * stages each consume the previous survivors. Checkpoints sit where a
+    * stage's output feeds multiple downstream references (gate survivors,
+    * decontaminated corpus, exact survivors, near survivors) — at 100 TB
+    * each is the standard write-the-filtered-corpus materialization between
+    * pipeline phases. */
+  def curateFull(df: DataFrame, idCol: String, textCol: String,
+                 bench: DataFrame, benchTextCol: String,
+                 modelWeightsMicros: Seq[Long],
+                 keepLogit: Double = 0.0,
+                 lang: String = "en", minQuality: Double = 0.6,
+                 maxContamination: Double = 0.8,
+                 nearDupThreshold: Double = 0.5,
+                 minRun: Int = 8,
+                 sampleFraction: Double = 0.5): DataFrame = {
+    val gated = df.filter(
+      TextAnalysis.langId(col(textCol)) === lang &&
+        TextAnalysis.qualityScore(col(textCol)) >= minQuality)
+      .localCheckpoint()
+    val keepIds = TextAnalysis.hashedQualityScore(gated, idCol, textCol,
+        modelWeightsMicros, keepLogit)
+      .filter(col("keep")).select(col(idCol))
+    val modeled = gated.join(keepIds, Seq(idCol), "left_semi")
+    val cleaned = Dedup.decontaminate(modeled, idCol, textCol,
+        bench, benchTextCol, maxContamination)
+      .localCheckpoint()
+    val exact = Dedup.exactDedup(
+        cleaned.withColumn("__fp", TextAnalysis.fingerprint(col(textCol))),
+        col("__fp"), idCol)
+      .drop("__fp")
+      .localCheckpoint()
+    val near = Dedup.minhashDedupPortable(exact, idCol, textCol,
+        nearDupThreshold)
+      .localCheckpoint()
+    val span = Dedup.spanDedup(near, idCol, textCol, minRun)
+    Sampling.hashSample(span, col(idCol), sampleFraction)
+  }
 }
