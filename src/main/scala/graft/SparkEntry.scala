@@ -939,7 +939,8 @@ object SparkEntry {
        mq AS (
          SELECT g.doc_id, g.text, g.source FROM gate g
          JOIN qsc ON qsc.doc_id = g.doc_id
-         WHERE round(CAST(qsc.sw AS DOUBLE) / qsc.nt / 1e6, 6) >= -0.15),
+         WHERE CAST(round(CAST(qsc.sw AS DOUBLE) / qsc.nt) AS BIGINT) / 1e6
+                 >= -0.15),
        cbs AS (
          SELECT DISTINCT concat_ws(' ', t[i+1], t[i+2], t[i+3]) AS s
          FROM (SELECT t, unnest(range(0, greatest(len(t) - 3, 0) + 1)) AS i
@@ -1206,8 +1207,8 @@ object SparkEntry {
          SELECT doc_id, count(*) AS n_tokens, CAST(sum(wm) AS BIGINT) AS s
          FROM bx JOIN w USING (b) GROUP BY doc_id)
        SELECT doc_id, n_tokens,
-         round(CAST(s AS DOUBLE) / n_tokens / 1e6, 6) AS logit,
-         round(CAST(s AS DOUBLE) / n_tokens / 1e6, 6) >= 0.0 AS keep
+         CAST(round(CAST(s AS DOUBLE) / n_tokens) AS BIGINT) / 1e6 AS logit,
+         CAST(round(CAST(s AS DOUBLE) / n_tokens) AS BIGINT) / 1e6 >= 0.0 AS keep
        FROM sc ORDER BY doc_id"""
   }
 

@@ -270,9 +270,12 @@ object TextAnalysis {
     * classifier probability, so thresholding it ≡ thresholding sigmoid(·),
     * WITHOUT a cross-engine exp() rounding hazard. Weights are integer
     * MICROS: the per-document sum is exact integer arithmetic
-    * (order-independent), and the single double division chain after it is
-    * IEEE-identical in any engine — `keep` is decided on the ROUNDED logit
-    * so both engines decide from identical bits. */
+    * (order-independent); the mean is rounded to integer micros at SCALE 0
+    * (scale-6 rounding of a fraction hits the cross-engine decimal-boundary
+    * hazard — observed at sf0.1 — while scale-0 never does, the
+    * labelCentroids rule) and only then divided by 1e6, an exact IEEE
+    * division both engines do identically — `keep` is decided on those
+    * identical bits. */
   def hashedQualityScore(df: DataFrame, idCol: String, textCol: String,
                          weightsMicros: Seq[Long],
                          keepThreshold: Double = 0.0): DataFrame = {
@@ -288,7 +291,8 @@ object TextAnalysis {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"), sum(col("__w")).as("__s"))
       .withColumn("logit",
-        round(col("__s").cast(DoubleType) / col("n_tokens") / lit(1e6), 6))
+        round(col("__s").cast(DoubleType) / col("n_tokens"))
+          .cast(LongType) / lit(1e6))
       .withColumn("keep", col("logit") >= keepThreshold)
       .select(col(idCol), col("n_tokens"), col("logit"), col("keep"))
   }
