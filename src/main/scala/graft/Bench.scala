@@ -104,7 +104,35 @@ object Bench {
         Similarity.lshTopK(emb, "vec_id", "embedding", qv, 5,
           dim = 64, nBits = 16, maxFlips = 3).count()),
       "containment_prefix" -> (() =>
-        Dedup.ngramContainmentPrefix(docs, "doc_id", "text", 0.7).count()))
+        Dedup.ngramContainmentPrefix(docs, "doc_id", "text", 0.7).count()),
+      // round-8 families: positional span-window matching (posexplode +
+      // xxhash64 + diagonal window), cluster-blocked semantic dedup,
+      // broadcast contamination postings, hashed-bucket model scoring,
+      // and the interval-join shape
+      "span_overlap" -> (() =>
+        Dedup.spanOverlapPairs(docs, "doc_id", "text", minRun = 8).count()),
+      "semdedup" -> (() => {
+        val model = Similarity.ivfFit(emb.orderBy("vec_id"), "embedding", k = 4)
+        Dedup.semanticNearDupPairs(emb, "vec_id", "embedding", model, 0.9).count()
+      }),
+      "contamination" -> (() =>
+        Dedup.contaminationScores(docs, "doc_id", "text",
+          docs.limit(32), "text").count()),
+      "quality_model" -> (() => {
+        import graft.operators.TextAnalysis
+        TextAnalysis.hashedQualityScore(docs, "doc_id", "text",
+          TextAnalysis.syntheticQualityModel()).count()
+      }),
+      "interval_join" -> (() => {
+        import graft.streaming.Streams
+        val ev = docs.select(col("doc_id").as("event_id"),
+          timestamp_millis(col("doc_id") * 60000L).as("ts"),
+          (col("doc_id") % 7).as("user_id"),
+          when(col("doc_id") % 2 === 0, "click").otherwise("purchase")
+            .as("event_type"),
+          lit(1.0).as("value"))
+        Streams.attributionJoin(ev, "click", "purchase", "1 hour").count()
+      }))
     steps.foreach { case (name, step) =>
       try step()
       catch { case e: Throwable =>

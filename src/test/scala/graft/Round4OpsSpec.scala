@@ -299,6 +299,48 @@ class Round4OpsSpec extends AnyFunSuite {
     assert(jac == 0, "jaccard near-dup should miss the span-sharing pair")
   }
 
+  test("spanOverlapPairs property: matches token-level brute force on a random corpus") {
+    // small alphabet forces organic shared runs; seeded for reproducibility
+    val rnd = new scala.util.Random(20260812L)
+    val k = 3
+    val corpus = (1L to 14L).map { i =>
+      (i, Seq.fill(20 + rnd.nextInt(12))(s"s${rnd.nextInt(6)}"))
+    }
+    // brute force: every (pa, pb) window-equality match; longest shared run
+    // per pair via diagonal scan over exact token equality
+    def windows(t: Seq[String]) = t.sliding(k).map(_.mkString(" ")).toVector
+    val brute = (for {
+      (ia, ta) <- corpus; (ib, tb) <- corpus if ia < ib
+      wa = windows(ta); wb = windows(tb)
+      matches = for {
+        pa <- wa.indices; pb <- wb.indices if wa(pa) == wb(pb)
+      } yield (pa, pb)
+      if matches.nonEmpty
+    } yield {
+      val runs = matches.groupBy { case (pa, pb) => pa - pb }.values.flatMap { diag =>
+        val ps = diag.map(_._1).sorted
+        // islands of consecutive pa within one diagonal
+        ps.foldLeft(List.empty[(Int, Int)]) { case (acc, p) =>
+          acc match {
+            case (st, en) :: rest if p == en + 1 => (st, p) :: rest
+            case _ => (p, p) :: acc
+          }
+        }.map { case (st, en) => en - st + 1 + k - 1 }
+      }
+      ((ia, ib), (runs.max.toLong, matches.size.toLong))
+    }).toMap
+    val docs = corpus.map { case (i, t) => (i, t.mkString(" ")) }.toDF("doc_id", "text")
+    val got = Dedup.spanOverlapPairs(docs, "doc_id", "text", minRun = k)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == brute,
+      s"mismatch: only-got ${(got.toSet -- brute.toSet).take(3)}, " +
+        s"only-brute ${(brute.toSet -- got.toSet).take(3)} " +
+        s"(${got.size} vs ${brute.size} pairs)")
+    assert(brute.nonEmpty, "seeded corpus should produce shared runs")
+  }
+
   test("spanDedup keeps the first doc, drops later substring-duplicated docs") {
     val base = (1 to 40).map(i => s"t$i").mkString(" ")
     val docs = Seq(
