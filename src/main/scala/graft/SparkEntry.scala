@@ -49,6 +49,22 @@ object SparkEntry {
         "embedding", k = 16))
   }
 
+  /** offline-derived token-budget mixing rates, one per sf dir (the
+    * domains-sized aggregate runs once per JVM; [[oracleSql]] embeds the
+    * resulting basis-point thresholds as literals — the ivfModels pattern).
+    * Budget 10k tokens at target shares src0=0.25, src1=0.15, uniform rest:
+    * exercises the kept-whole cap, the weighted path, and downsampling. */
+  private val budgetRatesMemo =
+    new scala.collection.concurrent.TrieMap[String, Map[String, Double]]
+  @volatile private var lastBudgetDir: Option[String] = None
+  private def budgetRatesFor(s: SparkSession, dir: String): Map[String, Double] = {
+    lastBudgetDir = Some(dir)
+    budgetRatesMemo.getOrElseUpdate(dir,
+      Sampling.tokenBudgetRates(rd(s, dir, "documents"), "text", "source",
+        budgetTokens = 10000L,
+        weights = Map("src0" -> 0.25, "src1" -> 0.15)))
+  }
+
   /** events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized reader
     * rejects; with spark.sql.legacy.parquet.nanosAsLong=true (set in
     * Verify/Bench sessions) it arrives as raw nanos — convert to micros with
@@ -698,6 +714,12 @@ object SparkEntry {
       Dedup.ngramContainmentPrefix(rd(s, dir, "documents"), "doc_id", "text",
           threshold = 0.7, ngram = 3)
         .orderBy("id_a", "id_b")),
+    "q_token_budget" -> ((s, dir) =>
+      // domain mixing to a 10k-token budget: rates derived offline from the
+      // domains-sized token aggregate, applied as ONE content-hash filter
+      Sampling.tokenBudgetSample(rd(s, dir, "documents"), "doc_id", "source",
+          budgetRatesFor(s, dir))
+        .select("doc_id", "source").orderBy("doc_id")),
     "q_quality_model" -> ((s, dir) =>
       // learned quality filter (hashing-trick linear model): weights are
       // plan literals, score is the mean bucket weight (logit — monotone in
@@ -2033,5 +2055,15 @@ object SparkEntry {
     Map("q_ivf_ann" -> ivfAnnOracle(m), "q_ivf_recall" -> ivfRecallOracle(m),
       "q_semdedup_pairs" -> semDedupPairsOracle(m),
       "q_semdedup" -> semDedupOracle(m))
+  }.getOrElse(Map.empty) ++ lastBudgetDir.flatMap(budgetRatesMemo.get).map { r =>
+    // same lazy-literal mechanism: the thresholds the query derived offline
+    val cases = r.toSeq.sortBy(_._1).map { case (d, f) =>
+      s"WHEN '$d' THEN ${math.round(f * Sampling.Buckets)}"
+    }.mkString(" ")
+    Map("q_token_budget" ->
+      s"""SELECT doc_id, source FROM documents
+         WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                 % 10000 < CASE source $cases ELSE 0 END
+         ORDER BY doc_id""")
   }.getOrElse(Map.empty)
 }

@@ -46,4 +46,39 @@ object Sampling {
       }
     df.filter(hashBucket(key) < thr)
   }
+
+  /** DOMAIN-MIXING rates to a global TOKEN budget — the mixture step every
+    * training run performs (choose how much of each source/domain to keep
+    * so the final dataset hits a token budget at a target composition; the
+    * DoReMi/Pile-style knob, with fixed rather than learned weights). For
+    * domain d with target weight w_d (uniform when unspecified) and corpus
+    * token count T_d: rate_d = min(1, w_d·budget / T_d) — a domain already
+    * under its allocation is kept whole, an over-represented one is
+    * hash-downsampled to its share.
+    *
+    * The per-domain token table is DOMAINS-sized, so deriving rates is one
+    * tiny aggregate collected to the driver — the same offline-index shape
+    * as [[Similarity.ivfFit]] (an engine-external oracle can then embed the
+    * resulting basis-point thresholds as literals). Sampling itself is
+    * [[stratifiedHashSample]]: one codegen'd content-hash filter, no
+    * shuffle, reproducible under any partitioning. */
+  def tokenBudgetRates(df: DataFrame, textCol: String, domainCol: String,
+                       budgetTokens: Long,
+                       weights: Map[String, Double] = Map.empty): Map[String, Double] = {
+    require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
+    val totals = df.groupBy(col(domainCol))
+      .agg(sum(TextAnalysis.tokenCount(col(textCol))).as("__t"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val k = totals.size
+    totals.map { case (d, t) =>
+      val w = weights.getOrElse(d, 1.0 / k)
+      (d, if (t <= 0) 1.0 else math.min(1.0, w * budgetTokens / t))
+    }
+  }
+
+  /** apply [[tokenBudgetRates]] with the content-hash filter keyed on the
+    * row id. Rows of `df` are returned unchanged. */
+  def tokenBudgetSample(df: DataFrame, idCol: String, domainCol: String,
+                        rates: Map[String, Double]): DataFrame =
+    stratifiedHashSample(df, col(idCol), col(domainCol), rates)
 }

@@ -302,6 +302,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(out.getOrElse("de", 0L) / 1000.0 - 0.1) < 0.08)
   }
 
+  test("tokenBudgetRates: under-allocated domains kept whole, others to share") {
+    // dom a: 100 tokens across 10 docs; dom b: 1000 tokens across 10 docs
+    val docs = ((1L to 10L).map(i => (i, "a", (1 to 10).map(j => s"t$j").mkString(" "))) ++
+      (11L to 20L).map(i => (i, "b", (1 to 100).map(j => s"t$j").mkString(" "))))
+      .toDF("doc_id", "source", "text")
+    // uniform weights, budget 400: each domain targets 200 tokens —
+    // a (100 tokens) is under-allocated → rate 1.0; b → 200/1000 = 0.2
+    val rates = Sampling.tokenBudgetRates(docs, "text", "source", 400L)
+    assert(rates("a") == 1.0)
+    assert(math.abs(rates("b") - 0.2) < 1e-9)
+    // explicit weights shift the allocation: all of the budget to b
+    val wRates = Sampling.tokenBudgetRates(docs, "text", "source", 400L,
+      weights = Map("a" -> 0.0, "b" -> 1.0))
+    assert(wRates("a") == 0.0)
+    assert(math.abs(wRates("b") - 0.4) < 1e-9)
+    // applying the rates keeps every a-doc and a hash-stable subset of b
+    val kept = Sampling.tokenBudgetSample(docs, "doc_id", "source", rates)
+      .select("doc_id", "source").as[(Long, String)].collect()
+    assert(kept.count(_._2 == "a") == 10)
+    val keptB = kept.collect { case (i, "b") => i }.toSet
+    val again = Sampling.tokenBudgetSample(docs.repartition(5), "doc_id",
+        "source", rates)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == kept.map(_._1).toSet) // partitioning-independent
+    assert(keptB.size < 10)               // b actually downsampled
+  }
+
   test("repetitionRatio flags degenerate text, near-zero for varied text") {
     val d = Seq(
       (1L, "spam spam spam spam spam spam"),     // one distinct bigram of 5
