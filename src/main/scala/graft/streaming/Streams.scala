@@ -3,6 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 
 /** [EXT] Structured Streaming surface over the `events` table shape
   * (event_id, ts, user_id, event_type, value, props). The reference has no
@@ -144,6 +145,44 @@ object Streams {
         horizon, watermark, streaming)
       .select(col("user_id"), col("from_id"), col("to_id"),
         col("from_ts"), col("to_ts"), col("value"))
+  }
+
+  /** STREAMING INGEST twin of [[graft.operators.Curation.curateFull]]'s
+    * front half: the stages that are pure per-row projections or
+    * watermark-bounded state — language gate, heuristic quality gate,
+    * learned quality filter (the hashed-bucket linear model: literals +
+    * codegen, streams trivially), then in-watermark SimHash content dedup —
+    * run AT INGEST, so the batch compaction (near-dup banding, span dedup,
+    * decontamination — stages that need corpus-global candidate joins)
+    * starts from a pre-filtered, locally-deduplicated stream sink. This
+    * split is the standard architecture: per-row + bounded-state stages
+    * stream; corpus-global stages batch. */
+  def curatedIngest(docs: DataFrame, textCol: String, tsCol: String,
+                    modelWeightsMicros: Seq[Long],
+                    keepLogit: Double = 0.0,
+                    lang: String = "en", minQuality: Double = 0.6,
+                    delay: String = "10 minutes"): DataFrame = {
+    import graft.operators.TextAnalysis
+    val gated = docs.filter(
+      TextAnalysis.langId(col(textCol)) === lang &&
+        TextAnalysis.qualityScore(col(textCol)) >= minQuality)
+    // the model score as a pure per-row expression (no aggregate): the
+    // hashed-bucket weight mean inlined via aggregate() over the token
+    // array — same weights, same micros math as hashedQualityScore, but
+    // streamable because it never leaves the row
+    val toks = TextAnalysis.tokens(TextAnalysis.normalized(col(textCol)))
+    val nb = modelWeightsMicros.length
+    val wLit = array(modelWeightsMicros.map(lit): _*)
+    val bucket = (t: Column) => pmod(
+      conv(substring(md5(to_binary(t, lit("utf-8"))), 1, 8), 16, 10)
+        .cast(LongType), lit(1L << 31)) % nb
+    val sumMicros = aggregate(toks, lit(0L),
+      (acc, t) => acc + element_at(wLit, (bucket(t) + lit(1)).cast(IntegerType)))
+    val logit = round(sumMicros.cast(DoubleType) / size(toks))
+      .cast(LongType) / lit(1e6)
+    streamingSimhashDedup(
+      gated.filter(size(toks) > 0 && logit >= keepLogit),
+      textCol, tsCol, delay)
   }
 
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

@@ -168,6 +168,71 @@ class StreamsSpec extends AnyFunSuite {
     }
   }
 
+  test("curatedIngest: gates + learned filter + content dedup at ingest, logit ≡ batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.TextAnalysis
+    val model = TextAnalysis.syntheticQualityModel()
+    // good docs: en-marked, >100 chars, stopword-rich, no punct flood
+    def good(word: String) =
+      (s"the $word and the other $word is in the house of $word " * 3).trim
+    val rows = Seq(
+      (1L, good("cat"), ts("2024-01-01 10:00:00")),
+      (2L, good("cat").toUpperCase, ts("2024-01-01 10:00:30")), // near-copy: same tokens
+      (3L, good("engine"), ts("2024-01-01 10:01:00")),
+      (4L, "zzz qqq", ts("2024-01-01 10:01:30")))               // fails the gates
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val docs = mem.toDF().toDF("doc_id", "text", "ts")
+    val q = Streams.curatedIngest(docs, "text", "ts", model,
+        keepLogit = -1.0) // every real doc passes the model at -1.0
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ingest_stream").start()
+    try {
+      mem.addData(rows: _*); q.processAllAvailable()
+      val ids = spark.table("ingest_stream").select("doc_id").as[Long]
+        .collect().sorted
+      assert(ids.toSeq == Seq(1L, 3L), s"got ${ids.mkString(",")}")
+    } finally {
+      q.stop(); spark.sql("DROP TABLE IF EXISTS ingest_stream")
+    }
+    // the inlined row-local logit must equal hashedQualityScore's (same
+    // weights, same micros math) — the stream gate IS the batch gate
+    val batchDocs = rows.toDF("doc_id", "text", "ts")
+    val batchLogits = TextAnalysis.hashedQualityScore(batchDocs, "doc_id",
+        "text", model)
+      .select("doc_id", "logit").as[(Long, Double)].collect().toMap
+    val streamLogits = {
+      // the IDENTICAL row-local formulation curatedIngest inlines (HOF
+      // aggregate over the token array — no explode, no groupBy)
+      val toks = TextAnalysis.tokens(TextAnalysis.normalized(col("text")))
+      val nb = model.length
+      val wLit = array(model.map(lit): _*)
+      def bucket(t: org.apache.spark.sql.Column) =
+        pmod(conv(substring(md5(to_binary(t, lit("utf-8"))), 1, 8), 16, 10)
+          .cast("long"), lit(1L << 31)) % nb
+      val sumMicros = aggregate(toks, lit(0L),
+        (acc, t) => acc + element_at(wLit, (bucket(t) + lit(1)).cast("int")))
+      batchDocs.select(col("doc_id"),
+          (round(sumMicros.cast("double") / size(toks)).cast("long") / lit(1e6))
+            .as("logit"))
+        .as[(Long, Double)].collect().toMap
+    }
+    assert(streamLogits == batchLogits)
+    // a keepLogit above the attainable range (mean of ±1.0-micro weights)
+    // drops everything — the calibration knob is live in streaming
+    val mem2 = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q2 = Streams.curatedIngest(mem2.toDF().toDF("doc_id", "text", "ts"),
+        "text", "ts", model, keepLogit = 1.1)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ingest_none").start()
+    try {
+      mem2.addData(rows: _*); q2.processAllAvailable()
+      assert(spark.table("ingest_none").count() == 0)
+    } finally {
+      q2.stop(); spark.sql("DROP TABLE IF EXISTS ingest_none")
+    }
+  }
+
   test("out-of-order 3-batch replay of events.parquet converges to the batch answers") {
     // the one verification mode the DuckDB harness can't see: the STREAMING
     // path (watermark + append finalization) must produce exactly the batch
