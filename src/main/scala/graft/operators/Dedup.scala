@@ -1022,14 +1022,17 @@ object Dedup {
     * implies a shared run ≥ k tokens, so the dedup decision needs only
     * EXISTENCE of a match — the per-diagonal gaps-and-islands stage (a
     * window + two aggregates, only needed to measure run LENGTH) is skipped
-    * entirely. The flagged set is the higher id of each matched pair,
-    * broadcast into an anti-join. */
+    * entirely. The flagged set (higher id of each matched pair) anti-joins
+    * WITHOUT a forced broadcast: in a duplication-heavy crawl it can be a
+    * large fraction of the corpus, and AQE already broadcasts it when its
+    * measured size allows — forcing the hint would OOM the driver exactly
+    * when dedup matters most. */
   def spanDedup(df: DataFrame, idCol: String, textCol: String,
                 minRun: Int = 8): DataFrame = {
     require(minRun >= 2, s"minRun must be >= 2, got $minRun")
     val flagged = spanWindowMatches(df, idCol, textCol, minRun)
       .select(col("id_b").as(idCol)).distinct()
-    df.join(broadcast(flagged), Seq(idCol), "left_anti")
+    df.join(flagged, Seq(idCol), "left_anti")
   }
 
   /** Benchmark DECONTAMINATION scores — the training-data hygiene pass every
@@ -1169,13 +1172,15 @@ object Dedup {
     * whose embedding has a semantic near-dup with a LOWER id — deterministic
     * keep-first, consistent with [[exactDedup]]/[[spanDedup]] (the paper
     * keeps the example farthest from the centroid; min-id is deterministic,
-    * order-independent, and exactly SQL-verifiable). Flagged ids are a tiny
-    * set — broadcast anti-join. */
+    * order-independent, and exactly SQL-verifiable). The flagged set
+    * anti-joins without a forced broadcast — the paper's operating points
+    * drop up to 50% of the corpus, far past driver-broadcast size; AQE
+    * broadcasts it when it is actually small. */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
                     model: Similarity.IvfModel,
                     threshold: Double = 0.95): DataFrame = {
     val flagged = semanticNearDupPairs(df, idCol, vecCol, model, threshold)
       .select(col("id_b").as(idCol)).distinct()
-    df.join(broadcast(flagged), Seq(idCol), "left_anti")
+    df.join(flagged, Seq(idCol), "left_anti")
   }
 }
