@@ -978,13 +978,19 @@ object Dedup {
     * so the shortcut is verified, not assumed. */
   private def spanWindowMatches(df: DataFrame, idCol: String, textCol: String,
                                 k: Int): DataFrame = {
-    val ex = df
+    // checkpoint the PER-DOC hashed-window arrays (doc-sized rows, the
+    // containment `sh` pattern) — they feed the shared-vocab aggregate and
+    // BOTH self-join sides, so without this the tokenize+hash projection
+    // runs three times; the cheap posexplode re-runs per consumer instead
+    val sh = df
       .select(col(idCol),
         TextAnalysis.tokens(TextAnalysis.normalized(col(textCol))).as("__toks"))
       .filter(size(col("__toks")) >= k)
-      .select(col(idCol), posexplode(transform(
+      .select(col(idCol), transform(
         shinglesFromTokens(col("__toks"), k, distinct = false),
-        s => xxhash64(s))))
+        s => xxhash64(s)).as("__ws"))
+      .localCheckpoint()
+    val ex = sh.select(col(idCol), posexplode(col("__ws")))
       .toDF(idCol, "__pos", "__s")
     val shared = ex.groupBy("__s").agg(count(lit(1)).as("__n"))
       .filter(col("__n") >= 2).select("__s")

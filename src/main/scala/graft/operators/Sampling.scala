@@ -51,10 +51,12 @@ object Sampling {
     * training run performs (choose how much of each source/domain to keep
     * so the final dataset hits a token budget at a target composition; the
     * DoReMi/Pile-style knob, with fixed rather than learned weights). For
-    * domain d with target weight w_d (uniform when unspecified) and corpus
-    * token count T_d: rate_d = min(1, w_d·budget / T_d) — a domain already
-    * under its allocation is kept whole, an over-represented one is
-    * hash-downsampled to its share.
+    * domain d with target weight w_d and corpus token count T_d:
+    * rate_d = min(1, w_d·budget / T_d) — a domain already under its
+    * allocation is kept whole, an over-represented one is hash-downsampled
+    * to its share. Weights are SHARES OF ONE BUDGET: explicit entries claim
+    * their mass and the remainder splits uniformly over unspecified
+    * domains, so target shares sum to ≤ 1 and the budget holds.
     *
     * The per-domain token table is DOMAINS-sized, so deriving rates is one
     * tiny aggregate collected to the driver — the same offline-index shape
@@ -66,12 +68,28 @@ object Sampling {
                        budgetTokens: Long,
                        weights: Map[String, Double] = Map.empty): Map[String, Double] = {
     require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
-    val totals = df.groupBy(col(domainCol))
-      .agg(sum(TextAnalysis.tokenCount(col(textCol))).as("__t"))
+    weights.values.foreach(w =>
+      require(w >= 0.0 && w <= 1.0, s"weight $w not in [0,1]"))
+    require(weights.values.sum <= 1.0 + 1e-9,
+      s"explicit weights sum to ${weights.values.sum} > 1: shares are " +
+        "fractions of ONE budget")
+    // null-domain rows can't be allocated a share; they fall through to
+    // stratifiedHashSample's `default` rate (0.0) at apply time
+    val totals = df.filter(col(domainCol).isNotNull)
+      .groupBy(col(domainCol))
+      .agg(coalesce(sum(TextAnalysis.tokenCount(col(textCol))), lit(0L)).as("__t"))
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
-    val k = totals.size
+    // weights are shares of ONE budget: explicit weights claim their mass,
+    // the REMAINDER splits uniformly over unspecified domains — so target
+    // shares always sum to ≤ 1 and the budget is actually respected (a
+    // bare 1/k default for unspecified domains would over-allocate
+    // whenever explicit weights already claim part of the mass)
+    val unspecified = totals.keySet -- weights.keySet
+    val residual = math.max(0.0,
+      1.0 - weights.collect { case (d, w) if totals.contains(d) => w }.sum)
+    val defaultW = if (unspecified.isEmpty) 0.0 else residual / unspecified.size
     totals.map { case (d, t) =>
-      val w = weights.getOrElse(d, 1.0 / k)
+      val w = weights.getOrElse(d, defaultW)
       (d, if (t <= 0) 1.0 else math.min(1.0, w * budgetTokens / t))
     }
   }

@@ -169,20 +169,26 @@ object Streams {
     // the model score as a pure per-row expression (no aggregate): the
     // hashed-bucket weight mean inlined via aggregate() over the token
     // array — same weights, same micros math as hashedQualityScore, but
-    // streamable because it never leaves the row
-    val toks = TextAnalysis.tokens(TextAnalysis.normalized(col(textCol)))
+    // streamable because it never leaves the row. The token array is
+    // PROJECTED ONCE (`__toks`): expressions referenced inside HOF lambdas
+    // are not subexpression-eliminated, so inlining tokens(normalized(…))
+    // would re-run the regex/split chain per reference (the
+    // shinglesFromTokens rule)
     val nb = modelWeightsMicros.length
     val wLit = array(modelWeightsMicros.map(lit): _*)
     val bucket = (t: Column) => pmod(
       conv(substring(md5(to_binary(t, lit("utf-8"))), 1, 8), 16, 10)
         .cast(LongType), lit(1L << 31)) % nb
-    val sumMicros = aggregate(toks, lit(0L),
+    val sumMicros = aggregate(col("__toks"), lit(0L),
       (acc, t) => acc + element_at(wLit, (bucket(t) + lit(1)).cast(IntegerType)))
-    val logit = round(sumMicros.cast(DoubleType) / size(toks))
+    val logit = round(sumMicros.cast(DoubleType) / size(col("__toks")))
       .cast(LongType) / lit(1e6)
-    streamingSimhashDedup(
-      gated.filter(size(toks) > 0 && logit >= keepLogit),
-      textCol, tsCol, delay)
+    val kept = gated
+      .withColumn("__toks",
+        TextAnalysis.tokens(TextAnalysis.normalized(col(textCol))))
+      .filter(size(col("__toks")) > 0 && logit >= keepLogit)
+      .drop("__toks")
+    streamingSimhashDedup(kept, textCol, tsCol, delay)
   }
 
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

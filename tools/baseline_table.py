@@ -15,12 +15,14 @@ import sys
 
 
 def main(paths):
+    if not paths:
+        raise SystemExit("usage: baseline_table.py RUN1.json [RUN2.json ...]")
     runs = []
     for p in paths:
         with open(p) as f:
             runs.append(json.load(f))
     names = sorted(runs[0]["queries"])
-    for r in runs:
+    for p, r in zip(paths, runs):
         if sorted(r["queries"]) != names:
             raise SystemExit(f"query sets differ across runs: {p}")
     totals = [r["value"] for r in runs]
