@@ -1151,30 +1151,38 @@ object SparkEntry {
              / (len(a.t) + len(b.t) - len(list_filter(a.t, x -> list_contains(b.t, x)))), 6)""",
     "jaccard", 0.5)
 
-  /** shared CTE chain for the decontamination oracles: distinct 3-gram
-    * shingles per doc (same tokenize/shingle shape as the containment
-    * oracle), pooled src0 shingles as the benchmark set, per-doc hit
-    * counts. DuckDB sum() returns HUGEINT — cast to BIGINT for the
-    * schema/hash compare. */
-  private val ContaminationCte: String =
-    """WITH tk AS (
-         SELECT doc_id, source, string_split_regex(
-           trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+') AS t
-         FROM documents),
-       sh AS (
-         SELECT doc_id, source, concat_ws(' ', t[i+1], t[i+2], t[i+3]) AS s
-         FROM (SELECT doc_id, source, t,
-                 unnest(range(0, greatest(len(t) - 3, 0) + 1)) AS i
-               FROM tk)),
-       ds AS (SELECT DISTINCT doc_id, source, s FROM sh),
-       bs AS (SELECT DISTINCT s FROM ds WHERE source = 'src0'),
-       sc AS (
+  /** CONTAMINATION chain, parameterized by corpus CTE/table and name
+    * prefix `p` (so composed pipelines can instantiate it beside other
+    * chains without CTE-name collisions): distinct 3-gram shingles per
+    * corpus doc (same tokenize/shingle shape as the containment oracle),
+    * pooled src0 shingles from the FULL documents table as the benchmark
+    * set, per-doc hit counts in `${p}sc`. DuckDB sum() returns HUGEINT —
+    * cast to BIGINT for the schema/hash compare. */
+  private def contaminationChainSql(corpusSrc: String, p: String): String =
+    s"""${p}bs AS (
+         SELECT DISTINCT concat_ws(' ', t[i+1], t[i+2], t[i+3]) AS s
+         FROM (SELECT t, unnest(range(0, greatest(len(t) - 3, 0) + 1)) AS i
+               FROM (SELECT string_split_regex(
+                       trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+                       '\\s+') AS t
+                     FROM documents WHERE source = 'src0') ${p}bt) ${p}bu),
+       ${p}ds AS (
+         SELECT DISTINCT doc_id, s FROM (
+           SELECT doc_id, concat_ws(' ', t[i+1], t[i+2], t[i+3]) AS s
+           FROM (SELECT doc_id, t,
+                   unnest(range(0, greatest(len(t) - 3, 0) + 1)) AS i
+                 FROM (SELECT doc_id, string_split_regex(
+                         trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+                         '\\s+') AS t
+                       FROM $corpusSrc) ${p}tk) ${p}sh0) ${p}sh1),
+       ${p}sc AS (
          SELECT doc_id, count(*) AS n_shingles,
-           CAST(sum(CASE WHEN s IN (SELECT s FROM bs) THEN 1 ELSE 0 END)
+           CAST(sum(CASE WHEN s IN (SELECT s FROM ${p}bs) THEN 1 ELSE 0 END)
              AS BIGINT) AS n_hits
-         FROM ds GROUP BY doc_id)"""
+         FROM ${p}ds GROUP BY doc_id)"""
 
-  private val ContaminationOracle: String = ContaminationCte + """
+  private val ContaminationOracle: String =
+    s"""WITH ${contaminationChainSql("documents", "")}
        SELECT doc_id, n_shingles, n_hits,
          round(CAST(n_hits AS DOUBLE) / n_shingles, 6) AS contamination
        FROM sc ORDER BY doc_id"""
@@ -1208,31 +1216,41 @@ object SparkEntry {
        WHERE round(CAST(ov AS DOUBLE) / least(x.sz, y.sz), 6) >= 0.7
        ORDER BY id_a, id_b"""
 
-  /** q_quality_model in DuckDB: the identical hashing-trick scorer — same
-    * md5 31-bit bucket hash (the portable-minhash base), same weight
-    * literals (integer micros → exact order-independent sums), same single
-    * division chain and rounded-logit keep decision. */
-  private val QualityModelOracle: String = {
+  /** the hashing-trick QUALITY-MODEL chain, parameterized by source CTE/
+    * table: same md5 31-bit bucket hash as the portable-minhash base, same
+    * weight literals (integer micros → exact order-independent sums).
+    * Yields `qsc(doc_id, n_tokens, s)`; consumers apply the rounded-micros
+    * logit expression [[qualityLogitSql]]. */
+  private def qualityChainSql(src: String): String = {
     val vals = TextAnalysis.syntheticQualityModel().zipWithIndex
       .map { case (w, b) => s"($b, $w)" }.mkString(", ")
-    s"""WITH w(b, wm) AS (VALUES $vals),
-       tk AS (
-         SELECT doc_id, unnest(string_split_regex(
-           trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\\s+')) AS t
-         FROM documents),
-       bx AS (
-         SELECT doc_id,
-           CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT)
-             % 2147483648 % 256 AS b
-         FROM tk),
-       sc AS (
-         SELECT doc_id, count(*) AS n_tokens, CAST(sum(wm) AS BIGINT) AS s
-         FROM bx JOIN w USING (b) GROUP BY doc_id)
-       SELECT doc_id, n_tokens,
-         CAST(round(CAST(s AS DOUBLE) / n_tokens) AS BIGINT) / 1e6 AS logit,
-         CAST(round(CAST(s AS DOUBLE) / n_tokens) AS BIGINT) / 1e6 >= 0.0 AS keep
-       FROM sc ORDER BY doc_id"""
+    s"""qw(b, wm) AS (VALUES $vals),
+       qsc AS (
+         SELECT qbx.doc_id, count(*) AS n_tokens, CAST(sum(qw.wm) AS BIGINT) AS s
+         FROM (SELECT doc_id,
+                 CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT)
+                   % 2147483648 % 256 AS b
+               FROM (SELECT doc_id, unnest(string_split_regex(
+                       trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+                       '\\s+')) AS t
+                     FROM $src) qtk) qbx
+         JOIN qw ON qw.b = qbx.b
+         GROUP BY qbx.doc_id)"""
   }
+
+  /** the scale-0 rounded-micros logit over qsc columns — one expression,
+    * shared so the standalone and composed oracles can never diverge. */
+  private val qualityLogitSql: String =
+    "CAST(round(CAST(s AS DOUBLE) / n_tokens) AS BIGINT) / 1e6"
+
+  /** q_quality_model in DuckDB: the identical hashing-trick scorer, logit
+    * and keep decided from the same rounded bits as the Spark side. */
+  private val QualityModelOracle: String =
+    s"""WITH ${qualityChainSql("documents")}
+       SELECT doc_id, n_tokens,
+         $qualityLogitSql AS logit,
+         $qualityLogitSql >= 0.0 AS keep
+       FROM qsc ORDER BY doc_id"""
 
   /** shared CTE chain for the span-overlap oracles: positional 8-token
     * windows (NO distinct — positions are the signal), window-equality
@@ -1241,17 +1259,23 @@ object SparkEntry {
     * so max(island)+7 is the longest verbatim shared run — ground truth for
     * the Spark side's freq≥2-pruned join (the pruning is lossless, so this
     * checks completeness, not merely the blocking). */
-  private val SpanOverlapCte: String =
-    """WITH tk AS (
-         SELECT doc_id, string_split_regex(
-           trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+') AS t
-         FROM documents),
-       sh AS (
+  /** positional 8-token-window CTE (NO distinct — positions are the
+    * signal), parameterized by source and CTE name so the standalone and
+    * composed span oracles share one window definition. */
+  private def spanWindowsSql(src: String, cte: String): String =
+    s"""$cte AS (
          SELECT doc_id, i AS pos,
            concat_ws(' ', t[i+1], t[i+2], t[i+3], t[i+4],
                           t[i+5], t[i+6], t[i+7], t[i+8]) AS s
          FROM (SELECT doc_id, t, unnest(range(0, len(t) - 7)) AS i
-               FROM tk WHERE len(t) >= 8)),
+               FROM (SELECT doc_id, string_split_regex(
+                       trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+                       '\\s+') AS t
+                     FROM $src) ${cte}tk
+               WHERE len(t) >= 8) ${cte}g)"""
+
+  private val SpanOverlapCte: String =
+    s"""WITH ${spanWindowsSql("documents", "sh")},
        m AS (
          SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pa,
            a.pos - b.pos AS d
@@ -2031,12 +2055,12 @@ object SparkEntry {
     "q_span_dedup" -> SpanDedupOracle,
     "q_contamination" -> ContaminationOracle,
     "q_decontaminate" ->
-      (ContaminationCte + """
+      s"""WITH ${contaminationChainSql("documents", "")}
        SELECT d.doc_id, d.source FROM documents d
        WHERE d.doc_id NOT IN (
          SELECT doc_id FROM sc
          WHERE round(CAST(n_hits AS DOUBLE) / n_shingles, 6) >= 0.8)
-       ORDER BY d.doc_id"""),
+       ORDER BY d.doc_id""",
     "q_grouped_median" ->
       """SELECT l_returnflag,
            quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.5)
