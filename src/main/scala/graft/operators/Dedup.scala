@@ -962,9 +962,18 @@ object Dedup {
     * k ≥ 8 are far shorter than 3-gram lists (fan-out per window is tiny);
     * the islands window partitions by (pair, diagonal) — parallelism =
     * matched diagonals, never a global window. Documents shorter than k
-    * tokens cannot contain a k-run and are dropped up front. At 100 TB the
-    * one remaining knob is capping pathological window frequencies
-    * (boilerplate); at k = 8 none of the fixture corpora need it.
+    * tokens cannot contain a k-run and are dropped up front. Pathological
+    * window frequencies (boilerplate) are bounded by `maxWindowDocFreq`:
+    * a window shared by more than that many DOCUMENTS is dropped from
+    * candidate generation entirely, so a template k-gram shared by f ≫ cap
+    * documents emits ZERO position pairs instead of f(f−1)/2, and total
+    * candidates are O(corpus positions · cap), never quadratic. Recall trade: a k-run
+    * appearing in >cap documents is boilerplate (headers, license text,
+    * navigation chrome), not a duplication signal between any particular
+    * pair — the same argument as [[ngramContainmentPrefix]]'s
+    * rarest-shingle prefix, per Lee et al. 2021's super-frequent-n-gram
+    * drop. Pairs whose ONLY shared material is such boilerplate are no
+    * longer flagged; pairs sharing any sub-cap window are unaffected.
     *
     * Returns (id_a, id_b, max_run, n_windows): longest shared token run and
     * the total count of matching k-windows across all diagonals. */
@@ -977,7 +986,7 @@ object Dedup {
     * STRING-exact ground-truth oracle would surface it as a hash mismatch,
     * so the shortcut is verified, not assumed. */
   private def spanWindowMatches(df: DataFrame, idCol: String, textCol: String,
-                                k: Int): DataFrame = {
+                                k: Int, maxWindowDocFreq: Int): DataFrame = {
     // checkpoint the PER-DOC hashed-window arrays (doc-sized rows, the
     // containment `sh` pattern) — they feed the shared-vocab aggregate and
     // BOTH self-join sides, so without this the tokenize+hash projection
@@ -992,8 +1001,16 @@ object Dedup {
       .localCheckpoint()
     val ex = sh.select(col(idCol), posexplode(col("__ws")))
       .toDF(idCol, "__pos", "__s")
-    val shared = ex.groupBy("__s").agg(count(lit(1)).as("__n"))
-      .filter(col("__n") >= 2).select("__s")
+    // lower bound (lossless): a window occurring once cannot be shared.
+    // upper bound (the boilerplate cap): document frequency > cap ⇒ the
+    // window is template text, not pairwise duplication signal — dropping
+    // it caps every surviving posting list at ≤ cap documents, so the
+    // self-join below emits O(total positions · cap) pairs, never O(f²)
+    // for a hot window.
+    val shared = ex.groupBy("__s")
+      .agg(count(lit(1)).as("__n"), countDistinct(col(idCol)).as("__df"))
+      .filter(col("__n") >= 2 && col("__df") <= maxWindowDocFreq)
+      .select("__s")
       .localCheckpoint()
     val exs = ex.join(shared, "__s")
     exs.select(col(idCol).as("id_a"), col("__pos").as("__pa"), col("__s"))
@@ -1005,10 +1022,13 @@ object Dedup {
   }
 
   def spanOverlapPairs(df: DataFrame, idCol: String, textCol: String,
-                       minRun: Int = 8): DataFrame = {
+                       minRun: Int = 8,
+                       maxWindowDocFreq: Int = 1000): DataFrame = {
     require(minRun >= 2, s"minRun must be >= 2, got $minRun")
+    require(maxWindowDocFreq >= 2,
+      s"maxWindowDocFreq must be >= 2, got $maxWindowDocFreq")
     val k = minRun
-    val m = spanWindowMatches(df, idCol, textCol, k)
+    val m = spanWindowMatches(df, idCol, textCol, k, maxWindowDocFreq)
     val w = Window.partitionBy(col("id_a"), col("id_b"), col("__d"))
       .orderBy(col("__pa"))
     val islands = m
@@ -1034,9 +1054,12 @@ object Dedup {
     * measured size allows — forcing the hint would OOM the driver exactly
     * when dedup matters most. */
   def spanDedup(df: DataFrame, idCol: String, textCol: String,
-                minRun: Int = 8): DataFrame = {
+                minRun: Int = 8,
+                maxWindowDocFreq: Int = 1000): DataFrame = {
     require(minRun >= 2, s"minRun must be >= 2, got $minRun")
-    val flagged = spanWindowMatches(df, idCol, textCol, minRun)
+    require(maxWindowDocFreq >= 2,
+      s"maxWindowDocFreq must be >= 2, got $maxWindowDocFreq")
+    val flagged = spanWindowMatches(df, idCol, textCol, minRun, maxWindowDocFreq)
       .select(col("id_b").as(idCol)).distinct()
     df.join(flagged, Seq(idCol), "left_anti")
   }

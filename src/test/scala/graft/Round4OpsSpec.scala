@@ -353,6 +353,42 @@ class Round4OpsSpec extends AnyFunSuite {
     assert(kept == Seq(1L, 3L))
   }
 
+  test("span dedup maxWindowDocFreq drops planted boilerplate, keeps genuine runs") {
+    // 60 docs all ending in the SAME template 8-gram (footer boilerplate);
+    // docs 1,2 additionally share a RARE 10-token run (genuine duplication).
+    // Unique per-doc filler prefixes (w{i}x…) guarantee no accidental runs.
+    def filler(p: String, n: Int) = (1 to n).map(j => s"$p$j").mkString(" ")
+    val boiler = (1 to 8).map(i => s"footer$i").mkString(" ")
+    val rare = (1 to 10).map(i => s"dup$i").mkString(" ")
+    val docs = (1L to 60L).map { i =>
+      val body =
+        if (i <= 2) s"${filler(s"u${i}x", 15)} $rare ${filler(s"v${i}x", 10)}"
+        else filler(s"w${i}x", 25)
+      (i, s"$body $boiler")
+    }.toDF("doc_id", "text")
+    // uncapped (default 1000 ≫ 60): the boilerplate window pairs EVERY doc
+    // with every other — the O(N²) fan-out the cap exists to prevent
+    val uncapped = Dedup.spanOverlapPairs(docs, "doc_id", "text", minRun = 8)
+      .count()
+    assert(uncapped == 60L * 59 / 2, s"got $uncapped")
+    // capped below the boilerplate doc-freq (60): the template window is
+    // dropped from candidate generation, so candidates collapse from
+    // O(N²) to the one genuine pair — O(N·cap) by construction
+    val capped = Dedup.spanOverlapPairs(docs, "doc_id", "text", minRun = 8,
+        maxWindowDocFreq = 10)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+      .toMap
+    assert(capped.keySet == Set((1L, 2L)), s"got $capped")
+    assert(capped((1L, 2L)) == 10L) // the planted rare run, exact length
+    // spanDedup under the cap: only the genuine later duplicate is dropped;
+    // the 58 boilerplate-only docs all survive
+    val kept = Dedup.spanDedup(docs, "doc_id", "text", minRun = 8,
+        maxWindowDocFreq = 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == (1L to 60L).toSet - 2L)
+  }
+
   test("approx_count_distinct (q_approx_distinct) is within the HLL rsd bound of exact") {
     // q_approx_distinct is the one query no DuckDB oracle can constrain (HLL
     // sketch); pin its accuracy here instead: default rsd = 0.05, assert
