@@ -152,6 +152,9 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // managed-table warehouse (the q_dedup_incremental signature store)
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_warehouse").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm the session once (scheduler, parquet reader, codegen bootstrap,

@@ -418,6 +418,23 @@ object SparkEntry {
       Dedup.minhashDedupPortable(rd(s, dir, "documents"), "doc_id", "text", 0.5)
         .select("doc_id").orderBy("doc_id")
     }),
+    "q_dedup_incremental" -> ((s, dir) => {
+      // incremental dedup against a PERSISTED signature store — the
+      // production deployment shape: source src0 is the already-kept
+      // corpus (seeds the bucketed store tables), every other source is
+      // the new crawl batch deduped against it. md5-portable so the
+      // oracle replicates store sigs + banding + cross-store candidates
+      // + est-jaccard threshold + survivor anti-join exactly.
+      val docs = rd(s, dir, "documents")
+      Dedup.writeMinhashStorePortable(
+        Dedup.minhashSigsPortable(docs.filter(col("source") === "src0"),
+          "doc_id", "text"),
+        "doc_id", "graft_incr_store", bands = 4, nBuckets = 4)
+      Dedup.minhashDedupAgainstPortable(
+          docs.filter(col("source") =!= "src0"), "doc_id", "text",
+          "graft_incr_store", threshold = 0.5)
+        .select("doc_id").orderBy("doc_id")
+    }),
     "q_cluster_dedup" -> ((s, dir) => {
       // transitive connected-components dedup (md5-portable candidates) —
       // the DuckDB oracle replicates the components as a recursive CTE
@@ -833,12 +850,11 @@ object SparkEntry {
   /** full MinHash-LSH dedup pipeline in DuckDB SQL, generated with the SAME
     * seed-42 affine parameters as Dedup.minhashDedupPortable. 16 hashes,
     * 4 bands × 4 rows, threshold 0.5, 3-gram shingles. */
-  /** the portable MinHash-LSH dedup CTE chain (16 hashes / 4 bands,
-    * est-jaccard ≥ threshold, drop-higher-id), reading (doc_id, text) from
-    * `src` — parameterized so composed pipelines (q_curation) can run the
-    * IDENTICAL verified chain over a filtered source. Yields CTEs up to
-    * `dups` (the distinct id_b set to drop). */
-  private def minhashDedupChainSql(src: String, threshold: Double): String = {
+  /** the portable MinHash signature + banding CTE chain (16 hashes / 4
+    * bands, seed-42 affine params), reading (doc_id, text) from `src`.
+    * Yields CTEs up to `banded` (doc_id, b, bk) with `sigs` available —
+    * shared by [[minhashDedupChainSql]] and the incremental-store oracle. */
+  private def minhashSigChainSql(src: String): String = {
     val params = Dedup.hashParams(16)
     val valuesList = params.zipWithIndex
       .map { case ((a, b), i) => s"($i, ${a}, ${b})" }.mkString(", ")
@@ -866,7 +882,16 @@ object SparkEntry {
            md5(concat_ws(',',
              CAST(sig[b*4+1] AS VARCHAR), CAST(sig[b*4+2] AS VARCHAR),
              CAST(sig[b*4+3] AS VARCHAR), CAST(sig[b*4+4] AS VARCHAR))) AS bk
-         FROM sigs CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) bs),
+         FROM sigs CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) bs)"""
+  }
+
+  /** the portable MinHash-LSH dedup CTE chain (est-jaccard ≥ threshold,
+    * drop-higher-id) over [[minhashSigChainSql]] — parameterized so composed
+    * pipelines (q_curation) can run the IDENTICAL verified chain over a
+    * filtered source. Yields CTEs up to `dups` (the distinct id_b set to
+    * drop). */
+  private def minhashDedupChainSql(src: String, threshold: Double): String =
+    s"""${minhashSigChainSql(src)},
        pairs AS (
          SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
          FROM banded l JOIN banded r
@@ -879,12 +904,33 @@ object SparkEntry {
            JOIN sigs sa ON sa.doc_id = p.id_a
            JOIN sigs sb ON sb.doc_id = p.id_b)
          WHERE e >= $threshold)"""
-  }
 
   private val MinhashOracle: String =
     s"""WITH ${minhashDedupChainSql("documents", 0.5)}
        SELECT doc_id FROM documents
        WHERE doc_id NOT IN (SELECT id_b FROM dups) ORDER BY doc_id"""
+
+  /** incremental-store dedup oracle: sigs/banding over ALL documents (per-doc
+    * results are independent of the split), candidates restricted to
+    * new-batch × stored (src0) rows — exactly the cross-store join of
+    * [[Dedup.minhashDedupAgainstPortable]]; survivors = new docs below the
+    * est-jaccard threshold against EVERY stored doc. */
+  private val DedupIncrementalOracle: String =
+    s"""WITH ${minhashSigChainSql("documents")},
+       cpairs AS (
+         SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+         FROM banded n
+         JOIN documents dn ON dn.doc_id = n.doc_id AND dn.source <> 'src0'
+         JOIN banded o ON n.b = o.b AND n.bk = o.bk
+         JOIN documents de ON de.doc_id = o.doc_id AND de.source = 'src0'),
+       dups AS (
+         SELECT DISTINCT new_id FROM cpairs p
+         JOIN sigs sa ON sa.doc_id = p.new_id
+         JOIN sigs sb ON sb.doc_id = p.old_id
+         WHERE len(list_filter(range(1, 17), i -> sa.sig[i] = sb.sig[i])) / 16.0 >= 0.5)
+       SELECT doc_id FROM documents
+       WHERE source <> 'src0' AND doc_id NOT IN (SELECT new_id FROM dups)
+       ORDER BY doc_id"""
 
   /** the language+quality gate CTE ("gate") — the q_quality_score /
     * q_lang_guess CASE logic over `documents`, shared by q_curation and
@@ -1604,6 +1650,7 @@ object SparkEntry {
     * weaker rows-only check. */
   def oracleSql: Map[String, String] = Map(
     "q_minhash_oracle" -> MinhashOracle,
+    "q_dedup_incremental" -> DedupIncrementalOracle,
     "q_curation" -> CurationOracle,
     "q_curation_full" -> CurationFullOracle,
     "q_cluster_dedup" -> ClusterDedupOracle,

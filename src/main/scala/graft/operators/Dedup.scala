@@ -1,9 +1,11 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+
+import graft.sources.Sources
 
 /** [EXT] Deduplication operators for a training-data pipeline: exact,
   * MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
@@ -294,18 +296,23 @@ object Dedup {
           col(s"l.$idCol") < col(s"r.$idCol"))
       .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b")).distinct()
 
-  /** md5-portable LSH banding + bucket-local candidate self-join. Banding
-    * keys are md5-of-concat so DuckDB can reproduce them. */
-  private def portableBandPairs(sigs: DataFrame, idCol: String,
-                                numHashes: Int, bands: Int): DataFrame = {
+  /** md5-portable LSH banding: (idCol, band, band_key) rows with
+    * md5-of-concat band keys so DuckDB can reproduce them. */
+  private def portableBands(sigs: DataFrame, idCol: String,
+                            numHashes: Int, bands: Int): DataFrame = {
     val rows = numHashes / bands
-    val banded = sigs.select(col(idCol), posexplode(
+    sigs.select(col(idCol), posexplode(
         transform(sequence(lit(0), lit(bands - 1)),
           b => md5(to_binary(concat_ws(",",
             transform(slice(col("sig"), b * rows + 1, lit(rows)), h => h.cast(StringType))), lit("utf-8")))))
       .as(Seq("band", "band_key")))
-    bandSelfJoinPairs(banded, idCol, "band_key")
   }
+
+  /** md5-portable LSH banding + bucket-local candidate self-join. */
+  private def portableBandPairs(sigs: DataFrame, idCol: String,
+                                numHashes: Int, bands: Int): DataFrame =
+    bandSelfJoinPairs(portableBands(sigs, idCol, numHashes, bands),
+      idCol, "band_key")
 
   /** md5-portable LSH candidate pairs (id_a, id_b, est_jaccard) + the cached
     * signature frame (caller unpersists after materializing). */
@@ -336,6 +343,134 @@ object Dedup {
       .select(col("id_b").as(idCol)).distinct().localCheckpoint()
     sigs.unpersist(blocking = false)
     df.join(dupIds, Seq(idCol), "left_anti")
+  }
+
+  // ---------------------------------------------------------------------
+  // Incremental dedup against a PERSISTED signature store — the most common
+  // production deployment shape: each new crawl is deduped against the
+  // already-kept corpus, not re-deduped from scratch. The store is two
+  // bucketed parquet tables:
+  //   <store>_sigs  (idCol, sig)             bucketed by idCol
+  //   <store>_bands (idCol, band key cols)   bucketed by the band key
+  // At 100 TB the store is the BIG side (the whole kept corpus) and the new
+  // crawl is comparatively small, so the layout is chosen to never reshuffle
+  // the store: the candidate join keys on the bands table's bucket column
+  // (pre-partitioned scan, no Exchange — BucketingSpec asserts this) and the
+  // signature verify keys on the sigs table's idCol bucket. Only the new
+  // batch — the small side — is shuffled, and appending survivors is an
+  // additive bucket-file write, never a rewrite of history.
+
+  /** shared core of [[minhashDedupAgainst]] / [[minhashDedupAgainstPortable]]:
+    * bucket-local candidate join (new banded rows × STORE banded rows on the
+    * band key), signature-agreement verify against the store sigs table,
+    * anti-join survivors. Returns (survivors, dup new-batch ids). */
+  private def dedupAgainstCore(newBatch: DataFrame, idCol: String,
+                               newSigs: DataFrame, newBanded: DataFrame,
+                               storeBanded: DataFrame, storeSigs: DataFrame,
+                               bandKeys: Seq[String], threshold: Double,
+                               numHashes: Int): (DataFrame, DataFrame) = {
+    val cands = newBanded.select((bandKeys :+ idCol).map(col): _*)
+      .join(storeBanded.select(bandKeys.map(col) :+ col(idCol).as("__sid"): _*),
+        bandKeys)
+      .select(col(idCol), col("__sid")).distinct()
+    val dupIds = cands
+      .join(newSigs.select(col(idCol), col("sig")), idCol)
+      .join(storeSigs.select(col(idCol).as("__sid"), col("sig").as("__ssig")),
+        "__sid")
+      .withColumn("__est",
+        aggregate(zip_with(col("sig"), col("__ssig"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast(DoubleType) / numHashes)
+      .filter(col("__est") >= threshold)
+      .select(idCol).distinct().localCheckpoint()
+    (newBatch.join(dupIds, Seq(idCol), "left_anti"), dupIds)
+  }
+
+  /** create/replace the production (xxhash64) signature store from a
+    * signature frame (e.g. [[minhashSigs]] over the initial corpus). The
+    * bands table keeps only `band_hash` — [[lshBands]] already mixes the band
+    * index into the hash (xxhash64 seed = band), so one 8-byte column is both
+    * the join key and the bucket key. */
+  def writeMinhashStore(sigs: DataFrame, idCol: String, store: String,
+                        bands: Int, numHashes: Int = 64,
+                        nBuckets: Int = 8): Unit = {
+    Sources.writeBucketed(sigs, s"${store}_sigs", idCol, nBuckets)
+    Sources.writeBucketed(
+      lshBands(sigs, idCol, "sig", bands, numHashes).select(col(idCol), col("band_hash")),
+      s"${store}_bands", "band_hash", nBuckets)
+  }
+
+  /** incremental MinHash-LSH dedup of `newBatch` against the persisted store
+    * written by [[writeMinhashStore]]: drop every new doc LSH-similar
+    * (est. Jaccard ≥ threshold) to ANY stored doc, and (when `updateStore`)
+    * append the survivors' signatures and band rows to the store so the next
+    * batch dedups against them too. `newBatch` is assumed internally deduped
+    * (compose [[minhashDedup]] first) and its ids disjoint from the store's.
+    * numHashes/bands must match the store's build parameters. */
+  def minhashDedupAgainst(newBatch: DataFrame, idCol: String, textCol: String,
+                          store: String, threshold: Double = 0.8,
+                          numHashes: Int = 64, bands: Int = 16,
+                          updateStore: Boolean = true,
+                          nBuckets: Int = 8): DataFrame = {
+    val spark = newBatch.sparkSession
+    // localCheckpoint: the new-batch signatures feed the candidate join, the
+    // verify join, and the store append — compute the fused kernel once.
+    val newSigs = minhashSigs(newBatch, idCol, textCol, numHashes)
+      .localCheckpoint()
+    val (survivors, dupIds) = dedupAgainstCore(newBatch, idCol, newSigs,
+      lshBands(newSigs, idCol, "sig", bands, numHashes),
+      spark.table(s"${store}_bands"), spark.table(s"${store}_sigs"),
+      Seq("band_hash"), threshold, numHashes)
+    if (updateStore) {
+      val survSigs = newSigs.join(dupIds, Seq(idCol), "left_anti")
+      Sources.writeBucketed(survSigs, s"${store}_sigs", idCol, nBuckets,
+        SaveMode.Append)
+      Sources.writeBucketed(
+        lshBands(survSigs, idCol, "sig", bands, numHashes)
+          .select(col(idCol), col("band_hash")),
+        s"${store}_bands", "band_hash", nBuckets, SaveMode.Append)
+    }
+    survivors
+  }
+
+  /** md5-portable twin of [[writeMinhashStore]]: band keys are the md5 band
+    * keys of [[portableBands]] (band index kept as its own column — the md5
+    * concat does not mix it in), so a DuckDB oracle can rebuild the exact
+    * store contents. */
+  def writeMinhashStorePortable(sigs: DataFrame, idCol: String, store: String,
+                                bands: Int, numHashes: Int = 16,
+                                nBuckets: Int = 8): Unit = {
+    Sources.writeBucketed(sigs, s"${store}_sigs", idCol, nBuckets)
+    Sources.writeBucketed(portableBands(sigs, idCol, numHashes, bands),
+      s"${store}_bands", "band_key", nBuckets)
+  }
+
+  /** md5-portable twin of [[minhashDedupAgainst]] — same store-backed
+    * pipeline on the DuckDB-replicable hash base, so the WHOLE incremental
+    * flow (store sigs + banding + cross-store candidates + est-jaccard
+    * threshold + survivor anti-join) is verified by an exact SQL oracle. */
+  def minhashDedupAgainstPortable(newBatch: DataFrame, idCol: String,
+                                  textCol: String, store: String,
+                                  threshold: Double = 0.5,
+                                  numHashes: Int = 16, bands: Int = 4,
+                                  shingleSize: Int = 3,
+                                  updateStore: Boolean = false,
+                                  nBuckets: Int = 8): DataFrame = {
+    val spark = newBatch.sparkSession
+    val newSigs = minhashSigsPortable(newBatch, idCol, textCol, numHashes,
+      shingleSize).localCheckpoint()
+    val (survivors, dupIds) = dedupAgainstCore(newBatch, idCol, newSigs,
+      portableBands(newSigs, idCol, numHashes, bands),
+      spark.table(s"${store}_bands"), spark.table(s"${store}_sigs"),
+      Seq("band", "band_key"), threshold, numHashes)
+    if (updateStore) {
+      val survSigs = newSigs.join(dupIds, Seq(idCol), "left_anti")
+      Sources.writeBucketed(survSigs, s"${store}_sigs", idCol, nBuckets,
+        SaveMode.Append)
+      Sources.writeBucketed(portableBands(survSigs, idCol, numHashes, bands),
+        s"${store}_bands", "band_key", nBuckets, SaveMode.Append)
+    }
+    survivors
   }
 
   /** connected components over a candidate pair graph by iterative min-label

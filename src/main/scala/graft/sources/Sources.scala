@@ -72,10 +72,12 @@ object Sources {
 
   /** bucketed managed-table write: co-locates `bucketBy` keys so subsequent
     * equi-joins/aggregations on them are shuffle-free (both sides read
-    * pre-partitioned buckets). */
+    * pre-partitioned buckets). `SaveMode.Append` adds new bucket files to an
+    * existing table (Spark validates the bucket spec matches), which is how
+    * a persisted store grows incrementally without rewriting history. */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
-                    nBuckets: Int): Unit =
-    df.write.mode(SaveMode.Overwrite)
+                    nBuckets: Int, mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode)
       .bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
       .format("parquet").saveAsTable(table)
 

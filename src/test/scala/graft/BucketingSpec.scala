@@ -2,6 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
+import graft.operators.Dedup
 import graft.sources.Sources
 
 /** Bucketed writes co-locate join keys: a join of two tables bucketed the
@@ -35,6 +36,80 @@ class BucketingSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
       spark.sql("DROP TABLE IF EXISTS graft_bkt_a")
       spark.sql("DROP TABLE IF EXISTS graft_bkt_b")
+    }
+  }
+
+  private def mkText(i: Int, p: String): String =
+    (1 to 30).map(j => s"$p${i}t$j").mkString(" ")
+
+  private def dropStore(store: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS ${store}_sigs")
+    spark.sql(s"DROP TABLE IF EXISTS ${store}_bands")
+  }
+
+  test("minhashDedupAgainst drops store dups, keeps fresh docs, grows the store") {
+    import spark.implicits._
+    val existing = (1L to 40L).map(i => (i, mkText(i.toInt, "e")))
+      .toDF("doc_id", "text")
+    // new batch: 41..50 fresh, 51..55 exact copies of stored docs 1..5
+    val newBatch = ((41L to 50L).map(i => (i, mkText(i.toInt, "n"))) ++
+      (51L to 55L).map(i => (i, mkText((i - 50).toInt, "e"))))
+      .toDF("doc_id", "text")
+    try {
+      Dedup.writeMinhashStore(
+        Dedup.minhashSigs(existing, "doc_id", "text", numHashes = 32),
+        "doc_id", "graft_incr_test", bands = 8, numHashes = 32, nBuckets = 4)
+      val survivors = Dedup.minhashDedupAgainst(newBatch, "doc_id", "text",
+          "graft_incr_test", threshold = 0.8, numHashes = 32, bands = 8,
+          updateStore = true, nBuckets = 4)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(survivors == (41L to 50L))
+      // the survivors' signatures were APPENDED: a third batch duplicating a
+      // batch-2 survivor (not a seed doc) is now dropped against the store
+      val third = Seq((60L, mkText(41, "n")), (61L, mkText(61, "x")))
+        .toDF("doc_id", "text")
+      val kept3 = Dedup.minhashDedupAgainst(third, "doc_id", "text",
+          "graft_incr_test", threshold = 0.8, numHashes = 32, bands = 8,
+          updateStore = false, nBuckets = 4)
+        .select("doc_id").as[Long].collect().toSeq
+      assert(kept3 == Seq(61L))
+      // store tables grew by exactly the 10 batch-2 survivors
+      assert(spark.table("graft_incr_test_sigs").count() == 50L)
+    } finally dropStore("graft_incr_test")
+  }
+
+  test("incremental store candidate join never reshuffles the store side") {
+    import spark.implicits._
+    val existing = (1L to 200L).map(i => (i, mkText(i.toInt, "e")))
+      .toDF("doc_id", "text")
+    val probe = (201L to 260L).map(i => (i, mkText(i.toInt, "p")))
+      .toDF("doc_id", "text")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    try {
+      Dedup.writeMinhashStore(
+        Dedup.minhashSigs(existing, "doc_id", "text", numHashes = 32),
+        "doc_id", "graft_incr_shuf", bands = 8, numHashes = 32, nBuckets = 4)
+      val newBands = Dedup.lshBands(
+        Dedup.minhashSigs(probe, "doc_id", "text", numHashes = 32),
+        "doc_id", "sig", bands = 8, numHashes = 32)
+        .select($"doc_id".as("new_id"), $"band_hash")
+      // the candidate join of minhashDedupAgainst: new bands × STORE bands
+      // on the store's bucket key. At 100 TB the store is the big side —
+      // only the new batch may shuffle.
+      val joined = newBands
+        .join(spark.table("graft_incr_shuf_bands"), "band_hash")
+      joined.collect() // finalize the adaptive plan
+      // AdaptiveSparkPlan.toString appends the pre-adaptive "Initial Plan"
+      // section — count exchanges in the FINAL plan only
+      val plan = joined.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      val nExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(nExchanges == 1, // the probe side only; the store reads buckets
+        s"expected exactly 1 exchange (new side), got $nExchanges:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      dropStore("graft_incr_shuf")
     }
   }
 }
