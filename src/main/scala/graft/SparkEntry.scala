@@ -209,6 +209,15 @@ object SparkEntry {
           Seq("l_returnflag", "l_linestatus"), Seq(count(lit(1)).as("n")))
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
     }),
+    "q_grouping_sets" -> ((s, dir) => {
+      // explicit GROUPING SETS ((flag), (status), ()): per-flag totals,
+      // per-status totals, and the grand total in ONE pass (single Expand +
+      // hash aggregate) — the general form rollup/cube specialize
+      Relational.groupingSetsAgg(rd(s, dir, "lineitem"),
+          Seq(Seq("l_returnflag"), Seq("l_linestatus"), Seq.empty),
+          Seq("l_returnflag", "l_linestatus"), Seq(count(lit(1)).as("n")))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+    }),
     "q_cube" -> ((s, dir) => {
       Relational.cubeAgg(rd(s, dir, "lineitem"),
           Seq("l_returnflag", "l_linestatus"), Seq(count(lit(1)).as("n")))
@@ -242,6 +251,19 @@ object SparkEntry {
           Seq(col("o_orderdate"), col("o_orderkey")), "o_totalprice")
         .select("o_custkey", "o_orderkey", "o_totalprice_lag", "o_totalprice_lead")
         .orderBy("o_custkey", "o_orderkey")
+    }),
+    "q_moving_avg" -> ((s, dir) => {
+      // bounded ROWS frame (3 PRECEDING..CURRENT): 4-row moving average of
+      // event values per user. avg over integer cents is exact (≤4 values
+      // < 2^53 — every partial sum representable), so Spark and DuckDB
+      // agree bit-for-bit; round+cast makes the output integer cents.
+      Relational.movingAgg(rdEvents(s, dir), Seq("user_id"),
+          Seq(col("ts"), col("event_id")),
+          avg(cents(col("value"))), precedingRows = 3, "mavg")
+        .select(col("user_id"), col("event_id"),
+          unix_millis(col("ts")).as("ts_ms"),
+          round(col("mavg")).cast(LongType).as("mavg_cents"))
+        .orderBy("user_id", "ts_ms", "event_id")
     }),
     "q_union" -> ((s, dir) => {
       Relational.unionDistinct(
@@ -1766,6 +1788,10 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, count(*) AS n FROM lineitem
          GROUP BY CUBE(l_returnflag, l_linestatus)
          ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
     "q_pivot" ->
       """SELECT l_returnflag,
            sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS "F",
@@ -1794,6 +1820,12 @@ object SparkEntry {
          FROM orders
          WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
          ORDER BY o_custkey, o_orderkey""",
+    "q_moving_avg" ->
+      """SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+           CAST(round(avg(CAST(round(value * 100) AS BIGINT)) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)) AS BIGINT) AS mavg_cents
+         FROM events ORDER BY user_id, ts_ms, event_id""",
     "q_union" ->
       """SELECT l_partkey AS k FROM lineitem UNION
          SELECT p_partkey FROM part ORDER BY k""",

@@ -162,6 +162,15 @@ object Relational {
   def cubeAgg(df: DataFrame, keys: Seq[String], aggs: Seq[Column]): DataFrame =
     df.cube(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
 
+  /** explicit GROUPING SETS — the general form rollup/cube specialize: each
+    * set is one grouping; columns absent from a set come back null. Plans as
+    * ONE Expand + one hash aggregate (the same shape as rollup/cube), so
+    * cost is |sets| × input rows of expanded partials, never |sets| scans. */
+  def groupingSetsAgg(df: DataFrame, sets: Seq[Seq[String]],
+                      keys: Seq[String], aggs: Seq[Column]): DataFrame =
+    df.groupingSets(sets.map(_.map(col)), keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+
   /** static pivot (explicit value list keeps the plan single-pass;
     * Spark otherwise runs an extra distinct job to discover values). */
   def pivot(df: DataFrame, groupKey: String, pivotKey: String,
@@ -202,6 +211,20 @@ object Relational {
     df.withColumn(outCol,
       agg.over(Window.partitionBy(partition.map(col): _*).orderBy(order: _*)
         .rowsBetween(Window.unboundedPreceding, 0)))
+
+  /** bounded-frame moving aggregate: `agg` over the last `precedingRows`
+    * rows plus the current one (ROWS BETWEEN n PRECEDING AND CURRENT ROW) —
+    * the sliding-window complement of [[runningAgg]]'s unbounded frame. The
+    * frame is ROWS, not RANGE: with a unique tiebreak in `order` it is
+    * deterministic, and Spark evaluates it with a constant-size sliding
+    * buffer per partition (never materializing the whole group). */
+  def movingAgg(df: DataFrame, partition: Seq[String], order: Seq[Column],
+                agg: Column, precedingRows: Int, outCol: String): DataFrame = {
+    require(precedingRows >= 0, s"precedingRows must be >= 0, got $precedingRows")
+    df.withColumn(outCol,
+      agg.over(Window.partitionBy(partition.map(col): _*).orderBy(order: _*)
+        .rowsBetween(-precedingRows.toLong, Window.currentRow)))
+  }
 
   def lagLead(df: DataFrame, partition: Seq[String], order: Seq[Column],
               target: String): DataFrame = {

@@ -430,6 +430,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(run.toSeq == Seq(10L, 40L, 60L))
   }
 
+  test("movingAgg bounded ROWS frame: partition-start truncation, cross-group isolation") {
+    val d = Seq(("a", 1, 1), ("a", 2, 2), ("a", 3, 3), ("a", 4, 4), ("a", 5, 5),
+        ("b", 6, 100))
+      .toDF("g", "id", "x")
+    val mv = Relational.movingAgg(d, Seq("g"), Seq(asc("id")),
+        sum(col("x")), precedingRows = 2, "ms")
+      .filter(col("g") === "a").orderBy("id").select("ms").as[Long].collect()
+    // frames truncate at the partition start: 1, 1+2, 1+2+3, 2+3+4, 3+4+5;
+    // group b's 100 never leaks into group a's frames
+    assert(mv.toSeq == Seq(1L, 3L, 6L, 9L, 12L))
+  }
+
+  test("groupingSetsAgg: per-set groupings, null fill, grand total") {
+    val d = Seq(("x", "p", 1), ("x", "q", 2), ("y", "p", 4)).toDF("a", "b", "v")
+    val got = Relational.groupingSetsAgg(d,
+        Seq(Seq("a"), Seq("b"), Seq.empty), Seq("a", "b"),
+        Seq(sum(col("v")).as("s")))
+      .collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1)), r.getLong(2)))
+      .toSet
+    assert(got == Set(
+      (Some("x"), None, 3L), (Some("y"), None, 4L),       // (a) set
+      (None, Some("p"), 5L), (None, Some("q"), 2L),       // (b) set
+      (None, None, 7L)))                                  // () grand total
+  }
+
   test("multimodal: decode plumbing, frame sampling, metadata shape") {
     val media = Multimodal.asMedia(docs, "doc_id", "text")
     assert(media.columns.toSeq ==
