@@ -215,16 +215,21 @@ object TextAnalysis {
     // branch, plus a third full pass for the total).
     val fullVocab = tok.groupBy("term").agg(count(lit(1)).as("cnt"))
       .localCheckpoint()
-    val total = fullVocab.agg(sum("cnt")).head.getLong(0)
     val vocab =
       if (vocabCap <= 0) fullVocab
       else fullVocab.orderBy(desc("cnt"), asc("term")).limit(vocabCap)
-    val oovNanos = round(log(lit(1.0) / (total + 1.0)) * 1e9).cast(LongType)
+    // corpus token total fully IN-PLAN: a 1-row aggregate off the vocab
+    // checkpoint, broadcast-cross-joined into the scoring plan (the TF-IDF
+    // `nRow` pattern) — no driver action, no synchronization point
+    val totalRow = fullVocab.agg(sum("cnt").as("__total"))
+    val totalD = col("__total").cast(DoubleType)
+    val oovNanos = round(log(lit(1.0) / (totalD + 1.0)) * 1e9).cast(LongType)
     tok.join(vocab, Seq("term"), "left")
+      .crossJoin(broadcast(totalRow))
       .groupBy(col(idCol))
       .agg(round(
         sum(coalesce(
-          round(log(col("cnt") / total.toDouble) * 1e9).cast(LongType), oovNanos))
+          round(log(col("cnt") / totalD) * 1e9).cast(LongType), oovNanos))
           .cast(DoubleType) / count(lit(1)) / 1e9, 6).as("avg_logp"))
   }
 

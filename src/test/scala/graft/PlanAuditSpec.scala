@@ -172,7 +172,16 @@ class PlanAuditSpec extends AnyFunSuite {
   test("unigramLogProb scoring plan reads the corpus ONCE (vocab from checkpoint)") {
     import graft.operators.TextAnalysis
     val corpus = spark.read.parquet(docsDir)
-    val result = TextAnalysis.unigramLogProb(corpus, "doc_id", "text")
+    var result: org.apache.spark.sql.DataFrame = null
+    // construction = the vocab checkpoint only (≤2 AQE jobs, one corpus
+    // pass). The old implementation additionally ran a driver `.head` over
+    // the checkpoint for the corpus total; it is now a broadcast 1-row
+    // aggregate inside the scoring plan — zero extra jobs, no driver sync.
+    val buildJobs = countInGroup("unigram-build") {
+      result = TextAnalysis.unigramLogProb(corpus, "doc_id", "text")
+    }
+    assert(buildJobs <= 2,
+      s"unigramLogProb ran $buildJobs jobs at construction, expected <= 2")
     val plan = finalSection(finalPlan(result))
     // vocab side must come from the localCheckpoint (ExistingRDD), leaving a
     // single parquet scan — previously the corpus was tokenized twice in the

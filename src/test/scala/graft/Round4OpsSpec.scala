@@ -389,6 +389,33 @@ class Round4OpsSpec extends AnyFunSuite {
     assert(kept == (1L to 60L).toSet - 2L)
   }
 
+  test("xxhash64 dedup survivors track their md5-portable oracle twins") {
+    // q_minhash_dedup / q_simhash_dedup are rows-only in CORRECTNESS (seeded
+    // xxhash64 is not expressible in DuckDB) — bound them here instead, like
+    // the HLL test below: switching the hash base changes WHICH individual
+    // bucket collisions occur, not the aggregate dedup behavior, so the
+    // xxhash64 survivor set must differ from the oracle-exact md5-portable
+    // twin's by at most a few percent of the corpus.
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val n = docs.count().toDouble
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("doc_id").as[Long].collect().toSet
+    // same parameterizations as the registered queries
+    val mh = ids(Dedup.minhashDedup(docs, "doc_id", "text", 0.5,
+      numHashes = 32, bands = 8))
+    val mhP = ids(Dedup.minhashDedupPortable(docs, "doc_id", "text", 0.5))
+    val mhDelta = ((mh diff mhP) ++ (mhP diff mh)).size
+    assert(mhDelta <= 0.05 * n,
+      s"minhash survivor sets diverge by $mhDelta of $n docs " +
+        s"(xxhash64 ${mh.size}, portable ${mhP.size})")
+    val sh = ids(Dedup.simhashDedup(docs, "doc_id", "text"))
+    val shP = ids(Dedup.simhashDedupPortable(docs, "doc_id", "text"))
+    val shDelta = ((sh diff shP) ++ (shP diff sh)).size
+    assert(shDelta <= 0.05 * n,
+      s"simhash survivor sets diverge by $shDelta of $n docs " +
+        s"(xxhash64 ${sh.size}, portable ${shP.size})")
+  }
+
   test("approx_count_distinct (q_approx_distinct) is within the HLL rsd bound of exact") {
     // q_approx_distinct is the one query no DuckDB oracle can constrain (HLL
     // sketch); pin its accuracy here instead: default rsd = 0.05, assert
