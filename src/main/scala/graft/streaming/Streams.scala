@@ -260,4 +260,26 @@ object Streams {
     q.processAllAvailable()
     q.stop()
   }
+
+  /** file-source → parquet-sink streaming run with a CHECKPOINT: process
+    * everything currently available, then stop (≈ the query being killed
+    * between micro-batches). Calling again with the same checkpoint + output
+    * resumes from the recorded source offsets, and the parquet sink's
+    * `_spark_metadata` commit log makes the output transactional — a batch
+    * is visible to readers exactly once, so a kill-and-restart cycle never
+    * duplicates already-committed input files and never drops new ones.
+    * This is the recovery contract a 100 TB ingest pipeline runs on; the
+    * StreamsSpec restart test drives it against the batch oracle. */
+  def runFileStreamOnce(spark: SparkSession, inDir: String, outDir: String,
+                        checkpointDir: String,
+                        transform: DataFrame => DataFrame): Unit = {
+    val schema = spark.read.parquet(inDir).schema
+    val q = transform(spark.readStream.schema(schema).parquet(inDir))
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
 }

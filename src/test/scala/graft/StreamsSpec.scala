@@ -334,4 +334,36 @@ class StreamsSpec extends AnyFunSuite {
     assert(out.length >= 0)
     spark.sql("DROP TABLE IF EXISTS tumbling_stream")
   }
+
+  test("file-stream restart recovery: exactly-once output across kill/restart") {
+    import spark.implicits._
+    val mk = java.nio.file.Files.createTempDirectory(_: String).toString
+    val in = mk("graft_recov_in")
+    val out = mk("graft_recov_out") + "/sink"
+    val ckpt = mk("graft_recov_ckpt")
+    val transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      df => df.filter(col("v") % 2 === 0)
+        .select(col("id"), (col("v") * 10).as("v10"))
+    // drop 1 arrives; the query processes it and is then stopped —
+    // equivalent to a crash between micro-batches
+    (1L to 50L).map(i => (i, i)).toDF("id", "v")
+      .repartition(2).write.mode("append").parquet(in)
+    Streams.runFileStreamOnce(spark, in, out, ckpt, transform)
+    // drop 2 lands while the query is DOWN
+    (51L to 100L).map(i => (i, i)).toDF("id", "v")
+      .repartition(2).write.mode("append").parquet(in)
+    // restart from the checkpoint: must pick up ONLY drop 2 (no
+    // reprocessing of drop 1); a second restart with nothing new must be a
+    // no-op (no duplicated batches in the sink's commit log)
+    Streams.runFileStreamOnce(spark, in, out, ckpt, transform)
+    Streams.runFileStreamOnce(spark, in, out, ckpt, transform)
+    val got = spark.read.parquet(out)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = transform(spark.read.parquet(in))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == want, // no loss of drop 2, no duplication of drop 1
+      s"restart recovery diverged from batch: got ${got.size} rows, " +
+        s"want ${want.size}")
+    assert(got.size == 50 && got.map(_._1).distinct.size == 50)
+  }
 }
