@@ -2,8 +2,96 @@
 """Local stand-in for the driver's correctness gate: for each query result
 parquet dumped by graft.Verify, run the corresponding oracle SQL in DuckDB
 over the same sf tables and compare rows/schema/values exactly
-(columns sorted by name, like the driver)."""
-import sys, glob, json, os
+(columns sorted by name, like the driver).
+
+Second mode — the share-regression gate (BASELINE.md's own load-robust
+metric, judged mechanically):
+
+    check.py --bench BENCH_rN.json [BASELINE.md]
+
+parses the per-query median table in BASELINE.md, compares each query's
+SHARE of its run total against the baseline share (absolute seconds swing
+±30% with host steal time; shares are stable, CV 0.089), prints the share
+table, and FAILS (exit 1) on any query whose share grew >2x while above
+the 0.75 s planning floor (below it a scheduler hiccup doubles the number
+— the documented q_window_running case). Queries absent from the baseline
+are listed as NEW and never fail the gate."""
+import sys, glob, json, os, re
+
+
+def share_gate(bench_path: str, baseline_path: str) -> int:
+    bench = json.load(open(bench_path))
+    if "queries" not in bench and isinstance(bench.get("parsed"), dict):
+        bench = bench["parsed"]  # driver wrapper around the raw Bench line
+    if "queries" not in bench:
+        print(f"{bench_path} has no per-query data (driver wrapper with "
+              f"truncated tail?) — use the raw Bench stdout JSON or "
+              f"BENCH_LOCAL.json")
+        return 2
+    qsec = bench["queries"]
+    total = sum(qsec.values())
+
+    base = {}
+    in_table = False
+    for line in open(baseline_path):
+        if line.startswith("| query | median |"):
+            in_table = True
+            continue
+        if in_table:
+            m = re.match(r"\|\s*(q_\w+)\s*\|\s*([\d.]+)\s*\|", line)
+            if m:
+                base[m.group(1)] = float(m.group(2))
+            elif line.startswith("|---"):
+                continue
+            else:
+                in_table = False
+    if not base:
+        print(f"no per-query median table found in {baseline_path}")
+        return 2
+    base_total = sum(base.values())
+
+    FLOOR_SEC, MAX_RATIO = 0.75, 2.0
+    rows, fails, new = [], [], []
+    for q, sec in qsec.items():
+        share = sec / total
+        if q not in base:
+            new.append((q, sec, share))
+            continue
+        bshare = base[q] / base_total
+        ratio = share / bshare if bshare > 0 else float("inf")
+        flag = ""
+        if ratio > MAX_RATIO:
+            if sec >= FLOOR_SEC:
+                flag = "FAIL"
+                fails.append(q)
+            else:
+                flag = "warn (sub-floor)"
+        rows.append((q, sec, share, bshare, ratio, flag))
+
+    print(f"bench {bench_path}: total {total:.1f} s over {len(qsec)} queries; "
+          f"baseline medians sum {base_total:.1f} s over {len(base)}")
+    print("\n| query | sec | share | base share | ratio | |")
+    print("|---|---|---|---|---|---|")
+    for q, sec, share, bshare, ratio, flag in sorted(rows, key=lambda r: -r[4]):
+        print(f"| {q} | {sec:.2f} | {share:.2%} | {bshare:.2%} "
+              f"| {ratio:.2f}x | {flag} |")
+    for q, sec, share in sorted(new, key=lambda r: -r[1]):
+        print(f"| {q} | {sec:.2f} | {share:.2%} | — | NEW | |")
+    if fails:
+        print(f"\n== SHARE GATE FAIL: {len(fails)} quer"
+              f"{'y' if len(fails) == 1 else 'ies'} >"
+              f"{MAX_RATIO}x baseline share above the {FLOOR_SEC}s floor: "
+              f"{sorted(fails)}")
+        return 1
+    print(f"\n== SHARE GATE PASS: no query above {MAX_RATIO}x its baseline "
+          f"share (floor {FLOOR_SEC}s; {len(new)} new, unjudged)")
+    return 0
+
+
+if len(sys.argv) > 1 and sys.argv[1] == "--bench":
+    sys.exit(share_gate(sys.argv[2],
+                        sys.argv[3] if len(sys.argv) > 3 else "BASELINE.md"))
+
 import duckdb
 
 sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
