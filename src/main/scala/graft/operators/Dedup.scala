@@ -1119,7 +1119,11 @@ object Dedup {
     * [[ngramContainmentPrefix]]); a collision would fabricate a match
     * (P ≈ windows²/2⁶⁵ per corpus — none at any tested SF) and the
     * STRING-exact ground-truth oracle would surface it as a hash mismatch,
-    * so the shortcut is verified, not assumed. */
+    * so the shortcut is verified, not assumed. (The oracle covers fixture
+    * corpora; for a production run where a false [[spanDedup]] drop is
+    * costly, the cheap mitigation is a string-equality recheck of FLAGGED
+    * pairs — candidate-sized, not corpus-sized — or widening the window
+    * key to two independent hashes.) */
   private def spanWindowMatches(df: DataFrame, idCol: String, textCol: String,
                                 k: Int, maxWindowDocFreq: Int): DataFrame = {
     // checkpoint the PER-DOC hashed-window arrays (doc-sized rows, the

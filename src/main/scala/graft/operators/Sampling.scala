@@ -63,7 +63,14 @@ object Sampling {
     * as [[Similarity.ivfFit]] (an engine-external oracle can then embed the
     * resulting basis-point thresholds as literals). Sampling itself is
     * [[stratifiedHashSample]]: one codegen'd content-hash filter, no
-    * shuffle, reproducible under any partitioning. */
+    * shuffle, reproducible under any partitioning.
+    *
+    * min(1,·) makes the budget an UPPER BOUND, not a target: allocation
+    * unclaimed by kept-whole (capped) domains is not redistributed, so
+    * realized kept tokens can undershoot `budgetTokens` even when other
+    * domains could absorb the slack. If the budget is a target, run a
+    * waterfilling pass at the call site (iterate: fix capped domains,
+    * re-split the residual over the rest). */
   def tokenBudgetRates(df: DataFrame, textCol: String, domainCol: String,
                        budgetTokens: Long,
                        weights: Map[String, Double] = Map.empty): Map[String, Double] = {
@@ -74,9 +81,12 @@ object Sampling {
       s"explicit weights sum to ${weights.values.sum} > 1: shares are " +
         "fractions of ONE budget")
     // null-domain rows can't be allocated a share; they fall through to
-    // stratifiedHashSample's `default` rate (0.0) at apply time
+    // stratifiedHashSample's `default` rate (0.0) at apply time. The
+    // domain key is cast to string up front so an int-coded source column
+    // yields string-keyed rates (matching tokenBudgetSample's comparison)
+    // instead of a ClassCastException at collect.
     val totals = df.filter(col(domainCol).isNotNull)
-      .groupBy(col(domainCol))
+      .groupBy(col(domainCol).cast(StringType).as("__d"))
       .agg(coalesce(sum(TextAnalysis.tokenCount(col(textCol))), lit(0L)).as("__t"))
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     // weights are shares of ONE budget: explicit weights claim their mass,
@@ -95,8 +105,9 @@ object Sampling {
   }
 
   /** apply [[tokenBudgetRates]] with the content-hash filter keyed on the
-    * row id. Rows of `df` are returned unchanged. */
+    * row id. Rows of `df` are returned unchanged. The domain column is
+    * cast to string to match the string-keyed rate table. */
   def tokenBudgetSample(df: DataFrame, idCol: String, domainCol: String,
                         rates: Map[String, Double]): DataFrame =
-    stratifiedHashSample(df, col(idCol), col(domainCol), rates)
+    stratifiedHashSample(df, col(idCol), col(domainCol).cast(StringType), rates)
 }

@@ -281,23 +281,40 @@ object TextAnalysis {
     * labelCentroids rule) and only then divided by 1e6, an exact IEEE
     * division both engines do identically — `keep` is decided on those
     * identical bits. */
+  /** integer-micros model weight of ONE token: md5 31-bit bucket mod
+    * nBuckets, 1-based element_at into the weight-literal array. The single
+    * source of truth for the hashed model's per-token math — consumed by
+    * the batch aggregate below AND the streaming per-row HOF form
+    * ([[graft.streaming.Streams.curatedIngest]]), so the two scorers cannot
+    * silently diverge on future edits (StreamsSpec additionally asserts
+    * their outputs equal). */
+  private[graft] def tokenWeightMicros(t: Column, wLit: Column,
+                                       nBuckets: Int): Column = {
+    val bucket = pmod(
+      conv(substring(md5(to_binary(t, lit("utf-8"))), 1, 8), 16, 10)
+        .cast(LongType), lit(1L << 31)) % nBuckets
+    element_at(wLit, (bucket + lit(1)).cast(IntegerType))
+  }
+
+  /** micros sum + token count → logit: round the mean to integer micros at
+    * scale 0 (cross-engine boundary-safe), then one exact IEEE ÷1e6 —
+    * shared by both scorer forms for the same reason as
+    * [[tokenWeightMicros]]. */
+  private[graft] def logitFromMicros(sumMicros: Column,
+                                     nTokens: Column): Column =
+    round(sumMicros.cast(DoubleType) / nTokens).cast(LongType) / lit(1e6)
+
   def hashedQualityScore(df: DataFrame, idCol: String, textCol: String,
                          weightsMicros: Seq[Long],
                          keepThreshold: Double = 0.0): DataFrame = {
     val nb = weightsMicros.length
     require(nb > 0, "hashedQualityScore requires a non-empty weight vector")
     val wLit = array(weightsMicros.map(lit): _*)
-    val bucket = pmod(
-      conv(substring(md5(to_binary(col("__t"), lit("utf-8"))), 1, 8), 16, 10)
-        .cast(LongType), lit(1L << 31)) % nb
     df.select(col(idCol), explode(tokens(normalized(col(textCol)))).as("__t"))
-      .select(col(idCol),
-        element_at(wLit, (bucket + lit(1)).cast(IntegerType)).as("__w"))
+      .select(col(idCol), tokenWeightMicros(col("__t"), wLit, nb).as("__w"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"), sum(col("__w")).as("__s"))
-      .withColumn("logit",
-        round(col("__s").cast(DoubleType) / col("n_tokens"))
-          .cast(LongType) / lit(1e6))
+      .withColumn("logit", logitFromMicros(col("__s"), col("n_tokens")))
       .withColumn("keep", col("logit") >= keepThreshold)
       .select(col(idCol), col("n_tokens"), col("logit"), col("keep"))
   }

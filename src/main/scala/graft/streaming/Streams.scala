@@ -167,22 +167,20 @@ object Streams {
       TextAnalysis.langId(col(textCol)) === lang &&
         TextAnalysis.qualityScore(col(textCol)) >= minQuality)
     // the model score as a pure per-row expression (no aggregate): the
-    // hashed-bucket weight mean inlined via aggregate() over the token
-    // array — same weights, same micros math as hashedQualityScore, but
-    // streamable because it never leaves the row. The token array is
-    // PROJECTED ONCE (`__toks`): expressions referenced inside HOF lambdas
-    // are not subexpression-eliminated, so inlining tokens(normalized(…))
-    // would re-run the regex/split chain per reference (the
-    // shinglesFromTokens rule)
+    // hashed-bucket weight mean via a HOF aggregate() over the token
+    // array — streamable because it never leaves the row. The per-token
+    // math and the micros→logit rounding are TextAnalysis's own helpers
+    // (tokenWeightMicros / logitFromMicros), so this form cannot drift
+    // from the batch aggregate's. The token array is PROJECTED ONCE
+    // (`__toks`): expressions referenced inside HOF lambdas are not
+    // subexpression-eliminated, so inlining tokens(normalized(…)) would
+    // re-run the regex/split chain per reference (the shinglesFromTokens
+    // rule)
     val nb = modelWeightsMicros.length
     val wLit = array(modelWeightsMicros.map(lit): _*)
-    val bucket = (t: Column) => pmod(
-      conv(substring(md5(to_binary(t, lit("utf-8"))), 1, 8), 16, 10)
-        .cast(LongType), lit(1L << 31)) % nb
     val sumMicros = aggregate(col("__toks"), lit(0L),
-      (acc, t) => acc + element_at(wLit, (bucket(t) + lit(1)).cast(IntegerType)))
-    val logit = round(sumMicros.cast(DoubleType) / size(col("__toks")))
-      .cast(LongType) / lit(1e6)
+      (acc, t) => acc + TextAnalysis.tokenWeightMicros(t, wLit, nb))
+    val logit = TextAnalysis.logitFromMicros(sumMicros, size(col("__toks")))
     val kept = gated
       .withColumn("__toks",
         TextAnalysis.tokens(TextAnalysis.normalized(col(textCol))))

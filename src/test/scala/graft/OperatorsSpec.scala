@@ -327,6 +327,14 @@ class OperatorsSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSet
     assert(again == kept.map(_._1).toSet) // partitioning-independent
     assert(keptB.size < 10)               // b actually downsampled
+    // int-coded domain column: rates come back string-keyed and apply —
+    // no ClassCastException at the driver collect
+    val intDom = docs.withColumn("source",
+      when(col("source") === "a", 1).otherwise(2))
+    val intRates = Sampling.tokenBudgetRates(intDom, "text", "source", 400L)
+    assert(intRates("1") == 1.0 && math.abs(intRates("2") - 0.2) < 1e-9)
+    assert(Sampling.tokenBudgetSample(intDom, "doc_id", "source", intRates)
+      .filter(col("source") === 1).count() == 10)
   }
 
   test("repetitionRatio flags degenerate text, near-zero for varied text") {
