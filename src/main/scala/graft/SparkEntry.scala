@@ -265,6 +265,17 @@ object SparkEntry {
           round(col("mavg")).cast(LongType).as("mavg_cents"))
         .orderBy("user_id", "ts_ms", "event_id")
     }),
+    "q_range_frame" -> ((s, dir) => {
+      // RANGE frame over event-time millis: each event's trailing-hour
+      // value sum per user. Equal timestamps share a frame, so no tiebreak
+      // is needed for the windowed VALUE (only for the output order).
+      Relational.movingAggRange(
+          rdEvents(s, dir).withColumn("ts_ms", unix_millis(col("ts"))),
+          Seq("user_id"), col("ts_ms"),
+          sum(cents(col("value"))), precedingRange = 3600000L, "hr_cents")
+        .select("user_id", "event_id", "ts_ms", "hr_cents")
+        .orderBy("user_id", "ts_ms", "event_id")
+    }),
     "q_union" -> ((s, dir) => {
       Relational.unionDistinct(
           rd(s, dir, "lineitem").select(col("l_partkey").as("k")),
@@ -1826,6 +1837,13 @@ object SparkEntry {
              PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)) AS BIGINT) AS mavg_cents
          FROM events ORDER BY user_id, ts_ms, event_id""",
+    "q_range_frame" ->
+      """SELECT user_id, event_id, ts_ms,
+           CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY ts_ms
+             RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW) AS BIGINT) AS hr_cents
+         FROM (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+                 CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+         ORDER BY user_id, ts_ms, event_id""",
     "q_union" ->
       """SELECT l_partkey AS k FROM lineitem UNION
          SELECT p_partkey FROM part ORDER BY k""",

@@ -226,6 +226,22 @@ object Relational {
         .rowsBetween(-precedingRows.toLong, Window.currentRow)))
   }
 
+  /** RANGE-frame moving aggregate: `agg` over all rows whose `orderCol`
+    * VALUE lies within `precedingRange` of the current row's (inclusive) —
+    * the time-windowed complement of [[movingAgg]]'s row-count frame
+    * (e.g. "sum over the trailing hour" with orderCol = epoch millis and
+    * precedingRange = 3600000). Rows with EQUAL order values share one
+    * frame, so the result is deterministic without a tiebreak column. */
+  def movingAggRange(df: DataFrame, partition: Seq[String], orderCol: Column,
+                     agg: Column, precedingRange: Long,
+                     outCol: String): DataFrame = {
+    require(precedingRange >= 0,
+      s"precedingRange must be >= 0, got $precedingRange")
+    df.withColumn(outCol,
+      agg.over(Window.partitionBy(partition.map(col): _*).orderBy(orderCol)
+        .rangeBetween(-precedingRange, Window.currentRow)))
+  }
+
   def lagLead(df: DataFrame, partition: Seq[String], order: Seq[Column],
               target: String): DataFrame = {
     val w = Window.partitionBy(partition.map(col): _*).orderBy(order: _*)

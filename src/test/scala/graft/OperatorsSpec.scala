@@ -450,6 +450,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(mv.toSeq == Seq(1L, 3L, 6L, 9L, 12L))
   }
 
+  test("movingAggRange: value-based frame, equal order values share a frame") {
+    val d = Seq(("a", 0L, 1), ("a", 50L, 2), ("a", 100L, 4), ("a", 100L, 8),
+        ("a", 250L, 16))
+      .toDF("g", "t", "x")
+    val got = Relational.movingAggRange(d, Seq("g"), col("t"),
+        sum(col("x")), precedingRange = 100L, "s")
+      .select("t", "s").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      .sorted
+    // frame = [t-100, t] by VALUE: t=0 → 1; t=50 → 1+2; the two t=100 rows
+    // share one frame (1+2+4+8 = 15 for BOTH — no tiebreak dependence);
+    // t=250 → only itself (nothing in [150, 250) besides it)
+    assert(got == Seq((0L, 1L), (50L, 3L), (100L, 15L), (100L, 15L),
+      (250L, 16L)))
+  }
+
   test("groupingSetsAgg: per-set groupings, null fill, grand total") {
     val d = Seq(("x", "p", 1), ("x", "q", 2), ("y", "p", 4)).toDF("a", "b", "v")
     val got = Relational.groupingSetsAgg(d,

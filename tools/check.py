@@ -16,7 +16,10 @@ table, and FAILS (exit 1) on any query whose share grew >2x while above
 the 0.75 s planning floor (below it a scheduler hiccup doubles the number
 — the documented q_window_running case). Queries absent from the baseline
 are listed as NEW and never fail the gate."""
-import sys, glob, json, os, re
+import sys, glob, json, os, re, signal
+
+# die quietly when piped into head instead of spewing BrokenPipeError
+signal.signal(signal.SIGPIPE, signal.SIG_DFL)
 
 
 def share_gate(bench_path: str, baseline_path: str) -> int:
