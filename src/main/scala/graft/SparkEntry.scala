@@ -468,6 +468,26 @@ object SparkEntry {
           "graft_incr_store", threshold = 0.5)
         .select("doc_id").orderBy("doc_id")
     }),
+    "q_dedup_incr_exact" -> ((s, dir) => {
+      // the exact-fingerprint sibling of q_dedup_incremental: the store
+      // holds DISTINCT normalized-content fingerprints of the kept corpus
+      // (src0); new docs whose content is already stored are dropped via
+      // an anti-join on the store's bucket column. The raw corpus has ZERO
+      // exact cross-source duplicates, so the new batch additionally
+      // carries every src0 doc re-keyed (+1e6) — planted duplicates that
+      // MUST all drop (the q_redact plant-your-own-positives pattern)
+      val docs = rd(s, dir, "documents")
+      val existing = docs.filter(col("source") === "src0")
+      Dedup.writeFingerprintStore(existing, "text", "graft_fp_store",
+        nBuckets = 4)
+      val newBatch = docs.filter(col("source") =!= "src0")
+        .select(col("doc_id"), col("text"))
+        .unionAll(existing.select(
+          (col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      Dedup.exactDedupAgainst(newBatch, "text", "graft_fp_store",
+          updateStore = false)
+        .select("doc_id").orderBy("doc_id")
+    }),
     "q_cluster_dedup" -> ((s, dir) => {
       // transitive connected-components dedup (md5-portable candidates) —
       // the DuckDB oracle replicates the components as a recursive CTE
@@ -1684,6 +1704,17 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q_minhash_oracle" -> MinhashOracle,
     "q_dedup_incremental" -> DedupIncrementalOracle,
+    "q_dedup_incr_exact" ->
+      """WITH newb AS (
+           SELECT doc_id, text FROM documents WHERE source <> 'src0'
+           UNION ALL
+           SELECT doc_id + 1000000, text FROM documents WHERE source = 'src0')
+         SELECT doc_id FROM newb
+         WHERE md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+           NOT IN (
+             SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+             FROM documents WHERE source = 'src0')
+         ORDER BY doc_id""",
     "q_curation" -> CurationOracle,
     "q_curation_full" -> CurationFullOracle,
     "q_cluster_dedup" -> ClusterDedupOracle,

@@ -473,6 +473,45 @@ object Dedup {
     survivors
   }
 
+  /** create/replace the EXACT-dedup store: one bucketed table
+    * `<store>_fps (fp)` of distinct normalized-content fingerprints
+    * ([[TextAnalysis.fingerprint]]) of the kept corpus — the lightweight
+    * sibling of [[writeMinhashStore]] for the exact-duplicate pass that
+    * precedes near-dup in every pipeline. */
+  def writeFingerprintStore(df: DataFrame, textCol: String, store: String,
+                            nBuckets: Int = 8): Unit =
+    Sources.writeBucketed(
+      df.select(TextAnalysis.fingerprint(col(textCol)).as("fp")).distinct(),
+      s"${store}_fps", "fp", nBuckets)
+
+  /** incremental EXACT dedup against the fingerprint store: drop every new
+    * doc whose normalized content is already stored (anti-join on the
+    * store's own bucket column — the store is never reshuffled), and, when
+    * `updateStore`, append the survivors' distinct fingerprints as new
+    * bucket files. The new batch is assumed internally deduped first
+    * ([[exactDedup]] on the fingerprint): two new docs sharing a
+    * fingerprint both pass the store check. */
+  def exactDedupAgainst(newBatch: DataFrame, textCol: String, store: String,
+                        updateStore: Boolean = true,
+                        nBuckets: Int = 8): DataFrame = {
+    val spark = newBatch.sparkSession
+    val surv0 = newBatch
+      .withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
+      .join(spark.table(s"${store}_fps").withColumnRenamed("fp", "__fp"),
+        Seq("__fp"), "left_anti")
+    val survivors =
+      if (!updateStore) surv0
+      else {
+        // materialize once: the append below and the caller's read would
+        // otherwise each recompute the anti-join
+        val s = surv0.localCheckpoint()
+        Sources.writeBucketed(s.select(col("__fp").as("fp")).distinct(),
+          s"${store}_fps", "fp", nBuckets, SaveMode.Append)
+        s
+      }
+    survivors.drop("__fp")
+  }
+
   /** connected components over a candidate pair graph by iterative min-label
     * propagation: every node starts labeled with its own id; each round takes
     * the min of its label and its neighbors' labels; fixpoint = each

@@ -101,6 +101,31 @@ object Streams {
       .drop("__simhash")
   }
 
+  /** streaming ingest dedup against the PERSISTED fingerprint store
+    * ([[graft.operators.Dedup.writeFingerprintStore]]) — the streaming twin
+    * of [[graft.operators.Dedup.exactDedupAgainst]]: a stream-static
+    * anti-join drops every arriving doc whose normalized content the kept
+    * corpus already holds, then in-watermark exact dedup removes repeats
+    * WITHIN the stream itself. The static side is the bucketed store table:
+    * re-planned per micro-batch (so a batch compaction appending survivors
+    * is picked up on the next trigger without restarting the query) and
+    * joined on its own bucket column. State = one watermark horizon of
+    * fingerprints, never the store (the store side is stateless in a
+    * stream-static join). */
+  def streamingDedupAgainstStore(docs: DataFrame, textCol: String,
+                                 tsCol: String, store: String,
+                                 delay: String = "10 minutes"): DataFrame = {
+    val spark = docs.sparkSession
+    docs
+      .withColumn("__fp",
+        graft.operators.TextAnalysis.fingerprint(col(textCol)))
+      .join(spark.table(s"${store}_fps").withColumnRenamed("fp", "__fp"),
+        Seq("__fp"), "left_anti")
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+  }
+
   /** stream-stream INNER interval join, generic form: rows of `left` joined
     * to rows of `right` with equal `leftKey`/`rightKey` and
     * `rightTs ∈ [leftTs, leftTs + horizon]`. In streaming mode BOTH sides

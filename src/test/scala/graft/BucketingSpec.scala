@@ -78,6 +78,33 @@ class BucketingSpec extends AnyFunSuite {
     } finally dropStore("graft_incr_test")
   }
 
+  test("exactDedupAgainst drops stored content, appends survivors' fingerprints") {
+    import spark.implicits._
+    val existing = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    // 4 is a normalized copy of stored doc 1 (case/punct differences only)
+    val newBatch = Seq((3L, "eta theta iota"), (4L, "Alpha,  BETA gamma!"),
+      (5L, "kappa lambda mu")).toDF("doc_id", "text")
+    try {
+      Dedup.writeFingerprintStore(existing, "text", "graft_fp_test",
+        nBuckets = 2)
+      val kept = Dedup.exactDedupAgainst(newBatch, "text", "graft_fp_test",
+          updateStore = true, nBuckets = 2)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(kept == Seq(3L, 5L))
+      // a third batch duplicating batch-2 survivor 3 drops against the
+      // APPENDED fingerprints; its fresh doc passes
+      val third = Seq((6L, "ETA theta iota?"), (7L, "nu xi omicron"))
+        .toDF("doc_id", "text")
+      val kept3 = Dedup.exactDedupAgainst(third, "text", "graft_fp_test",
+          updateStore = false, nBuckets = 2)
+        .select("doc_id").as[Long].collect().toSeq
+      assert(kept3 == Seq(7L))
+      // 2 seed + 2 appended survivor fingerprints
+      assert(spark.table("graft_fp_test_fps").count() == 4L)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_fp_test_fps")
+  }
+
   test("incremental store candidate join never reshuffles the store side") {
     import spark.implicits._
     val existing = (1L to 200L).map(i => (i, mkText(i.toInt, "e")))

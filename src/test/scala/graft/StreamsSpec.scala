@@ -168,6 +168,40 @@ class StreamsSpec extends AnyFunSuite {
     }
   }
 
+  test("streamingDedupAgainstStore drops stored content AND in-stream repeats") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the kept corpus's fingerprint store (normalized-content md5s)
+    graft.operators.Dedup.writeFingerprintStore(
+      Seq((100L, "already kept document text")).toDF("doc_id", "text"),
+      "text", "graft_fp_stream", nBuckets = 2)
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val deduped = Streams.streamingDedupAgainstStore(
+      mem.toDF().toDF("doc_id", "text", "ts"), "text", "ts",
+      "graft_fp_stream", delay = "10 minutes")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("store_dedup_stream").start()
+    try {
+      mem.addData(
+        (1L, "fresh arrival one", ts("2024-01-01 10:00:00")),
+        // normalized-equal to the STORED doc → dropped by the static join
+        (2L, "Already KEPT document text!!", ts("2024-01-01 10:00:05")),
+        (3L, "fresh arrival two", ts("2024-01-01 10:01:00")))
+      q.processAllAvailable()
+      mem.addData( // cross-batch in-STREAM repeat within the watermark
+        (4L, "Fresh arrival ONE.", ts("2024-01-01 10:02:00")),
+        (5L, "fresh arrival three", ts("2024-01-01 10:03:00")))
+      q.processAllAvailable()
+      val ids = spark.table("store_dedup_stream")
+        .select("doc_id").as[Long].collect().sorted
+      assert(ids.toSeq == Seq(1L, 3L, 5L), s"got ${ids.mkString(",")}")
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS store_dedup_stream")
+      spark.sql("DROP TABLE IF EXISTS graft_fp_stream_fps")
+    }
+  }
+
   test("curatedIngest: gates + learned filter + content dedup at ingest, logit ≡ batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
