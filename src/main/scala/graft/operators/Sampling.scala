@@ -68,9 +68,9 @@ object Sampling {
     * min(1,·) makes the budget an UPPER BOUND, not a target: allocation
     * unclaimed by kept-whole (capped) domains is not redistributed, so
     * realized kept tokens can undershoot `budgetTokens` even when other
-    * domains could absorb the slack. If the budget is a target, run a
-    * waterfilling pass at the call site (iterate: fix capped domains,
-    * re-split the residual over the rest). */
+    * domains could absorb the slack. If the budget is a target, use
+    * [[tokenBudgetRatesWaterfill]], which redistributes the slack until
+    * the budget is met exactly. */
   def tokenBudgetRates(df: DataFrame, textCol: String, domainCol: String,
                        budgetTokens: Long,
                        weights: Map[String, Double] = Map.empty): Map[String, Double] = {
@@ -80,27 +80,80 @@ object Sampling {
     require(weights.values.sum <= 1.0 + 1e-9,
       s"explicit weights sum to ${weights.values.sum} > 1: shares are " +
         "fractions of ONE budget")
-    // null-domain rows can't be allocated a share; they fall through to
-    // stratifiedHashSample's `default` rate (0.0) at apply time. The
-    // domain key is cast to string up front so an int-coded source column
-    // yields string-keyed rates (matching tokenBudgetSample's comparison)
-    // instead of a ClassCastException at collect.
-    val totals = df.filter(col(domainCol).isNotNull)
+    val totals = domainTokenTotals(df, textCol, domainCol)
+    val shares = resolvedShares(totals, weights)
+    totals.map { case (d, t) =>
+      (d, if (t <= 0) 1.0 else math.min(1.0, shares(d) * budgetTokens / t))
+    }
+  }
+
+  /** per-domain corpus token counts (DOMAINS-sized driver map). Null-domain
+    * rows can't be allocated a share; they fall through to
+    * [[stratifiedHashSample]]'s `default` rate (0.0) at apply time. The
+    * domain key is cast to string up front so an int-coded source column
+    * yields string-keyed rates (matching [[tokenBudgetSample]]'s
+    * comparison) instead of a ClassCastException at collect. */
+  private def domainTokenTotals(df: DataFrame, textCol: String,
+                                domainCol: String): Map[String, Long] =
+    df.filter(col(domainCol).isNotNull)
       .groupBy(col(domainCol).cast(StringType).as("__d"))
       .agg(coalesce(sum(TextAnalysis.tokenCount(col(textCol))), lit(0L)).as("__t"))
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
-    // weights are shares of ONE budget: explicit weights claim their mass,
-    // the REMAINDER splits uniformly over unspecified domains — so target
-    // shares always sum to ≤ 1 and the budget is actually respected (a
-    // bare 1/k default for unspecified domains would over-allocate
-    // whenever explicit weights already claim part of the mass)
+
+  /** target budget share per domain. Weights are shares of ONE budget:
+    * explicit weights claim their mass, the REMAINDER splits uniformly over
+    * unspecified domains — so target shares always sum to ≤ 1 and the
+    * budget is actually respected (a bare 1/k default for unspecified
+    * domains would over-allocate whenever explicit weights already claim
+    * part of the mass). */
+  private def resolvedShares(totals: Map[String, Long],
+                             weights: Map[String, Double]): Map[String, Double] = {
     val unspecified = totals.keySet -- weights.keySet
     val residual = math.max(0.0,
       1.0 - weights.collect { case (d, w) if totals.contains(d) => w }.sum)
     val defaultW = if (unspecified.isEmpty) 0.0 else residual / unspecified.size
+    totals.map { case (d, _) => (d, weights.getOrElse(d, defaultW)) }
+  }
+
+  /** [[tokenBudgetRates]] with WATERFILLING — the budget as a TARGET, not a
+    * cap: allocation unclaimed by kept-whole (saturated) domains is
+    * redistributed over the still-downsampled ones in proportion to their
+    * weights, iterating until no new domain saturates. Each round saturates
+    * ≥ 1 domain or stops, so it converges in ≤ |domains| rounds — a
+    * driver-side loop over the DOMAINS-sized map, nothing distributed.
+    * Realized kept tokens = min(budgetTokens, corpus total), exactly. */
+  def tokenBudgetRatesWaterfill(df: DataFrame, textCol: String,
+                                domainCol: String, budgetTokens: Long,
+                                weights: Map[String, Double] = Map.empty): Map[String, Double] = {
+    require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
+    weights.values.foreach(w =>
+      require(w >= 0.0 && w <= 1.0, s"weight $w not in [0,1]"))
+    require(weights.values.sum <= 1.0 + 1e-9,
+      s"explicit weights sum to ${weights.values.sum} > 1: shares are " +
+        "fractions of ONE budget")
+    val totals = domainTokenTotals(df, textCol, domainCol)
+    val shares = resolvedShares(totals, weights)
+    // saturated = kept whole (its tokens fit inside its current allocation)
+    var saturated = totals.filter(_._2 <= 0).keySet
+    var done = false
+    var alloc = Map.empty[String, Double]
+    while (!done) {
+      val residual = budgetTokens.toDouble -
+        saturated.iterator.map(d => totals(d).toDouble).sum
+      val openShare = (totals.keySet -- saturated).iterator.map(shares).sum
+      alloc = (totals.keySet -- saturated).iterator.map { d =>
+        (d, if (openShare <= 0) 0.0 else shares(d) / openShare * residual)
+      }.toMap
+      val newlySat = alloc.collect {
+        case (d, a) if a >= totals(d).toDouble => d
+      }.toSet
+      if (newlySat.isEmpty || residual <= 0) done = true
+      else saturated ++= newlySat
+    }
     totals.map { case (d, t) =>
-      val w = weights.getOrElse(d, defaultW)
-      (d, if (t <= 0) 1.0 else math.min(1.0, w * budgetTokens / t))
+      (d,
+        if (saturated.contains(d) || t <= 0) 1.0
+        else math.max(0.0, math.min(1.0, alloc(d) / t)))
     }
   }
 

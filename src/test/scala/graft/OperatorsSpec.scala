@@ -337,6 +337,35 @@ class OperatorsSpec extends AnyFunSuite {
       .filter(col("source") === 1).count() == 10)
   }
 
+  test("tokenBudgetRatesWaterfill hits the budget exactly where base rates undershoot") {
+    // a: 20 tokens, b: 200, c: 200; budget 180 at uniform thirds (60 each):
+    // a is kept whole on 20, leaving 40 unclaimed
+    val doc10 = (1 to 10).map(j => s"t$j").mkString(" ")
+    val docs = ((1L to 2L).map(i => (i, "a", doc10)) ++
+      (11L to 30L).map(i => (i, "b", doc10)) ++
+      (41L to 60L).map(i => (i, "c", doc10)))
+      .toDF("doc_id", "source", "text")
+    // base: min(1, w·B/T) strands a's unclaimed 40 tokens → kept 20+60+60
+    val base = Sampling.tokenBudgetRates(docs, "text", "source", 180L)
+    assert(base("a") == 1.0)
+    assert(math.abs(base("b") - 0.3) < 1e-9 && math.abs(base("c") - 0.3) < 1e-9)
+    // waterfill: a's slack re-splits over b,c → 80 each → kept 20+80+80 = B
+    val wf = Sampling.tokenBudgetRatesWaterfill(docs, "text", "source", 180L)
+    assert(wf("a") == 1.0)
+    assert(math.abs(wf("b") - 0.4) < 1e-9 && math.abs(wf("c") - 0.4) < 1e-9)
+    // budget beyond the corpus: everything kept whole
+    val all = Sampling.tokenBudgetRatesWaterfill(docs, "text", "source", 100000L)
+    assert(all.values.forall(_ == 1.0))
+    // explicit weights still respected among the unsaturated
+    val wfw = Sampling.tokenBudgetRatesWaterfill(docs, "text", "source", 180L,
+      weights = Map("b" -> 0.75, "c" -> 0.25))
+    // a unweighted → share 0, rate 0... but with residual redistribution a
+    // gets nothing and stays downsampled at 0: weights claim the whole
+    // budget for b (135 < 200) and c (45 < 200)
+    assert(wfw("a") == 0.0)
+    assert(math.abs(wfw("b") - 0.675) < 1e-9 && math.abs(wfw("c") - 0.225) < 1e-9)
+  }
+
   test("repetitionRatio flags degenerate text, near-zero for varied text") {
     val d = Seq(
       (1L, "spam spam spam spam spam spam"),     // one distinct bigram of 5
