@@ -362,18 +362,21 @@ object Dedup {
 
   /** shared core of [[minhashDedupAgainst]] / [[minhashDedupAgainstPortable]]:
     * bucket-local candidate join (new banded rows × STORE banded rows on the
-    * band key), signature-agreement verify against the store sigs table,
-    * anti-join survivors. Returns (survivors, dup new-batch ids). */
-  private def dedupAgainstCore(newBatch: DataFrame, idCol: String,
+    * band key) + signature-agreement verify against the store sigs table.
+    * Returns the LAZY dup new-batch id frame — callers that consume it more
+    * than once (the updateStore branch: survivor anti-join AND the store
+    * append) localCheckpoint it themselves; the read-only path keeps it as
+    * one job. */
+  private def dedupAgainstCore(idCol: String,
                                newSigs: DataFrame, newBanded: DataFrame,
                                storeBanded: DataFrame, storeSigs: DataFrame,
                                bandKeys: Seq[String], threshold: Double,
-                               numHashes: Int): (DataFrame, DataFrame) = {
+                               numHashes: Int): DataFrame = {
     val cands = newBanded.select((bandKeys :+ idCol).map(col): _*)
       .join(storeBanded.select(bandKeys.map(col) :+ col(idCol).as("__sid"): _*),
         bandKeys)
       .select(col(idCol), col("__sid")).distinct()
-    val dupIds = cands
+    cands
       .join(newSigs.select(col(idCol), col("sig")), idCol)
       .join(storeSigs.select(col(idCol).as("__sid"), col("sig").as("__ssig")),
         "__sid")
@@ -382,8 +385,7 @@ object Dedup {
             (x, y) => when(x === y, 1).otherwise(0)),
           lit(0), (acc, v) => acc + v).cast(DoubleType) / numHashes)
       .filter(col("__est") >= threshold)
-      .select(idCol).distinct().localCheckpoint()
-    (newBatch.join(dupIds, Seq(idCol), "left_anti"), dupIds)
+      .select(idCol).distinct()
   }
 
   /** create/replace the production (xxhash64) signature store from a
@@ -417,10 +419,12 @@ object Dedup {
     // verify join, and the store append — compute the fused kernel once.
     val newSigs = minhashSigs(newBatch, idCol, textCol, numHashes)
       .localCheckpoint()
-    val (survivors, dupIds) = dedupAgainstCore(newBatch, idCol, newSigs,
+    val dupIds0 = dedupAgainstCore(idCol, newSigs,
       lshBands(newSigs, idCol, "sig", bands, numHashes),
       spark.table(s"${store}_bands"), spark.table(s"${store}_sigs"),
       Seq("band_hash"), threshold, numHashes)
+    // checkpoint only when consumed twice (anti-join + store append)
+    val dupIds = if (updateStore) dupIds0.localCheckpoint() else dupIds0
     if (updateStore) {
       val survSigs = newSigs.join(dupIds, Seq(idCol), "left_anti")
       Sources.writeBucketed(survSigs, s"${store}_sigs", idCol, nBuckets,
@@ -430,7 +434,7 @@ object Dedup {
           .select(col(idCol), col("band_hash")),
         s"${store}_bands", "band_hash", nBuckets, SaveMode.Append)
     }
-    survivors
+    newBatch.join(dupIds, Seq(idCol), "left_anti")
   }
 
   /** md5-portable twin of [[writeMinhashStore]]: band keys are the md5 band
@@ -459,10 +463,11 @@ object Dedup {
     val spark = newBatch.sparkSession
     val newSigs = minhashSigsPortable(newBatch, idCol, textCol, numHashes,
       shingleSize).localCheckpoint()
-    val (survivors, dupIds) = dedupAgainstCore(newBatch, idCol, newSigs,
+    val dupIds0 = dedupAgainstCore(idCol, newSigs,
       portableBands(newSigs, idCol, numHashes, bands),
       spark.table(s"${store}_bands"), spark.table(s"${store}_sigs"),
       Seq("band", "band_key"), threshold, numHashes)
+    val dupIds = if (updateStore) dupIds0.localCheckpoint() else dupIds0
     if (updateStore) {
       val survSigs = newSigs.join(dupIds, Seq(idCol), "left_anti")
       Sources.writeBucketed(survSigs, s"${store}_sigs", idCol, nBuckets,
@@ -470,7 +475,7 @@ object Dedup {
       Sources.writeBucketed(portableBands(survSigs, idCol, numHashes, bands),
         s"${store}_bands", "band_key", nBuckets, SaveMode.Append)
     }
-    survivors
+    newBatch.join(dupIds, Seq(idCol), "left_anti")
   }
 
   /** create/replace the EXACT-dedup store: one bucketed table

@@ -121,7 +121,10 @@ object Sampling {
     * weights, iterating until no new domain saturates. Each round saturates
     * ≥ 1 domain or stops, so it converges in ≤ |domains| rounds — a
     * driver-side loop over the DOMAINS-sized map, nothing distributed.
-    * Realized kept tokens = min(budgetTokens, corpus total), exactly. */
+    * Realized kept tokens = min(budgetTokens, total tokens of the domains
+    * carrying nonzero share) exactly; a domain with share 0 (explicit
+    * weights summing to 1 leave unlisted domains no residual) receives
+    * nothing in any round — by design, zero-weight means excluded. */
   def tokenBudgetRatesWaterfill(df: DataFrame, textCol: String,
                                 domainCol: String, budgetTokens: Long,
                                 weights: Map[String, Double] = Map.empty): Map[String, Double] = {

@@ -106,12 +106,16 @@ object Streams {
     * of [[graft.operators.Dedup.exactDedupAgainst]]: a stream-static
     * anti-join drops every arriving doc whose normalized content the kept
     * corpus already holds, then in-watermark exact dedup removes repeats
-    * WITHIN the stream itself. The static side is the bucketed store table:
-    * re-planned per micro-batch (so a batch compaction appending survivors
-    * is picked up on the next trigger without restarting the query) and
-    * joined on its own bucket column. State = one watermark horizon of
-    * fingerprints, never the store (the store side is stateless in a
-    * stream-static join). */
+    * WITHIN the stream itself. The static side is the bucketed store table,
+    * re-planned per micro-batch: an append from THIS session (e.g. the
+    * batch compaction running in the same app) invalidates the session's
+    * file-index cache on write and is visible at the next trigger — the
+    * StreamsSpec test proves the mid-stream-append case. An append from a
+    * SEPARATE process does not invalidate this session's cache; call
+    * `spark.catalog.refreshTable("<store>_fps")` (e.g. from a
+    * foreachBatch hook) to pick it up without restarting the query. State =
+    * one watermark horizon of fingerprints, never the store (the store side
+    * is stateless in a stream-static join). */
   def streamingDedupAgainstStore(docs: DataFrame, textCol: String,
                                  tsCol: String, store: String,
                                  delay: String = "10 minutes"): DataFrame = {

@@ -192,9 +192,21 @@ class StreamsSpec extends AnyFunSuite {
         (4L, "Fresh arrival ONE.", ts("2024-01-01 10:02:00")),
         (5L, "fresh arrival three", ts("2024-01-01 10:03:00")))
       q.processAllAvailable()
+      // MID-STREAM store append (same session — the batch compaction
+      // publishing survivors): the static side is re-planned per
+      // micro-batch, so the next trigger must see the new fingerprints
+      graft.sources.Sources.writeBucketed(
+        Seq((200L, "late compacted document")).toDF("doc_id", "text")
+          .select(graft.operators.TextAnalysis.fingerprint(col("text")).as("fp")),
+        "graft_fp_stream_fps", "fp", 2,
+        org.apache.spark.sql.SaveMode.Append)
+      mem.addData(
+        (6L, "LATE compacted document!", ts("2024-01-01 10:04:00")), // now stored
+        (7L, "fresh arrival four", ts("2024-01-01 10:05:00")))
+      q.processAllAvailable()
       val ids = spark.table("store_dedup_stream")
         .select("doc_id").as[Long].collect().sorted
-      assert(ids.toSeq == Seq(1L, 3L, 5L), s"got ${ids.mkString(",")}")
+      assert(ids.toSeq == Seq(1L, 3L, 5L, 7L), s"got ${ids.mkString(",")}")
     } finally {
       q.stop()
       spark.sql("DROP TABLE IF EXISTS store_dedup_stream")

@@ -32,11 +32,13 @@ def share_gate(bench_path: str, baseline_path: str) -> int:
               f"BENCH_LOCAL.json")
         return 2
     qsec = bench["queries"]
-    total = sum(qsec.values())
 
-    base = {}
+    base, base_sf = {}, None
     in_table = False
     for line in open(baseline_path):
+        m = re.search(r"Per-query seconds at sf([\d.]+)", line)
+        if m:
+            base_sf = m.group(1)
         if line.startswith("| query | median |"):
             in_table = True
             continue
@@ -51,15 +53,33 @@ def share_gate(bench_path: str, baseline_path: str) -> int:
     if not base:
         print(f"no per-query median table found in {baseline_path}")
         return 2
-    base_total = sum(base.values())
+    # shares at different SFs are not comparable (heavy dedup queries
+    # dominate at sf0.1 but not sf0.001) — refuse a cross-sf comparison,
+    # the same footgun Bench.scala guards its snapshot against
+    bench_sf = re.sub(r".*sf", "", str(bench.get("sf", ""))) or None
+    if base_sf and bench_sf and bench_sf != base_sf:
+        print(f"sf mismatch: bench ran at sf{bench_sf}, baseline table is "
+              f"sf{base_sf} — shares are not comparable across SFs")
+        return 2
+
+    # shares over the INTERSECTION only: summing mismatched sets (new
+    # queries in the bench, missing queries in the baseline) dilutes every
+    # denominator and lets a true >2x outlier print under the gate
+    common = sorted(set(qsec) & set(base))
+    missing = sorted(set(base) - set(qsec))
+    new = sorted(((q, qsec[q]) for q in set(qsec) - set(base)),
+                 key=lambda r: -r[1])
+    if not common:
+        print("no overlap between bench queries and baseline table")
+        return 2
+    total = sum(qsec[q] for q in common)
+    base_total = sum(base[q] for q in common)
 
     FLOOR_SEC, MAX_RATIO = 0.75, 2.0
-    rows, fails, new = [], [], []
-    for q, sec in qsec.items():
+    rows, fails = [], []
+    for q in common:
+        sec = qsec[q]
         share = sec / total
-        if q not in base:
-            new.append((q, sec, share))
-            continue
         bshare = base[q] / base_total
         ratio = share / bshare if bshare > 0 else float("inf")
         flag = ""
@@ -71,15 +91,22 @@ def share_gate(bench_path: str, baseline_path: str) -> int:
                 flag = "warn (sub-floor)"
         rows.append((q, sec, share, bshare, ratio, flag))
 
-    print(f"bench {bench_path}: total {total:.1f} s over {len(qsec)} queries; "
-          f"baseline medians sum {base_total:.1f} s over {len(base)}")
+    print(f"bench {bench_path}: {sum(qsec.values()):.1f} s over {len(qsec)} "
+          f"queries ({total:.1f} s over the {len(common)} baseline-covered); "
+          f"baseline medians sum {base_total:.1f} s")
     print("\n| query | sec | share | base share | ratio | |")
     print("|---|---|---|---|---|---|")
     for q, sec, share, bshare, ratio, flag in sorted(rows, key=lambda r: -r[4]):
         print(f"| {q} | {sec:.2f} | {share:.2%} | {bshare:.2%} "
               f"| {ratio:.2f}x | {flag} |")
-    for q, sec, share in sorted(new, key=lambda r: -r[1]):
-        print(f"| {q} | {sec:.2f} | {share:.2%} | — | NEW | |")
+    for q, sec in new:
+        print(f"| {q} | {sec:.2f} | — | — | NEW | |")
+    if missing:
+        # a baseline query absent from the bench run (crashed → Bench's
+        # 'errors' map) is the worst regression there is — never a pass
+        print(f"\n== SHARE GATE FAIL: baseline queries MISSING from the "
+              f"bench run (crashed?): {missing}")
+        return 1
     if fails:
         print(f"\n== SHARE GATE FAIL: {len(fails)} quer"
               f"{'y' if len(fails) == 1 else 'ies'} >"
@@ -92,6 +119,9 @@ def share_gate(bench_path: str, baseline_path: str) -> int:
 
 
 if len(sys.argv) > 1 and sys.argv[1] == "--bench":
+    if len(sys.argv) < 3:
+        print("usage: check.py --bench BENCH.json [BASELINE.md]")
+        sys.exit(2)
     sys.exit(share_gate(sys.argv[2],
                         sys.argv[3] if len(sys.argv) > 3 else "BASELINE.md"))
 
