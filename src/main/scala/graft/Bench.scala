@@ -132,6 +132,26 @@ object Bench {
             .as("event_type"),
           lit(1.0).as("value"))
         Streams.attributionJoin(ev, "click", "purchase", "1 hour").count()
+      }),
+      // round-9 families: the bucketed store write/scan/anti-join cycle
+      // (incremental dedup rebuilds its store inside the timed query) and
+      // the bounded ROWS / value RANGE window frames
+      "incr_store" -> (() => {
+        import graft.operators.Dedup
+        Dedup.writeFingerprintStore(docs.limit(64), "text",
+          "graft_warm_store", nBuckets = 2)
+        val n = Dedup.exactDedupAgainst(docs.limit(64), "text",
+          "graft_warm_store", updateStore = false, nBuckets = 2).count()
+        spark.sql("DROP TABLE IF EXISTS graft_warm_store_fps")
+        n
+      }),
+      "window_frames" -> (() => {
+        import graft.operators.Relational
+        val d = docs.select(col("doc_id"), length(col("text")).as("n"))
+        Relational.movingAggRange(
+          Relational.movingAgg(d, Seq("doc_id"), Seq(col("n")),
+            sum(col("n")), 3, "ms"),
+          Seq("doc_id"), col("n"), sum(col("n")), 100L, "rs").count()
       }))
     steps.foreach { case (name, step) =>
       try step()
