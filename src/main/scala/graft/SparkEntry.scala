@@ -750,6 +750,30 @@ object SparkEntry {
           Seq("source"), Seq(desc("n_chars"), asc("doc_id")), 50)
         .orderBy("doc_id")
     }),
+    "q_url_extract" -> ((s, dir) => {
+      // per-host crawl stats over extracted + CANONICALIZED urls. The
+      // corpus has no urls, so each doc plants two (the q_redact pattern):
+      // one with mixed-case host, tracking params, and a fragment — which
+      // must all normalize away — and one already-clean http url
+      val planted = rd(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit(" see https://WWW."), col("source"),
+          lit(".Example.com/Page/"), col("doc_id"),
+          lit("?id="), col("doc_id"),
+          lit("&utm_source=feed&fbclid=x"), col("doc_id"),
+          lit("#s"), col("doc_id"),
+          lit(" and http://"), col("source"), lit(".example/d/"),
+          col("doc_id")).as("text"))
+      planted
+        .select(explode(TextAnalysis.extractUrls(col("text"))).as("url"))
+        .select(TextAnalysis.urlHost(col("url")).as("host"),
+          TextAnalysis.canonicalizeUrl(col("url")).as("curl"))
+        .groupBy("host")
+        .agg(count(lit(1)).cast(LongType).as("n_urls"),
+          countDistinct(col("curl")).cast(LongType).as("n_canonical"),
+          min(col("curl")).as("sample_url"))
+        .orderBy("host")
+    }),
     "q_redact" -> ((s, dir) => {
       // the fixture corpus carries no PII, so the query PLANTS a synthetic
       // email/URL trailer per doc (derived from its own fields) and then
@@ -2121,6 +2145,37 @@ object SparkEntry {
                ORDER BY n_chars DESC, doc_id) AS rn
            FROM documents) WHERE rn <= 50
          ORDER BY doc_id""",
+    "q_url_extract" ->
+      """WITH p AS (
+           SELECT doc_id,
+             concat(text, ' see https://WWW.', source, '.Example.com/Page/',
+               doc_id, '?id=', doc_id, '&utm_source=feed&fbclid=x', doc_id,
+               '#s', doc_id, ' and http://', source, '.example/d/', doc_id)
+               AS text
+           FROM documents),
+         u AS (
+           SELECT unnest(regexp_extract_all(text, 'https?://[^\s]+')) AS url
+           FROM p),
+         c AS (
+           SELECT
+             lower(regexp_extract(url, '^https?://([^/:?#]+)', 1)) AS host,
+             concat(
+               lower(regexp_extract(t3, '^(https?://[^/?#]+)', 1)),
+               regexp_extract(t3, '^https?://[^/?#]+(.*)$', 1)) AS curl
+           FROM (
+             SELECT url,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(url, '#.*$', '', 'g'),
+                     '&(?:utm_[A-Za-z]+|fbclid|gclid|ref)=[^&]*', '', 'g'),
+                   '\?(?:utm_[A-Za-z]+|fbclid|gclid|ref)=[^&]*&', '?', 'g'),
+                 '\?(?:utm_[A-Za-z]+|fbclid|gclid|ref)=[^&]*$', '', 'g') AS t3
+             FROM u))
+         SELECT host, CAST(count(*) AS BIGINT) AS n_urls,
+           CAST(count(DISTINCT curl) AS BIGINT) AS n_canonical,
+           min(curl) AS sample_url
+         FROM c GROUP BY host ORDER BY host""",
     "q_redact" ->
       """WITH p AS (
            SELECT doc_id,

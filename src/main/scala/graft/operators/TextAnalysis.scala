@@ -184,6 +184,39 @@ object TextAnalysis {
     size(regexp_extract_all(text, lit(EmailPattern), lit(0))),
     size(regexp_extract_all(text, lit(UrlPattern), lit(0))))
 
+  /** URL handling for web-crawl pipelines — extraction, host, and canonical
+    * form as pure codegen'd regex chains in the Java ∩ RE2 subset (the
+    * [[redactPii]] rule), so the DuckDB oracle runs IDENTICAL patterns.
+    * Canonicalization is the dedup-key step of crawl processing: the same
+    * page arrives under fragment/tracking-param variants that a byte-exact
+    * URL key would treat as distinct documents. */
+  val TrackingParams = "utm_[A-Za-z]+|fbclid|gclid|ref"
+
+  def extractUrls(text: Column): Column =
+    regexp_extract_all(text, lit(UrlPattern), lit(0))
+
+  /** lowercased host — no port, path, query, or fragment. */
+  def urlHost(url: Column): Column =
+    lower(regexp_extract(url, "^https?://([^/:?#]+)", 1))
+
+  /** canonical URL: fragment stripped, standard tracking params
+    * ([[TrackingParams]]) removed with their separators tidied, scheme and
+    * host lowercased. Path/query CASE and remaining param ORDER are
+    * preserved — reordering or lowercasing them would conflate genuinely
+    * distinct URLs on case-sensitive servers. */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    // tracking params mid-query ("&k=v"), then leading ("?k=v&" → "?"),
+    // then the only-param case ("?k=v" at end) — in this order a URL like
+    // ?utm_a=1&utm_b=2&x=3 tidies to ?x=3 with no stray separators
+    val noMid = regexp_replace(noFrag, s"&(?:$TrackingParams)=[^&]*", "")
+    val noLead = regexp_replace(noMid, s"\\?(?:$TrackingParams)=[^&]*&", "?")
+    val noOnly = regexp_replace(noLead, s"\\?(?:$TrackingParams)=[^&]*$$", "")
+    concat(
+      lower(regexp_extract(noOnly, "^(https?://[^/?#]+)", 1)),
+      regexp_extract(noOnly, "^https?://[^/?#]+(.*)$", 1))
+  }
+
   /** Unigram language-model score: mean ln p(token) per document, with
     * p(token) = corpus_count(token) / corpus_total — the cheap perplexity
     * proxy used to rank documents for quality filtering (CCNet-style, with

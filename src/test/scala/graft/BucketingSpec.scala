@@ -102,6 +102,20 @@ class BucketingSpec extends AnyFunSuite {
       assert(kept3 == Seq(7L))
       // 2 seed + 2 appended survivor fingerprints
       assert(spark.table("graft_fp_test_fps").count() == 4L)
+      // the anti-join keys on the store's bucket column: under forced SMJ
+      // only the new batch shuffles, the store reads its buckets directly
+      val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val surv = Dedup.exactDedupAgainst(newBatch, "text", "graft_fp_test",
+          updateStore = false, nBuckets = 2)
+        surv.collect()
+        val plan = surv.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==").head
+        val nEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+        assert(nEx == 1, s"expected 1 exchange (new side), got $nEx:\n$plan")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+        prevThreshold)
     } finally spark.sql("DROP TABLE IF EXISTS graft_fp_test_fps")
   }
 

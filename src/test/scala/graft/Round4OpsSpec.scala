@@ -62,6 +62,26 @@ class Round4OpsSpec extends AnyFunSuite {
     assert(out(2).getInt(2) == 0 && out(2).getInt(3) == 0)
   }
 
+  test("canonicalizeUrl: fragment/tracking removal, scheme+host lowercase, path case kept") {
+    val cases = Seq(
+      // mixed-case host + tracking + fragment: all normalize; path case kept
+      ("https://WWW.Ex.COM/Path/P?utm_a=1&x=2#frag", "https://www.ex.com/Path/P?x=2"),
+      ("http://a.b/p?utm_campaign=news", "http://a.b/p"),             // only-param
+      ("https://H.io/p?x=1&gclid=z&y=2", "https://h.io/p?x=1&y=2"),   // mid-param
+      ("https://Ex.com/p?utm_a=1&utm_b=2&x=3", "https://ex.com/p?x=3"), // leading run
+      ("https://Ex.com/p?utm_a=1&utm_b=2", "https://ex.com/p"),       // all tracking
+      ("https://Ex.com/", "https://ex.com/"))                         // no-op body
+    val got = cases.toDF("url", "want")
+      .select(TextAnalysis.canonicalizeUrl(col("url")).as("got"), col("want"))
+      .collect()
+    got.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"got ${r.getString(0)}, want ${r.getString(1)}"))
+    // host: lowercased, port excluded
+    val h = Seq(("https://User.Ex.com:8080/x", "")).toDF("u", "x")
+      .select(TextAnalysis.urlHost(col("u"))).head.getString(0)
+    assert(h == "user.ex.com")
+  }
+
   test("unigramLogProb: uniform corpus scores ln(1/V); rare-token doc scores lower") {
     // 4 docs over a 2-token uniform vocab: every token has p = 1/2
     val uniform = Seq((1L, "aa bb"), (2L, "bb aa")).toDF("doc_id", "text")
