@@ -750,6 +750,26 @@ object SparkEntry {
           Seq("source"), Seq(desc("n_chars"), asc("doc_id")), 50)
         .orderBy("doc_id")
     }),
+    "q_boilerplate" -> ((s, dir) => {
+      // host-level boilerplate line removal. The corpus is single-line, so
+      // each doc plants a 4-line page (the q_redact pattern): a nav header
+      // and copyright footer shared by ALL of the host's docs (dropped), a
+      // promo line whose variant splits the host's docs just above/below
+      // the 0.5 ratio (one variant dropped, the other kept — the
+      // discriminative case), and the doc's own unique text (kept)
+      val planted = rd(s, dir, "documents").select(col("doc_id"),
+        col("source"),
+        concat_ws("\n",
+          concat(lit("nav "), col("source"), lit(" home")),
+          col("text"),
+          when(col("doc_id") % 40 < 20, "promo sale")
+            .otherwise("no promo today"),
+          concat(lit("copyright "), col("source"))).as("text"))
+      TextAnalysis.removeBoilerplateLines(planted, "doc_id", "text",
+          "source", maxLineDocRatio = 0.5)
+        .withColumnRenamed("source", "host")
+        .orderBy("doc_id")
+    }),
     "q_url_extract" -> ((s, dir) => {
       // per-host crawl stats over extracted + CANONICALIZED urls. The
       // corpus has no urls, so each doc plants two (the q_redact pattern):
@@ -2145,6 +2165,36 @@ object SparkEntry {
                ORDER BY n_chars DESC, doc_id) AS rn
            FROM documents) WHERE rn <= 50
          ORDER BY doc_id""",
+    "q_boilerplate" ->
+      """WITH p AS (
+           SELECT doc_id, source AS host,
+             concat_ws(chr(10), concat('nav ', source, ' home'), text,
+               CASE WHEN doc_id % 40 < 20 THEN 'promo sale'
+                    ELSE 'no promo today' END,
+               concat('copyright ', source)) AS text
+           FROM documents),
+         l AS (
+           SELECT doc_id, host, i AS pos, xs[i + 1] AS line
+           FROM (SELECT doc_id, host, xs,
+                   unnest(range(0, len(xs))) AS i
+                 FROM (SELECT doc_id, host,
+                         string_split(text, chr(10)) AS xs FROM p))),
+         nd AS (SELECT host, count(DISTINCT doc_id) AS n FROM p GROUP BY host),
+         ldf AS (SELECT host, line, count(DISTINCT doc_id) AS df
+                 FROM l GROUP BY host, line),
+         boiler AS (
+           SELECT host, line FROM ldf JOIN nd USING (host)
+           WHERE df >= 2 AND CAST(df AS DOUBLE) / n > 0.5),
+         kept AS (
+           SELECT l.doc_id, l.pos, l.line
+           FROM l LEFT JOIN boiler b ON l.host = b.host AND l.line = b.line
+           WHERE b.line IS NULL),
+         agg AS (
+           SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text
+           FROM kept GROUP BY doc_id)
+         SELECT p.doc_id, p.host, coalesce(a.clean_text, '') AS clean_text
+         FROM p LEFT JOIN agg a ON a.doc_id = p.doc_id
+         ORDER BY p.doc_id""",
     "q_url_extract" ->
       """WITH p AS (
            SELECT doc_id,

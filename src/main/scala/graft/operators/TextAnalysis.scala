@@ -363,6 +363,59 @@ object TextAnalysis {
     Seq.fill(nBuckets)((rnd.nextInt(2000001) - 1000000).toLong)
   }
 
+  /** Host-level boilerplate LINE removal — the CCNet/trafilatura-style
+    * template-stripping pass: a line appearing in more than
+    * `maxLineDocRatio` of a host's documents (and in ≥ `minLineDocFreq` of
+    * them) is site chrome (navigation, cookie banners, footers), not
+    * content — drop it from every document of that host; every other line
+    * is kept in original order. Documents keep their row even when every
+    * line is boilerplate (empty `clean` text), so downstream length/quality
+    * gates see them rather than silently losing rows.
+    *
+    * `minLineDocFreq` (default 2) is the single-doc-host guard: with one
+    * document, every line's ratio is 1.0 and the doc would be erased;
+    * a line must repeat across documents before it can be template.
+    *
+    * Scale shape: one split+posexplode to (host, line, id, pos) postings;
+    * line doc-frequency is a map-side-combined aggregate keyed on
+    * (host, line) — high cardinality, well spread; per-host doc counts are
+    * a HOSTS-sized aggregate AQE broadcasts; the boilerplate line set is
+    * an anti-join (bucket-local, keyed on host+line); reassembly is one
+    * per-document aggregate (array_sort by position — per doc, never a
+    * global window). The same shape as span dedup's postings, with the
+    * ratio cap playing the maxWindowDocFreq role from the start. */
+  def removeBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
+                             hostCol: String, maxLineDocRatio: Double = 0.5,
+                             minLineDocFreq: Int = 2): DataFrame = {
+    require(maxLineDocRatio > 0.0 && maxLineDocRatio <= 1.0,
+      s"maxLineDocRatio must be in (0,1], got $maxLineDocRatio")
+    require(minLineDocFreq >= 2,
+      s"minLineDocFreq must be >= 2, got $minLineDocFreq")
+    val lines = df.select(col(idCol), col(hostCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+      .localCheckpoint() // feeds doc-freq AND the anti-join side
+    val hostDocs = df.groupBy(col(hostCol))
+      .agg(countDistinct(col(idCol)).as("__n"))
+    val boiler = lines.select(col(hostCol), col("__line"), col(idCol))
+      .distinct()
+      .groupBy(col(hostCol), col("__line"))
+      .agg(count(lit(1)).as("__df"))
+      .join(hostDocs, Seq(hostCol))
+      .filter(col("__df") >= minLineDocFreq &&
+        col("__df").cast(DoubleType) / col("__n") > maxLineDocRatio)
+      .select(col(hostCol), col("__line"))
+    val kept = lines.join(boiler, Seq(hostCol, "__line"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("__pos").as("p"),
+          col("__line").as("l")))), x => x.getField("l")),
+        "\n").as("__clean"))
+    df.select(col(idCol), col(hostCol))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol), col(hostCol),
+        coalesce(col("__clean"), lit("")).as("clean_text"))
+  }
+
   /** per-document stats frame (used by q_text_* queries). */
   def docStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(

@@ -62,6 +62,33 @@ class Round4OpsSpec extends AnyFunSuite {
     assert(out(2).getInt(2) == 0 && out(2).getInt(3) == 0)
   }
 
+  test("removeBoilerplateLines: host chrome dropped, content kept in order, guards hold") {
+    val docs = Seq(
+      // host A (3 docs): "menu" in all 3 → dropped; "sale" in 2/3 (0.67 >
+      // 0.5) → dropped; content lines unique → kept, order preserved
+      (1L, "a", "menu\nalpha one\nsale\nomega one"),
+      (2L, "a", "menu\nalpha two\nsale"),
+      (3L, "a", "menu\nalpha three"),
+      // host B, SINGLE doc: minLineDocFreq=2 guard — nothing can be
+      // template in a one-doc host, even at ratio 1.0
+      (4L, "b", "menu\nbeta content"),
+      // host C (2 docs): doc 6 is ALL boilerplate → survives as empty row
+      (5L, "c", "promo\ngamma content"),
+      (6L, "c", "promo")
+    ).toDF("doc_id", "source", "text")
+    val out = TextAnalysis.removeBoilerplateLines(docs, "doc_id", "text",
+        "source", maxLineDocRatio = 0.5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(2)))
+    assert(out.toSeq == Seq(
+      (1L, "alpha one\nomega one"),
+      (2L, "alpha two"),
+      (3L, "alpha three"),
+      (4L, "menu\nbeta content"), // host B untouched despite host A's menu
+      (5L, "gamma content"),
+      (6L, "")))                  // row kept, text emptied
+  }
+
   test("canonicalizeUrl: fragment/tracking removal, scheme+host lowercase, path case kept") {
     val cases = Seq(
       // mixed-case host + tracking + fragment: all normalize; path case kept
