@@ -488,6 +488,23 @@ object SparkEntry {
           updateStore = false)
         .select("doc_id").orderBy("doc_id")
     }),
+    "q_dedup_incr_bloom" -> ((s, dir) => {
+      // bloom-prefiltered twin of q_dedup_incr_exact (same plant, same
+      // oracle): the store is sketched once, only might-contain positives
+      // touch the bucketed table — no false negatives, so the result is
+      // identical and the SAME oracle verifies the whole probe path
+      val docs = rd(s, dir, "documents")
+      val existing = docs.filter(col("source") === "src0")
+      Dedup.writeFingerprintStore(existing, "text", "graft_fp_store",
+        nBuckets = 4)
+      val newBatch = docs.filter(col("source") =!= "src0")
+        .select(col("doc_id"), col("text"))
+        .unionAll(existing.select(
+          (col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      Dedup.exactDedupAgainstBloom(newBatch, "text", "graft_fp_store",
+          expectedItems = 10000L, numBits = 1L << 17)
+        .select("doc_id").orderBy("doc_id")
+    }),
     "q_cluster_dedup" -> ((s, dir) => {
       // transitive connected-components dedup (md5-portable candidates) —
       // the DuckDB oracle replicates the components as a recursive CTE
@@ -1748,6 +1765,19 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q_minhash_oracle" -> MinhashOracle,
     "q_dedup_incremental" -> DedupIncrementalOracle,
+    "q_dedup_incr_bloom" ->
+      // IDENTICAL oracle to q_dedup_incr_exact: the bloom prefilter has no
+      // false negatives, so prefilter + exact anti-join ≡ exact anti-join
+      """WITH newb AS (
+           SELECT doc_id, text FROM documents WHERE source <> 'src0'
+           UNION ALL
+           SELECT doc_id + 1000000, text FROM documents WHERE source = 'src0')
+         SELECT doc_id FROM newb
+         WHERE md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+           NOT IN (
+             SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+             FROM documents WHERE source = 'src0')
+         ORDER BY doc_id""",
     "q_dedup_incr_exact" ->
       """WITH newb AS (
            SELECT doc_id, text FROM documents WHERE source <> 'src0'

@@ -517,6 +517,51 @@ object Dedup {
     survivors.drop("__fp")
   }
 
+  /** [[exactDedupAgainst]] with a BLOOM prefilter on store membership — the
+    * 100 TB probe shape: the store's fingerprints are sketched ONCE into a
+    * bloom filter (megabytes even for billions of rows), every new doc
+    * probes the sketch inside its own scan stage (~ns/row, no join), and
+    * only the might-contain positives — true dups plus the fpp fraction —
+    * ever touch the store's bucketed table for the exact anti-join. A
+    * bloom filter has no false negatives, so the result is IDENTICAL to
+    * [[exactDedupAgainst]] (asserted in BucketingSpec; q_dedup_incr_bloom
+    * shares q_dedup_incr_exact's oracle). Read-only by design — updates
+    * flow through [[exactDedupAgainst]]'s append, and a sketch staler than
+    * the store only costs extra exact checks, never correctness. The
+    * fingerprint projection is recomputed on each branch rather than
+    * checkpointing the batch: md5-per-row is the cheap part, pinning the
+    * whole new crawl in executor storage is not. */
+  def exactDedupAgainstBloom(newBatch: DataFrame, textCol: String,
+                             store: String,
+                             expectedItems: Long = 1000000L,
+                             numBits: Long = 8388608L): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val spark = newBatch.sparkSession
+    val storeFps = spark.table(s"${store}_fps")
+    val bloomAgg = GraftSqlBridge.column(
+      new BloomFilterAggregate(
+        GraftSqlBridge.expression(xxhash64(col("fp"))),
+        Literal(expectedItems), Literal(numBits)).toAggregateExpression)
+    val sketch: Array[Byte] = storeFps.agg(bloomAgg.as("bf"))
+      .head.getAs[Array[Byte]]("bf")
+    val withFp = newBatch
+      .withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
+    // empty store → null sketch (aggregate over zero rows): all docs survive
+    if (sketch == null) return withFp.drop("__fp")
+    val mightContain = GraftSqlBridge.column(BloomFilterMightContain(
+      GraftSqlBridge.expression(lit(sketch)),
+      GraftSqlBridge.expression(xxhash64(col("__fp")))))
+    val negatives = withFp.filter(!mightContain) // provably not stored
+    val positives = withFp.filter(mightContain)
+      .join(storeFps.withColumnRenamed("fp", "__fp"), Seq("__fp"), "left_anti")
+    // unionByName: the using-column anti-join moves __fp first, so a
+    // positional union would misalign every other column
+    negatives.unionByName(positives).drop("__fp")
+  }
+
   /** connected components over a candidate pair graph by iterative min-label
     * propagation: every node starts labeled with its own id; each round takes
     * the min of its label and its neighbors' labels; fixpoint = each

@@ -102,6 +102,14 @@ class BucketingSpec extends AnyFunSuite {
       assert(kept3 == Seq(7L))
       // 2 seed + 2 appended survivor fingerprints
       assert(spark.table("graft_fp_test_fps").count() == 4L)
+      // bloom-prefiltered probe ≡ plain anti-join (no false negatives),
+      // including against the grown store
+      val plainIds = Dedup.exactDedupAgainst(third, "text", "graft_fp_test",
+          updateStore = false).select("doc_id").as[Long].collect().sorted.toSeq
+      val bloomIds = Dedup.exactDedupAgainstBloom(third, "text",
+          "graft_fp_test", expectedItems = 64L, numBits = 1L << 12)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(bloomIds == plainIds)
       // the anti-join keys on the store's bucket column: under forced SMJ
       // only the new batch shuffles, the store reads its buckets directly
       val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
