@@ -858,6 +858,13 @@ object SparkEntry {
       TextAnalysis.hashedQualityScore(rd(s, dir, "documents"), "doc_id",
           "text", TextAnalysis.syntheticQualityModel())
         .orderBy("doc_id")),
+    "q_domain_classify" -> ((s, dir) =>
+      // multi-class domain tagger (hashing-trick linear classifier): one
+      // explode + one K-sum aggregate + argmax projection; same integer-
+      // micros determinism as q_quality_model, tie broken by class order
+      TextAnalysis.hashedClassify(rd(s, dir, "documents"), "doc_id", "text",
+          DomainClassifyModels)
+        .orderBy("doc_id")),
     "q_semdedup_pairs" -> ((s, dir) =>
       // SemDeDup: cluster-blocked pairwise cosine — k-means cells bound the
       // quadratic term; reuses the memoized offline IVF fit, so the oracle
@@ -1411,6 +1418,46 @@ object SparkEntry {
          $qualityLogitSql AS logit,
          $qualityLogitSql >= 0.0 AS keep
        FROM qsc ORDER BY doc_id"""
+
+  /** three deterministic synthetic domain models (distinct seeds) — the
+    * multi-class twin of [[TextAnalysis.syntheticQualityModel]]; the Spark
+    * query and the DuckDB oracle embed the SAME literals. */
+  private val DomainClassifyModels: Seq[(String, Seq[Long])] = Seq(
+    "news" -> TextAnalysis.syntheticQualityModel(256, 101L),
+    "code" -> TextAnalysis.syntheticQualityModel(256, 102L),
+    "chat" -> TextAnalysis.syntheticQualityModel(256, 103L))
+
+  /** q_domain_classify in DuckDB: per-(doc, class) mean hashed-bucket logit
+    * from the same weight literals, argmax with the same tie policy
+    * (highest logit, then first class in declaration order). */
+  private val DomainClassifyOracle: String = {
+    val vals = DomainClassifyModels.zipWithIndex.flatMap { case ((lbl, ws), k) =>
+      ws.zipWithIndex.map { case (w, b) => s"($k, '$lbl', $b, $w)" }
+    }.mkString(", ")
+    s"""WITH cw(k, lbl, b, wm) AS (VALUES $vals),
+       tb AS (
+         SELECT doc_id,
+           CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT)
+             % 2147483648 % 256 AS b
+         FROM (SELECT doc_id, unnest(string_split_regex(
+                 trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+                 '\\s+')) AS t
+               FROM documents) x),
+       sc AS (
+         SELECT tb.doc_id, cw.k, cw.lbl, count(*) AS n,
+           CAST(sum(cw.wm) AS BIGINT) AS s
+         FROM tb JOIN cw ON cw.b = tb.b
+         GROUP BY 1, 2, 3),
+       best AS (
+         SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, lbl AS label,
+           CAST(round(CAST(s AS DOUBLE) / n) AS BIGINT) / 1e6 AS logit,
+           row_number() OVER (PARTITION BY doc_id
+             ORDER BY CAST(round(CAST(s AS DOUBLE) / n) AS BIGINT) DESC,
+               k ASC) AS rn
+         FROM sc)
+       SELECT doc_id, n_tokens, label, logit
+       FROM best WHERE rn = 1 ORDER BY doc_id"""
+  }
 
   /** shared CTE chain for the span-overlap oracles: positional 8-token
     * windows (NO distinct — positions are the signal), window-equality
@@ -2002,6 +2049,7 @@ object SparkEntry {
              / len(string_split_regex(lower(trim(text)), '\s+')), 6) AS stop_ratio
          FROM documents ORDER BY doc_id""",
     "q_quality_model" -> QualityModelOracle,
+    "q_domain_classify" -> DomainClassifyOracle,
     "q_quality_score" ->
       """WITH q AS (
            SELECT doc_id, text, CAST(length(text) AS DOUBLE) AS n,

@@ -352,6 +352,49 @@ object TextAnalysis {
       .select(col(idCol), col("n_tokens"), col("logit"), col("keep"))
   }
 
+  /** multi-class hashed-BOW linear classifier — the DOMAIN-TAGGING stage
+    * (fastText-style routing of each document to a domain/topic for
+    * dataset mixing, the DCLM/DoReMi companion to [[hashedQualityScore]]'s
+    * binary keep/drop): one weight vector per class as plan literals,
+    * md5-bucketed tokens, per-class mean logit in integer micros, argmax
+    * label with a deterministic tiebreak (first class in declaration order
+    * wins ties — plan literals, so the tie policy is part of the model).
+    *
+    * Scale shape: ONE explode + one hash aggregate carrying K sums (the
+    * [[hashedQualityScore]] postings shape widened to K columns — the
+    * shuffle carries (doc, K longs), independent of vocab or corpus), then
+    * a pure argmax projection. K is the number of DOMAINS (tens), never
+    * data-sized. */
+  def hashedClassify(df: DataFrame, idCol: String, textCol: String,
+                     classWeights: Seq[(String, Seq[Long])]): DataFrame = {
+    require(classWeights.nonEmpty, "hashedClassify requires >= 1 class")
+    val nb = classWeights.head._2.length
+    require(nb > 0 && classWeights.forall(_._2.length == nb),
+      "all class weight vectors must share one nonzero bucket count")
+    val toks = df.select(col(idCol),
+      explode(tokens(normalized(col(textCol)))).as("__t"))
+    val wCols = classWeights.zipWithIndex.map { case ((_, ws), k) =>
+      tokenWeightMicros(col("__t"), array(ws.map(lit): _*), nb).as(s"__w$k")
+    }
+    val sums = classWeights.indices.map(k =>
+      sum(col(s"__w$k")).as(s"__s$k"))
+    val scored = toks.select(col(idCol) +: wCols: _*)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sums: _*)
+    val logits = classWeights.indices.map(k =>
+      logitFromMicros(col(s"__s$k"), col("n_tokens")).as(s"__l$k"))
+    // argmax with first-class-wins ties: array_max over (logit, -k, label)
+    // structs compares fields in order — highest logit, then smallest k
+    val packed = array(classWeights.zipWithIndex.map { case ((lbl, _), k) =>
+      struct(col(s"__l$k").as("l"), lit(-k).as("nk"), lit(lbl).as("lbl"))
+    }: _*)
+    scored.select(col(idCol) +: col("n_tokens") +: logits: _*)
+      .withColumn("__best", array_max(packed))
+      .select(col(idCol), col("n_tokens"),
+        col("__best").getField("lbl").as("label"),
+        col("__best").getField("l").as("logit"))
+  }
+
   /** deterministic stand-in for an offline-trained quality model: seeded
     * uniform weights in ±1.0 (integer micros). Production callers pass
     * their fastText/LR weights; the fixture pipeline and the DuckDB oracle

@@ -62,6 +62,24 @@ class Round4OpsSpec extends AnyFunSuite {
     assert(out(2).getInt(2) == 0 && out(2).getInt(3) == 0)
   }
 
+  test("hashedClassify: dominant weights win, ties go to declaration order") {
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon")).toDF("id", "text")
+    val up = Seq.fill(16)(1000000L)
+    val down = Seq.fill(16)(-1000000L)
+    // class separation: every bucket of "pos" outweighs "neg"
+    val out = TextAnalysis.hashedClassify(docs, "id", "text",
+        Seq("neg" -> down, "pos" -> up))
+      .orderBy("id").collect()
+    assert(out.forall(_.getAs[String]("label") == "pos"))
+    assert(out(0).getAs[Long]("n_tokens") == 3L)
+    assert(out(0).getAs[Double]("logit") == 1.0)
+    // exact tie (identical weight vectors): FIRST declared class wins
+    val tie = TextAnalysis.hashedClassify(docs, "id", "text",
+        Seq("b_second" -> up, "a_first" -> up))
+      .collect()
+    assert(tie.forall(_.getAs[String]("label") == "b_second"))
+  }
+
   test("removeBoilerplateLines: host chrome dropped, content kept in order, guards hold") {
     val docs = Seq(
       // host A (3 docs): "menu" in all 3 → dropped; "sale" in 2/3 (0.67 >
