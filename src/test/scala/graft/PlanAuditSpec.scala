@@ -192,6 +192,47 @@ class PlanAuditSpec extends AnyFunSuite {
       s"vocabulary not read from the checkpoint in:\n$plan")
   }
 
+  test("removeBoilerplateLines: postings from the checkpoint, residual scans pruned of text") {
+    import graft.operators.TextAnalysis
+    val corpus = spark.read.parquet(docsDir)
+      .withColumn("host", (col("doc_id") % 3).cast("string"))
+    val full = finalPlan(TextAnalysis.removeBoilerplateLines(
+      corpus, "doc_id", "text", "host"))
+    val plan = finalSection(full)
+    // the (id, pos, line) postings feed doc-freq AND the anti-join from ONE
+    // localCheckpoint — the corpus text is tokenized exactly once
+    assert(plan.contains("ExistingRDD"),
+      s"line postings not read from the checkpoint in:\n$plan")
+    // the remaining parquet scans (doc skeleton + per-host doc counts) must
+    // be PRUNED of the text column — re-reading text would double the
+    // operator's dominant IO at 100 TB. (ReadSchema lives in the detail
+    // section, so scan the FULL formatted output.)
+    val reads = "ReadSchema: [^\\n]*".r.findAllIn(full).toList
+    assert(reads.nonEmpty, s"no ReadSchema details in:\n$full")
+    reads.foreach(r => assert(!r.contains("text"),
+      s"residual scan still reads text: $r"))
+    // reassembly groups by doc id — never a global window/single partition
+    assert(!plan.contains("SinglePartition"), s"global exchange in:\n$plan")
+  }
+
+  test("hashedClassify: one aggregate pass, no weights join, K sums in the shuffle") {
+    import graft.operators.TextAnalysis
+    val corpus = spark.read.parquet(docsDir)
+    val models = Seq(
+      "a" -> TextAnalysis.syntheticQualityModel(64, 1L),
+      "b" -> TextAnalysis.syntheticQualityModel(64, 2L),
+      "c" -> TextAnalysis.syntheticQualityModel(64, 3L))
+    val plan = finalSection(finalPlan(
+      TextAnalysis.hashedClassify(corpus, "doc_id", "text", models)))
+    // weights are plan literals: classification must be scan → explode →
+    // ONE partial+final aggregate → argmax projection, with NO join
+    assert(!plan.contains("Join"), s"unexpected join (weights should be literals):\n$plan")
+    val aggs = "HashAggregate".r.findAllIn(plan).size
+    assert(aggs == 2, s"expected one partial+final aggregate pair, got $aggs:\n$plan")
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"expected 1 corpus scan, got $scans:\n$plan")
+  }
+
   test("spanOverlapPairs: keyed joins only, diagonal windows stay partitioned") {
     import graft.operators.Dedup
     val run = (1 to 10).map(i => s"shared$i").mkString(" ")
