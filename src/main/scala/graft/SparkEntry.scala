@@ -505,6 +505,26 @@ object SparkEntry {
           expectedItems = 10000L, numBits = 1L << 17)
         .select("doc_id").orderBy("doc_id")
     }),
+    "q_dedup_incr_simhash" -> ((s, dir) => {
+      // the SIMHASH member of the store family: catches token-set-identical
+      // near-copies the exact fingerprint store misses. The plant makes
+      // that distinction REAL: every src0 doc re-keyed with its tokens
+      // REVERSED — same distinct token set (same simhash, dropped here)
+      // but a different normalized byte sequence (the fingerprint store
+      // would keep it)
+      val docs = rd(s, dir, "documents")
+      val existing = docs.filter(col("source") === "src0")
+      Dedup.writeSimhashStore(existing, "doc_id", "text", "graft_sh_store",
+        portable = true, nBuckets = 4)
+      val newBatch = docs.filter(col("source") =!= "src0")
+        .select(col("doc_id"), col("text"))
+        .unionAll(existing.select(
+          (col("doc_id") + 1000000L).as("doc_id"),
+          array_join(reverse(split(col("text"), " ")), " ").as("text")))
+      Dedup.simhashDedupAgainst(newBatch, "doc_id", "text", "graft_sh_store",
+          portable = true, updateStore = false)
+        .select("doc_id").orderBy("doc_id")
+    }),
     "q_cluster_dedup" -> ((s, dir) => {
       // transitive connected-components dedup (md5-portable candidates) —
       // the DuckDB oracle replicates the components as a recursive CTE
@@ -1244,11 +1264,11 @@ object SparkEntry {
     * q_simhash_hamming (banded hamming ≤ 3 search). Distinct tokens, token
     * hash = first 15 md5 hex chars (= the kernel's hash60Md5), per-bit
     * majority vote over 60 positions. */
-  private val SimhashSigChainSql: String =
-    """tk AS (
+  private def simhashSigChainSql(src: String): String =
+    s"""tk AS (
          SELECT doc_id, list_distinct(string_split_regex(
-           trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+')) AS t
-         FROM documents),
+           trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\\s+')) AS t
+         FROM $src),
        tx AS (
          SELECT doc_id,
            CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS x
@@ -1825,6 +1845,24 @@ object SparkEntry {
              SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
              FROM documents WHERE source = 'src0')
          ORDER BY doc_id""",
+    "q_dedup_incr_simhash" ->
+      s"""WITH p AS (
+           SELECT doc_id, text, source FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000,
+             array_to_string(list_reverse(string_split(text, ' ')), ' '),
+             source
+           FROM documents WHERE source = 'src0'),
+         ${simhashSigChainSql("p")},
+         stored AS (
+           SELECT DISTINCT sg.sig FROM sg
+           JOIN p e ON e.doc_id = sg.doc_id
+           WHERE e.source = 'src0' AND e.doc_id < 1000000)
+         SELECT p.doc_id FROM p
+         JOIN sg n ON n.doc_id = p.doc_id
+         WHERE (p.source <> 'src0' OR p.doc_id >= 1000000)
+           AND n.sig NOT IN (SELECT sig FROM stored)
+         ORDER BY p.doc_id""",
     "q_dedup_incr_exact" ->
       """WITH newb AS (
            SELECT doc_id, text FROM documents WHERE source <> 'src0'
@@ -1840,7 +1878,7 @@ object SparkEntry {
     "q_curation_full" -> CurationFullOracle,
     "q_cluster_dedup" -> ClusterDedupOracle,
     "q_simhash_oracle" ->
-      s"""WITH $SimhashSigChainSql,
+      s"""WITH ${simhashSigChainSql("documents")},
          keep AS (SELECT min(doc_id) AS doc_id FROM sg GROUP BY sig)
          SELECT doc_id FROM documents
          WHERE doc_id IN (SELECT doc_id FROM keep) ORDER BY doc_id""",
@@ -1849,7 +1887,7 @@ object SparkEntry {
     // self-join, bit_count verify — DuckDB's xor()/bit_count replicate the
     // Spark kernel exactly (DuckDB's ^ is power, hence xor())
     "q_simhash_hamming" ->
-      s"""WITH $SimhashSigChainSql,
+      s"""WITH ${simhashSigChainSql("documents")},
          banded AS (
            SELECT doc_id, sig, b, (sig >> (b * 15)) & 32767 AS bb
            FROM sg CROSS JOIN (SELECT unnest(range(0, 4)) AS b) bs),

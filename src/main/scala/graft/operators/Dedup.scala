@@ -562,6 +562,49 @@ object Dedup {
     negatives.unionByName(positives).drop("__fp")
   }
 
+  /** create/replace the SIMHASH near-dup store: one bucketed table
+    * `<store>_sigs (sig)` of the kept corpus's distinct signatures — the
+    * middle member of the store family: broader than the exact fingerprint
+    * store (word REORDERINGS and anything else preserving the distinct
+    * token set collapse to one signature) but cheaper than the banded
+    * minhash store (one 8-byte key, no banding explosion). */
+  def writeSimhashStore(df: DataFrame, idCol: String, textCol: String,
+                        store: String, portable: Boolean = false,
+                        nBuckets: Int = 8): Unit = {
+    val sigs = if (portable) simhashSigsPortable(df, idCol, textCol)
+               else simhashSigs(df, idCol, textCol)
+    Sources.writeBucketed(sigs.select(col("simhash").as("sig")).distinct(),
+      s"${store}_sigs", "sig", nBuckets)
+  }
+
+  /** incremental SimHash dedup against [[writeSimhashStore]]'s table: drop
+    * every new doc whose signature the kept corpus already holds (hamming-0
+    * near-copies — token-set-identical variants the exact fingerprint store
+    * misses), anti-joining on the store's own bucket column; survivors'
+    * distinct signatures append when `updateStore`. `portable` must match
+    * the store's build flag. */
+  def simhashDedupAgainst(newBatch: DataFrame, idCol: String, textCol: String,
+                          store: String, portable: Boolean = false,
+                          updateStore: Boolean = true,
+                          nBuckets: Int = 8): DataFrame = {
+    val spark = newBatch.sparkSession
+    val sigs = (if (portable) simhashSigsPortable(newBatch, idCol, textCol)
+                else simhashSigs(newBatch, idCol, textCol))
+      .withColumnRenamed("simhash", "__sig")
+    val surv0 = newBatch.join(sigs, Seq(idCol))
+      .join(spark.table(s"${store}_sigs").withColumnRenamed("sig", "__sig"),
+        Seq("__sig"), "left_anti")
+    val survivors =
+      if (!updateStore) surv0
+      else {
+        val s = surv0.localCheckpoint()
+        Sources.writeBucketed(s.select(col("__sig").as("sig")).distinct(),
+          s"${store}_sigs", "sig", nBuckets, SaveMode.Append)
+        s
+      }
+    survivors.drop("__sig")
+  }
+
   /** connected components over a candidate pair graph by iterative min-label
     * propagation: every node starts labeled with its own id; each round takes
     * the min of its label and its neighbors' labels; fixpoint = each

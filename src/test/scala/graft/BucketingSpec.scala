@@ -127,6 +127,41 @@ class BucketingSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS graft_fp_test_fps")
   }
 
+  test("simhashDedupAgainst drops token-set near-copies the fingerprint store keeps") {
+    import spark.implicits._
+    val existing = Seq((1L, "alpha beta gamma delta"), (2L, "epsilon zeta eta"))
+      .toDF("doc_id", "text")
+    // 3: REVERSED tokens of stored doc 1 — same distinct token set (same
+    // simhash), different byte sequence (different fingerprint); 4: fresh
+    val newBatch = Seq((3L, "delta gamma beta alpha"), (4L, "theta iota"))
+      .toDF("doc_id", "text")
+    try {
+      Dedup.writeSimhashStore(existing, "doc_id", "text", "graft_sh_test",
+        nBuckets = 2)
+      val kept = Dedup.simhashDedupAgainst(newBatch, "doc_id", "text",
+          "graft_sh_test", updateStore = true, nBuckets = 2)
+        .select("doc_id").as[Long].collect().toSeq
+      assert(kept == Seq(4L)) // the reordering is caught
+      // the EXACT fingerprint store would have kept the reordered doc —
+      // that is the gap this store member exists to close
+      Dedup.writeFingerprintStore(existing, "text", "graft_sh_fp", nBuckets = 2)
+      val fpKept = Dedup.exactDedupAgainst(newBatch, "text", "graft_sh_fp",
+          updateStore = false, nBuckets = 2)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(fpKept == Seq(3L, 4L))
+      // survivor signature appended: a copy of doc 4 now drops
+      val third = Seq((5L, "iota theta"), (6L, "kappa lambda"))
+        .toDF("doc_id", "text")
+      val kept3 = Dedup.simhashDedupAgainst(third, "doc_id", "text",
+          "graft_sh_test", updateStore = false, nBuckets = 2)
+        .select("doc_id").as[Long].collect().toSeq
+      assert(kept3 == Seq(6L))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_sh_test_sigs")
+      spark.sql("DROP TABLE IF EXISTS graft_sh_fp_fps")
+    }
+  }
+
   test("incremental store candidate join never reshuffles the store side") {
     import spark.implicits._
     val existing = (1L to 200L).map(i => (i, mkText(i.toInt, "e")))
