@@ -65,6 +65,18 @@ object SparkEntry {
         weights = Map("src0" -> 0.25, "src1" -> 0.15)))
   }
 
+  /** the synthetic web-page plant shared by q_boilerplate and
+    * q_curation_web (and replicated by [[boilerplateChainSql]]): nav header
+    * + content + ratio-straddling promo variant + copyright footer. */
+  private def plantWebPages(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+      concat_ws("\n",
+        concat(lit("nav "), col("source"), lit(" home")),
+        col("text"),
+        when(col("doc_id") % 40 < 20, "promo sale")
+          .otherwise("no promo today"),
+        concat(lit("copyright "), col("source"))).as("text"))
+
   /** events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized reader
     * rejects; with spark.sql.legacy.parquet.nanosAsLong=true (set in
     * Verify/Bench sessions) it arrives as raw nanos — convert to micros with
@@ -794,18 +806,25 @@ object SparkEntry {
       // promo line whose variant splits the host's docs just above/below
       // the 0.5 ratio (one variant dropped, the other kept — the
       // discriminative case), and the doc's own unique text (kept)
-      val planted = rd(s, dir, "documents").select(col("doc_id"),
-        col("source"),
-        concat_ws("\n",
-          concat(lit("nav "), col("source"), lit(" home")),
-          col("text"),
-          when(col("doc_id") % 40 < 20, "promo sale")
-            .otherwise("no promo today"),
-          concat(lit("copyright "), col("source"))).as("text"))
-      TextAnalysis.removeBoilerplateLines(planted, "doc_id", "text",
-          "source", maxLineDocRatio = 0.5)
+      TextAnalysis.removeBoilerplateLines(plantWebPages(rd(s, dir, "documents")),
+          "doc_id", "text", "source", maxLineDocRatio = 0.5)
         .withColumnRenamed("source", "host")
         .orderBy("doc_id")
+    }),
+    "q_curation_web" -> ((s, dir) => {
+      // WEB-SHAPED curation: the boilerplate strip feeding the verified
+      // curation chain (gates → fingerprint dedup → near-dedup → sample)
+      // over the CLEANED text. Composition is discriminative end to end:
+      // the kept promo-line variant changes length/stopword inputs to the
+      // gates, so a wrong boilerplate decision flips gate outcomes
+      val cleaned = TextAnalysis.removeBoilerplateLines(
+          plantWebPages(rd(s, dir, "documents")), "doc_id", "text", "source",
+          maxLineDocRatio = 0.5)
+        .withColumnRenamed("clean_text", "text")
+      graft.operators.Curation.curate(cleaned, "doc_id", "text",
+          lang = "en", minQuality = 0.6, nearDupThreshold = 0.5,
+          sampleFraction = 0.5)
+        .select("doc_id", "source").orderBy("doc_id")
     }),
     "q_url_extract" -> ((s, dir) => {
       // per-host crawl stats over extracted + CANONICALIZED urls. The
@@ -1073,19 +1092,58 @@ object SparkEntry {
        WHERE source <> 'src0' AND doc_id NOT IN (SELECT new_id FROM dups)
        ORDER BY doc_id"""
 
+  /** the planted-web-page + boilerplate-strip CTE chain, replicating
+    * [[plantWebPages]] + [[TextAnalysis.removeBoilerplateLines]] (ratio 0.5,
+    * minLineDocFreq 2) over `src`. Yields `web(doc_id, source, text)` —
+    * the cleaned corpus — for q_boilerplate and the composed
+    * q_curation_web. */
+  private def boilerplateChainSql(src: String): String =
+    s"""bp AS (
+         SELECT doc_id, source,
+           concat_ws(chr(10), concat('nav ', source, ' home'), text,
+             CASE WHEN doc_id % 40 < 20 THEN 'promo sale'
+                  ELSE 'no promo today' END,
+             concat('copyright ', source)) AS text
+         FROM $src),
+       bl AS (
+         SELECT doc_id, source, i AS pos, xs[i + 1] AS line
+         FROM (SELECT doc_id, source, xs,
+                 unnest(range(0, len(xs))) AS i
+               FROM (SELECT doc_id, source,
+                       string_split(text, chr(10)) AS xs FROM bp))),
+       bnd AS (SELECT source, count(DISTINCT doc_id) AS n
+               FROM bp GROUP BY source),
+       bldf AS (SELECT source, line, count(DISTINCT doc_id) AS df
+                FROM bl GROUP BY source, line),
+       boiler AS (
+         SELECT source, line FROM bldf JOIN bnd USING (source)
+         WHERE df >= 2 AND CAST(df AS DOUBLE) / n > 0.5),
+       bkept AS (
+         SELECT bl.doc_id, bl.pos, bl.line
+         FROM bl LEFT JOIN boiler b
+           ON bl.source = b.source AND bl.line = b.line
+         WHERE b.line IS NULL),
+       bagg AS (
+         SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text
+         FROM bkept GROUP BY doc_id),
+       web AS (
+         SELECT bp.doc_id, bp.source, coalesce(a.clean_text, '') AS text
+         FROM bp LEFT JOIN bagg a ON a.doc_id = bp.doc_id)"""
+
   /** the language+quality gate CTE ("gate") — the q_quality_score /
-    * q_lang_guess CASE logic over `documents`, shared by q_curation and
-    * q_curation_full. */
-  private val GateCte: String =
-    """gate AS (
+    * q_lang_guess CASE logic over `src`, shared by q_curation,
+    * q_curation_full, and (over the boilerplate-cleaned `web`)
+    * q_curation_web. */
+  private def gateCte(src: String): String =
+    s"""gate AS (
          SELECT doc_id, text, source FROM (
            SELECT doc_id, text, source,
              CAST(length(text) AS DOUBLE) AS n,
-             round(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             round(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
                  t -> list_contains(['the','a','an','of','to','and','in','is','it','that'], t)))
-               / len(string_split_regex(lower(trim(text)), '\s+')), 6) AS sr,
-             string_split_regex(lower(trim(text)), '\s+') AS tt
-           FROM documents)
+               / len(string_split_regex(lower(trim(text)), '\\s+')), 6) AS sr,
+             string_split_regex(lower(trim(text)), '\\s+') AS tt
+           FROM $src)
          WHERE round((
              CASE WHEN n >= 100 AND n <= 10000 THEN 1.0
                   WHEN n >= 20 THEN 0.5 ELSE 0.0 END
@@ -1110,7 +1168,25 @@ object SparkEntry {
     * hash-sample filter. Every stage is the already-verified oracle
     * fragment; the composition verifies that the operators chain. */
   private val CurationOracle: String =
-    s"""WITH $GateCte,
+    s"""WITH ${gateCte("documents")},
+       exact AS (
+         SELECT doc_id, text, source FROM gate WHERE doc_id IN (
+           SELECT min(doc_id) FROM gate
+           GROUP BY md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))))),
+       ${minhashDedupChainSql("exact", 0.5)}
+       SELECT doc_id, source FROM exact
+       WHERE doc_id NOT IN (SELECT id_b FROM dups)
+         AND CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 10000 < 5000
+       ORDER BY doc_id"""
+
+  /** q_curation_web in DuckDB: the boilerplate strip feeding the SAME
+    * composed curation chain as [[CurationOracle]], with the gates /
+    * dedups / sample running over the CLEANED text (`web` from
+    * [[boilerplateChainSql]] instead of raw `documents`). */
+  private val CurationWebOracle: String =
+    s"""WITH ${boilerplateChainSql("documents")},
+       ${gateCte("web")},
        exact AS (
          SELECT doc_id, text, source FROM gate WHERE doc_id IN (
            SELECT min(doc_id) FROM gate
@@ -1132,7 +1208,7 @@ object SparkEntry {
   private val CurationFullOracle: String = {
     val qvals = TextAnalysis.syntheticQualityModel().zipWithIndex
       .map { case (w, b) => s"($b, $w)" }.mkString(", ")
-    s"""WITH $GateCte,
+    s"""WITH ${gateCte("documents")},
        qw(b, wm) AS (VALUES $qvals),
        qsc AS (
          SELECT qbx.doc_id, count(*) AS nt, CAST(sum(qw.wm) AS BIGINT) AS sw
@@ -2282,35 +2358,10 @@ object SparkEntry {
            FROM documents) WHERE rn <= 50
          ORDER BY doc_id""",
     "q_boilerplate" ->
-      """WITH p AS (
-           SELECT doc_id, source AS host,
-             concat_ws(chr(10), concat('nav ', source, ' home'), text,
-               CASE WHEN doc_id % 40 < 20 THEN 'promo sale'
-                    ELSE 'no promo today' END,
-               concat('copyright ', source)) AS text
-           FROM documents),
-         l AS (
-           SELECT doc_id, host, i AS pos, xs[i + 1] AS line
-           FROM (SELECT doc_id, host, xs,
-                   unnest(range(0, len(xs))) AS i
-                 FROM (SELECT doc_id, host,
-                         string_split(text, chr(10)) AS xs FROM p))),
-         nd AS (SELECT host, count(DISTINCT doc_id) AS n FROM p GROUP BY host),
-         ldf AS (SELECT host, line, count(DISTINCT doc_id) AS df
-                 FROM l GROUP BY host, line),
-         boiler AS (
-           SELECT host, line FROM ldf JOIN nd USING (host)
-           WHERE df >= 2 AND CAST(df AS DOUBLE) / n > 0.5),
-         kept AS (
-           SELECT l.doc_id, l.pos, l.line
-           FROM l LEFT JOIN boiler b ON l.host = b.host AND l.line = b.line
-           WHERE b.line IS NULL),
-         agg AS (
-           SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text
-           FROM kept GROUP BY doc_id)
-         SELECT p.doc_id, p.host, coalesce(a.clean_text, '') AS clean_text
-         FROM p LEFT JOIN agg a ON a.doc_id = p.doc_id
-         ORDER BY p.doc_id""",
+      s"""WITH ${boilerplateChainSql("documents")}
+         SELECT doc_id, source AS host, text AS clean_text FROM web
+         ORDER BY doc_id""",
+    "q_curation_web" -> CurationWebOracle,
     "q_url_extract" ->
       """WITH p AS (
            SELECT doc_id,
