@@ -537,6 +537,25 @@ object SparkEntry {
           portable = true, updateStore = false)
         .select("doc_id").orderBy("doc_id")
     }),
+    "q_dedup_incr_embedding" -> ((s, dir) => {
+      // the EMBEDDING member of the store family (semantic space): even
+      // vec_ids seed the banded-hyperplane store, odd ids are the new
+      // batch — plus every stored vector re-keyed (+1e6) as a planted
+      // exact near-dup (cosine 1.0) that MUST drop through the banded
+      // candidate + exact-cosine verify path
+      val emb = rd(s, dir, "embeddings")
+      val existing = emb.filter(col("vec_id") % 2 === 0)
+      Dedup.writeEmbeddingStore(existing, "vec_id", "embedding",
+        "graft_emb_store", dim = 64, bandBits = 12, bands = 5, nBuckets = 4)
+      val newBatch = emb.filter(col("vec_id") % 2 === 1)
+        .select(col("vec_id"), col("embedding"))
+        .unionAll(existing.select((col("vec_id") + 1000000L).as("vec_id"),
+          col("embedding")))
+      Dedup.embeddingNearDupAgainst(newBatch, "vec_id", "embedding",
+          "graft_emb_store", threshold = 0.35, dim = 64, bandBits = 12,
+          bands = 5, updateStore = false)
+        .select("vec_id").orderBy("vec_id")
+    }),
     "q_cluster_dedup" -> ((s, dir) => {
       // transitive connected-components dedup (md5-portable candidates) —
       // the DuckDB oracle replicates the components as a recursive CTE
@@ -1901,6 +1920,47 @@ object SparkEntry {
        WHERE raw >= 0.35 ORDER BY id_a, id_b"""
   }
 
+  /** q_dedup_incr_embedding in DuckDB: the banded-hyperplane store probe —
+    * same plane literals, bands, and exact-cosine verify as
+    * [[EmbeddingNearDupLshOracle]], with candidates restricted to
+    * new-batch × stored vectors (the cross-store join of
+    * [[Dedup.embeddingNearDupAgainst]]). */
+  private val DedupIncrEmbeddingOracle: String = {
+    s"""WITH planes(b, j, w) AS (VALUES ${hyperplaneValues(60)}),
+       pl AS (SELECT b, list(w ORDER BY j) AS pw FROM planes GROUP BY b),
+       e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       ex AS (SELECT vec_id, v FROM e WHERE vec_id % 2 = 0),
+       nw AS (SELECT vec_id, v FROM e WHERE vec_id % 2 = 1
+              UNION ALL SELECT vec_id + 1000000, v FROM ex),
+       sx AS (
+         SELECT ex.vec_id,
+           CAST(sum(CASE WHEN list_dot_product(ex.v, pl.pw) >= 0
+                    THEN (CAST(1 AS BIGINT) << pl.b) ELSE 0 END) AS BIGINT) AS fs
+         FROM ex CROSS JOIN pl GROUP BY ex.vec_id),
+       sn AS (
+         SELECT nw.vec_id,
+           CAST(sum(CASE WHEN list_dot_product(nw.v, pl.pw) >= 0
+                    THEN (CAST(1 AS BIGINT) << pl.b) ELSE 0 END) AS BIGINT) AS fs
+         FROM nw CROSS JOIN pl GROUP BY nw.vec_id),
+       bx AS (SELECT vec_id, bb AS band, (fs >> (bb * 12)) & 4095 AS sig
+              FROM sx CROSS JOIN (SELECT unnest(range(0, 5)) AS bb) bs),
+       bn AS (SELECT vec_id, bb AS band, (fs >> (bb * 12)) & 4095 AS sig
+              FROM sn CROSS JOIN (SELECT unnest(range(0, 5)) AS bb) bs),
+       cand AS (
+         SELECT DISTINCT n.vec_id AS nid, x.vec_id AS sid
+         FROM bn n JOIN bx x ON n.band = x.band AND n.sig = x.sig),
+       dups AS (
+         SELECT DISTINCT nid FROM cand
+         JOIN nw a ON a.vec_id = cand.nid
+         JOIN ex b ON b.vec_id = cand.sid
+         WHERE list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v))
+              * sqrt(list_dot_product(b.v, b.v))) >= 0.35)
+       SELECT vec_id FROM nw
+       WHERE vec_id NOT IN (SELECT nid FROM dups)
+       ORDER BY vec_id"""
+  }
+
   /** DuckDB oracle SQL per query (same result, same column names, same
     * ORDER BY). Queries absent here are not SQL-expressible in DuckDB
     * (seeded xxhash64 / hyperplane / HLL sketches) → driver records the
@@ -2263,6 +2323,7 @@ object SparkEntry {
     "q_lsh_recall_planted" -> LshRecallPlantedOracle,
     "q_lsh_ann" -> LshAnnOracle,
     "q_embedding_neardup" -> EmbeddingNearDupLshOracle,
+    "q_dedup_incr_embedding" -> DedupIncrEmbeddingOracle,
     // NOTE: parity holds because the documents fixture is ASCII-only — the
     // Spark kernel's mean_intensity averages UTF-8 BYTES while ascii(substr)
     // here averages CODEPOINTS over the CHARACTER count; any multi-byte text

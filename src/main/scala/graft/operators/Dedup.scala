@@ -605,6 +605,66 @@ object Dedup {
     survivors.drop("__sig")
   }
 
+  /** create/replace the EMBEDDING near-dup store — the fourth store member,
+    * covering semantic/representation space: two bucketed tables,
+    * `<store>_bands (id, band, sig)` (banded hyperplane signatures, bucketed
+    * by sig — the candidate-join key) and `<store>_vecs (id, vec)` (bucketed
+    * by id — the exact-cosine verify side). Same banding math as
+    * [[embeddingNearDupLsh]]; `bandBits`/`bands`/`seed` must match between
+    * store build and probe. */
+  def writeEmbeddingStore(df: DataFrame, idCol: String, vecCol: String,
+                          store: String, dim: Int, bandBits: Int = 16,
+                          bands: Int = 4, seed: Long = 42L,
+                          nBuckets: Int = 8): Unit = {
+    Sources.writeBucketed(
+      Similarity.lshBandSignatures(df, idCol, vecCol, dim, bandBits, bands, seed),
+      s"${store}_bands", "sig", nBuckets)
+    Sources.writeBucketed(df.select(col(idCol), col(vecCol).as("vec")),
+      s"${store}_vecs", idCol, nBuckets)
+  }
+
+  /** incremental EMBEDDING near-dup against [[writeEmbeddingStore]]: new
+    * vectors are banded with the SAME planes, candidates come from the
+    * band+sig match against the store's banded table (bucketed on sig — the
+    * store never reshuffles; only the new batch does), the exact-cosine
+    * verify joins the store's vecs table on its id bucket, and every new
+    * id with cosine ≥ threshold against ANY stored vector is dropped.
+    * Survivors' bands and vectors append as new bucket files when
+    * `updateStore`. */
+  def embeddingNearDupAgainst(newBatch: DataFrame, idCol: String,
+                              vecCol: String, store: String,
+                              threshold: Double, dim: Int,
+                              bandBits: Int = 16, bands: Int = 4,
+                              seed: Long = 42L, updateStore: Boolean = true,
+                              nBuckets: Int = 8): DataFrame = {
+    val spark = newBatch.sparkSession
+    val newBands = Similarity.lshBandSignatures(newBatch, idCol, vecCol, dim,
+      bandBits, bands, seed)
+    val cands = newBands
+      .join(spark.table(s"${store}_bands")
+          .withColumnRenamed(idCol, "__sid"),
+        Seq("band", "sig"))
+      .select(col(idCol), col("__sid")).distinct()
+    val dupIds0 = cands
+      .join(newBatch.select(col(idCol), col(vecCol).as("__nv")), idCol)
+      .join(spark.table(s"${store}_vecs")
+          .select(col(idCol).as("__sid"), col("vec").as("__sv")),
+        "__sid")
+      .filter(Similarity.cosine(col("__nv"), col("__sv")) >= threshold)
+      .select(idCol).distinct()
+    val dupIds = if (updateStore) dupIds0.localCheckpoint() else dupIds0
+    if (updateStore) {
+      val surv = newBatch.join(dupIds, Seq(idCol), "left_anti")
+      Sources.writeBucketed(
+        Similarity.lshBandSignatures(surv, idCol, vecCol, dim, bandBits,
+          bands, seed),
+        s"${store}_bands", "sig", nBuckets, SaveMode.Append)
+      Sources.writeBucketed(surv.select(col(idCol), col(vecCol).as("vec")),
+        s"${store}_vecs", idCol, nBuckets, SaveMode.Append)
+    }
+    newBatch.join(dupIds, Seq(idCol), "left_anti")
+  }
+
   /** connected components over a candidate pair graph by iterative min-label
     * propagation: every node starts labeled with its own id; each round takes
     * the min of its label and its neighbors' labels; fixpoint = each

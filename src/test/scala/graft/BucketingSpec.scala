@@ -162,6 +162,35 @@ class BucketingSpec extends AnyFunSuite {
     }
   }
 
+  test("embeddingNearDupAgainst drops near-vectors, store grows with survivors") {
+    import spark.implicits._
+    def unit(i: Int): Seq[Float] =
+      Seq.tabulate(8)(j => if (j == i) 1.0f else 0.0f)
+    val existing = Seq((2L, unit(0)), (4L, unit(1))).toDF("vec_id", "embedding")
+    // 5 duplicates stored vec 2 exactly (cosine 1.0); 7 is orthogonal
+    val newBatch = Seq((5L, unit(0)), (7L, unit(2))).toDF("vec_id", "embedding")
+    try {
+      Dedup.writeEmbeddingStore(existing, "vec_id", "embedding",
+        "graft_emb_test", dim = 8, bandBits = 4, bands = 2, nBuckets = 2)
+      val kept = Dedup.embeddingNearDupAgainst(newBatch, "vec_id", "embedding",
+          "graft_emb_test", threshold = 0.9, dim = 8, bandBits = 4, bands = 2,
+          updateStore = true, nBuckets = 2)
+        .select("vec_id").as[Long].collect().toSeq
+      assert(kept == Seq(7L))
+      // survivor 7's vector+bands were appended: its copy now drops
+      val third = Seq((9L, unit(2)), (11L, unit(3))).toDF("vec_id", "embedding")
+      val kept3 = Dedup.embeddingNearDupAgainst(third, "vec_id", "embedding",
+          "graft_emb_test", threshold = 0.9, dim = 8, bandBits = 4, bands = 2,
+          updateStore = false, nBuckets = 2)
+        .select("vec_id").as[Long].collect().toSeq
+      assert(kept3 == Seq(11L))
+      assert(spark.table("graft_emb_test_vecs").count() == 3L)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_emb_test_bands")
+      spark.sql("DROP TABLE IF EXISTS graft_emb_test_vecs")
+    }
+  }
+
   test("incremental store candidate join never reshuffles the store side") {
     import spark.implicits._
     val existing = (1L to 200L).map(i => (i, mkText(i.toInt, "e")))
