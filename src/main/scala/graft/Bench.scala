@@ -152,6 +152,30 @@ object Bench {
           Relational.movingAgg(d, Seq("doc_id"), Seq(col("n")),
             sum(col("n")), 3, "ms"),
           Seq("doc_id"), col("n"), sum(col("n")), 100L, "rs").count()
+      }),
+      // boilerplate line removal: split+posexplode postings, (host, line)
+      // doc-freq, anti-join, ordered string_agg reassembly
+      "boilerplate" -> (() => {
+        import graft.operators.TextAnalysis
+        val web = docs.select(col("doc_id"),
+          (col("doc_id") % 3).cast("string").as("host"),
+          concat_ws("\n", lit("nav home"), col("text"),
+            lit("copyright site")).as("text"))
+        TextAnalysis.removeBoilerplateLines(web, "doc_id", "text", "host")
+          .count()
+      }),
+      // embedding store cycle: banded-signature + vecs bucketed writes,
+      // band-keyed candidate join, cosine verify, anti-join
+      "emb_store" -> (() => {
+        import graft.operators.Dedup
+        Dedup.writeEmbeddingStore(emb.limit(64), "vec_id", "embedding",
+          "graft_warm_emb", dim = 64, bandBits = 12, bands = 5, nBuckets = 2)
+        val n = Dedup.embeddingNearDupAgainst(emb.limit(64), "vec_id",
+          "embedding", "graft_warm_emb", threshold = 0.99, dim = 64,
+          bandBits = 12, bands = 5, updateStore = false, nBuckets = 2).count()
+        spark.sql("DROP TABLE IF EXISTS graft_warm_emb_bands")
+        spark.sql("DROP TABLE IF EXISTS graft_warm_emb_vecs")
+        n
       }))
     steps.foreach { case (name, step) =>
       try step()
