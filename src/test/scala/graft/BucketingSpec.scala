@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.Dedup
@@ -188,6 +189,55 @@ class BucketingSpec extends AnyFunSuite {
     } finally {
       spark.sql("DROP TABLE IF EXISTS graft_emb_test_bands")
       spark.sql("DROP TABLE IF EXISTS graft_emb_test_vecs")
+    }
+  }
+
+  test("store family property: survivors match direct membership on a random corpus") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val rnd = new scala.util.Random(20260813L)
+    // small vocab forces organic token-set collisions alongside the plants
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    def doc() = Seq.fill(5 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size)))
+      .mkString(" ")
+    val existing = (1L to 40L).map(i => (i, doc()))
+    val newRows = (41L to 80L).map { i =>
+      if (rnd.nextInt(4) == 0) (i, existing(rnd.nextInt(existing.size))._2)
+      else (i, doc())
+    }
+    val exDf = existing.toDF("doc_id", "text")
+    val nwDf = newRows.toDF("doc_id", "text")
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("doc_id").as[Long].collect().toSet
+    try {
+      // EXACT + BLOOM: reference = fingerprint set membership
+      Dedup.writeFingerprintStore(exDf, "text", "graft_prop_fp", nBuckets = 2)
+      val fpEx = exDf.select(TextAnalysis.fingerprint(col("text")))
+        .as[String].collect().toSet
+      val wantExact = nwDf
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")))
+        .as[(Long, String)].collect()
+        .collect { case (i, f) if !fpEx.contains(f) => i }.toSet
+      assert(ids(Dedup.exactDedupAgainst(nwDf, "text", "graft_prop_fp",
+        updateStore = false, nBuckets = 2)) == wantExact)
+      assert(ids(Dedup.exactDedupAgainstBloom(nwDf, "text", "graft_prop_fp",
+        expectedItems = 64L, numBits = 1L << 12)) == wantExact)
+      assert(wantExact.size < newRows.size) // the plants actually dropped
+      // SIMHASH: reference = signature set membership
+      Dedup.writeSimhashStore(exDf, "doc_id", "text", "graft_prop_sh",
+        nBuckets = 2)
+      val shEx = Dedup.simhashSigs(exDf, "doc_id", "text")
+        .select("simhash").as[Long].collect().toSet
+      val wantSh = Dedup.simhashSigs(nwDf, "doc_id", "text")
+        .as[(Long, Long)].collect()
+        .collect { case (i, s) if !shEx.contains(s) => i }.toSet
+      assert(ids(Dedup.simhashDedupAgainst(nwDf, "doc_id", "text",
+        "graft_prop_sh", updateStore = false, nBuckets = 2)) == wantSh)
+      assert(wantSh.subsetOf(wantExact)) // simhash reach ⊇ exact reach
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_prop_fp_fps")
+      spark.sql("DROP TABLE IF EXISTS graft_prop_sh_sigs")
     }
   }
 
