@@ -1534,6 +1534,23 @@ object SparkEntry {
          $qualityLogitSql >= 0.0 AS keep
        FROM qsc ORDER BY doc_id"""
 
+  /** q_dedup_incr_exact AND q_dedup_incr_bloom: the planted incremental
+    * exact dedup — src0 fingerprints are the store, the new batch is every
+    * other source plus every src0 doc re-keyed (+1e6) as a guaranteed
+    * duplicate. One definition, two queries (the bloom prefilter is
+    * result-identical by no-false-negatives). */
+  private val DedupIncrExactOracle: String =
+    """WITH newb AS (
+         SELECT doc_id, text FROM documents WHERE source <> 'src0'
+         UNION ALL
+         SELECT doc_id + 1000000, text FROM documents WHERE source = 'src0')
+       SELECT doc_id FROM newb
+       WHERE md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+         NOT IN (
+           SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+           FROM documents WHERE source = 'src0')
+       ORDER BY doc_id"""
+
   /** three deterministic synthetic domain models (distinct seeds) — the
     * multi-class twin of [[TextAnalysis.syntheticQualityModel]]; the Spark
     * query and the DuckDB oracle embed the SAME literals. */
@@ -1968,19 +1985,9 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q_minhash_oracle" -> MinhashOracle,
     "q_dedup_incremental" -> DedupIncrementalOracle,
-    "q_dedup_incr_bloom" ->
-      // IDENTICAL oracle to q_dedup_incr_exact: the bloom prefilter has no
-      // false negatives, so prefilter + exact anti-join ≡ exact anti-join
-      """WITH newb AS (
-           SELECT doc_id, text FROM documents WHERE source <> 'src0'
-           UNION ALL
-           SELECT doc_id + 1000000, text FROM documents WHERE source = 'src0')
-         SELECT doc_id FROM newb
-         WHERE md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
-           NOT IN (
-             SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
-             FROM documents WHERE source = 'src0')
-         ORDER BY doc_id""",
+    // the bloom prefilter has no false negatives, so prefilter + exact
+    // anti-join ≡ exact anti-join: ONE shared oracle for both queries
+    "q_dedup_incr_bloom" -> DedupIncrExactOracle,
     "q_dedup_incr_simhash" ->
       s"""WITH p AS (
            SELECT doc_id, text, source FROM documents
@@ -1999,17 +2006,7 @@ object SparkEntry {
          WHERE (p.source <> 'src0' OR p.doc_id >= 1000000)
            AND n.sig NOT IN (SELECT sig FROM stored)
          ORDER BY p.doc_id""",
-    "q_dedup_incr_exact" ->
-      """WITH newb AS (
-           SELECT doc_id, text FROM documents WHERE source <> 'src0'
-           UNION ALL
-           SELECT doc_id + 1000000, text FROM documents WHERE source = 'src0')
-         SELECT doc_id FROM newb
-         WHERE md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
-           NOT IN (
-             SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
-             FROM documents WHERE source = 'src0')
-         ORDER BY doc_id""",
+    "q_dedup_incr_exact" -> DedupIncrExactOracle,
     "q_curation" -> CurationOracle,
     "q_curation_full" -> CurationFullOracle,
     "q_cluster_dedup" -> ClusterDedupOracle,

@@ -554,8 +554,12 @@ object Dedup {
     val mightContain = GraftSqlBridge.column(BloomFilterMightContain(
       GraftSqlBridge.expression(lit(sketch)),
       GraftSqlBridge.expression(xxhash64(col("__fp")))))
-    val negatives = withFp.filter(!mightContain) // provably not stored
-    val positives = withFp.filter(mightContain)
+    // project the probe ONCE into a boolean column: both branch filters
+    // reference __mc, so the megabyte-scale sketch literal appears in the
+    // plan once, not once per branch
+    val probed = withFp.withColumn("__mc", mightContain)
+    val negatives = probed.filter(!col("__mc")).drop("__mc") // provably not stored
+    val positives = probed.filter(col("__mc")).drop("__mc")
       .join(storeFps.withColumnRenamed("fp", "__fp"), Seq("__fp"), "left_anti")
     // unionByName: the using-column anti-join moves __fp first, so a
     // positional union would misalign every other column
@@ -588,10 +592,11 @@ object Dedup {
                           updateStore: Boolean = true,
                           nBuckets: Int = 8): DataFrame = {
     val spark = newBatch.sparkSession
-    val sigs = (if (portable) simhashSigsPortable(newBatch, idCol, textCol)
-                else simhashSigs(newBatch, idCol, textCol))
-      .withColumnRenamed("simhash", "__sig")
-    val surv0 = newBatch.join(sigs, Seq(idCol))
+    // signature as a DERIVED COLUMN (the fused kernel is a per-row
+    // projection): one scan of the batch, no self-join on id — the
+    // exactDedupAgainst shape
+    val surv0 = newBatch
+      .withColumn("__sig", simhashCol(col(textCol), portable))
       .join(spark.table(s"${store}_sigs").withColumnRenamed("sig", "__sig"),
         Seq("__sig"), "left_anti")
     val survivors =
@@ -652,17 +657,21 @@ object Dedup {
         "__sid")
       .filter(Similarity.cosine(col("__nv"), col("__sv")) >= threshold)
       .select(idCol).distinct()
-    val dupIds = if (updateStore) dupIds0.localCheckpoint() else dupIds0
     if (updateStore) {
-      val surv = newBatch.join(dupIds, Seq(idCol), "left_anti")
+      // checkpoint the SURVIVORS (not the dup ids): the bands append, the
+      // vecs append, and the caller's read are three consumers — without
+      // this each would re-run the anti-join and the banded-signature
+      // kernel over the batch
+      val surv = newBatch.join(dupIds0, Seq(idCol), "left_anti")
+        .localCheckpoint()
       Sources.writeBucketed(
         Similarity.lshBandSignatures(surv, idCol, vecCol, dim, bandBits,
           bands, seed),
         s"${store}_bands", "sig", nBuckets, SaveMode.Append)
       Sources.writeBucketed(surv.select(col(idCol), col(vecCol).as("vec")),
         s"${store}_vecs", idCol, nBuckets, SaveMode.Append)
-    }
-    newBatch.join(dupIds, Seq(idCol), "left_anti")
+      surv
+    } else newBatch.join(dupIds0, Seq(idCol), "left_anti")
   }
 
   /** connected components over a candidate pair graph by iterative min-label
@@ -837,13 +846,20 @@ object Dedup {
     * shuffle. Bit-identical to [[simhash64]] and to [[simhashSigsAgg]]
     * (asserted in OperatorsSpec). Measured at sf0.1: the aggregate form
     * shipped 64 shuffle rows PER TOKEN through two hash aggregates. */
-  def simhashSigs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** the fused tokens→signature kernel as a COLUMN — a pure per-row
+    * projection usable with `withColumn` (no join against a signature
+    * frame; [[simhashDedupAgainst]] relies on this to avoid re-scanning
+    * the batch). */
+  private[graft] def simhashCol(textCol: Column,
+                                portable: Boolean = false): Column = {
     import org.apache.spark.sql.GraftSqlBridge
-    val toks = TextAnalysis.tokens(TextAnalysis.normalized(col(textCol)))
-    df.select(col(idCol),
-      GraftSqlBridge.column(graft.functions.SimHashTokensExpr(
-        GraftSqlBridge.expression(toks))).as("simhash"))
+    val toks = TextAnalysis.tokens(TextAnalysis.normalized(textCol))
+    GraftSqlBridge.column(graft.functions.SimHashTokensExpr(
+      GraftSqlBridge.expression(toks), md5Portable = portable))
   }
+
+  def simhashSigs(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), simhashCol(col(textCol)).as("simhash"))
 
   /** SimHash via explode + majority-vote hash aggregates — the shape for
     * inputs that arrive as one-row-per-token tables; for per-doc text input
@@ -875,13 +891,8 @@ object Dedup {
     * row-local kernel as [[simhashSigs]] but on the hash base DuckDB can
     * replicate (first 15 md5 hex chars = 60 bits keeps the value positive in
     * a signed BIGINT for both engines). */
-  def simhashSigsPortable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    import org.apache.spark.sql.GraftSqlBridge
-    val toks = TextAnalysis.tokens(TextAnalysis.normalized(col(textCol)))
-    df.select(col(idCol),
-      GraftSqlBridge.column(graft.functions.SimHashTokensExpr(
-        GraftSqlBridge.expression(toks), md5Portable = true)).as("simhash"))
-  }
+  def simhashSigsPortable(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), simhashCol(col(textCol), portable = true).as("simhash"))
 
   /** 60-bit SimHash dedup on md5-derived token hashes — as [[simhashDedup]]
     * (hamming distance 0) on [[simhashSigsPortable]] signatures, so the

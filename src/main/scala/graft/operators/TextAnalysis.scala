@@ -364,7 +364,13 @@ object TextAnalysis {
     * [[hashedQualityScore]] postings shape widened to K columns — the
     * shuffle carries (doc, K longs), independent of vocab or corpus), then
     * a pure argmax projection. K is the number of DOMAINS (tens), never
-    * data-sized. */
+    * data-sized.
+    *
+    * Precondition (shared with [[hashedQualityScore]]): a document with
+    * NULL or token-less text contributes no explode rows and is ABSENT
+    * from the output — there is no mean logit to compute for it. Route
+    * such docs explicitly upstream (e.g. the curation length gate) rather
+    * than joining this frame and silently losing them. */
   def hashedClassify(df: DataFrame, idCol: String, textCol: String,
                      classWeights: Seq[(String, Seq[Long])]): DataFrame = {
     require(classWeights.nonEmpty, "hashedClassify requires >= 1 class")
@@ -419,11 +425,14 @@ object TextAnalysis {
     * document, every line's ratio is 1.0 and the doc would be erased;
     * a line must repeat across documents before it can be template.
     *
-    * Scale shape: one split+posexplode to (host, line, id, pos) postings;
-    * line doc-frequency is a map-side-combined aggregate keyed on
-    * (host, line) — high cardinality, well spread; per-host doc counts are
-    * a HOSTS-sized aggregate AQE broadcasts; the boilerplate line set is
-    * an anti-join (bucket-local, keyed on host+line); reassembly is one
+    * Scale shape: split+posexplode to (host, line, id, pos) postings — a
+    * pure pipelined map derived once per consumer (doc-freq and the
+    * anti-join side; two scans of the text column beat pinning a
+    * corpus-sized postings frame in executor storage); line doc-frequency
+    * is a map-side-combined aggregate keyed on (host, line) — high
+    * cardinality, well spread; per-host doc counts are a HOSTS-sized
+    * aggregate AQE broadcasts; only the BOILER set (hosts × chrome lines,
+    * tiny) is checkpointed, feeding the anti-join; reassembly is one
     * per-document aggregate (array_sort by position — per doc, never a
     * global window). The same shape as span dedup's postings, with the
     * ratio cap playing the maxWindowDocFreq role from the start. */
@@ -434,11 +443,17 @@ object TextAnalysis {
       s"maxLineDocRatio must be in (0,1], got $maxLineDocRatio")
     require(minLineDocFreq >= 2,
       s"minLineDocFreq must be >= 2, got $minLineDocFreq")
+    // \r?\n: real crawls mix CRLF and LF — splitting on \n alone would
+    // leave \r on some docs' copies of a chrome line, split its doc-freq
+    // across two byte forms, and keep the boilerplate everywhere
     val lines = df.select(col(idCol), col(hostCol),
-        posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
-      .localCheckpoint() // feeds doc-freq AND the anti-join side
+      posexplode(split(col(textCol), "\\r?\\n")).as(Seq("__pos", "__line")))
     val hostDocs = df.groupBy(col(hostCol))
       .agg(countDistinct(col(idCol)).as("__n"))
+    // checkpoint only the BOILER set (hosts × chrome lines — tiny), not the
+    // corpus-sized line postings: the two postings consumers re-derive
+    // `lines` with one pruned scan each rather than pinning every line of
+    // every document in executor storage for the operator's lifetime
     val boiler = lines.select(col(hostCol), col("__line"), col(idCol))
       .distinct()
       .groupBy(col(hostCol), col("__line"))
@@ -447,6 +462,7 @@ object TextAnalysis {
       .filter(col("__df") >= minLineDocFreq &&
         col("__df").cast(DoubleType) / col("__n") > maxLineDocRatio)
       .select(col(hostCol), col("__line"))
+      .localCheckpoint()
     val kept = lines.join(boiler, Seq(hostCol, "__line"), "left_anti")
       .groupBy(col(idCol))
       .agg(array_join(
