@@ -909,6 +909,13 @@ object SparkEntry {
       Sampling.tokenBudgetSample(rd(s, dir, "documents"), "doc_id", "source",
           budgetRatesFor(s, dir))
         .select("doc_id", "source").orderBy("doc_id")),
+    "q_split_assign" -> ((s, dir) =>
+      // deterministic train/val/test assignment: content-hash intervals,
+      // stable under corpus growth (a row's split never moves when docs
+      // are added) — one codegen'd projection, no shuffle
+      Sampling.assignSplit(rd(s, dir, "documents"), col("doc_id"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select("doc_id", "source", "split").orderBy("doc_id")),
     "q_quality_model" -> ((s, dir) =>
       // learned quality filter (hashing-trick linear model): weights are
       // plan literals, score is the mean bucket weight (logit — monotone in
@@ -2220,6 +2227,17 @@ object SparkEntry {
              / len(string_split_regex(lower(trim(text)), '\s+')), 6) AS stop_ratio
          FROM documents ORDER BY doc_id""",
     "q_quality_model" -> QualityModelOracle,
+    "q_split_assign" ->
+      """SELECT doc_id, source,
+           CASE WHEN b < 8000 THEN 'train'
+                WHEN b < 9000 THEN 'val'
+                WHEN b < 10000 THEN 'test'
+                ELSE 'holdout' END AS split
+         FROM (SELECT doc_id, source,
+                 CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                   % 10000 AS b
+               FROM documents)
+         ORDER BY doc_id""",
     "q_domain_classify" -> DomainClassifyOracle,
     "q_quality_score" ->
       """WITH q AS (

@@ -30,6 +30,34 @@ object Sampling {
     df.filter(hashBucket(key) < math.round(fraction * Buckets))
   }
 
+  /** deterministic TRAIN/VAL/TEST split assignment — the last step of every
+    * dataset build: each row gets the split label whose cumulative
+    * basis-point interval its content-hash bucket falls in, so the split is
+    * a pure codegen'd projection, reproducible under any partitioning, and
+    * STABLE UNDER CORPUS GROWTH (a row's label depends only on its own key,
+    * so adding documents never moves an existing document across splits —
+    * the property that keeps eval sets honest between dataset versions).
+    * `splits` are (label, fraction) in declaration order, fractions summing
+    * to ≤ 1; rows hashing past the last interval get `defaultLabel`
+    * (useful as a holdout). */
+  def assignSplit(df: DataFrame, key: Column,
+                  splits: Seq[(String, Double)],
+                  defaultLabel: String = "holdout",
+                  outCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty, "assignSplit requires >= 1 split")
+    splits.foreach { case (_, f) =>
+      require(f >= 0.0 && f <= 1.0, s"fraction $f not in [0,1]") }
+    require(splits.map(_._2).sum <= 1.0 + 1e-9,
+      s"split fractions sum to ${splits.map(_._2).sum} > 1")
+    val cuts = splits.scanLeft(0L) { case (acc, (_, f)) =>
+      acc + math.round(f * Buckets) }.tail
+    val b = hashBucket(key)
+    val label = splits.zip(cuts).reverse.foldLeft(lit(defaultLabel)) {
+      case (acc, ((name, _), cut)) => when(b < cut, name).otherwise(acc)
+    }
+    df.withColumn(outCol, label)
+  }
+
   /** stratified variant: per-stratum sampling rates (stratum value →
     * fraction), `default` for unlisted strata — the class-rebalancing
     * primitive (e.g. downsample dominant languages). Single codegen'd

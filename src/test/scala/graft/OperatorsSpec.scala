@@ -337,6 +337,26 @@ class OperatorsSpec extends AnyFunSuite {
       .filter(col("source") === 1).count() == 10)
   }
 
+  test("assignSplit: disjoint covering intervals, stable under corpus growth") {
+    val docs = (1L to 400L).toDF("id")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val got = Sampling.assignSplit(docs, col("id"), splits)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert(got.size == 400) // every row labeled, none dropped
+    // fractions approximately honored (content-hash, so not exact)
+    val byLabel = got.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(byLabel("train") > 280 && byLabel("train") < 360)
+    assert(byLabel.getOrElse("holdout", 0) == 0) // fractions sum to 1
+    // GROWTH STABILITY: doubling the corpus never moves an existing row
+    val grown = Sampling.assignSplit((1L to 800L).toDF("id"), col("id"), splits)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    got.foreach { case (i, s) => assert(grown(i) == s, s"row $i moved") }
+    // partial fractions leave a holdout
+    val held = Sampling.assignSplit(docs, col("id"), Seq("train" -> 0.5))
+      .select("split").as[String].collect()
+    assert(held.contains("holdout") && held.contains("train"))
+  }
+
   test("tokenBudgetRatesWaterfill hits the budget exactly where base rates undershoot") {
     // a: 20 tokens, b: 200, c: 200; budget 180 at uniform thirds (60 each):
     // a is kept whole on 20, leaving 40 unclaimed
