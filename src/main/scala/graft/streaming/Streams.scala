@@ -20,6 +20,20 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
   */
 object Streams {
 
+  /** apply the event-time watermark unless the input already carries one:
+    * Spark allows a single watermark DEFINITION per streaming plan
+    * ("Redefining watermark is disallowed"), so composable transforms —
+    * e.g. [[curatedIngest]] chained into [[streamingDedupAgainstStore]] in
+    * ONE query — must not re-mark an already-marked stream. The upstream
+    * mark governs eviction for every downstream stateful operator. */
+  private def ensureWatermark(df: DataFrame, tsCol: String,
+                              delay: String): DataFrame = {
+    val marked = df.queryExecution.logical.collectFirst {
+      case e: org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark => e
+    }.isDefined
+    if (marked) df else df.withWatermark(tsCol, delay)
+  }
+
   /** tumbling-window counts/sums per event type. Streaming: append mode once
     * the watermark passes window end. */
   def tumblingAgg(events: DataFrame, windowLen: String = "1 hour",
@@ -69,7 +83,7 @@ object Streams {
     * batch backfill (exactDedup) catches them offline. */
   def streamingDedup(events: DataFrame, keyCols: Seq[String], tsCol: String,
                      delay: String = "10 minutes"): DataFrame =
-    events.withWatermark(tsCol, delay)
+    ensureWatermark(events, tsCol, delay)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
   /** streaming NEAR-dup dedup on document content: key the watermarked
@@ -96,7 +110,7 @@ object Streams {
     docs
       .withColumn("__simhash", GraftSqlBridge.column(
         graft.functions.SimHashTokensExpr(GraftSqlBridge.expression(toks))))
-      .withWatermark(tsCol, delay)
+      .transform(ensureWatermark(_, tsCol, delay))
       .dropDuplicatesWithinWatermark("__simhash")
       .drop("__simhash")
   }
@@ -125,7 +139,7 @@ object Streams {
         graft.operators.TextAnalysis.fingerprint(col(textCol)))
       .join(spark.table(s"${store}_fps").withColumnRenamed("fp", "__fp"),
         Seq("__fp"), "left_anti")
-      .withWatermark(tsCol, delay)
+      .transform(ensureWatermark(_, tsCol, delay))
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
   }

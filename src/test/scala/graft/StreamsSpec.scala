@@ -214,6 +214,45 @@ class StreamsSpec extends AnyFunSuite {
     }
   }
 
+  test("curatedIngest chains with store dedup in ONE streaming query (two stateful ops)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.TextAnalysis
+    val model = TextAnalysis.syntheticQualityModel()
+    def good(word: String) =
+      (s"the $word and the other $word is in the house of $word " * 3).trim
+    // the kept corpus already holds good("kept") — its stream twin must drop
+    graft.operators.Dedup.writeFingerprintStore(
+      Seq((100L, good("kept"))).toDF("doc_id", "text"),
+      "text", "graft_fp_chain", nBuckets = 2)
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    // ONE query: gates + learned filter + in-watermark simhash dedup
+    // (curatedIngest) chained into the stream-static store anti-join +
+    // in-watermark fp dedup (streamingDedupAgainstStore) — two stateful
+    // dedup operators in a single streaming plan
+    val chained = Streams.streamingDedupAgainstStore(
+      Streams.curatedIngest(mem.toDF().toDF("doc_id", "text", "ts"),
+        "text", "ts", model, keepLogit = -1.0),
+      "text", "ts", "graft_fp_chain", delay = "10 minutes")
+    val q = chained.writeStream.outputMode("append")
+      .format("memory").queryName("chain_stream").start()
+    try {
+      mem.addData(
+        (1L, good("fresh"), ts("2024-01-01 10:00:00")),   // survives both
+        (2L, good("kept"), ts("2024-01-01 10:00:30")),    // in the STORE → dropped
+        (3L, "zzz qqq", ts("2024-01-01 10:01:00")),       // fails the gates
+        (4L, good("fresh").toUpperCase, ts("2024-01-01 10:01:30"))) // in-stream near-copy
+      q.processAllAvailable()
+      val ids = spark.table("chain_stream")
+        .select("doc_id").as[Long].collect().sorted
+      assert(ids.toSeq == Seq(1L), s"got ${ids.mkString(",")}")
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS chain_stream")
+      spark.sql("DROP TABLE IF EXISTS graft_fp_chain_fps")
+    }
+  }
+
   test("curatedIngest: gates + learned filter + content dedup at ingest, logit ≡ batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
