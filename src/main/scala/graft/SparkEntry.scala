@@ -37,6 +37,12 @@ object SparkEntry {
     * so the generated q_ivf_* oracles embed THAT run's fitted centroids. */
   @volatile private var lastIvfDir: Option[String] = None
 
+  /** the sf dir the most recent xxhash64/HLL sketch query ran against —
+    * [[oracleSql]] then recomputes those pipelines Spark-independently
+    * ([[graft.verify.IndependentOracles]]) over that dir's corpus and embeds
+    * the expected survivors / estimate as literals. */
+  @volatile private var lastSketchDir: Option[String] = None
+
   /** memoized deterministic IVF index build: the fit sample is the first
     * `fitSampleCap` rows in vec_id order (TakeOrdered, not an unordered
     * limit — bulletproof against parquet split/scheduling order), so the
@@ -443,15 +449,18 @@ object SparkEntry {
           Seq(desc("cos"), asc("neighbor_id")), 5)
         .orderBy(asc("query_id"), desc("cos"), asc("neighbor_id"))
     }),
-    // not oracle-expressible (xxhash64 / HLL are data-dependent or absent
-    // in DuckDB) → rows-only checks, covered by ScalaTest instead (the
-    // seeded-hyperplane queries q_lsh_ann and q_embedding_neardup carry
-    // full oracles via plane-weight literals, and q_ivf_ann/q_ivf_recall
-    // via fitted-centroid literals):
+    // xxhash64/HLL sketches are not DuckDB-derivable from the raw tables —
+    // their oracles are instead generated at Verify time by the
+    // Spark-INDEPENDENT pipeline recompute in
+    // [[graft.verify.IndependentOracles]] (public-spec xxHash64, plain-Scala
+    // minhash/simhash/HLL++), with expected survivor ids / the expected
+    // estimate embedded as literals — the fitted-centroid technique the
+    // q_ivf_*/q_semdedup oracles use:
     "q_minhash_dedup" -> ((s, dir) => {
       // 32 hashes / 8 bands: at threshold 0.5 the LSH S-curve is nearly
       // identical to 64/16 (band width 4 either way) at half the signature
       // and shuffle volume
+      lastSketchDir = Some(dir)
       Dedup.minhashDedup(rd(s, dir, "documents"), "doc_id", "text", 0.5,
           numHashes = 32, bands = 8)
         .select("doc_id").orderBy("doc_id")
@@ -563,6 +572,7 @@ object SparkEntry {
         .select("doc_id").orderBy("doc_id")
     }),
     "q_simhash_dedup" -> ((s, dir) => {
+      lastSketchDir = Some(dir)
       Dedup.simhashDedup(rd(s, dir, "documents"), "doc_id", "text")
         .select("doc_id").orderBy("doc_id")
     }),
@@ -599,9 +609,17 @@ object SparkEntry {
       Similarity.lshTopK(emb.filter(col("vec_id") =!= 1), "vec_id", "embedding",
         q, 10, dim = 64, nBits = 16, maxFlips = 3)
     }),
-    "q_approx_distinct" -> ((s, dir) =>
+    "q_approx_distinct" -> ((s, dir) => {
+      // l_orderkey (14.7k/147k distinct at the verify SFs) keeps the p=9
+      // sketch in HLL++'s raw-estimate regime (≥ 5m = 2560) at BOTH SFs, so
+      // the Spark-independent estimator in [[graft.verify.IndependentOracles]]
+      // can pin the exact expected value without replicating the 200-point
+      // bias-interpolation tables (l_partkey's 2000 distinct at sf0.01 sits
+      // in the bias regime). Same operator, same sketch parameters.
+      lastSketchDir = Some(dir)
       rd(s, dir, "lineitem")
-        .agg(approx_count_distinct(col("l_partkey")).as("n_approx"))),
+        .agg(approx_count_distinct(col("l_orderkey")).as("n_approx"))
+    }),
     "q_lsh_recall" -> ((s, dir) => {
       // recall@10 of the multi-probe LSH ANN vs exact brute force, as ONE
       // oracle-checkable row: the DuckDB oracle replicates the hyperplane
@@ -1985,6 +2003,35 @@ object SparkEntry {
        ORDER BY vec_id"""
   }
 
+  /** q_minhash_dedup / q_simhash_dedup / q_approx_distinct oracles from the
+    * Spark-INDEPENDENT pipeline recompute ([[graft.verify.IndependentOracles]]
+    * — public-spec xxHash64, plain-Scala tokenize/shingle/band/vote/HLL++,
+    * zero calls into graft.operators or Spark expressions): expected
+    * survivor ids / the expected estimate become literals in plain DuckDB
+    * SQL, exactly like the fitted-centroid q_ivf_* oracles. Spark is used
+    * only to READ the corpus. The HLL entry is omitted (pre-round-10
+    * rows-only behavior) if the estimate leaves the raw regime — see
+    * [[graft.verify.IndependentOracles.hllRawEstimate]]. */
+  private def sketchOracles(dir: String): Map[String, String] = {
+    import graft.verify.IndependentOracles
+    val s = SparkSession.active
+    val docs: Seq[(Long, Array[String])] =
+      rd(s, dir, "documents").select("doc_id", "text").collect().toSeq
+        .map(r => (r.getLong(0), IndependentOracles.tokenize(r.getString(1))))
+    def notIn(dropped: Set[Long]): String =
+      if (dropped.isEmpty) "SELECT doc_id FROM documents ORDER BY doc_id"
+      else "SELECT doc_id FROM documents WHERE doc_id NOT IN (" +
+        dropped.toSeq.sorted.mkString(", ") + ") ORDER BY doc_id"
+    val keys = rd(s, dir, "lineitem").filter(col("l_orderkey").isNotNull)
+      .select("l_orderkey").distinct().collect().map(_.getLong(0))
+    Map(
+      "q_minhash_dedup" -> notIn(IndependentOracles.minhashDroppedIds(
+        docs, threshold = 0.5, numHashes = 32, bands = 8)),
+      "q_simhash_dedup" -> notIn(IndependentOracles.simhashDroppedIds(docs))
+    ) ++ IndependentOracles.hllRawEstimate(keys).map(v =>
+      "q_approx_distinct" -> s"SELECT CAST($v AS BIGINT) AS n_approx")
+  }
+
   /** DuckDB oracle SQL per query (same result, same column names, same
     * ORDER BY). Queries absent here are not SQL-expressible in DuckDB
     * (seeded xxhash64 / hyperplane / HLL sketches) → driver records the
@@ -2461,9 +2508,9 @@ object SparkEntry {
                  regexp_replace(
                    regexp_replace(
                      regexp_replace(url, '#.*$', '', 'g'),
-                     '&(?:utm_[A-Za-z]+|fbclid|gclid|ref)=[^&]*', '', 'g'),
-                   '\?(?:utm_[A-Za-z]+|fbclid|gclid|ref)=[^&]*&', '?', 'g'),
-                 '\?(?:utm_[A-Za-z]+|fbclid|gclid|ref)=[^&]*$', '', 'g') AS t3
+                     '&(?:utm_[A-Za-z]+|fbclid|gclid)=[^&]*', '', 'g'),
+                   '\?(?:utm_[A-Za-z]+|fbclid|gclid)=[^&]*&', '?', 'g'),
+                 '\?(?:utm_[A-Za-z]+|fbclid|gclid)=[^&]*$', '', 'g') AS t3
              FROM u))
          SELECT host, CAST(count(*) AS BIGINT) AS n_urls,
            CAST(count(DISTINCT curl) AS BIGINT) AS n_canonical,
@@ -2565,5 +2612,15 @@ object SparkEntry {
          WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
                  % 10000 < CASE source $cases ELSE 0 END
          ORDER BY doc_id""")
+  }.getOrElse(Map.empty) ++ lastSketchDir.map { dir =>
+    // generated from the Spark-independent sketch recompute; degrade to the
+    // rows-only check (entry absent) rather than fail the whole oracle dump
+    // if the recompute cannot run (e.g. session already stopped)
+    try sketchOracles(dir)
+    catch {
+      case e: Exception =>
+        System.err.println(s"[oracleSql] sketch oracle recompute failed: $e")
+        Map.empty[String, String]
+    }
   }.getOrElse(Map.empty)
 }

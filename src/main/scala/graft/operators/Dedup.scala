@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SaveMode}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -381,11 +381,52 @@ object Dedup {
       .join(storeSigs.select(col(idCol).as("__sid"), col("sig").as("__ssig")),
         "__sid")
       .withColumn("__est",
-        aggregate(zip_with(col("sig"), col("__ssig"),
-            (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, v) => acc + v).cast(DoubleType) / numHashes)
+        // width guard INSIDE the est expression (an unused assert column
+        // would be pruned): a probe/store signature-length mismatch means
+        // the caller's numHashes differs from the store build — zip_with
+        // would null-pad and count every padded slot as disagreement,
+        // silently letting true duplicates survive. [[checkStoreParams]]
+        // catches this at probe entry for stores carrying build properties;
+        // this backstops pre-property stores and hand-built frames.
+        when(size(col("sig")) === size(col("__ssig")),
+          aggregate(zip_with(col("sig"), col("__ssig"),
+              (x, y) => when(x === y, 1).otherwise(0)),
+            lit(0), (acc, v) => acc + v).cast(DoubleType) / numHashes)
+          .otherwise(raise_error(concat(
+            lit("minhash store signature width mismatch: new-batch sig has "),
+            size(col("sig")).cast(StringType),
+            lit(" hashes, store sig has "),
+            size(col("__ssig")).cast(StringType),
+            lit(" — probe with the store's numHashes/bands")))))
       .filter(col("__est") >= threshold)
       .select(idCol).distinct()
+  }
+
+  /** persist the minhash build parameters on the sigs table so a probe with
+    * mismatched numHashes/bands fails loudly at [[checkStoreParams]] instead
+    * of silently under-estimating jaccard (unequal-length sig arrays make
+    * every zip_with element comparison a disagreement). */
+  private def setStoreParams(spark: SparkSession, table: String,
+                             numHashes: Int, bands: Int): Unit =
+    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES (" +
+      s"'graft.numHashes' = '$numHashes', 'graft.bands' = '$bands')")
+
+  /** validate probe parameters against the build parameters persisted by
+    * [[setStoreParams]]. Stores written before the properties existed are
+    * accepted (nothing to check against) — the in-plan signature-width guard
+    * in [[dedupAgainstCore]] still backstops those. */
+  private def checkStoreParams(spark: SparkSession, table: String,
+                               numHashes: Int, bands: Int): Unit = {
+    val props = spark.sql(s"SHOW TBLPROPERTIES $table").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    props.get("graft.numHashes").foreach(v => require(v.toInt == numHashes,
+      s"$table was built with numHashes=$v but the probe passed " +
+        s"numHashes=$numHashes — signatures would disagree element-wise and " +
+        "true duplicates would survive; probe with the store's parameters"))
+    props.get("graft.bands").foreach(v => require(v.toInt == bands,
+      s"$table was built with bands=$v but the probe passed bands=$bands — " +
+        "band keys would never collide with the store's; probe with the " +
+        "store's parameters"))
   }
 
   /** create/replace the production (xxhash64) signature store from a
@@ -400,6 +441,7 @@ object Dedup {
     Sources.writeBucketed(
       lshBands(sigs, idCol, "sig", bands, numHashes).select(col(idCol), col("band_hash")),
       s"${store}_bands", "band_hash", nBuckets)
+    setStoreParams(sigs.sparkSession, s"${store}_sigs", numHashes, bands)
   }
 
   /** incremental MinHash-LSH dedup of `newBatch` against the persisted store
@@ -415,6 +457,7 @@ object Dedup {
                           updateStore: Boolean = true,
                           nBuckets: Int = 8): DataFrame = {
     val spark = newBatch.sparkSession
+    checkStoreParams(spark, s"${store}_sigs", numHashes, bands)
     // localCheckpoint: the new-batch signatures feed the candidate join, the
     // verify join, and the store append — compute the fused kernel once.
     val newSigs = minhashSigs(newBatch, idCol, textCol, numHashes)
@@ -447,6 +490,7 @@ object Dedup {
     Sources.writeBucketed(sigs, s"${store}_sigs", idCol, nBuckets)
     Sources.writeBucketed(portableBands(sigs, idCol, numHashes, bands),
       s"${store}_bands", "band_key", nBuckets)
+    setStoreParams(sigs.sparkSession, s"${store}_sigs", numHashes, bands)
   }
 
   /** md5-portable twin of [[minhashDedupAgainst]] — same store-backed
@@ -461,6 +505,7 @@ object Dedup {
                                   updateStore: Boolean = false,
                                   nBuckets: Int = 8): DataFrame = {
     val spark = newBatch.sparkSession
+    checkStoreParams(spark, s"${store}_sigs", numHashes, bands)
     val newSigs = minhashSigsPortable(newBatch, idCol, textCol, numHashes,
       shingleSize).localCheckpoint()
     val dupIds0 = dedupAgainstCore(idCol, newSigs,

@@ -190,7 +190,12 @@ object TextAnalysis {
     * Canonicalization is the dedup-key step of crawl processing: the same
     * page arrives under fragment/tracking-param variants that a byte-exact
     * URL key would treat as distinct documents. */
-  val TrackingParams = "utm_[A-Za-z]+|fbclid|gclid|ref"
+  /** default tracking params stripped by [[canonicalizeUrl]]. Deliberately
+    * EXCLUDES bare `ref`: on many sites it is content-bearing (GitHub's
+    * `?ref=branch` selects a different resource), so stripping it would
+    * conflate genuinely distinct pages into one dedup key. Callers that
+    * crawl referral-tagged corpora can pass their own alternation. */
+  val TrackingParams = "utm_[A-Za-z]+|fbclid|gclid"
 
   def extractUrls(text: Column): Column =
     regexp_extract_all(text, lit(UrlPattern), lit(0))
@@ -204,14 +209,15 @@ object TextAnalysis {
     * host lowercased. Path/query CASE and remaining param ORDER are
     * preserved — reordering or lowercasing them would conflate genuinely
     * distinct URLs on case-sensitive servers. */
-  def canonicalizeUrl(url: Column): Column = {
+  def canonicalizeUrl(url: Column,
+                      trackingParams: String = TrackingParams): Column = {
     val noFrag = regexp_replace(url, "#.*$", "")
     // tracking params mid-query ("&k=v"), then leading ("?k=v&" → "?"),
     // then the only-param case ("?k=v" at end) — in this order a URL like
     // ?utm_a=1&utm_b=2&x=3 tidies to ?x=3 with no stray separators
-    val noMid = regexp_replace(noFrag, s"&(?:$TrackingParams)=[^&]*", "")
-    val noLead = regexp_replace(noMid, s"\\?(?:$TrackingParams)=[^&]*&", "?")
-    val noOnly = regexp_replace(noLead, s"\\?(?:$TrackingParams)=[^&]*$$", "")
+    val noMid = regexp_replace(noFrag, s"&(?:$trackingParams)=[^&]*", "")
+    val noLead = regexp_replace(noMid, s"\\?(?:$trackingParams)=[^&]*&", "?")
+    val noOnly = regexp_replace(noLead, s"\\?(?:$trackingParams)=[^&]*$$", "")
     concat(
       lower(regexp_extract(noOnly, "^(https?://[^/?#]+)", 1)),
       regexp_extract(noOnly, "^https?://[^/?#]+(.*)$", 1))

@@ -20,18 +20,39 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
   */
 object Streams {
 
+  private val logger = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** apply the event-time watermark unless the input already carries one:
     * Spark allows a single watermark DEFINITION per streaming plan
     * ("Redefining watermark is disallowed"), so composable transforms —
     * e.g. [[curatedIngest]] chained into [[streamingDedupAgainstStore]] in
     * ONE query — must not re-mark an already-marked stream. The upstream
-    * mark governs eviction for every downstream stateful operator. */
+    * mark governs eviction for every downstream stateful operator — but only
+    * if it is the SAME mark the caller asked for: an upstream watermark on a
+    * different timestamp column would silently change this transform's
+    * eviction horizon, so that fails loudly; a different delay on the same
+    * column is legitimate composition (the upstream definition wins by
+    * Spark's rule) and is logged instead. */
   private def ensureWatermark(df: DataFrame, tsCol: String,
                               delay: String): DataFrame = {
-    val marked = df.queryExecution.logical.collectFirst {
+    val existing = df.queryExecution.logical.collectFirst {
       case e: org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark => e
-    }.isDefined
-    if (marked) df else df.withWatermark(tsCol, delay)
+    }
+    existing match {
+      case None => df.withWatermark(tsCol, delay)
+      case Some(e) =>
+        require(e.eventTime.name == tsCol,
+          s"stream already carries a watermark on '${e.eventTime.name}' but " +
+            s"this transform requires one on '$tsCol' — the upstream mark " +
+            "would govern a different event-time column's eviction; " +
+            "watermark the intended column upstream or drop the earlier mark")
+        val requested = org.apache.spark.sql.catalyst.util.IntervalUtils
+          .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(delay))
+        if (e.delay != requested)
+          logger.warn(s"stream already watermarked on '$tsCol' with delay " +
+            s"${e.delay}; upstream definition wins over requested '$delay'")
+        df
+    }
   }
 
   /** tumbling-window counts/sums per event type. Streaming: append mode once

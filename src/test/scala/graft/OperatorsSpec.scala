@@ -545,5 +545,52 @@ class OperatorsSpec extends AnyFunSuite {
     assert(stats.length == 1 && stats.head.getAs[Long]("n") == 5L)
   }
 
+  test("minhash store probe with mismatched build parameters fails loudly") {
+    // the store persists numHashes/bands as table properties at write time;
+    // probing with different parameters must throw, not silently
+    // under-estimate jaccard and let true duplicates through
+    val d = docs.select(col("doc_id"), col("text"))
+    Dedup.writeMinhashStorePortable(
+      Dedup.minhashSigsPortable(d, "doc_id", "text", numHashes = 16),
+      "doc_id", "graft_param_store", bands = 4, numHashes = 16, nBuckets = 2)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.minhashDedupAgainstPortable(d, "doc_id", "text",
+        "graft_param_store", threshold = 0.5, numHashes = 8, bands = 4)
+    }
+    assert(e.getMessage.contains("numHashes"))
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.minhashDedupAgainstPortable(d, "doc_id", "text",
+        "graft_param_store", threshold = 0.5, numHashes = 16, bands = 2)
+    }
+    assert(e2.getMessage.contains("bands"))
+  }
+
+  test("signature width mismatch vs a property-less store raises in-plan") {
+    // stores written before the build-parameter properties existed (or
+    // hand-built frames) skip the entry check — the width guard inside the
+    // est expression must still refuse to count null-padded slots as
+    // disagreement. Construct the pathological case directly: band rows
+    // that DO collide with the probe's, but 8-wide stored sigs vs the
+    // probe's 16-wide.
+    import graft.sources.Sources
+    val d = docs.select(col("doc_id"), col("text"))
+    val sigs16 = Dedup.minhashSigs(d, "doc_id", "text", numHashes = 16)
+    Sources.writeBucketed(
+      sigs16.select(col("doc_id"), slice(col("sig"), 1, 8).as("sig")),
+      "graft_widthstore_sigs", "doc_id", 2)
+    Sources.writeBucketed(
+      Dedup.lshBands(sigs16, "doc_id", "sig", bands = 4, numHashes = 16)
+        .select(col("doc_id"), col("band_hash")),
+      "graft_widthstore_bands", "band_hash", 2)
+    val e = intercept[Exception] {
+      Dedup.minhashDedupAgainst(d, "doc_id", "text", "graft_widthstore",
+        threshold = 0.1, numHashes = 16, bands = 4, updateStore = false)
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
+    assert(messages(e).exists(_.contains("width mismatch")), e.toString)
+  }
+
   private def ts(s: String): java.sql.Timestamp = java.sql.Timestamp.valueOf(s)
 }

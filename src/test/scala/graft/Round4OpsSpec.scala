@@ -115,6 +115,9 @@ class Round4OpsSpec extends AnyFunSuite {
       ("https://H.io/p?x=1&gclid=z&y=2", "https://h.io/p?x=1&y=2"),   // mid-param
       ("https://Ex.com/p?utm_a=1&utm_b=2&x=3", "https://ex.com/p?x=3"), // leading run
       ("https://Ex.com/p?utm_a=1&utm_b=2", "https://ex.com/p"),       // all tracking
+      // bare `ref` is content-bearing (GitHub `?ref=branch` selects a
+      // different resource) — it must SURVIVE canonicalization
+      ("https://GH.com/r/tree?ref=main", "https://gh.com/r/tree?ref=main"),
       ("https://Ex.com/", "https://ex.com/"))                         // no-op body
     val got = cases.toDF("url", "want")
       .select(TextAnalysis.canonicalizeUrl(col("url")).as("got"), col("want"))
@@ -482,11 +485,13 @@ class Round4OpsSpec extends AnyFunSuite {
   }
 
   test("approx_count_distinct (q_approx_distinct) is within the HLL rsd bound of exact") {
-    // q_approx_distinct is the one query no DuckDB oracle can constrain (HLL
-    // sketch); pin its accuracy here instead: default rsd = 0.05, assert
-    // |estimate − exact| ≤ 3·rsd·exact (≥ 99.7% of seeds; the sketch is
-    // deterministic for a fixed column, so this cannot flake) at both
-    // verify scale factors.
+    // q_approx_distinct (raw-estimate regime) is oracle-exact since round 10
+    // via the Spark-independent HLL++ recompute; this test pins the BIAS
+    // regime instead — l_partkey's 2000 distinct at sf0.01 sits below 5m =
+    // 2560, exercising the bias-interpolation branch the independent
+    // estimator deliberately refuses (hllRawEstimate → None). Default
+    // rsd = 0.05, assert |estimate − exact| ≤ 3·rsd·exact (the sketch is
+    // deterministic for a fixed column, so this cannot flake).
     for (sf <- Seq("sf0.01", "sf0.1")) {
       val li = spark.read.parquet(s"/root/testdata/$sf/lineitem.parquet")
       val est = li.agg(approx_count_distinct(col("l_partkey")).as("n"))

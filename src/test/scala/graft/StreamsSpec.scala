@@ -451,4 +451,26 @@ class StreamsSpec extends AnyFunSuite {
         s"want ${want.size}")
     assert(got.size == 50 && got.map(_._1).distinct.size == 50)
   }
+
+  test("upstream watermark on a DIFFERENT column fails loudly; same column is reused") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    // a transform watermarked some other timestamp column upstream: the
+    // requested dedup horizon on "ts" would silently NOT govern eviction
+    // (Spark forbids redefining the mark), so ensureWatermark must refuse
+    // rather than skip the request
+    val marked = mem.toDF().withColumn("ts2", col("ts"))
+      .withWatermark("ts2", "5 minutes")
+    val e = intercept[IllegalArgumentException] {
+      Streams.streamingDedup(marked, Seq("event_id"), "ts")
+    }
+    assert(e.getMessage.contains("ts2") && e.getMessage.contains("ts"))
+    // same column, different delay: legitimate composition — the upstream
+    // definition wins (warned, not thrown) and the plan still builds
+    val ok = Streams.streamingDedup(
+      mem.toDF().withWatermark("ts", "5 minutes"),
+      Seq("event_id"), "ts", delay = "10 minutes")
+    assert(ok.isStreaming)
+  }
 }

@@ -38,7 +38,13 @@ def share_gate(bench_path: str, baseline_path: str) -> int:
     for line in open(baseline_path):
         m = re.search(r"Per-query seconds at sf([\d.]+)", line)
         if m:
+            # a NEW per-sf heading starts a new table: discard medians
+            # accumulated from any earlier table so rows from different SFs
+            # are never silently mixed (earlier-table-only queries would
+            # otherwise leak in as stale entries and trigger spurious
+            # MISSING failures despite the cross-sf refusal below)
             base_sf = m.group(1)
+            base = {}
         if line.startswith("| query | median |"):
             in_table = True
             continue
