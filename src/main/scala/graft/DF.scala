@@ -151,10 +151,21 @@ final class DF private (private[graft] val inner: DataFrame,
   /** single column as a Spark Column (expression-first path). */
   def col(key: String): Column = { keyIndex(key); inner.col(key) }
 
+  /** refuse a whole-frame driver collect above [[DF.maxDriverRows]] — the
+    * parity forms below exist for interactive frames; at corpus scale the
+    * same semantics have a distributed spelling, named in the error. The
+    * memoized [[nrow]] makes the check one count job at most per frame,
+    * amortized across every guarded call. */
+  private def guardDriverMaterialization(op: String, scaleAlt: String): Unit = {
+    val cap = DF.maxDriverRows
+    if (nrow > cap) throw new DriverMaterializationException(op, nrow, cap, scaleAlt)
+  }
+
   /** single column materialized in row order (reference `column`,
     * cl-data-frame.lisp:345-349). Driver-local by design. */
   def column(key: String): Vector[Any] = {
     keyIndex(key)
+    guardDriverMaterialization("column", "col(key) with Spark expressions")
     ordered.select(key).collect().map(_.get(0)).toVector
   }
 
@@ -251,6 +262,7 @@ final class DF private (private[graft] val inner: DataFrame,
     * (mask-rows, cl-data-frame.lisp:554-559). Local parity form. */
   def maskRows(ks: Seq[String])(pred: Seq[Any] => Boolean): Vector[Boolean] = {
     ks.foreach(keyIndex)
+    guardDriverMaterialization("maskRows", "filter(Sel.Pred) / filter(Column)")
     val o = ordered
     o.select(ks.map(o.col): _*)
       .collect().map(r => pred(ks.indices.map(r.get))).toVector
@@ -350,6 +362,7 @@ final class DF private (private[graft] val inner: DataFrame,
     * applied against THIS frame's plan (where its column refs resolve), then
     * the projection is ordered. */
   def mapRowsCol(out: Column): Vector[Any] = {
+    guardDriverMaterialization("mapRowsCol", "mapDF (expression form)")
     val projected = new DF(inner.select(Seq(out.as("__out")) ++ idCols: _*), ids)
     projected.ordered.select("__out").collect().map(_.get(0)).toVector
   }
@@ -357,6 +370,7 @@ final class DF private (private[graft] val inner: DataFrame,
   /** lambda parity form: fn over selected columns' values per row. */
   def mapRows(ks: Seq[String])(fn: Seq[Any] => Any): Vector[Any] = {
     ks.foreach(keyIndex)
+    guardDriverMaterialization("mapRows", "mapDFRows (distributed lambda)")
     val o = ordered
     o.select(ks.map(o.col): _*)
       .collect().map(r => fn(ks.indices.map(r.get))).toVector
@@ -447,14 +461,17 @@ final class DF private (private[graft] val inner: DataFrame,
   // ---- conversion (SURVEY §2.2) ----
   /** key→column alist (as-alist, cl-data-frame.lisp:333-335). Driver-local. */
   def asAlist: Seq[(String, Vector[Any])] = {
+    guardDriverMaterialization("asAlist", "toSpark (keep the plan distributed)")
     val rows = ordered.collect()
     keys.map(k => k -> rows.map(r => r.get(r.fieldIndex(k))).toVector)
   }
 
   /** frame → dense matrix (aops:as-array, cl-data-frame.lisp:456-458). */
-  def toMatrix: Array[Array[Any]] =
+  def toMatrix: Array[Array[Any]] = {
+    guardDriverMaterialization("toMatrix", "toSpark (keep the plan distributed)")
     ordered.collect()
       .map(r => keys.map(k => r.get(r.fieldIndex(k))).toArray)
+  }
 
   def cache(): DF = { inner.cache(); this }
   override def toString: String = s"graft.DF(${keys.mkString(", ")})"
@@ -462,6 +479,17 @@ final class DF private (private[graft] val inner: DataFrame,
 
 object DF {
   private[graft] val ROW_ID = "__row_id"
+
+  /** row cap for the driver-materializing reference-parity forms
+    * (`column`/`mapRows`/`maskRows`/`asAlist`/`toMatrix`): above this the
+    * call throws [[DriverMaterializationException]] pointing to the
+    * distributed equivalent. 1M rows ≈ tens of MB of driver heap — generous
+    * for the interactive frames these forms exist for, far below where the
+    * collect becomes an executor-to-driver OOM. Raise (or set to
+    * Long.MaxValue) to opt into a larger materialization EXPLICITLY; the
+    * distributed paths (`filter(Sel.Pred)`, `mapDF`, `mapDFRows`, sinks)
+    * never consult it. */
+  @volatile var maxDriverRows: Long = 1000000L
 
   /** id-column state of a frame: `None` = no hidden id exists yet (pure
     * Catalyst plan — pushdown/pruning/codegen intact); `Dense` = contiguous
@@ -491,11 +519,12 @@ object DF {
     pairs.foreach { case (_, v) =>
       if (v.length != n) throw new ColumnLengthException(n, v.length)
     }
+    val normalized = pairs.map { case (k, v) => (k, normalizeColumn(v)) }
     val schema = StructType(
-      pairs.map { case (k, v) => StructField(k, inferType(v), nullable = true) } :+
+      normalized.map { case (k, (t, _)) => StructField(k, t, nullable = true) } :+
         StructField(ROW_ID, LongType, nullable = false))
     val rows = (0 until n).map { i =>
-      Row.fromSeq(pairs.map(_._2(i)) :+ i.toLong)
+      Row.fromSeq(normalized.map(_._2._2(i)) :+ i.toLong)
     }
     new DF(spark.createDataFrame(
       spark.sparkContext.parallelize(rows.toSeq, math.max(1, math.min(4, n))), schema),
@@ -560,12 +589,13 @@ object DF {
   private[graft] def joinLocalColumn(df: DataFrame, key: String, values: Seq[Any]): DataFrame = {
     val spark = df.sparkSession
     val dense = df
+    val (colType, colValues) = normalizeColumn(values)
     val schema = StructType(Seq(
       StructField(ROW_ID, LongType, nullable = false),
-      StructField(key, inferType(values), nullable = true)))
+      StructField(key, colType, nullable = true)))
     val local = spark.createDataFrame(
       spark.sparkContext.parallelize(
-        values.zipWithIndex.map { case (v, i) => Row(i.toLong, v) }, 1),
+        colValues.zipWithIndex.map { case (v, i) => Row(i.toLong, v) }, 1),
       schema)
     val joined = dense.join(broadcast(local), Seq(ROW_ID), "inner")
     val outCols = dense.columns.filterNot(_ == ROW_ID).map(joined.col) :+
@@ -573,20 +603,44 @@ object DF {
     joined.select(outCols.toIndexedSeq: _*)
   }
 
+  /** Spark type of one value, None for types Spark has no column for. */
+  private def sparkTypeOf(x: Any): Option[DataType] = x match {
+    case _: Int                => Some(IntegerType)
+    case _: Long               => Some(LongType)
+    case _: Double             => Some(DoubleType)
+    case _: Float              => Some(FloatType)
+    case _: Boolean            => Some(BooleanType)
+    case _: String             => Some(StringType)
+    case _: java.sql.Timestamp => Some(TimestampType)
+    case _: java.sql.Date      => Some(DateType)
+    case _: Array[Byte]        => Some(BinaryType)
+    // the reference's exact rationals (cl-data-frame.lisp RATIO elements;
+    // floated only for PRINTING via ensure-not-ratio, :54-58) land here:
+    // DecimalType keeps the exact value in the column, display converts
+    case _: BigDecimal         => Some(DecimalType(38, 18))
+    case _                     => None
+  }
+
   private[graft] def inferType(v: Seq[Any]): DataType =
-    v.collectFirst { case x if x != null => x } match {
-      case Some(_: Int)                  => IntegerType
-      case Some(_: Long)                 => LongType
-      case Some(_: Double)               => DoubleType
-      case Some(_: Float)                => FloatType
-      case Some(_: Boolean)              => BooleanType
-      case Some(_: String)               => StringType
-      case Some(_: java.sql.Timestamp)   => TimestampType
-      case Some(_: java.sql.Date)        => DateType
-      case Some(_: Array[Byte])          => BinaryType
-      case Some(_: BigDecimal)           => DecimalType(38, 18)
-      case _                             => StringType
+    v.collectFirst { case x if x != null => x }
+      .flatMap(sparkTypeOf).getOrElse(StringType)
+
+  /** the SURVEY §7.4.3 column-typing contract for the reference's
+    * element-type-`t` ("anything") columns: infer the narrowest Spark type
+    * when every non-null element shares it; otherwise fall back to a
+    * StringType column of printed representations — Spark columns are
+    * uni-typed, so a heterogeneous Lisp vector cannot round-trip values, only
+    * display forms (the documented delta). Returns the type plus the values
+    * to store (stringified only in the fallback). */
+  private[graft] def normalizeColumn(v: Seq[Any]): (DataType, Seq[Any]) = {
+    val types = v.iterator.filter(_ != null).map(sparkTypeOf).distinct.toSeq
+    types match {
+      case Seq(Some(t)) => (t, v)
+      case Seq()        => (StringType, v) // all-null column
+      case _            =>
+        (StringType, v.map(x => if (x == null) null else x.toString))
     }
+  }
 }
 
 /** Mutable handle reproducing the reference's destructive (`!`) variants

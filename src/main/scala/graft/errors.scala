@@ -27,3 +27,15 @@ final class EmptyFrameException
 final class ColumnLengthException(val expected: Long, val got: Long)
     extends IllegalArgumentException(
       s"Columns don't have the same length (expected $expected, got $got).")
+
+/** Guard for the reference-parity paths that materialize the whole frame on
+  * the driver (`column`/`mapRows`/`maskRows`/`asAlist`/`toMatrix`): at corpus
+  * scale such a collect is an OOM, not a slow call, so above
+  * [[DF.maxDriverRows]] the call refuses with a pointer to the distributed
+  * form instead of letting the footgun fire (round-9 verdict item #7). */
+final class DriverMaterializationException(
+    val op: String, val rows: Long, val cap: Long, val scaleAlt: String)
+    extends IllegalStateException(
+      s"$op would materialize $rows rows on the driver (cap $cap). These " +
+        "reference-parity forms exist for small interactive frames; at scale " +
+        s"use $scaleAlt, or raise graft.DF.maxDriverRows explicitly.")

@@ -720,12 +720,20 @@ object Dedup {
   }
 
   /** connected components over a candidate pair graph by iterative min-label
-    * propagation: every node starts labeled with its own id; each round takes
-    * the min of its label and its neighbors' labels; fixpoint = each
-    * component labeled by its minimum id. Rounds are bounded by the
-    * component diameter (near-dup graphs are shallow — chains of dups), and
-    * each round is two bucket-local shuffles (edge join + min aggregate), so
-    * the loop is safe at corpus scale where a driver-side union-find is not.
+    * propagation WITH pointer-doubling: every node starts labeled with its
+    * own id; each round takes the min of its label and its neighbors' labels
+    * (one-hop relax), then shortcuts label ← min(label, label(label)) — so
+    * the propagation distance roughly DOUBLES per round and convergence is
+    * O(log diameter) rounds, not O(diameter). A 50-long duplicate chain
+    * (pathological but real: serial near-copies of near-copies) converges in
+    * ~7 rounds where pure relaxation needs 49 — proven in Round4OpsSpec. The
+    * default maxIter = 20 therefore covers diameters to ~2^20 instead of 20.
+    * Each round is three shuffles (edge join + min aggregate + the shortcut
+    * self-join) over constant-size checkpointed plans. The shortcut join
+    * keys on the current label — inside a giant component that key
+    * concentrates toward the component min as rounds progress; AQE's skew
+    * split handles the hot key (the alternative, Kiveris large-star/
+    * small-star, rewrites edges instead and needs the same skew handling).
     * Returns (id, label) for every node that appears in `pairs`. */
   def clusterLabels(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
                     maxIter: Int = 20): DataFrame = {
@@ -748,14 +756,25 @@ object Dedup {
         .join(labels.as("l"), col("e.src") === col("l.id"))
         .groupBy(col("e.dst").as("id"))
         .agg(min(col("l.label")).as("nl"))
+      val relaxed = labels.as("l").join(nbrMin.as("n"), Seq("id"), "left")
+        .select(col("id"),
+          least(col("l.label"), coalesce(col("n.nl"), col("l.label"))).as("label"),
+          col("l.label").as("__old"))
+      // pointer-doubling shortcut: label ← min(label, label(label)). The
+      // right side is `relaxed` keyed by id-renamed-to-label (one row per
+      // id, so the join is N:1); at the fixpoint every component min labels
+      // itself, so the shortcut is the identity there and convergence
+      // detection below is unaffected.
       // localCheckpoint materializes eagerly AND keeps every round's plan
       // constant-size (labels_i never references labels_{i-1}'s plan); the
       // old label rides along so convergence is a filter on the checkpointed
       // frame, not another join
-      val next = labels.as("l").join(nbrMin.as("n"), Seq("id"), "left")
+      val next = relaxed
+        .join(relaxed.select(col("id").as("label"), col("label").as("__ll")),
+          Seq("label"), "left")
         .select(col("id"),
-          least(col("l.label"), coalesce(col("n.nl"), col("l.label"))).as("label"),
-          col("l.label").as("__old"))
+          least(col("label"), coalesce(col("__ll"), col("label"))).as("label"),
+          col("__old"))
         .localCheckpoint()
       changed = next.filter(col("label") =!= col("__old")).count()
       labels = next.drop("__old")
@@ -823,12 +842,19 @@ object Dedup {
   def clusterDedupFromPairs(df: DataFrame, idCol: String, pairs: DataFrame,
                             maxDriverPairs: Long = DriverUnionFindMaxPairs): DataFrame = {
     val longIds = pairs.schema.fields.take(2).forall(_.dataType == LongType)
-    val nPairs = if (longIds) pairs.count() else -1L
-    val useDriver = longIds && nPairs <= maxDriverPairs
+    // regime probe bounded by the budget: limit(budget+1).count() stops
+    // scanning once budget+1 rows exist, so a 100 TB-scale candidate set
+    // never pays a full count just to learn "too big for the driver" (the
+    // answer is exact within the only range that matters, 0..budget+1)
+    val probeCap = math.min(maxDriverPairs + 1, Int.MaxValue.toLong).toInt
+    val probed = if (longIds) pairs.limit(probeCap).count() else -1L
+    val useDriver = longIds && probed <= maxDriverPairs
     // observability for the regime switch: at 100 TB you want the log to say
     // which path fired and how close the pair count came to the budget
-    log.info(s"clusterDedupFromPairs: $nPairs candidate pairs (driver budget " +
-      s"$maxDriverPairs) -> ${if (useDriver) "driver union-find" else "distributed min-label propagation"}")
+    log.info(s"clusterDedupFromPairs: ${
+      if (probed > maxDriverPairs) s"> $maxDriverPairs" else s"$probed"
+    } candidate pairs (driver budget $maxDriverPairs) -> ${
+      if (useDriver) "driver union-find" else "distributed min-label propagation"}")
     val dupIds =
       if (useDriver) {
         val collected = pairs

@@ -19,6 +19,12 @@ import org.apache.spark.sql.types._
   */
 object Similarity {
 
+  /** upper bound on the multi-probe bucket-literal IN list [[lshTopK]] may
+    * inline into the plan (Σ C(nBits, f≤maxFlips) terms). 4096 8-byte
+    * literals keep analysis + codegen trivially cheap while allowing every
+    * sane (nBits, maxFlips) configuration — (16,3) = 697, (20,3) = 1351. */
+  val MaxProbeLiterals: Int = 4096
+
   /** cosine similarity of two float/double array columns, computed in double.
     * Production path: the native codegen'd [[graft.functions.CosineSimilarityExpr]]
     * — one fused loop, no per-row intermediate array. Accumulation order is
@@ -153,6 +159,15 @@ object Similarity {
               seed: Long = 42L, maxFlips: Int = 0): DataFrame = {
     val qSig = signatureOf(query, dim, nBits, seed)
     val probes = probeSignatures(qSig, nBits, maxFlips)
+    // the probe set is inlined as an IN list of plan literals: Σ C(nBits,f)
+    // terms — 697 at (16,3) is fine, but (16,8) would inline ~39k literals
+    // and (32,8) ~15M, bloating analysis/codegen far past any recall gain.
+    // Cap where the literal list stays plan-cheap; past it, raise nBits
+    // (smaller buckets) or use lshBandSignatures banding instead of flips.
+    require(probes.length <= MaxProbeLiterals,
+      s"lshTopK: maxFlips=$maxFlips over nBits=$nBits probes ${probes.length} " +
+        s"buckets — above the $MaxProbeLiterals plan-literal cap; lower " +
+        "maxFlips, or grow nBits / switch to banded signatures for recall")
     val bucketed = df.withColumn("__sig", lshSignature(col(vecCol), dim, nBits, seed))
     val q = array(query.map(lit): _*)
     bucketed.filter(col("__sig").isin(probes.map(Long.box): _*))

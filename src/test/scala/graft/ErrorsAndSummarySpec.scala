@@ -113,4 +113,59 @@ class ErrorsAndSummarySpec extends AnyFunSuite {
     // shuffle stage + final stage); the old per-column loop ran 2N
     assert(jobs <= 2, s"frame summary ran $jobs jobs, expected <= 2")
   }
+
+  test("SURVEY §7.4.3 delta: exact rationals → DecimalType; heterogeneous t columns → StringType display forms") {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, StringType}
+    // the reference's RATIO column (cl-data-frame.lisp element-type t holds
+    // exact rationals; ensure-not-ratio :54-58 floats them ONLY for
+    // printing): the analogue stores the exact decimal, display casts down
+    val third = BigDecimal(1) / 3
+    val d = DF(spark, "r" -> Seq(third, BigDecimal(2) / 3))
+    assert(d.toSpark.schema("r").dataType == DecimalType(38, 18))
+    val stored = d.column("r").map(_.asInstanceOf[java.math.BigDecimal])
+    assert(stored.head.toString == "0.333333333333333333") // exact, scale 18
+    // ensure-not-ratio display semantics: floating the stored exact value
+    // gives the float of the ratio, not a double computed upstream
+    val floated = d.toSpark.select(col("r").cast(DoubleType)).collect()
+      .map(_.getDouble(0))
+    assert(math.abs(floated.head - 1.0 / 3.0) < 1e-15)
+    // a genuinely heterogeneous column (reference: generic vector of t)
+    // cannot round-trip VALUES through a uni-typed Spark column — the
+    // documented fallback stores display forms as StringType
+    val mixed = DF(spark, "m" -> Seq(1, "a", 2.5, null))
+    assert(mixed.toSpark.schema("m").dataType == StringType)
+    assert(mixed.column("m") == Vector("1", "a", "2.5", null))
+    // same contract on the add-column ingestion path
+    val added = DF(spark, "x" -> Seq(1, 2)).addColumn("m", Seq(7, "y"))
+    assert(added.toSpark.schema("m").dataType == StringType)
+    assert(added.column("m") == Vector("7", "y"))
+  }
+
+  test("driver-materializing parity forms refuse above the row cap; override allows") {
+    val d = DF(spark, "x" -> (1 to 10), "y" -> (1 to 10).map(_.toString))
+    val saved = DF.maxDriverRows
+    try {
+      DF.maxDriverRows = 5L // frame has 10 rows — every guarded form refuses
+      def refusal(f: => Any): String = {
+        val e = intercept[DriverMaterializationException](f)
+        // the message must NAME the distributed alternative — the guard's
+        // job is to redirect, not just to block
+        assert(e.getMessage.contains("at scale") || e.getMessage.contains("use"))
+        e.getMessage
+      }
+      assert(refusal(d.column("x")).contains("column"))
+      assert(refusal(d.mapRows(Seq("x"))(_.head)).contains("mapDFRows"))
+      assert(refusal(d.mapRowsCol(col("x") + 1)).contains("mapDF"))
+      assert(refusal(d.maskRows(Seq("x"))(_ => true)).contains("Sel.Pred"))
+      assert(refusal(d.asAlist).contains("toSpark"))
+      assert(refusal(d.toMatrix).contains("toSpark"))
+      // the distributed spellings ignore the cap entirely
+      assert(d.filter(col("x") > 5).nrow == 5L)
+      assert(d.mapDF("x2" -> (col("x") * 2)).keys == Vector("x2"))
+      // explicit override: raising the cap re-enables the parity forms
+      DF.maxDriverRows = saved
+      assert(d.column("x") == Vector(1, 2, 3, 4, 5, 6, 7, 8, 9, 10))
+      assert(d.asAlist.head._2.length == 10)
+    } finally DF.maxDriverRows = saved
+  }
 }

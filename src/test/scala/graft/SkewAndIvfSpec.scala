@@ -53,6 +53,24 @@ class SkewAndIvfSpec extends AnyFunSuite {
     assert(multi >= 0.8, s"multi-probe recall@$k = $multi < 0.8")
   }
 
+  test("lshTopK probe-literal cap: maxFlips=4 runs, past-cap configurations refuse") {
+    val vecs = (0 until 20).map(i =>
+      (i.toLong, Array.fill(16)(if (i % 2 == 0) 1.0f else -1.0f).toSeq))
+    val emb = vecs.toDF("vec_id", "embedding")
+    val query = Seq.fill(16)(1.0)
+    // (16,4) = ΣC(16,0..4) = 2517 literals — inside the 4096 cap, must run
+    val ok = Similarity.lshTopK(emb, "vec_id", "embedding", query, 5,
+      dim = 16, nBits = 16, maxFlips = 4).collect()
+    assert(ok.length <= 5)
+    // (16,8) = 39 203 literals would bloat the plan ~16x past the cap — a
+    // caller reaching for that much probing needs banding, not flips
+    val e = intercept[IllegalArgumentException] {
+      Similarity.lshTopK(emb, "vec_id", "embedding", query, 5,
+        dim = 16, nBits = 16, maxFlips = 8)
+    }
+    assert(e.getMessage.contains("plan-literal cap"))
+  }
+
   test("banded near-dup LSH finds planted near-dup pairs, candidates stay bucket-local") {
     val rnd = new scala.util.Random(11)
     // 60 random unit-ish vectors + 5 planted near-duplicates of the first 5
