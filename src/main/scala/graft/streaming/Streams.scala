@@ -344,4 +344,72 @@ object Streams {
     q.processAllAvailable()
     q.stop()
   }
+
+  /** one pass of store-backed streaming ingest with the survivor append
+    * CLOSED INTO THE LOOP: each micro-batch is deduped against the persisted
+    * fingerprint store ([[streamingDedupAgainstStore]] — stream-static
+    * anti-join + in-watermark dedup), survivors land in `outDir` AND their
+    * fingerprints append to the bucketed store, so the NEXT micro-batch
+    * (and the next restart) dedups against them too — the full production
+    * ingest shape, previously only proven on the batch side.
+    *
+    * foreachBatch is at-least-once (a crash between the sink write and the
+    * checkpoint commit re-delivers the batch on restart), so both effects
+    * are idempotent per batchId:
+    *  - survivors overwrite their own `__batch=<id>` partition of `outDir`
+    *    (dynamic partition overwrite): a re-delivered batch REWRITES the
+    *    same partition instead of appending duplicates;
+    *  - the store append is gated by a per-batch commit marker stored
+    *    under the CHECKPOINT dir (markers and checkpoint recover or reset
+    *    together): a re-delivered, already-marked batch skips the append.
+    *    The window between append and marker is additionally harmless by
+    *    construction — duplicate fingerprint rows cannot change an
+    *    anti-join — the marker just keeps the store physically clean.
+    */
+  def runStoreIngestOnce(spark: SparkSession, inDir: String, outDir: String,
+                         checkpointDir: String, store: String,
+                         textCol: String = "text", tsCol: String = "ts",
+                         delay: String = "10 minutes",
+                         nBuckets: Int = 4): Unit = {
+    val schema = spark.read.parquet(inDir).schema
+    // appends may have come from a previous run's foreachBatch session (or
+    // another process entirely): refresh the cached file listing before the
+    // stream-static join plan binds to it
+    spark.catalog.refreshTable(s"${store}_fps")
+    val deduped = streamingDedupAgainstStore(
+      spark.readStream.schema(schema).parquet(inDir),
+      textCol, tsCol, store, delay)
+    val markers = new org.apache.hadoop.fs.Path(checkpointDir, "store_commits")
+    val q = deduped.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val s = batch.sparkSession
+        val fs = markers.getFileSystem(s.sessionState.newHadoopConf())
+        val marker = new org.apache.hadoop.fs.Path(markers, batchId.toString)
+        if (!fs.exists(marker)) {
+          val b = batch.persist()
+          try {
+            b.withColumn("__batch", lit(batchId))
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("__batch").parquet(outDir)
+            graft.sources.Sources.writeBucketed(
+              b.select(graft.operators.TextAnalysis.fingerprint(col(textCol)).as("fp"))
+                .distinct(),
+              s"${store}_fps", "fp", nBuckets,
+              org.apache.spark.sql.SaveMode.Append)
+            fs.mkdirs(markers)
+            fs.createNewFile(marker)
+            // make the appended bucket files visible to every session's
+            // cached listing — the next micro-batch's static side and the
+            // caller's post-run reads both depend on it
+            s.catalog.refreshTable(s"${store}_fps")
+          } finally b.unpersist()
+        }
+        () // the overloaded foreachBatch needs an unambiguous Unit body
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
 }

@@ -452,6 +452,53 @@ class StreamsSpec extends AnyFunSuite {
     assert(got.size == 50 && got.map(_._1).distinct.size == 50)
   }
 
+  test("store-append ingest loop: later batches dedup against earlier survivors, exactly-once across kill/restart") {
+    import spark.implicits._
+    val mk = java.nio.file.Files.createTempDirectory(_: String).toString
+    val in = mk("graft_storeingest_in")
+    val out = mk("graft_storeingest_out") + "/sink"
+    val ckpt = mk("graft_storeingest_ckpt")
+    val store = "graft_stream_fp_store"
+    // seed: the already-kept corpus, as the batch side would have written it
+    graft.operators.Dedup.writeFingerprintStore(
+      Seq((100L, "alpha doc kept")).toDF("doc_id", "text"), "text", store,
+      nBuckets = 2)
+    def drop(rows: (Long, String, String)*): Unit =
+      rows.toSeq.map { case (id, text, t) => (id, text, ts(t)) }
+        .toDF("doc_id", "text", "ts")
+        .repartition(1).write.mode("append").parquet(in)
+    // drop 1: a stored dup (must drop), a fresh survivor, an in-stream
+    // repeat of it (in-watermark dedup must collapse)
+    drop((1L, "alpha doc kept", "2024-01-01 10:00:00"),
+         (2L, "bravo new doc", "2024-01-01 10:00:01"),
+         (3L, "bravo new doc", "2024-01-01 10:00:02"))
+    Streams.runStoreIngestOnce(spark, in, out, ckpt, store, nBuckets = 2)
+    // drop 2 lands while the query is DOWN — equivalent to a crash between
+    // micro-batches: a fresh doc a DAY later, which advances the watermark
+    // far past bravo's dedup state (10:00 + 10 min ≪ day-2 09:50), so that
+    // state is evicted at this batch's end
+    drop((4L, "charlie fresh", "2024-01-02 10:00:00"))
+    Streams.runStoreIngestOnce(spark, in, out, ckpt, store, nBuckets = 2)
+    // drop 3: bravo RE-ARRIVES after its in-watermark state is gone — only
+    // the store append from run 1 (the loop closure under test) can drop
+    // it now; delta is the batch's survivor
+    drop((5L, "bravo new doc", "2024-01-02 12:00:00"),
+         (6L, "delta latest", "2024-01-02 12:00:01"))
+    Streams.runStoreIngestOnce(spark, in, out, ckpt, store, nBuckets = 2)
+    // idle restart: recovery must be a no-op (no batch re-delivery effects)
+    Streams.runStoreIngestOnce(spark, in, out, ckpt, store, nBuckets = 2)
+    val got = spark.read.parquet(out).select("text").as[String]
+      .collect().sorted.toSeq
+    assert(got == Seq("bravo new doc", "charlie fresh", "delta latest"),
+      s"survivors not exactly-once: $got")
+    // the store holds each fingerprint exactly once: seed + the three
+    // survivors, no double append from the restarts (per-batch markers)
+    spark.catalog.refreshTable(s"${store}_fps")
+    val fps = spark.table(s"${store}_fps").collect().map(_.getString(0)).toSeq
+    assert(fps.length == 4 && fps.distinct.length == 4,
+      s"store not physically clean: ${fps.length} rows, ${fps.distinct.length} distinct")
+  }
+
   test("upstream watermark on a DIFFERENT column fails loudly; same column is reused") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
