@@ -402,31 +402,34 @@ object Dedup {
       .select(idCol).distinct()
   }
 
-  /** persist the minhash build parameters on the sigs table so a probe with
-    * mismatched numHashes/bands fails loudly at [[checkStoreParams]] instead
-    * of silently under-estimating jaccard (unequal-length sig arrays make
-    * every zip_with element comparison a disagreement). */
+  /** persist a store's build parameters as table properties so a probe with
+    * mismatched parameters fails loudly at [[checkStoreParams]] instead of
+    * silently missing true duplicates — every store family shares the
+    * hazard: minhash numHashes/bands (unequal-length sig arrays make every
+    * zip_with element comparison a disagreement), simhash portable flag
+    * (60-bit md5 signatures never equal 64-bit xxhash64 ones), embedding
+    * dim/bandBits/bands/seed (different planes → band keys never collide
+    * with the store's). */
   private def setStoreParams(spark: SparkSession, table: String,
-                             numHashes: Int, bands: Int): Unit =
+                             params: Map[String, Any]): Unit =
     spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES (" +
-      s"'graft.numHashes' = '$numHashes', 'graft.bands' = '$bands')")
+      params.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"'graft.$k' = '$v'" }.mkString(", ") + ")")
 
   /** validate probe parameters against the build parameters persisted by
     * [[setStoreParams]]. Stores written before the properties existed are
     * accepted (nothing to check against) — the in-plan signature-width guard
-    * in [[dedupAgainstCore]] still backstops those. */
+    * in [[dedupAgainstCore]] still backstops the minhash case. */
   private def checkStoreParams(spark: SparkSession, table: String,
-                               numHashes: Int, bands: Int): Unit = {
+                               params: Map[String, Any]): Unit = {
     val props = spark.sql(s"SHOW TBLPROPERTIES $table").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
-    props.get("graft.numHashes").foreach(v => require(v.toInt == numHashes,
-      s"$table was built with numHashes=$v but the probe passed " +
-        s"numHashes=$numHashes — signatures would disagree element-wise and " +
-        "true duplicates would survive; probe with the store's parameters"))
-    props.get("graft.bands").foreach(v => require(v.toInt == bands,
-      s"$table was built with bands=$v but the probe passed bands=$bands — " +
-        "band keys would never collide with the store's; probe with the " +
-        "store's parameters"))
+    params.foreach { case (k, v) =>
+      props.get(s"graft.$k").foreach(stored => require(stored == v.toString,
+        s"$table was built with $k=$stored but the probe passed $k=$v — " +
+          "mismatched parameters silently miss true duplicates (signatures " +
+          "or band keys can never match); probe with the store's parameters"))
+    }
   }
 
   /** create/replace the production (xxhash64) signature store from a
@@ -441,7 +444,8 @@ object Dedup {
     Sources.writeBucketed(
       lshBands(sigs, idCol, "sig", bands, numHashes).select(col(idCol), col("band_hash")),
       s"${store}_bands", "band_hash", nBuckets)
-    setStoreParams(sigs.sparkSession, s"${store}_sigs", numHashes, bands)
+    setStoreParams(sigs.sparkSession, s"${store}_sigs",
+      Map("numHashes" -> numHashes, "bands" -> bands))
   }
 
   /** incremental MinHash-LSH dedup of `newBatch` against the persisted store
@@ -457,7 +461,8 @@ object Dedup {
                           updateStore: Boolean = true,
                           nBuckets: Int = 8): DataFrame = {
     val spark = newBatch.sparkSession
-    checkStoreParams(spark, s"${store}_sigs", numHashes, bands)
+    checkStoreParams(spark, s"${store}_sigs",
+      Map("numHashes" -> numHashes, "bands" -> bands))
     // localCheckpoint: the new-batch signatures feed the candidate join, the
     // verify join, and the store append — compute the fused kernel once.
     val newSigs = minhashSigs(newBatch, idCol, textCol, numHashes)
@@ -490,7 +495,8 @@ object Dedup {
     Sources.writeBucketed(sigs, s"${store}_sigs", idCol, nBuckets)
     Sources.writeBucketed(portableBands(sigs, idCol, numHashes, bands),
       s"${store}_bands", "band_key", nBuckets)
-    setStoreParams(sigs.sparkSession, s"${store}_sigs", numHashes, bands)
+    setStoreParams(sigs.sparkSession, s"${store}_sigs",
+      Map("numHashes" -> numHashes, "bands" -> bands))
   }
 
   /** md5-portable twin of [[minhashDedupAgainst]] — same store-backed
@@ -505,7 +511,8 @@ object Dedup {
                                   updateStore: Boolean = false,
                                   nBuckets: Int = 8): DataFrame = {
     val spark = newBatch.sparkSession
-    checkStoreParams(spark, s"${store}_sigs", numHashes, bands)
+    checkStoreParams(spark, s"${store}_sigs",
+      Map("numHashes" -> numHashes, "bands" -> bands))
     val newSigs = minhashSigsPortable(newBatch, idCol, textCol, numHashes,
       shingleSize).localCheckpoint()
     val dupIds0 = dedupAgainstCore(idCol, newSigs,
@@ -624,6 +631,8 @@ object Dedup {
                else simhashSigs(df, idCol, textCol)
     Sources.writeBucketed(sigs.select(col("simhash").as("sig")).distinct(),
       s"${store}_sigs", "sig", nBuckets)
+    setStoreParams(df.sparkSession, s"${store}_sigs",
+      Map("portable" -> portable))
   }
 
   /** incremental SimHash dedup against [[writeSimhashStore]]'s table: drop
@@ -637,6 +646,7 @@ object Dedup {
                           updateStore: Boolean = true,
                           nBuckets: Int = 8): DataFrame = {
     val spark = newBatch.sparkSession
+    checkStoreParams(spark, s"${store}_sigs", Map("portable" -> portable))
     // signature as a DERIVED COLUMN (the fused kernel is a per-row
     // projection): one scan of the batch, no self-join on id — the
     // exactDedupAgainst shape
@@ -671,6 +681,9 @@ object Dedup {
       s"${store}_bands", "sig", nBuckets)
     Sources.writeBucketed(df.select(col(idCol), col(vecCol).as("vec")),
       s"${store}_vecs", idCol, nBuckets)
+    setStoreParams(df.sparkSession, s"${store}_bands",
+      Map("dim" -> dim, "bandBits" -> bandBits, "bands" -> bands,
+        "seed" -> seed))
   }
 
   /** incremental EMBEDDING near-dup against [[writeEmbeddingStore]]: new
@@ -688,6 +701,9 @@ object Dedup {
                               seed: Long = 42L, updateStore: Boolean = true,
                               nBuckets: Int = 8): DataFrame = {
     val spark = newBatch.sparkSession
+    checkStoreParams(spark, s"${store}_bands",
+      Map("dim" -> dim, "bandBits" -> bandBits, "bands" -> bands,
+        "seed" -> seed))
     val newBands = Similarity.lshBandSignatures(newBatch, idCol, vecCol, dim,
       bandBits, bands, seed)
     val cands = newBands

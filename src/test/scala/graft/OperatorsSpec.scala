@@ -579,6 +579,29 @@ class OperatorsSpec extends AnyFunSuite {
         "graft_param_store", threshold = 0.5, numHashes = 16, bands = 2)
     }
     assert(e2.getMessage.contains("bands"))
+    // the whole store family shares the hazard: simhash's hash base flag
+    // (60-bit md5 sigs never equal 64-bit xxhash64 sigs — every probe would
+    // silently "survive") …
+    Dedup.writeSimhashStore(d, "doc_id", "text", "graft_sh_param_store",
+      portable = true, nBuckets = 2)
+    val e3 = intercept[IllegalArgumentException] {
+      Dedup.simhashDedupAgainst(d, "doc_id", "text", "graft_sh_param_store",
+        portable = false, updateStore = false)
+    }
+    assert(e3.getMessage.contains("portable"))
+    // … and the embedding store's plane geometry (different bandBits means
+    // band keys can never collide with the store's)
+    val emb = (1L to 8L).map(i =>
+      (i, (0 until 8).map(j => if (j == (i % 4).toInt) 1.0f else 0.0f).toSeq))
+      .toDF("vec_id", "embedding")
+    Dedup.writeEmbeddingStore(emb, "vec_id", "embedding",
+      "graft_emb_param_store", dim = 8, bandBits = 8, bands = 2, nBuckets = 2)
+    val e4 = intercept[IllegalArgumentException] {
+      Dedup.embeddingNearDupAgainst(emb, "vec_id", "embedding",
+        "graft_emb_param_store", threshold = 0.9, dim = 8, bandBits = 12,
+        bands = 2, updateStore = false)
+    }
+    assert(e4.getMessage.contains("bandBits"))
   }
 
   test("signature width mismatch vs a property-less store raises in-plan") {

@@ -293,4 +293,43 @@ class PlanAuditSpec extends AnyFunSuite {
       !plan.contains("BroadcastNestedLoopJoin"),
       s"attribution join lost its user_id equi-key:\n$plan")
   }
+
+  test("heavy dedup family: plan invariants hold unchanged at a 10x corpus") {
+    // the round-10 empirical scale stress in miniature: the same fixture
+    // corpus at 1x and at 10x (GenScale's salting scheme — every 5th token
+    // suffixed per replica, so the dup RATE stays constant instead of every
+    // doc becoming a 10-clique), asserting the scale invariants the 1x
+    // plan-audit tests pin do not degrade as statistics grow: all joins
+    // stay keyed (no Cartesian/BNLJ fallback) and no window/aggregate
+    // funnels to a single partition.
+    import graft.operators.Dedup
+    val run = (1 to 10).map(i => s"shared$i").mkString(" ")
+    val base = (1L to 60L).map { i =>
+      val body = (1 to 30).map(j => s"w${i}x$j").mkString(" ")
+      (i, if (i % 2 == 0) s"$body $run tail$i" else body)
+    }
+    def replicate(factor: Int) = (0 until factor).flatMap { r =>
+      base.map { case (id, text) =>
+        val toks = text.split(" ").zipWithIndex.map { case (t, i) =>
+          if (r > 0 && i % 5 == 0) s"${t}_$r" else t
+        }
+        (id + r * 10000000L, toks.mkString(" "))
+      }
+    }.toDF("doc_id", "text")
+    for (factor <- Seq(1, 10)) {
+      val docs = replicate(factor)
+      val plans = Seq(
+        "span"    -> finalPlan(Dedup.spanOverlapPairs(docs, "doc_id", "text", minRun = 8)),
+        "minhash" -> finalPlan(Dedup.minhashDedup(docs, "doc_id", "text", 0.5,
+          numHashes = 32, bands = 8)),
+        "contain" -> finalPlan(Dedup.ngramContainmentPrefix(docs, "doc_id", "text", 0.7)))
+      plans.foreach { case (name, plan) =>
+        assert(!plan.contains("CartesianProduct") &&
+          !plan.contains("BroadcastNestedLoopJoin"),
+          s"$name lost its join key at ${factor}x:\n$plan")
+        assert(!plan.contains("SinglePartition"),
+          s"$name funnels to one partition at ${factor}x:\n$plan")
+      }
+    }
+  }
 }
