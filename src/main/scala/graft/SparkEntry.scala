@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -69,6 +69,28 @@ object SparkEntry {
       Sampling.tokenBudgetRates(rd(s, dir, "documents"), "text", "source",
         budgetTokens = 10000L,
         weights = Map("src0" -> 0.25, "src1" -> 0.15)))
+  }
+
+  /** offline-derived α-temperature mixing rates (same lazy-literal
+    * mechanism as [[budgetRatesFor]]): the fixture's sources are uniform,
+    * so the query derives a SKEWED domain from doc_id (8:4:2:2 per 16 ids)
+    * to give the temperature flattening something to flatten; α = 0.5 at a
+    * 0.4-of-corpus budget downsamples the head hardest (head rate < mid <
+    * tail — the signature of q_i ∝ n_i^α). */
+  private val tempRatesMemo =
+    new scala.collection.concurrent.TrieMap[String, Map[String, Double]]
+  @volatile private var lastTempDir: Option[String] = None
+  private def skewedDomain: Column =
+    when(col("doc_id") % 16 < 8, "head")
+      .when(col("doc_id") % 16 < 12, "mid")
+      .when(col("doc_id") % 16 < 14, "tail1")
+      .otherwise("tail2")
+  private def tempRatesFor(s: SparkSession, dir: String): Map[String, Double] = {
+    lastTempDir = Some(dir)
+    tempRatesMemo.getOrElseUpdate(dir,
+      Sampling.temperatureRates(
+        rd(s, dir, "documents").withColumn("__dom", skewedDomain),
+        "__dom", alpha = 0.5, targetFraction = 0.4))
   }
 
   /** the synthetic web-page plant shared by q_boilerplate and
@@ -848,6 +870,20 @@ object SparkEntry {
         .withColumnRenamed("source", "host")
         .orderBy("doc_id")
     }),
+    "q_paragraph_dedup" -> ((s, dir) => {
+      // corpus-GLOBAL duplicate-paragraph removal (RefinedWeb/CCNet global
+      // line dedup — keep-first, one survivor corpus-wide), vs
+      // q_boilerplate's HOST-keyed ratio rule. The raw corpus is one
+      // paragraph per doc, so the query plants the structure: a paragraph
+      // shared by EVERY doc (df = N → only the lowest doc keeps it), a
+      // group paragraph shared by ~1/50th of docs (df ≈ N/50 > maxDocFreq
+      // → one survivor per group), then the doc's own unique text (kept)
+      val planted = rd(s, dir, "documents").select(col("doc_id"),
+        concat_ws("\n", lit("shared global paragraph"),
+          concat(lit("group "), col("doc_id") % 50), col("text")).as("text"))
+      TextAnalysis.dedupParagraphs(planted, "doc_id", "text", maxDocFreq = 2)
+        .orderBy("doc_id")
+    }),
     "q_curation_web" -> ((s, dir) => {
       // WEB-SHAPED curation: the boilerplate strip feeding the verified
       // curation chain (gates → fingerprint dedup → near-dedup → sample)
@@ -926,6 +962,15 @@ object SparkEntry {
       // domains-sized token aggregate, applied as ONE content-hash filter
       Sampling.tokenBudgetSample(rd(s, dir, "documents"), "doc_id", "source",
           budgetRatesFor(s, dir))
+        .select("doc_id", "source").orderBy("doc_id")),
+    "q_temperature_mix" -> ((s, dir) =>
+      // α-temperature domain re-balancing (XLM-R/mT5 q_i ∝ n_i^α): rates
+      // derived offline over the skewed derived domain, applied as the
+      // same one content-hash filter as q_token_budget — the two queries
+      // share the APPLY shape and differ in the rate DERIVATION under test
+      Sampling.tokenBudgetSample(
+          rd(s, dir, "documents").withColumn("__dom", skewedDomain),
+          "doc_id", "__dom", tempRatesFor(s, dir))
         .select("doc_id", "source").orderBy("doc_id")),
     "q_split_assign" -> ((s, dir) =>
       // deterministic train/val/test assignment: content-hash intervals,
@@ -2484,6 +2529,36 @@ object SparkEntry {
       s"""WITH ${boilerplateChainSql("documents")}
          SELECT doc_id, source AS host, text AS clean_text FROM web
          ORDER BY doc_id""",
+    // full replication of dedupParagraphs: postings with 0-based positions
+    // (index lambda), corpus doc-freq per paragraph, keep-first via
+    // row_number ordered (doc_id, pos) — identical to Spark's
+    // min(struct(doc, pos)) — and ordered string_agg reassembly with ''
+    // for fully-emptied docs
+    "q_paragraph_dedup" ->
+      """WITH p AS (
+           SELECT doc_id, concat('shared global paragraph', chr(10),
+             'group ', doc_id % 50, chr(10), text) AS text
+           FROM documents),
+         post AS (
+           SELECT doc_id, u['pos'] AS pos, u['para'] AS para FROM (
+             SELECT doc_id,
+               unnest(list_transform(string_split(text, chr(10)),
+                 (x, i) -> {'pos': i - 1, 'para': x})) AS u
+             FROM p)),
+         ranked AS (
+           SELECT doc_id, pos, para,
+             row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+           FROM post),
+         dfreq AS (SELECT para, count(DISTINCT doc_id) AS df FROM post GROUP BY para),
+         kept AS (
+           SELECT r.doc_id, r.pos, r.para
+           FROM ranked r JOIN dfreq USING (para)
+           WHERE dfreq.df <= 2 OR r.rn = 1),
+         agg AS (
+           SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS clean_text
+           FROM kept GROUP BY doc_id)
+         SELECT p.doc_id, coalesce(agg.clean_text, '') AS clean_text
+         FROM p LEFT JOIN agg USING (doc_id) ORDER BY doc_id""",
     "q_curation_web" -> CurationWebOracle,
     "q_url_extract" ->
       """WITH p AS (
@@ -2611,6 +2686,19 @@ object SparkEntry {
       s"""SELECT doc_id, source FROM documents
          WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
                  % 10000 < CASE source $cases ELSE 0 END
+         ORDER BY doc_id""")
+  }.getOrElse(Map.empty) ++ lastTempDir.flatMap(tempRatesMemo.get).map { r =>
+    // α-temperature thresholds over the doc_id-derived skewed domain — the
+    // CASE mirrors skewedDomain's 8:4:2:2 split exactly
+    def thr(d: String) = math.round(r.getOrElse(d, 0.0) * Sampling.Buckets)
+    Map("q_temperature_mix" ->
+      s"""SELECT doc_id, source FROM documents
+         WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                 % 10000 <
+           CASE WHEN doc_id % 16 < 8 THEN ${thr("head")}
+                WHEN doc_id % 16 < 12 THEN ${thr("mid")}
+                WHEN doc_id % 16 < 14 THEN ${thr("tail1")}
+                ELSE ${thr("tail2")} END
          ORDER BY doc_id""")
   }.getOrElse(Map.empty) ++ lastSketchDir.map { dir =>
     // generated from the Spark-independent sketch recompute; degrade to the

@@ -194,4 +194,40 @@ object Sampling {
   def tokenBudgetSample(df: DataFrame, idCol: String, domainCol: String,
                         rates: Map[String, Double]): DataFrame =
     stratifiedHashSample(df, col(idCol), col(domainCol).cast(StringType), rates)
+
+  /** α-TEMPERATURE domain mixing rates — the multilingual/domain
+    * re-balancing rule of XLM-R and mT5: sample domain i with probability
+    * q_i ∝ n_i^α, α ∈ (0, 1]. α = 1 reproduces the corpus's natural
+    * composition; α → 0 approaches uniform, flattening the head and
+    * upweighting the tail — the standard fix for head domains drowning out
+    * rare ones. The output budget is `targetFraction` of the corpus
+    * (scale-invariant — the same α gives the same composition at 100×);
+    * domain i's keep rate is min(1, q_i·T / n_i). min(1,·) caps saturated
+    * tail domains: upsampling without replacement would mean duplicating
+    * documents, which is exactly what the dedup pipeline removes — as with
+    * [[tokenBudgetRates]], capped mass is not redistributed (budget as
+    * upper bound).
+    *
+    * Scale shape: one count aggregate to a DOMAINS-sized driver map, the
+    * power/normalize math driver-local; apply with
+    * [[stratifiedHashSample]]/[[tokenBudgetSample]] (content-hash keyed —
+    * partitioning-independent and growth-stable like every sampler here).
+    */
+  def temperatureRates(df: DataFrame, domainCol: String, alpha: Double,
+                       targetFraction: Double): Map[String, Double] = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1], got $alpha")
+    require(targetFraction > 0.0 && targetFraction <= 1.0,
+      s"targetFraction must be in (0,1], got $targetFraction")
+    val counts = df.filter(col(domainCol).isNotNull)
+      .groupBy(col(domainCol).cast(StringType).as("__d"))
+      .agg(count(lit(1)).as("__n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val total = counts.values.sum
+    val z = counts.values.iterator.map(n => math.pow(n.toDouble, alpha)).sum
+    val target = targetFraction * total
+    counts.map { case (d, n) =>
+      (d, if (n <= 0 || z <= 0) 0.0
+          else math.min(1.0, math.pow(n.toDouble, alpha) / z * target / n))
+    }
+  }
 }

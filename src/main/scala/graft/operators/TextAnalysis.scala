@@ -481,6 +481,49 @@ object TextAnalysis {
         coalesce(col("__clean"), lit("")).as("clean_text"))
   }
 
+  /** corpus-GLOBAL duplicate-paragraph removal — the RefinedWeb/CCNet
+    * global line-and-paragraph dedup stage, and the corpus-wide sibling of
+    * the host-keyed [[removeBoilerplateLines]] (which needs a host column
+    * and a per-host ratio; this one needs neither): a paragraph appearing
+    * in more than `maxDocFreq` DISTINCT documents is removed from every
+    * document EXCEPT its first occurrence (minimum (doc id, position) —
+    * deterministic keep-first, so exactly one copy of each duplicated
+    * paragraph survives corpus-wide). In-document repeats of a non-global
+    * paragraph are left alone (that is repetition scoring's job).
+    *
+    * Scale shape: one posexplode builds (doc, pos, paragraph) postings;
+    * doc-freq AND the first occurrence come from ONE hash aggregate keyed
+    * on the paragraph's md5 (high cardinality, well spread; min over a
+    * (doc, pos) struct is the lexicographic first); only the
+    * duplicated-paragraph set — the Zipf head, tiny relative to the corpus
+    * — is checkpointed; removal is a postings join against it and
+    * reassembly the same per-doc sort as boilerplate. The corpus-sized
+    * postings are never pinned. */
+  def dedupParagraphs(df: DataFrame, idCol: String, textCol: String,
+                      maxDocFreq: Int = 1): DataFrame = {
+    require(maxDocFreq >= 1, s"maxDocFreq must be >= 1, got $maxDocFreq")
+    val posts = df.select(col(idCol),
+        posexplode(split(col(textCol), "\\r?\\n")).as(Seq("__pos", "__para")))
+      .withColumn("__ph", md5(to_binary(col("__para"), lit("utf-8"))))
+    val dup = posts.groupBy(col("__ph"))
+      .agg(countDistinct(col(idCol)).as("__df"),
+        min(struct(col(idCol).as("d"), col("__pos").as("p"))).as("__first"))
+      .filter(col("__df") > maxDocFreq)
+      .select(col("__ph"), col("__first"))
+      .localCheckpoint()
+    val kept = posts.join(dup, Seq("__ph"), "left")
+      .filter(col("__first").isNull ||
+        (col(idCol) === col("__first.d") && col("__pos") === col("__first.p")))
+      .groupBy(col(idCol))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("__pos").as("p"),
+          col("__para").as("l")))), x => x.getField("l")),
+        "\n").as("__clean"))
+    df.select(col(idCol))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("__clean"), lit("")).as("clean_text"))
+  }
+
   /** per-document stats frame (used by q_text_* queries). */
   def docStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(

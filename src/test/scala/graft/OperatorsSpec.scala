@@ -561,6 +561,56 @@ class OperatorsSpec extends AnyFunSuite {
     assert(stats.length == 1 && stats.head.getAs[Long]("n") == 5L)
   }
 
+  test("temperatureRates: alpha flattens the head, alpha=1 is natural, caps at 1") {
+    // skewed corpus: head 64 docs, mid 16, tail 4
+    val docs = ((1L to 64L).map(i => (i, "head")) ++
+      (65L to 80L).map(i => (i, "mid")) ++ (81L to 84L).map(i => (i, "tail")))
+      .toDF("doc_id", "source")
+    // α = 1: q_i ∝ n_i — every domain keeps the same fraction (natural
+    // composition preserved), here the 0.5 target itself
+    val natural = Sampling.temperatureRates(docs, "source", alpha = 1.0,
+      targetFraction = 0.5)
+    assert(natural.values.forall(r => math.abs(r - 0.5) < 1e-9))
+    // α = 0.5: q_i ∝ √n_i — head keeps a SMALLER fraction than mid than
+    // tail (the flattening), and realized size ≈ the target budget
+    val flat = Sampling.temperatureRates(docs, "source", alpha = 0.5,
+      targetFraction = 0.5)
+    assert(flat("head") < flat("mid") && flat("mid") < flat("tail"),
+      s"no flattening: $flat")
+    // exact hand-computed rates: √n = (8, 4, 2), z = 14, T = 42 →
+    // head 24/64 = 0.375, mid 12/16 = 0.75, tail 6/4 = 1.5 CAPPED to 1.0;
+    // realized 24 + 12 + 4 = 40 < 42 — the tail saturates and capped mass
+    // is NOT redistributed (budget as upper bound, the tokenBudgetRates
+    // contract; upsampling would mean duplicating documents)
+    assert(math.abs(flat("head") - 0.375) < 1e-9 &&
+      math.abs(flat("mid") - 0.75) < 1e-9 && flat("tail") == 1.0, s"$flat")
+    val realized = flat("head") * 64 + flat("mid") * 16 + flat("tail") * 4
+    assert(math.abs(realized - 40.0) < 1e-9)
+    // α → small at a generous budget: tail rate caps at 1.0, never above
+    val capped = Sampling.temperatureRates(docs, "source", alpha = 0.1,
+      targetFraction = 0.9)
+    assert(capped("tail") == 1.0 && capped.values.forall(_ <= 1.0))
+  }
+
+  test("dedupParagraphs: one survivor per global duplicate, first position wins") {
+    val fixture = Seq(
+      (1L, "shared\nunique one"),
+      (2L, "shared\nunique two\nshared"), // in-doc repeats of a GLOBAL dup
+      (3L, "solo\nrepeat\nrepeat")        // in-doc repeats of a df=1 para
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.dedupParagraphs(fixture, "doc_id", "text",
+        maxDocFreq = 1)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out(0) == (1L, "shared\nunique one")) // first occurrence survives
+    assert(out(1) == (2L, "unique two"))         // every other copy removed
+    assert(out(2) == (3L, "solo\nrepeat\nrepeat")) // non-global repeats stay
+    // a doc that is ENTIRELY duplicated paragraphs empties, not disappears
+    val wiped = Seq((1L, "x"), (2L, "x")).toDF("doc_id", "text")
+    val w = TextAnalysis.dedupParagraphs(wiped, "doc_id", "text", 1)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(w.toSeq == Seq((1L, "x"), (2L, "")))
+  }
+
   test("minhash store probe with mismatched build parameters fails loudly") {
     // the store persists numHashes/bands as table properties at write time;
     // probing with different parameters must throw, not silently
