@@ -165,6 +165,37 @@ object Streams {
       .drop("__fp")
   }
 
+  /** streaming ingest NEAR-dup dedup against the PERSISTED simhash store
+    * ([[graft.operators.Dedup.writeSimhashStore]]) — the streaming twin of
+    * [[graft.operators.Dedup.simhashDedupAgainst]], completing the
+    * store-family symmetry ([[streamingDedupAgainstStore]] is the exact-
+    * fingerprint twin): the fused SimHash kernel derives the signature as a
+    * pure projection, a stream-static anti-join on the store's own bucket
+    * column drops arriving docs whose TOKEN SET the kept corpus already
+    * holds (hamming-0 near-copies — reorderings and other set-preserving
+    * variants the fingerprint store misses), then in-watermark dedup
+    * collapses same-signature repeats within the stream. Same cache/state
+    * notes as the fingerprint twin; matching `portable` is enforced by the
+    * store's build properties on the batch side — the streaming plan uses
+    * the production (xxhash64) kernel, so point it at a store built with
+    * `portable = false`. */
+  def streamingSimhashDedupAgainstStore(docs: DataFrame, textCol: String,
+                                        tsCol: String, store: String,
+                                        delay: String = "10 minutes"): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge
+    val spark = docs.sparkSession
+    val toks = graft.operators.TextAnalysis.tokens(
+      graft.operators.TextAnalysis.normalized(col(textCol)))
+    docs
+      .withColumn("__sig", GraftSqlBridge.column(
+        graft.functions.SimHashTokensExpr(GraftSqlBridge.expression(toks))))
+      .join(spark.table(s"${store}_sigs").withColumnRenamed("sig", "__sig"),
+        Seq("__sig"), "left_anti")
+      .transform(ensureWatermark(_, tsCol, delay))
+      .dropDuplicatesWithinWatermark("__sig")
+      .drop("__sig")
+  }
+
   /** stream-stream INNER interval join, generic form: rows of `left` joined
     * to rows of `right` with equal `leftKey`/`rightKey` and
     * `rightTs ∈ [leftTs, leftTs + horizon]`. In streaming mode BOTH sides

@@ -452,6 +452,40 @@ class StreamsSpec extends AnyFunSuite {
     assert(got.size == 50 && got.map(_._1).distinct.size == 50)
   }
 
+  test("streamingSimhashDedupAgainstStore drops stored TOKEN SETS (reordered) and in-stream repeats") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // store holds one doc's simhash; the discriminative plant (the
+    // q_dedup_incr_simhash pattern): a REORDERING of its tokens has the
+    // same signature (dropped here) but a different fingerprint (the exact
+    // store would keep it)
+    graft.operators.Dedup.writeSimhashStore(
+      Seq((100L, "alpha bravo charlie delta")).toDF("doc_id", "text"),
+      "doc_id", "text", "graft_stream_sh_store", portable = false,
+      nBuckets = 2)
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val out = Streams.streamingSimhashDedupAgainstStore(
+      mem.toDF().toDF("doc_id", "text", "ts"), "text", "ts",
+      "graft_stream_sh_store")
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("sh_store_stream").start()
+    try {
+      mem.addData(
+        (1L, "delta charlie bravo alpha", ts("2024-01-01 10:00:00")),
+        (2L, "echo foxtrot golf", ts("2024-01-01 10:00:01")),
+        (3L, "golf foxtrot echo", ts("2024-01-01 10:00:02")))
+      q.processAllAvailable()
+      val kept = spark.table("sh_store_stream").select("doc_id")
+        .as[Long].collect().toSet
+      // 1 dropped against the store (token-set match), 3 dropped in-stream
+      // (same signature as 2 within the watermark), 2 survives
+      assert(kept == Set(2L), s"got $kept")
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS sh_store_stream")
+    }
+  }
+
   test("store-append ingest loop: later batches dedup against earlier survivors, exactly-once across kill/restart") {
     import spark.implicits._
     val mk = java.nio.file.Files.createTempDirectory(_: String).toString
