@@ -207,6 +207,25 @@ final class DF private (private[graft] val inner: DataFrame,
   def addColumns(cols: (String, Column)*): DF =
     cols.foldLeft(this) { case (d, (k, c)) => d.addColumn(k, c) }
 
+  /** append several driver-local value columns in ONE operation: a single
+    * length check against the memoized [[nrow]] and a single broadcast
+    * row-id join, where a per-column [[addColumn]] loop pays a count job
+    * and a join PER COLUMN (the round-9 review's chatty-caller cost).
+    * Named distinctly from [[addColumns]] because `(String, Seq[Any])`
+    * and `(String, Column)` erase to the same tuple type. */
+  def addValueColumns(cols: (String, Seq[Any])*): DF = {
+    if (cols.isEmpty) return this
+    val ks = cols.map(_._1)
+    ks.foreach(checkAbsent)
+    ks.diff(ks.distinct).headOption
+      .foreach(k => throw new DuplicateKeyException(k, keys ++ ks))
+    val n = nrow
+    cols.foreach { case (_, v) =>
+      if (v.length != n) throw new ColumnLengthException(n, v.length)
+    }
+    new DF(DF.joinLocalColumns(densified.inner, cols), Ids.Dense)
+  }
+
   /** append every column of another frame (the reference's
     * ensure-arguments-alist accepts a whole data-frame as the thing to add,
     * cl-data-frame.lisp:290-313 case at :306-308). Rows align by position:
@@ -586,20 +605,29 @@ object DF {
 
   /** attach a driver-local column by position (parity ctor path only);
     * callers pass a frame whose ids are already dense. */
-  private[graft] def joinLocalColumn(df: DataFrame, key: String, values: Seq[Any]): DataFrame = {
+  private[graft] def joinLocalColumn(df: DataFrame, key: String, values: Seq[Any]): DataFrame =
+    joinLocalColumns(df, Seq(key -> values))
+
+  /** attach SEVERAL driver-local columns by position with ONE local frame
+    * and ONE broadcast row-id join — the batch shape behind
+    * [[DF.addValueColumns]] (a per-column loop pays a join per column). */
+  private[graft] def joinLocalColumns(df: DataFrame,
+                                      cols: Seq[(String, Seq[Any])]): DataFrame = {
     val spark = df.sparkSession
     val dense = df
-    val (colType, colValues) = normalizeColumn(values)
-    val schema = StructType(Seq(
-      StructField(ROW_ID, LongType, nullable = false),
-      StructField(key, colType, nullable = true)))
+    val normalized = cols.map { case (k, v) => (k, normalizeColumn(v)) }
+    val schema = StructType(
+      StructField(ROW_ID, LongType, nullable = false) +:
+        normalized.map { case (k, (t, _)) => StructField(k, t, nullable = true) })
+    val n = cols.head._2.length
     val local = spark.createDataFrame(
       spark.sparkContext.parallelize(
-        colValues.zipWithIndex.map { case (v, i) => Row(i.toLong, v) }, 1),
+        (0 until n).map(i =>
+          Row.fromSeq(i.toLong +: normalized.map(_._2._2(i)))), 1),
       schema)
     val joined = dense.join(broadcast(local), Seq(ROW_ID), "inner")
-    val outCols = dense.columns.filterNot(_ == ROW_ID).map(joined.col) :+
-      joined.col(key) :+ joined.col(ROW_ID)
+    val outCols = dense.columns.filterNot(_ == ROW_ID).map(joined.col) ++
+      normalized.map { case (k, _) => joined.col(k) } :+ joined.col(ROW_ID)
     joined.select(outCols.toIndexedSeq: _*)
   }
 

@@ -76,4 +76,31 @@ class DFAddReplaceSpec extends AnyFunSuite {
   test("replace on missing key raises key-not-found (cl-data-frame.lisp:185-192)") {
     intercept[KeyNotFoundException](base.replaceColumnFn("nope", identity))
   }
+
+  test("addValueColumns: several local columns, one check+join; same errors as addColumn") {
+    val d = base.addValueColumns(
+      "x" -> Seq(10, 20, 30, 40),
+      "y" -> Seq("p", "q", "r", "s"),
+      "z" -> Seq(BigDecimal(1) / 4, BigDecimal(1) / 2,
+        BigDecimal(3) / 4, BigDecimal(1)))
+    assert(d.keys == base.keys ++ Seq("x", "y", "z"))
+    assert(d.column("x") == Vector(10, 20, 30, 40))
+    assert(d.column("y") == Vector("p", "q", "r", "s"))
+    assert(d.column("z").map(_.toString.take(4)) ==
+      Vector("0.25", "0.50", "0.75", "1.00")) // DecimalType(38,18) per §7.4.3
+    // row alignment survives together with existing columns
+    assert(d.slice(Sel.Index(2), Sel.Names(Seq("a", "x"))) ==
+      SliceResult.Record(DV(Vector("a", "x"), Vector(base.column("a")(2), 30))))
+    // the addColumn error contract applies to the batch form too
+    intercept[DuplicateKeyException](base.addValueColumns("a" -> Seq(1, 2, 3, 4)))
+    intercept[DuplicateKeyException](
+      base.addValueColumns("x" -> Seq(1, 2, 3, 4), "x" -> Seq(5, 6, 7, 8)))
+    intercept[ColumnLengthException](base.addValueColumns("x" -> Seq(1, 2)))
+    // and the batch result equals the per-column fold
+    val folded = base.addColumn("x", Seq(10, 20, 30, 40): Seq[Any])
+      .addColumn("y", Seq("p", "q", "r", "s"): Seq[Any])
+    val batch = base.addValueColumns(
+      "x" -> Seq(10, 20, 30, 40), "y" -> Seq("p", "q", "r", "s"))
+    assert(batch.asAlist == folded.asAlist)
+  }
 }
