@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.StructType
 
 /** [EXT] Sources and sinks (SURVEY §2.9 row 42). The reference has no IO at
@@ -80,6 +81,46 @@ object Sources {
     df.write.mode(mode)
       .bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
       .format("parquet").saveAsTable(table)
+
+  /** compact a bucketed store table in place: every per-batch
+    * `SaveMode.Append` adds one file per bucket per writing task, so a
+    * long-running incremental store (`Dedup.writeMinhashStore` + thousands
+    * of `minhashDedupAgainst(updateStore = true)` batches) accretes
+    * thousands of small files per bucket — the classic small-files problem
+    * that degrades every subsequent scan's open/seek cost at 100 TB.
+    * Compaction rewrites the table through a staging table (same bucket
+    * spec — one shuffle on the bucket column, then one file per bucket per
+    * task) and swaps it in, preserving the `graft.*` build-parameter
+    * properties the dedup probes validate against. Result-equivalence and
+    * the file-count collapse are proven in BucketingSpec.
+    *
+    * The drop→rename swap is two catalog calls, not one atomic operation —
+    * a reader planning in that window errors and retries; run compaction in
+    * the same maintenance window as the batch appends (a catalog with
+    * atomic RENAME ... SWAP semantics removes even that). */
+  def compactBucketed(spark: SparkSession, table: String, bucketCol: String,
+                      nBuckets: Int): Unit = {
+    val staging = s"${table}__compacting"
+    val props = spark.sql(s"SHOW TBLPROPERTIES $table").collect()
+      .map(r => r.getString(0) -> r.getString(1))
+      .filter(_._1.startsWith("graft."))
+    spark.sql(s"DROP TABLE IF EXISTS $staging")
+    // repartition on the BUCKET ID (pmod(murmur3(col), n) — exactly the
+    // bucketed writer's assignment) so every bucket's rows land whole in
+    // one task and the rewrite emits one file per bucket; repartitioning on
+    // the raw column would scatter each bucket across tasks and emit one
+    // file per (task, bucket) pair — small files again
+    import org.apache.spark.sql.functions.{hash, lit, pmod}
+    writeBucketed(
+      spark.table(table)
+        .repartition(nBuckets, pmod(hash(col(bucketCol)), lit(nBuckets))),
+      staging, bucketCol, nBuckets)
+    spark.sql(s"DROP TABLE $table")
+    spark.sql(s"ALTER TABLE $staging RENAME TO $table")
+    if (props.nonEmpty)
+      spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES (" +
+        props.map { case (k, v) => s"'$k' = '$v'" }.mkString(", ") + ")")
+  }
 
   /** raw binary-file ingest — the media on-ramp for the multimodal pipeline
     * (`operators.Multimodal` consumes blob + metadata frames of exactly this

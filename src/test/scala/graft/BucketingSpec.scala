@@ -275,4 +275,47 @@ class BucketingSpec extends AnyFunSuite {
       dropStore("graft_incr_shuf")
     }
   }
+
+  test("compactBucketed: many appended bucket files collapse to one per bucket, results and props intact") {
+    import spark.implicits._
+    def fps(lo: Long, hi: Long) =
+      (lo to hi).map(i => (i, mkText(i.toInt, "c"))).toDF("doc_id", "text")
+    try {
+      // seed + 6 appended batches: the incremental-store accretion pattern
+      Dedup.writeFingerprintStore(fps(1, 40), "text", "graft_compact", nBuckets = 2)
+      spark.sql("ALTER TABLE graft_compact_fps SET TBLPROPERTIES " +
+        "('graft.testProp' = 'keepme')")
+      (1 to 6).foreach { b =>
+        Sources.writeBucketed(
+          spark.range(40L * b + 1, 40L * b + 41)
+            .select(graft.operators.TextAnalysis.fingerprint(
+              org.apache.spark.sql.functions.concat_ws(" ",
+                col("id").cast("string"), org.apache.spark.sql.functions.lit("batch"))).as("fp")),
+          "graft_compact_fps", "fp", 2, org.apache.spark.sql.SaveMode.Append)
+      }
+      val before = spark.table("graft_compact_fps").collect().map(_.getString(0)).sorted
+      def fileCount = {
+        val loc = spark.sql("DESCRIBE EXTENDED graft_compact_fps").collect()
+          .find(_.getString(0) == "Location").get.getString(1)
+        val dir = new java.io.File(new java.net.URI(loc))
+        dir.listFiles().count(f => f.getName.endsWith(".parquet"))
+      }
+      val filesBefore = fileCount
+      assert(filesBefore > 2, s"append pattern should accrete files, got $filesBefore")
+      Sources.compactBucketed(spark, "graft_compact_fps", "fp", 2)
+      // identical contents, one file per bucket, properties preserved
+      val after = spark.table("graft_compact_fps").collect().map(_.getString(0)).sorted
+      assert(after.toSeq == before.toSeq)
+      assert(fileCount == 2, s"expected 2 files (one per bucket), got $fileCount")
+      val props = spark.sql("SHOW TBLPROPERTIES graft_compact_fps").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(props.get("graft.testProp").contains("keepme"))
+      // the compacted table still satisfies joins bucket-locally: the probe
+      // path (exactDedupAgainst) runs unchanged against it
+      val kept = Dedup.exactDedupAgainst(fps(1, 10).unionAll(fps(1000, 1009)),
+        "text", "graft_compact", updateStore = false)
+        .select("doc_id").as[Long].collect().toSet
+      assert(kept == (1000L to 1009L).toSet) // stored 1-10 drop, fresh keep
+    } finally dropStore("graft_compact")
+  }
 }
