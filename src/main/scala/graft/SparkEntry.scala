@@ -43,6 +43,14 @@ object SparkEntry {
     * the expected survivors / estimate as literals. */
   @volatile private var lastSketchDir: Option[String] = None
 
+  /** q_minhash_dedup parameters, shared between the query and
+    * [[sketchOracles]]'s independent recompute so the pipeline and its
+    * oracle can never drift apart silently (a one-sided edit surfaces as a
+    * loud CORRECTNESS failure either way, but sharing removes the footgun). */
+  private val MinhashDedupThreshold = 0.5
+  private val MinhashDedupHashes = 32
+  private val MinhashDedupBands = 8
+
   /** memoized deterministic IVF index build: the fit sample is the first
     * `fitSampleCap` rows in vec_id order (TakeOrdered, not an unordered
     * limit — bulletproof against parquet split/scheduling order), so the
@@ -483,8 +491,9 @@ object SparkEntry {
       // identical to 64/16 (band width 4 either way) at half the signature
       // and shuffle volume
       lastSketchDir = Some(dir)
-      Dedup.minhashDedup(rd(s, dir, "documents"), "doc_id", "text", 0.5,
-          numHashes = 32, bands = 8)
+      Dedup.minhashDedup(rd(s, dir, "documents"), "doc_id", "text",
+          MinhashDedupThreshold, numHashes = MinhashDedupHashes,
+          bands = MinhashDedupBands)
         .select("doc_id").orderBy("doc_id")
     }),
     "q_minhash_oracle" -> ((s, dir) => {
@@ -2071,7 +2080,8 @@ object SparkEntry {
       .select("l_orderkey").distinct().collect().map(_.getLong(0))
     Map(
       "q_minhash_dedup" -> notIn(IndependentOracles.minhashDroppedIds(
-        docs, threshold = 0.5, numHashes = 32, bands = 8)),
+        docs, threshold = MinhashDedupThreshold,
+        numHashes = MinhashDedupHashes, bands = MinhashDedupBands)),
       "q_simhash_dedup" -> notIn(IndependentOracles.simhashDroppedIds(docs))
     ) ++ IndependentOracles.hllRawEstimate(keys).map(v =>
       "q_approx_distinct" -> s"SELECT CAST($v AS BIGINT) AS n_approx")

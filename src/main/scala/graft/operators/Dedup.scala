@@ -780,18 +780,24 @@ object Dedup {
       // right side is `relaxed` keyed by id-renamed-to-label (one row per
       // id, so the join is N:1); at the fixpoint every component min labels
       // itself, so the shortcut is the identity there and convergence
-      // detection below is unaffected.
+      // detection below is unaffected. Engaged from round 2 only: the
+      // common near-dup graph (shallow stars and short chains) converges
+      // under pure relaxation within two rounds, and paying the shortcut's
+      // extra join there would add a shuffle per round for nothing — a
+      // graph still changing at round 2 is exactly the deep-chain case the
+      // doubling exists for.
       // localCheckpoint materializes eagerly AND keeps every round's plan
       // constant-size (labels_i never references labels_{i-1}'s plan); the
       // old label rides along so convergence is a filter on the checkpointed
       // frame, not another join
-      val next = relaxed
-        .join(relaxed.select(col("id").as("label"), col("label").as("__ll")),
-          Seq("label"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("__ll"), col("label"))).as("label"),
-          col("__old"))
-        .localCheckpoint()
+      val next = (if (iter < 2) relaxed
+        else relaxed
+          .join(relaxed.select(col("id").as("label"), col("label").as("__ll")),
+            Seq("label"), "left")
+          .select(col("id"),
+            least(col("label"), coalesce(col("__ll"), col("label"))).as("label"),
+            col("__old"))
+        ).localCheckpoint()
       changed = next.filter(col("label") =!= col("__old")).count()
       labels = next.drop("__old")
       iter += 1
