@@ -101,6 +101,21 @@ object SparkEntry {
         "__dom", alpha = 0.5, targetFraction = 0.4))
   }
 
+  /** pre-build every memoized OFFLINE artifact for `dir` — the IVF model
+    * (sampled Lloyd's fit), token-budget rates, and temperature rates — so
+    * a bench's timed queries measure probing/filtering, not index
+    * construction. Without this the FIRST ivf/budget query in iteration
+    * order paid the one-time build inside its timed window (measured: a
+    * reverse-order draw put 1.8 s of fit on q_ivf_recall instead of
+    * q_ivf_ann — order-dependent numbers, the round-3 lesson). Bench's
+    * warmup calls this; Verify doesn't need to (correctness is
+    * time-independent, and the memo makes it run-once either way). */
+  def warmOffline(s: SparkSession, dir: String): Unit = {
+    ivfModelFor(s, dir)
+    budgetRatesFor(s, dir)
+    tempRatesFor(s, dir)
+  }
+
   /** the synthetic web-page plant shared by q_boilerplate and
     * q_curation_web (and replicated by [[boilerplateChainSql]]): nav header
     * + content + ratio-straddling promo variant + copyright footer. */
