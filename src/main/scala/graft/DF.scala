@@ -241,9 +241,15 @@ final class DF private (private[graft] val inner: DataFrame,
       (keys ++ other.keys).map(joined.col) :+ joined.col(ROW_ID): _*), Ids.Dense)
   }
 
-  /** shallow copy with a key-renaming function (reference `copy` key-fn,
-    * cl-data-frame.lisp:337-343): the copy's schema diverges, data is shared
-    * (immutably). */
+  /** copy with a key-renaming function. DOCUMENTED DELTA from the reference:
+    * `copy`'s `key` argument there maps over the *columns* — it deep-copies
+    * the data vectors (cl-data-frame.lisp:337-343, e.g. `#'copy-array`) so
+    * later destructive edits of the original don't alias into the copy.
+    * Spark frames are immutable, so data-copying is a no-op here and the
+    * aliasing contract holds without it (pinned in the isolation property
+    * tests); this Spark-side `keyFn` instead renames *keys* — an extension,
+    * not the reference's semantics. The copy's schema diverges, data is
+    * shared (immutably). */
   def copy(keyFn: String => String = identity): DF = {
     val newKeys = keys.map(keyFn)
     newKeys.diff(newKeys.distinct).headOption
@@ -653,18 +659,47 @@ object DF {
     v.collectFirst { case x if x != null => x }
       .flatMap(sparkTypeOf).getOrElse(StringType)
 
+  /** position of a type in the numeric widening tower; None = non-numeric.
+    * Int < Long < Float < Double < Decimal — the same order Lisp's numeric
+    * contagion uses (RATIO → Decimal here, cl-data-frame.lisp:54-58). */
+  private def numericRank(t: DataType): Option[Int] = t match {
+    case IntegerType    => Some(0)
+    case LongType       => Some(1)
+    case FloatType      => Some(2)
+    case DoubleType     => Some(3)
+    case _: DecimalType => Some(4)
+    case _              => None
+  }
+
   /** the SURVEY §7.4.3 column-typing contract for the reference's
     * element-type-`t` ("anything") columns: infer the narrowest Spark type
-    * when every non-null element shares it; otherwise fall back to a
-    * StringType column of printed representations — Spark columns are
-    * uni-typed, so a heterogeneous Lisp vector cannot round-trip values, only
-    * display forms (the documented delta). Returns the type plus the values
-    * to store (stringified only in the fallback). */
+    * when every non-null element shares it; widen mixed NUMERIC elements
+    * within the numeric tower (Int < Long < Float < Double, DecimalType when
+    * a BigDecimal is present) — the reference keeps such columns numeric and
+    * only floats ratios for printing — and fall back to a StringType column
+    * of printed representations only for genuinely non-numeric heterogeneity,
+    * where Spark's uni-typed columns cannot round-trip values, only display
+    * forms (the documented delta). Returns the type plus the values to store
+    * (widened in the numeric case, stringified only in the fallback). */
   private[graft] def normalizeColumn(v: Seq[Any]): (DataType, Seq[Any]) = {
     val types = v.iterator.filter(_ != null).map(sparkTypeOf).distinct.toSeq
     types match {
       case Seq(Some(t)) => (t, v)
       case Seq()        => (StringType, v) // all-null column
+      case _ if types.forall(_.exists(t => numericRank(t).isDefined)) =>
+        val widest = types.flatten.map(t => numericRank(t).get).max
+        def widen(f: Number => Any): Seq[Any] =
+          v.map { case null => null; case n: Number => f(n); case x => x }
+        widest match {
+          case 1 => (LongType, widen(_.longValue))
+          case 2 => (FloatType, widen(_.floatValue))
+          case 3 => (DoubleType, widen(_.doubleValue))
+          case _ => (DecimalType(38, 18), v.map {
+            case null           => null
+            case bd: BigDecimal => bd
+            case n              => BigDecimal(n.toString)
+          })
+        }
       case _            =>
         (StringType, v.map(x => if (x == null) null else x.toString))
     }

@@ -61,9 +61,13 @@ object GenScale {
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
       .withColumn("__r", explode(sequence(lit(0), lit(factor - 1))))
     val dim = size(col("embedding"))
+    // rotate by __r mod dim: factor may exceed the embedding dimension
+    // (factor up to 100 vs e.g. 64-dim vectors), where a raw __r would make
+    // the slice length negative and fail at runtime
+    val rot = pmod(col("__r"), dim)
     val rotated = concat(
-      slice(col("embedding"), col("__r") + 1, dim - col("__r")),
-      slice(col("embedding"), lit(1), col("__r")))
+      slice(col("embedding"), rot + 1, dim - rot),
+      slice(col("embedding"), lit(1), rot))
     emb.select(
         (col("vec_id") + col("__r") * 10000000L).as("vec_id"),
         rotated.as("embedding"), col("label"))

@@ -58,9 +58,17 @@ object SparkEntry {
     * oracle can embed as exact literals. */
   private def ivfModelFor(s: SparkSession, dir: String): Similarity.IvfModel = {
     lastIvfDir = Some(dir)
-    ivfModels.getOrElseUpdate(dir,
-      Similarity.ivfFit(rd(s, dir, "embeddings").orderBy("vec_id"),
-        "embedding", k = 16))
+    ivfModels.getOrElseUpdate(dir, {
+      // k grows with the corpus (k ≈ rows/128, floor 16) so SemDeDup cell
+      // sizes — and the within-cell quadratic term — stay bounded as the
+      // data scales; at the driver's test SFs (≤2000 embeddings) this
+      // resolves to the legacy k=16, keeping the fitted-centroid oracles
+      // and baseline shares unchanged. The count is one column-pruned scan,
+      // part of the offline index build (untimed via warmOffline).
+      val emb = rd(s, dir, "embeddings")
+      Similarity.ivfFit(emb.orderBy("vec_id"), "embedding",
+        k = Similarity.autoK(emb.count()))
+    })
   }
 
   /** offline-derived token-budget mixing rates, one per sf dir (the
@@ -202,6 +210,13 @@ object SparkEntry {
       Summary.frequencyTable(rd(s, dir, "lineitem"), "l_returnflag")),
     "q_quantiles" -> ((s, dir) =>
       Summary.quantileSummary(rd(s, dir, "lineitem"), "l_extendedprice")),
+    "q_quantiles_approx" -> ((s, dir) =>
+      // the scale-default quantile path, oracle-pinned via its CONTRACT:
+      // the sketch values themselves are engine-specific, but their exact
+      // ranks (counted distributively against the raw column) must sit
+      // within the GK ±N/accuracy bound — deterministic output either way
+      Summary.approxQuantileBoundCheck(rd(s, dir, "lineitem"),
+        "l_extendedprice", accuracy = 10000)),
     "q_bit_summary" -> ((s, dir) =>
       Summary.bitSummaryTable(rd(s, dir, "lineitem"), col("l_discount") > 0.05)),
     "q_distinct" -> ((s, dir) =>
@@ -637,10 +652,18 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
     "q_embedding_neardup_oracle" -> ((s, dir) => {
-      // blocked on the label column (a domain blocking key) so the pair set
-      // is oracle-expressible with DuckDB's list arithmetic
+      // blocked on (label, id-allocation shard) so the pair set is
+      // oracle-expressible with DuckDB's list arithmetic AND the blocking
+      // key's cardinality GROWS with the corpus: ids are allocated in 10M
+      // ranges per generation batch (TESTDATA/GenScale contract), so shard
+      // count scales with the data and block sizes stay bounded — the
+      // label alone is constant-cardinality, quadratic at scale (the
+      // round-10 12.6×-at-10× finding). maxBlockRows enforces the bound
+      // in-plan: an oversized block fails loudly, never burns quadratic.
       Dedup.embeddingNearDupPairs(rd(s, dir, "embeddings"), "vec_id",
-          "embedding", 0.35, Seq(col("label")))
+          "embedding", 0.35,
+          Seq(col("label"), expr("vec_id div 10000000")),
+          maxBlockRows = 1000)
         .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
         .orderBy("id_a", "id_b")
     }),
@@ -901,10 +924,13 @@ object SparkEntry {
       // paragraph per doc, so the query plants the structure: a paragraph
       // shared by EVERY doc (df = N → only the lowest doc keeps it), a
       // group paragraph shared by ~1/50th of docs (df ≈ N/50 > maxDocFreq
-      // → one survivor per group), then the doc's own unique text (kept)
+      // → one survivor per group), a BLANK separator line in every doc
+      // (df = N but blanks are separators, not content — must survive
+      // verbatim in every doc), then the doc's own unique text (kept)
       val planted = rd(s, dir, "documents").select(col("doc_id"),
         concat_ws("\n", lit("shared global paragraph"),
-          concat(lit("group "), col("doc_id") % 50), col("text")).as("text"))
+          concat(lit("group "), col("doc_id") % 50), lit(""),
+          col("text")).as("text"))
       TextAnalysis.dedupParagraphs(planted, "doc_id", "text", maxDocFreq = 2)
         .orderBy("doc_id")
     }),
@@ -2081,11 +2107,23 @@ object SparkEntry {
     * only to READ the corpus. The HLL entry is omitted (pre-round-10
     * rows-only behavior) if the estimate leaves the raw regime — see
     * [[graft.verify.IndependentOracles.hllRawEstimate]]. */
-  private def sketchOracles(dir: String): Map[String, String] = {
+  private[graft] def sketchOracles(dir: String): Map[String, String] = {
     import graft.verify.IndependentOracles
     val s = SparkSession.active
+    // Verify-only tooling still deserves the DF.maxDriverRows guard: the
+    // independent recompute collects the whole documents table, which is
+    // fine at the driver's test SFs but an OOM if Verify is ever pointed at
+    // a production sf — fail loudly instead. Bounded probe (limit cap+1),
+    // never a full count, the clusterDedupFromPairs regime-probe pattern.
+    val corpus = rd(s, dir, "documents").select("doc_id", "text")
+    val cap = DF.maxDriverRows
+    val probeCap = math.min(cap + 1, Int.MaxValue.toLong).toInt
+    val probed = corpus.limit(probeCap).count()
+    if (probed > cap)
+      throw new DriverMaterializationException("sketchOracles", probed, cap,
+        "the rows-only check (sketch oracles are a test-SF recompute by design)")
     val docs: Seq[(Long, Array[String])] =
-      rd(s, dir, "documents").select("doc_id", "text").collect().toSeq
+      corpus.collect().toSeq
         .map(r => (r.getLong(0), IndependentOracles.tokenize(r.getString(1))))
     def notIn(dropped: Set[Long]): String =
       if (dropped.isEmpty) "SELECT doc_id FROM documents ORDER BY doc_id"
@@ -2155,14 +2193,18 @@ object SparkEntry {
              ON l.b = r.b AND l.bb = r.bb AND l.doc_id < r.doc_id
            WHERE bit_count(xor(l.sig, r.sig)) <= 3)
          SELECT id_a, id_b, hamming FROM pairs ORDER BY id_a, id_b""",
+    // blocked on (label, vec_id // 10000000): the id-allocation shard joins
+    // the label in the block key, mirroring the Spark side exactly
     "q_embedding_neardup_oracle" ->
       """WITH e AS (
-           SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           SELECT vec_id, label, vec_id // 10000000 AS shard,
+             CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          p AS (
            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              list_dot_product(a.v, b.v)
                / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS c
-           FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+           FROM e a JOIN e b ON a.label = b.label AND a.shard = b.shard
+             AND a.vec_id < b.vec_id)
          SELECT id_a, id_b, round(c, 6) AS cos FROM p
          WHERE c >= 0.35 ORDER BY id_a, id_b""",
     "q_mask_count" ->
@@ -2197,6 +2239,17 @@ object SparkEntry {
            round(quantile_cont(l_extendedprice, 0.50), 6) AS q50,
            round(quantile_cont(l_extendedprice, 0.75), 6) AS q75,
            round(max(l_extendedprice), 6) AS vmax
+         FROM lineitem""",
+    // the approx-quantile scale path: DuckDB cannot replicate the GK
+    // sketch (merge-order dependent), so the oracle pins the deterministic
+    // projection — exact n/min/max — and the rank-error-bound booleans the
+    // Spark side computes EXACTLY against the raw column (true iff the
+    // sketch honors its ±1/accuracy contract)
+    "q_quantiles_approx" ->
+      """SELECT CAST(count(l_extendedprice) AS BIGINT) AS n,
+           round(min(l_extendedprice), 6) AS vmin,
+           round(max(l_extendedprice), 6) AS vmax,
+           true AS ok25, true AS ok50, true AS ok75
          FROM lineitem""",
     "q_bit_summary" ->
       """SELECT CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS ones,
@@ -2557,12 +2610,13 @@ object SparkEntry {
     // full replication of dedupParagraphs: postings with 0-based positions
     // (index lambda), corpus doc-freq per paragraph, keep-first via
     // row_number ordered (doc_id, pos) — identical to Spark's
-    // min(struct(doc, pos)) — and ordered string_agg reassembly with ''
-    // for fully-emptied docs
+    // min(struct(doc, pos)) — blank separator lines excluded from the
+    // doc-freq rule (kept verbatim, mirroring the Spark-side exclusion),
+    // and ordered string_agg reassembly with '' for fully-emptied docs
     "q_paragraph_dedup" ->
       """WITH p AS (
            SELECT doc_id, concat('shared global paragraph', chr(10),
-             'group ', doc_id % 50, chr(10), text) AS text
+             'group ', doc_id % 50, chr(10), chr(10), text) AS text
            FROM documents),
          post AS (
            SELECT doc_id, u['pos'] AS pos, u['para'] AS para FROM (
@@ -2578,7 +2632,7 @@ object SparkEntry {
          kept AS (
            SELECT r.doc_id, r.pos, r.para
            FROM ranked r JOIN dfreq USING (para)
-           WHERE dfreq.df <= 2 OR r.rn = 1),
+           WHERE trim(r.para) = '' OR dfreq.df <= 2 OR r.rn = 1),
          agg AS (
            SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS clean_text
            FROM kept GROUP BY doc_id)

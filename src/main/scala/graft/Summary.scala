@@ -76,15 +76,23 @@ object Summary {
     * earlier rounds ran 2 sequential jobs per column (2N jobs for a wide
     * frame). The quantiles-vs-frequency switch is decided from the counter's
     * observed size AFTER the pass, so no second look at the data is needed.
-    * Returns (row count, per-column summaries in schema order). */
+    * Returns (row count, per-column summaries in schema order).
+    *
+    * The DEFAULT quantile path is the approx sketch — the scale-correct
+    * choice (bounded executor memory at 100 TB). Note the sketch returns
+    * OBSERVED values (quantile_disc semantics), never interpolates; the
+    * reference interpolates (q50 of 1..20 is 10.5) — pass
+    * `exactQuantiles = true` for that parity behavior
+    * ([[columnSummary]] does, being the §2.6 parity form). */
   def frameColumnSummaries(df: DataFrame): (Long, Seq[(String, ColSummary)]) =
-    frameColumnSummaries(df, exactQuantiles = true)
+    frameColumnSummaries(df, exactQuantiles = false)
 
-  /** `exactQuantiles = false` swaps the exact `percentile` (which buffers
-    * the full value multiset per column — unbounded executor memory at
-    * 100 TB) for `approx_percentile` (KLL-style sketch, bounded memory,
-    * default accuracy ±1e-4 rank error) — the scale path; the exact default
-    * keeps reference parity and the oracle checks. */
+  /** `exactQuantiles = false` (the default) uses `approx_percentile`
+    * (Greenwald-Khanna sketch, bounded memory, accuracy 10000 → ±1e-4 rank
+    * error) — the scale path; `true` swaps in the exact `percentile`, which
+    * buffers the full value multiset per column (unbounded executor memory
+    * at 100 TB) — reference parity on frames big enough for the sketch to
+    * actually approximate. */
   def frameColumnSummaries(df: DataFrame,
                            exactQuantiles: Boolean): (Long, Seq[(String, ColSummary)]) = {
     val counter = udaf(graft.functions.Aggregators.SparseCounter(FrequencyCap))
@@ -150,7 +158,12 @@ object Summary {
     * Frequency values are rendered via their string form (the counter is a
     * string-keyed aggregate); the reference prints them the same way. */
   def columnSummary(df: DataFrame, key: String): ColSummary =
-    frameColumnSummaries(df.select(df.col(key)))._2.head._2
+    // the §2.6 REFERENCE-PARITY form: exact interpolated quantiles
+    // (cl-data-frame's q50 of 1..20 is 10.5, which no observed-value sketch
+    // returns) — small interactive frames by contract; the scale surface
+    // (frameColumnSummaries / frameSummary / approxQuantileSummary)
+    // defaults to the approx sketch
+    frameColumnSummaries(df.select(df.col(key)), exactQuantiles = true)._2.head._2
 
   /** the frequency-table side of column-summary as a distributed plan
     * (cl-data-frame.lisp:67-71, 84-90): per-distinct-value exact counts,
@@ -168,6 +181,52 @@ object Summary {
       round(percentile(col(key).cast(DoubleType), lit(0.5)), 6).as("q50"),
       round(percentile(col(key).cast(DoubleType), lit(0.75)), 6).as("q75"),
       round(max(col(key).cast(DoubleType)), 6).as("vmax"))
+
+  /** the SCALE-path quantile summary: same shape as [[quantileSummary]] but
+    * `approx_percentile` (Greenwald-Khanna sketch, bounded executor memory,
+    * rank error ≤ 1/accuracy) for the interior quantiles — min/max stay
+    * exact (single-value aggregates, no buffering). This is the documented
+    * default at corpus scale; the exact [[quantileSummary]] exists for
+    * reference-parity goldens and small interactive frames. */
+  def approxQuantileSummary(df: DataFrame, key: String,
+                            accuracy: Int = 10000): DataFrame = {
+    val c = col(key).cast(DoubleType)
+    df.agg(
+      round(min(c), 6).as("vmin"),
+      round(approx_percentile(c, lit(0.25), lit(accuracy)), 6).as("q25"),
+      round(approx_percentile(c, lit(0.5), lit(accuracy)), 6).as("q50"),
+      round(approx_percentile(c, lit(0.75), lit(accuracy)), 6).as("q75"),
+      round(max(c), 6).as("vmax"))
+  }
+
+  /** oracle-checkable rank-error validation of the approx quantile sketch:
+    * the sketch's values cannot be replicated in an independent engine
+    * (merge order varies run to run), but its CONTRACT can be checked
+    * exactly — for each returned value v and target rank p the exact ranks
+    * rank_min = |{x < v}| and rank_max = |{x ≤ v}| (computed distributively
+    * against the raw column, one aggregate pass) must bracket some rank
+    * within ±N/accuracy of p·N. Output is deterministic (exact n/vmin/vmax
+    * plus the bound booleans, true whenever the GK guarantee holds) so the
+    * driver's hash compare pins it — the HLL-bound pattern. */
+  def approxQuantileBoundCheck(df: DataFrame, key: String,
+                               accuracy: Int = 10000): DataFrame = {
+    val c = col(key).cast(DoubleType)
+    val sketch = df.agg(approx_percentile(
+      c, lit(Array(0.25, 0.5, 0.75)), lit(accuracy)).as("__qs"))
+    val eps = 1.0 / accuracy
+    def ok(i: Int, p: Double): Column = {
+      val v = col("__qs").getItem(i)
+      val rankMin = sum((c < v).cast(LongType))
+      val rankMax = sum((c <= v).cast(LongType))
+      ((rankMin + 1) <= (lit(p + eps) * count(c))) &&
+        (rankMax >= (lit(p - eps) * count(c)))
+    }
+    df.crossJoin(broadcast(sketch)).agg(
+      count(c).as("n"),
+      round(min(c), 6).as("vmin"),
+      round(max(c), 6).as("vmax"),
+      ok(0, 0.25).as("ok25"), ok(1, 0.5).as("ok50"), ok(2, 0.75).as("ok75"))
+  }
 
   /** the bit-summary side as a distributed plan (cl-data-frame.lisp:31-38):
     * ones + total of a boolean column. */

@@ -790,14 +790,22 @@ object Dedup {
       // constant-size (labels_i never references labels_{i-1}'s plan); the
       // old label rides along so convergence is a filter on the checkpointed
       // frame, not another join
-      val next = (if (iter < 2) relaxed
-        else relaxed
-          .join(relaxed.select(col("id").as("label"), col("label").as("__ll")),
-            Seq("label"), "left")
-          .select(col("id"),
-            least(col("label"), coalesce(col("__ll"), col("label"))).as("label"),
-            col("__old"))
-        ).localCheckpoint()
+      val next = (if (iter < 2) relaxed.localCheckpoint()
+        else {
+          // materialize the relax step BEFORE the shortcut self-join:
+          // joining `relaxed` with a projection of itself would otherwise
+          // evaluate the relax subtree (edge join + min aggregate) twice
+          // per round — checkpointed, both join sides read the one
+          // materialized result
+          val relaxedCp = relaxed.localCheckpoint()
+          relaxedCp
+            .join(relaxedCp.select(col("id").as("label"), col("label").as("__ll")),
+              Seq("label"), "left")
+            .select(col("id"),
+              least(col("label"), coalesce(col("__ll"), col("label"))).as("label"),
+              col("__old"))
+            .localCheckpoint()
+        })
       changed = next.filter(col("label") =!= col("__old")).count()
       labels = next.drop("__old")
       iter += 1
@@ -1571,13 +1579,40 @@ object Dedup {
       .filter(col("cos") >= threshold)
   }
 
+  /** default per-block row bound for the blocked pairwise families: a 10k
+    * block is ~50M within-block pairs — the outer edge of tractable; past
+    * it the quadratic term dominates everything else in the job. The guard
+    * is IN-PLAN (a runtime `raise_error` riding the block-count join, zero
+    * extra jobs), so an oversized block fails loudly at execution instead
+    * of silently burning the cluster — the maxWindowDocFreq pattern applied
+    * to pairwise blocks, where dropping the block (the span-window cap's
+    * answer) would silently change dedup semantics. */
+  val DefaultMaxBlockRows: Long = 10000L
+
+  /** the in-plan oversized-block guard: `true` for every row of a block
+    * within bound, raise_error (named block, its size, the advice) above
+    * it. Used as a join-side filter so Catalyst cannot prune it away. */
+  private def blockSizeGuard(op: String, blockKey: Column, n: Column,
+                             maxRows: Long, advice: String): Column =
+    when(n > maxRows,
+      raise_error(format_string(
+        s"$op: block %s has %s rows, above maxBlockRows=$maxRows — " +
+          s"within-block pairwise cost is QUADRATIC in block size; $advice " +
+          "or raise maxBlockRows explicitly",
+        blockKey.cast("string"), n.cast("string"))).cast("boolean"))
+      .otherwise(lit(true))
+
   /** embedding-cosine near-dup pairs: normalized-vector dot product over a
     * blocked candidate set. Blocking is REQUIRED (an unblocked self-join is
     * cartesian); use [[Similarity.lshSignature]] as a ready-made LSH
-    * sign-bucket block when no natural key exists. */
+    * sign-bucket block when no natural key exists. The blocking key's
+    * cardinality must GROW with the corpus (constant-cardinality keys make
+    * block sizes — and the quadratic within-block term — scale with it);
+    * `maxBlockRows` enforces that contract at runtime, failing loudly on
+    * the first oversized block. */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-                            threshold: Double,
-                            blockCols: Seq[Column]): DataFrame = {
+                            threshold: Double, blockCols: Seq[Column],
+                            maxBlockRows: Long = DefaultMaxBlockRows): DataFrame = {
     require(blockCols.nonEmpty,
       "embeddingNearDupPairs requires non-empty blockCols: an unblocked " +
         "self-join is an O(n²) cartesian product — pass an LSH sign bucket " +
@@ -1587,9 +1622,16 @@ object Dedup {
         case (c, i) => c.as(s"__b$i")
       }): _*)
     val bk = blockCols.indices.map(i => s"__b$i")
+    val counts = prepared.groupBy(bk.map(col): _*)
+      .agg(count(lit(1)).as("__bn"))
+    val guarded = prepared.join(counts, bk)
+      .filter(blockSizeGuard("embeddingNearDupPairs",
+        concat_ws("/", bk.map(col): _*), col("__bn"), maxBlockRows,
+        "refine the blocking key (its cardinality must grow with the corpus)"))
+      .drop("__bn")
     val cond = (bk.map(k => col(s"l.$k") === col(s"r.$k")) :+
       (col(s"l.$idCol") < col(s"r.$idCol"))).reduce(_ && _)
-    prepared.as("l").join(prepared.as("r"), cond)
+    guarded.as("l").join(guarded.as("r"), cond)
       .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"),
         Similarity.cosine(col("l.__v"), col("r.__v")).as("cos"))
       .filter(col("cos") >= threshold)
@@ -1611,18 +1653,35 @@ object Dedup {
     * codegen'd argmin projection; the within-cluster self-join shuffles on
     * cluster id. Scale k with the corpus (the paper runs ~11k clusters on
     * LAION-scale data) so per-cluster row counts — and the bucket-local
-    * join — stay bounded; AQE's skew split handles an oversized cluster.
+    * join — stay bounded ([[Similarity.autoK]] computes k ≈
+    * corpus/targetCellRows; the paper runs ~11k clusters on LAION-scale
+    * data); AQE's skew split handles a moderately oversized cluster, and
+    * `maxCellRows` fails loudly — in-plan, before any pairs are emitted —
+    * on a cell past the quadratic-blowup bound.
     *
     * Pair emission matches the other near-dup families: (id_a < id_b,
     * rounded cosine), threshold applied to the RAW cosine. */
   def semanticNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                            model: Similarity.IvfModel,
-                           threshold: Double = 0.95): DataFrame = {
+                           threshold: Double = 0.95,
+                           maxCellRows: Long = DefaultMaxBlockRows): DataFrame = {
     val assigned = Similarity.ivfAssign(
       df.select(col(idCol), col(vecCol)), vecCol, model)
-    val a = assigned.select(col(idCol).as("id_a"), col("__cluster"),
+    // enforce the "k grows with the corpus" contract at runtime: a fixed k
+    // over a growing corpus makes cells — and the quadratic within-cell
+    // term — grow linearly with it. Size k with Similarity.autoK at fit
+    // time; this guard turns a mis-sized model into a loud failure instead
+    // of a silently quadratic job.
+    val cells = assigned.groupBy(col("__cluster"))
+      .agg(count(lit(1)).as("__cn"))
+    val guarded = assigned.join(cells, "__cluster")
+      .filter(blockSizeGuard("semanticNearDupPairs", col("__cluster"),
+        col("__cn"), maxCellRows,
+        "refit with k ≈ corpus/targetCellRows (Similarity.autoK)"))
+      .drop("__cn")
+    val a = guarded.select(col(idCol).as("id_a"), col("__cluster"),
       col(vecCol).as("__va"))
-    val b = assigned.select(col(idCol).as("id_b"), col("__cluster"),
+    val b = guarded.select(col(idCol).as("id_b"), col("__cluster"),
       col(vecCol).as("__vb"))
     a.join(b, "__cluster")
       .filter(col("id_a") < col("id_b"))
@@ -1642,8 +1701,10 @@ object Dedup {
     * broadcasts it when it is actually small. */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
                     model: Similarity.IvfModel,
-                    threshold: Double = 0.95): DataFrame = {
-    val flagged = semanticNearDupPairs(df, idCol, vecCol, model, threshold)
+                    threshold: Double = 0.95,
+                    maxCellRows: Long = DefaultMaxBlockRows): DataFrame = {
+    val flagged = semanticNearDupPairs(df, idCol, vecCol, model, threshold,
+        maxCellRows)
       .select(col("id_b").as(idCol)).distinct()
     df.join(flagged, Seq(idCol), "left_anti")
   }

@@ -208,6 +208,24 @@ object Similarity {
     */
   final case class IvfModel(centers: Array[Array[Double]])
 
+  /** corpus-growing cluster count for the SemDeDup / IVF blocking paths:
+    * k ≈ corpusRows / targetCellRows keeps the EXPECTED cell size constant
+    * as the corpus grows, so the within-cell quadratic pairwise term stays
+    * linear in corpus size overall (a fixed k makes it quadratic). The
+    * floor keeps small test corpora at the legacy fixture parameters; the
+    * cap bounds the centroid-literal assignment projection (past it,
+    * switch the assignment to a broadcast centroid matrix — and at true
+    * 100 TB scale the paper's ~11k clusters sit well inside the cap). */
+  def autoK(corpusRows: Long, targetCellRows: Int = 128,
+            minK: Int = 16, maxK: Int = 2048): Int = {
+    require(targetCellRows > 0 && minK > 0 && maxK >= minK,
+      s"autoK: bad parameters (targetCellRows=$targetCellRows, " +
+        s"minK=$minK, maxK=$maxK)")
+    math.min(maxK.toLong,
+      math.max(minK.toLong,
+        (corpusRows + targetCellRows - 1) / targetCellRows)).toInt
+  }
+
   /** driver-local Lloyd's fit on the first `fitSampleCap` rows. */
   def ivfFit(df: DataFrame, vecCol: String, k: Int = 16, seed: Long = 42L,
              fitSampleCap: Int = 2048, maxIter: Int = 10): IvfModel = {

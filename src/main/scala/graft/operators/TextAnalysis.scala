@@ -505,7 +505,13 @@ object TextAnalysis {
     val posts = df.select(col(idCol),
         posexplode(split(col(textCol), "\\r?\\n")).as(Seq("__pos", "__para")))
       .withColumn("__ph", md5(to_binary(col("__para"), lit("utf-8"))))
-    val dup = posts.groupBy(col("__ph"))
+    // blank paragraphs (consecutive newlines) are SEPARATORS, not content:
+    // RefinedWeb/CCNet-style line dedup excludes empty lines, so they never
+    // enter the doc-freq aggregate and ride through reassembly verbatim —
+    // otherwise a blank line (df = corpus size) would be stripped from every
+    // doc but one, collapsing paragraph structure corpus-wide
+    val dup = posts.filter(trim(col("__para")) =!= "")
+      .groupBy(col("__ph"))
       .agg(countDistinct(col(idCol)).as("__df"),
         min(struct(col(idCol).as("d"), col("__pos").as("p"))).as("__first"))
       .filter(col("__df") > maxDocFreq)

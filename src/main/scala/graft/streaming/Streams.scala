@@ -41,7 +41,12 @@ object Streams {
     existing match {
       case None => df.withWatermark(tsCol, delay)
       case Some(e) =>
-        require(e.eventTime.name == tsCol,
+        // compare with the session's resolver (case-insensitive under the
+        // default spark.sql.caseSensitive=false) — Spark resolves column
+        // names that way, so withWatermark("TS") + a transform asking for
+        // "ts" is the SAME column, not a mismatch
+        val resolver = df.sparkSession.sessionState.analyzer.resolver
+        require(resolver(e.eventTime.name, tsCol),
           s"stream already carries a watermark on '${e.eventTime.name}' but " +
             s"this transform requires one on '$tsCol' — the upstream mark " +
             "would govern a different event-time column's eviction; " +

@@ -141,6 +141,67 @@ class ErrorsAndSummarySpec extends AnyFunSuite {
     assert(added.column("m") == Vector("7", "y"))
   }
 
+  test("copy: documented delta — reference key-fn deep-copies COLUMNS; ours renames keys") {
+    // the reference's `copy` maps its key fn over the data vectors
+    // (cl-data-frame.lisp:337-343) so destructive edits don't alias into
+    // the copy; Spark frames are immutable, so that deep copy is a no-op
+    // here and the aliasing contract holds with shared data. keyFn renaming
+    // is a Spark-side extension, asserted as such:
+    val d = DF(spark, "x" -> Seq(1, 2))
+    val renamed = d.copy(_.toUpperCase)
+    assert(renamed.keys == Vector("X"))
+    assert(renamed.column("X") == d.column("x")) // data shared, not copied
+    // the hazard the reference's deep copy defends against cannot occur:
+    // a destructive edit through a handle never reaches the copy
+    val h = new DFHandle(d)
+    h.replaceColumnBang("x", Seq(10, 20))
+    assert(renamed.column("X") == Vector(1, 2) && h.df.column("x") == Vector(10, 20))
+  }
+
+  test("sketchOracles refuses a full-corpus collect above DF.maxDriverRows") {
+    // Verify-only tooling, but pointing it at a production sf must fail
+    // loudly (bounded limit-probe), never OOM the driver
+    val saved = DF.maxDriverRows
+    try {
+      DF.maxDriverRows = 100L // sf0.001 documents has 500 rows
+      val e = intercept[DriverMaterializationException](
+        SparkEntry.sketchOracles("/root/testdata/sf0.001"))
+      assert(e.getMessage.contains("sketchOracles"))
+    } finally DF.maxDriverRows = saved
+    // and at the normal cap the recompute still produces the oracle set
+    val m = SparkEntry.sketchOracles("/root/testdata/sf0.001")
+    assert(m.contains("q_minhash_dedup") && m.contains("q_simhash_dedup"))
+  }
+
+  test("mixed NUMERIC columns widen within the numeric tower, never stringify") {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, FloatType, LongType}
+    // the reference keeps element-type-t columns of numbers numeric (only
+    // ratios are floated, and only for printing) — Seq(1, 2L) must be a
+    // LongType column of 1L/2L, not a StringType column of "1"/"2"
+    val il = DF(spark, "c" -> Seq(1, 2L, null))
+    assert(il.toSpark.schema("c").dataType == LongType)
+    assert(il.column("c") == Vector(1L, 2L, null))
+    val ifl = DF(spark, "c" -> Seq(1, 2.5f))
+    assert(ifl.toSpark.schema("c").dataType == FloatType)
+    assert(ifl.column("c") == Vector(1.0f, 2.5f))
+    val id = DF(spark, "c" -> Seq(1, 2.5))
+    assert(id.toSpark.schema("c").dataType == DoubleType)
+    assert(id.column("c") == Vector(1.0, 2.5))
+    val lf = DF(spark, "c" -> Seq(3L, 0.5f, 2.25))
+    assert(lf.toSpark.schema("c").dataType == DoubleType)
+    assert(lf.column("c") == Vector(3.0, 0.5, 2.25))
+    // BigDecimal contagion: any exact-rational member widens the whole
+    // column to DecimalType (the RATIO analogue), keeping values exact
+    val dec = DF(spark, "c" -> Seq(1, BigDecimal(1) / 4))
+    assert(dec.toSpark.schema("c").dataType == DecimalType(38, 18))
+    assert(dec.column("c").map(_.asInstanceOf[java.math.BigDecimal].doubleValue)
+      == Vector(1.0, 0.25))
+    // downstream arithmetic works — the advisor's regression case
+    val s = il.toSpark.agg(org.apache.spark.sql.functions.sum("c"))
+      .collect()(0).getLong(0)
+    assert(s == 3L)
+  }
+
   test("driver-materializing parity forms refuse above the row cap; override allows") {
     val d = DF(spark, "x" -> (1 to 10), "y" -> (1 to 10).map(_.toString))
     val saved = DF.maxDriverRows

@@ -609,6 +609,14 @@ class OperatorsSpec extends AnyFunSuite {
     val w = TextAnalysis.dedupParagraphs(wiped, "doc_id", "text", 1)
       .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
     assert(w.toSeq == Seq((1L, "x"), (2L, "")))
+    // blank lines are separators, not content: even with df = corpus size
+    // they survive verbatim in EVERY doc (RefinedWeb/CCNet exclude empty
+    // lines from line dedup) — only the non-blank global dup is collapsed
+    val sep = Seq((1L, "a\n\nshared"), (2L, "b\n\nshared"), (3L, "c\n \nd"))
+      .toDF("doc_id", "text")
+    val so = TextAnalysis.dedupParagraphs(sep, "doc_id", "text", 1)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(so.toSeq == Seq((1L, "a\n\nshared"), (2L, "b\n"), (3L, "c\n \nd")))
   }
 
   test("minhash store probe with mismatched build parameters fails loudly") {

@@ -141,4 +141,42 @@ class SkewAndIvfSpec extends AnyFunSuite {
     } yield (ia, ib)).toSet
     assert(pairs == brutePairs)
   }
+
+  test("autoK: k grows with the corpus, cell size stays bounded") {
+    // test-SF corpora resolve to the legacy fixture k (oracle stability)
+    assert(Similarity.autoK(500) == 16 && Similarity.autoK(2000) == 16)
+    // 10× the sf0.1 corpus: k grows so expected cell size stays ~128
+    assert(Similarity.autoK(20000) == 157)
+    assert(Similarity.autoK(20000) * 128 >= 20000)
+    // the centroid-literal projection cap
+    assert(Similarity.autoK(10L * 1000 * 1000) == 2048)
+  }
+
+  test("oversized blocks fail loudly, in-plan, before any pairwise work") {
+    import graft.operators.Dedup
+    // 40 vectors, ONE constant block key — the planted mis-use: a blocking
+    // key whose cardinality does not grow with the corpus
+    val vecs = (1 to 40).map(i => (i.toLong, "all", Seq(1.0f, i.toFloat)))
+    val emb = vecs.toDF("vec_id", "label", "embedding")
+    val e = intercept[Exception] {
+      Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", 0.0,
+        Seq(col("label")), maxBlockRows = 10).count()
+    }
+    assert(e.getMessage.contains("maxBlockRows"), e.getMessage)
+    // within bound → same pairs as before the guard existed
+    val n = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", 0.999,
+      Seq(col("label")), maxBlockRows = 100).count()
+    assert(n > 0)
+    // the SemDeDup twin: a model whose k is too small for the corpus trips
+    // the cell guard; autoK-sized cells pass
+    val emb2 = emb.select(col("vec_id"), col("embedding"))
+    val tiny = Similarity.ivfFit(emb2.orderBy("vec_id"), "embedding", k = 1)
+    val e2 = intercept[Exception] {
+      Dedup.semanticNearDupPairs(emb2, "vec_id", "embedding", tiny,
+        threshold = 0.0, maxCellRows = 10).count()
+    }
+    assert(e2.getMessage.contains("maxBlockRows"), e2.getMessage)
+    assert(Dedup.semanticNearDupPairs(emb2, "vec_id", "embedding", tiny,
+      threshold = 0.999, maxCellRows = 100).count() > 0)
+  }
 }
