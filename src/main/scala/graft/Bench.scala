@@ -222,9 +222,16 @@ object Bench {
     // independence (with the warm-up above, per-query times must match
     // between the two orders — they did not before it)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    // SPARK_GRAFT_BENCH_ONLY=q_a,q_b runs a subset for LOCAL iteration on a
+    // single query's timing (never set by the driver; the committed
+    // BENCH_LOCAL snapshots below still require the full set — a subset
+    // run's total is meaningless and is not written)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = only.fold(ordered)(o => ordered.filter(q => o(q._1)))
     val toRun =
-      if (sys.env.get("SPARK_GRAFT_BENCH_ORDER").contains("reverse")) ordered.reverse
-      else ordered
+      if (sys.env.get("SPARK_GRAFT_BENCH_ORDER").contains("reverse")) selected.reverse
+      else selected
     val results = toRun.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val err = try { fn(spark, sfDir).count(); None } catch {
@@ -257,7 +264,9 @@ object Bench {
     // only comparable at the SAME sf: refuse to overwrite it from a run at
     // a different sf (an sf0.001 run once silently replaced the sf0.1
     // baseline and read as a false 25% speedup) — divert to a per-sf file.
-    try {
+    // Subset runs (SPARK_GRAFT_BENCH_ONLY) never snapshot: their total is
+    // not comparable to anything.
+    if (only.isEmpty) try {
       val canonical = Paths.get("BENCH_LOCAL.json")
       val prevSf =
         if (Files.exists(canonical))

@@ -1322,9 +1322,13 @@ object Dedup {
     * t=0.7 the probe side carries ~30% of postings — the standard
     * containment-index shape at 100 TB. */
   def ngramContainmentPrefix(df: DataFrame, idCol: String, textCol: String,
-                             threshold: Double = 0.7, ngram: Int = 3): DataFrame = {
+                             threshold: Double = 0.7, ngram: Int = 3,
+                             maxShingleDocFreq: Long = Long.MaxValue): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"containment threshold must be in (0,1], got $threshold")
+    require(maxShingleDocFreq >= 2,
+      s"maxShingleDocFreq must be >= 2 (got $maxShingleDocFreq): " +
+        "freq-2 shingles are the minimum that can witness a pair")
     // shingles are carried as xxhash64 LONGS end to end: the freq window,
     // candidate join, and array_intersect verify all move 8-byte keys
     // instead of ~20-byte strings (~2.5× less shuffle, cheaper compares).
@@ -1356,14 +1360,26 @@ object Dedup {
     val exf = ex.join(shared, Seq("__s"), "left")
       .withColumn("__f", coalesce(col("__freq"), lit(1L)))
     val w = Window.partitionBy(col(idCol)).orderBy(asc("__f"), asc("__s"))
+    // maxShingleDocFreq is the Lee-et-al super-frequent-n-gram drop applied
+    // to candidate generation (the spanOverlap maxWindowDocFreq pattern,
+    // grown with log₂(corpus) by callers): a shingle in more documents than
+    // the cap is template/boilerplate vocabulary whose posting list — and
+    // the candidate join's fan-out — scales WITH the corpus rather than
+    // with true duplication. Dropped AFTER the rank (the prefix stays the
+    // same rarest-first |A|−⌈t·|A|⌉+1 set), so a pair is missed only when
+    // every rarest-prefix witness of its smaller side is above the cap —
+    // i.e. the pair's entire shared material is boilerplate. The default
+    // (no cap) keeps the filter LOSSLESS, which the ground-truth oracle
+    // requires at the correctness SFs.
     val prefix = exf
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= col("__sz") - ceil(lit(threshold) * col("__sz")) + lit(1))
-      .filter(col("__f") >= 2)
+      .filter(col("__f") >= 2 && col("__f") <= maxShingleDocFreq)
       .select(col(idCol).as("__pid"), col("__sz").as("__psz"), col("__s"))
     // designated smaller side = lexicographically smaller (size, id); its
     // size IS min(|A|,|B|), so the pigeonhole guarantee above applies
-    val full = ex.join(shared.select("__s"), "__s")
+    val full = ex.join(shared.filter(col("__freq") <= maxShingleDocFreq)
+        .select("__s"), "__s")
       .select(col(idCol).as("__fid"), col("__sz").as("__fsz"), col("__s"))
     val cands = prefix.join(full, "__s")
       .filter(col("__psz") < col("__fsz") ||

@@ -266,8 +266,25 @@ object Similarity {
 
   /** cluster assignment as ONE codegen'd projection: argmin over the k
     * centroid distances (|c|² − 2·v·c ranks identically to full squared L2;
-    * ties break to the lower cluster id via struct ordering). */
+    * ties break to the lower cluster id). Runs the native
+    * [[graft.functions.IvfArgminExpr]] kernel — a fused k×dim loop over a
+    * primitive centroid matrix — because the `functions`-built struct-min
+    * formulation is interpreted per element and its cost explodes with the
+    * corpus-scaled k ([[autoK]]); the kernel is bit-identical to it
+    * (same fold order, same first-minimum tie-break — SkewAndIvfSpec). */
   def ivfAssign(df: DataFrame, vecCol: String, model: IvfModel): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge
+    import org.apache.spark.sql.catalyst.expressions.Cast
+    df.withColumn("__cluster", GraftSqlBridge.column(
+      graft.functions.IvfArgminExpr(
+        Cast(GraftSqlBridge.expression(col(vecCol)), ArrayType(DoubleType)),
+        model.centers)))
+  }
+
+  /** reference formulation of [[ivfAssign]] from org.apache.spark.sql
+    * .functions only — kept for cross-checking the native kernel. */
+  private[graft] def ivfAssignFns(df: DataFrame, vecCol: String,
+                                  model: IvfModel): DataFrame = {
     val v = col(vecCol)
     val scored = model.centers.zipWithIndex.map { case (c, i) =>
       val cNormSq = sqNorm(c)

@@ -235,6 +235,39 @@ class Round4OpsSpec extends AnyFunSuite {
       "unrelated doc must not pair with anything")
   }
 
+  test("containment freq cap drops boilerplate-only pairs, keeps true-witness pairs") {
+    import graft.operators.Dedup
+    // boiler: one identical sentence in EVERY doc (doc freq = corpus size).
+    // Docs 100/101 are near-identical beyond the boilerplate (rare
+    // witnesses); docs 1..20 share ONLY the boilerplate with each other.
+    val boiler = "all rights reserved contact us terms of service apply here today"
+    val unique = (1 to 20).map(i =>
+      (i.toLong, s"$boiler document body $i talks about topic${i}a topic${i}b topic${i}c"))
+    val twins = Seq(
+      (100L, s"$boiler rare alpha beta gamma delta epsilon zeta eta theta"),
+      (101L, s"$boiler rare alpha beta gamma delta epsilon zeta eta thetaX"))
+    val docs = (unique ++ twins).toDF("doc_id", "text")
+    def run(cap: Long) =
+      Dedup.ngramContainmentPrefix(docs, "doc_id", "text", threshold = 0.5,
+          maxShingleDocFreq = cap)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = run(Long.MaxValue)
+    // uncapped finds the twins AND the boilerplate-induced 1..20 pairs
+    // (every doc shares the 8-token boilerplate run; with short bodies the
+    // boilerplate dominates min-side shingle sets past the 0.5 threshold)
+    assert(uncapped.contains((100L, 101L)))
+    assert(uncapped.exists(p => p._1 <= 20 && p._2 <= 20),
+      s"fixture should produce boilerplate-only pairs uncapped, got $uncapped")
+    // cap below the boilerplate doc-freq (22) but above the twin-witness
+    // freq (2): boilerplate-only pairs vanish, the true pair survives with
+    // identical emission
+    val capped = run(10)
+    assert(capped.contains((100L, 101L)), s"capped run lost the true pair: $capped")
+    assert(!capped.exists(p => p._1 <= 20 && p._2 <= 20),
+      s"cap failed to drop boilerplate-only pairs: $capped")
+  }
+
   test("SQL kernels: graft_minhash_tokens / graft_simhash_tokens match operators") {
     import graft.operators.{Dedup, TextAnalysis}
     GraftExtensions.register(spark)

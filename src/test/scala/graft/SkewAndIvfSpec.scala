@@ -142,6 +142,21 @@ class SkewAndIvfSpec extends AnyFunSuite {
     assert(pairs == brutePairs)
   }
 
+  test("ivfAssign native kernel ≡ functions formulation (every row, tie-break included)") {
+    val rnd = new scala.util.Random(11)
+    val vecs = (0 until 300).map(i =>
+      (i.toLong, Seq.fill(16)(rnd.nextGaussian().toFloat)))
+    // planted EXACT tie: two centroids equidistant from vec 999 must both
+    // resolve to the lower cluster id
+    val emb = (vecs :+ (999L, Seq.fill(16)(0.0f))).toDF("vec_id", "embedding")
+    val model = Similarity.ivfFit(emb.orderBy("vec_id"), "embedding", k = 23)
+    val native = Similarity.ivfAssign(emb, "embedding", model)
+      .select("vec_id", "__cluster").as[(Long, Int)].collect().toMap
+    val fns = Similarity.ivfAssignFns(emb, "embedding", model)
+      .select("vec_id", "__cluster").as[(Long, Int)].collect().toMap
+    assert(native == fns)
+  }
+
   test("autoK: k grows with the corpus, cell size stays bounded") {
     // test-SF corpora resolve to the legacy fixture k (oracle stability)
     assert(Similarity.autoK(500) == 16 && Similarity.autoK(2000) == 16)
