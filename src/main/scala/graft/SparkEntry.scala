@@ -87,6 +87,33 @@ object SparkEntry {
         weights = Map("src0" -> 0.25, "src1" -> 0.15)))
   }
 
+  /** the raw corpus is punctuation-free (subword ≡ whitespace counts —
+    * verified, the variant would not discriminate), so the subword query
+    * plants a doc_id-varying punctuated suffix: " ... ok?! " × (doc_id % 4)
+    * counts 2 whitespace tokens but 6 subwords per repeat, skewing the
+    * per-source totals differently under each tokenizer. */
+  private def plantPunctuated(docs: DataFrame): DataFrame =
+    docs.withColumn("text",
+      concat(col("text"), repeat(lit(" ... ok?! "), pmod(col("doc_id"), lit(4))
+        .cast("int"))))
+
+  /** the same rates derived over BPE-ish SUBWORD counts (the production
+    * budget unit) via the tokenizer-as-a-parameter overload —
+    * [[TextAnalysis.subwordCount]] stands in for a real BPE tokenizer; on
+    * the planted corpus the subword rates diverge from whitespace rates,
+    * so the q_token_budget_subword oracle pins a genuinely different kept
+    * set. */
+  private val budgetSubwordRatesMemo =
+    new scala.collection.concurrent.TrieMap[String, Map[String, Double]]
+  private def budgetSubwordRatesFor(s: SparkSession, dir: String): Map[String, Double] = {
+    lastBudgetDir = Some(dir)
+    budgetSubwordRatesMemo.getOrElseUpdate(dir,
+      Sampling.tokenBudgetRates(plantPunctuated(rd(s, dir, "documents")),
+        TextAnalysis.subwordCount(col("text")), "source",
+        budgetTokens = 10000L,
+        weights = Map("src0" -> 0.25, "src1" -> 0.15)))
+  }
+
   /** offline-derived α-temperature mixing rates (same lazy-literal
     * mechanism as [[budgetRatesFor]]): the fixture's sources are uniform,
     * so the query derives a SKEWED domain from doc_id (8:4:2:2 per 16 ids)
@@ -156,6 +183,7 @@ object SparkEntry {
   def warmOffline(s: SparkSession, dir: String): Unit = {
     ivfModelFor(s, dir)
     budgetRatesFor(s, dir)
+    budgetSubwordRatesFor(s, dir)
     tempRatesFor(s, dir)
     docCountFor(s, dir)
   }
@@ -1055,6 +1083,15 @@ object SparkEntry {
       // domains-sized token aggregate, applied as ONE content-hash filter
       Sampling.tokenBudgetSample(rd(s, dir, "documents"), "doc_id", "source",
           budgetRatesFor(s, dir))
+        .select("doc_id", "source").orderBy("doc_id")),
+    "q_token_budget_subword" -> ((s, dir) =>
+      // the SAME budget mixing with the tokenizer as a parameter: rates
+      // derived over BPE-ish subword counts of the punctuation-planted
+      // corpus (production budgets are BPE tokens, not whitespace tokens)
+      // — different totals, different realized rates and kept set, same
+      // one-content-hash-filter apply
+      Sampling.tokenBudgetSample(plantPunctuated(rd(s, dir, "documents")),
+          "doc_id", "source", budgetSubwordRatesFor(s, dir))
         .select("doc_id", "source").orderBy("doc_id")),
     "q_temperature_mix" -> ((s, dir) =>
       // α-temperature domain re-balancing (XLM-R/mT5 q_i ∝ n_i^α): rates
@@ -2805,6 +2842,17 @@ object SparkEntry {
       s"WHEN '$d' THEN ${math.round(f * Sampling.Buckets)}"
     }.mkString(" ")
     Map("q_token_budget" ->
+      s"""SELECT doc_id, source FROM documents
+         WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                 % 10000 < CASE source $cases ELSE 0 END
+         ORDER BY doc_id""")
+  }.getOrElse(Map.empty) ++ lastBudgetDir.flatMap(budgetSubwordRatesMemo.get).map { r =>
+    // the subword-rate twin: same CASE mechanism, thresholds from the
+    // subwordCount-derived rates
+    val cases = r.toSeq.sortBy(_._1).map { case (d, f) =>
+      s"WHEN '$d' THEN ${math.round(f * Sampling.Buckets)}"
+    }.mkString(" ")
+    Map("q_token_budget_subword" ->
       s"""SELECT doc_id, source FROM documents
          WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
                  % 10000 < CASE source $cases ELSE 0 END

@@ -420,7 +420,7 @@ object Dedup {
     * [[setStoreParams]]. Stores written before the properties existed are
     * accepted (nothing to check against) — the in-plan signature-width guard
     * in [[dedupAgainstCore]] still backstops the minhash case. */
-  private def checkStoreParams(spark: SparkSession, table: String,
+  private[graft] def checkStoreParams(spark: SparkSession, table: String,
                                params: Map[String, Any]): Unit = {
     val props = spark.sql(s"SHOW TBLPROPERTIES $table").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap

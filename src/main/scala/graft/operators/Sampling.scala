@@ -101,14 +101,26 @@ object Sampling {
     * the budget is met exactly. */
   def tokenBudgetRates(df: DataFrame, textCol: String, domainCol: String,
                        budgetTokens: Long,
-                       weights: Map[String, Double] = Map.empty): Map[String, Double] = {
+                       weights: Map[String, Double] = Map.empty): Map[String, Double] =
+    tokenBudgetRates(df, TextAnalysis.tokenCount(col(textCol)), domainCol,
+      budgetTokens, weights)
+
+  /** [[tokenBudgetRates]] with the TOKENIZER AS A PARAMETER: production
+    * budgets are BPE tokens, not whitespace tokens, so the per-row token
+    * count is any Column expression — [[TextAnalysis.subwordCount]] as the
+    * BPE stand-in, a real tokenizer's precomputed count column, or a
+    * native counting Expression. The whitespace form above is this with
+    * `TextAnalysis.tokenCount(col(textCol))`. */
+  def tokenBudgetRates(df: DataFrame, tokenCountCol: Column, domainCol: String,
+                       budgetTokens: Long,
+                       weights: Map[String, Double]): Map[String, Double] = {
     require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
     weights.values.foreach(w =>
       require(w >= 0.0 && w <= 1.0, s"weight $w not in [0,1]"))
     require(weights.values.sum <= 1.0 + 1e-9,
       s"explicit weights sum to ${weights.values.sum} > 1: shares are " +
         "fractions of ONE budget")
-    val totals = domainTokenTotals(df, textCol, domainCol)
+    val totals = domainTokenTotals(df, tokenCountCol, domainCol)
     val shares = resolvedShares(totals, weights)
     totals.map { case (d, t) =>
       (d, if (t <= 0) 1.0 else math.min(1.0, shares(d) * budgetTokens / t))
@@ -121,11 +133,11 @@ object Sampling {
     * domain key is cast to string up front so an int-coded source column
     * yields string-keyed rates (matching [[tokenBudgetSample]]'s
     * comparison) instead of a ClassCastException at collect. */
-  private def domainTokenTotals(df: DataFrame, textCol: String,
+  private def domainTokenTotals(df: DataFrame, tokenCountCol: Column,
                                 domainCol: String): Map[String, Long] =
     df.filter(col(domainCol).isNotNull)
       .groupBy(col(domainCol).cast(StringType).as("__d"))
-      .agg(coalesce(sum(TextAnalysis.tokenCount(col(textCol))), lit(0L)).as("__t"))
+      .agg(coalesce(sum(tokenCountCol.cast(LongType)), lit(0L)).as("__t"))
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
 
   /** target budget share per domain. Weights are shares of ONE budget:
@@ -162,7 +174,8 @@ object Sampling {
     require(weights.values.sum <= 1.0 + 1e-9,
       s"explicit weights sum to ${weights.values.sum} > 1: shares are " +
         "fractions of ONE budget")
-    val totals = domainTokenTotals(df, textCol, domainCol)
+    val totals = domainTokenTotals(df, TextAnalysis.tokenCount(col(textCol)),
+      domainCol)
     val shares = resolvedShares(totals, weights)
     // saturated = kept whole (its tokens fit inside its current allocation)
     var saturated = totals.filter(_._2 <= 0).keySet

@@ -201,6 +201,53 @@ object Streams {
       .drop("__sig")
   }
 
+  /** streaming ingest NEAR-dup dedup against the PERSISTED embedding store
+    * ([[graft.operators.Dedup.writeEmbeddingStore]]) — the streaming twin of
+    * [[graft.operators.Dedup.embeddingNearDupAgainst]], completing the
+    * store-family streaming symmetry (exact fingerprint / simhash /
+    * embedding). The arriving vector's POOLED hyperplane signature (all
+    * bandBits×bands bits, one codegen'd projection) equi-joins the store's
+    * vectors re-signed with the same planes, and the exact cosine ≥
+    * threshold verify rides the join condition — so the anti-join is a
+    * hash join on the signature, never a broadcast nested loop over the
+    * store. Matching is signature-equality BY DESIGN, the
+    * [[streamingSimhashDedup]] argument verbatim: banded (partial-band)
+    * matching needs a drop decision with consensus ACROSS band buckets —
+    * in streaming that is a second stateful stage and an extra shuffle per
+    * micro-batch; the banded hamming-tolerant pass runs in the batch
+    * compaction over the ingested corpus
+    * ([[graft.operators.Dedup.embeddingNearDupAgainst]]), where it is one
+    * bucket-local shuffle. A cosine-1.0 re-key (identical vector under a
+    * new id) signs identically and drops here even after the in-stream
+    * watermark state evicted it — the store is the long-term memory
+    * (StreamsSpec plant). In-watermark repeats collapse on the signature;
+    * build parameters are validated against the store's persisted
+    * properties, the batch probes' footgun guard. */
+  def streamingEmbeddingDedupAgainstStore(vecs: DataFrame, vecCol: String,
+                                          tsCol: String, store: String,
+                                          threshold: Double, dim: Int,
+                                          bandBits: Int = 16, bands: Int = 4,
+                                          seed: Long = 42L,
+                                          delay: String = "10 minutes"): DataFrame = {
+    val spark = vecs.sparkSession
+    graft.operators.Dedup.checkStoreParams(spark, s"${store}_bands",
+      Map("dim" -> dim, "bandBits" -> bandBits, "bands" -> bands,
+        "seed" -> seed))
+    val sig = (c: Column) =>
+      graft.operators.Similarity.lshSignature(c, dim, bandBits * bands, seed)
+    val stored = spark.table(s"${store}_vecs")
+      .select(sig(col("vec")).as("__ssig"), col("vec").as("__sv"))
+    vecs
+      .withColumn("__fullsig", sig(col(vecCol)))
+      .join(stored,
+        col("__fullsig") === col("__ssig") &&
+          graft.operators.Similarity.cosine(col(vecCol), col("__sv")) >= threshold,
+        "left_anti")
+      .transform(ensureWatermark(_, tsCol, delay))
+      .dropDuplicatesWithinWatermark("__fullsig")
+      .drop("__fullsig")
+  }
+
   /** stream-stream INNER interval join, generic form: rows of `left` joined
     * to rows of `right` with equal `leftKey`/`rightKey` and
     * `rightTs ∈ [leftTs, leftTs + horizon]`. In streaming mode BOTH sides

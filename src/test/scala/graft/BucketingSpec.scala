@@ -318,4 +318,125 @@ class BucketingSpec extends AnyFunSuite {
       assert(kept == (1000L to 1009L).toSet) // stored 1-10 drop, fresh keep
     } finally dropStore("graft_compact")
   }
+
+  // ---- compaction parity across the store family (round-10 verdict #6):
+  // the fingerprint store's contents-identical + file-count + probe-path
+  // assertions, repeated verbatim for each remaining modality ----
+
+  private def tableFileCount(table: String): Int = {
+    val loc = spark.sql(s"DESCRIBE EXTENDED $table").collect()
+      .find(_.getString(0) == "Location").get.getString(1)
+    new java.io.File(new java.net.URI(loc)).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+  }
+  private def tableSnapshot(table: String): Seq[String] =
+    spark.table(table).collect().map(_.toString).sorted.toSeq
+
+  /** append batches, assert accretion, compact every store table, assert
+    * identical contents + one file per bucket + graft.* props intact. */
+  private def compactionParity(tables: Seq[(String, String)], nBuckets: Int)
+                              (append: Int => Unit)(probe: => Unit): Unit = {
+    (1 to 4).foreach(append)
+    val before = tables.map { case (t, _) => tableSnapshot(t) }
+    tables.foreach { case (t, _) =>
+      assert(tableFileCount(t) > nBuckets,
+        s"$t: append pattern should accrete files") }
+    val propsBefore = tables.map { case (t, _) =>
+      spark.sql(s"SHOW TBLPROPERTIES $t").collect()
+        .map(r => r.getString(0) -> r.getString(1))
+        .filter(_._1.startsWith("graft.")).toMap }
+    tables.foreach { case (t, c) => Sources.compactBucketed(spark, t, c, nBuckets) }
+    tables.zipWithIndex.foreach { case ((t, _), i) =>
+      assert(tableSnapshot(t) == before(i), s"$t: contents changed")
+      assert(tableFileCount(t) == nBuckets,
+        s"$t: expected $nBuckets files, got ${tableFileCount(t)}")
+      val props = spark.sql(s"SHOW TBLPROPERTIES $t").collect()
+        .map(r => r.getString(0) -> r.getString(1))
+        .filter(_._1.startsWith("graft.")).toMap
+      assert(props == propsBefore(i), s"$t: graft.* properties changed") }
+    probe
+  }
+
+  test("compactBucketed parity: minhash store (sigs + bands)") {
+    def docs(lo: Long, hi: Long, p: String) =
+      (lo to hi).map(i => (i, mkText(i.toInt, p))).toDF("doc_id", "text")
+    try {
+      Dedup.writeMinhashStore(
+        Dedup.minhashSigs(docs(1, 40, "e"), "doc_id", "text", numHashes = 32),
+        "doc_id", "graft_cmp_mh", bands = 8, numHashes = 32, nBuckets = 2)
+      compactionParity(
+        Seq(("graft_cmp_mh_sigs", "doc_id"), ("graft_cmp_mh_bands", "band_hash")), 2) {
+        b => Dedup.minhashDedupAgainst(docs(100L * b, 100L * b + 9, s"b$b"),
+          "doc_id", "text", "graft_cmp_mh", threshold = 0.8,
+          numHashes = 32, bands = 8, updateStore = true, nBuckets = 2).count()
+      } {
+        // probe path unchanged: copies of a seed doc AND of an appended
+        // batch doc drop; a fresh doc passes
+        val probe = Seq((9001L, mkText(3, "e")), (9002L, mkText(105, "b1")),
+          (9003L, mkText(77, "z"))).toDF("doc_id", "text")
+        val kept = Dedup.minhashDedupAgainst(probe, "doc_id", "text",
+            "graft_cmp_mh", threshold = 0.8, numHashes = 32, bands = 8,
+            updateStore = false, nBuckets = 2)
+          .select("doc_id").as[Long].collect().toSeq
+        assert(kept == Seq(9003L), s"probe after compaction kept $kept")
+      }
+    } finally dropStore("graft_cmp_mh")
+  }
+
+  test("compactBucketed parity: simhash store") {
+    def docs(lo: Long, hi: Long, p: String) =
+      (lo to hi).map(i => (i, mkText(i.toInt, p))).toDF("doc_id", "text")
+    try {
+      Dedup.writeSimhashStore(docs(1, 40, "e"), "doc_id", "text",
+        "graft_cmp_sh", nBuckets = 2)
+      compactionParity(Seq(("graft_cmp_sh_sigs", "sig")), 2) {
+        b => Dedup.simhashDedupAgainst(docs(100L * b, 100L * b + 9, s"b$b"),
+          "doc_id", "text", "graft_cmp_sh", updateStore = true,
+          nBuckets = 2).count()
+      } {
+        val probe = Seq((9001L, mkText(3, "e")), (9002L, mkText(105, "b1")),
+          (9003L, mkText(77, "z"))).toDF("doc_id", "text")
+        val kept = Dedup.simhashDedupAgainst(probe, "doc_id", "text",
+            "graft_cmp_sh", updateStore = false, nBuckets = 2)
+          .select("doc_id").as[Long].collect().toSeq
+        assert(kept == Seq(9003L), s"probe after compaction kept $kept")
+      }
+    } finally dropStore("graft_cmp_sh")
+  }
+
+  test("compactBucketed parity: embedding store (bands + vecs)") {
+    // seed outside the per-id seed space below (Random(5) IS vec(5))
+    val rnd = new scala.util.Random(987654321L)
+    def vec(i: Long): Seq[Float] = {
+      val r = new scala.util.Random(i) // deterministic per id
+      Seq.fill(8)(r.nextGaussian().toFloat)
+    }
+    def emb(lo: Long, hi: Long) =
+      (lo to hi).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    try {
+      Dedup.writeEmbeddingStore(emb(1, 40), "vec_id", "embedding",
+        "graft_cmp_em", dim = 8, bandBits = 4, bands = 4, nBuckets = 2)
+      compactionParity(
+        Seq(("graft_cmp_em_bands", "sig"), ("graft_cmp_em_vecs", "vec_id")), 2) {
+        b => Dedup.embeddingNearDupAgainst(emb(100L * b, 100L * b + 9),
+          "vec_id", "embedding", "graft_cmp_em", threshold = 0.999,
+          dim = 8, bandBits = 4, bands = 4, updateStore = true,
+          nBuckets = 2).count()
+      } {
+        // cosine-1.0 re-keys of a seed vector and an appended vector drop;
+        // a fresh vector passes
+        val probe = Seq((9001L, vec(3)), (9002L, vec(105)),
+          (9003L, Seq.fill(8)(rnd.nextGaussian().toFloat)))
+          .toDF("vec_id", "embedding")
+        val kept = Dedup.embeddingNearDupAgainst(probe, "vec_id", "embedding",
+            "graft_cmp_em", threshold = 0.999, dim = 8, bandBits = 4,
+            bands = 4, updateStore = false, nBuckets = 2)
+          .select("vec_id").as[Long].collect().toSeq
+        assert(kept == Seq(9003L), s"probe after compaction kept $kept")
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_cmp_em_bands")
+      spark.sql("DROP TABLE IF EXISTS graft_cmp_em_vecs")
+    }
+  }
 }

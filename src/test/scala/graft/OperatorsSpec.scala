@@ -351,6 +351,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(intRates("1") == 1.0 && math.abs(intRates("2") - 0.2) < 1e-9)
     assert(Sampling.tokenBudgetSample(intDom, "doc_id", "source", intRates)
       .filter(col("source") === 1).count() == 10)
+    // tokenizer-as-a-parameter overload: a punctuation-heavy corpus counts
+    // differently under subwordCount (production budgets are BPE tokens),
+    // shifting the realized rates; a precomputed count column also works
+    val punct = docs.withColumn("text",
+      concat(col("text"), lit(", x! y? z."))) // +6 subword-only tokens/doc
+    val ws = Sampling.tokenBudgetRates(punct, "text", "source", 400L)
+    val sub = Sampling.tokenBudgetRates(punct,
+      TextAnalysis.subwordCount(col("text")), "source", 400L, Map.empty)
+    assert(sub("b") < ws("b"), s"subword rates should be tighter: $sub vs $ws")
+    val pre = punct.withColumn("n_bpe", TextAnalysis.subwordCount(col("text")))
+    val preRates = Sampling.tokenBudgetRates(pre, col("n_bpe"), "source",
+      400L, Map.empty)
+    assert(preRates == sub)
   }
 
   test("assignSplit: disjoint covering intervals, stable under corpus growth") {

@@ -486,6 +486,60 @@ class StreamsSpec extends AnyFunSuite {
     }
   }
 
+  test("streamingEmbeddingDedupAgainstStore: cosine-1.0 re-key drops against the store even after state eviction") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def v(i: Int): Seq[Float] = Seq.tabulate(8)(j => if (j == i) 1.0f else 0.0f)
+    graft.operators.Dedup.writeEmbeddingStore(
+      Seq((100L, v(0))).toDF("vec_id", "embedding"), "vec_id", "embedding",
+      "graft_stream_em_store", dim = 8, bandBits = 4, bands = 4, nBuckets = 2)
+    // probing with mismatched build parameters fails loudly (the batch
+    // probes' guard, wired through the streaming twin too)
+    val bad = intercept[IllegalArgumentException](
+      Streams.streamingEmbeddingDedupAgainstStore(
+        Seq((0L, v(0), ts("2024-01-01 10:00:00"))).toDF("vec_id", "embedding", "ts"),
+        "embedding", "ts", "graft_stream_em_store", 0.95, dim = 8,
+        bandBits = 8, bands = 4))
+    assert(bad.getMessage.contains("bandBits"))
+    val mem = MemoryStream[(Long, Seq[Float], java.sql.Timestamp)]
+    val out = Streams.streamingEmbeddingDedupAgainstStore(
+      mem.toDF().toDF("vec_id", "embedding", "ts"), "embedding", "ts",
+      "graft_stream_em_store", threshold = 0.95, dim = 8,
+      bandBits = 4, bands = 4, delay = "10 seconds")
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("em_store_stream").start()
+    try {
+      // batch 1: re-key of the STORED vector drops against the store; a
+      // fresh vector survives; its in-watermark same-signature repeat
+      // collapses in-stream
+      mem.addData(
+        (1L, v(0), ts("2024-01-01 10:00:00")),
+        (2L, v(1), ts("2024-01-01 10:00:01")),
+        (3L, v(1), ts("2024-01-01 10:00:02")))
+      q.processAllAvailable()
+      // batch 2: advance the watermark an hour — evicts every batch-1
+      // signature from in-stream state
+      mem.addData((4L, v(2), ts("2024-01-01 11:00:00")))
+      q.processAllAvailable()
+      // batch 3, long after eviction: a re-key of the STORED vector still
+      // drops (the store is the long-term memory); a re-key of in-stream
+      // survivor 2 is KEPT (its state evicted, and nothing appended it to
+      // the store — exactly the batch updateStore=false semantics)
+      mem.addData(
+        (5L, v(0), ts("2024-01-01 12:00:00")),
+        (6L, v(1), ts("2024-01-01 12:00:01")))
+      q.processAllAvailable()
+      val kept = spark.table("em_store_stream").select("vec_id")
+        .as[Long].collect().toSet
+      assert(kept == Set(2L, 4L, 6L), s"got $kept")
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS em_store_stream")
+      spark.sql("DROP TABLE IF EXISTS graft_stream_em_store_bands")
+      spark.sql("DROP TABLE IF EXISTS graft_stream_em_store_vecs")
+    }
+  }
+
   test("store-append ingest loop: later batches dedup against earlier survivors, exactly-once across kill/restart") {
     import spark.implicits._
     val mk = java.nio.file.Files.createTempDirectory(_: String).toString
