@@ -679,7 +679,14 @@ object Dedup {
     Sources.writeBucketed(
       Similarity.lshBandSignatures(df, idCol, vecCol, dim, bandBits, bands, seed),
       s"${store}_bands", "sig", nBuckets)
-    Sources.writeBucketed(df.select(col(idCol), col(vecCol).as("vec")),
+    // the pooled full signature is persisted alongside the vector: the
+    // STREAMING twin equi-joins on it every micro-batch, and recomputing
+    // bandBits×bands dot products over the whole store per trigger is
+    // exactly the per-batch cost a precomputed column exists to avoid
+    Sources.writeBucketed(
+      df.select(col(idCol), col(vecCol).as("vec"),
+        Similarity.lshSignature(col(vecCol), dim, bandBits * bands, seed)
+          .as("fullsig")),
       s"${store}_vecs", idCol, nBuckets)
     setStoreParams(df.sparkSession, s"${store}_bands",
       Map("dim" -> dim, "bandBits" -> bandBits, "bands" -> bands,
@@ -729,7 +736,10 @@ object Dedup {
         Similarity.lshBandSignatures(surv, idCol, vecCol, dim, bandBits,
           bands, seed),
         s"${store}_bands", "sig", nBuckets, SaveMode.Append)
-      Sources.writeBucketed(surv.select(col(idCol), col(vecCol).as("vec")),
+      Sources.writeBucketed(
+        surv.select(col(idCol), col(vecCol).as("vec"),
+          Similarity.lshSignature(col(vecCol), dim, bandBits * bands, seed)
+            .as("fullsig")),
         s"${store}_vecs", idCol, nBuckets, SaveMode.Append)
       surv
     } else newBatch.join(dupIds0, Seq(idCol), "left_anti")

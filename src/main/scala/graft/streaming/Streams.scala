@@ -235,8 +235,15 @@ object Streams {
         "seed" -> seed))
     val sig = (c: Column) =>
       graft.operators.Similarity.lshSignature(c, dim, bandBits * bands, seed)
-    val stored = spark.table(s"${store}_vecs")
-      .select(sig(col("vec")).as("__ssig"), col("vec").as("__sv"))
+    // the store persists the pooled signature (writeEmbeddingStore) so the
+    // static build side is a column read, not bandBits×bands dot products
+    // over the whole store per micro-batch; stores written before the
+    // column existed fall back to the projection
+    val vecsTable = spark.table(s"${store}_vecs")
+    val stored =
+      if (vecsTable.columns.contains("fullsig"))
+        vecsTable.select(col("fullsig").as("__ssig"), col("vec").as("__sv"))
+      else vecsTable.select(sig(col("vec")).as("__ssig"), col("vec").as("__sv"))
     vecs
       .withColumn("__fullsig", sig(col(vecCol)))
       .join(stored,

@@ -157,6 +157,21 @@ class SkewAndIvfSpec extends AnyFunSuite {
     assert(native == fns)
   }
 
+  test("ivfAssign kernel participates in whole-stage codegen") {
+    val rnd = new scala.util.Random(3)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString + "/t"
+    (1 to 50).map(i => (i.toLong, Seq.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding").write.mode("overwrite").parquet(dir)
+    val emb = spark.read.parquet(dir)
+    val model = Similarity.ivfFit(emb.orderBy("vec_id"), "embedding", k = 4)
+    val plan = Similarity.ivfAssign(emb, "embedding", model)
+      .queryExecution.executedPlan.toString
+    // the "*(n)" prefix marks membership in a WholeStageCodegen span
+    val line = plan.linesIterator.find(_.contains("graft_ivf_argmin"))
+      .getOrElse("")
+    assert(line.trim.startsWith("*("), s"argmin not in a codegen span:\n$plan")
+  }
+
   test("autoK: k grows with the corpus, cell size stays bounded") {
     // test-SF corpora resolve to the legacy fixture k (oracle stability)
     assert(Similarity.autoK(500) == 16 && Similarity.autoK(2000) == 16)
