@@ -167,15 +167,23 @@ object Sampling {
     * nothing in any round — by design, zero-weight means excluded. */
   def tokenBudgetRatesWaterfill(df: DataFrame, textCol: String,
                                 domainCol: String, budgetTokens: Long,
-                                weights: Map[String, Double] = Map.empty): Map[String, Double] = {
+                                weights: Map[String, Double] = Map.empty): Map[String, Double] =
+    tokenBudgetRatesWaterfill(df, TextAnalysis.tokenCount(col(textCol)),
+      domainCol, budgetTokens, weights)
+
+  /** [[tokenBudgetRatesWaterfill]] with the tokenizer as a parameter — the
+    * [[tokenBudgetRates]] Column-overload twin, so BPE-unit budgets get the
+    * exact-target waterfilling semantics too. */
+  def tokenBudgetRatesWaterfill(df: DataFrame, tokenCountCol: Column,
+                                domainCol: String, budgetTokens: Long,
+                                weights: Map[String, Double]): Map[String, Double] = {
     require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
     weights.values.foreach(w =>
       require(w >= 0.0 && w <= 1.0, s"weight $w not in [0,1]"))
     require(weights.values.sum <= 1.0 + 1e-9,
       s"explicit weights sum to ${weights.values.sum} > 1: shares are " +
         "fractions of ONE budget")
-    val totals = domainTokenTotals(df, TextAnalysis.tokenCount(col(textCol)),
-      domainCol)
+    val totals = domainTokenTotals(df, tokenCountCol, domainCol)
     val shares = resolvedShares(totals, weights)
     // saturated = kept whole (its tokens fit inside its current allocation)
     var saturated = totals.filter(_._2 <= 0).keySet

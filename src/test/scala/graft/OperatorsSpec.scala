@@ -364,6 +364,16 @@ class OperatorsSpec extends AnyFunSuite {
     val preRates = Sampling.tokenBudgetRates(pre, col("n_bpe"), "source",
       400L, Map.empty)
     assert(preRates == sub)
+    // waterfill twin: the BPE-unit budget is hit EXACTLY (a's slack
+    // redistributes onto b's subword total)
+    val wf = Sampling.tokenBudgetRatesWaterfill(punct,
+      TextAnalysis.subwordCount(col("text")), "source", 400L, Map.empty)
+    val subTotals = punct.groupBy("source")
+      .agg(org.apache.spark.sql.functions.sum(
+        TextAnalysis.subwordCount(col("text"))).as("t"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val realized = subTotals.map { case (d, t) => wf(d) * t }.sum
+    assert(math.abs(realized - 400.0) < 1e-6, s"waterfill realized $realized")
   }
 
   test("assignSplit: disjoint covering intervals, stable under corpus growth") {
