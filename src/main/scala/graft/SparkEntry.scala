@@ -158,7 +158,7 @@ object SparkEntry {
     * false-candidate mass — ∝ n² · P(collide at the background jaccard) —
     * stays bounded while recall at the 0.5 threshold stays on the curve's
     * upper shoulder. */
-  private def jaccardLshParams(n: Long): (Int, Int) = {
+  private[graft] def jaccardLshParams(n: Long): (Int, Int) = {
     val bands = 8
     val extra = math.max(0, math.ceil((log2(n) - 13.0) / 3.0).toInt)
     ((2 + extra) * bands, bands)
@@ -168,8 +168,8 @@ object SparkEntry {
     * freq past ~8·log₂(corpus)) leave candidate generation — their posting
     * lists scale with the corpus, not with true duplication. Uncapped (the
     * lossless ground-truth contract) at the correctness SFs. */
-  private def containmentFreqCap(n: Long): Long =
-    Long.MaxValue // TEMP-EXPERIMENT
+  private[graft] def containmentFreqCap(n: Long): Long =
+    if (n <= 10000) Long.MaxValue else math.max(64L, (8.0 * log2(n)).toLong)
 
   /** pre-build every memoized OFFLINE artifact for `dir` — the IVF model
     * (sampled Lloyd's fit), token-budget rates, and temperature rates — so

@@ -182,6 +182,22 @@ class SkewAndIvfSpec extends AnyFunSuite {
     assert(Similarity.autoK(10L * 1000 * 1000) == 2048)
   }
 
+  test("corpus-size parameter profile: legacy constants at test SFs, log2 growth past them") {
+    // the oracle-stability contract: every driver test SF (500 / 5000 docs)
+    // must resolve to the constants the static oracle SQL encodes
+    assert(SparkEntry.jaccardLshParams(500) == (16, 8))
+    assert(SparkEntry.jaccardLshParams(5000) == (16, 8))
+    assert(SparkEntry.jaccardLshParams(8192) == (16, 8))
+    // +1 row-per-band per 8x corpus past 8k docs
+    assert(SparkEntry.jaccardLshParams(50000) == (24, 8))
+    assert(SparkEntry.jaccardLshParams(150000) == (32, 8))
+    assert(SparkEntry.containmentFreqCap(500) == Long.MaxValue)
+    assert(SparkEntry.containmentFreqCap(10000) == Long.MaxValue)
+    // 8·log2(n) past 10k docs
+    assert(SparkEntry.containmentFreqCap(50000) == 124L)
+    assert(SparkEntry.containmentFreqCap(150000) == 137L)
+  }
+
   test("oversized blocks fail loudly, in-plan, before any pairwise work") {
     import graft.operators.Dedup
     // 40 vectors, ONE constant block key — the planted mis-use: a blocking
