@@ -228,6 +228,14 @@ object Bench {
     // run's total is meaningless and is not written)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // a typo'd name must fail LOUDLY — a silent empty/partial subset would
+    // report success having run nothing
+    only.foreach { o =>
+      val unknown = o -- ordered.map(_._1).toSet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY names not in SparkEntry.queries: " +
+          unknown.toSeq.sorted.mkString(", "))
+    }
     val selected = only.fold(ordered)(o => ordered.filter(q => o(q._1)))
     val toRun =
       if (sys.env.get("SPARK_GRAFT_BENCH_ORDER").contains("reverse")) selected.reverse

@@ -218,8 +218,11 @@ object Summary {
       val v = col("__qs").getItem(i)
       val rankMin = sum((c < v).cast(LongType))
       val rankMax = sum((c <= v).cast(LongType))
-      ((rankMin + 1) <= (lit(p + eps) * count(c))) &&
-        (rankMax >= (lit(p - eps) * count(c)))
+      // GK promises rank(v) ∈ [⌊(p−ε)N⌋, ⌈(p+ε)N⌉] — ceil/floor the lit
+      // sides so a sketch value sitting exactly at its error-bound edge
+      // still passes (raw p±ε·N is STRICTER than the documented contract)
+      ((rankMin + 1) <= ceil(lit(p + eps) * count(c))) &&
+        (rankMax >= floor(lit(p - eps) * count(c)))
     }
     df.crossJoin(broadcast(sketch)).agg(
       count(c).as("n"),

@@ -196,15 +196,16 @@ object Similarity {
 
   /** IVF (inverted-file) ANN — the k-means scale path beside the LSH one.
     *
-    * Build: Lloyd's k-means fit on a CAPPED sample collected to the driver
-    * (fitSampleCap rows ≈ a megabyte — the fit is pure local math, zero Spark
-    * jobs beyond the sample read; at 100 TB this is exactly the offline
-    * index-build step, and centroid quality needs only a sample). Assignment
-    * is a pure codegen'd map: argmin over k centroid distances as one
-    * projection — no MLlib, no iterative jobs over the corpus. Query: rank
-    * centroids against the query DRIVER-side (k ≪ corpus, a few KB), probe
-    * only the `nprobe` nearest clusters' rows, exact cosine rerank inside —
-    * the scan touches ~corpus·nprobe/k rows. Deterministic via fixed seed.
+    * Build: Lloyd's k-means fit on a k-SCALED sample (~64·k rows — see
+    * [[ivfFit]]: driver-local below 2048 rows, distributed over the sample
+    * above it; either way the offline index-build step, never an iterative
+    * job over the corpus, and centroid quality needs only a sample).
+    * Assignment is a pure codegen'd map: argmin over k centroid distances
+    * as one projection — no MLlib. Query: rank centroids against the query
+    * DRIVER-side (k ≪ corpus, a few KB), probe only the `nprobe` nearest
+    * clusters' rows, exact cosine rerank inside — the scan touches
+    * ~corpus·nprobe/k rows. Deterministic via fixed seed (the distributed
+    * path's means are order-independent integer-micros aggregates).
     */
   final case class IvfModel(centers: Array[Array[Double]])
 
@@ -213,11 +214,17 @@ object Similarity {
     * as the corpus grows, so the within-cell quadratic pairwise term stays
     * linear in corpus size overall (a fixed k makes it quadratic). The
     * floor keeps small test corpora at the legacy fixture parameters; the
-    * cap bounds the centroid-literal assignment projection (past it,
-    * switch the assignment to a broadcast centroid matrix — and at true
-    * 100 TB scale the paper's ~11k clusters sit well inside the cap). */
+    * default cap (16384 — SemDeDup's ~11k LAION clusters sit inside it)
+    * bounds the assignment kernel's centroid matrix, which rides the plan
+    * as ONE reference object (k·dim doubles: 8 MB at k=16384, dim=64 —
+    * memory, not plan size, is the bound), and holds expected cells at
+    * `targetCellRows` up to k·targetCellRows ≈ 2M embeddings. Past that,
+    * raise maxK (and with it fit cost) and/or targetCellRows TOGETHER —
+    * [[graft.operators.Dedup.semanticNearDupPairs]]'s `maxCellRows` guard
+    * fails loudly, never silently quadratic, if the model is undersized
+    * for the corpus. */
   def autoK(corpusRows: Long, targetCellRows: Int = 128,
-            minK: Int = 16, maxK: Int = 2048): Int = {
+            minK: Int = 16, maxK: Int = 16384): Int = {
     require(targetCellRows > 0 && minK > 0 && maxK >= minK,
       s"autoK: bad parameters (targetCellRows=$targetCellRows, " +
         s"minK=$minK, maxK=$maxK)")
@@ -226,9 +233,46 @@ object Similarity {
         (corpusRows + targetCellRows - 1) / targetCellRows)).toInt
   }
 
-  /** driver-local Lloyd's fit on the first `fitSampleCap` rows. */
+  /** Lloyd's k-means fit on the first `fitSampleCap` rows of `df`
+    * (callers pre-sort for a deterministic sample — TakeOrdered).
+    *
+    * `fitSampleCap = 0` (the default) sizes the sample WITH k:
+    * max(2048, 64·k) rows, so per-centroid sample mass stays ~64 as
+    * [[autoK]] grows k with the corpus — a fixed 2048-row sample at
+    * k = 2048 is one sample per centroid, statistically meaningless.
+    *
+    * Two execution paths, split on the resolved sample size:
+    *  - **≤ 2048 rows**: the legacy DRIVER-LOCAL exact Lloyd's over the
+    *    collected sample — bit-identical to the historical fit, keeping
+    *    every fitted-centroid oracle and test fixture at the correctness
+    *    SFs unchanged.
+    *  - **> 2048 rows**: a DISTRIBUTED-SAMPLE Lloyd's: the sample stays a
+    *    checkpointed DataFrame (the driver never materializes it);
+    *    each iteration assigns via the [[graft.functions.IvfArgminExpr]]
+    *    codegen kernel (the SAME argmin the corpus-side [[ivfAssign]]
+    *    runs) and recomputes means with one (cluster, dim-index) hash
+    *    aggregate. Means fix floats to integer MICROS before summing
+    *    (the [[labelCentroids]] determinism pattern): integer adds are
+    *    aggregation-ORDER-INDEPENDENT, so the fitted centroids are
+    *    reproducible doubles despite distributed shuffles — the property
+    *    the generated centroid-literal oracles require. Per-iteration
+    *    cost is sample·k·dim inside whole-stage codegen across the
+    *    cluster (64·11k rows at the SemDeDup paper's LAION-scale k —
+    *    a tiny job beside one corpus scan); only k centroids and a
+    *    ≤ 4·k-row init pool ever sit on the driver. */
   def ivfFit(df: DataFrame, vecCol: String, k: Int = 16, seed: Long = 42L,
-             fitSampleCap: Int = 2048, maxIter: Int = 10): IvfModel = {
+             fitSampleCap: Int = 0, maxIter: Int = 10): IvfModel = {
+    require(k >= 1, s"ivfFit: k must be >= 1, got $k")
+    val cap =
+      if (fitSampleCap > 0) fitSampleCap
+      else math.max(2048, 64 * math.min(k.toLong, Int.MaxValue / 64)).toInt
+    if (cap <= 2048) ivfFitLocal(df, vecCol, k, seed, cap, maxIter)
+    else ivfFitDistributed(df, vecCol, k, seed, cap, maxIter)
+  }
+
+  /** the legacy driver-local exact Lloyd's (see [[ivfFit]]). */
+  private def ivfFitLocal(df: DataFrame, vecCol: String, k: Int, seed: Long,
+                          fitSampleCap: Int, maxIter: Int): IvfModel = {
     val sample: Array[Array[Double]] =
       df.select(col(vecCol)).limit(fitSampleCap).collect()
         .map(_.getSeq[Number](0).map(_.doubleValue()).toArray)
@@ -259,6 +303,54 @@ object Similarity {
       centers = centers.zipWithIndex.map { case (old, i) =>
         if (counts(i) == 0) old // empty cluster keeps its center
         else sums(i).map(_ / counts(i))
+      }
+    }
+    IvfModel(centers)
+  }
+
+  /** the distributed-sample Lloyd's for k-scaled sample sizes (see
+    * [[ivfFit]]): assignment by the codegen argmin kernel, means by an
+    * order-independent integer-micros aggregate, driver holds only the
+    * centroids. */
+  private def ivfFitDistributed(df: DataFrame, vecCol: String, k: Int,
+                                seed: Long, cap: Int,
+                                maxIter: Int): IvfModel = {
+    val sampleDF = df
+      .select(col(vecCol).cast(ArrayType(DoubleType)).as("__v"))
+      .limit(cap).localCheckpoint()
+    val n = sampleDF.count()
+    require(n > 0, "ivfFit: empty input")
+    val kk = math.min(k.toLong, n).toInt
+    // init pool: the first min(cap, 4·kk) sample rows (deterministic —
+    // callers pre-sort), k of them picked by a seed-fixed shuffle, exactly
+    // the legacy init rule applied to a bounded pool instead of the full
+    // sample.
+    val pool: Array[Array[Double]] =
+      sampleDF.limit(math.min(cap, 4 * kk)).collect()
+        .map(_.getSeq[Number](0).map(_.doubleValue()).toArray)
+    val dim = pool.head.length
+    val rnd = new scala.util.Random(seed)
+    var centers = rnd.shuffle(pool.indices.toVector).take(kk)
+      .map(pool(_).clone()).toArray
+    for (_ <- 0 until maxIter) {
+      val assigned = ivfAssign(sampleDF, "__v", IvfModel(centers))
+      val rows = assigned
+        .select(col("__cluster"), posexplode(col("__v")).as(Seq("__p", "__x")))
+        .groupBy(col("__cluster"), col("__p"))
+        .agg(sum(round(col("__x") * 1000000L).cast(LongType)).as("__s"),
+          count(lit(1)).as("__n"))
+        .collect()
+      val sums = Array.fill(kk)(new Array[Long](dim))
+      val counts = new Array[Long](kk)
+      rows.foreach { r =>
+        val c = r.getInt(0); val p = r.getInt(1)
+        sums(c)(p) = r.getLong(2)
+        counts(c) = r.getLong(3)
+      }
+      centers = centers.zipWithIndex.map { case (old, i) =>
+        if (counts(i) == 0) old // empty cluster keeps its center
+        else sums(i).map(s =>
+          math.round(s.toDouble / counts(i)) / 1000000.0)
       }
     }
     IvfModel(centers)

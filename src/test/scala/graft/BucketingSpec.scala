@@ -192,6 +192,46 @@ class BucketingSpec extends AnyFunSuite {
     }
   }
 
+  test("embeddingNearDupAgainst append honors a pre-fullsig 2-column store") {
+    import spark.implicits._
+    def unit(i: Int): Seq[Float] =
+      Seq.tabulate(8)(j => if (j == i) 1.0f else 0.0f)
+    val existing = Seq((2L, unit(0)), (4L, unit(1))).toDF("vec_id", "embedding")
+    try {
+      Dedup.writeEmbeddingStore(existing, "vec_id", "embedding",
+        "graft_emb_old", dim = 8, bandBits = 4, bands = 2, nBuckets = 2)
+      // simulate a store written before the fullsig column existed: rewrite
+      // the vecs table with only (id, vec) — checkStoreParams documents such
+      // stores as accepted, so the append path must match their schema
+      val old2col = spark.table("graft_emb_old_vecs")
+        .select("vec_id", "vec").collect().toSeq
+        .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      spark.sql("DROP TABLE graft_emb_old_vecs")
+      Sources.writeBucketed(old2col.toDF("vec_id", "vec"),
+        "graft_emb_old_vecs", "vec_id", 2)
+      val newBatch = Seq((5L, unit(0)), (7L, unit(2))).toDF("vec_id", "embedding")
+      val kept = Dedup.embeddingNearDupAgainst(newBatch, "vec_id", "embedding",
+          "graft_emb_old", threshold = 0.9, dim = 8, bandBits = 4, bands = 2,
+          updateStore = true, nBuckets = 2) // append must NOT throw
+        .select("vec_id").as[Long].collect().toSeq
+      assert(kept == Seq(7L))
+      // store grew by the survivor, still 2 columns (existing schema wins)
+      assert(spark.table("graft_emb_old_vecs").count() == 3L)
+      assert(spark.table("graft_emb_old_vecs").columns.sorted.toSeq ==
+        Seq("vec", "vec_id"))
+      // and the probe side still works against the upgraded-append store
+      val third = Seq((9L, unit(2))).toDF("vec_id", "embedding")
+      val kept3 = Dedup.embeddingNearDupAgainst(third, "vec_id", "embedding",
+          "graft_emb_old", threshold = 0.9, dim = 8, bandBits = 4, bands = 2,
+          updateStore = false, nBuckets = 2)
+        .select("vec_id").as[Long].collect().toSeq
+      assert(kept3 == Seq())
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_emb_old_bands")
+      spark.sql("DROP TABLE IF EXISTS graft_emb_old_vecs")
+    }
+  }
+
   test("store family property: survivors match direct membership on a random corpus") {
     import spark.implicits._
     import graft.operators.TextAnalysis

@@ -178,8 +178,45 @@ class SkewAndIvfSpec extends AnyFunSuite {
     // 10× the sf0.1 corpus: k grows so expected cell size stays ~128
     assert(Similarity.autoK(20000) == 157)
     assert(Similarity.autoK(20000) * 128 >= 20000)
-    // the centroid-literal projection cap
-    assert(Similarity.autoK(10L * 1000 * 1000) == 2048)
+    // k keeps tracking corpus/128 well past the old 2048 ceiling (the
+    // SemDeDup paper's ~11k clusters are reachable without an override)…
+    assert(Similarity.autoK(1000 * 1000) == 7813)
+    // …up to the default centroid-matrix cap
+    assert(Similarity.autoK(10L * 1000 * 1000) == 16384)
+  }
+
+  test("ivfFit distributed-sample path: planted centers recovered, bit-deterministic, k > 2048 capable") {
+    // 4 well-separated planted centers in dim 4, 4000 jittered points;
+    // fitSampleCap > 2048 forces the distributed-sample path
+    val base = Seq(
+      Seq(10.0, 0.0, 0.0, 0.0), Seq(0.0, 10.0, 0.0, 0.0),
+      Seq(0.0, 0.0, 10.0, 0.0), Seq(0.0, 0.0, 0.0, 10.0))
+    val rows = (0 until 4000).map { i =>
+      (i.toLong, base(i % 4).map(x => x + (i % 7) * 0.01))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    def fit() = Similarity.ivfFit(emb.orderBy("vec_id"), "embedding",
+      k = 4, fitSampleCap = 4096, maxIter = 5)
+    val m1 = fit()
+    assert(m1.centers.length == 4)
+    // order-independent integer-micros means ⇒ refitting is bit-identical
+    // despite the distributed aggregation — the property the generated
+    // centroid-literal oracles rely on
+    val m2 = fit()
+    assert(m1.centers.map(_.toSeq) sameElements m2.centers.map(_.toSeq))
+    // every planted center recovered well inside the jitter envelope
+    base.foreach { c =>
+      val d = m1.centers.map(f =>
+        math.sqrt(c.zip(f).map { case (a, b) => (a - b) * (a - b) }.sum)).min
+      assert(d < 0.5, s"planted center $c not recovered (nearest at $d)")
+    }
+    // k past the old 2048 ceiling actually fits (and returns k centers)
+    val big = (0 until 9000).map(i =>
+      (i.toLong, Seq.tabulate(4)(j => ((i * 31 + j * 7) % 100).toDouble)))
+      .toDF("vec_id", "embedding")
+    val mk = Similarity.ivfFit(big.orderBy("vec_id"), "embedding",
+      k = 2100, fitSampleCap = 8192, maxIter = 2)
+    assert(mk.centers.length == 2100)
   }
 
   test("corpus-size parameter profile: legacy constants at test SFs, log2 growth past them") {
