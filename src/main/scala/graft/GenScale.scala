@@ -74,7 +74,31 @@ object GenScale {
       .repartition(col("vec_id"))
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
-    val scaled = Set("documents.parquet", "embeddings.parquet")
+    // the join-side TPC-H tables (round-11 verdict item #6): replicate with
+    // ONE consistent key offset (r·10M on orderkey AND custkey, the same
+    // allocation-shard constant the doc/vec ids use) so every replica joins
+    // only within itself — join cardinality scales exactly `factor`×, fanout
+    // per key is UNCHANGED, and the r = 0 originals stay addressable. The
+    // broadcast dims (nation/region) are deliberately NOT scaled: a dim that
+    // grows with the fact table isn't a broadcast dim.
+    val off = col("__r") * 10000000L
+    def replicate(table: String, bump: Map[String, String => org.apache.spark.sql.Column]): Unit = {
+      val src0 = spark.read.parquet(s"$src/$table.parquet")
+        .withColumn("__r", explode(sequence(lit(0), lit(factor - 1))))
+      val out0 = src0.columns.filter(_ != "__r").foldLeft(src0) { (d, c) =>
+        bump.get(c).map(f => d.withColumn(c, f(c))).getOrElse(d)
+      }
+      out0.drop("__r")
+        .repartition(col(bump.keys.head))
+        .write.mode("overwrite").parquet(s"$out/$table.parquet")
+    }
+    val bumped: String => org.apache.spark.sql.Column = c => col(c) + off
+    replicate("customer", Map("c_custkey" -> bumped))
+    replicate("orders", Map("o_orderkey" -> bumped, "o_custkey" -> bumped))
+    replicate("lineitem", Map("l_orderkey" -> bumped))
+
+    val scaled = Set("documents.parquet", "embeddings.parquet",
+      "customer.parquet", "orders.parquet", "lineitem.parquet")
     Files.list(Paths.get(src)).forEach { p =>
       val name = p.getFileName.toString
       val link = Paths.get(out, name)

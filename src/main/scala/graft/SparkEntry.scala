@@ -114,6 +114,29 @@ object SparkEntry {
         weights = Map("src0" -> 0.25, "src1" -> 0.15)))
   }
 
+  /** WATERFILL rates (budget as exact TARGET, not cap): budget = half the
+    * corpus tokens with src0 claiming 0.6 of it — src0's tokens (~5% of the
+    * corpus) fit inside that allocation, so it saturates (kept whole) and
+    * its unclaimed mass redistributes; src1 at 0.08 saturates only AFTER
+    * round-1 redistribution lifts its allocation past its totals — a
+    * two-round cascade, so the oracle pins the iterative waterfill loop,
+    * not just the plain-rates formula (plain rates here would be ~0.21 for
+    * unspecified domains; waterfill lands ~0.44). */
+  private val budgetWaterfillRatesMemo =
+    new scala.collection.concurrent.TrieMap[String, Map[String, Double]]
+  private def budgetWaterfillRatesFor(s: SparkSession, dir: String): Map[String, Double] = {
+    lastBudgetDir = Some(dir)
+    budgetWaterfillRatesMemo.getOrElseUpdate(dir, {
+      val docs = rd(s, dir, "documents")
+      val total = docs
+        .agg(sum(TextAnalysis.tokenCount(col("text")).cast("long")))
+        .head().getLong(0)
+      Sampling.tokenBudgetRatesWaterfill(docs, "text", "source",
+        budgetTokens = math.max(1L, total / 2),
+        weights = Map("src0" -> 0.6, "src1" -> 0.08))
+    })
+  }
+
   /** offline-derived α-temperature mixing rates (same lazy-literal
     * mechanism as [[budgetRatesFor]]): the fixture's sources are uniform,
     * so the query derives a SKEWED domain from doc_id (8:4:2:2 per 16 ids)
@@ -171,6 +194,26 @@ object SparkEntry {
   private[graft] def containmentFreqCap(n: Long): Long =
     if (n <= 10000) Long.MaxValue else math.max(64L, (8.0 * log2(n)).toLong)
 
+  /** memoized embeddings row count per sf dir (same shape as [[docCountFor]]),
+    * feeding the corpus-scaled banding profile below. */
+  private val embCounts = new scala.collection.concurrent.TrieMap[String, Long]
+  @volatile private var lastEmbScaledDir: Option[String] = None
+  private def embCountFor(s: SparkSession, dir: String): Long =
+    embCounts.getOrElseUpdate(dir, rd(s, dir, "embeddings").count())
+
+  /** corpus-size-derived bandBits for the banded-hyperplane embedding
+    * near-dup ([[Dedup.embeddingNearDupLsh]]'s scaladoc rule made a
+    * PROFILE): per-band bucket count is 2^bandBits, so bandBits must grow
+    * with log₂(corpus) for the bucket-local join to stay ~linear —
+    * ceil(log₂ n)+3 keeps expected bucket occupancy under ~n/8·2^-log₂(n)
+    * ≈ ⅛ row as the corpus grows. Floor 12 pins the fixture corpora
+    * (500-2k embeddings) at the q_embedding_neardup static-oracle
+    * parameter; cap 15 holds the 4-band pooled signature at 60 bits, clear
+    * of the 64-bit pack and the DuckDB oracle's sign-bit ceiling (past
+    * ~4k× the fixture, raise `bands` to buy recall back instead). */
+  private[graft] def embeddingBandBits(n: Long): Int =
+    math.min(15, math.max(12, math.ceil(log2(n)).toInt + 3))
+
   /** pre-build every memoized OFFLINE artifact for `dir` — the IVF model
     * (sampled Lloyd's fit), token-budget rates, and temperature rates — so
     * a bench's timed queries measure probing/filtering, not index
@@ -184,8 +227,10 @@ object SparkEntry {
     ivfModelFor(s, dir)
     budgetRatesFor(s, dir)
     budgetSubwordRatesFor(s, dir)
+    budgetWaterfillRatesFor(s, dir)
     tempRatesFor(s, dir)
     docCountFor(s, dir)
+    embCountFor(s, dir)
   }
 
   /** the synthetic web-page plant shared by q_boilerplate and
@@ -866,6 +911,20 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
         .orderBy("id_a", "id_b")
     }),
+    "q_embedding_neardup_scaled" -> ((s, dir) => {
+      // the PRODUCTION profile of q_embedding_neardup: bandBits derived
+      // from the corpus size (the containmentFreqCap/jaccardLshParams
+      // pattern — 12 at the fixture SFs, growing with log₂(corpus)), bands
+      // at the 4-band production default; the oracle SQL is generated with
+      // the SAME derived bandBits, so the scaled path is oracle-pinned
+      // rather than scaladoc guidance
+      lastEmbScaledDir = Some(dir)
+      val bb = embeddingBandBits(embCountFor(s, dir))
+      Dedup.embeddingNearDupLsh(rd(s, dir, "embeddings"), "vec_id",
+          "embedding", 0.35, dim = 64, bandBits = bb, bands = 4)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+        .orderBy("id_a", "id_b")
+    }),
     "q_media_decode" -> ((s, dir) => {
       // fake decode kernel is md5-derived → the whole mapPartitions decode
       // path is verified by an exact SQL oracle (was rows-only pre-r3)
@@ -1092,6 +1151,14 @@ object SparkEntry {
       // one-content-hash-filter apply
       Sampling.tokenBudgetSample(plantPunctuated(rd(s, dir, "documents")),
           "doc_id", "source", budgetSubwordRatesFor(s, dir))
+        .select("doc_id", "source").orderBy("doc_id")),
+    "q_token_budget_waterfill" -> ((s, dir) =>
+      // the budget as an exact TARGET: saturated domains' unclaimed
+      // allocation redistributes over the still-downsampled ones (two-round
+      // cascade on this fixture — see budgetWaterfillRatesFor) before the
+      // same one-content-hash-filter apply
+      Sampling.tokenBudgetSample(rd(s, dir, "documents"), "doc_id", "source",
+          budgetWaterfillRatesFor(s, dir))
         .select("doc_id", "source").orderBy("doc_id")),
     "q_temperature_mix" -> ((s, dir) =>
       // α-temperature domain re-balancing (XLM-R/mT5 q_i ∝ n_i^α): rates
@@ -2104,14 +2171,19 @@ object SparkEntry {
        SELECT CAST(nm AS BIGINT) AS n_matched,
          round(nm / 10.0, 6) AS recall_at_10 FROM m"""
 
-  /** q_embedding_neardup in DuckDB: the full 5-band × 12-bit banded-LSH
-    * near-dup — one pooled 60-bit signature from the seed-42 planes, bands
-    * sliced by shift/mask, bucket-local distinct pairs, exact-cosine verify.
-    * The threshold filters on the RAW cosine exactly like the Spark
-    * operator (identical IEEE accumulation both sides); the emitted score is
-    * rounded to 6 for engine-stable hashing. */
-  private val EmbeddingNearDupLshOracle: String = {
-    s"""WITH planes(b, j, w) AS (VALUES ${hyperplaneValues(60)}),
+  /** q_embedding_neardup / q_embedding_neardup_scaled in DuckDB: the full
+    * banded-LSH near-dup for any (bandBits, bands) — one pooled
+    * `bandBits·bands`-bit signature from the seed-42 planes, bands sliced
+    * by shift/mask, bucket-local distinct pairs, exact-cosine verify. The
+    * threshold filters on the RAW cosine exactly like the Spark operator
+    * (identical IEEE accumulation both sides); the emitted score is
+    * rounded to 6 for engine-stable hashing. bandBits·bands ≤ 62 keeps the
+    * DuckDB `1 << b` sum clear of BIGINT sign-bit overflow. */
+  private def embeddingNearDupLshOracleSql(bandBits: Int, bands: Int): String = {
+    require(bandBits * bands <= 62,
+      s"oracle signature ${bandBits * bands} bits overflows DuckDB BIGINT shifts")
+    val mask = (1L << bandBits) - 1
+    s"""WITH planes(b, j, w) AS (VALUES ${hyperplaneValues(bandBits * bands)}),
        pl AS (SELECT b, list(w ORDER BY j) AS pw FROM planes GROUP BY b),
        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        sigs AS (
@@ -2120,8 +2192,8 @@ object SparkEntry {
                     THEN (CAST(1 AS BIGINT) << pl.b) ELSE 0 END) AS BIGINT) AS fs
          FROM e CROSS JOIN pl GROUP BY e.vec_id),
        banded AS (
-         SELECT vec_id, bb AS band, (fs >> (bb * 12)) & 4095 AS sig
-         FROM sigs CROSS JOIN (SELECT unnest(range(0, 5)) AS bb) bs),
+         SELECT vec_id, bb AS band, (fs >> (bb * $bandBits)) & $mask AS sig
+         FROM sigs CROSS JOIN (SELECT unnest(range(0, $bands)) AS bb) bs),
        pairs AS (
          SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
          FROM banded l JOIN banded r
@@ -2136,6 +2208,9 @@ object SparkEntry {
        SELECT id_a, id_b, round(raw, 6) AS cos FROM scored
        WHERE raw >= 0.35 ORDER BY id_a, id_b"""
   }
+
+  private val EmbeddingNearDupLshOracle: String =
+    embeddingNearDupLshOracleSql(bandBits = 12, bands = 5)
 
   /** q_dedup_incr_embedding in DuckDB: the banded-hyperplane store probe —
     * same plane literals, bands, and exact-cosine verify as
@@ -2857,6 +2932,22 @@ object SparkEntry {
          WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
                  % 10000 < CASE source $cases ELSE 0 END
          ORDER BY doc_id""")
+  }.getOrElse(Map.empty) ++ lastBudgetDir.flatMap(budgetWaterfillRatesMemo.get).map { r =>
+    // the waterfill twin: identical CASE mechanism, thresholds carry the
+    // redistributed (iteratively waterfilled) rates
+    val cases = r.toSeq.sortBy(_._1).map { case (d, f) =>
+      s"WHEN '$d' THEN ${math.round(f * Sampling.Buckets)}"
+    }.mkString(" ")
+    Map("q_token_budget_waterfill" ->
+      s"""SELECT doc_id, source FROM documents
+         WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                 % 10000 < CASE source $cases ELSE 0 END
+         ORDER BY doc_id""")
+  }.getOrElse(Map.empty) ++ lastEmbScaledDir.flatMap(embCounts.get).map { n =>
+    // generated with the SAME corpus-derived bandBits the query resolved —
+    // the profile itself is what this oracle pins
+    Map("q_embedding_neardup_scaled" ->
+      embeddingNearDupLshOracleSql(embeddingBandBits(n), bands = 4))
   }.getOrElse(Map.empty) ++ lastTempDir.flatMap(tempRatesMemo.get).map { r =>
     // α-temperature thresholds over the doc_id-derived skewed domain — the
     // CASE mirrors skewedDomain's 8:4:2:2 split exactly

@@ -233,6 +233,12 @@ class SkewAndIvfSpec extends AnyFunSuite {
     // 8·log2(n) past 10k docs
     assert(SparkEntry.containmentFreqCap(50000) == 124L)
     assert(SparkEntry.containmentFreqCap(150000) == 137L)
+    // banded-hyperplane bandBits: fixture floor 12 at the test SFs (500 /
+    // 2000 embeddings), ceil(log2 n)+3 past them, 60-bit pack cap 15
+    assert(SparkEntry.embeddingBandBits(500) == 12)
+    assert(SparkEntry.embeddingBandBits(2000) == 14)
+    assert(SparkEntry.embeddingBandBits(20000) == 15)
+    assert(SparkEntry.embeddingBandBits(100L * 1000 * 1000) == 15)
   }
 
   test("oversized blocks fail loudly, in-plan, before any pairwise work") {

@@ -540,6 +540,69 @@ class StreamsSpec extends AnyFunSuite {
     }
   }
 
+  test("embedding store twin: out-of-order 3-batch replay equals the batch survivors") {
+    // the replay-equivalence proof the session-window and interval-join
+    // transforms already have, applied to the embedding store twin: replayed
+    // out of order across microbatches, the streaming store anti-join +
+    // in-stream signature dedup must land on exactly the batch-semantics
+    // answer (store anti-join on fullsig+cosine, then one-per-signature —
+    // Spark refuses dropDuplicatesWithinWatermark on batch frames, so the
+    // baseline states those semantics with batch operators).
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def v(i: Int): Seq[Float] = Seq.tabulate(8)(j => if (j == i) 1.0f else 0.0f)
+    graft.operators.Dedup.writeEmbeddingStore(
+      Seq((100L, v(0)), (101L, v(1))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", "graft_em_replay_store",
+      dim = 8, bandBits = 4, bands = 4, nBuckets = 2)
+    // 6 groups of identical vectors (group = vec_id / 10): groups 0,1 are
+    // stored → every member drops against the store; 2..5 are fresh → ONE
+    // survivor per group. Timestamps are deliberately uncorrelated with ids
+    // and the id%3 batch split interleaves every group across microbatches,
+    // so a group-2 repeat lands two batches after its first arrival and
+    // must still collapse via state (delay is a year — nothing evicts).
+    val rows = for {
+      g <- 0 until 6; m <- 0 until 3
+    } yield (g * 10L + m, v(g),
+      ts(f"2024-01-01 ${10 + (g * 7 + m * 5) % 12}%02d:${(g * 13 + m * 29) % 60}%02d:00"))
+    def dedup(df: org.apache.spark.sql.DataFrame) =
+      Streams.streamingEmbeddingDedupAgainstStore(df, "embedding", "ts",
+        "graft_em_replay_store", threshold = 0.95, dim = 8,
+        bandBits = 4, bands = 4, delay = "365 days")
+    // batch statement of the twin's semantics: pooled-signature anti-join
+    // against the store (cosine-verified), then one survivor per signature
+    val stored = spark.table("graft_em_replay_store_vecs")
+      .select(col("fullsig").as("__ssig"), col("vec").as("__sv"))
+    val expGroups = rows.toDF("vec_id", "embedding", "ts")
+      .withColumn("__fullsig",
+        graft.operators.Similarity.lshSignature(col("embedding"), 8, 16, 42L))
+      .join(stored,
+        col("__fullsig") === col("__ssig") &&
+          graft.operators.Similarity.cosine(col("embedding"), col("__sv")) >= 0.95,
+        "left_anti")
+      .dropDuplicates("__fullsig")
+      .select("vec_id").as[Long].collect()
+      .toSeq.groupBy(_ / 10).view.mapValues(_.size).toMap
+    assert(expGroups == Map(2L -> 1, 3L -> 1, 4L -> 1, 5L -> 1),
+      s"batch baseline: stored groups drop, fresh groups keep ONE: $expGroups")
+    val mem = MemoryStream[(Long, Seq[Float], java.sql.Timestamp)]
+    val q = dedup(mem.toDF().toDF("vec_id", "embedding", "ts"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("em_replay_stream").start()
+    try {
+      rows.groupBy(_._1 % 3).toSeq.sortBy(_._1).foreach { case (_, b) =>
+        mem.addData(b); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val gotGroups = spark.table("em_replay_stream").select("vec_id")
+      .as[Long].collect().toSeq.groupBy(_ / 10).view.mapValues(_.size).toMap
+    assert(gotGroups == expGroups,
+      s"stream≠batch embedding-store survivors: $gotGroups vs $expGroups")
+    spark.sql("DROP TABLE IF EXISTS em_replay_stream")
+    spark.sql("DROP TABLE IF EXISTS graft_em_replay_store_bands")
+    spark.sql("DROP TABLE IF EXISTS graft_em_replay_store_vecs")
+  }
+
   test("store-append ingest loop: later batches dedup against earlier survivors, exactly-once across kill/restart") {
     import spark.implicits._
     val mk = java.nio.file.Files.createTempDirectory(_: String).toString
