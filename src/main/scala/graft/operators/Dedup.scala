@@ -1238,26 +1238,17 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** containment = |A∩B| / min(|A|,|B|) over SHARED-VOCAB shingle arrays
-    * (corpus document-frequency ≥ 2 members only) with each doc's ORIGINAL
-    * distinct-shingle count carried alongside as the denominator. Dropping
-    * freq-1 shingles from the verify arrays is LOSSLESS for the
-    * intersection — a shingle held by one document cannot be in any A∩B —
-    * while cutting the per-candidate array shuffle and intersect cost by
-    * exactly the freq-1 mass (~60% of a salted replica's shingles in the
-    * 30× stress corpus, where every candidate used to ship both FULL
-    * arrays). NO size-ratio prefilter (size mismatch is the signal). */
-  private def verifyContainmentOnSharedArrays(shs: DataFrame, idCol: String,
-                                              pairs: DataFrame,
-                                              threshold: Double): DataFrame = {
+  /** containment = |A∩B| / min(|A|,|B|) over pre-materialized shingle
+    * arrays; NO size-ratio prefilter (size mismatch is the signal). */
+  private def verifyContainmentOnShingleArrays(sh: DataFrame, idCol: String,
+                                               pairs: DataFrame,
+                                               threshold: Double): DataFrame = {
     val joined = pairs.select("id_a", "id_b")
-      .join(shs.select(col(idCol).as("id_a"), col("__shs").as("__ta"),
-        col("__sz").as("__sza")), "id_a")
-      .join(shs.select(col(idCol).as("id_b"), col("__shs").as("__tb"),
-        col("__sz").as("__szb")), "id_b")
+      .join(sh.select(col(idCol).as("id_a"), col("__sh").as("__ta")), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("__sh").as("__tb")), "id_b")
     val inter = size(array_intersect(col("__ta"), col("__tb"))).cast(DoubleType)
     joined.select(col("id_a"), col("id_b"),
-        round(inter / least(col("__sza"), col("__szb")).cast(DoubleType), 6)
+        round(inter / least(size(col("__ta")), size(col("__tb"))).cast(DoubleType), 6)
           .as("containment"))
       .filter(col("containment") >= threshold)
   }
@@ -1348,7 +1339,22 @@ object Dedup {
     * shingle with fan-out bounded by RARE posting lists; exact verify runs
     * on candidates only, off the same checkpointed shingle projection. At
     * t=0.7 the probe side carries ~30% of postings — the standard
-    * containment-index shape at 100 TB. */
+    * containment-index shape at 100 TB.
+    *
+    * Two further lossless candidate/verify cuts were IMPLEMENTED, MEASURED
+    * on the 10×/30× GenScale corpora, and REVERTED as net losses (round
+    * 12; BASELINE.md "30x probe" section keeps the numbers): (a) the
+    * PPJoin positional upper bound (overlap ≤ m_p + min(⌈t·|A|⌉−1,
+    * |B|−j*)) aggregated per pair with count/max — the per-pair
+    * aggregation nearly DOUBLED candidate-phase cost (31→58 s at 10×)
+    * while pruning ~nothing, because matched shingles are globally rare
+    * and rank early on the full side (j* small ⇒ the |B|−j* arm is
+    * vacuous); (b) a shared-vocabulary verify (arrays restricted to
+    * doc-freq ≥ 2 shingles, original sizes as denominators) — the
+    * restricted arrays intersect ~60% cheaper, but BUILDING them is a
+    * postings-wide join + collect_list + checkpoint that costs more than
+    * the whole full-array verify (15→39 s at 10×, 81→201 s at 30×). The
+    * straightforward shape below beat both at every measured scale. */
   def ngramContainmentPrefix(df: DataFrame, idCol: String, textCol: String,
                              threshold: Double = 0.7, ngram: Int = 3,
                              maxShingleDocFreq: Long = Long.MaxValue): DataFrame = {
@@ -1387,15 +1393,6 @@ object Dedup {
     // freq-1 members of the prefix are then dropped — they match nothing
     val exf = ex.join(shared, Seq("__s"), "left")
       .withColumn("__f", coalesce(col("__freq"), lit(1L)))
-    // the verify side, built once here: each doc's shingle array restricted
-    // to the SHARED vocabulary, plus its original distinct-shingle count as
-    // the containment denominator (see verifyContainmentOnSharedArrays for
-    // why the restriction is lossless). collect_list order is aggregation-
-    // dependent but only the intersect SIZE is consumed — deterministic.
-    val shShared = ex.join(shared.select("__s"), Seq("__s"))
-      .groupBy(col(idCol))
-      .agg(collect_list(col("__s")).as("__shs"), first(col("__sz")).as("__sz"))
-      .localCheckpoint()
     val w = Window.partitionBy(col(idCol)).orderBy(asc("__f"), asc("__s"))
     // maxShingleDocFreq is the Lee-et-al super-frequent-n-gram drop applied
     // to candidate generation (the spanOverlap maxWindowDocFreq pattern,
@@ -1408,51 +1405,23 @@ object Dedup {
     // i.e. the pair's entire shared material is boilerplate. The default
     // (no cap) keeps the filter LOSSLESS, which the ground-truth oracle
     // requires at the correctness SFs.
-    // BOTH join sides now carry the doc-local rarest-first rank __rn (one
-    // window over all postings, checkpointed because prefix and full both
-    // read it): the rank feeds the PPJoin-style positional bound below.
-    val ranked = exf
+    val prefix = exf
       .withColumn("__rn", row_number().over(w))
-      .localCheckpoint()
-    val prefix = ranked
       .filter(col("__rn") <= col("__sz") - ceil(lit(threshold) * col("__sz")) + lit(1))
       .filter(col("__f") >= 2 && col("__f") <= maxShingleDocFreq)
-      .select(col(idCol).as("__pid"), col("__sz").as("__psz"),
-        col("__rn").as("__prn"), col("__s"))
+      .select(col(idCol).as("__pid"), col("__sz").as("__psz"), col("__s"))
     // designated smaller side = lexicographically smaller (size, id); its
     // size IS min(|A|,|B|), so the pigeonhole guarantee above applies
-    val full = ranked
-      .filter(col("__f") >= 2 && col("__f") <= maxShingleDocFreq)
-      .select(col(idCol).as("__fid"), col("__sz").as("__fsz"),
-        col("__rn").as("__frn"), col("__s"))
-    // POSITIONAL upper bound (the PPJoin position filter adapted to
-    // min-normalized containment; Xiao et al. 2008). Both docs rank their
-    // shingles by the SAME global total order (freq asc, shingle asc), so
-    // common elements appear in the same relative order on both sides, and
-    // per candidate pair, over its matched (prefix ∩ full) rows:
-    //   m_p  = |A∩B ∩ prefix(A)|      (every common element ranked inside
-    //                                  A's prefix joins — count(*))
-    //   j*   = max B-rank of those     (order preservation makes max(__frn)
-    //                                  the B-rank of the max-A-rank match)
-    // and every common element OUTSIDE A's prefix has B-rank > j*, so
-    //   overlap ≤ m_p + min(⌈t·|A|⌉ − 1, |B| − j*).
-    // Dropping pairs whose bound is < ⌈t·|A|⌉ is LOSSLESS at the default
-    // no-cap setting (the m_p count is exact there). Under a finite
-    // maxShingleDocFreq the bound treats capped shingles as non-shared —
-    // consistent with the cap's candidate semantics (a capped shingle
-    // already cannot witness a pair), and engaged only past 10k docs where
-    // the cap itself already trades recall for fan-out.
-    val alphaP = ceil(lit(threshold) * col("__psz"))
+    val full = ex.join(shared.filter(col("__freq") <= maxShingleDocFreq)
+        .select("__s"), "__s")
+      .select(col(idCol).as("__fid"), col("__sz").as("__fsz"), col("__s"))
     val cands = prefix.join(full, "__s")
       .filter(col("__psz") < col("__fsz") ||
         (col("__psz") === col("__fsz") && col("__pid") < col("__fid")))
-      .groupBy(col("__pid"), col("__fid"), col("__psz"), col("__fsz"))
-      .agg(count(lit(1)).as("__mp"), max(col("__frn")).as("__jmax"))
-      .filter(col("__mp") +
-        least(alphaP - 1, col("__fsz") - col("__jmax")) >= alphaP)
       .select(least(col("__pid"), col("__fid")).as("id_a"),
         greatest(col("__pid"), col("__fid")).as("id_b"))
-    verifyContainmentOnSharedArrays(shShared, idCol, cands, threshold)
+      .distinct()
+    verifyContainmentOnShingleArrays(sh, idCol, cands, threshold)
   }
 
   /** Verbatim SHARED-SPAN pairs: documents sharing an exact run of at least
