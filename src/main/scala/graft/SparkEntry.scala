@@ -198,6 +198,7 @@ object SparkEntry {
     * feeding the corpus-scaled banding profile below. */
   private val embCounts = new scala.collection.concurrent.TrieMap[String, Long]
   @volatile private var lastEmbScaledDir: Option[String] = None
+  @volatile private var lastSimhashScaledDir: Option[String] = None
   private def embCountFor(s: SparkSession, dir: String): Long =
     embCounts.getOrElseUpdate(dir, rd(s, dir, "embeddings").count())
 
@@ -213,6 +214,21 @@ object SparkEntry {
     * ~4k× the fixture, raise `bands` to buy recall back instead). */
   private[graft] def embeddingBandBits(n: Long): Int =
     math.min(15, math.max(12, math.ceil(log2(n)).toInt + 3))
+
+  /** corpus-size-derived per-band width for the Manku banded simhash
+    * hamming search ([[Dedup.simhashHammingPairsWide]]): bucket selectivity
+    * is 2^width per band, so width grows with log₂(corpus) —
+    * ceil(log₂ n)+3 keeps expected band-bucket occupancy under ~⅛ doc.
+    * Floor 15 pins the fixture floor to the legacy 60-bit signature
+    * (4 × 15; [[graft.functions.SimHashWideExpr]] at 60 bits is
+    * bit-identical to the legacy portable kernel); cap 30 holds the
+    * 4-band signature at 120 bits — the two-long pack and the DuckDB
+    * BIGINT shift ceiling (past ~2^27 docs per partition-of-interest,
+    * widen `bands`/maxHamming instead). 500 docs (sf0.01) → 15 (legacy
+    * degenerate); 5000 (sf0.1) → 16, so the WIDE two-long path itself is
+    * oracle-pinned at the driver's SFs; 150k (30×) → 21. */
+  private[graft] def simhashBandBits(n: Long): Int =
+    math.min(30, math.max(15, math.ceil(log2(n)).toInt + 3))
 
   /** pre-build every memoized OFFLINE artifact for `dir` — the IVF model
     * (sampled Lloyd's fit), token-budget rates, and temperature rates — so
@@ -761,6 +777,19 @@ object SparkEntry {
       // bucket-local candidates, and the bit_count verify
       Dedup.simhashHammingPairs(rd(s, dir, "documents"), "doc_id", "text",
           maxHamming = 3, portable = true)
+        .orderBy("id_a", "id_b")
+    }),
+    "q_simhash_hamming_scaled" -> ((s, dir) => {
+      // the PRODUCTION profile of q_simhash_hamming: signature width
+      // 4·simhashBandBits(corpus) — the legacy 60-bit degenerate at
+      // sf0.01's 500 docs, the WIDE two-long 64-bit path at sf0.1's 5000
+      // (so the straddling-band slicing is itself oracle-pinned), 84 bits
+      // at the 30× corpus where the fixed 15-bit bands measured 15.1×.
+      // Oracle SQL is generated with the SAME derived width.
+      lastSimhashScaledDir = Some(dir)
+      val w = simhashBandBits(docCountFor(s, dir))
+      Dedup.simhashHammingPairsWide(rd(s, dir, "documents"), "doc_id", "text",
+          nBits = 4 * w, maxHamming = 3, portable = true)
         .orderBy("id_a", "id_b")
     }),
     "q_embedding_neardup_oracle" -> ((s, dir) => {
@@ -1644,6 +1673,68 @@ object SparkEntry {
          SELECT doc_id,
            CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS sig
          FROM vb GROUP BY doc_id)"""
+
+  /** q_simhash_hamming_scaled in DuckDB: the WIDE two-long signature chain
+    * for any nBits ≤ 120 — same tokenizer CTE as [[simhashSigChainSql]],
+    * token hashes from BOTH md5 halves (hex chars 1-15 and 17-31, matching
+    * the kernel's single-digest lo/hi split), votes over nBits positions,
+    * the two-long (lo, hi) assembly, and 4 banded bucket keys whose
+    * lo/hi-straddling slices are generated with the SAME constants as
+    * [[graft.operators.Dedup.wideBandBits]]. */
+  private def simhashWideOracleSql(nBits: Int): String = {
+    require(nBits >= 1 && nBits <= 120, s"wide oracle supports <=120 bits, got $nBits")
+    val bands = 4
+    val base = nBits / bands
+    val rem = nBits % bands
+    val widths = (0 until bands).map(b => base + (if (b < rem) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    val bandCases = (0 until bands).map { b =>
+      val off = offsets(b); val w = widths(b)
+      val loTake = math.max(0, math.min(60 - off, w))
+      val hiTake = w - loTake
+      val loPart =
+        if (loTake > 0) s"((lo >> $off) & ${(1L << loTake) - 1})" else "0"
+      val hiPart =
+        if (hiTake > 0)
+          s"(((hi >> ${math.max(0, off - 60)}) & ${(1L << hiTake) - 1}) << $loTake)"
+        else "0"
+      s"WHEN $b THEN $loPart | $hiPart"
+    }.mkString(" ")
+    s"""WITH tk AS (
+         SELECT doc_id, list_distinct(string_split_regex(
+           trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\\s+')) AS t
+         FROM documents),
+       tx AS (
+         SELECT doc_id,
+           CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS xlo,
+           CAST(concat('0x', substr(md5(tok), 17, 15)) AS BIGINT) AS xhi
+         FROM (SELECT doc_id, unnest(t) AS tok FROM tk)),
+       vb AS (
+         SELECT doc_id, i,
+           sum(CASE WHEN ((CASE WHEN i < 60 THEN (xlo >> i)
+                           ELSE (xhi >> (i - 60)) END) & 1) = 1
+               THEN 1 ELSE -1 END) AS v
+         FROM tx CROSS JOIN (SELECT unnest(range(0, $nBits)) AS i) bits
+         GROUP BY doc_id, i),
+       sg AS (
+         SELECT doc_id,
+           CAST(sum(CASE WHEN v > 0 AND i < 60
+             THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS lo,
+           CAST(sum(CASE WHEN v > 0 AND i >= 60
+             THEN (CAST(1 AS BIGINT) << (i - 60)) ELSE 0 END) AS BIGINT) AS hi
+         FROM vb GROUP BY doc_id),
+       banded AS (
+         SELECT doc_id, lo, hi, b, CASE b $bandCases END AS bb
+         FROM sg CROSS JOIN (SELECT unnest(range(0, $bands)) AS b) bs),
+       pairs AS (
+         SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+           CAST(bit_count(xor(l.lo, r.lo)) + bit_count(xor(l.hi, r.hi))
+             AS BIGINT) AS hamming
+         FROM banded l JOIN banded r
+           ON l.b = r.b AND l.bb = r.bb AND l.doc_id < r.doc_id
+         WHERE bit_count(xor(l.lo, r.lo)) + bit_count(xor(l.hi, r.hi)) <= 3)
+       SELECT id_a, id_b, hamming FROM pairs ORDER BY id_a, id_b"""
+  }
 
   /** LSH-blocked n-gram similarity pipeline in DuckDB SQL, generated with
     * the SAME seed-42 affine parameters as Dedup.ngramJaccardLshPortable:
@@ -2948,6 +3039,12 @@ object SparkEntry {
     // the profile itself is what this oracle pins
     Map("q_embedding_neardup_scaled" ->
       embeddingNearDupLshOracleSql(embeddingBandBits(n), bands = 4))
+  }.getOrElse(Map.empty) ++ lastSimhashScaledDir.flatMap(docCounts.get).map { n =>
+    // the simhash twin of the profile-pinning pattern: the oracle's
+    // signature width — and its straddling band slices — derive from the
+    // SAME corpus count the query resolved
+    Map("q_simhash_hamming_scaled" ->
+      simhashWideOracleSql(4 * simhashBandBits(n)))
   }.getOrElse(Map.empty) ++ lastTempDir.flatMap(tempRatesMemo.get).map { r =>
     // α-temperature thresholds over the doc_id-derived skewed domain — the
     // CASE mirrors skewedDomain's 8:4:2:2 split exactly

@@ -92,7 +92,7 @@ object MinHashSigExpr {
     if (h < 0) h + TwoPow31 else h
   }
 
-  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+  private[functions] val md5Local = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
   }

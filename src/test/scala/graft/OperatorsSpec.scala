@@ -153,6 +153,59 @@ class OperatorsSpec extends AnyFunSuite {
     assert(kept == Set(1L, 3L))
   }
 
+  test("wide simhash at 60 bits is bit-identical to the legacy portable kernel") {
+    // the corpus-scaled profile's fixture-floor degenerate: the two-long
+    // kernel at nBits=60 must reproduce the legacy 60-bit signature exactly
+    // (same md5 lo half, same votes), with the hi long all-zero — this is
+    // what keeps q_simhash_hamming_scaled on the legacy parameters at the
+    // smallest SFs
+    val legacy = Dedup.simhashSigsPortable(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val wide = Dedup.simhashSigsWide(docs, "doc_id", "text",
+        nBits = 60, portable = true)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(wide.keySet == legacy.keySet)
+    wide.foreach { case (id, (lo, hi)) =>
+      assert(lo == legacy(id), s"doc $id: wide lo != legacy sig")
+      assert(hi == 0L, s"doc $id: 60-bit wide signature must have hi = 0")
+    }
+  }
+
+  test("wide banded search (straddling bands) ≡ brute-force hamming at 84 bits") {
+    // 84 bits / 4 bands = 21-bit bands: band 2 covers bits [42, 63) and
+    // STRADDLES the lo/hi long boundary at bit 60 — the slicing under test.
+    // Recall is pigeonhole-guaranteed, so banded results must equal the
+    // all-pairs bit_count filter exactly on a corpus with planted near-dups.
+    val varied = (0 until 12).map { d =>
+      // doc d mutates tokens d, d+1 (overlapping mutation sets → a spread
+      // of pairwise hamming distances)
+      (d.toLong, (1 to 60).map { i =>
+        if (i == d || i == d + 1) s"mut${d}_$i" else s"tok$i"
+      }.mkString(" "))
+    }
+    // exact re-keys guarantee hamming-0 pairs exist, so the ≤3 result set
+    // is provably non-empty whatever the vote arithmetic does to the rest
+    val corpus = (varied ++ varied.take(3).map { case (d, t) => (100L + d, t) })
+      .toDF("doc_id", "text")
+    val sigs = Dedup.simhashSigsWide(corpus, "doc_id", "text",
+        nBits = 84, portable = true)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val brute = (for {
+      a <- sigs.keys.toSeq.sorted; b <- sigs.keys.toSeq.sorted if a < b
+      d = java.lang.Long.bitCount(sigs(a)._1 ^ sigs(b)._1) +
+        java.lang.Long.bitCount(sigs(a)._2 ^ sigs(b)._2)
+      if d <= 3
+    } yield (a, b)).toSet
+    assert(brute.nonEmpty, "fixture must contain pairs at hamming <= 3")
+    val banded = Dedup.simhashHammingPairsWide(corpus, "doc_id", "text",
+        nBits = 84, maxHamming = 3, portable = true)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(banded == brute,
+      s"banded ${banded.size} pairs != brute-force ${brute.size}")
+    // the hi long genuinely participates (bits past 60 are populated)
+    assert(sigs.values.exists(_._2 != 0L), "84-bit signatures must use hi")
+  }
+
   test("ngramJaccardPairs requires blocking and finds the dup pairs") {
     intercept[IllegalArgumentException] {
       Dedup.ngramJaccardPairs(docs, "doc_id", "text", Nil, 0.5)

@@ -239,6 +239,12 @@ class SkewAndIvfSpec extends AnyFunSuite {
     assert(SparkEntry.embeddingBandBits(2000) == 14)
     assert(SparkEntry.embeddingBandBits(20000) == 15)
     assert(SparkEntry.embeddingBandBits(100L * 1000 * 1000) == 15)
+    // wide-simhash per-band width: legacy 15 (60-bit signature) at the
+    // fixture floor, ceil(log2 n)+3 past it, 30 (120-bit) at the cap
+    assert(SparkEntry.simhashBandBits(500) == 15)
+    assert(SparkEntry.simhashBandBits(5000) == 16)
+    assert(SparkEntry.simhashBandBits(150000) == 21)
+    assert(SparkEntry.simhashBandBits(1L << 40) == 30)
   }
 
   test("oversized blocks fail loudly, in-plan, before any pairwise work") {
