@@ -206,6 +206,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(sigs.values.exists(_._2 != 0L), "84-bit signatures must use hi")
   }
 
+  test("wide simhash kernel participates in whole-stage codegen") {
+    // same contract as the other native kernels (MinHashExprSpec pattern):
+    // the signature is one codegen'd projection over the scan, not a
+    // CodegenFallback island
+    val dir = java.nio.file.Files.createTempDirectory("graft_shw").toString + "/t"
+    docs.write.mode("overwrite").parquet(dir)
+    val plan = Dedup.simhashSigsWide(spark.read.parquet(dir), "doc_id", "text",
+        nBits = 84, portable = true)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan)
+    assert(plan.contains("graft_simhash_wide"), plan)
+  }
+
   test("ngramJaccardPairs requires blocking and finds the dup pairs") {
     intercept[IllegalArgumentException] {
       Dedup.ngramJaccardPairs(docs, "doc_id", "text", Nil, 0.5)
