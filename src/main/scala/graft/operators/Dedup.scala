@@ -1187,6 +1187,19 @@ object Dedup {
     df.join(dupIds, Seq(idCol), "left_anti")
   }
 
+  /** the wide-signature twin of [[simhashDedupHamming]] — greedy min-id
+    * drop over [[simhashHammingPairsWide]] pairs, the corpus-scaled dedup
+    * form (callers derive `nBits` from the corpus, e.g. 4·bandWidth with
+    * SparkEntry.simhashBandBits). */
+  def simhashDedupHammingWide(df: DataFrame, idCol: String, textCol: String,
+                              nBits: Int, maxHamming: Int = 3,
+                              portable: Boolean = false): DataFrame = {
+    val dupIds =
+      simhashHammingPairsWide(df, idCol, textCol, nBits, maxHamming, portable)
+        .select(col("id_b").as(idCol)).distinct().localCheckpoint()
+    df.join(dupIds, Seq(idCol), "left_anti")
+  }
+
   /** exact token-set Jaccard similarity between two token arrays. */
   def jaccard(a: Column, b: Column): Column =
     round(size(array_intersect(a, b)).cast(DoubleType) /

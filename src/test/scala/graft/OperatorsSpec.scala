@@ -204,6 +204,13 @@ class OperatorsSpec extends AnyFunSuite {
       s"banded ${banded.size} pairs != brute-force ${brute.size}")
     // the hi long genuinely participates (bits past 60 are populated)
     assert(sigs.values.exists(_._2 != 0L), "84-bit signatures must use hi")
+    // greedy dedup twin: drops exactly the higher id of every found pair
+    val kept = Dedup.simhashDedupHammingWide(corpus, "doc_id", "text",
+        nBits = 84, maxHamming = 3, portable = true)
+      .select("doc_id").as[Long].collect().toSet
+    val expectedDropped = brute.map(_._2)
+    assert(kept == sigs.keySet -- expectedDropped,
+      s"greedy wide dedup kept $kept")
   }
 
   test("wide simhash kernel participates in whole-stage codegen") {
