@@ -322,7 +322,9 @@ class PlanAuditSpec extends AnyFunSuite {
         "span"    -> finalPlan(Dedup.spanOverlapPairs(docs, "doc_id", "text", minRun = 8)),
         "minhash" -> finalPlan(Dedup.minhashDedup(docs, "doc_id", "text", 0.5,
           numHashes = 32, bands = 8)),
-        "contain" -> finalPlan(Dedup.ngramContainmentPrefix(docs, "doc_id", "text", 0.7)))
+        "contain" -> finalPlan(Dedup.ngramContainmentPrefix(docs, "doc_id", "text", 0.7)),
+        "simhash_wide" -> finalPlan(Dedup.simhashHammingPairsWide(
+          docs, "doc_id", "text", nBits = 84, maxHamming = 3, portable = true)))
       plans.foreach { case (name, plan) =>
         assert(!plan.contains("CartesianProduct") &&
           !plan.contains("BroadcastNestedLoopJoin"),
