@@ -71,6 +71,18 @@ object SparkEntry {
     })
   }
 
+  /** memoized per-dir IVF STORE build (the persisted cell-partitioned
+    * index — an offline step like the fit itself, warmed with it): table
+    * name derived from the dir so multi-sf sessions don't collide. */
+  private val ivfStores = new scala.collection.concurrent.TrieMap[String, String]
+  private def ivfStoreFor(s: SparkSession, dir: String): String =
+    ivfStores.getOrElseUpdate(dir, {
+      val name = s"graft_ivf_store_${java.lang.Integer.toHexString(dir.hashCode)}"
+      Similarity.writeIvfStore(rd(s, dir, "embeddings"), "vec_id", "embedding",
+        ivfModelFor(s, dir), name)
+      name
+    })
+
   /** offline-derived token-budget mixing rates, one per sf dir (the
     * domains-sized aggregate runs once per JVM; [[oracleSql]] embeds the
     * resulting basis-point thresholds as literals — the ivfModels pattern).
@@ -247,6 +259,7 @@ object SparkEntry {
     tempRatesFor(s, dir)
     docCountFor(s, dir)
     embCountFor(s, dir)
+    ivfStoreFor(s, dir)
   }
 
   /** the synthetic web-page plant shared by q_boilerplate and
@@ -905,6 +918,21 @@ object SparkEntry {
       Similarity.ivfTopK(
         Similarity.ivfAssign(emb, "embedding", model).filter(col("vec_id") =!= 1),
         model, "vec_id", "embedding", q, topK = 10, nprobe = 4)
+    }),
+    "q_ivf_store_ann" -> ((s, dir) => {
+      // the PERSISTED-INDEX twin of q_ivf_ann: same model, probes, and
+      // rerank, but the probe reads the cell-PARTITIONED store, so the
+      // cluster membership test is partition PRUNING — the scan touches
+      // ~nprobe/k of the bytes instead of assigning every row per query,
+      // the 100 TB index shape. Same centroid-literal oracle as q_ivf_ann
+      // by construction (results identical; the plan is the difference,
+      // pinned in SkewAndIvfSpec).
+      val emb = rd(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 1).select("embedding")
+        .head().getSeq[Float](0).map(_.toDouble)
+      val model = ivfModelFor(s, dir)
+      Similarity.ivfTopKAgainstStore(s, ivfStoreFor(s, dir), model, "vec_id",
+        q, topK = 10, nprobe = 4, extraFilter = col("vec_id") =!= 1)
     }),
     "q_ivf_recall" -> ((s, dir) => {
       // recall@10 of the IVF probe path vs exact brute force, as ONE
@@ -2999,7 +3027,11 @@ object SparkEntry {
   ) ++ lastIvfDir.flatMap(ivfModels.get).map { m =>
     // generated from the fitted model the query loop memoized (one sf dir
     // per Verify process); absent only when no IVF query ran this process
-    Map("q_ivf_ann" -> ivfAnnOracle(m), "q_ivf_recall" -> ivfRecallOracle(m),
+    Map("q_ivf_ann" -> ivfAnnOracle(m),
+      // identical SQL by construction: the store twin differs only in the
+      // Spark-side plan (partition pruning vs per-row assignment)
+      "q_ivf_store_ann" -> ivfAnnOracle(m),
+      "q_ivf_recall" -> ivfRecallOracle(m),
       "q_semdedup_pairs" -> semDedupPairsOracle(m),
       "q_semdedup" -> semDedupOracle(m))
   }.getOrElse(Map.empty) ++ lastBudgetDir.flatMap(budgetRatesMemo.get).map { r =>

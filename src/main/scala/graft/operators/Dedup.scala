@@ -410,8 +410,8 @@ object Dedup {
     * (60-bit md5 signatures never equal 64-bit xxhash64 ones), embedding
     * dim/bandBits/bands/seed (different planes → band keys never collide
     * with the store's). */
-  private def setStoreParams(spark: SparkSession, table: String,
-                             params: Map[String, Any]): Unit =
+  private[operators] def setStoreParams(spark: SparkSession, table: String,
+                                        params: Map[String, Any]): Unit =
     spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES (" +
       params.toSeq.sortBy(_._1)
         .map { case (k, v) => s"'graft.$k' = '$v'" }.mkString(", ") + ")")

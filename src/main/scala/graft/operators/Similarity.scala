@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -434,6 +434,58 @@ object Similarity {
     val q = array(query.map(lit): _*)
     assigned.filter(col("__cluster").isin(probes.map(Int.box): _*))
       .select(col(idCol), round(cosine(col(vecCol), q), 6).as("cos"))
+      .orderBy(desc("cos"), col(idCol)).limit(topK)
+  }
+
+  /** deterministic whole-model fingerprint (micros-rounded centroid
+    * elements folded into one long) — persisted with the store and checked
+    * at probe time: probing a cell-partitioned store with a DIFFERENT
+    * fitted model silently reads the WRONG cells (partition values come
+    * from the build-time assignment), the worst kind of miss. */
+  private[operators] def modelFingerprint(model: IvfModel): Long =
+    model.centers.foldLeft(0L) { (acc, c) =>
+      c.foldLeft(31L * acc + c.length)((a, v) => 31L * a + math.round(v * 1e6))
+    }
+
+  /** persist an IVF-ASSIGNED corpus PARTITIONED BY CELL — the on-disk IVF
+    * index. [[ivfTopK]] prunes cells in-plan but still SCANS every row of
+    * the corpus (filter, not pruning); against this store the probe's
+    * `__cluster IN (…)` is a PARTITION filter, so the scan touches only
+    * the `nprobe` probed cells' files — ~nprobe/k of the bytes, the shape
+    * that keeps a 100 TB ANN index's per-query cost independent of corpus
+    * growth. Cells are directories: at the fixture SFs that is k ≤ 16
+    * small partitions; at production k (autoK ≈ corpus/targetCellRows)
+    * each cell holds ~targetCellRows·rowBytes — compact with the store's
+    * writer cadence if ingest appends many small files. */
+  def writeIvfStore(df: DataFrame, idCol: String, vecCol: String,
+                    model: IvfModel, store: String): Unit = {
+    ivfAssign(df, vecCol, model)
+      .select(col(idCol), col(vecCol).as("vec"), col("__cluster"))
+      .write.mode(SaveMode.Overwrite).format("parquet")
+      .partitionBy("__cluster").saveAsTable(s"${store}_cells")
+    graft.operators.Dedup.setStoreParams(df.sparkSession, s"${store}_cells",
+      Map("k" -> model.centers.length, "dim" -> model.centers.head.length,
+        "fingerprint" -> modelFingerprint(model)))
+  }
+
+  /** ANN top-k against a [[writeIvfStore]] store: centroids ranked
+    * driver-side (k ≪ corpus), the probed cells read via PARTITION
+    * pruning, exact-cosine rerank inside — same results as [[ivfTopK]]
+    * over the same model (asserted in SkewAndIvfSpec, plan pruning
+    * included). The model fingerprint must match the store's. */
+  def ivfTopKAgainstStore(spark: SparkSession, store: String, model: IvfModel,
+                          idCol: String, query: Seq[Double], topK: Int,
+                          nprobe: Int = 4,
+                          extraFilter: Column = lit(true)): DataFrame = {
+    graft.operators.Dedup.checkStoreParams(spark, s"${store}_cells",
+      Map("k" -> model.centers.length, "dim" -> model.centers.head.length,
+        "fingerprint" -> modelFingerprint(model)))
+    val probes = ivfProbes(model, query, nprobe)
+    val q = array(query.map(lit): _*)
+    spark.table(s"${store}_cells")
+      .filter(col("__cluster").isin(probes.map(Int.box): _*))
+      .filter(extraFilter)
+      .select(col(idCol), round(cosine(col("vec"), q), 6).as("cos"))
       .orderBy(desc("cos"), col(idCol)).limit(topK)
   }
 

@@ -110,6 +110,41 @@ class SkewAndIvfSpec extends AnyFunSuite {
     assert(res.toSet == brute.toSet)
   }
 
+  test("IVF store: partition-pruned probe ≡ in-memory probe; wrong model refused") {
+    // the persisted-index twin: same clusters fixture as the ANN test
+    val vecs = (0 until 40).map { i =>
+      val base = if (i % 2 == 0) Array(1.0f, 0.0f, 0.0f, 0.0f)
+                 else Array(0.0f, 1.0f, 0.0f, 0.0f)
+      (i.toLong, base.zipWithIndex.map { case (v, j) => v + (i * (j + 1)) * 1e-4f }.toSeq)
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val (model, assigned) = Similarity.ivfBuild(emb, "embedding", k = 4)
+    val q = Seq(1.0, 0.0, 0.0, 0.0)
+    try {
+      Similarity.writeIvfStore(emb, "vec_id", "embedding", model, "graft_ivf_spec")
+      val mem = Similarity.ivfTopK(assigned, model, "vec_id", "embedding",
+        q, topK = 5, nprobe = 2).select("vec_id", "cos")
+        .as[(Long, Double)].collect().toSeq
+      val store = Similarity.ivfTopKAgainstStore(spark, "graft_ivf_spec",
+        model, "vec_id", q, topK = 5, nprobe = 2)
+      val viaStore = store.select("vec_id", "cos")
+        .as[(Long, Double)].collect().toSeq
+      assert(viaStore == mem, s"store probe $viaStore != in-memory $mem")
+      // THE point of the store: the cluster membership test is a PARTITION
+      // filter on the scan — pruning, not a per-row filter over all cells
+      val plan = store.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") && plan.contains("__cluster"),
+        s"probe is not partition-pruned:\n$plan")
+      // a DIFFERENT fitted model must be refused: its assignment disagrees
+      // with the partition values, so probing would read the WRONG cells
+      val other = Similarity.IvfModel(model.centers.map(_.map(_ + 0.25)))
+      val err = intercept[IllegalArgumentException](
+        Similarity.ivfTopKAgainstStore(spark, "graft_ivf_spec", other,
+          "vec_id", q, topK = 5, nprobe = 2))
+      assert(err.getMessage.contains("fingerprint"))
+    } finally spark.sql("DROP TABLE IF EXISTS graft_ivf_spec_cells")
+  }
+
   test("semanticNearDupPairs/semanticDedup: planted near-pair found, keep-first") {
     import graft.operators.Dedup
     // two tight clusters; within cluster A, ids 1 and 2 are nearly identical
