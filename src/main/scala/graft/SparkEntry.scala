@@ -83,6 +83,16 @@ object SparkEntry {
       name
     })
 
+  /** memoized per-dir LSH signature store (same offline-index contract). */
+  private val lshStores = new scala.collection.concurrent.TrieMap[String, String]
+  private def lshStoreFor(s: SparkSession, dir: String): String =
+    lshStores.getOrElseUpdate(dir, {
+      val name = s"graft_lsh_store_${java.lang.Integer.toHexString(dir.hashCode)}"
+      Similarity.writeLshStore(rd(s, dir, "embeddings"), "vec_id", "embedding",
+        name, dim = 64, nBits = 16)
+      name
+    })
+
   /** offline-derived token-budget mixing rates, one per sf dir (the
     * domains-sized aggregate runs once per JVM; [[oracleSql]] embeds the
     * resulting basis-point thresholds as literals — the ivfModels pattern).
@@ -260,6 +270,7 @@ object SparkEntry {
     docCountFor(s, dir)
     embCountFor(s, dir)
     ivfStoreFor(s, dir)
+    lshStoreFor(s, dir)
   }
 
   /** the synthetic web-page plant shared by q_boilerplate and
@@ -831,6 +842,19 @@ object SparkEntry {
       // corpus per bucket AND poor recall)
       Similarity.lshTopK(emb.filter(col("vec_id") =!= 1), "vec_id", "embedding",
         q, 10, dim = 64, nBits = 16, maxFlips = 3)
+    }),
+    "q_lsh_store_ann" -> ((s, dir) => {
+      // the PERSISTED-INDEX twin of q_lsh_ann: identical probe set and
+      // rerank (same static plane-literal oracle), but the scan reads the
+      // PRE-SIGNED signature store — no per-row dim·nBits re-signing per
+      // query, sig IN pushdown over sig-sorted bucketed files (bucket
+      // pruning engages at low maxFlips; row-group stats always)
+      val emb = rd(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 1).select("embedding")
+        .head().getSeq[Float](0).map(_.toDouble)
+      Similarity.lshTopKAgainstStore(s, lshStoreFor(s, dir), "vec_id", q,
+        10, dim = 64, nBits = 16, maxFlips = 3,
+        extraFilter = col("vec_id") =!= 1)
     }),
     "q_approx_distinct" -> ((s, dir) => {
       // l_orderkey (14.7k/147k distinct at the verify SFs) keeps the p=9
@@ -2781,6 +2805,9 @@ object SparkEntry {
     "q_lsh_recall" -> LshRecallOracle,
     "q_lsh_recall_planted" -> LshRecallPlantedOracle,
     "q_lsh_ann" -> LshAnnOracle,
+    // identical SQL by construction: the store twin differs only in the
+    // Spark-side plan (pre-signed bucketed read vs per-query re-signing)
+    "q_lsh_store_ann" -> LshAnnOracle,
     "q_embedding_neardup" -> EmbeddingNearDupLshOracle,
     "q_dedup_incr_embedding" -> DedupIncrEmbeddingOracle,
     // NOTE: parity holds because the documents fixture is ASCII-only — the

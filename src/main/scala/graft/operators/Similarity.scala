@@ -489,6 +489,55 @@ object Similarity {
       .orderBy(desc("cos"), col(idCol)).limit(topK)
   }
 
+  /** persist PRECOMPUTED hyperplane signatures BUCKETED (and sorted) by
+    * signature — the on-disk LSH index. [[lshTopK]] recomputes `dim·nBits`
+    * dot products for EVERY corpus row on EVERY query before its bucket
+    * filter; against this store a probe is a pure read: the `sig IN (…)`
+    * predicate pushes into parquet row-group stats on the sig-SORTED
+    * bucket files (near-total I/O skip for selective probes), and
+    * additionally BUCKET-prunes the scan (SelectedBucketsCount < all)
+    * when `spark.sql.sources.bucketing.autoBucketedScan.enabled=false` —
+    * Spark's planner otherwise drops bucketed reading for scans no join
+    * feeds (both behaviors pinned in SkewAndIvfSpec). No signature
+    * arithmetic per query. Store once, probe per-query — the same
+    * offline-index contract as [[writeIvfStore]]. */
+  def writeLshStore(df: DataFrame, idCol: String, vecCol: String,
+                    store: String, dim: Int, nBits: Int = 16,
+                    seed: Long = 42L, nBuckets: Int = 64): Unit = {
+    graft.sources.Sources.writeBucketed(
+      df.select(col(idCol), col(vecCol).as("vec"),
+        lshSignature(col(vecCol), dim, nBits, seed).as("sig")),
+      s"${store}_sigs", "sig", nBuckets)
+    graft.operators.Dedup.setStoreParams(df.sparkSession, s"${store}_sigs",
+      Map("dim" -> dim, "nBits" -> nBits, "seed" -> seed))
+  }
+
+  /** multi-probe ANN against a [[writeLshStore]] store — same probe-set
+    * semantics (and plan-literal cap) as [[lshTopK]], same results for the
+    * same parameters (asserted in SkewAndIvfSpec), but the scan reads
+    * pre-signed bucketed files instead of re-signing the corpus. Build
+    * parameters are validated against the store's persisted properties. */
+  def lshTopKAgainstStore(spark: SparkSession, store: String, idCol: String,
+                          query: Seq[Double], k: Int, dim: Int,
+                          nBits: Int = 16, seed: Long = 42L,
+                          maxFlips: Int = 0,
+                          extraFilter: Column = lit(true)): DataFrame = {
+    graft.operators.Dedup.checkStoreParams(spark, s"${store}_sigs",
+      Map("dim" -> dim, "nBits" -> nBits, "seed" -> seed))
+    val qSig = signatureOf(query, dim, nBits, seed)
+    val probes = probeSignatures(qSig, nBits, maxFlips)
+    require(probes.length <= MaxProbeLiterals,
+      s"lshTopKAgainstStore: maxFlips=$maxFlips over nBits=$nBits probes " +
+        s"${probes.length} buckets — above the $MaxProbeLiterals " +
+        "plan-literal cap; lower maxFlips or grow nBits")
+    val q = array(query.map(lit): _*)
+    spark.table(s"${store}_sigs")
+      .filter(col("sig").isin(probes.map(Long.box): _*))
+      .filter(extraFilter)
+      .select(col(idCol), round(cosine(col("vec"), q), 6).as("cos"))
+      .orderBy(desc("cos"), col(idCol)).limit(k)
+  }
+
   /** Per-label mean embedding (mean pooling) — centroids for class-level
     * analysis, IVF seeding, or label-blocked near-dup. One posexplode + one
     * hash aggregate keyed on (label, dim-index): map-side partial sums make

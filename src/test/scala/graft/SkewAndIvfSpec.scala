@@ -145,6 +145,60 @@ class SkewAndIvfSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS graft_ivf_spec_cells")
   }
 
+  test("LSH store: pre-signed probe ≡ in-memory probe; bucket pruning; wrong params refused") {
+    // 4-cluster corpus (the multi-probe fixture shape, smaller)
+    val rnd = new scala.util.Random(7)
+    val centers = Seq(
+      Array(1.0, 0.0, 0.0, 0.0), Array(0.0, 1.0, 0.0, 0.0),
+      Array(0.0, 0.0, 1.0, 0.0), Array(0.0, 0.0, 0.0, 1.0))
+    val vecs = (0 until 80).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(v => (v + rnd.nextGaussian() * 0.05).toFloat).toSeq)
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val q = centers(0).toSeq
+    try {
+      Similarity.writeLshStore(emb, "vec_id", "embedding", "graft_lsh_spec",
+        dim = 4, nBits = 8, nBuckets = 8)
+      for (flips <- Seq(0, 2)) {
+        val mem = Similarity.lshTopK(emb, "vec_id", "embedding", q, 5,
+            dim = 4, nBits = 8, maxFlips = flips)
+          .select("vec_id", "cos").as[(Long, Double)].collect().toSeq
+        val viaStore = Similarity.lshTopKAgainstStore(spark, "graft_lsh_spec",
+            "vec_id", q, 5, dim = 4, nBits = 8, maxFlips = flips)
+          .select("vec_id", "cos").as[(Long, Double)].collect().toSeq
+        assert(viaStore == mem, s"flips=$flips: store $viaStore != mem $mem")
+      }
+      // the probe's sig predicate reaches the parquet scan in every plan
+      // (row-group stats skip on the sig-SORTED files)...
+      val plan = Similarity.lshTopKAgainstStore(spark, "graft_lsh_spec",
+          "vec_id", q, 5, dim = 4, nBits = 8, maxFlips = 0)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters: [IsNotNull(sig), EqualTo(sig,") ||
+        plan.contains("PushedFilters: [IsNotNull(sig), In(sig,"),
+        s"sig probe not pushed to the scan:\n$plan")
+      // ...and with auto-bucketed-scan disabled (the planner otherwise
+      // drops bucketed reading when no join wants the distribution), the
+      // single-probe scan BUCKET-prunes to 1 of the 8 buckets
+      val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+      val prev = spark.conf.get(key)
+      try {
+        spark.conf.set(key, "false")
+        val pruned = Similarity.lshTopKAgainstStore(spark, "graft_lsh_spec",
+            "vec_id", q, 5, dim = 4, nBits = 8, maxFlips = 0)
+          .queryExecution.executedPlan.toString
+        assert(pruned.contains("SelectedBucketsCount: 1 out of 8"),
+          s"single-probe scan not bucket-pruned:\n$pruned")
+      } finally spark.conf.set(key, prev)
+      // mismatched build parameters fail loudly (a different nBits signs
+      // differently — the probe would silently miss everything)
+      val err = intercept[IllegalArgumentException](
+        Similarity.lshTopKAgainstStore(spark, "graft_lsh_spec", "vec_id",
+          q, 5, dim = 4, nBits = 16))
+      assert(err.getMessage.contains("nBits"))
+    } finally spark.sql("DROP TABLE IF EXISTS graft_lsh_spec_sigs")
+  }
+
   test("semanticNearDupPairs/semanticDedup: planted near-pair found, keep-first") {
     import graft.operators.Dedup
     // two tight clusters; within cluster A, ids 1 and 2 are nearly identical
