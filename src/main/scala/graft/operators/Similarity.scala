@@ -468,6 +468,28 @@ object Similarity {
         "fingerprint" -> modelFingerprint(model)))
   }
 
+  /** INCREMENTAL ingest into a [[writeIvfStore]] store: the new batch is
+    * assigned with the SAME fitted model (fingerprint-checked — appending
+    * rows assigned by a different model would scatter them into cells the
+    * probe ranking never looks at) and appended as new files under each
+    * touched cell partition. Appends never rewrite existing files; a
+    * long-running cadence accretes one file per cell per batch — compact
+    * with [[graft.sources.Sources.compactPartitioned]] (parity and
+    * file-count collapse proven in BucketingSpec). The model itself stays
+    * frozen between refits, the standard IVF ingest contract: refit +
+    * full rewrite is the offline maintenance event, not the append path. */
+  def appendToIvfStore(newBatch: DataFrame, idCol: String, vecCol: String,
+                       model: IvfModel, store: String): Unit = {
+    graft.operators.Dedup.checkStoreParams(newBatch.sparkSession,
+      s"${store}_cells",
+      Map("k" -> model.centers.length, "dim" -> model.centers.head.length,
+        "fingerprint" -> modelFingerprint(model)))
+    ivfAssign(newBatch, vecCol, model)
+      .select(col(idCol), col(vecCol).as("vec"), col("__cluster"))
+      .write.mode(SaveMode.Append).format("parquet")
+      .partitionBy("__cluster").saveAsTable(s"${store}_cells")
+  }
+
   /** ANN top-k against a [[writeIvfStore]] store: centroids ranked
     * driver-side (k ≪ corpus), the probed cells read via PARTITION
     * pruning, exact-cosine rerank inside — same results as [[ivfTopK]]

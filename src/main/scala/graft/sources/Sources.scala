@@ -98,6 +98,34 @@ object Sources {
     * a reader planning in that window errors and retries; run compaction in
     * the same maintenance window as the batch appends (a catalog with
     * atomic RENAME ... SWAP semantics removes even that). */
+  /** compact a cell-PARTITIONED store table in place — the partitioned
+    * sibling of [[compactBucketed]] for stores whose appends accrete one
+    * file per partition per writing batch (e.g. the IVF index's
+    * `appendToIvfStore` cadence). Repartitioning ON the partition column
+    * lands each partition's rows whole in one task, so the rewrite emits
+    * one file per partition. Unlike [[compactBucketed]], this one cannot
+    * use the staging-table swap: `ALTER TABLE RENAME` on a managed
+    * PARTITIONED table leaves the per-partition metadata pointing at the
+    * old location (scans come back empty) — so the snapshot is
+    * MATERIALIZED first (`localCheckpoint`, executor block storage; a
+    * maintenance-window cost proportional to the store) and written back
+    * over the same table, with the `graft.*` build properties re-applied
+    * after the overwrite recreates the table. */
+  def compactPartitioned(spark: SparkSession, table: String,
+                         partitionCol: String): Unit = {
+    val props = spark.sql(s"SHOW TBLPROPERTIES $table").collect()
+      .map(r => r.getString(0) -> r.getString(1))
+      .filter(_._1.startsWith("graft."))
+    val snapshot = spark.table(table)
+      .repartition(col(partitionCol)).localCheckpoint()
+    snapshot.write.mode(SaveMode.Overwrite).format("parquet")
+      .partitionBy(partitionCol).saveAsTable(table)
+    snapshot.unpersist()
+    if (props.nonEmpty)
+      spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES (" +
+        props.map { case (k, v) => s"'$k' = '$v'" }.mkString(", ") + ")")
+  }
+
   def compactBucketed(spark: SparkSession, table: String, bucketCol: String,
                       nBuckets: Int): Unit = {
     val staging = s"${table}__compacting"

@@ -145,6 +145,59 @@ class SkewAndIvfSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS graft_ivf_spec_cells")
   }
 
+  test("IVF store ingest loop: appends accrete per-cell files, compactPartitioned collapses them, probe parity") {
+    import graft.sources.Sources
+    val vecs = (0 until 40).map { i =>
+      val base = if (i % 2 == 0) Array(1.0f, 0.0f, 0.0f, 0.0f)
+                 else Array(0.0f, 1.0f, 0.0f, 0.0f)
+      (i.toLong, base.zipWithIndex.map { case (v, j) => v + (i * (j + 1)) * 1e-4f }.toSeq)
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val (model, _) = Similarity.ivfBuild(emb, "embedding", k = 4)
+    def cellFiles: Int = {
+      val loc = spark.sql("DESCRIBE EXTENDED graft_ivf_ing_cells").collect()
+        .find(_.getString(0) == "Location").get.getString(1)
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.endsWith(".parquet")) 1 else 0
+      walk(new java.io.File(new java.net.URI(loc)))
+    }
+    try {
+      Similarity.writeIvfStore(emb, "vec_id", "embedding", model, "graft_ivf_ing")
+      // 3 ingest batches (fresh ids, same vector population → same cells):
+      // each append adds new files under the touched cell partitions
+      (1 to 3).foreach { b =>
+        val batch = vecs.map { case (id, v) => (id + 1000L * b, v) }
+          .toDF("vec_id", "embedding")
+        Similarity.appendToIvfStore(batch, "vec_id", "embedding", model,
+          "graft_ivf_ing")
+      }
+      val q = Seq(1.0, 0.0, 0.0, 0.0)
+      def probe = Similarity.ivfTopKAgainstStore(spark, "graft_ivf_ing",
+          model, "vec_id", q, topK = 8, nprobe = 2)
+        .collect().map(_.toString).toSeq
+      val before = probe
+      assert(before.size == 8)
+      val accreted = cellFiles
+      val nCells = spark.table("graft_ivf_ing_cells")
+        .select("__cluster").distinct().count().toInt
+      assert(accreted > nCells, s"appends should accrete files: $accreted")
+      Sources.compactPartitioned(spark, "graft_ivf_ing_cells", "__cluster")
+      // one file per populated cell, identical probe results, fingerprint
+      // property preserved (the probe's checkStoreParams still passes)
+      assert(cellFiles == nCells,
+        s"expected $nCells files (one per cell), got $cellFiles")
+      assert(probe == before, "compaction changed probe results")
+      // a DIFFERENT model must be refused on the append path too — its
+      // assignment would scatter rows into cells the probe never ranks
+      val other = Similarity.IvfModel(model.centers.map(_.map(_ + 0.5)))
+      val err = intercept[IllegalArgumentException](
+        Similarity.appendToIvfStore(emb, "vec_id", "embedding", other,
+          "graft_ivf_ing"))
+      assert(err.getMessage.contains("fingerprint"))
+    } finally spark.sql("DROP TABLE IF EXISTS graft_ivf_ing_cells")
+  }
+
   test("LSH store: pre-signed probe ≡ in-memory probe; bucket pruning; wrong params refused") {
     // 4-cluster corpus (the multi-probe fixture shape, smaller)
     val rnd = new scala.util.Random(7)
