@@ -285,13 +285,25 @@ object SparkEntry {
           .otherwise("no promo today"),
         concat(lit("copyright "), col("source"))).as("text"))
 
-  /** events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized reader
-    * rejects; with spark.sql.legacy.parquet.nanosAsLong=true (set in
-    * Verify/Bench sessions) it arrives as raw nanos — convert to micros with
-    * integer division (`div`, no double round-trip: ns epochs exceed 2^53),
-    * matching DuckDB's own nanos→micros truncation. */
-  private def rdEvents(s: SparkSession, dir: String): DataFrame =
-    rd(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  /** events.parquet's `ts` has shipped in two fixture generations:
+    * TIMESTAMP(NANOS), which Spark's vectorized reader rejects — with
+    * spark.sql.legacy.parquet.nanosAsLong=true (set in Verify/Bench
+    * sessions) it arrives as raw Long nanos, converted to micros with
+    * integer division (`div`, no double round-trip: ns epochs exceed 2^53,
+    * matching DuckDB's own nanos→micros truncation) — and plain
+    * TIMESTAMP(MICROS), which arrives as a timestamp directly. Dispatch on
+    * the read schema so both generations work; the NTZ→LTZ cast is a no-op
+    * under the UTC session timeZone and keeps every downstream query on the
+    * same TimestampType the nanos path produced. */
+  private def rdEvents(s: SparkSession, dir: String): DataFrame = {
+    val raw = rd(s, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
+  }
 
   /** Flagship query on /root/testdata/sf0.001 (SURVEY §7.2.1 M0): mask →
     * filter → project → aggregate over lineitem, the reference composition of

@@ -16,6 +16,20 @@ class StreamsSpec extends AnyFunSuite {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  /** events.parquet fixture read, robust to both fixture generations:
+    * TIMESTAMP(NANOS) (arrives as Long nanos under nanosAsLong=true) and
+    * TIMESTAMP(MICROS) (arrives as a timestamp; NTZ→LTZ cast is a no-op
+    * under the UTC session timeZone). Mirrors SparkEntry.rdEvents. */
+  private def readEventsFixture(path: String) = {
+    val raw = spark.read.parquet(path)
+    (raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }).select("event_id", "ts", "user_id", "event_type", "value")
+  }
+
   private def events = {
     import spark.implicits._
     Seq(
@@ -324,9 +338,7 @@ class StreamsSpec extends AnyFunSuite {
     // q_tumbling/q_session rows when the corpus is replayed out of order.
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000"))) // nanos fixture
-      .select("event_id", "ts", "user_id", "event_type", "value")
+    val batch = readEventsFixture("/root/testdata/sf0.001/events.parquet")
     val rows = batch.as[Event].collect()
     assert(rows.length == 1000)
     // id % 3 interleaves the full 30-day span across batches → heavy
@@ -384,9 +396,7 @@ class StreamsSpec extends AnyFunSuite {
     // later (both buffered in join state until the watermark clears them)
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000"))) // nanos fixture
-      .select("event_id", "ts", "user_id", "event_type", "value")
+    val batch = readEventsFixture("/root/testdata/sf0.001/events.parquet")
     val exp = Streams.attributionJoin(batch, "click", "purchase", "1 hour")
       .select("from_id", "to_id").as[(Long, Long)].collect().toSet
     assert(exp.nonEmpty, "fixture should contain click→purchase pairs")
