@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
-import graft.operators.{Dedup, Multimodal, Relational, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Layout, Multimodal, Relational, Sampling, Similarity, TextAnalysis}
 import graft.streaming.Streams
 
 /** Driver contract — see /root/repo/SURVEY.md §7.5 + the builder prompt.
@@ -165,6 +165,25 @@ object SparkEntry {
     * to give the temperature flattening something to flatten; α = 0.5 at a
     * 0.4-of-corpus budget downsamples the head hardest (head rate < mid <
     * tail — the signature of q_i ∝ n_i^α). */
+  /** offline-derived Z-order dimension bounds over orders (one 4-value
+    * min/max scan per sf dir, memoized); [[oracleSql]] embeds (lo, hi,
+    * shift) as literals and re-derives the bit interleave in SQL — the
+    * budgetRates / ivfModels pattern. 8 bits/dim keeps the generated
+    * oracle's unrolled interleave short while still splitting both
+    * dimensions far below file granularity. */
+  private val zorderMemo =
+    new scala.collection.concurrent.TrieMap[String, (Layout.DimBounds, Layout.DimBounds)]
+  @volatile private var lastZorderDir: Option[String] = None
+  private[graft] val ZorderBits = 8
+  private def zorderDay: Column =
+    datediff(col("o_orderdate").cast(org.apache.spark.sql.types.DateType),
+      to_date(lit("1970-01-01")))
+  private def zorderBoundsFor(s: SparkSession, dir: String): (Layout.DimBounds, Layout.DimBounds) = {
+    lastZorderDir = Some(dir)
+    zorderMemo.getOrElseUpdate(dir,
+      Layout.bounds2(rd(s, dir, "orders"), col("o_custkey"), zorderDay, ZorderBits))
+  }
+
   private val tempRatesMemo =
     new scala.collection.concurrent.TrieMap[String, Map[String, Double]]
   @volatile private var lastTempDir: Option[String] = None
@@ -588,6 +607,31 @@ object SparkEntry {
     }),
     "q_top_tokens" -> ((s, dir) =>
       TextAnalysis.topTokens(rd(s, dir, "documents"), "text", 20)),
+    "q_heavy_hitters" -> ((s, dir) => {
+      // EXACT heavy hitters (freq ≥ 0.5% of the corpus token stream)
+      // without a full-vocabulary groupBy: Misra-Gries candidate sketch +
+      // exact confirming count over candidates only — at 100 TB the shuffle
+      // carries candidate-token rows, never the whole Zipf tail
+      val toks = rd(s, dir, "documents")
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+        .filter(length(col("token")) > 0)
+      Relational.heavyHitters(toks, "token", support = 0.005)
+        .orderBy("item")
+    }),
+    "q_zorder" -> ((s, dir) => {
+      // Z-order (Morton) clustering value over (o_custkey, order day) —
+      // pins the quantize + bit-interleave math the layout writer
+      // (Layout.writeZOrdered) clusters 100 TB scans by; the physical
+      // file-rectangle behavior itself is plan/layout-tested in
+      // LayoutSpec (not SQL-expressible). Bounds are memoized per sf dir
+      // and embedded in the generated oracle as literals.
+      val (dc, dd) = zorderBoundsFor(s, dir)
+      rd(s, dir, "orders").select(col("o_orderkey"),
+          Layout.quantize(col("o_custkey"), dc).as("qc"),
+          Layout.quantize(zorderDay, dd).as("qd"),
+          Layout.zValue(col("o_custkey"), zorderDay, dc, dd).as("zval"))
+        .orderBy("o_orderkey")
+    }),
     "q_salted_join" -> ((s, dir) => {
       // skew-salted join is RESULT-PRESERVING (salt splits a hot key across
       // reducers; the dim side replicates per salt) so the oracle is the
@@ -794,6 +838,16 @@ object SparkEntry {
       // transitive connected-components dedup (md5-portable candidates) —
       // the DuckDB oracle replicates the components as a recursive CTE
       Dedup.clusterDedupPortable(rd(s, dir, "documents"), "doc_id", "text", 0.5)
+        .select("doc_id").orderBy("doc_id")
+    }),
+    "q_cluster_keep_best" -> ((s, dir) => {
+      // same candidate chain and components as q_cluster_dedup, different
+      // survivor policy: each near-dup component keeps its LONGEST member
+      // (n_chars, ties toward the smaller doc_id) instead of its minimum
+      // id — the policy production dedup wants (clusters mix a complete
+      // original with truncated copies; min-id keeps an arbitrary one)
+      Dedup.clusterDedupKeepBestPortable(rd(s, dir, "documents"), "doc_id",
+          "text", col("n_chars"), 0.5)
         .select("doc_id").orderBy("doc_id")
     }),
     "q_simhash_dedup" -> ((s, dir) => {
@@ -1151,6 +1205,23 @@ object SparkEntry {
           concat(lit("group "), col("doc_id") % 50), lit(""),
           col("text")).as("text"))
       TextAnalysis.dedupParagraphs(planted, "doc_id", "text", maxDocFreq = 2)
+        .orderBy("doc_id")
+    }),
+    "q_paragraph_dedup_intra" -> ((s, dir) => {
+      // WITHIN-doc repeated-paragraph removal (the per-row pre-pass that
+      // runs before q_paragraph_dedup's corpus-global rule). The raw corpus
+      // is one paragraph per doc, so the query plants the structure: a
+      // repeated intro (positions 0 and 2 — second copy dropped), the doc's
+      // own text appearing twice (second copy dropped), TWO blank separator
+      // lines (both must ride through verbatim — blank multiplicity is
+      // preserved), and a group line unique WITHIN the doc (kept: cross-doc
+      // duplication is q_paragraph_dedup's business, not the intra rule's)
+      val planted = rd(s, dir, "documents").select(col("doc_id"),
+        concat_ws("\n", lit("repeated intro"), col("text"),
+          lit("repeated intro"), lit(""),
+          concat(lit("group "), col("doc_id") % 50), lit(""),
+          col("text")).as("text"))
+      TextAnalysis.dedupParagraphsIntra(planted, "doc_id", "text")
         .orderBy("doc_id")
     }),
     "q_curation_web" -> ((s, dir) => {
@@ -1663,7 +1734,12 @@ object SparkEntry {
     * same seed-42 portable pipeline as MinhashOracle up to the thresholded
     * candidate pairs, then components via a recursive CTE (min reachable id
     * per node) instead of the greedy drop-id_b policy. */
-  private val ClusterDedupOracle: String = {
+  /** the md5-portable MinHash-LSH → similarity edges → recursive
+    * connected-components CTE chain (documents → `labels(id, label)`),
+    * shared by q_cluster_dedup (keep-min survivor) and q_cluster_keep_best
+    * (keep-longest survivor) — only the final survivor-policy SELECT
+    * differs. */
+  private val ClusterLabelsChainSql: String = {
     val params = Dedup.hashParams(16)
     val valuesList = params.zipWithIndex
       .map { case ((a, b), i) => s"($i, ${a}, ${b})" }.mkString(", ")
@@ -1708,11 +1784,34 @@ object SparkEntry {
          SELECT src, src FROM edges
          UNION
          SELECT e.src, rr.r FROM edges e JOIN reach rr ON e.dst = rr.id),
-       labels AS (SELECT id, min(r) AS label FROM reach GROUP BY id)
+       labels AS (SELECT id, min(r) AS label FROM reach GROUP BY id)"""
+  }
+
+  private val ClusterDedupOracle: String =
+    s"""$ClusterLabelsChainSql
        SELECT doc_id FROM documents
        WHERE doc_id NOT IN (SELECT id FROM labels WHERE label < id)
        ORDER BY doc_id"""
-  }
+
+  /** keep-best survivor policy over the same components: each component
+    * keeps its member with max n_chars (ties toward the smaller id) —
+    * row_number over (n_chars DESC, id) replicates Spark's
+    * max(struct(score, −id, id)) aggregate exactly. */
+  private val ClusterKeepBestOracle: String =
+    s"""$ClusterLabelsChainSql,
+       scored AS (
+         SELECT l.id, l.label, d.n_chars
+         FROM labels l JOIN documents d ON d.doc_id = l.id),
+       best AS (
+         SELECT id FROM (
+           SELECT id, row_number() OVER (
+             PARTITION BY label ORDER BY n_chars DESC, id) AS rn
+           FROM scored)
+         WHERE rn = 1)
+       SELECT doc_id FROM documents
+       WHERE doc_id NOT IN (
+         SELECT id FROM scored WHERE id NOT IN (SELECT id FROM best))
+       ORDER BY doc_id"""
 
   /** the md5-portable 60-bit SimHash signature CTE chain (documents →
     * (doc_id, sig)) — shared by q_simhash_oracle (hamming-0 dedup) and
@@ -2482,6 +2581,7 @@ object SparkEntry {
     "q_curation" -> CurationOracle,
     "q_curation_full" -> CurationFullOracle,
     "q_cluster_dedup" -> ClusterDedupOracle,
+    "q_cluster_keep_best" -> ClusterKeepBestOracle,
     "q_simhash_oracle" ->
       s"""WITH ${simhashSigChainSql("documents")},
          keep AS (SELECT min(doc_id) AS doc_id FROM sg GROUP BY sig)
@@ -2756,6 +2856,22 @@ object SparkEntry {
            FROM documents)
          WHERE len(token) > 0
          GROUP BY token ORDER BY cnt DESC, token LIMIT 20""",
+    // exact heavy hitters: the sketch+confirm pipeline's RESULT is exactly
+    // the true {token : freq ≥ ceil(support·N)} set, so the oracle is the
+    // plain threshold aggregate (same whitespace tokenization as
+    // q_top_tokens)
+    "q_heavy_hitters" ->
+      """WITH t AS (
+           SELECT token FROM (
+             SELECT unnest(string_split_regex(lower(trim(text)), '\s+'))
+               AS token
+             FROM documents)
+           WHERE len(token) > 0),
+         n AS (SELECT count(*) AS total FROM t)
+         SELECT token AS item, count(*) AS cnt
+         FROM t GROUP BY token
+         HAVING count(*) >= ceil(0.005 * (SELECT total FROM n))
+         ORDER BY item""",
     "q_ngram_jaccard" -> NgramJaccardLshOracle,
     "q_salted_join" ->
       """SELECT c_mktsegment, count(*) AS n,
@@ -2951,6 +3067,24 @@ object SparkEntry {
            FROM kept GROUP BY doc_id)
          SELECT p.doc_id, coalesce(agg.clean_text, '') AS clean_text
          FROM p LEFT JOIN agg USING (doc_id) ORDER BY doc_id""",
+    // full replication of dedupParagraphsIntra: keep a paragraph iff it is
+    // blank (separator — survives verbatim, every copy) or this index is
+    // its FIRST occurrence in its own doc (list_position = 1-based first
+    // match, DuckDB lambda index i is 1-based; Spark's array_position ==
+    // i+1 over a 0-based index is the same predicate)
+    "q_paragraph_dedup_intra" ->
+      """WITH p AS (
+           SELECT doc_id, concat_ws(chr(10), 'repeated intro', text,
+             'repeated intro', '', concat('group ', doc_id % 50), '', text)
+             AS text
+           FROM documents),
+         f AS (
+           SELECT doc_id, list_filter(string_split(text, chr(10)),
+             (x, i) -> trim(x) = ''
+               OR list_position(string_split(text, chr(10)), x) = i) AS kept
+           FROM p)
+         SELECT doc_id, array_to_string(kept, chr(10)) AS clean_text
+         FROM f ORDER BY doc_id""",
     "q_curation_web" -> CurationWebOracle,
     "q_url_extract" ->
       """WITH p AS (
@@ -3129,6 +3263,29 @@ object SparkEntry {
                 WHEN doc_id % 16 < 14 THEN ${thr("tail1")}
                 ELSE ${thr("tail2")} END
          ORDER BY doc_id""")
+  }.getOrElse(Map.empty) ++ lastZorderDir.flatMap(zorderMemo.get).map { case (dc, dd) =>
+    // re-derive quantize cells from the same (lo, hi, shift) literals and
+    // unroll the bit interleave — (qc bit i) → position 2i+1, (qd bit i) →
+    // position 2i, exactly Layout.zorder2's shift/mask/or chain
+    val interleave = (0 until ZorderBits).map { i =>
+      s"(((qc >> $i) & 1) << ${2 * i + 1}) | (((qd >> $i) & 1) << ${2 * i})"
+    }.mkString(" | ")
+    // DimBounds.shift is signed: positive → downshift, negative → MSB-
+    // aligning upshift (narrow spans)
+    def sh(s: Int) = if (s >= 0) s">> $s" else s"<< ${-s}"
+    Map("q_zorder" ->
+      s"""WITH d AS (
+           SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS ck,
+             CAST(datediff('day', DATE '1970-01-01',
+               CAST(o_orderdate AS DATE)) AS BIGINT) AS dy
+           FROM orders),
+         q AS (
+           SELECT o_orderkey,
+             (greatest(0, least(${dc.hi - dc.lo}, ck - (${dc.lo}))) ${sh(dc.shift)}) AS qc,
+             (greatest(0, least(${dd.hi - dd.lo}, dy - (${dd.lo}))) ${sh(dd.shift)}) AS qd
+           FROM d)
+         SELECT o_orderkey, qc, qd, ($interleave) AS zval
+         FROM q ORDER BY o_orderkey""")
   }.getOrElse(Map.empty) ++ lastSketchDir.map { dir =>
     // generated from the Spark-independent sketch recompute; degrade to the
     // rows-only check (entry absent) rather than fail the whole oracle dump

@@ -876,6 +876,26 @@ object Dedup {
     nodes.iterator.filter(n => find(n) != n).toSeq
   }
 
+  /** like [[unionFindDupIds]] but returns the full (id, component-root)
+    * labeling — the driver-path twin of [[clusterLabels]]'s output, for
+    * policies that need the component itself (e.g. keep-best). */
+  private def unionFindLabels(pairRows: Array[(Long, Long)]): Seq[(Long, Long)] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    pairRows.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val nodes: Set[Long] = pairRows.iterator.flatMap(p => Iterator(p._1, p._2)).toSet
+    nodes.iterator.map(n => (n, find(n))).toSeq
+  }
+
   /** transitive dedup over an explicit candidate pair set: keep only each
     * connected component's minimum id (plus every unpaired doc). This is the
     * policy production near-dup dedup uses; the greedy drop-id_b policy in
@@ -920,6 +940,58 @@ object Dedup {
     df.join(dupIds, Seq(idCol), "left_anti")
   }
 
+  /** keep-BEST-per-component variant of [[clusterDedupFromPairs]]: instead
+    * of each component's minimum id, the survivor is the component member
+    * maximizing `score` (ties broken toward the smaller id, so the result
+    * is deterministic). This is the policy production corpus dedup actually
+    * wants — near-dup clusters usually mix a complete original with
+    * truncated or boilerplate-wrapped copies, and min-id keeps an arbitrary
+    * one while keep-best keeps the longest / highest-quality copy.
+    *
+    * Same hybrid execution as [[clusterDedupFromPairs]] (driver union-find
+    * under the pair budget, distributed min-label propagation above it;
+    * identical results either way). The extra work over keep-min is one
+    * hash aggregate + one anti-join over CLUSTERED docs only — the pair
+    * graph's nodes, not the corpus. Ids must be numeric (the tie-break
+    * negates them inside the max-struct). */
+  def clusterDedupFromPairsKeepBest(df: DataFrame, idCol: String, score: Column,
+                                    pairs: DataFrame,
+                                    maxDriverPairs: Long = DriverUnionFindMaxPairs): DataFrame = {
+    require(df.schema(idCol).dataType.isInstanceOf[NumericType],
+      s"clusterDedupFromPairsKeepBest needs a numeric id column, " +
+        s"got ${df.schema(idCol).dataType} for '$idCol'")
+    val longIds = pairs.schema.fields.take(2).forall(_.dataType == LongType)
+    val probeCap = math.min(maxDriverPairs + 1, Int.MaxValue.toLong).toInt
+    val probed = if (longIds) pairs.limit(probeCap).count() else -1L
+    val useDriver = longIds && probed <= maxDriverPairs
+    log.info(s"clusterDedupFromPairsKeepBest: ${
+      if (probed > maxDriverPairs) s"> $maxDriverPairs" else s"$probed"
+    } candidate pairs (driver budget $maxDriverPairs) -> ${
+      if (useDriver) "driver union-find" else "distributed min-label propagation"}")
+    val labels =
+      if (useDriver) {
+        val collected = pairs
+          .select(col(pairs.columns(0)).cast(LongType), col(pairs.columns(1)).cast(LongType))
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        val spark = df.sparkSession
+        import spark.implicits._
+        broadcast(unionFindLabels(collected).toDF("id", "label"))
+      } else clusterLabels(pairs)
+    // clustered docs only: inner join against the labeling, then ONE hash
+    // aggregate picks each component's (max score, then min id) survivor —
+    // max over struct(score, -id, id) is exactly that ordering, computed
+    // with map-side partials, never a per-component sort
+    val scored = df.select(col(idCol).cast(LongType).as("id"), score.as("__score"))
+      .join(labels, Seq("id"))
+    val best = scored.groupBy(col("label"))
+      .agg(max(struct(col("__score").as("s"), (lit(0L) - col("id")).as("negid"),
+        col("id").as("id"))).as("__b"))
+      .select(col("__b.id").as("__keep"))
+    val drop = scored.join(best, scored("id") === best("__keep"), "left_anti")
+      .select(col("id").cast(df.schema(idCol).dataType).as(idCol))
+    df.join(drop, Seq(idCol), "left_anti")
+  }
+
   /** MinHash-LSH candidates + transitive connected-components dedup
     * (xxhash64 production path). */
   def clusterDedup(df: DataFrame, idCol: String, textCol: String,
@@ -943,6 +1015,22 @@ object Dedup {
       .select("id_a", "id_b").localCheckpoint()
     sigs.unpersist(blocking = false)
     clusterDedupFromPairs(df, idCol, pairs)
+  }
+
+  /** md5-portable MinHash-LSH candidates + keep-best components — the
+    * oracle-replicable twin of [[clusterDedupFromPairsKeepBest]] (same
+    * candidate chain as [[clusterDedupPortable]], different survivor
+    * policy). */
+  def clusterDedupKeepBestPortable(df: DataFrame, idCol: String, textCol: String,
+                                   score: Column, threshold: Double = 0.5,
+                                   numHashes: Int = 16, bands: Int = 4,
+                                   shingleSize: Int = 3): DataFrame = {
+    val (cands, sigs) = minhashCandidatesPortableWithSigs(
+      df, idCol, textCol, numHashes, bands, shingleSize)
+    val pairs = cands.filter(col("est_jaccard") >= threshold)
+      .select("id_a", "id_b").localCheckpoint()
+    sigs.unpersist(blocking = false)
+    clusterDedupFromPairsKeepBest(df, idCol, score, pairs)
   }
 
   /** 64-bit SimHash over tokens: per-bit majority vote of token hashes,

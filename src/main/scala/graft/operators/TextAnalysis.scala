@@ -530,6 +530,27 @@ object TextAnalysis {
       .select(col(idCol), coalesce(col("__clean"), lit("")).as("clean_text"))
   }
 
+  /** WITHIN-document repeated-paragraph removal (the Dolma/C4-style
+    * intra-doc pre-pass): each non-blank paragraph survives only at its
+    * FIRST occurrence inside its own document; blank lines are separators,
+    * not content, and ride through verbatim (same doctrine as
+    * [[dedupParagraphs]], which handles the corpus-GLOBAL rule).
+    *
+    * Scale shape: a pure per-row projection over higher-order array
+    * functions — zero shuffles, zero joins, embarrassingly parallel, so it
+    * is the cheap pre-pass that runs BEFORE corpus-global paragraph dedup
+    * and shrinks its postings (an in-doc repeat contributes doc-freq 1
+    * either way, but reassembly and postings width drop). Work per doc is
+    * O(P²) string compares in the worst case (array_position scans for the
+    * first occurrence per paragraph) — P = paragraphs per doc, tens in
+    * practice, and never a corpus-dimension cost. */
+  def dedupParagraphsIntra(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.withColumn("__paras", split(col(textCol), "\\r?\\n"))
+      .select(col(idCol), array_join(
+        filter(col("__paras"), (x, i) =>
+          (trim(x) === "") || (array_position(col("__paras"), x) === (i + 1))),
+        "\n").as("clean_text"))
+
   /** per-document stats frame (used by q_text_* queries). */
   def docStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(

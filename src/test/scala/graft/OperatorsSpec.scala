@@ -715,6 +715,68 @@ class OperatorsSpec extends AnyFunSuite {
     assert(so.toSeq == Seq((1L, "a\n\nshared"), (2L, "b\n"), (3L, "c\n \nd")))
   }
 
+  test("dedupParagraphsIntra: first in-doc occurrence wins, blanks ride through") {
+    val fixture = Seq(
+      (1L, "intro\nbody one\nintro\n\nend\n\nbody one"), // repeats at 2 and 6
+      (2L, "solo"),
+      (3L, "x\nx\nx"),         // wholly repeated doc collapses to one copy
+      (4L, "a\n \n \na")       // whitespace-only lines are blanks: all kept
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.dedupParagraphsIntra(fixture, "doc_id", "text")
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out(0) == (1L, "intro\nbody one\n\nend\n"))
+    assert(out(1) == (2L, "solo"))
+    assert(out(2) == (3L, "x"))
+    assert(out(3) == (4L, "a\n \n "))
+    // CROSS-doc duplication is the corpus-global rule's business, not the
+    // intra rule's: identical docs pass through untouched
+    val cross = Seq((1L, "same"), (2L, "same")).toDF("doc_id", "text")
+    val c = TextAnalysis.dedupParagraphsIntra(cross, "doc_id", "text")
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(c.toSeq == Seq((1L, "same"), (2L, "same")))
+  }
+
+  test("clusterDedupFromPairsKeepBest: max score survives, min id on ties, paths agree") {
+    val frame = Seq((1L, 5.0), (2L, 9.0), (3L, 7.0), (4L, 1.0), (5L, 2.0))
+      .toDF("id", "q")
+    val pairs = Seq((1L, 3L), (2L, 3L)).toDF("id_a", "id_b")
+    // component {1,2,3}: highest q is doc 2 (min-id policy would keep 1);
+    // unpaired docs 4 and 5 always survive
+    val kept = Dedup.clusterDedupFromPairsKeepBest(frame, "id", col("q"), pairs)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 4L, 5L))
+    // all-tie component → smaller id wins (deterministic tie-break)
+    val tie = Seq((1L, 7.0), (2L, 7.0), (3L, 7.0)).toDF("id", "q")
+    val tiePairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val tieKept = Dedup.clusterDedupFromPairsKeepBest(tie, "id", col("q"), tiePairs)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(tieKept == Set(1L))
+    // distributed min-label path (driver budget 0) returns the same sets
+    val distKept = Dedup.clusterDedupFromPairsKeepBest(frame, "id", col("q"),
+        pairs, maxDriverPairs = 0)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(distKept == kept)
+  }
+
+  test("heavyHitters: exact threshold set, sketch false positives filtered out") {
+    val rows = Seq.fill(50)("a") ++ Seq.fill(10)("b") ++ Seq.fill(5)("c") ++
+      (0 until 35).map(i => s"d$i") // N = 100
+    val frame = rows.toDF("tok")
+    val got = Relational.heavyHitters(frame, "tok", support = 0.1)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == Set(("a", 50L), ("b", 10L))) // thresh = 10: c and tail fail
+    // exactly the brute-force answer (the sketch must add nothing)
+    val brute = frame.groupBy("tok").count().filter(col("count") >= 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == brute)
+    // a support no item reaches → empty result, schema intact
+    val none = Relational.heavyHitters(frame, "tok", support = 0.9)
+    assert(none.columns.toSeq == Seq("item", "cnt") && none.count() == 0)
+    // empty input exercises the empty-candidate branch
+    val empty = Relational.heavyHitters(frame.limit(0), "tok", support = 0.5)
+    assert(empty.columns.toSeq == Seq("item", "cnt") && empty.count() == 0)
+  }
+
   test("minhash store probe with mismatched build parameters fails loudly") {
     // the store persists numHashes/bands as table properties at write time;
     // probing with different parameters must throw, not silently
