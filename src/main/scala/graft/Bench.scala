@@ -176,6 +176,29 @@ object Bench {
         spark.sql("DROP TABLE IF EXISTS graft_warm_emb_bands")
         spark.sql("DROP TABLE IF EXISTS graft_warm_emb_vecs")
         n
+      }),
+      // round-12 families: Misra-Gries freqItems sketch + confirming count,
+      // keep-best component aggregation, intra-doc HOF paragraph filter,
+      // and the z-order interleave projection
+      "heavy_hitters" -> (() => {
+        import graft.operators.Relational
+        val toks = docs.select(
+          explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+          .filter(length(col("tok")) > 0)
+        Relational.heavyHitters(toks, "tok", support = 0.01).count()
+      }),
+      "cluster_keep_best" -> (() =>
+        Dedup.clusterDedupKeepBestPortable(docs, "doc_id", "text",
+          length(col("text")), 0.5).count()),
+      "paras_intra" -> (() => {
+        import graft.operators.TextAnalysis
+        TextAnalysis.dedupParagraphsIntra(docs, "doc_id", "text").count()
+      }),
+      "zorder_value" -> (() => {
+        import graft.operators.Layout
+        docs.select(Layout.zValue(col("doc_id"), length(col("text")),
+          Layout.DimBounds(0L, 1L << 20, 8),
+          Layout.DimBounds(0L, 4096L, 8)).as("z")).count()
       }))
     steps.foreach { case (name, step) =>
       try step()

@@ -290,6 +290,7 @@ object SparkEntry {
     embCountFor(s, dir)
     ivfStoreFor(s, dir)
     lshStoreFor(s, dir)
+    zorderBoundsFor(s, dir)
   }
 
   /** the synthetic web-page plant shared by q_boilerplate and
