@@ -199,7 +199,9 @@ object Bench {
         docs.select(Layout.zValue(col("doc_id"), length(col("text")),
           Layout.DimBounds(0L, 1L << 20, 8),
           Layout.DimBounds(0L, 4096L, 8)).as("z")).count()
-      }))
+      }),
+      "int8_ann" -> (() =>
+        Similarity.int8TopK(emb, "vec_id", "embedding", qv, 5).count()))
     steps.foreach { case (name, step) =>
       try step()
       catch { case e: Throwable =>

@@ -93,6 +93,16 @@ object SparkEntry {
       name
     })
 
+  private val int8Stores =
+    new scala.collection.concurrent.TrieMap[String, String]
+  private def int8StoreFor(s: SparkSession, dir: String): String =
+    int8Stores.getOrElseUpdate(dir, {
+      val name = s"graft_int8_store_${java.lang.Integer.toHexString(dir.hashCode)}"
+      Similarity.writeInt8Store(rd(s, dir, "embeddings"), "vec_id", "embedding",
+        name)
+      name
+    })
+
   /** offline-derived token-budget mixing rates, one per sf dir (the
     * domains-sized aggregate runs once per JVM; [[oracleSql]] embeds the
     * resulting basis-point thresholds as literals — the ivfModels pattern).
@@ -290,6 +300,7 @@ object SparkEntry {
     embCountFor(s, dir)
     ivfStoreFor(s, dir)
     lshStoreFor(s, dir)
+    int8StoreFor(s, dir)
     zorderBoundsFor(s, dir)
   }
 
@@ -701,6 +712,33 @@ object SparkEntry {
           "vec_id", "vec_id", "embedding", 5)
         .orderBy(asc("query_id"), desc("cos"), asc("neighbor_id"))
     }),
+    "q_ann_int8" -> ((s, dir) => {
+      // INT8-quantized brute-force ANN — the 100 TB storage/compute shape
+      // (4x smaller scans than float32, integer multiply-adds). Quantized
+      // values and the dot product are exact integers, so unlike float
+      // cosine accumulation the top-k is oracle-replicable without
+      // rounding tricks; selection ranks by qdot·scale, display order is
+      // vec_id (both engines re-derive the quantized query from the SAME
+      // stored floats of vec 1)
+      val emb = rd(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 1).select("embedding")
+        .head().getSeq[Float](0).map(_.toDouble)
+      Similarity.int8TopK(emb.filter(col("vec_id") =!= 1), "vec_id",
+          "embedding", q, 10)
+        .orderBy("vec_id")
+    }),
+    "q_ann_int8_store" -> ((s, dir) => {
+      // the STORE twin: identical results by construction (quantization is
+      // deterministic and happened at store-write time), but the timed
+      // scan reads pre-quantized int8 bytes + one scale per vector — the
+      // shape a 100 TB deployment stores, 4x fewer vector bytes than
+      // float32 before parquet encodings
+      val q = rd(s, dir, "embeddings").filter(col("vec_id") === 1)
+        .select("embedding").head().getSeq[Float](0).map(_.toDouble)
+      Similarity.int8TopKAgainstStore(s, int8StoreFor(s, dir), "vec_id",
+          q, 10, extraFilter = col("vec_id") =!= 1)
+        .orderBy("vec_id")
+    }),
     "q_cosine_expr" -> ((s, dir) => {
       // same query through the native codegen'd Catalyst expression
       // (CosineSimilarityExpr) — results are bit-identical to the
@@ -851,6 +889,13 @@ object SparkEntry {
           "text", col("n_chars"), 0.5)
         .select("doc_id").orderBy("doc_id")
     }),
+    "q_cluster_sizes" -> ((s, dir) =>
+      // the rollout diagnostic over the same components: how many clusters
+      // of each size (singletons included) — a fat tail here means a
+      // too-loose threshold is gluing the corpus together, visible BEFORE
+      // a dedup pass drops the difference
+      Dedup.clusterSizeHistogramPortable(rd(s, dir, "documents"),
+        "doc_id", "text", 0.5)),
     "q_simhash_dedup" -> ((s, dir) => {
       lastSketchDir = Some(dir)
       Dedup.simhashDedup(rd(s, dir, "documents"), "doc_id", "text")
@@ -1788,6 +1833,39 @@ object SparkEntry {
        labels AS (SELECT id, min(r) AS label FROM reach GROUP BY id)"""
   }
 
+  /** int8 ANN oracle, shared verbatim by q_ann_int8 and its store twin:
+    * re-derive the per-vector scale (max|x|/127 on double-widened floats —
+    * exact both engines), round-half-away cells, integer dot (exact in
+    * double well below 2^53), rank by qdot·scale with id ties, display by
+    * vec_id. */
+  private val AnnInt8Oracle: String =
+    """WITH qs AS (
+         SELECT embedding AS qe,
+           greatest(list_max(list_transform(embedding,
+             x -> abs(CAST(x AS DOUBLE)))) / 127.0, 1e-30) AS qscale
+         FROM embeddings WHERE vec_id = 1),
+       qq AS (
+         SELECT list_transform(qe,
+           x -> CAST(round(CAST(x AS DOUBLE) / qscale) AS BIGINT)) AS qv
+         FROM qs),
+       v0 AS (
+         SELECT vec_id, embedding,
+           greatest(list_max(list_transform(embedding,
+             x -> abs(CAST(x AS DOUBLE)))) / 127.0, 1e-30) AS scale
+         FROM embeddings WHERE vec_id <> 1),
+       v1 AS (
+         SELECT vec_id, scale, list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) / scale) AS BIGINT)) AS qvec
+         FROM v0),
+       d AS (
+         SELECT vec_id, scale,
+           CAST(list_dot_product(qvec, (SELECT qv FROM qq)) AS BIGINT) AS qdot
+         FROM v1),
+       top AS (
+         SELECT vec_id, qdot FROM d
+         ORDER BY qdot * scale DESC, vec_id LIMIT 10)
+       SELECT vec_id, qdot FROM top ORDER BY vec_id"""
+
   private val ClusterDedupOracle: String =
     s"""$ClusterLabelsChainSql
        SELECT doc_id FROM documents
@@ -1813,6 +1891,23 @@ object SparkEntry {
        WHERE doc_id NOT IN (
          SELECT id FROM scored WHERE id NOT IN (SELECT id FROM best))
        ORDER BY doc_id"""
+
+  /** cluster-size histogram over the same components: per-label member
+    * counts → size histogram, plus the singleton row (docs in no pair) —
+    * pair-derived components are ≥ 2 members so the rows never collide. */
+  private val ClusterSizesOracle: String =
+    s"""$ClusterLabelsChainSql,
+       sizes AS (SELECT label, count(*) AS cluster_size FROM labels GROUP BY label),
+       hist AS (SELECT cluster_size, count(*) AS n_clusters
+                FROM sizes GROUP BY cluster_size),
+       singles AS (
+         SELECT 1 AS cluster_size, count(*) AS n_clusters FROM documents
+         WHERE doc_id NOT IN (SELECT id FROM labels))
+       SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+              CAST(n_clusters AS BIGINT) AS n_clusters
+       FROM (SELECT * FROM hist
+             UNION ALL SELECT * FROM singles WHERE n_clusters > 0)
+       ORDER BY cluster_size"""
 
   /** the md5-portable 60-bit SimHash signature CTE chain (documents →
     * (doc_id, sig)) — shared by q_simhash_oracle (hamming-0 dedup) and
@@ -2583,6 +2678,7 @@ object SparkEntry {
     "q_curation_full" -> CurationFullOracle,
     "q_cluster_dedup" -> ClusterDedupOracle,
     "q_cluster_keep_best" -> ClusterKeepBestOracle,
+    "q_cluster_sizes" -> ClusterSizesOracle,
     "q_simhash_oracle" ->
       s"""WITH ${simhashSigChainSql("documents")},
          keep AS (SELECT min(doc_id) AS doc_id FROM sg GROUP BY sig)
@@ -2931,6 +3027,14 @@ object SparkEntry {
          ORDER BY doc_id, tfidf DESC, term""",
     "q_cosine_topk" -> CosineTopkOracle,
     "q_cosine_expr" -> CosineTopkOracle,
+    // int8 ANN: re-derive the per-vector scale (max|x|/127, double-widened
+    // floats — exact both engines), round-half-away quantization (DuckDB
+    // round == Spark/BigDecimal HALF_UP on the same doubles), integer dot
+    // (exact in double well below 2^53, cast back), rank by qdot·scale
+    // with id ties, display by vec_id. The store twin shares the SQL
+    // verbatim: identical results by construction.
+    "q_ann_int8" -> AnnInt8Oracle,
+    "q_ann_int8_store" -> AnnInt8Oracle,
     "q_lsh_recall" -> LshRecallOracle,
     "q_lsh_recall_planted" -> LshRecallPlantedOracle,
     "q_lsh_ann" -> LshAnnOracle,

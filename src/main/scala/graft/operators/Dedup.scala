@@ -960,23 +960,8 @@ object Dedup {
     require(df.schema(idCol).dataType.isInstanceOf[NumericType],
       s"clusterDedupFromPairsKeepBest needs a numeric id column, " +
         s"got ${df.schema(idCol).dataType} for '$idCol'")
-    val longIds = pairs.schema.fields.take(2).forall(_.dataType == LongType)
-    val probeCap = math.min(maxDriverPairs + 1, Int.MaxValue.toLong).toInt
-    val probed = if (longIds) pairs.limit(probeCap).count() else -1L
-    val useDriver = longIds && probed <= maxDriverPairs
-    log.info(s"clusterDedupFromPairsKeepBest: ${
-      if (probed > maxDriverPairs) s"> $maxDriverPairs" else s"$probed"
-    } candidate pairs (driver budget $maxDriverPairs) -> ${
-      if (useDriver) "driver union-find" else "distributed min-label propagation"}")
-    val labels =
-      if (useDriver) {
-        val collected = pairs
-          .select(col(pairs.columns(0)).cast(LongType), col(pairs.columns(1)).cast(LongType))
-          .collect().map(r => (r.getLong(0), r.getLong(1)))
-        val spark = df.sparkSession
-        import spark.implicits._
-        broadcast(unionFindLabels(collected).toDF("id", "label"))
-      } else clusterLabels(pairs)
+    val labels = componentLabels(pairs, maxDriverPairs,
+      "clusterDedupFromPairsKeepBest")
     // clustered docs only: inner join against the labeling, then ONE hash
     // aggregate picks each component's (max score, then min id) survivor —
     // max over struct(score, -id, id) is exactly that ordering, computed
@@ -1015,6 +1000,68 @@ object Dedup {
       .select("id_a", "id_b").localCheckpoint()
     sigs.unpersist(blocking = false)
     clusterDedupFromPairs(df, idCol, pairs)
+  }
+
+  /** the (id, component-label) frame for a pair set, under the same hybrid
+    * regime as [[clusterDedupFromPairs]]: driver union-find below the pair
+    * budget (two jobs: bounded probe + collect), distributed min-label
+    * propagation above it. Identical labelings either way up to label
+    * choice — both use the component MINIMUM id as the label. Shared by
+    * the keep-best policy and the size histogram. */
+  private def componentLabels(pairs: DataFrame, maxDriverPairs: Long,
+                              caller: String): DataFrame = {
+    val longIds = pairs.schema.fields.take(2).forall(_.dataType == LongType)
+    val probeCap = math.min(maxDriverPairs + 1, Int.MaxValue.toLong).toInt
+    val probed = if (longIds) pairs.limit(probeCap).count() else -1L
+    val useDriver = longIds && probed <= maxDriverPairs
+    log.info(s"$caller: ${
+      if (probed > maxDriverPairs) s"> $maxDriverPairs" else s"$probed"
+    } candidate pairs (driver budget $maxDriverPairs) -> ${
+      if (useDriver) "driver union-find" else "distributed min-label propagation"}")
+    if (useDriver) {
+      val collected = pairs
+        .select(col(pairs.columns(0)).cast(LongType), col(pairs.columns(1)).cast(LongType))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      broadcast(unionFindLabels(collected).toDF("id", "label"))
+    } else clusterLabels(pairs)
+  }
+
+  /** cluster-SIZE histogram of the near-dup graph: (cluster_size,
+    * n_clusters) rows including size-1 singletons (docs in no candidate
+    * pair). This is the diagnostic surface a dedup rollout actually reads
+    * — a fat tail of giant components means boilerplate or a too-loose
+    * threshold is gluing the corpus together, and it must be visible
+    * BEFORE a dedup pass drops (corpus − components) docs.
+    *
+    * Scale shape: the same candidate chain + label propagation as
+    * [[clusterDedupPortable]], then two hash aggregates (label → size,
+    * size → count) and one anti-join for the singleton count — every
+    * aggregate map-side partial, output rows = distinct cluster sizes
+    * (tens), never corpus-sized. */
+  def clusterSizeHistogramPortable(df: DataFrame, idCol: String, textCol: String,
+                                   threshold: Double = 0.5, numHashes: Int = 16,
+                                   bands: Int = 4, shingleSize: Int = 3): DataFrame = {
+    val (cands, sigs) = minhashCandidatesPortableWithSigs(
+      df, idCol, textCol, numHashes, bands, shingleSize)
+    val pairs = cands.filter(col("est_jaccard") >= threshold)
+      .select("id_a", "id_b").localCheckpoint()
+    sigs.unpersist(blocking = false)
+    val labels = componentLabels(pairs, DriverUnionFindMaxPairs,
+      "clusterSizeHistogramPortable")
+    val sizes = labels.groupBy(col("label"))
+      .agg(count(lit(1)).as("cluster_size"))
+    val hist = sizes.groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+    // pair-derived components are always ≥ 2 members, so the singleton row
+    // never collides with a hist row
+    val singles = df
+      .join(labels.select(col("id").as(idCol)), Seq(idCol), "left_anti")
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(lit(1L).as("cluster_size"), col("n_clusters"))
+      .filter(col("n_clusters") > 0)
+    hist.unionAll(singles).orderBy("cluster_size")
   }
 
   /** md5-portable MinHash-LSH candidates + keep-best components — the

@@ -107,4 +107,32 @@ object Layout {
       .drop("__z")
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
+
+  /** maintenance-window re-cluster of an APPENDED z-ordered directory (the
+    * `OPTIMIZE ZORDER BY` shape): ingest appends land as unordered files
+    * that erode the rectangle property; this rewrites the whole directory
+    * clustered, with fresh bounds (appends may have widened the domain).
+    *
+    * Spark cannot safely overwrite its own lazy input, so the rewrite goes
+    * to a sibling temp directory and is swapped in with two filesystem
+    * renames (metadata-only; the new data is FULLY committed before the
+    * old directory is touched, so a crash leaves either the old or the new
+    * layout, never a mix). Same cost law as [[writeZOrdered]]: one bounds
+    * scan + one range shuffle over the data being compacted. */
+  def compactZOrdered(spark: org.apache.spark.sql.SparkSession, path: String,
+                      a: Column, b: Column, bits: Int = 16,
+                      numFiles: Int = 32): Unit = {
+    import java.nio.file.{Files, Path, Paths}
+    val tmp = path + ".zcompact_tmp"
+    val bak = path + ".zcompact_old"
+    writeZOrdered(spark.read.parquet(path), tmp, a, b, bits, numFiles)
+    def rmTree(p: Path): Unit = if (Files.exists(p)) {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(f => Files.delete(f))
+    }
+    rmTree(Paths.get(bak))
+    Files.move(Paths.get(path), Paths.get(bak))
+    Files.move(Paths.get(tmp), Paths.get(path))
+    rmTree(Paths.get(bak))
+  }
 }

@@ -62,6 +62,98 @@ object Similarity {
       .orderBy(desc("cos"), col(idCol)).limit(k)
   }
 
+  /** per-vector symmetric int8 quantization scale: max|x| / 127, floored at
+    * a tiny epsilon so the all-zero vector quantizes to zeros instead of
+    * dividing by zero. Cast to double FIRST — float→double widening is
+    * exact, so Spark and an oracle re-deriving the scale from the same
+    * parquet floats agree bit-for-bit. */
+  def int8Scale(vec: Column): Column =
+    greatest(
+      array_max(transform(vec, x => abs(x.cast(DoubleType)))) / lit(127.0),
+      lit(1e-30))
+
+  /** the int8-quantized vector under `scale`: round-half-up to integers in
+    * [−127, 127]. Kept as an int array column (parquet stores it narrow;
+    * the arithmetic stays integral). */
+  def int8Quantize(vec: Column, scale: Column): Column =
+    transform(vec, x => round(x.cast(DoubleType) / scale).cast(IntegerType))
+
+  /** brute-force top-k against one literal query vector over INT8-QUANTIZED
+    * vectors — the storage/compute shape production vector search uses at
+    * corpus scale (4x smaller scans than float32, integer multiply-adds).
+    * The integer dot product rides a single codegen'd zip_with+aggregate
+    * projection; the ranking score rescales it by the per-vector scale
+    * (the query's own scale is a constant factor — monotone, dropped).
+    *
+    * Determinism: quantized values and the dot product are exact integers
+    * (identical in any engine); the score multiplies that integer by a
+    * double both engines derive identically from the same stored floats,
+    * and ties break on id — so the top-k is oracle-replicable, unlike
+    * float-accumulation similarity. Quantization ERROR vs exact cosine is
+    * bounded and pinned in SimilaritySpec, not here. */
+  def int8TopK(df: DataFrame, idCol: String, vecCol: String,
+               query: Seq[Double], k: Int): DataFrame = {
+    val qArr = array(int8QueryInts(query).map(lit): _*)
+    val scale = int8Scale(col(vecCol))
+    val qv = int8Quantize(col(vecCol), scale)
+    val qdot = aggregate(
+      zip_with(qv, qArr, (a, b) => (a.cast(LongType)) * b),
+      lit(0L), (s, x) => s + x)
+    df.select(col(idCol), qdot.as("qdot"),
+        (qdot.cast(DoubleType) * scale).as("__score"))
+      .orderBy(desc("__score"), col(idCol))
+      .limit(k)
+      .select(col(idCol), col("qdot"))
+  }
+
+  /** the query vector's own int8 cells (driver-side, BigDecimal HALF_UP —
+    * the same round-half-away rule the column path and the SQL oracle
+    * use). */
+  private def int8QueryInts(query: Seq[Double]): Seq[Int] = {
+    val qscale = math.max(query.map(math.abs).max, 1e-30) / 127.0
+    query.map(v => BigDecimal(v / qscale)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toInt)
+  }
+
+  /** persist the PRE-QUANTIZED int8 corpus: (id, qvec byte array, scale) —
+    * the storage shape int8 ANN exists for at 100 TB: scans read one byte
+    * per component plus one scale instead of 4-byte floats (plus parquet
+    * byte-stream-split/RLE on top), and probes never re-quantize. Managed
+    * bucketed table with build metadata, like the LSH/IVF store twins. */
+  def writeInt8Store(df: DataFrame, idCol: String, vecCol: String,
+                     store: String, nBuckets: Int = 64): Unit = {
+    val scale = int8Scale(col(vecCol))
+    graft.sources.Sources.writeBucketed(
+      df.select(col(idCol),
+        transform(int8Quantize(col(vecCol), scale), x => x.cast(ByteType))
+          .as("qvec"),
+        scale.as("scale")),
+      s"${store}_q", idCol, nBuckets)
+    graft.operators.Dedup.setStoreParams(df.sparkSession, s"${store}_q",
+      Map("kind" -> "int8"))
+  }
+
+  /** top-k against a [[writeInt8Store]] store — same result as [[int8TopK]]
+    * on the raw vectors BY CONSTRUCTION (quantization is deterministic and
+    * happened at write time); the scan reads stored int8 bytes. */
+  def int8TopKAgainstStore(spark: SparkSession, store: String, idCol: String,
+                           query: Seq[Double], k: Int,
+                           extraFilter: Column = lit(true)): DataFrame = {
+    graft.operators.Dedup.checkStoreParams(spark, s"${store}_q",
+      Map("kind" -> "int8"))
+    val qArr = array(int8QueryInts(query).map(lit): _*)
+    val qdot = aggregate(
+      zip_with(col("qvec"), qArr, (a, b) => a.cast(LongType) * b),
+      lit(0L), (s2, x) => s2 + x)
+    spark.table(s"${store}_q")
+      .filter(extraFilter)
+      .select(col(idCol), qdot.as("qdot"),
+        (qdot.cast(DoubleType) * col("scale")).as("__score"))
+      .orderBy(desc("__score"), col(idCol))
+      .limit(k)
+      .select(col(idCol), col("qdot"))
+  }
+
   /** all-pairs top-k neighbors for a (small, broadcastable) query set against
     * a large corpus: broadcast the queries, per-corpus-partition compute, then
     * per-query top-k via window. The corpus never shuffles. */

@@ -190,4 +190,49 @@ object Sources {
       .sortWithinPartitions(sortCol)
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
+
+  /** order- and partitioning-independent content manifest of a frame:
+    * (row_count, content_hash) where content_hash = bit-XOR of per-row
+    * xxhash64 over ALL columns (struct-packed, so nulls and types are part
+    * of the hash). XOR is commutative — the manifest is identical under
+    * any row order, partitioning, or file layout, which is the point: it
+    * versions the DATA, not the layout, so a re-clustered (z-ordered,
+    * compacted, repartitioned) copy of a 100 TB dataset verifies equal
+    * while a single changed row flips it. One scan, no shuffle beyond the
+    * 1-row aggregate. Caveat shared by all multiset-XOR schemes: a row
+    * appearing an EVEN number of times cancels out — row_count catches the
+    * duplication, so always compare BOTH fields. */
+  def contentManifest(df: DataFrame): (Long, Long) = {
+    import org.apache.spark.sql.functions.{bit_xor, count, lit, struct, xxhash64, col}
+    val r = df.agg(
+      count(lit(1)),
+      bit_xor(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*)))).head()
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
+  /** write a JSON manifest next to a dataset (one line: rows + hash). */
+  def writeManifest(df: DataFrame, manifestPath: String): Unit = {
+    val (n, h) = contentManifest(df)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(manifestPath),
+      s"""{"rows":$n,"content_hash":$h}""")
+  }
+
+  /** verify a dataset against a manifest written by [[writeManifest]] —
+    * throws with both manifests on mismatch (loud, like the store
+    * parameter checks). */
+  def verifyManifest(df: DataFrame, manifestPath: String): Unit = {
+    val txt = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(manifestPath)).trim
+    val m = """\{"rows":(-?\d+),"content_hash":(-?\d+)\}""".r
+    txt match {
+      case m(rows, hash) =>
+        val (n, h) = contentManifest(df)
+        if (n != rows.toLong || h != hash.toLong)
+          throw new IllegalStateException(
+            s"manifest mismatch: data has (rows=$n, hash=$h), " +
+              s"manifest says (rows=$rows, hash=$hash)")
+      case _ => throw new IllegalArgumentException(
+        s"unparseable manifest at $manifestPath: $txt")
+    }
+  }
 }

@@ -105,4 +105,41 @@ class LayoutSpec extends AnyFunSuite {
     assert(filesOverlapping(zDir, ckQ, dyQ) < filesOverlapping(plainDir, ckQ, dyQ),
       "z-order should leave fewer candidate files for a corner rectangle")
   }
+
+  test("compactZOrdered: appends erode the rectangles, compaction restores them") {
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .withColumn("day", datediff(col("o_orderdate").cast("date"),
+        to_date(lit("1970-01-01"))).cast("long"))
+    val dir = Files.createTempDirectory("graft_zc").toString + "/t"
+    val (head, tail) = (orders.filter(col("o_orderkey") % 3 === 0),
+      orders.filter(col("o_orderkey") % 3 =!= 0))
+    Layout.writeZOrdered(head, dir, col("o_custkey"), col("day"),
+      bits = 16, numFiles = 8)
+    // two ingest appends, each unordered — the production accretion shape
+    tail.filter(col("o_orderkey") % 3 === 1).write.mode("append").parquet(dir)
+    tail.filter(col("o_orderkey") % 3 === 2).write.mode("append").parquet(dir)
+    val expSum = orders.agg(sum(col("o_orderkey"))).head().getLong(0)
+    assert(spark.read.parquet(dir).agg(sum(col("o_orderkey"))).head()
+      .getLong(0) == expSum)
+
+    Layout.compactZOrdered(spark, dir, col("o_custkey"), col("day"),
+      bits = 16, numFiles = 16)
+    val back = spark.read.parquet(dir)
+    // contents identical, temp/backup dirs gone, file count = numFiles
+    assert(back.agg(sum(col("o_orderkey"))).head().getLong(0) == expSum)
+    assert(!Files.exists(java.nio.file.Paths.get(dir + ".zcompact_tmp")))
+    assert(!Files.exists(java.nio.file.Paths.get(dir + ".zcompact_old")))
+    assert(back.select(input_file_name()).distinct().count() == 16)
+    // rectangle property restored over the FULL corpus
+    def avgSpan(c: String): Double = {
+      val spans = back.groupBy(input_file_name())
+        .agg((max(col(c)) - min(col(c))).cast("double").as("span"))
+        .collect().map(_.getDouble(1))
+      val domain = orders.agg((max(col(c)) - min(col(c))).cast("double"))
+        .head().getDouble(0)
+      spans.sum / spans.length / domain
+    }
+    assert(avgSpan("o_custkey") < 0.6, s"custkey spans: ${avgSpan("o_custkey")}")
+    assert(avgSpan("day") < 0.6, s"day spans: ${avgSpan("day")}")
+  }
 }

@@ -758,6 +758,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(distKept == kept)
   }
 
+  test("clusterSizeHistogramPortable: component sizes plus the singleton row") {
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"), // exact copy → pair with 1
+      (3L, "totally different content with no shared shingles at all")
+    ).toDF("doc_id", "text")
+    val hist = Dedup.clusterSizeHistogramPortable(d, "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(hist == Seq((1L, 1L), (2L, 1L))) // one singleton, one 2-cluster
+    // no pairs at all → a single size-1 row covering the whole corpus
+    val solo = Seq((1L, "one two three four"), (2L, "five six seven eight"))
+      .toDF("doc_id", "text")
+    val h2 = Dedup.clusterSizeHistogramPortable(solo, "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(h2 == Seq((1L, 2L)))
+  }
+
   test("heavyHitters: exact threshold set, sketch false positives filtered out") {
     val rows = Seq.fill(50)("a") ++ Seq.fill(10)("b") ++ Seq.fill(5)("c") ++
       (0 until 35).map(i => s"d$i") // N = 100

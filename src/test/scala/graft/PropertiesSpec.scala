@@ -101,4 +101,46 @@ class PropertiesSpec extends AnyFunSuite {
       got == want
     }, n = 6)
   }
+
+  test("dedupParagraphsIntra is idempotent and preserves first occurrences") {
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    val paraGen = Gen.oneOf("alpha", "beta beta", "gamma delta", "", " ")
+    val docGen = Gen.choose(1, 8).flatMap(n =>
+      Gen.listOfN(n, paraGen).map(_.mkString("\n")))
+    check(Prop.forAll(Gen.choose(1, 4).flatMap(k => Gen.listOfN(k, docGen))) { texts =>
+      val docs = texts.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+        .toDF("doc_id", "text")
+      def run(d: org.apache.spark.sql.DataFrame, c: String) =
+        TextAnalysis.dedupParagraphsIntra(d, "doc_id", c)
+          .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      val once = run(docs, "text")
+      // reference model: keep blanks, else first occurrence
+      val model = texts.zipWithIndex.map { case (s, i) =>
+        val seen = scala.collection.mutable.Set[String]()
+        (i.toLong, s.split("\\r?\\n", -1).filter(p =>
+          p.trim.isEmpty || seen.add(p)).mkString("\n"))
+      }
+      val fixed = run(once.map(identity).toDF("doc_id", "text"), "text")
+      once == model && fixed == once // model-exact AND idempotent
+    }, n = 6)
+  }
+
+  test("heavyHitters result is partitioning-independent") {
+    import graft.operators.Relational
+    import spark.implicits._
+    val tokGen = Gen.frequency(5 -> Gen.const("hot"), 3 -> Gen.const("warm"),
+      2 -> Gen.oneOf((0 until 30).map(i => s"cold$i")))
+    check(Prop.forAll(Gen.choose(40, 120).flatMap(n => Gen.listOfN(n, tokGen)),
+        Gen.oneOf(0.05, 0.1, 0.3)) { (toks, support) =>
+      val d = toks.toDF("tok")
+      def runAt(parts: Int) =
+        Relational.heavyHitters(d.repartition(parts), "tok", support)
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      val brute = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+        .filter(_._2 >= math.ceil(support * toks.size).toLong)
+        .map { case (k, v) => (k, v) }.toSet
+      runAt(1) == brute && runAt(7) == brute && runAt(32) == brute
+    }, n = 5)
+  }
 }

@@ -416,4 +416,58 @@ class SkewAndIvfSpec extends AnyFunSuite {
     assert(Dedup.semanticNearDupPairs(emb2, "vec_id", "embedding", tiny,
       threshold = 0.999, maxCellRows = 100).count() > 0)
   }
+
+  test("int8 quantization: exact cells, and int8 top-k tracks exact cosine") {
+    import spark.implicits._
+    // known cells: maxabs 1.0 -> scale 1/127; round-half-AWAY on negatives
+    val q = Seq(Tuple1(Seq(1.0f, -0.5f, 0.25f, 0.0f))).toDF("v")
+      .select(Similarity.int8Quantize(col("v"),
+        Similarity.int8Scale(col("v"))).as("q"))
+      .head().getSeq[Int](0)
+    assert(q == Seq(127, -64, 32, 0)) // -0.5/ (1/127) = -63.5 -> -64
+    // all-zero vector: epsilon floor, quantizes to zeros (no div-by-zero)
+    val z = Seq(Tuple1(Seq(0.0f, 0.0f))).toDF("v")
+      .select(Similarity.int8Quantize(col("v"),
+        Similarity.int8Scale(col("v"))).as("q"))
+      .head().getSeq[Int](0)
+    assert(z == Seq(0, 0))
+    // ranking fidelity on the real fixture: int8 top-10 overlaps the exact
+    // float-cosine top-10 in >= 7 of 10 (quantization error ~1/254 per
+    // component; the fixture's neighbor gaps dwarf it)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val qv = emb.filter(col("vec_id") === 1).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    val rest = emb.filter(col("vec_id") =!= 1)
+    val exact = Similarity.bruteForceTopK(rest, "vec_id", "embedding", qv, 10)
+      .collect().map(_.getLong(0)).toSet
+    val int8 = Similarity.int8TopK(rest, "vec_id", "embedding", qv, 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(exact.intersect(int8).size >= 7,
+      s"int8 recall too low: ${exact.intersect(int8).size}/10")
+  }
+
+  test("int8 store twin: pre-quantized probe equals the on-the-fly path") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val qv = emb.filter(col("vec_id") === 1).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    Similarity.writeInt8Store(emb, "vec_id", "embedding", "graft_i8_test",
+      nBuckets = 4)
+    try {
+      val fly = Similarity.int8TopK(emb.filter(col("vec_id") =!= 1),
+          "vec_id", "embedding", qv, 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val store = Similarity.int8TopKAgainstStore(spark, "graft_i8_test",
+          "vec_id", qv, 10, extraFilter = col("vec_id") =!= 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(fly == store, s"store twin diverged: $fly vs $store")
+      // byte storage really happened: qvec is array<tinyint> in the store
+      val t = spark.table("graft_i8_test_q")
+      assert(t.schema("qvec").dataType ==
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.ByteType, containsNull = false) ||
+        t.schema("qvec").dataType ==
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.ByteType, containsNull = true))
+    } finally spark.sql("DROP TABLE IF EXISTS graft_i8_test_q")
+  }
 }

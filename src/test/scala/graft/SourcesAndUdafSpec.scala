@@ -156,4 +156,23 @@ class SourcesAndUdafSpec extends AnyFunSuite {
       .collect().sorted
     assert(toks.toSeq == Seq(2, 4))
   }
+
+  test("content manifest: layout-independent, change-sensitive, verify round trip") {
+    val d = spark.range(0, 1000)
+      .select(col("id"), (col("id") * 7 % 13).as("v"))
+    val m1 = Sources.contentManifest(d.repartition(17))
+    val m2 = Sources.contentManifest(
+      d.repartition(3).sortWithinPartitions(org.apache.spark.sql.functions.desc("v")))
+    assert(m1 == m2, "manifest must ignore partitioning and row order")
+    assert(m1._1 == 1000L)
+    // one changed row flips the hash, row count unchanged
+    val changed = d.withColumn("v",
+      when(col("id") === 500, lit(-1L)).otherwise(col("v")))
+    val mc = Sources.contentManifest(changed)
+    assert(mc._1 == m1._1 && mc._2 != m1._2)
+    val p = Files.createTempDirectory("graft_manifest").toString + "/m.json"
+    Sources.writeManifest(d, p)
+    Sources.verifyManifest(d.repartition(5), p) // re-layout verifies clean
+    intercept[IllegalStateException] { Sources.verifyManifest(changed, p) }
+  }
 }
