@@ -103,6 +103,16 @@ object SparkEntry {
       name
     })
 
+  private val searchStores =
+    new scala.collection.concurrent.TrieMap[String, String]
+  private def searchStoreFor(s: SparkSession, dir: String): String =
+    searchStores.getOrElseUpdate(dir, {
+      val name = s"graft_search_store_${java.lang.Integer.toHexString(dir.hashCode)}"
+      graft.operators.Search.writeInvertedIndex(rd(s, dir, "documents"),
+        "doc_id", "text", name)
+      name
+    })
+
   /** offline-derived token-budget mixing rates, one per sf dir (the
     * domains-sized aggregate runs once per JVM; [[oracleSql]] embeds the
     * resulting basis-point thresholds as literals — the ivfModels pattern).
@@ -301,6 +311,7 @@ object SparkEntry {
     ivfStoreFor(s, dir)
     lshStoreFor(s, dir)
     int8StoreFor(s, dir)
+    searchStoreFor(s, dir)
     zorderBoundsFor(s, dir)
   }
 
@@ -619,6 +630,13 @@ object SparkEntry {
     }),
     "q_top_tokens" -> ((s, dir) =>
       TextAnalysis.topTokens(rd(s, dir, "documents"), "text", 20)),
+    "q_search_index" -> ((s, dir) =>
+      // conjunctive keyword search against the persisted inverted index:
+      // the scan reads only the two query terms' postings buckets (never
+      // the corpus), ranking in integer tf space — the text-retrieval
+      // sibling of the ANN store twins
+      graft.operators.Search.searchAll(s, searchStoreFor(s, dir),
+        Seq("scan", "join"), 20)),
     "q_heavy_hitters" -> ((s, dir) => {
       // EXACT heavy hitters (freq ≥ 0.5% of the corpus token stream)
       // without a full-vocabulary groupBy: Misra-Gries candidate sketch +
@@ -2957,6 +2975,23 @@ object SparkEntry {
     // the true {token : freq ≥ ceil(support·N)} set, so the oracle is the
     // plain threshold aggregate (same whitespace tokenization as
     // q_top_tokens)
+    // inverted-index conjunctive search: postings re-derived from the raw
+    // corpus with the proven tokenizer chain; docs containing BOTH terms
+    // ranked by total tf (integer), id ties
+    "q_search_index" ->
+      """WITH post AS (
+           SELECT doc_id, t AS term, count(*) AS tf FROM (
+             SELECT doc_id, unnest(string_split_regex(
+               trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+               '\s+')) AS t
+             FROM documents)
+           WHERE len(t) > 0 GROUP BY doc_id, t),
+         m AS (
+           SELECT doc_id, count(*) AS matched, sum(tf) AS total_tf
+           FROM post WHERE term IN ('scan', 'join') GROUP BY doc_id)
+         SELECT doc_id, CAST(total_tf AS BIGINT) AS total_tf
+         FROM m WHERE matched = 2
+         ORDER BY total_tf DESC, doc_id LIMIT 20""",
     "q_heavy_hitters" ->
       """WITH t AS (
            SELECT token FROM (

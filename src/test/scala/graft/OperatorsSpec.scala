@@ -758,6 +758,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(distKept == kept)
   }
 
+  test("inverted index search: conjunctive match, integer tf ranking") {
+    import graft.operators.Search
+    val d = Seq(
+      (1L, "spark scan join scan"), // scan tf 2 + join tf 1 = 3
+      (2L, "join scan"),            // 2
+      (3L, "scan only here"),       // fails conjunction
+      (4L, "join alone")            // fails conjunction
+    ).toDF("doc_id", "text")
+    Search.writeInvertedIndex(d, "doc_id", "text", "graft_search_test",
+      nBuckets = 2)
+    try {
+      val got = Search.searchAll(spark, "graft_search_test",
+          Seq("scan", "join"), 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got == Seq((1L, 3L), (2L, 2L)))
+      // case-insensitive, duplicate query terms collapse
+      val ci = Search.searchAll(spark, "graft_search_test",
+          Seq("SCAN", "scan"), 10)
+        .collect().map(_.getLong(0)).toSet
+      assert(ci == Set(1L, 2L, 3L))
+      // probing a table that is not an inverted index fails loudly
+      intercept[Exception] {
+        Search.searchAll(spark, "graft_nope", Seq("x"), 5).collect()
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_search_test_postings")
+      spark.sql("DROP TABLE IF EXISTS graft_search_test_terms")
+    }
+  }
+
   test("clusterSizeHistogramPortable: component sizes plus the singleton row") {
     val d = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),
