@@ -637,6 +637,12 @@ object SparkEntry {
       // sibling of the ANN store twins
       graft.operators.Search.searchAll(s, searchStoreFor(s, dir),
         Seq("scan", "join"), 20)),
+    "q_search_any" -> ((s, dir) =>
+      // disjunctive variant: one common + one rare term, so the
+      // matched-count rank tier is exercised (docs with both terms beat
+      // higher-tf docs with only one)
+      graft.operators.Search.searchAny(s, searchStoreFor(s, dir),
+        Seq("scan", "dup"), 20)),
     "q_heavy_hitters" -> ((s, dir) => {
       // EXACT heavy hitters (freq ≥ 0.5% of the corpus token stream)
       // without a full-vocabulary groupBy: Misra-Gries candidate sketch +
@@ -2992,6 +2998,18 @@ object SparkEntry {
          SELECT doc_id, CAST(total_tf AS BIGINT) AS total_tf
          FROM m WHERE matched = 2
          ORDER BY total_tf DESC, doc_id LIMIT 20""",
+    "q_search_any" ->
+      """WITH post AS (
+           SELECT doc_id, t AS term, count(*) AS tf FROM (
+             SELECT doc_id, unnest(string_split_regex(
+               trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+               '\s+')) AS t
+             FROM documents)
+           WHERE len(t) > 0 GROUP BY doc_id, t)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS matched,
+                CAST(sum(tf) AS BIGINT) AS total_tf
+         FROM post WHERE term IN ('scan', 'dup') GROUP BY doc_id
+         ORDER BY matched DESC, total_tf DESC, doc_id LIMIT 20""",
     "q_heavy_hitters" ->
       """WITH t AS (
            SELECT token FROM (

@@ -19,26 +19,64 @@ import org.apache.spark.sql.functions._
   */
 object Search {
 
-  /** persist the inverted index for `df`: `store`_postings (term, doc_id,
-    * tf) bucketed by term, and `store`_terms (term, df) — both managed
-    * bucketed tables with build metadata. */
-  def writeInvertedIndex(df: DataFrame, idCol: String, textCol: String,
-                         store: String, nBuckets: Int = 64): Unit = {
-    val posts = df
-      .select(col(idCol).as("doc_id"),
+  private def postingsOf(df: DataFrame, idCol: String,
+                         textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
         explode(TextAnalysis.tokens(TextAnalysis.normalized(col(textCol))))
           .as("term"))
       .filter(length(col("term")) > 0)
       .groupBy("term", "doc_id")
       .agg(count(lit(1)).as("tf"))
+
+  /** persist the inverted index for `df`: `store`_postings (term, doc_id,
+    * tf) bucketed by term, and `store`_terms (term, df) — both managed
+    * bucketed tables with build metadata (kind + nBuckets, so appends can
+    * match the bucket spec without the caller re-supplying it). */
+  def writeInvertedIndex(df: DataFrame, idCol: String, textCol: String,
+                         store: String, nBuckets: Int = 64): Unit = {
+    val posts = postingsOf(df, idCol, textCol)
     graft.sources.Sources.writeBucketed(posts, s"${store}_postings", "term",
       nBuckets)
     graft.sources.Sources.writeBucketed(
       posts.groupBy("term").agg(count(lit(1)).as("df")),
       s"${store}_terms", "term", nBuckets)
     Dedup.setStoreParams(df.sparkSession, s"${store}_postings",
-      Map("kind" -> "inverted_index"))
+      Map("kind" -> "inverted_index", "nBuckets" -> nBuckets))
   }
+
+  /** append a NEW batch's postings to an existing index — the ingest-loop
+    * shape of the other incremental stores: per-batch bucketed APPENDS
+    * (never a rewrite; one file per bucket per batch, collapsed by
+    * `Sources.compactBucketed` in the maintenance window). The bucket spec
+    * comes from the store's own build metadata. Contract (same as every
+    * store append here): the batch's doc ids are NEW — re-appending a doc
+    * double-counts its term frequencies. The terms table accretes
+    * per-batch (term, df) rows; doc-freq readers SUM by term, which is
+    * exact because batches are disjoint doc sets. */
+  def appendInvertedIndex(df: DataFrame, idCol: String, textCol: String,
+                          store: String): Unit = {
+    val spark = df.sparkSession
+    Dedup.checkStoreParams(spark, s"${store}_postings",
+      Map("kind" -> "inverted_index"))
+    val props = spark.sql(s"SHOW TBLPROPERTIES ${store}_postings").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val nBuckets = props.getOrElse("graft.nBuckets",
+      sys.error(s"$store: no graft.nBuckets property — not an appendable " +
+        "index (rebuilt with writeInvertedIndex to upgrade)")).toInt
+    val posts = postingsOf(df, idCol, textCol)
+    graft.sources.Sources.writeBucketed(posts, s"${store}_postings", "term",
+      nBuckets, org.apache.spark.sql.SaveMode.Append)
+    graft.sources.Sources.writeBucketed(
+      posts.groupBy("term").agg(count(lit(1)).as("df")),
+      s"${store}_terms", "term", nBuckets,
+      org.apache.spark.sql.SaveMode.Append)
+  }
+
+  /** per-term corpus doc frequency from the accreted terms table (SUM over
+    * per-batch rows — exact under the disjoint-batch append contract). */
+  def termDocFreq(spark: SparkSession, store: String): DataFrame =
+    spark.table(s"${store}_terms").groupBy("term")
+      .agg(sum("df").as("df"))
 
   /** conjunctive (every term must match) keyword search against a
     * [[writeInvertedIndex]] store: read ONLY the query terms' postings (a
@@ -60,5 +98,23 @@ object Search {
       .orderBy(desc("total_tf"), col("doc_id"))
       .limit(k)
       .select(col("doc_id"), col("total_tf"))
+  }
+
+  /** disjunctive (ANY term) search: docs ranked by how many query terms
+    * they contain, then total term frequency, then id — the recall-side
+    * complement of [[searchAll]], same bucket-pruned scan shape. */
+  def searchAny(spark: SparkSession, store: String, terms: Seq[String],
+                k: Int): DataFrame = {
+    require(terms.nonEmpty, "searchAny: empty term list")
+    Dedup.checkStoreParams(spark, s"${store}_postings",
+      Map("kind" -> "inverted_index"))
+    val norm = terms.map(_.toLowerCase).distinct
+    spark.table(s"${store}_postings")
+      .filter(col("term").isin(norm: _*))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("matched"), sum("tf").as("total_tf"))
+      .orderBy(desc("matched"), desc("total_tf"), col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("matched"), col("total_tf"))
   }
 }

@@ -788,6 +788,35 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("inverted index append + compaction: ingest loop equals full rebuild") {
+    import graft.operators.Search
+    import graft.sources.Sources
+    val b1 = Seq((1L, "scan join scan"), (2L, "join alone")).toDF("doc_id", "text")
+    val b2 = Seq((3L, "scan join join join"), (4L, "scan solo")).toDF("doc_id", "text")
+    Search.writeInvertedIndex(b1, "doc_id", "text", "graft_search_incr",
+      nBuckets = 2)
+    Search.appendInvertedIndex(b2, "doc_id", "text", "graft_search_incr")
+    Search.writeInvertedIndex(b1.unionAll(b2), "doc_id", "text",
+      "graft_search_full", nBuckets = 2)
+    try {
+      def res(store: String) = Search.searchAll(spark, store,
+          Seq("scan", "join"), 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(res("graft_search_incr") == res("graft_search_full"))
+      // accreted doc-freqs SUM to the rebuild's (disjoint-batch contract)
+      val dfIncr = Search.termDocFreq(spark, "graft_search_incr")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      val dfFull = Search.termDocFreq(spark, "graft_search_full")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(dfIncr == dfFull)
+      // maintenance-window compaction preserves results
+      Sources.compactBucketed(spark, "graft_search_incr_postings", "term", 2)
+      assert(res("graft_search_incr") == res("graft_search_full"))
+    } finally Seq("graft_search_incr_postings", "graft_search_incr_terms",
+      "graft_search_full_postings", "graft_search_full_terms")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("clusterSizeHistogramPortable: component sizes plus the singleton row") {
     val d = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),
