@@ -643,6 +643,13 @@ object SparkEntry {
       // higher-tf docs with only one)
       graft.operators.Search.searchAny(s, searchStoreFor(s, dir),
         Seq("scan", "dup"), 20)),
+    "q_search_weighted" -> ((s, dir) =>
+      // integer-idf ranking: floor(N/df) weights — 'dup' (rare) dominates
+      // 'scan' (ubiquitous, weight ~1), so one 'dup' hit outranks any
+      // pile-up of 'scan' tf; exact integers keep the rank oracle-stable
+      // where ln-idf would flip marginal rows on cross-engine ulps
+      graft.operators.Search.searchWeighted(s, searchStoreFor(s, dir),
+        Seq("scan", "dup"), 20, docCountFor(s, dir))),
     "q_heavy_hitters" -> ((s, dir) => {
       // EXACT heavy hitters (freq ≥ 0.5% of the corpus token stream)
       // without a full-vocabulary groupBy: Misra-Gries candidate sketch +
@@ -3010,6 +3017,25 @@ object SparkEntry {
                 CAST(sum(tf) AS BIGINT) AS total_tf
          FROM post WHERE term IN ('scan', 'dup') GROUP BY doc_id
          ORDER BY matched DESC, total_tf DESC, doc_id LIMIT 20""",
+    // integer-idf weighted rank: weight_t = N // df_t (floor division both
+    // engines), score = sum(tf_t * weight_t) — exact integers end to end
+    "q_search_weighted" ->
+      """WITH post AS (
+           SELECT doc_id, t AS term, count(*) AS tf FROM (
+             SELECT doc_id, unnest(string_split_regex(
+               trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+               '\s+')) AS t
+             FROM documents)
+           WHERE len(t) > 0 GROUP BY doc_id, t),
+         n AS (SELECT count(*) AS nd FROM documents),
+         w AS (SELECT term, count(*) AS df FROM post GROUP BY term),
+         m AS (
+           SELECT p.doc_id,
+             sum(p.tf * ((SELECT nd FROM n) // w.df)) AS score
+           FROM post p JOIN w USING (term)
+           WHERE p.term IN ('scan', 'dup') GROUP BY p.doc_id)
+         SELECT doc_id, CAST(score AS BIGINT) AS score
+         FROM m ORDER BY score DESC, doc_id LIMIT 20""",
     "q_heavy_hitters" ->
       """WITH t AS (
            SELECT token FROM (

@@ -100,6 +100,35 @@ object Search {
       .select(col("doc_id"), col("total_tf"))
   }
 
+  /** rare-term-weighted disjunctive search: score = Σ_t tf_t · (N div
+    * df_t), an INTEGER idf surrogate — floor(N/df) weights rare terms like
+    * ln(N/df) does directionally, but stays in exact integer space so the
+    * ranking is deterministic and oracle-replicable (ln-based idf differs
+    * in ulps across engines and flips marginal ranks). Term doc-freqs come
+    * from the store's accreted terms table ([[termDocFreq]], broadcast —
+    * the filtered weight side is query-terms-sized); `docCount` is the
+    * corpus size the index was built over. Same bucket-pruned postings
+    * scan as the other probes. */
+  def searchWeighted(spark: SparkSession, store: String, terms: Seq[String],
+                     k: Int, docCount: Long): DataFrame = {
+    require(terms.nonEmpty, "searchWeighted: empty term list")
+    require(docCount > 0, s"searchWeighted: docCount must be > 0, got $docCount")
+    Dedup.checkStoreParams(spark, s"${store}_postings",
+      Map("kind" -> "inverted_index"))
+    val norm = terms.map(_.toLowerCase).distinct
+    val weights = termDocFreq(spark, store)
+      .filter(col("term").isin(norm: _*))
+      .withColumn("__w", expr(s"${docCount}L div df"))
+    spark.table(s"${store}_postings")
+      .filter(col("term").isin(norm: _*))
+      .join(broadcast(weights.select(col("term"), col("__w"))), Seq("term"))
+      .groupBy("doc_id")
+      .agg(sum(col("tf") * col("__w")).as("score"))
+      .orderBy(desc("score"), col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("score"))
+  }
+
   /** disjunctive (ANY term) search: docs ranked by how many query terms
     * they contain, then total term frequency, then id — the recall-side
     * complement of [[searchAll]], same bucket-pruned scan shape. */

@@ -788,6 +788,24 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("searchWeighted: integer idf makes one rare hit beat common-term pileup") {
+    import graft.operators.Search
+    val d = Seq(
+      (1L, "dup scan"),               // rare 'dup' (w=N/1=4) + scan -> 5
+      (2L, "scan scan scan scan"),    // tf 4 of common 'scan' (w=4/3=1) -> 4
+      (3L, "scan"),                   // -> 1
+      (4L, "other words only")
+    ).toDF("doc_id", "text")
+    Search.writeInvertedIndex(d, "doc_id", "text", "graft_search_w", nBuckets = 2)
+    try {
+      val got = Search.searchWeighted(spark, "graft_search_w",
+          Seq("scan", "dup"), 10, docCount = 4L)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got == Seq((1L, 5L), (2L, 4L), (3L, 1L)))
+    } finally Seq("graft_search_w_postings", "graft_search_w_terms")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("inverted index append + compaction: ingest loop equals full rebuild") {
     import graft.operators.Search
     import graft.sources.Sources

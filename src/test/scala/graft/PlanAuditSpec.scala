@@ -334,4 +334,44 @@ class PlanAuditSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("search probe: term IN-filter reaches the postings scan, corpus untouched") {
+    import graft.operators.Search
+    val docs = (1L to 200L)
+      .map(i => (i, s"alpha tok$i ${if (i % 3 == 0) "beta" else "gamma"}"))
+      .toDF("doc_id", "text")
+    Search.writeInvertedIndex(docs, "doc_id", "text", "graft_plan_search",
+      nBuckets = 4)
+    try {
+      val plan = finalPlan(Search.searchAll(spark, "graft_plan_search",
+        Seq("alpha", "beta"), 5))
+      assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*In\\(term.*"),
+        s"term IN not pushed to the postings scan:\n$plan")
+      // the probe must read the index, never re-tokenize a corpus: exactly
+      // one scan relation, the postings table
+      assert(plan.contains("graft_plan_search_postings"), plan)
+      assert(!plan.contains("Generate"), // no explode = no tokenization
+        s"probe re-tokenizes instead of reading postings:\n$plan")
+    } finally Seq("graft_plan_search_postings", "graft_plan_search_terms")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  test("int8 store probe scans quantized bytes, never the float vectors") {
+    import graft.operators.Similarity
+    val emb = (1L to 100L).map(i =>
+        (i, Array.tabulate(8)(j => math.sin(i * (j + 1)).toFloat).toSeq))
+      .toDF("vec_id", "embedding")
+    Similarity.writeInt8Store(emb, "vec_id", "embedding", "graft_plan_i8",
+      nBuckets = 2)
+    try {
+      val q = (0 until 8).map(j => math.sin(j + 1.0))
+      val plan = finalPlan(Similarity.int8TopKAgainstStore(spark,
+        "graft_plan_i8", "vec_id", q, 5))
+      assert(plan.contains("graft_plan_i8_q"), plan)
+      // the probe plan must not reference a float 'embedding' column — the
+      // whole point of the store is scanning bytes + one scale
+      assert(!plan.contains("embedding"),
+        s"int8 store probe still reads float vectors:\n$plan")
+    } finally spark.sql("DROP TABLE IF EXISTS graft_plan_i8_q")
+  }
 }
