@@ -113,6 +113,16 @@ object SparkEntry {
       name
     })
 
+  private val posStores =
+    new scala.collection.concurrent.TrieMap[String, String]
+  private def posStoreFor(s: SparkSession, dir: String): String =
+    posStores.getOrElseUpdate(dir, {
+      val name = s"graft_pos_store_${java.lang.Integer.toHexString(dir.hashCode)}"
+      graft.operators.Search.writePositionalIndex(rd(s, dir, "documents"),
+        "doc_id", "text", name)
+      name
+    })
+
   /** offline-derived token-budget mixing rates, one per sf dir (the
     * domains-sized aggregate runs once per JVM; [[oracleSql]] embeds the
     * resulting basis-point thresholds as literals — the ivfModels pattern).
@@ -312,6 +322,7 @@ object SparkEntry {
     lshStoreFor(s, dir)
     int8StoreFor(s, dir)
     searchStoreFor(s, dir)
+    posStoreFor(s, dir)
     zorderBoundsFor(s, dir)
   }
 
@@ -650,6 +661,13 @@ object SparkEntry {
       // where ln-idf would flip marginal rows on cross-engine ulps
       graft.operators.Search.searchWeighted(s, searchStoreFor(s, dir),
         Seq("scan", "dup"), 20, docCountFor(s, dir))),
+    "q_search_phrase" -> ((s, dir) =>
+      // exact-phrase probe against the POSITIONAL index: consecutive
+      // positions via an array-intersect fold over shifted posting lists —
+      // a capability the tf index cannot express (bag-of-words conjunction
+      // would also match 'column ... stream' reversals)
+      graft.operators.Search.searchPhrase(s, posStoreFor(s, dir),
+        Seq("stream", "column"), 20)),
     "q_heavy_hitters" -> ((s, dir) => {
       // EXACT heavy hitters (freq ≥ 0.5% of the corpus token stream)
       // without a full-vocabulary groupBy: Misra-Gries candidate sketch +
@@ -3036,6 +3054,30 @@ object SparkEntry {
            WHERE p.term IN ('scan', 'dup') GROUP BY p.doc_id)
          SELECT doc_id, CAST(score AS BIGINT) AS score
          FROM m ORDER BY score DESC, doc_id LIMIT 20""",
+    // exact phrase: per (doc, term) sorted position lists (DuckDB lambda
+    // index is 1-based → pos = i − 1 matches Spark's 0-based posexplode);
+    // occurrences = |pos(t0) ∩ (pos(t1) − 1)|
+    "q_search_phrase" ->
+      """WITH post AS (
+           SELECT doc_id, u['t'] AS term, u['p'] AS pos FROM (
+             SELECT doc_id, unnest(list_transform(string_split_regex(
+               trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+               '\s+'), (x, i) -> {'t': x, 'p': i - 1})) AS u
+             FROM documents)
+           WHERE len(u['t']) > 0),
+         pos AS (
+           SELECT doc_id, term, list_sort(list(pos)) AS ps
+           FROM post GROUP BY doc_id, term),
+         a0 AS (SELECT doc_id, ps AS p0 FROM pos WHERE term = 'stream'),
+         a1 AS (SELECT doc_id, ps AS p1 FROM pos WHERE term = 'column'),
+         m AS (
+           SELECT a0.doc_id,
+             len(list_intersect(p0, list_transform(p1, x -> x - 1)))
+               AS phrase_count
+           FROM a0 JOIN a1 USING (doc_id))
+         SELECT doc_id, CAST(phrase_count AS BIGINT) AS phrase_count
+         FROM m WHERE phrase_count > 0
+         ORDER BY phrase_count DESC, doc_id LIMIT 20""",
     "q_heavy_hitters" ->
       """WITH t AS (
            SELECT token FROM (

@@ -78,6 +78,57 @@ object Search {
     spark.table(s"${store}_terms").groupBy("term")
       .agg(sum("df").as("df"))
 
+  /** positional index: per (term, doc) the sorted token-position list —
+    * what exact-phrase search needs. Separate table from the tf postings
+    * (phrase probes pay for positions only when they ask for them); same
+    * bucketing-by-term layout and metadata contract. */
+  def writePositionalIndex(df: DataFrame, idCol: String, textCol: String,
+                           store: String, nBuckets: Int = 64): Unit = {
+    val posts = df
+      .select(col(idCol).as("doc_id"),
+        posexplode(TextAnalysis.tokens(TextAnalysis.normalized(col(textCol))))
+          .as(Seq("pos", "term")))
+      .filter(length(col("term")) > 0)
+      .groupBy("term", "doc_id")
+      .agg(sort_array(collect_list(col("pos"))).as("positions"))
+    graft.sources.Sources.writeBucketed(posts, s"${store}_pos", "term",
+      nBuckets)
+    Dedup.setStoreParams(df.sparkSession, s"${store}_pos",
+      Map("kind" -> "positional_index", "nBuckets" -> nBuckets))
+  }
+
+  /** exact-PHRASE search against a [[writePositionalIndex]] store: the
+    * phrase's terms must appear at consecutive positions. Candidate scan =
+    * the phrase terms' buckets only (same pruned shape as the tf probes);
+    * per doc, phrase occurrences = |positions(t₀) ∩ (positions(t₁)−1) ∩ …
+    * ∩ (positions(tₙ)−n)| — an array-intersect fold over query-sized
+    * shifted position lists, one codegen'd projection after an n-way
+    * doc-keyed join of query-sized posting slices. Ranked by occurrence
+    * count, id ties. Duplicate terms in the phrase join the same posting
+    * slice twice (self-adjacent phrases work). */
+  def searchPhrase(spark: SparkSession, store: String, phrase: Seq[String],
+                   k: Int): DataFrame = {
+    require(phrase.length >= 2, "searchPhrase: need at least a 2-term phrase")
+    Dedup.checkStoreParams(spark, s"${store}_pos",
+      Map("kind" -> "positional_index"))
+    val norm = phrase.map(_.toLowerCase)
+    val pos = spark.table(s"${store}_pos")
+      .filter(col("term").isin(norm.distinct: _*))
+    val joined = norm.zipWithIndex.map { case (t, i) =>
+      pos.filter(col("term") === t)
+        .select(col("doc_id"), col("positions").as(s"__p$i"))
+    }.reduce((a, b) => a.join(b, Seq("doc_id")))
+    val matched = norm.indices.map { i =>
+      if (i == 0) col("__p0")
+      else transform(col(s"__p$i"), p => p - i)
+    }.reduce(array_intersect)
+    joined
+      .select(col("doc_id"), size(matched).cast("long").as("phrase_count"))
+      .filter(col("phrase_count") > 0)
+      .orderBy(desc("phrase_count"), col("doc_id"))
+      .limit(k)
+  }
+
   /** conjunctive (every term must match) keyword search against a
     * [[writeInvertedIndex]] store: read ONLY the query terms' postings (a
     * literal IN filter on the bucket column — bucket-prunable, row-group-

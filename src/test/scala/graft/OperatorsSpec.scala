@@ -788,6 +788,30 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("searchPhrase: consecutive positions only, reversals and gaps rejected") {
+    import graft.operators.Search
+    val d = Seq(
+      (1L, "big scan runs a big scan today"), // "big scan" twice -> 2
+      (2L, "big red scan"),                   // gap -> no match
+      (3L, "scan big"),                       // reversal -> no match
+      (4L, "big scan"),                       // once -> 1
+      (5L, "big big big")                     // self-adjacent dup-term case
+    ).toDF("doc_id", "text")
+    Search.writePositionalIndex(d, "doc_id", "text", "graft_pos_t", nBuckets = 2)
+    try {
+      val got = Search.searchPhrase(spark, "graft_pos_t",
+          Seq("big", "scan"), 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got == Seq((1L, 2L), (4L, 1L)))
+      // duplicate-term phrase: "big big" matches at positions 0 and 1 of
+      // doc 5 ("big big big") and nowhere else (doc 1's bigs are apart)
+      val dup = Search.searchPhrase(spark, "graft_pos_t",
+          Seq("big", "big"), 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(dup == Seq((5L, 2L)), s"dup-term phrase wrong: $dup")
+    } finally spark.sql("DROP TABLE IF EXISTS graft_pos_t_pos")
+  }
+
   test("searchWeighted: integer idf makes one rare hit beat common-term pileup") {
     import graft.operators.Search
     val d = Seq(
