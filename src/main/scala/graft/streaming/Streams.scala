@@ -502,4 +502,44 @@ object Streams {
     q.processAllAvailable()
     q.stop()
   }
+
+  /** one pass of streaming ingest into the SEARCH index: each micro-batch's
+    * postings append to the inverted index ([[graft.operators.Search
+    * .appendInvertedIndex]] — bucket spec from the store's own metadata)
+    * under the same per-batchId commit-marker gate as
+    * [[runStoreIngestOnce]]. The gate is CORRECTNESS-critical here, not
+    * just hygiene: a re-delivered batch's duplicate fingerprint rows
+    * cannot change an anti-join, but duplicate POSTINGS would inflate
+    * every affected term's tf and doc-freq — so an already-marked batch
+    * must skip the append entirely. Markers live under the checkpoint dir
+    * (they recover or reset together with the batchId sequence). */
+  def runSearchIngestOnce(spark: SparkSession, inDir: String,
+                          checkpointDir: String, store: String,
+                          idCol: String = "doc_id",
+                          textCol: String = "text"): Unit = {
+    val schema = spark.read.parquet(inDir).schema
+    spark.catalog.refreshTable(s"${store}_postings")
+    spark.catalog.refreshTable(s"${store}_terms")
+    val markers = new org.apache.hadoop.fs.Path(checkpointDir, "index_commits")
+    val q = spark.readStream.schema(schema).parquet(inDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val s = batch.sparkSession
+        val fs = markers.getFileSystem(s.sessionState.newHadoopConf())
+        val marker = new org.apache.hadoop.fs.Path(markers, batchId.toString)
+        if (!fs.exists(marker)) {
+          graft.operators.Search.appendInvertedIndex(
+            batch.toDF(), idCol, textCol, store)
+          fs.mkdirs(markers)
+          fs.createNewFile(marker)
+          s.catalog.refreshTable(s"${store}_postings")
+          s.catalog.refreshTable(s"${store}_terms")
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
 }

@@ -550,6 +550,48 @@ class StreamsSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming search-index ingest: incremental appends equal a full rebuild, idempotent") {
+    import graft.operators.Search
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_sidx").toString
+    val (inDir, ckpt) = (s"$base/in", s"$base/ckpt")
+    val b0 = Seq((1L, "scan join scan"), (2L, "join alone")).toDF("doc_id", "text")
+    val b1 = Seq((3L, "scan join join")).toDF("doc_id", "text")
+    val b2 = Seq((4L, "scan join"), (5L, "nothing relevant")).toDF("doc_id", "text")
+    Search.writeInvertedIndex(b0, "doc_id", "text", "graft_sidx_store",
+      nBuckets = 2)
+    b1.write.mode("append").parquet(inDir)
+    Streams.runSearchIngestOnce(spark, inDir, ckpt, "graft_sidx_store")
+    try {
+      def res = Search.searchAll(spark, "graft_sidx_store",
+          Seq("scan", "join"), 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(res == Seq((1L, 3L), (3L, 3L))) // doc 3 ingested via the stream
+      // a second pass with NO new files must change nothing (replayed
+      // batches hit the commit markers; postings tf would otherwise inflate)
+      Streams.runSearchIngestOnce(spark, inDir, ckpt, "graft_sidx_store")
+      assert(res == Seq((1L, 3L), (3L, 3L)))
+      // late files arrive → only the new batch appends
+      b2.write.mode("append").parquet(inDir)
+      Streams.runSearchIngestOnce(spark, inDir, ckpt, "graft_sidx_store")
+      assert(res == Seq((1L, 3L), (3L, 3L), (4L, 2L)))
+      // final state equals a from-scratch rebuild over all four batches
+      Search.writeInvertedIndex(b0.unionAll(b1).unionAll(b2), "doc_id",
+        "text", "graft_sidx_full", nBuckets = 2)
+      val full = Search.searchAll(spark, "graft_sidx_full",
+          Seq("scan", "join"), 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(res == full)
+      val dfIncr = Search.termDocFreq(spark, "graft_sidx_store")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      val dfFull = Search.termDocFreq(spark, "graft_sidx_full")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(dfIncr == dfFull)
+    } finally Seq("graft_sidx_store_postings", "graft_sidx_store_terms",
+      "graft_sidx_full_postings", "graft_sidx_full_terms")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("embedding store twin: out-of-order 3-batch replay equals the batch survivors") {
     // the replay-equivalence proof the session-window and interval-join
     // transforms already have, applied to the embedding store twin: replayed
