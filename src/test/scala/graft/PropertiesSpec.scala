@@ -126,6 +126,34 @@ class PropertiesSpec extends AnyFunSuite {
     }, n = 6)
   }
 
+  test("searchPhrase ≡ brute-force sliding-window phrase count") {
+    import graft.operators.Search
+    import spark.implicits._
+    val vocab = Vector("a", "b", "c")
+    val docGen = Gen.choose(2, 10).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(vocab)).map(_.mkString(" ")))
+    val corpusGen = Gen.choose(2, 5).flatMap(k => Gen.listOfN(k, docGen))
+    val phraseGen = Gen.choose(2, 3).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(vocab)))
+    check(Prop.forAll(corpusGen, phraseGen) { (texts, phrase) =>
+      val docs = texts.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+        .toDF("doc_id", "text")
+      Search.writePositionalIndex(docs, "doc_id", "text", "graft_pos_prop",
+        nBuckets = 2)
+      try {
+        val got = Search.searchPhrase(spark, "graft_pos_prop", phrase, 100)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        val want = texts.zipWithIndex.flatMap { case (s, i) =>
+          val toks = s.split(" ").toSeq
+          val n = toks.sliding(phrase.length)
+            .count(w => w == phrase)
+          if (n > 0) Some(i.toLong -> n.toLong) else None
+        }.toMap
+        got == want
+      } finally spark.sql("DROP TABLE IF EXISTS graft_pos_prop_pos")
+    }, n = 6)
+  }
+
   test("heavyHitters result is partitioning-independent") {
     import graft.operators.Relational
     import spark.implicits._
