@@ -424,6 +424,17 @@ object SparkEntry {
       Summary.frequencyTable(rd(s, dir, "lineitem"), "l_returnflag")),
     "q_quantiles" -> ((s, dir) =>
       Summary.quantileSummary(rd(s, dir, "lineitem"), "l_extendedprice")),
+    "q_drift_report" -> ((s, dir) => {
+      // corpus-version drift monitoring: the raw corpus vs a planted "new
+      // crawl" whose every third doc grew by 200 chars (a new source mix
+      // shifting the length distribution) — 16 shared integer buckets over
+      // [0, 4095], exact counts both sides (PSI/KL left to callers: ln is
+      // engine-ulp-unstable, the counts are not)
+      val cur = rd(s, dir, "documents")
+      val next = cur.select((col("n_chars") +
+        when(col("doc_id") % 3 === 0, 200L).otherwise(0L)).as("n_chars"))
+      Summary.histogramDrift(cur, next, "n_chars", 0L, 4095L, 16)
+    }),
     "q_quantiles_approx" -> ((s, dir) =>
       // the scale-default quantile path, oracle-pinned via its CONTRACT:
       // the sketch values themselves are engine-specific, but their exact
@@ -2801,6 +2812,26 @@ object SparkEntry {
     // projection — exact n/min/max — and the rank-error-bound booleans the
     // Spark side computes EXACTLY against the raw column (true iff the
     // sketch honors its ±1/accuracy contract)
+    // shared-bucket drift histogram: identical clamp + integer division on
+    // both sides, FULL OUTER on the bucket with zero fills
+    "q_drift_report" ->
+      """WITH a AS (
+           SELECT least(15, greatest(0, ((CAST(n_chars AS BIGINT) - 0) * 16) // 4096))
+             AS bucket
+           FROM documents),
+         b AS (
+           SELECT least(15, greatest(0,
+             ((CAST(n_chars AS BIGINT)
+               + CASE WHEN doc_id % 3 = 0 THEN 200 ELSE 0 END - 0) * 16) // 4096))
+             AS bucket
+           FROM documents),
+         ha AS (SELECT bucket, count(*) AS n_a FROM a GROUP BY bucket),
+         hb AS (SELECT bucket, count(*) AS n_b FROM b GROUP BY bucket)
+         SELECT CAST(coalesce(ha.bucket, hb.bucket) AS BIGINT) AS bucket,
+           CAST(coalesce(n_a, 0) AS BIGINT) AS n_a,
+           CAST(coalesce(n_b, 0) AS BIGINT) AS n_b
+         FROM ha FULL OUTER JOIN hb ON ha.bucket = hb.bucket
+         ORDER BY bucket""",
     "q_quantiles_approx" ->
       """SELECT CAST(count(l_extendedprice) AS BIGINT) AS n,
            round(min(l_extendedprice), 6) AS vmin,

@@ -255,4 +255,34 @@ object Summary {
   }
 
   def frameSummary(df: DF): String = frameSummary(df.toSpark)
+
+  /** two-corpus drift report over a numeric column: both sides histogram
+    * into the SAME fixed integer buckets (shared lo/hi/buckets → exact,
+    * engine-portable arithmetic: bucket = clamp((x−lo)·n div span)), then
+    * full-outer-join on the bucket — (bucket, n_a, n_b) with zeros for
+    * one-sided buckets. This is the corpus-version monitoring surface (a
+    * new crawl shifting the length/score distribution shows up as mass
+    * moving between buckets) kept in EXACT INTEGER counts: PSI/KL are one
+    * ln away, but transcendentals are engine-ulp-unstable — callers derive
+    * them from the exact counts. Out-of-range values clamp to the edge
+    * buckets (visible as edge-mass, never dropped). One scan + one tiny
+    * aggregate per side; the join is buckets-sized. */
+  def histogramDrift(a: DataFrame, b: DataFrame, colName: String,
+                     lo: Long, hi: Long, buckets: Int): DataFrame = {
+    require(hi > lo, s"histogramDrift: hi ($hi) must be > lo ($lo)")
+    require(buckets >= 2 && buckets <= 4096,
+      s"histogramDrift: buckets must be in [2,4096], got $buckets")
+    val span = hi - lo + 1
+    def hist(df: DataFrame, out: String): DataFrame =
+      df.select(expr(
+          s"least(${buckets - 1}L, greatest(0L, " +
+            s"((CAST($colName AS BIGINT) - ${lo}L) * ${buckets}L) div ${span}L))")
+          .as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as(out))
+    hist(a, "n_a").join(hist(b, "n_b"), Seq("bucket"), "full")
+      .select(col("bucket"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+      .orderBy("bucket")
+  }
 }

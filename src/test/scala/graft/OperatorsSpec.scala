@@ -788,6 +788,18 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("histogramDrift: shared buckets, zero-filled outer join, edge clamping") {
+    val a = Seq(5L, 100L, 100L, 350L).toDF("v")   // buckets 0,1,1,3 at span 1000/10
+    val b = Seq(5L, 350L, 350L, 2000L).toDF("v")  // buckets 0,3,3, clamp->9
+    val got = graft.Summary.histogramDrift(a, b, "v", 0L, 999L, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((0L, 1L, 1L), (1L, 2L, 0L), (3L, 1L, 2L), (9L, 0L, 1L)))
+    // identical corpora → n_a == n_b everywhere (no false drift)
+    val same = graft.Summary.histogramDrift(a, a, "v", 0L, 999L, 10)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(same.forall { case (x, y) => x == y })
+  }
+
   test("searchPhrase: consecutive positions only, reversals and gaps rejected") {
     import graft.operators.Search
     val d = Seq(
