@@ -12,7 +12,10 @@ object Explain {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val names = if (args.length > 1) args.tail.toSeq
       else Seq("q_mask_slice", "q_join_broadcast", "q_group_agg", "q_topk",
-        "q_media_meta", "q_cosine_topk")
+        "q_media_meta", "q_cosine_topk",
+        // round-12b probe family: the audits that matter here are pruned
+        // store scans (In(term,…) pushdown, no corpus re-tokenize/requantize)
+        "q_search_index", "q_ann_int8_store", "q_zorder")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

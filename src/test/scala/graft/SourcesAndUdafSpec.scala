@@ -174,5 +174,14 @@ class SourcesAndUdafSpec extends AnyFunSuite {
     Sources.writeManifest(d, p)
     Sources.verifyManifest(d.repartition(5), p) // re-layout verifies clean
     intercept[IllegalStateException] { Sources.verifyManifest(changed, p) }
+    // the documented multiset-XOR caveat, pinned: duplicating EVERY row
+    // cancels the hash term (x XOR x = 0 per pair) — the row count is what
+    // catches it, which is why the manifest is the PAIR and verifyManifest
+    // compares both fields
+    val doubled = d.unionAll(d)
+    val md = Sources.contentManifest(doubled)
+    assert(md._2 == 0L) // every row twice → all hash terms cancel pairwise
+    assert(md._1 == 2 * m1._1) // …and the row count is what flags it
+    intercept[IllegalStateException] { Sources.verifyManifest(doubled, p) }
   }
 }
