@@ -220,6 +220,19 @@ object Bench {
     System.gc()
   }
 
+  /** a typo'd SPARK_GRAFT_BENCH_ONLY name must fail LOUDLY — a silent
+    * empty/partial subset would report success having run nothing, and
+    * every scale probe in BASELINE.md rests on this env var selecting what
+    * it claims to. Extracted from main so the failure is unit-testable. */
+  private[graft] def validateBenchOnly(only: Option[Set[String]],
+                                       known: Set[String]): Unit =
+    only.foreach { o =>
+      val unknown = o -- known
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY names not in SparkEntry.queries: " +
+          unknown.toSeq.sorted.mkString(", "))
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -253,14 +266,7 @@ object Bench {
     // run's total is meaningless and is not written)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    // a typo'd name must fail LOUDLY — a silent empty/partial subset would
-    // report success having run nothing
-    only.foreach { o =>
-      val unknown = o -- ordered.map(_._1).toSet
-      require(unknown.isEmpty,
-        s"SPARK_GRAFT_BENCH_ONLY names not in SparkEntry.queries: " +
-          unknown.toSeq.sorted.mkString(", "))
-    }
+    validateBenchOnly(only, ordered.map(_._1).toSet)
     val selected = only.fold(ordered)(o => ordered.filter(q => o(q._1)))
     val toRun =
       if (sys.env.get("SPARK_GRAFT_BENCH_ORDER").contains("reverse")) selected.reverse

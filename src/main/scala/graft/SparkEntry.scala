@@ -2816,13 +2816,13 @@ object SparkEntry {
     // both sides, FULL OUTER on the bucket with zero fills
     "q_drift_report" ->
       """WITH a AS (
-           SELECT least(15, greatest(0, ((CAST(n_chars AS BIGINT) - 0) * 16) // 4096))
+           SELECT ((least(4095, greatest(0, CAST(n_chars AS BIGINT))) - 0) * 16) // 4096
              AS bucket
            FROM documents),
          b AS (
-           SELECT least(15, greatest(0,
-             ((CAST(n_chars AS BIGINT)
-               + CASE WHEN doc_id % 3 = 0 THEN 200 ELSE 0 END - 0) * 16) // 4096))
+           SELECT ((least(4095, greatest(0,
+             CAST(n_chars AS BIGINT)
+               + CASE WHEN doc_id % 3 = 0 THEN 200 ELSE 0 END)) - 0) * 16) // 4096
              AS bucket
            FROM documents),
          ha AS (SELECT bucket, count(*) AS n_a FROM a GROUP BY bucket),

@@ -218,11 +218,7 @@ object Summary {
       val v = col("__qs").getItem(i)
       val rankMin = sum((c < v).cast(LongType))
       val rankMax = sum((c <= v).cast(LongType))
-      // GK promises rank(v) ∈ [⌊(p−ε)N⌋, ⌈(p+ε)N⌉] — ceil/floor the lit
-      // sides so a sketch value sitting exactly at its error-bound edge
-      // still passes (raw p±ε·N is STRICTER than the documented contract)
-      ((rankMin + 1) <= ceil(lit(p + eps) * count(c))) &&
-        (rankMax >= floor(lit(p - eps) * count(c)))
+      gkRankOk(rankMin, rankMax, count(c), p, eps)
     }
     df.crossJoin(broadcast(sketch)).agg(
       count(c).as("n"),
@@ -230,6 +226,18 @@ object Summary {
       round(max(c), 6).as("vmax"),
       ok(0, 0.25).as("ok25"), ok(1, 0.5).as("ok50"), ok(2, 0.75).as("ok75"))
   }
+
+  /** the GK acceptance predicate, shared by [[approxQuantileBoundCheck]]
+    * and its boundary unit test: a value occupying ranks
+    * (rankMin, rankMax] is acceptable iff that interval intersects
+    * [⌊(p−ε)N⌋, ⌈(p+ε)N⌉]. The ceil/floor on the bound sides is load-
+    * bearing — raw p±ε·N is STRICTER than the documented GK contract, and
+    * a sketch value sitting exactly at its integer error-bound edge would
+    * flip the oracle to a false mismatch without it. */
+  private[graft] def gkRankOk(rankMin: Column, rankMax: Column, n: Column,
+                              p: Double, eps: Double): Column =
+    ((rankMin + 1) <= ceil(lit(p + eps) * n)) &&
+      (rankMax >= floor(lit(p - eps) * n))
 
   /** the bit-summary side as a distributed plan (cl-data-frame.lisp:31-38):
     * ones + total of a boolean column. */
@@ -273,10 +281,18 @@ object Summary {
     require(buckets >= 2 && buckets <= 4096,
       s"histogramDrift: buckets must be in [2,4096], got $buckets")
     val span = hi - lo + 1
+    // clamp the RAW value into [lo, hi] BEFORE the multiply: clamping the
+    // bucket after it lets (x − lo) · buckets overflow Long for extreme
+    // out-of-range x, wrapping negative so the row lands in bucket 0
+    // instead of the documented top edge bucket. Post-clamp the product is
+    // bounded by (span − 1) · buckets, which the require below keeps exact.
+    require(span <= Long.MaxValue / buckets,
+      s"histogramDrift: span ($span) * buckets ($buckets) would overflow " +
+        "Long — use coarser units (e.g. ms instead of ns) or fewer buckets")
     def hist(df: DataFrame, out: String): DataFrame =
       df.select(expr(
-          s"least(${buckets - 1}L, greatest(0L, " +
-            s"((CAST($colName AS BIGINT) - ${lo}L) * ${buckets}L) div ${span}L))")
+          s"((least(${hi}L, greatest(${lo}L, CAST($colName AS BIGINT))) " +
+            s"- ${lo}L) * ${buckets}L) div ${span}L")
           .as("bucket"))
         .groupBy("bucket").agg(count(lit(1)).as(out))
     hist(a, "n_a").join(hist(b, "n_b"), Seq("bucket"), "full")

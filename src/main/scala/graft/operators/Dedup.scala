@@ -952,24 +952,34 @@ object Dedup {
     * under the pair budget, distributed min-label propagation above it;
     * identical results either way). The extra work over keep-min is one
     * hash aggregate + one anti-join over CLUSTERED docs only — the pair
-    * graph's nodes, not the corpus. Ids must be numeric (the tie-break
-    * negates them inside the max-struct). */
+    * graph's nodes, not the corpus. Ids must be INTEGRAL (Byte/Short/Int/
+    * Long): the Long cast that aligns them with the pair graph truncates
+    * fractional Double/Decimal ids, which could collide distinct ids and
+    * mismatch the graph — rejected loudly instead. A NULL score ranks
+    * BELOW every non-null score (a doc with no score is never preferred
+    * over one with a score; among all-null components the smallest id
+    * survives) — explicit in the aggregate, not left to struct-null
+    * ordering. */
   def clusterDedupFromPairsKeepBest(df: DataFrame, idCol: String, score: Column,
                                     pairs: DataFrame,
                                     maxDriverPairs: Long = DriverUnionFindMaxPairs): DataFrame = {
-    require(df.schema(idCol).dataType.isInstanceOf[NumericType],
-      s"clusterDedupFromPairsKeepBest needs a numeric id column, " +
-        s"got ${df.schema(idCol).dataType} for '$idCol'")
+    val idType = df.schema(idCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
+      s"clusterDedupFromPairsKeepBest needs an integral id column " +
+        s"(Byte/Short/Int/Long — the Long alignment cast must be lossless), " +
+        s"got $idType for '$idCol'")
     val labels = componentLabels(pairs, maxDriverPairs,
       "clusterDedupFromPairsKeepBest")
     // clustered docs only: inner join against the labeling, then ONE hash
-    // aggregate picks each component's (max score, then min id) survivor —
-    // max over struct(score, -id, id) is exactly that ordering, computed
-    // with map-side partials, never a per-component sort
+    // aggregate picks each component's (non-null-first, max score, then min
+    // id) survivor — max over struct(score IS NOT NULL, score, -id, id) is
+    // exactly that ordering, computed with map-side partials, never a
+    // per-component sort
     val scored = df.select(col(idCol).cast(LongType).as("id"), score.as("__score"))
       .join(labels, Seq("id"))
     val best = scored.groupBy(col("label"))
-      .agg(max(struct(col("__score").as("s"), (lit(0L) - col("id")).as("negid"),
+      .agg(max(struct(col("__score").isNotNull.as("nn"),
+        col("__score").as("s"), (lit(0L) - col("id")).as("negid"),
         col("id").as("id"))).as("__b"))
       .select(col("__b.id").as("__keep"))
     val drop = scored.join(best, scored("id") === best("__keep"), "left_anti")

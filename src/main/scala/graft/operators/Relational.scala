@@ -256,9 +256,11 @@ object Relational {
     *
     * Two passes, both scans:
     *  1. a single-pass Misra-Gries candidate sketch (Spark's
-    *     `stat.freqItems`, per-partition maps of ≤ 1/support entries merged
-    *     on the driver — bounded by the sketch contract, NOT by data size).
-    *     Misra-Gries guarantees NO false negatives for any partitioning or
+    *     `stat.freqItems` run at support/2 — see the in-body note — with
+    *     per-partition maps of ≤ 2/support entries merged on the driver,
+    *     bounded by the sketch contract, NOT by data size). Misra-Gries at
+    *     the halved support guarantees NO false negatives for the
+    *     ≥ ceil(support·N) confirm threshold under any partitioning or
     *     arrival order; the candidate set may carry order-dependent false
     *     positives;
     *  2. an exact confirming count restricted to the candidates (a literal
@@ -278,7 +280,16 @@ object Relational {
       s"support must be in (1e-4, 1), got $support (freqItems' own floor)")
     val n = if (total >= 0) total else df.count()
     val thresh = math.ceil(support * n).toLong
-    val cands = df.stat.freqItems(Seq(keyCol), support)
+    // sketch at HALF the support: freqItems (Misra-Gries) only guarantees
+    // survival of items with count STRICTLY ABOVE sketchSupport·N, so when
+    // support·N is an integer an item with count exactly ceil(support·N)
+    // = support·N could legally be evicted from a sketch run at `support` —
+    // a partitioning-dependent false negative. At support/2 every item the
+    // confirm filter can keep satisfies count ≥ support·N > (support/2)·N,
+    // putting it inside the guarantee; the sketch map merely doubles
+    // (≤ 2/support entries), still bounded by the contract, not data size.
+    val sketchSupport = math.max(support / 2, 1e-4)
+    val cands = df.stat.freqItems(Seq(keyCol), sketchSupport)
       .head().getSeq[Any](0)
     if (cands.isEmpty) {
       // no candidate survived the sketch → by no-false-negatives nothing

@@ -192,22 +192,34 @@ object Sources {
   }
 
   /** order- and partitioning-independent content manifest of a frame:
-    * (row_count, content_hash) where content_hash = bit-XOR of per-row
-    * xxhash64 over ALL columns (struct-packed, so nulls and types are part
-    * of the hash). XOR is commutative — the manifest is identical under
-    * any row order, partitioning, or file layout, which is the point: it
-    * versions the DATA, not the layout, so a re-clustered (z-ordered,
-    * compacted, repartitioned) copy of a 100 TB dataset verifies equal
-    * while a single changed row flips it. One scan, no shuffle beyond the
-    * 1-row aggregate. Caveat shared by all multiset-XOR schemes: a row
-    * appearing an EVEN number of times cancels out — row_count catches the
-    * duplication, so always compare BOTH fields. */
+    * (row_count, content_hash) where content_hash = wraparound mod-2^64 SUM
+    * of per-row xxhash64 over ALL columns (struct-packed, so nulls and
+    * types are part of the hash). Addition is commutative — the manifest is
+    * identical under any row order, partitioning, or file layout, which is
+    * the point: it versions the DATA, not the layout, so a re-clustered
+    * (z-ordered, compacted, repartitioned) copy of a 100 TB dataset
+    * verifies equal while a single changed row flips it. One scan, no
+    * shuffle beyond the 1-row aggregate.
+    *
+    * SUM, not XOR, deliberately: a multiset-XOR cancels any row duplicated
+    * an EVEN number of times (x ⊕ x = 0), so doubling a row PAIR was
+    * invisible to the hash and only fenced by row_count. Under the sum a
+    * duplicated row shifts the hash by its own term — duplication changes
+    * BOTH fields. The executor-side sum rides DECIMAL(38,0) (exact to
+    * ~10^19 rows — ANSI-safe, no Long overflow mid-aggregation) and wraps
+    * to the low 64 bits on the driver, which is exactly the commutative
+    * wraparound-Long sum. */
   def contentManifest(df: DataFrame): (Long, Long) = {
-    import org.apache.spark.sql.functions.{bit_xor, count, lit, struct, xxhash64, col}
+    import org.apache.spark.sql.functions.{count, lit, struct, sum, xxhash64, col}
+    import org.apache.spark.sql.types.DecimalType
     val r = df.agg(
       count(lit(1)),
-      bit_xor(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*)))).head()
-    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+      sum(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*))
+        .cast(DecimalType(38, 0)))).head()
+    val h =
+      if (r.isNullAt(1)) 0L
+      else r.getDecimal(1).toBigInteger.longValue() // low 64 bits = wraparound
+    (r.getLong(0), h)
   }
 
   /** write a JSON manifest next to a dataset (one line: rows + hash). */

@@ -84,6 +84,50 @@ class ErrorsAndSummarySpec extends AnyFunSuite {
     assert(math.abs(e.q50 - a.q50) <= 1.0 && math.abs(e.q25 - a.q25) <= 1.0)
   }
 
+  test("GK bound predicate accepts a sketch value at the integer ceil/floor boundary") {
+    // n=9999, accuracy 10000 ⇒ ε=1e-4: for p=0.25, (p+ε)·N = 2500.7499 and
+    // (p−ε)·N = 2498.75. A value occupying exactly rank 2501 = ⌈(p+ε)N⌉ is
+    // boundary-legal under the documented GK contract, but the raw
+    // (un-ceiled) comparison 2501 ≤ 2500.7499 would flag it — flipping
+    // q_quantiles_approx to a false oracle mismatch. This pins the
+    // ceil/floor slack in the shared predicate the plan uses.
+    def eval(rankMin: Long, rankMax: Long, n: Long, p: Double): Boolean =
+      spark.range(1)
+        .select(Summary.gkRankOk(lit(rankMin), lit(rankMax), lit(n), p, 1e-4)
+          .as("ok"))
+        .head().getBoolean(0)
+    assert(eval(2500, 2501, 9999, 0.25)) // exactly at the ceil edge: legal
+    assert((2500L + 1) > (0.25 + 1e-4) * 9999) // …where the raw bound rejects
+    assert(eval(2497, 2498, 9999, 0.25)) // exactly at the floor edge: legal
+    assert(!eval(2502, 2503, 9999, 0.25)) // past the ceil edge: rejected
+    assert(!eval(2496, 2497, 9999, 0.25)) // below the floor edge: rejected
+  }
+
+  test("histogramDrift clamps extremes to edge buckets pre-multiply; oversized span rejected") {
+    import spark.implicits._
+    // Long.MaxValue under the old post-multiply clamp overflowed
+    // (x − lo) · buckets negative and landed in bucket 0 — it must land in
+    // the TOP edge bucket, symmetrically with Long.MinValue in bucket 0
+    val a = Seq(Long.MinValue, -5L, 0L, 100L, 4000L, Long.MaxValue).toDF("x")
+    val b = Seq(0L).toDF("x")
+    val byBucket = Summary.histogramDrift(a, b, "x", 0L, 4095L, 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byBucket(0L) == 4L)  // MinValue, -5, 0, 100
+    assert(byBucket(15L) == 2L) // 4000, MaxValue (clamped to hi)
+    // a span whose product with buckets cannot stay in Long is loud
+    val e = intercept[IllegalArgumentException](
+      Summary.histogramDrift(a, b, "x", 0L, Long.MaxValue - 1, 16))
+    assert(e.getMessage.contains("overflow"))
+  }
+
+  test("SPARK_GRAFT_BENCH_ONLY validation: unknown names fail fast") {
+    Bench.validateBenchOnly(None, Set("q_a"))
+    Bench.validateBenchOnly(Some(Set("q_a")), Set("q_a", "q_b"))
+    val e = intercept[IllegalArgumentException](
+      Bench.validateBenchOnly(Some(Set("q_a", "q_typo")), Set("q_a", "q_b")))
+    assert(e.getMessage.contains("q_typo"))
+  }
+
   test("frame summary switches raw↔summary at nrow 10 (cl-data-frame.lisp:463-476)") {
     val small = DF(spark, "x" -> Seq(1, 2, 3))
     assert(!Summary.frameSummary(small.toSpark).contains("%")) // raw rows

@@ -758,6 +758,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(distKept == kept)
   }
 
+  test("clusterDedupFromPairsKeepBest: null scores rank below scored; fractional ids rejected") {
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    // component {1,2,3}: doc 2 has NO score — the survivor must be the best
+    // SCORED member (doc 3), never the null
+    val frame = Seq((1L, Some(5.0)), (2L, Option.empty[Double]),
+      (3L, Some(7.0))).toDF("id", "q")
+    val kept = Dedup.clusterDedupFromPairsKeepBest(frame, "id", col("q"), pairs)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L))
+    // all-null component → documented fallback: smallest id survives
+    val allNull = Seq((1L, Option.empty[Double]), (2L, Option.empty[Double]),
+      (3L, Option.empty[Double])).toDF("id", "q")
+    val nKept = Dedup.clusterDedupFromPairsKeepBest(allNull, "id", col("q"), pairs)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(nKept == Set(1L))
+    // fractional ids would truncate in the Long alignment cast (distinct
+    // ids could collide / not match the pair graph) — loud reject
+    val frac = Seq((1.5, 5.0), (2.5, 9.0)).toDF("id", "q")
+    val e = intercept[IllegalArgumentException](
+      Dedup.clusterDedupFromPairsKeepBest(frac, "id", col("q"), pairs))
+    assert(e.getMessage.contains("integral"))
+  }
+
   test("inverted index search: conjunctive match, integer tf ranking") {
     import graft.operators.Search
     val d = Seq(

@@ -174,14 +174,20 @@ class SourcesAndUdafSpec extends AnyFunSuite {
     Sources.writeManifest(d, p)
     Sources.verifyManifest(d.repartition(5), p) // re-layout verifies clean
     intercept[IllegalStateException] { Sources.verifyManifest(changed, p) }
-    // the documented multiset-XOR caveat, pinned: duplicating EVERY row
-    // cancels the hash term (x XOR x = 0 per pair) — the row count is what
-    // catches it, which is why the manifest is the PAIR and verifyManifest
-    // compares both fields
+    // the wraparound-SUM upgrade, pinned: under the old multiset-XOR a row
+    // duplicated an even number of times cancelled (x ⊕ x = 0) and only
+    // row_count fenced it; under the sum each extra copy shifts the hash
+    // by its own term, so duplicating a row PAIR flips the hash itself
     val doubled = d.unionAll(d)
     val md = Sources.contentManifest(doubled)
-    assert(md._2 == 0L) // every row twice → all hash terms cancel pairwise
-    assert(md._1 == 2 * m1._1) // …and the row count is what flags it
+    assert(md._2 != m1._2, "doubling every row must flip the sum-hash")
+    assert(md._1 == 2 * m1._1)
     intercept[IllegalStateException] { Sources.verifyManifest(doubled, p) }
+    // …and duplicating just one row PAIR (same count parity trap as the
+    // XOR caveat, but with an unchanged-looking corpus) flips it too
+    val onePair = d.unionAll(d.filter(col("id") === 7))
+      .unionAll(d.filter(col("id") === 7))
+    val mp = Sources.contentManifest(onePair)
+    assert(mp._2 != m1._2, "an even-duplicated row must not cancel out")
   }
 }
