@@ -114,25 +114,52 @@ object Layout {
     * clustered, with fresh bounds (appends may have widened the domain).
     *
     * Spark cannot safely overwrite its own lazy input, so the rewrite goes
-    * to a sibling temp directory and is swapped in with two filesystem
-    * renames (metadata-only; the new data is FULLY committed before the
-    * old directory is touched, so a crash leaves either the old or the new
-    * layout, never a mix). Same cost law as [[writeZOrdered]]: one bounds
+    * to a sibling temp directory and is swapped in with two Hadoop
+    * FileSystem renames (metadata-only on HDFS-like stores; works on any
+    * `FileSystem` the path's scheme resolves, not just the local disk).
+    * The new data is FULLY committed before the old directory is touched,
+    * so no committed row is ever lost — but the swap itself is two renames,
+    * not one atomic operation: a crash BETWEEN them leaves no directory at
+    * `path`, with the data intact in `path`.zcompact_old. Entry both here
+    * and in [[recoverZCompact]] restores that state (this method begins by
+    * recovering any interrupted predecessor), so the caller contract is:
+    * run compaction — and reads of `path` — inside the same maintenance
+    * window, and call [[recoverZCompact]] (or simply compact again) on
+    * startup after a crash. Same cost law as [[writeZOrdered]]: one bounds
     * scan + one range shuffle over the data being compacted. */
   def compactZOrdered(spark: org.apache.spark.sql.SparkSession, path: String,
                       a: Column, b: Column, bits: Int = 16,
                       numFiles: Int = 32): Unit = {
-    import java.nio.file.{Files, Path, Paths}
-    val tmp = path + ".zcompact_tmp"
-    val bak = path + ".zcompact_old"
-    writeZOrdered(spark.read.parquet(path), tmp, a, b, bits, numFiles)
-    def rmTree(p: Path): Unit = if (Files.exists(p)) {
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
-        .forEach(f => Files.delete(f))
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".zcompact_tmp")
+    val bak = new org.apache.hadoop.fs.Path(path + ".zcompact_old")
+    recoverZCompact(spark, path) // an interrupted predecessor's swap
+    fs.delete(tmp, true) // a predecessor's uncommitted rewrite is garbage
+    writeZOrdered(spark.read.parquet(path), tmp.toString, a, b, bits,
+      numFiles)
+    fs.delete(bak, true)
+    if (!fs.rename(p, bak))
+      sys.error(s"compactZOrdered: rename $p -> $bak failed")
+    if (!fs.rename(tmp, p)) {
+      fs.rename(bak, p) // put the old layout back before failing loudly
+      sys.error(s"compactZOrdered: rename $tmp -> $p failed (old layout restored)")
     }
-    rmTree(Paths.get(bak))
-    Files.move(Paths.get(path), Paths.get(bak))
-    Files.move(Paths.get(tmp), Paths.get(path))
-    rmTree(Paths.get(bak))
+    fs.delete(bak, true)
+  }
+
+  /** recovery for a [[compactZOrdered]] crash between its two renames: if
+    * nothing sits at `path` but the `.zcompact_old` backup exists, restore
+    * it. Idempotent; returns true iff a restore happened. Called
+    * automatically at the start of every compaction — call it directly on
+    * startup when readers may touch `path` before the next maintenance
+    * window. */
+  def recoverZCompact(spark: org.apache.spark.sql.SparkSession,
+                      path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val bak = new org.apache.hadoop.fs.Path(path + ".zcompact_old")
+    if (!fs.exists(p) && fs.exists(bak)) fs.rename(bak, p) else false
   }
 }

@@ -29,16 +29,22 @@ object Search {
       .agg(count(lit(1)).as("tf"))
 
   /** persist the inverted index for `df`: `store`_postings (term, doc_id,
-    * tf) bucketed by term, and `store`_terms (term, df) — both managed
-    * bucketed tables with build metadata (kind + nBuckets, so appends can
-    * match the bucket spec without the caller re-supplying it). */
+    * tf, __batch) bucketed by term, and `store`_terms (term, df, __batch)
+    * — both managed bucketed tables with build metadata (kind + nBuckets,
+    * so appends can match the bucket spec without the caller re-supplying
+    * it). `__batch` tags each row with the append batch that wrote it
+    * (−1 for the base build) — the idempotence handle replayed streaming
+    * batches key on (see [[appendInvertedIndex]]); readers never select
+    * it. */
   def writeInvertedIndex(df: DataFrame, idCol: String, textCol: String,
                          store: String, nBuckets: Int = 64): Unit = {
     val posts = postingsOf(df, idCol, textCol)
-    graft.sources.Sources.writeBucketed(posts, s"${store}_postings", "term",
-      nBuckets)
     graft.sources.Sources.writeBucketed(
-      posts.groupBy("term").agg(count(lit(1)).as("df")),
+      posts.withColumn("__batch", lit(-1L)),
+      s"${store}_postings", "term", nBuckets)
+    graft.sources.Sources.writeBucketed(
+      posts.groupBy("term").agg(count(lit(1)).as("df"))
+        .withColumn("__batch", lit(-1L)),
       s"${store}_terms", "term", nBuckets)
     Dedup.setStoreParams(df.sparkSession, s"${store}_postings",
       Map("kind" -> "inverted_index", "nBuckets" -> nBuckets))
@@ -52,9 +58,23 @@ object Search {
     * store append here): the batch's doc ids are NEW — re-appending a doc
     * double-counts its term frequencies. The terms table accretes
     * per-batch (term, df) rows; doc-freq readers SUM by term, which is
-    * exact because batches are disjoint doc sets. */
+    * exact because batches are disjoint doc sets.
+    *
+    * `batchId ≥ 0` makes the append IDEMPOTENT per table: rows are tagged
+    * with the id and the append is skipped when the table already holds
+    * that batch — so an at-least-once redelivery (foreachBatch replay
+    * after a crash anywhere around the append) can never double-count
+    * tf/df. Each `saveAsTable(Append)` job commit is the atomicity unit,
+    * so a crash BETWEEN the postings and terms appends recovers exactly:
+    * the replay skips the completed table and appends only the missing
+    * one. The presence probe is one `limit(1)` scan whose `__batch`
+    * predicate prunes on per-file column stats (append batches write
+    * constant-valued files). Default −1 keeps plain batch appends
+    * un-probed (tagged −1; idempotence there is the caller's contract, as
+    * before). Pre-`__batch` stores (no tag column) append untagged and
+    * keep the legacy marker-only semantics. */
   def appendInvertedIndex(df: DataFrame, idCol: String, textCol: String,
-                          store: String): Unit = {
+                          store: String, batchId: Long = -1L): Unit = {
     val spark = df.sparkSession
     Dedup.checkStoreParams(spark, s"${store}_postings",
       Map("kind" -> "inverted_index"))
@@ -64,12 +84,28 @@ object Search {
       sys.error(s"$store: no graft.nBuckets property — not an appendable " +
         "index (rebuilt with writeInvertedIndex to upgrade)")).toInt
     val posts = postingsOf(df, idCol, textCol)
-    graft.sources.Sources.writeBucketed(posts, s"${store}_postings", "term",
-      nBuckets, org.apache.spark.sql.SaveMode.Append)
-    graft.sources.Sources.writeBucketed(
+    appendBatchOnce(spark, posts, s"${store}_postings", nBuckets, batchId)
+    appendBatchOnce(spark,
       posts.groupBy("term").agg(count(lit(1)).as("df")),
-      s"${store}_terms", "term", nBuckets,
-      org.apache.spark.sql.SaveMode.Append)
+      s"${store}_terms", nBuckets, batchId)
+  }
+
+  /** one gated bucketed append: tag with the batch id (when the table has
+    * the tag column) and skip if that batch already committed to THIS
+    * table — the per-table half of [[appendInvertedIndex]]'s idempotence
+    * contract. */
+  private[graft] def appendBatchOnce(spark: SparkSession, rows: DataFrame,
+                                     table: String, nBuckets: Int,
+                                     batchId: Long): Unit = {
+    val hasTag = spark.table(table).columns.contains("__batch")
+    val committed = hasTag && batchId >= 0 &&
+      spark.table(table).filter(col("__batch") === batchId)
+        .limit(1).count() > 0
+    if (!committed) {
+      val out = if (hasTag) rows.withColumn("__batch", lit(batchId)) else rows
+      graft.sources.Sources.writeBucketed(out, table, "term", nBuckets,
+        org.apache.spark.sql.SaveMode.Append)
+    }
   }
 
   /** per-term corpus doc frequency from the accreted terms table (SUM over

@@ -505,14 +505,20 @@ object Streams {
 
   /** one pass of streaming ingest into the SEARCH index: each micro-batch's
     * postings append to the inverted index ([[graft.operators.Search
-    * .appendInvertedIndex]] — bucket spec from the store's own metadata)
-    * under the same per-batchId commit-marker gate as
-    * [[runStoreIngestOnce]]. The gate is CORRECTNESS-critical here, not
-    * just hygiene: a re-delivered batch's duplicate fingerprint rows
-    * cannot change an anti-join, but duplicate POSTINGS would inflate
-    * every affected term's tf and doc-freq — so an already-marked batch
-    * must skip the append entirely. Markers live under the checkpoint dir
-    * (they recover or reset together with the batchId sequence). */
+    * .appendInvertedIndex]] — bucket spec from the store's own metadata).
+    * Idempotence is CORRECTNESS-critical here, not just hygiene: a
+    * re-delivered batch's duplicate fingerprint rows cannot change an
+    * anti-join, but duplicate POSTINGS would inflate every affected term's
+    * tf and doc-freq. foreachBatch is at-least-once, so the guarantee
+    * cannot rest on marker-write ordering alone (a crash between the
+    * append and the marker would replay into a double append) — the
+    * append itself is keyed by batchId: `appendInvertedIndex(batchId)`
+    * tags every row and skips any table that already holds the batch,
+    * recovering exactly even from a crash BETWEEN the postings and terms
+    * appends. The commit markers remain as a fast path (a marked batch
+    * skips the whole call, probe included); they live under the
+    * checkpoint dir so they recover or reset together with the batchId
+    * sequence. */
   def runSearchIngestOnce(spark: SparkSession, inDir: String,
                           checkpointDir: String, store: String,
                           idCol: String = "doc_id",
@@ -529,7 +535,7 @@ object Streams {
         val marker = new org.apache.hadoop.fs.Path(markers, batchId.toString)
         if (!fs.exists(marker)) {
           graft.operators.Search.appendInvertedIndex(
-            batch.toDF(), idCol, textCol, store)
+            batch.toDF(), idCol, textCol, store, batchId)
           fs.mkdirs(markers)
           fs.createNewFile(marker)
           s.catalog.refreshTable(s"${store}_postings")

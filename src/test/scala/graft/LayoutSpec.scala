@@ -142,4 +142,32 @@ class LayoutSpec extends AnyFunSuite {
     assert(avgSpan("o_custkey") < 0.6, s"custkey spans: ${avgSpan("o_custkey")}")
     assert(avgSpan("day") < 0.6, s"day spans: ${avgSpan("day")}")
   }
+
+  test("compactZOrdered crash window: recoverZCompact restores, recompaction self-heals") {
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .withColumn("day", datediff(col("o_orderdate").cast("date"),
+        to_date(lit("1970-01-01"))).cast("long"))
+    val dir = Files.createTempDirectory("graft_zr").toString + "/t"
+    Layout.writeZOrdered(orders, dir, col("o_custkey"), col("day"),
+      bits = 16, numFiles = 4)
+    val expSum = orders.agg(sum(col("o_orderkey"))).head().getLong(0)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // simulate a crash BETWEEN the two swap renames: path moved to the
+    // backup, the new layout never moved in — no directory at `path`
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(dir + ".zcompact_old")))
+    assert(Layout.recoverZCompact(spark, dir)) // explicit startup recovery
+    assert(!Layout.recoverZCompact(spark, dir)) // idempotent no-op after
+    assert(spark.read.parquet(dir).agg(sum(col("o_orderkey"))).head()
+      .getLong(0) == expSum)
+    // same crash state again, healed implicitly by the next compaction
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(dir + ".zcompact_old")))
+    Layout.compactZOrdered(spark, dir, col("o_custkey"), col("day"),
+      bits = 16, numFiles = 4)
+    assert(spark.read.parquet(dir).agg(sum(col("o_orderkey"))).head()
+      .getLong(0) == expSum)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + ".zcompact_old")))
+  }
 }

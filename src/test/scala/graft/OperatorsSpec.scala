@@ -894,6 +894,53 @@ class OperatorsSpec extends AnyFunSuite {
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("appendInvertedIndex(batchId): replays never double-count, partial crashes recover") {
+    import graft.operators.Search
+    val b1 = Seq((1L, "scan join scan"), (2L, "join alone")).toDF("doc_id", "text")
+    val b2 = Seq((3L, "scan join join")).toDF("doc_id", "text")
+    Search.writeInvertedIndex(b1, "doc_id", "text", "graft_search_idem",
+      nBuckets = 2)
+    try {
+      def state = (spark.table("graft_search_idem_postings").count(),
+        Search.termDocFreq(spark, "graft_search_idem").collect()
+          .map(r => (r.getString(0), r.getLong(1))).toMap)
+      Search.appendInvertedIndex(b2, "doc_id", "text", "graft_search_idem",
+        batchId = 7L)
+      val after = state
+      // at-least-once redelivery (crash after both table appends, before
+      // the ingest loop's marker): the full replay must be a no-op — under
+      // the old marker-after-append ordering this double-counted tf/df
+      Search.appendInvertedIndex(b2, "doc_id", "text", "graft_search_idem",
+        batchId = 7L)
+      assert(state == after, "replayed batch must not change the index")
+      // crash BETWEEN the postings and terms appends: batch 9's postings
+      // committed, its terms did not — the replay must skip the committed
+      // postings and append ONLY the missing terms rows
+      val b3 = Seq((4L, "scan solo")).toDF("doc_id", "text")
+      val b3posts = Seq(("scan", 4L, 1L), ("solo", 4L, 1L))
+        .toDF("term", "doc_id", "tf")
+      Search.appendBatchOnce(spark, b3posts, "graft_search_idem_postings",
+        2, batchId = 9L)
+      val partial = state
+      Search.appendInvertedIndex(b3, "doc_id", "text", "graft_search_idem",
+        batchId = 9L)
+      val recovered = state
+      assert(recovered._1 == partial._1, "committed postings must not double")
+      assert(recovered._2("solo") == 1L, "missing terms rows must append")
+      // recovered index ≡ a from-scratch rebuild over all three batches
+      Search.writeInvertedIndex(b1.unionAll(b2).unionAll(b3), "doc_id",
+        "text", "graft_search_idem_full", nBuckets = 2)
+      def res(store: String) = Search.searchAll(spark, store,
+          Seq("scan", "join"), 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(res("graft_search_idem") == res("graft_search_idem_full"))
+      assert(recovered._2 == Search.termDocFreq(spark, "graft_search_idem_full")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap)
+    } finally Seq("graft_search_idem_postings", "graft_search_idem_terms",
+      "graft_search_idem_full_postings", "graft_search_idem_full_terms")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("clusterSizeHistogramPortable: component sizes plus the singleton row") {
     val d = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),
