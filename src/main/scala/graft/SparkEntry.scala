@@ -265,6 +265,20 @@ object SparkEntry {
   private[graft] def containmentFreqCap(n: Long): Long =
     if (n <= 10000) Long.MaxValue else math.max(64L, (8.0 * log2(n)).toLong)
 
+  /** PRODUCTION containment cap profile (q_containment_capped): engaged at
+    * EVERY corpus size, and materially tighter than [[containmentFreqCap]]'s
+    * 8·log₂ valve — 3·log₂(corpus) with a floor of 32. The candidate join's
+    * fan-out on a shingle of document frequency f is O(f²), so the cost of
+    * the band f ∈ (3·log₂ n, 8·log₂ n] that [[containmentFreqCap]] admits
+    * grows ~7× faster than what this profile admits; on a replica-heavy
+    * corpus that band is exactly where template/boilerplate vocabulary
+    * lands. Lossy ONLY for pairs whose every rarest-prefix witness is
+    * boilerplate at this tighter bar. At the correctness SFs the floor
+    * keeps it a no-op (max observed shingle doc-freq: 7 at sf0.01, 25 at
+    * sf0.1 — both under 32), so the ground-truth oracle stays exact. */
+  private[graft] def containmentFreqCapScaled(n: Long): Long =
+    math.max(32L, (3.0 * log2(n)).toLong)
+
   /** memoized embeddings row count per sf dir (same shape as [[docCountFor]]),
     * feeding the corpus-scaled banding profile below. */
   private val embCounts = new scala.collection.concurrent.TrieMap[String, Long]
@@ -1406,6 +1420,17 @@ object SparkEntry {
       Dedup.ngramContainmentPrefix(rd(s, dir, "documents"), "doc_id", "text",
           threshold = 0.7, ngram = 3,
           maxShingleDocFreq = containmentFreqCap(docCountFor(s, dir)))
+        .orderBy("id_a", "id_b")),
+    "q_containment_capped" -> ((s, dir) =>
+      // the PRODUCTION containment profile (round-12 verdict item 4): the
+      // corpus-scaled boilerplate cap engaged at EVERY size, not just past
+      // 10k docs. At the correctness SFs the floor keeps it lossless (the
+      // same ground-truth oracle as q_containment must stay exact); on
+      // replica-heavy corpora it trims the O(f²) candidate fan-out of the
+      // mid-frequency boilerplate band the lossless valve admits
+      Dedup.ngramContainmentPrefix(rd(s, dir, "documents"), "doc_id", "text",
+          threshold = 0.7, ngram = 3,
+          maxShingleDocFreq = containmentFreqCapScaled(docCountFor(s, dir)))
         .orderBy("id_a", "id_b")),
     "q_token_budget" -> ((s, dir) =>
       // domain mixing to a 10k-token budget: rates derived offline from the
@@ -3432,6 +3457,11 @@ object SparkEntry {
                AS DOUBLE) / count(*)) AS BIGINT) / 1000000.0 AS centroid
          FROM e GROUP BY label, pos ORDER BY label, pos""",
     "q_containment" -> NgramContainmentPrefixOracle,
+    // same GROUND-TRUTH oracle: at the correctness SFs the scaled cap's
+    // floor (32) sits above the max observed shingle doc-freq, so the
+    // capped query must reproduce the exact all-pairs answer — a cap that
+    // drops a true pair at these SFs hash-mismatches here
+    "q_containment_capped" -> NgramContainmentPrefixOracle,
     "q_span_overlap" -> SpanOverlapOracle,
     "q_span_dedup" -> SpanDedupOracle,
     "q_contamination" -> ContaminationOracle,

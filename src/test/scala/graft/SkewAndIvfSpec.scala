@@ -375,6 +375,12 @@ class SkewAndIvfSpec extends AnyFunSuite {
     // 8·log2(n) past 10k docs
     assert(SparkEntry.containmentFreqCap(50000) == 124L)
     assert(SparkEntry.containmentFreqCap(150000) == 137L)
+    // the PRODUCTION capped profile: floor 32 covers the correctness SFs
+    // (max observed shingle doc-freq 7 / 25 — the ground-truth oracle
+    // stays exact), 3·log2(n) past the floor
+    assert(SparkEntry.containmentFreqCapScaled(500) == 32L)
+    assert(SparkEntry.containmentFreqCapScaled(5000) == 36L)
+    assert(SparkEntry.containmentFreqCapScaled(150000) == 51L)
     // banded-hyperplane bandBits: fixture floor 12 at the test SFs (500 /
     // 2000 embeddings), ceil(log2 n)+3 past them, 60-bit pack cap 15
     assert(SparkEntry.embeddingBandBits(500) == 12)
