@@ -72,7 +72,17 @@ object Search {
     * constant-valued files). Default −1 keeps plain batch appends
     * un-probed (tagged −1; idempotence there is the caller's contract, as
     * before). Pre-`__batch` stores (no tag column) append untagged and
-    * keep the legacy marker-only semantics. */
+    * keep the legacy marker-only semantics.
+    *
+    * Torn-window READ semantics (crash between the postings and terms
+    * appends, before the replay): batch-N docs are already visible to the
+    * postings probes — [[searchAll]]/[[searchAny]] exactly, and
+    * [[searchWeighted]] with STALE weights: a term new in batch N has no
+    * terms row yet, so its postings drop out of the weight join and
+    * contribute 0; a pre-existing term keeps its pre-batch doc-freq, so
+    * `docCount div df` is overstated until replay. Never a crash or a
+    * phantom doc — a bounded, replay-converging staleness (tested in
+    * OperatorsSpec "partial crashes recover"). */
   def appendInvertedIndex(df: DataFrame, idCol: String, textCol: String,
                           store: String, batchId: Long = -1L): Unit = {
     val spark = df.sparkSession

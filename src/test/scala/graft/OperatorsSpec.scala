@@ -922,8 +922,30 @@ class OperatorsSpec extends AnyFunSuite {
       Search.appendBatchOnce(spark, b3posts, "graft_search_idem_postings",
         2, batchId = 9L)
       val partial = state
+      // torn-window READ semantics (postings visible, terms missing): a
+      // term new in batch 9 has no terms row → its postings drop out of
+      // the weight join and score 0 (doc invisible to searchWeighted)…
+      assert(Search.searchWeighted(spark, "graft_search_idem", Seq("solo"),
+        10, docCount = 4L).count() == 0L,
+        "new-in-batch term must contribute 0 until the terms append")
+      // …while searchAll sees the committed postings immediately
+      assert(Search.searchAll(spark, "graft_search_idem", Seq("solo"), 10)
+        .collect().map(_.getLong(0)).toSeq == Seq(4L))
+      // a PRE-existing term keeps its stale (pre-batch) doc-freq: "scan"
+      // df=2 not 3 → weight 4 div 2 = 2, so the new doc scores tf·2 = 2
+      val torn = Search.searchWeighted(spark, "graft_search_idem",
+          Seq("scan"), 10, docCount = 4L)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(torn(4L) == 2L, "torn window scores with the stale df weight")
       Search.appendInvertedIndex(b3, "doc_id", "text", "graft_search_idem",
         batchId = 9L)
+      // replay converges the weights: df("scan")=3 → weight 4 div 3 = 1
+      val healed = Search.searchWeighted(spark, "graft_search_idem",
+          Seq("scan"), 10, docCount = 4L)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(healed(4L) == 1L)
+      assert(Search.searchWeighted(spark, "graft_search_idem", Seq("solo"),
+        10, docCount = 4L).collect().map(_.getLong(0)).toSeq == Seq(4L))
       val recovered = state
       assert(recovered._1 == partial._1, "committed postings must not double")
       assert(recovered._2("solo") == 1L, "missing terms rows must append")
