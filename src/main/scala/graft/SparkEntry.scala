@@ -418,6 +418,25 @@ object SparkEntry {
           "rev_cents" -> cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
         .toSpark.orderBy("l_orderkey", "l_linenumber")
     }),
+    "q_map_df" -> ((s, dir) => {
+      // the reference's map-df LAMBDA form (cl-data-frame.lisp:528-552),
+      // DISTRIBUTED: the Scala closure runs inside executor tasks over the
+      // multi-partition lineitem corpus via DF.mapDFRows (RDD map + eager
+      // localCheckpoint — fn exactly once per row), never a driver collect.
+      // resultTypes given explicitly (the reference's :element-type), so
+      // no type-inference sampling job runs.
+      DF.fromSpark(rd(s, dir, "lineitem"))
+        .mapDFRows(
+          Seq("l_orderkey", "l_linenumber", "l_quantity", "l_discount"),
+          Seq("l_orderkey", "l_linenumber", "qty_band", "disc_cents"),
+          Seq(LongType, org.apache.spark.sql.types.IntegerType,
+            LongType, LongType)) { in =>
+          val qty = in(2).asInstanceOf[Double]
+          val disc = in(3).asInstanceOf[Double]
+          Seq(in(0), in(1), (qty / 10.0).toLong, math.round(disc * 100.0))
+        }
+        .toSpark.orderBy("l_orderkey", "l_linenumber")
+    }),
     "q_add_column" -> ((s, dir) => {
       DF.fromSpark(rd(s, dir, "customer"))
         .addColumn("bal_band", floor(col("c_acctbal") / 100).cast(LongType))
@@ -2810,6 +2829,17 @@ object SparkEntry {
     "q_map_rows" ->
       """SELECT l_orderkey, l_linenumber,
            CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS rev_cents
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+    // q_map_df's lambda is plain arithmetic exactly so the distributed
+    // lambda MACHINERY (row-id carry, executor-side fn, checkpoint) is
+    // what the oracle checks — the math itself must be replicable in SQL.
+    // (qty/10).toLong truncates toward zero == floor for qty >= 0;
+    // math.round(half-up) == DuckDB round(half-away) on these inputs
+    // (disc*100 lands within 1e-12 of an integer, never near .5).
+    "q_map_df" ->
+      """SELECT l_orderkey, l_linenumber,
+           CAST(floor(l_quantity / 10) AS BIGINT) AS qty_band,
+           CAST(round(l_discount * 100) AS BIGINT) AS disc_cents
          FROM lineitem ORDER BY l_orderkey, l_linenumber""",
     "q_add_column" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,

@@ -150,6 +150,21 @@ object Sources {
         props.map { case (k, v) => s"'$k' = '$v'" }.mkString(", ") + ")")
   }
 
+  /** open a z-ordered parquet directory (written by
+    * [[graft.operators.Layout.writeZOrdered]], maintained by
+    * [[graft.operators.Layout.compactZOrdered]]) THROUGH the compaction
+    * crash-recovery check: a crash between the swap's two renames leaves
+    * nothing at `path` with the data intact in `path`.zcompact_old, and a
+    * reader that opens the raw path in that state fails as if the store
+    * were lost. Routing store opens through here makes recovery automatic
+    * instead of requiring the operator to know
+    * [[graft.operators.Layout.recoverZCompact]] exists. Cost when no crash
+    * happened: two FileSystem existence probes. */
+  def openZOrdered(spark: SparkSession, path: String): DataFrame = {
+    graft.operators.Layout.recoverZCompact(spark, path)
+    spark.read.parquet(path)
+  }
+
   /** raw binary-file ingest — the media on-ramp for the multimodal pipeline
     * (`operators.Multimodal` consumes blob + metadata frames of exactly this
     * shape): one row per file with (path, modificationTime, length, content).

@@ -157,7 +157,11 @@ class LayoutSpec extends AnyFunSuite {
     // backup, the new layout never moved in — no directory at `path`
     assert(fs.rename(new org.apache.hadoop.fs.Path(dir),
       new org.apache.hadoop.fs.Path(dir + ".zcompact_old")))
-    assert(Layout.recoverZCompact(spark, dir)) // explicit startup recovery
+    // the store-open path recovers AUTOMATICALLY — no operator action.
+    // (A raw spark.read.parquet(dir) here would throw path-not-found;
+    // that failure mode is exactly why opens route through openZOrdered.)
+    assert(graft.sources.Sources.openZOrdered(spark, dir)
+      .agg(sum(col("o_orderkey"))).head().getLong(0) == expSum)
     assert(!Layout.recoverZCompact(spark, dir)) // idempotent no-op after
     assert(spark.read.parquet(dir).agg(sum(col("o_orderkey"))).head()
       .getLong(0) == expSum)
