@@ -1593,7 +1593,20 @@ object Dedup {
     * restricted arrays intersect ~60% cheaper, but BUILDING them is a
     * postings-wide join + collect_list + checkpoint that costs more than
     * the whole full-array verify (15→39 s at 10×, 81→201 s at 30×). The
-    * straightforward shape below beat both at every measured scale. */
+    * straightforward shape below beat both at every measured scale.
+    *
+    * Round-14 scale verdict on the freq-cap profiles (BASELINE.md
+    * "Containment capped-vs-lossless"): at 30× the production
+    * 3·log₂ n cap runs 15.5 s vs 52.8 s lossless in the SAME draw
+    * (the (3·log₂ n, 8·log₂ n] doc-freq band it removes carried ~⅔ of
+    * the O(f²) candidate mass); at 100× the lossless profile DNFs —
+    * its candidate-join spill exhausts a 75 GB scratch disk (verified
+    * disk-bound, not heap: identical failure at 8g and 48g driver
+    * heap) — while the capped profile completes in 232.9 s at ~70 GB
+    * peak spill, growing ~linearly with data (the corpus's true-pair
+    * mass itself grows 100×, so linear is the honest floor). The cap
+    * is not an optimization at that scale; it is the difference
+    * between finishing and dying. */
   def ngramContainmentPrefix(df: DataFrame, idCol: String, textCol: String,
                              threshold: Double = 0.7, ngram: Int = 3,
                              maxShingleDocFreq: Long = Long.MaxValue): DataFrame = {
