@@ -705,6 +705,14 @@ object SparkEntry {
       // where ln-idf would flip marginal rows on cross-engine ulps
       graft.operators.Search.searchWeighted(s, searchStoreFor(s, dir),
         Seq("scan", "dup"), 20, docCountFor(s, dir))),
+    "q_bm25" -> ((s, dir) =>
+      // Okapi BM25 (k1=1.2, b=0.75, Lucene-style idf) over the same
+      // inverted-index store: postings carry dl inline and N/avgdl ride
+      // the store's build properties, so the probe reads ONLY the two
+      // query terms' buckets; per-contribution doubles are rounded to
+      // integer nanos before the per-doc sum (order-independent ranking)
+      graft.operators.Search.searchBM25(s, searchStoreFor(s, dir),
+        Seq("scan", "dup"), 20)),
     "q_search_phrase" -> ((s, dir) =>
       // exact-phrase probe against the POSITIONAL index: consecutive
       // positions via an array-intersect fold over shifted posting lists —
@@ -1307,6 +1315,22 @@ object SparkEntry {
       Relational.bloomSemiJoin(li, hot, "l_orderkey", "o_orderkey",
           expectedItems = 100000L, numBits = 1L << 20)
         .orderBy("l_orderkey", "l_linenumber")
+    }),
+    "q_dataset_diff" -> ((s, dir) => {
+      // snapshot diff for incremental re-curation: two deterministic
+      // "versions" of the corpus (cur drops ids ≡5 mod 11; prev drops ids
+      // ≡3 mod 10 and carries pre-edit text for ids ≡0 mod 7) → one
+      // |Δ|-sized added/removed/changed row set. Each side reduces to
+      // (id, md5) before the full outer join — the shuffle never carries
+      // document bodies
+      val docs = rd(s, dir, "documents").select(col("doc_id"), col("text"))
+      val cur = docs.filter(col("doc_id") % 11 =!= 5)
+      val prev = docs.filter(col("doc_id") % 10 =!= 3)
+        .withColumn("text",
+          when(col("doc_id") % 7 === 0, concat(lit("OLD "), col("text")))
+            .otherwise(col("text")))
+      graft.sources.Sources.datasetDiff(cur, prev, "doc_id", Seq("text"))
+        .orderBy("doc_id")
     }),
     "q_source_cap" -> ((s, dir) => {
       // per-domain quota — the "at most N docs per source/domain" crawl
@@ -3140,6 +3164,38 @@ object SparkEntry {
            WHERE p.term IN ('scan', 'dup') GROUP BY p.doc_id)
          SELECT doc_id, CAST(score AS BIGINT) AS score
          FROM m ORDER BY score DESC, doc_id LIMIT 20""",
+    // BM25: every constant subexpression written SYMBOLICALLY (1.2*(1-0.75),
+    // never 0.3) and in the same operand order as the Spark expression, so
+    // both engines fold identical doubles; contributions round to integer
+    // nanos before the per-doc sum (exact, order-independent)
+    "q_bm25" ->
+      """WITH post AS (
+           SELECT doc_id, t AS term, count(*) AS tf FROM (
+             SELECT doc_id, unnest(string_split_regex(
+               trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+               '\s+')) AS t
+             FROM documents)
+           WHERE len(t) > 0 GROUP BY doc_id, t),
+         dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+                FROM post GROUP BY doc_id),
+         n AS (SELECT count(*) AS nd,
+                 (SELECT CAST(sum(tf) AS DOUBLE) FROM post) / count(*)
+                   AS avgdl
+               FROM documents),
+         w AS (SELECT term, count(*) AS df FROM post GROUP BY term),
+         contrib AS (
+           SELECT p.doc_id,
+             CAST(round(ln(1.0 + (nd - df + 0.5) / (df + 0.5))
+               * (p.tf * (1.2 + 1))
+               / (p.tf + 1.2 * (1 - 0.75) + 1.2 * 0.75 * d.dl / avgdl)
+               * 1e9) AS BIGINT) AS nanos
+           FROM post p JOIN w USING (term) JOIN dl d USING (doc_id)
+           CROSS JOIN n
+           WHERE p.term IN ('scan', 'dup')),
+         m AS (SELECT doc_id, CAST(sum(nanos) AS BIGINT) AS nanos
+               FROM contrib GROUP BY doc_id)
+         SELECT doc_id, CAST(nanos AS DOUBLE) / 1e9 AS score
+         FROM m ORDER BY nanos DESC, doc_id LIMIT 20""",
     // exact phrase: per (doc, term) sorted position lists (DuckDB lambda
     // index is 1-based → pos = i − 1 matches Spark's 0-based posexplode);
     // occurrences = |pos(t0) ∩ (pos(t1) − 1)|
@@ -3337,6 +3393,24 @@ object SparkEntry {
          WHERE l_orderkey IN
            (SELECT o_orderkey FROM orders WHERE o_totalprice >= 400000)
          ORDER BY l_orderkey, l_linenumber""",
+    // same md5-of-text equality as the Spark side (single compare column →
+    // no separator in play); membership via FULL OUTER on the id
+    "q_dataset_diff" ->
+      """WITH cur AS (
+           SELECT doc_id, md5(text) AS h FROM documents
+           WHERE doc_id % 11 <> 5),
+         prev AS (
+           SELECT doc_id,
+             md5(CASE WHEN doc_id % 7 = 0 THEN 'OLD ' || text
+                 ELSE text END) AS h
+           FROM documents WHERE doc_id % 10 <> 3)
+         SELECT coalesce(cur.doc_id, prev.doc_id) AS doc_id,
+           CASE WHEN prev.h IS NULL THEN 'added'
+                WHEN cur.h IS NULL THEN 'removed'
+                WHEN cur.h <> prev.h THEN 'changed' END AS status
+         FROM cur FULL OUTER JOIN prev ON cur.doc_id = prev.doc_id
+         WHERE prev.h IS NULL OR cur.h IS NULL OR cur.h <> prev.h
+         ORDER BY doc_id""",
     "q_source_cap" ->
       """SELECT doc_id, source, n_chars FROM (
            SELECT doc_id, source, n_chars,

@@ -19,14 +19,26 @@ import org.apache.spark.sql.functions._
   */
 object Search {
 
+  /** per-doc token arrays (normalized, empty tokens dropped) — shared by
+    * the postings build and the corpus-stats aggregate so dl and tf can
+    * never disagree on tokenization. */
+  private def tokensOf(df: DataFrame, idCol: String,
+                       textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+      filter(TextAnalysis.tokens(TextAnalysis.normalized(col(textCol))),
+        t => length(t) > 0).as("__toks"))
+
+  /** postings carry the DOC LENGTH denormalized into every row (Lucene
+    * stores norms in a separate doc-keyed file; an impact-style index
+    * inlines them) — 8 bytes/posting buys BM25 probes that touch ONLY the
+    * query terms' buckets, with no corpus-sized doc-norms join. */
   private def postingsOf(df: DataFrame, idCol: String,
                          textCol: String): DataFrame =
-    df.select(col(idCol).as("doc_id"),
-        explode(TextAnalysis.tokens(TextAnalysis.normalized(col(textCol))))
-          .as("term"))
-      .filter(length(col("term")) > 0)
+    tokensOf(df, idCol, textCol)
+      .select(col("doc_id"), size(col("__toks")).cast("long").as("dl"),
+        explode(col("__toks")).as("term"))
       .groupBy("term", "doc_id")
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
 
   /** persist the inverted index for `df`: `store`_postings (term, doc_id,
     * tf, __batch) bucketed by term, and `store`_terms (term, df, __batch)
@@ -46,8 +58,22 @@ object Search {
       posts.groupBy("term").agg(count(lit(1)).as("df"))
         .withColumn("__batch", lit(-1L)),
       s"${store}_terms", "term", nBuckets)
+    // corpus stats for BM25 length normalization (docCount incl. token-less
+    // docs, total token count) — two exact longs in table properties, so a
+    // probe never scans the corpus (or the full postings) to learn avgdl
+    val stats = corpusStats(tokensOf(df, idCol, textCol))
     Dedup.setStoreParams(df.sparkSession, s"${store}_postings",
-      Map("kind" -> "inverted_index", "nBuckets" -> nBuckets))
+      Map("kind" -> "inverted_index", "nBuckets" -> nBuckets,
+        "docCount" -> stats._1, "totalDl" -> stats._2))
+  }
+
+  /** (docCount, total token count) over per-doc token arrays. */
+  private def corpusStats(toks: DataFrame): (Long, Long) = {
+    val r = toks
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(size(col("__toks"))), lit(0L)).as("td"))
+      .head()
+    (r.getLong(0), r.getLong(1))
   }
 
   /** append a NEW batch's postings to an existing index — the ingest-loop
@@ -94,10 +120,25 @@ object Search {
       sys.error(s"$store: no graft.nBuckets property — not an appendable " +
         "index (rebuilt with writeInvertedIndex to upgrade)")).toInt
     val posts = postingsOf(df, idCol, textCol)
-    appendBatchOnce(spark, posts, s"${store}_postings", nBuckets, batchId)
+    val appended =
+      appendBatchOnce(spark, posts, s"${store}_postings", nBuckets, batchId)
     appendBatchOnce(spark,
       posts.groupBy("term").agg(count(lit(1)).as("df")),
       s"${store}_terms", nBuckets, batchId)
+    // roll the BM25 corpus stats forward only when the postings append ran
+    // (a replayed batch must not double-count). The property write follows
+    // the append commit, so a crash between them leaves stats stale by one
+    // batch — the same bounded, replay-NON-converging staleness class as
+    // the torn terms window above, except healing requires a rebuild (a
+    // later batch adds only its own stats); avgdl drifts by one batch's
+    // tokens, which perturbs BM25 scores marginally and never correctness
+    // of membership.
+    if (appended) props.get("graft.docCount").foreach { dc =>
+      val stats = corpusStats(tokensOf(df, idCol, textCol))
+      Dedup.setStoreParams(spark, s"${store}_postings",
+        Map("docCount" -> (dc.toLong + stats._1),
+          "totalDl" -> (props("graft.totalDl").toLong + stats._2)))
+    }
   }
 
   /** one gated bucketed append: tag with the batch id (when the table has
@@ -106,7 +147,7 @@ object Search {
     * contract. */
   private[graft] def appendBatchOnce(spark: SparkSession, rows: DataFrame,
                                      table: String, nBuckets: Int,
-                                     batchId: Long): Unit = {
+                                     batchId: Long): Boolean = {
     val hasTag = spark.table(table).columns.contains("__batch")
     val committed = hasTag && batchId >= 0 &&
       spark.table(table).filter(col("__batch") === batchId)
@@ -116,6 +157,7 @@ object Search {
       graft.sources.Sources.writeBucketed(out, table, "term", nBuckets,
         org.apache.spark.sql.SaveMode.Append)
     }
+    !committed
   }
 
   /** per-term corpus doc frequency from the accreted terms table (SUM over
@@ -224,6 +266,55 @@ object Search {
       .orderBy(desc("score"), col("doc_id"))
       .limit(k)
       .select(col("doc_id"), col("score"))
+  }
+
+  /** Okapi BM25 ranking against a [[writeInvertedIndex]] store — the
+    * standard retrieval scorer (Robertson/Spärck Jones; Lucene's default
+    * similarity), with the Lucene-style non-negative idf
+    * `ln(1 + (N − df + 0.5)/(df + 0.5))`. Same bucket-pruned scan as the
+    * other probes: postings carry `dl` inline, so the only non-postings
+    * input is the query-terms-sized broadcast weight side; `N`/`avgdl`
+    * come from the store's build-time properties, never a corpus scan.
+    *
+    * Float determinism (the q_unigram_lm nanos doctrine): each per-
+    * (term, doc) contribution is computed in double with a FIXED operand
+    * order, rounded to integer NANOS, and the per-doc reduction sums
+    * longs — exact and order-independent, so ranking can't flip on
+    * partition-order float addition. The oracle mirrors the identical
+    * expression shape; constant subexpressions are written symbolically
+    * (`k1·(1−b)`, not `0.3`) so both engines fold the same doubles. */
+  def searchBM25(spark: SparkSession, store: String, terms: Seq[String],
+                 k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "searchBM25: empty term list")
+    Dedup.checkStoreParams(spark, s"${store}_postings",
+      Map("kind" -> "inverted_index"))
+    val props = spark.sql(s"SHOW TBLPROPERTIES ${store}_postings").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    def stat(name: String) = props.getOrElse(s"graft.$name",
+      sys.error(s"$store: no graft.$name property — a pre-BM25 index; " +
+        "rebuild with writeInvertedIndex to record corpus stats")).toLong
+    val n = stat("docCount")
+    require(n > 0, s"searchBM25: $store was built over an empty corpus")
+    val avgdl = stat("totalDl").toDouble / n
+    val norm = terms.map(_.toLowerCase).distinct
+    val weights = termDocFreq(spark, store)
+      .filter(col("term").isin(norm: _*))
+      .withColumn("__idf",
+        log(lit(1.0) +
+          (lit(n.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+    spark.table(s"${store}_postings")
+      .filter(col("term").isin(norm: _*))
+      .join(broadcast(weights.select(col("term"), col("__idf"))), Seq("term"))
+      .withColumn("__nanos",
+        round(col("__idf") * (col("tf") * lit(k1 + 1)) /
+          (col("tf") + lit(k1 * (1 - b)) + lit(k1 * b) * col("dl") / lit(avgdl))
+          * lit(1e9)).cast("long"))
+      .groupBy("doc_id")
+      .agg(sum("__nanos").as("__nanos"))
+      .orderBy(desc("__nanos"), col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"),
+        (col("__nanos").cast("double") / lit(1e9)).as("score"))
   }
 
   /** disjunctive (ANY term) search: docs ranked by how many query terms

@@ -865,6 +865,48 @@ class OperatorsSpec extends AnyFunSuite {
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("searchBM25: Okapi ranking with inline dl, nanos-exact scores") {
+    import graft.operators.Search
+    val d = Seq(
+      (1L, "dup scan"),               // one rare 'dup' hit
+      (2L, "scan scan scan scan"),    // tf-saturation case
+      (3L, "scan"),
+      (4L, "other words only")
+    ).toDF("doc_id", "text")
+    Search.writeInvertedIndex(d, "doc_id", "text", "graft_bm25_t", nBuckets = 2)
+    try {
+      // replicate the kernel's exact double math (same operand order) —
+      // the result must be bit-identical, nanos are exact longs
+      val n = 4L; val avgdl = 10.0 / 4
+      def c(tf: Long, dl: Long, df: Long): Long =
+        math.round(math.log(1.0 + (n.toDouble - df + 0.5) / (df + 0.5)) *
+          (tf * (1.2 + 1)) /
+          (tf + 1.2 * (1 - 0.75) + 1.2 * 0.75 * dl / avgdl) * 1e9)
+      val exp = Map(
+        1L -> (c(1, 2, 1) + c(1, 2, 3)),
+        2L -> c(4, 4, 3),
+        3L -> c(1, 1, 3))
+      val got = Search.searchBM25(spark, "graft_bm25_t", Seq("scan", "dup"), 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      // rare-term hit dominates; BM25 tf saturation keeps doc 2's scan
+      // pile-up above doc 3's single scan but below doc 1
+      assert(got.map(_._1) == Seq(1L, 2L, 3L))
+      got.foreach { case (id, s) =>
+        assert(s == exp(id) / 1e9, s"doc $id: got $s want ${exp(id) / 1e9}") }
+      // corpus stats roll forward on a real append…
+      def stats = spark.sql("SHOW TBLPROPERTIES graft_bm25_t_postings")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      Search.appendInvertedIndex(Seq((5L, "fresh dup")).toDF("doc_id", "text"),
+        "doc_id", "text", "graft_bm25_t", batchId = 1L)
+      assert(stats("graft.docCount") == "5" && stats("graft.totalDl") == "12")
+      // …and a replayed batch leaves them alone
+      Search.appendInvertedIndex(Seq((5L, "fresh dup")).toDF("doc_id", "text"),
+        "doc_id", "text", "graft_bm25_t", batchId = 1L)
+      assert(stats("graft.docCount") == "5" && stats("graft.totalDl") == "12")
+    } finally Seq("graft_bm25_t_postings", "graft_bm25_t_terms")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("inverted index append + compaction: ingest loop equals full rebuild") {
     import graft.operators.Search
     import graft.sources.Sources
@@ -917,8 +959,8 @@ class OperatorsSpec extends AnyFunSuite {
       // committed, its terms did not — the replay must skip the committed
       // postings and append ONLY the missing terms rows
       val b3 = Seq((4L, "scan solo")).toDF("doc_id", "text")
-      val b3posts = Seq(("scan", 4L, 1L), ("solo", 4L, 1L))
-        .toDF("term", "doc_id", "tf")
+      val b3posts = Seq(("scan", 4L, 1L, 2L), ("solo", 4L, 1L, 2L))
+        .toDF("term", "doc_id", "tf", "dl")
       Search.appendBatchOnce(spark, b3posts, "graft_search_idem_postings",
         2, batchId = 9L)
       val partial = state

@@ -190,4 +190,27 @@ class SourcesAndUdafSpec extends AnyFunSuite {
     val mp = Sources.contentManifest(onePair)
     assert(mp._2 != m1._2, "an even-duplicated row must not cancel out")
   }
+
+  test("datasetDiff: added/removed/changed only, hash-before-join semantics") {
+    val prev = Seq((1L, "alpha", "x"), (2L, "beta", "y"), (3L, "gone", "z"),
+      (4L, "same", "w")).toDF("id", "text", "meta")
+    val cur = Seq((1L, "alpha", "x"), (2L, "beta EDITED", "y"),
+      (4L, "same", "w"), (5L, "new", "v")).toDF("id", "text", "meta")
+    val got = Sources.datasetDiff(cur, prev, "id", Seq("text", "meta"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    // unchanged ids (1, 4) are absent — the diff is |Δ|-sized
+    assert(got == Map(2L -> "changed", 3L -> "removed", 5L -> "added"))
+    // the U+0001 separator keeps adjacent columns from borrowing bytes:
+    // ("ab","c") and ("a","bc") must NOT hash equal
+    val a = Seq((1L, "ab", "c")).toDF("id", "t", "m")
+    val b = Seq((1L, "a", "bc")).toDF("id", "t", "m")
+    assert(Sources.datasetDiff(a, b, "id", Seq("t", "m"))
+      .collect().map(_.getString(1)).toSeq == Seq("changed"))
+    // compare-column subset: a meta-only edit is invisible when diffing
+    // on text alone
+    assert(Sources.datasetDiff(
+      Seq((1L, "alpha", "EDIT")).toDF("id", "text", "meta"),
+      Seq((1L, "alpha", "x")).toDF("id", "text", "meta"),
+      "id", Seq("text")).count() == 0)
+  }
 }
