@@ -1448,6 +1448,15 @@ object SparkEntry {
       TextAnalysis.chunkAssignments(rd(s, dir, "documents"),
           "doc_id", "text", "source", budget = 2048)
         .orderBy("doc_id")),
+    "q_shard_plan" -> ((s, dir) =>
+      // GLOBAL token-budget shard assignment: the corpus-wide exclusive
+      // prefix sum runs as range-bucketed partials + offset broadcast +
+      // per-bucket windows (Relational.globalPrefixSum) — bit-identical to
+      // the oracle's single global window, which Spark-side would
+      // serialize the corpus through one task
+      TextAnalysis.shardAssignments(rd(s, dir, "documents"),
+          "doc_id", "text", budget = 4096)
+        .orderBy("doc_id")),
     "q_embedding_centroid" -> ((s, dir) =>
       Similarity.labelCentroids(rd(s, dir, "embeddings"), "label", "embedding")
         .select(col("label"), col("pos").cast(LongType).as("pos"), col("centroid"))
@@ -3547,6 +3556,23 @@ object SparkEntry {
            FROM t)
          SELECT doc_id, source, n_tokens, start_offset,
            CAST(floor(start_offset / 2048.0) AS BIGINT) AS chunk_id
+         FROM o ORDER BY doc_id""",
+    // the oracle IS the naive global window — DuckDB single-node sorts it
+    // fine; the Spark side must reproduce it exactly from bucketed partials
+    "q_shard_plan" ->
+      """WITH t AS (
+           SELECT doc_id,
+             CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]'))
+               AS BIGINT) AS n_tokens
+           FROM documents),
+         o AS (
+           SELECT doc_id, n_tokens,
+             CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS start_offset
+           FROM t)
+         SELECT doc_id, n_tokens, start_offset,
+           CAST(floor(start_offset / 4096.0) AS BIGINT) AS shard_id
          FROM o ORDER BY doc_id""",
     // mean is rounded to INTEGER micros (scale-0 rounding is boundary-safe
     // across engines; scale-6 rounding of the fraction is not — a mean of

@@ -301,4 +301,53 @@ object Relational {
         .agg(count(lit(1)).as("cnt"))
         .filter(col("cnt") >= thresh)
   }
+
+  /** GLOBAL exclusive prefix sum of `valueCol` in `orderCol` order, without
+    * the single-partition global window (`Window.orderBy` with no
+    * partitionBy funnels the entire dataset through ONE task — the
+    * classic 100 TB scale-killer this operator exists to avoid). Classic
+    * two-phase scan instead:
+    *   1. range-bucket rows by `orderCol` (uniform width over [min, max] —
+    *      one cheap min/max aggregate; integer `div`, no float precision
+    *      cliff at large ids);
+    *   2. per-bucket partial sums → an `nBuckets`-sized driver collect
+    *      (bounded by the PARAMETER, never the data) → exclusive running
+    *      offsets, broadcast back;
+    *   3. a per-bucket window adds the within-bucket exclusive sum to the
+    *      bucket's offset. Parallelism = nBuckets; each task sorts one
+    *      bucket, never the corpus.
+    * The result is EXACTLY the single-window answer (proven against it in
+    * the spec). Contract: `orderCol` is a unique integral key (ties would
+    * make "exclusive prefix" ill-defined), `valueCol` is integral (the
+    * sums ride longs; ANSI overflow errors loudly). Uniform-width buckets
+    * assume roughly uniform key density — for pathologically clustered
+    * keys pass larger `nBuckets` (cost stays one broadcast row per
+    * bucket) or pre-map ids. */
+  def globalPrefixSum(df: DataFrame, orderCol: String, valueCol: String,
+                      prefixCol: String = "prefix",
+                      nBuckets: Int = 256): DataFrame = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    val spark = df.sparkSession
+    val bounds = df.agg(min(col(orderCol)).cast("long"),
+      max(col(orderCol)).cast("long")).head()
+    if (bounds.isNullAt(0)) // empty input: schema-stable, zero rows
+      return df.withColumn(prefixCol, lit(0L))
+    val lo = bounds.getLong(0)
+    val width = math.max(1L, (bounds.getLong(1) - lo) / nBuckets + 1)
+    val bucketed = df.withColumn("__bucket",
+      expr(s"(CAST(`$orderCol` AS BIGINT) - ${lo}L) div ${width}L"))
+    val partials = bucketed.groupBy("__bucket")
+      .agg(sum(col(valueCol)).cast("long").as("__s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val offsets = partials.map(_._1)
+      .zip(partials.scanLeft(0L) { case (acc, (_, s)) => acc + s })
+    import spark.implicits._
+    val offDf = offsets.toSeq.toDF("__bucket", "__off")
+    val w = Window.partitionBy("__bucket").orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bucketed.join(broadcast(offDf), Seq("__bucket"))
+      .withColumn(prefixCol,
+        coalesce(sum(col(valueCol)).over(w), lit(0L)) + col("__off"))
+      .drop("__bucket", "__off")
+  }
 }

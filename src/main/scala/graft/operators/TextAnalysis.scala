@@ -296,6 +296,28 @@ object TextAnalysis {
       .withColumn("chunk_id", floor(col("start_offset") / budget))
   }
 
+  /** GLOBAL shard planning — [[chunkAssignments]] without a group key:
+    * lay the WHOLE corpus end to end in `idCol` order and assign each
+    * document the output shard its first token lands in (shard =
+    * floor(global_start_offset / budget)) — how a training run's writer
+    * decides which of its N token-balanced output files each document
+    * belongs to when there is no natural partition key.
+    *
+    * The global running offset is NOT a global window (one-task
+    * serialization at 100 TB) but [[Relational.globalPrefixSum]]'s
+    * two-phase scan: range-bucketed partial sums, a bucket-count-sized
+    * offset broadcast, and per-bucket windows — identical answer, corpus
+    * never funneled through one partition. */
+  def shardAssignments(df: DataFrame, idCol: String, textCol: String,
+                       budget: Long): DataFrame = {
+    require(budget > 0, s"token budget must be positive, got $budget")
+    Relational.globalPrefixSum(
+        df.select(col(idCol),
+          subwordCount(col(textCol)).cast(LongType).as("n_tokens")),
+        idCol, "n_tokens", prefixCol = "start_offset")
+      .withColumn("shard_id", floor(col("start_offset") / budget))
+  }
+
   /** MODEL-BASED quality scoring — the learned-filter pass of every large
     * curation pipeline (GPT-3's LR quality classifier over CommonCrawl,
     * fastText in CCNet/RedPajama): a linear model over a HASHED bag of

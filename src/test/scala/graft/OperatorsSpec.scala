@@ -865,6 +865,38 @@ class OperatorsSpec extends AnyFunSuite {
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("globalPrefixSum: equals the single-window answer, without one") {
+    import graft.operators.{Relational, TextAnalysis}
+    import org.apache.spark.sql.expressions.Window
+    // clustered, gappy, unordered ids over many partitions — the shapes
+    // uniform range-bucketing must still get exactly right
+    val ids = (Seq(1L, 2L, 3L) ++ Seq(500L, 501L) ++ Seq(90000L, 90007L) ++
+      (1000L to 1100L by 7)).distinct
+    val df = ids.map(i => (i, i % 13)).toDF("id", "v").repartition(8)
+    val naive = df.withColumn("p",
+        coalesce(sum(col("v")).over(Window.orderBy("id")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("id", "p").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    for (nb <- Seq(1, 4, 256)) { // degenerate single bucket through sparse
+      val got = Relational.globalPrefixSum(df, "id", "v", nBuckets = nb)
+        .select("id", "prefix").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got == naive, s"nBuckets=$nb diverges from the global window")
+    }
+    // empty input: schema-stable, zero rows
+    val empty = Relational.globalPrefixSum(
+      df.filter(col("id") < 0), "id", "v")
+    assert(empty.columns.contains("prefix") && empty.count() == 0)
+    // shard assignment rides the prefix: boundaries at exact budget edges
+    val docs = Seq((1L, "a b c d"), (2L, "e f"), (3L, "g h i"))
+      .toDF("doc_id", "text")
+    val shards = TextAnalysis.shardAssignments(docs, "doc_id", "text", 4L)
+      .select("doc_id", "shard_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // offsets 0,4,6 with budget 4 → shards 0,1,1
+    assert(shards == Map(1L -> 0L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("searchBM25: Okapi ranking with inline dl, nanos-exact scores") {
     import graft.operators.Search
     val d = Seq(

@@ -78,6 +78,22 @@ class PlanAuditSpec extends AnyFunSuite {
       s"global window would serialize packing:\n$plan")
   }
 
+  test("shardAssignments: global prefix sum runs bucketed, no SinglePartition") {
+    import graft.operators.TextAnalysis
+    val docs = (1L to 300L).map(i => (i, s"tok$i word another t$i"))
+      .toDF("doc_id", "text")
+    // the corpus-wide running offset must come from the two-phase scan
+    // (bucket partials + offset broadcast + per-bucket windows) — the
+    // naive Window.orderBy(no partitionBy) form plans SinglePartition
+    val plan = finalPlan(
+      TextAnalysis.shardAssignments(docs, "doc_id", "text", budget = 64))
+    assert(!plan.contains("SinglePartition"),
+      s"global window would serialize shard planning:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      s"bucket offsets must broadcast, not shuffle:\n$plan")
+  }
+
   test("labelCentroids aggregates with partial (map-side) combine") {
     import graft.operators.Similarity
     val emb = (1L to 200L).map(i =>
