@@ -1332,6 +1332,33 @@ object SparkEntry {
       graft.sources.Sources.datasetDiff(cur, prev, "doc_id", Seq("text"))
         .orderBy("doc_id")
     }),
+    "q_diff_curate" -> ((s, dir) => {
+      // the end-to-end incremental re-crawl pass q_dataset_diff exists
+      // for: snapshot diff → ONLY the |Δ|-sized added/changed slice flows
+      // into dedup-against-the-prev-snapshot's fingerprint store; the
+      // unchanged bulk of the corpus is never read past the hash
+      // projection. The store build is timed (the incr-family deployment-
+      // cycle contract). Planted positives: every prev doc re-keyed +1e6
+      // rides the batch and MUST drop (its fingerprint is stored).
+      val docs = rd(s, dir, "documents")
+      val cur = docs.filter(col("doc_id") % 11 =!= 5)
+        .select(col("doc_id"), col("text"))
+      val prev = docs.filter(col("doc_id") % 10 =!= 3)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, concat(lit("OLD "), col("text")))
+            .otherwise(col("text")).as("text"))
+      Dedup.writeFingerprintStore(prev, "text", "graft_diff_store",
+        nBuckets = 4)
+      val delta = graft.sources.Sources
+        .datasetDiff(cur, prev, "doc_id", Seq("text"))
+        .filter(col("status") =!= "removed").select("doc_id")
+      val fresh = cur.join(delta, Seq("doc_id"), "left_semi")
+        .unionAll(prev.select((col("doc_id") + 1000000L).as("doc_id"),
+          col("text")))
+      Dedup.exactDedupAgainst(fresh, "text", "graft_diff_store",
+          updateStore = false, nBuckets = 4)
+        .select("doc_id").orderBy("doc_id")
+    }),
     "q_source_cap" -> ((s, dir) => {
       // per-domain quota — the "at most N docs per source/domain" crawl
       // rebalancing pass: deterministic keep-set (longest docs win, doc_id
@@ -3419,6 +3446,30 @@ object SparkEntry {
                 WHEN cur.h <> prev.h THEN 'changed' END AS status
          FROM cur FULL OUTER JOIN prev ON cur.doc_id = prev.doc_id
          WHERE prev.h IS NULL OR cur.h IS NULL OR cur.h <> prev.h
+         ORDER BY doc_id""",
+    // diff (added/changed only) → batch with planted re-keyed prev docs →
+    // normalized-fingerprint NOT IN the prev snapshot (the store contents)
+    "q_diff_curate" ->
+      """WITH cur AS (
+           SELECT doc_id, text FROM documents WHERE doc_id % 11 <> 5),
+         prev AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN 'OLD ' || text ELSE text END
+               AS text
+           FROM documents WHERE doc_id % 10 <> 3),
+         delta AS (
+           SELECT cur.doc_id, cur.text
+           FROM cur LEFT JOIN prev ON cur.doc_id = prev.doc_id
+           WHERE prev.doc_id IS NULL OR cur.text <> prev.text),
+         batch AS (
+           SELECT doc_id, text FROM delta
+           UNION ALL
+           SELECT doc_id + 1000000, text FROM prev)
+         SELECT doc_id FROM batch
+         WHERE md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+           NOT IN (
+             SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+             FROM prev)
          ORDER BY doc_id""",
     "q_source_cap" ->
       """SELECT doc_id, source, n_chars FROM (

@@ -171,4 +171,25 @@ class PropertiesSpec extends AnyFunSuite {
       runAt(1) == brute && runAt(7) == brute && runAt(32) == brute
     }, n = 5)
   }
+
+  test("globalPrefixSum ≡ sequential scan, any bucket count / partitioning") {
+    import spark.implicits._
+    import graft.operators.Relational
+    // ids: arbitrary positive longs with clustering and gaps; values
+    // include zero and larger-than-bucket-width magnitudes
+    val rowsGen = Gen.choose(1, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(Gen.choose(0L, 100000L), Gen.choose(0L, 999L))))
+    check(Prop.forAll(rowsGen, Gen.oneOf(1, 3, 64), Gen.oneOf(1, 5, 32)) {
+      (rows0, nb, parts) =>
+        val sorted = rows0.distinctBy(_._1).sortBy(_._1) // unique order keys
+        val expect = sorted.map(_._1)
+          .zip(sorted.scanLeft(0L)(_ + _._2).init).toMap
+        val got = Relational.globalPrefixSum(
+            sorted.toDF("id", "v").repartition(parts), "id", "v",
+            nBuckets = nb)
+          .select("id", "prefix").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toMap
+        got == expect
+    }, n = 12)
+  }
 }

@@ -212,5 +212,18 @@ class SourcesAndUdafSpec extends AnyFunSuite {
       Seq((1L, "alpha", "EDIT")).toDF("id", "text", "meta"),
       Seq((1L, "alpha", "x")).toDF("id", "text", "meta"),
       "id", Seq("text")).count() == 0)
+    // scale invariant: the join operands are (id, hash) ONLY — document
+    // bodies never reach the shuffle
+    val joins = Sources.datasetDiff(cur, prev, "id", Seq("text", "meta"))
+      .queryExecution.sparkPlan.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+      }
+    assert(joins.nonEmpty, "expected a shuffled join in the diff plan")
+    joins.foreach { j =>
+      val names = (j.left.output ++ j.right.output).map(_.name)
+      assert(names.forall(n => n == "id" || n.startsWith("__h")),
+        s"join operand carries a non-hash column: $names")
+    }
   }
 }
