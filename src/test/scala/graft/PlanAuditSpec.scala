@@ -372,6 +372,29 @@ class PlanAuditSpec extends AnyFunSuite {
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("BM25 probe: same pruned-postings shape, weights broadcast, no corpus") {
+    import graft.operators.Search
+    val docs = (1L to 200L)
+      .map(i => (i, s"alpha tok$i ${if (i % 3 == 0) "beta" else "gamma"}"))
+      .toDF("doc_id", "text")
+    Search.writeInvertedIndex(docs, "doc_id", "text", "graft_plan_bm25",
+      nBuckets = 4)
+    try {
+      val plan = finalPlan(Search.searchBM25(spark, "graft_plan_bm25",
+        Seq("alpha", "beta"), 5))
+      assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*In\\(term.*"),
+        s"term IN not pushed to the postings scan:\n$plan")
+      assert(plan.contains("graft_plan_bm25_postings"), plan)
+      assert(!plan.contains("Generate"),
+        s"probe re-tokenizes instead of reading postings + inline dl:\n$plan")
+      // the terms-derived idf weight side joins as a BROADCAST (query-terms
+      // sized), never a shuffle of the postings
+      assert(plan.contains("BroadcastHashJoin"),
+        s"idf weights must broadcast:\n$plan")
+    } finally Seq("graft_plan_bm25_postings", "graft_plan_bm25_terms")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("int8 store probe scans quantized bytes, never the float vectors") {
     import graft.operators.Similarity
     val emb = (1L to 100L).map(i =>
