@@ -1471,6 +1471,12 @@ object SparkEntry {
     "q_unigram_lm" -> ((s, dir) =>
       TextAnalysis.unigramLogProb(rd(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
+    "q_bigram_lm" -> ((s, dir) =>
+      // fluency scoring: mean ln p(next|context) from the corpus's own
+      // bigram table — row-local pair HOF, two Zipf-bounded aggregates off
+      // one exploded pass, per-pair nanos before the per-doc sum
+      TextAnalysis.bigramLogProb(rd(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
     "q_pack_chunks" -> ((s, dir) =>
       TextAnalysis.chunkAssignments(rd(s, dir, "documents"),
           "doc_id", "text", "source", budget = 2048)
@@ -3592,6 +3598,29 @@ object SparkEntry {
                AS BIGINT)) AS DOUBLE) / count(*) / 1e9, 6)
              AS avg_logp
          FROM tk JOIN vocab USING (term) CROSS JOIN tot
+         GROUP BY doc_id ORDER BY doc_id""",
+    // bigram fluency: adjacency via original split positions (p+1 — the
+    // split can't produce interior empties, so filtered positions stay
+    // adjacent); context counts from the SAME pair table (per-context
+    // probabilities sum to 1); per-pair ln in integer nanos, like unigram
+    "q_bigram_lm" ->
+      """WITH tok AS (
+           SELECT doc_id, u['t'] AS t, u['p'] AS p FROM (
+             SELECT doc_id, unnest(list_transform(
+               string_split_regex(lower(trim(text)), '\s+'),
+               (x, i) -> {'t': x, 'p': i})) AS u
+             FROM documents)
+           WHERE len(u['t']) > 0),
+         pairs AS (
+           SELECT a.doc_id, a.t AS t1, a.t || ' ' || b.t AS pair
+           FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.p = a.p + 1),
+         pc AS (SELECT pair, count(*) AS cnt_ab FROM pairs GROUP BY pair),
+         uc AS (SELECT t1, count(*) AS cnt_a FROM pairs GROUP BY t1)
+         SELECT doc_id,
+           round(CAST(sum(CAST(round(ln(CAST(cnt_ab AS DOUBLE) / cnt_a)
+               * 1e9) AS BIGINT)) AS DOUBLE) / count(*) / 1e9, 6)
+             AS avg_logp
+         FROM pairs JOIN pc USING (pair) JOIN uc USING (t1)
          GROUP BY doc_id ORDER BY doc_id""",
     "q_pack_chunks" ->
       """WITH t AS (

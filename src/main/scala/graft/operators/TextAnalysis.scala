@@ -272,6 +272,51 @@ object TextAnalysis {
           .cast(DoubleType) / count(lit(1)) / 1e9, 6).as("avg_logp"))
   }
 
+  /** Bigram language-model score: mean ln p(next | context) per document —
+    * one step up the CCNet ladder from [[unigramLogProb]]: it measures
+    * FLUENCY, not just vocabulary frequency (scrambling a document's
+    * tokens preserves its unigram score and destroys its bigram score).
+    * p(b | a) = pair_count(a b) / context_count(a), with context counts
+    * derived from the SAME pair table (occurrences of `a` followed by
+    * anything), so per-context probabilities sum exactly to 1 and the
+    * whole scorer is one tokenize pass. Self-scored corpus → every pair
+    * exists, no OOV path. Documents with < 2 tokens have no pairs and are
+    * absent from the output (no fluency evidence either way).
+    *
+    * Scale shape: the pair HOF is row-local (no positional self-join);
+    * the two frequency tables are pair-/context-vocabulary-sized hash
+    * aggregates (Zipf-bounded at 100 TB) checkpointed off one exploded
+    * pass, then pairs join both tables and average per doc. Determinism:
+    * per-pair ln is fixed to integer NANOS before the per-doc sum (the
+    * [[unigramLogProb]] doctrine — order-independent integer addition). */
+  def bigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // materialize the token array into a column FIRST: referencing the
+    // split() expression from inside a lambda would re-tokenize the whole
+    // document per element (an O(n²)-per-doc trap, measured 10.8 s vs
+    // 0.9 s at sf0.1); pairs then come from one zip of two array slices —
+    // strictly row-local, no positional self-join
+    val t = col("__toks")
+    val pairsArr = when(size(t) >= 2,
+        zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+          (a, b) => struct(a.as("t1"),
+            concat(a, lit(" "), b).as("pair"))))
+      .otherwise(array().cast("array<struct<t1:string,pair:string>>"))
+    val prs = df
+      .select(col(idCol),
+        filter(tokens(col(textCol)), x => length(x) > 0).as("__toks"))
+      .select(col(idCol), explode(pairsArr).as("p"))
+      .select(col(idCol), col("p.t1").as("t1"), col("p.pair").as("pair"))
+      .localCheckpoint()
+    val pairCnt = prs.groupBy("pair").agg(count(lit(1)).as("cnt_ab"))
+    val ctxCnt = prs.groupBy("t1").agg(count(lit(1)).as("cnt_a"))
+    prs.join(pairCnt, Seq("pair")).join(ctxCnt, Seq("t1"))
+      .groupBy(col(idCol))
+      .agg(round(
+        sum(round(log(col("cnt_ab").cast(DoubleType) / col("cnt_a")) * 1e9)
+          .cast(LongType))
+          .cast(DoubleType) / count(lit(1)) / 1e9, 6).as("avg_logp"))
+  }
+
   /** Sequence packing (concat-and-chunk): lay each group's documents end to
     * end in deterministic (`orderCol`) order and assign every document the
     * training chunk its FIRST token lands in — chunk = floor(start_offset /

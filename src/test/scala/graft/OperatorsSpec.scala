@@ -865,6 +865,39 @@ class OperatorsSpec extends AnyFunSuite {
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("bigramLogProb: fluency scoring — exact nanos, scramble-sensitive") {
+    import graft.operators.TextAnalysis
+    val d = Seq(
+      (1L, "the cat sat"), (2L, "the cat ran"), (3L, "the dog sat"),
+      (4L, "solo")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLogProb(d, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    // pairs: "the cat"x2, "the dog"x1, "cat sat"x1, "cat ran"x1,
+    // "dog sat"x1; contexts: the=3, cat=2, dog=1
+    def nl(ab: Long, a: Long) =
+      math.round(math.log(ab.toDouble / a) * 1e9)
+    def mean(xs: Long*) = {
+      val s = xs.sum.toDouble / xs.size / 1e9
+      BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(got(1L) == mean(nl(2, 3), nl(1, 2)))  // the cat, cat sat
+    assert(got(3L) == mean(nl(1, 3), nl(1, 1)))  // the dog, dog sat
+    assert(!got.contains(4L), "single-token doc has no fluency evidence")
+    // the motivating property: scrambling tokens preserves the unigram
+    // score and DESTROYS the bigram score (novel pairs -> rarer -> lower)
+    val fluent = Seq((1L, "a b a b a b a b")).toDF("doc_id", "text")
+    val scrambled = Seq((1L, "a a b b a b b a")).toDF("doc_id", "text")
+    def bi(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.bigramLogProb(df, "doc_id", "text")
+        .collect().head.getDouble(1)
+    def uni(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.unigramLogProb(df, "doc_id", "text")
+        .collect().head.getDouble(1)
+    assert(uni(fluent) == uni(scrambled), "unigram must not see order")
+    assert(bi(fluent) > bi(scrambled), "bigram must punish broken order")
+  }
+
   test("globalPrefixSum: equals the single-window answer, without one") {
     import graft.operators.{Relational, TextAnalysis}
     import org.apache.spark.sql.expressions.Window
