@@ -94,13 +94,22 @@ object Similarity {
   def int8TopK(df: DataFrame, idCol: String, vecCol: String,
                query: Seq[Double], k: Int): DataFrame = {
     val qArr = array(int8QueryInts(query).map(lit): _*)
-    val scale = int8Scale(col(vecCol))
-    val qv = int8Quantize(col(vecCol), scale)
+    // materialize the scale into a column BEFORE the quantize transform:
+    // captured non-trivial expressions inside a HOF lambda re-evaluate per
+    // ELEMENT (no common-subexpression elimination across the lambda
+    // boundary) — with scale = array_max(transform(vec, abs)) that is
+    // O(dim²) per vector on the quantize-on-read scan (the bigramLogProb
+    // lambda-trap class; measured ~25% off this query at sf0.1, more at
+    // larger dim). Multiple references to __scale also stop Catalyst's
+    // CollapseProject from re-inlining it into the lambda.
     val qdot = aggregate(
-      zip_with(qv, qArr, (a, b) => (a.cast(LongType)) * b),
+      zip_with(col("__qv"), qArr, (a, b) => (a.cast(LongType)) * b),
       lit(0L), (s, x) => s + x)
-    df.select(col(idCol), qdot.as("qdot"),
-        (qdot.cast(DoubleType) * scale).as("__score"))
+    df.select(col(idCol), col(vecCol).as("__v"))
+      .withColumn("__scale", int8Scale(col("__v")))
+      .withColumn("__qv", int8Quantize(col("__v"), col("__scale")))
+      .select(col(idCol), qdot.as("qdot"),
+        (qdot.cast(DoubleType) * col("__scale")).as("__score"))
       .orderBy(desc("__score"), col(idCol))
       .limit(k)
       .select(col(idCol), col("qdot"))
@@ -122,12 +131,15 @@ object Similarity {
     * bucketed table with build metadata, like the LSH/IVF store twins. */
   def writeInt8Store(df: DataFrame, idCol: String, vecCol: String,
                      store: String, nBuckets: Int = 64): Unit = {
-    val scale = int8Scale(col(vecCol))
+    // same lambda-trap avoidance as int8TopK: scale as a column, never a
+    // captured expression inside the quantize transform
     graft.sources.Sources.writeBucketed(
-      df.select(col(idCol),
-        transform(int8Quantize(col(vecCol), scale), x => x.cast(ByteType))
-          .as("qvec"),
-        scale.as("scale")),
+      df.select(col(idCol), col(vecCol).as("__v"))
+        .withColumn("__scale", int8Scale(col("__v")))
+        .select(col(idCol),
+          transform(int8Quantize(col("__v"), col("__scale")),
+            x => x.cast(ByteType)).as("qvec"),
+          col("__scale").as("scale")),
       s"${store}_q", idCol, nBuckets)
     graft.operators.Dedup.setStoreParams(df.sparkSession, s"${store}_q",
       Map("kind" -> "int8"))
