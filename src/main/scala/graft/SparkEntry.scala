@@ -713,6 +713,15 @@ object SparkEntry {
       // integer nanos before the per-doc sum (order-independent ranking)
       graft.operators.Search.searchBM25(s, searchStoreFor(s, dir),
         Seq("scan", "dup"), 20)),
+    "q_hybrid_search" -> ((s, dir) =>
+      // two-tower retrieval fusion: BM25 text leg + cosine vector leg
+      // (query = the corpus's own vector 0, broadcast in-plan), fused by
+      // Reciprocal Rank Fusion 1/(60+rank) — integer ranks from both
+      // already-oracle-pinned orderings, so the fused doubles are
+      // engine-identical without rounding
+      graft.operators.Search.hybridSearchRRF(s, searchStoreFor(s, dir),
+        Seq("scan", "dup"), rd(s, dir, "embeddings"), "vec_id", "embedding",
+        queryId = 0L, k = 20)),
     "q_search_phrase" -> ((s, dir) =>
       // exact-phrase probe against the POSITIONAL index: consecutive
       // positions via an array-intersect fold over shifted posting lists —
@@ -3238,6 +3247,58 @@ object SparkEntry {
                FROM contrib GROUP BY doc_id)
          SELECT doc_id, CAST(nanos AS DOUBLE) / 1e9 AS score
          FROM m ORDER BY nanos DESC, doc_id LIMIT 20""",
+    // RRF fusion of the two leg rankings (same BM25 CTE chain; cosine vs
+    // the corpus's vector 0, round-6 like CosineTopkOracle); integer ranks
+    // -> 1.0/(60+rank) doubles are engine-identical
+    "q_hybrid_search" ->
+      """WITH post AS (
+           SELECT doc_id, t AS term, count(*) AS tf FROM (
+             SELECT doc_id, unnest(string_split_regex(
+               trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+               '\s+')) AS t
+             FROM documents)
+           WHERE len(t) > 0 GROUP BY doc_id, t),
+         dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+                FROM post GROUP BY doc_id),
+         n AS (SELECT count(*) AS nd,
+                 (SELECT CAST(sum(tf) AS DOUBLE) FROM post) / count(*)
+                   AS avgdl
+               FROM documents),
+         w AS (SELECT term, count(*) AS df FROM post GROUP BY term),
+         contrib AS (
+           SELECT p.doc_id,
+             CAST(round(ln(1.0 + (nd - df + 0.5) / (df + 0.5))
+               * (p.tf * (1.2 + 1))
+               / (p.tf + 1.2 * (1 - 0.75) + 1.2 * 0.75 * d.dl / avgdl)
+               * 1e9) AS BIGINT) AS nanos
+           FROM post p JOIN w USING (term) JOIN dl d USING (doc_id)
+           CROSS JOIN n
+           WHERE p.term IN ('scan', 'dup')),
+         m AS (SELECT doc_id, CAST(sum(nanos) AS BIGINT) AS nanos
+               FROM contrib GROUP BY doc_id),
+         tr AS (
+           SELECT doc_id, rt FROM (
+             SELECT doc_id, row_number() OVER (ORDER BY nanos DESC, doc_id)
+               AS rt FROM m)
+           WHERE rt <= 100),
+         vr AS (
+           SELECT doc_id, rv FROM (
+             SELECT c.vec_id AS doc_id, row_number() OVER (ORDER BY
+               round(list_dot_product(CAST(c.embedding AS DOUBLE[]),
+                   CAST(q.embedding AS DOUBLE[]))
+                 / (sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]),
+                     CAST(c.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                     CAST(q.embedding AS DOUBLE[])))), 6) DESC,
+               c.vec_id) AS rv
+             FROM embeddings c JOIN embeddings q
+               ON q.vec_id = 0 AND c.vec_id != 0)
+           WHERE rv <= 100)
+         SELECT coalesce(tr.doc_id, vr.doc_id) AS doc_id,
+           coalesce(1.0 / (60 + rt), 0.0) + coalesce(1.0 / (60 + rv), 0.0)
+             AS rrf
+         FROM tr FULL OUTER JOIN vr ON tr.doc_id = vr.doc_id
+         ORDER BY rrf DESC, doc_id LIMIT 20""",
     // exact phrase: per (doc, term) sorted position lists (DuckDB lambda
     // index is 1-based → pos = i − 1 matches Spark's 0-based posexplode);
     // occurrences = |pos(t0) ∩ (pos(t1) − 1)|

@@ -317,6 +317,50 @@ object Search {
         (col("__nanos").cast("double") / lit(1e9)).as("score"))
   }
 
+  /** Hybrid retrieval: Reciprocal Rank Fusion (Cormack/Clarke/Büttcher) of
+    * the BM25 text leg and an embedding-cosine vector leg over the same
+    * id-aligned corpus — the standard two-tower retrieval fusion. Each leg
+    * contributes 1/(rrfK + rank) (0 when the doc misses the leg's top
+    * `kEach`); ranks are integers from already-deterministic orderings, so
+    * the fused score is two fixed-order IEEE divisions plus one addition —
+    * oracle-replicable without a rounding step.
+    *
+    * Scale shape: both legs are top-k probes (the BM25 leg reads only the
+    * query terms' postings buckets; the vector leg is the brute-force
+    * kernel here and swaps for the IVF/int8 store probes at corpus scale
+    * — same (id, rank) contract). The rank windows and the fusion join
+    * run on ≤ kEach rows per leg — bounded by the PARAMETER, never the
+    * corpus, which is why the single-partition window is acceptable
+    * exactly here. `queryId`'s own vector seeds the vector leg fully
+    * in-plan (1-row broadcast, no driver round-trip) and is excluded from
+    * its candidates. */
+  def hybridSearchRRF(spark: SparkSession, store: String, terms: Seq[String],
+                      emb: DataFrame, idCol: String, vecCol: String,
+                      queryId: Long, k: Int, kEach: Int = 100,
+                      rrfK: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tr = searchBM25(spark, store, terms, kEach)
+      .withColumn("__rt",
+        row_number().over(Window.orderBy(desc("score"), col("doc_id"))))
+      .select(col("doc_id"), col("__rt"))
+    val qv = emb.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("__q"))
+    val vr = emb.filter(col(idCol) =!= queryId)
+      .crossJoin(broadcast(qv))
+      .select(col(idCol).as("doc_id"),
+        round(Similarity.cosine(col(vecCol), col("__q")), 6).as("__cos"))
+      .orderBy(desc("__cos"), col("doc_id")).limit(kEach)
+      .withColumn("__rv",
+        row_number().over(Window.orderBy(desc("__cos"), col("doc_id"))))
+      .select(col("doc_id"), col("__rv"))
+    tr.join(vr, Seq("doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(rrfK) + col("__rt")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("__rv")), lit(0.0)))
+      .orderBy(desc("rrf"), col("doc_id")).limit(k)
+      .select(col("doc_id"), col("rrf"))
+  }
+
   /** disjunctive (ANY term) search: docs ranked by how many query terms
     * they contain, then total term frequency, then id — the recall-side
     * complement of [[searchAll]], same bucket-pruned scan shape. */

@@ -972,6 +972,46 @@ class OperatorsSpec extends AnyFunSuite {
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("hybridSearchRRF: both-leg docs outrank single-leg, fusion exact") {
+    import graft.operators.Search
+    val docs = Seq(
+      (1L, "dup scan both"),            // text hit
+      (2L, "scan scan scan"),           // text hit (weaker)
+      (3L, "nothing relevant here"),    // vector-only candidate
+      (4L, "other words")
+    ).toDF("doc_id", "text")
+    // vectors: id 0 is the query; 1 is nearly parallel to it (vector rank
+    // 1), 3 close (rank 2), others orthogonal-ish
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.99f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.9f, 0.4f, 0.1f)),
+      (4L, Array(0.0f, 0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    Search.writeInvertedIndex(docs, "doc_id", "text", "graft_hybrid_t",
+      nBuckets = 2)
+    try {
+      val got = Search.hybridSearchRRF(spark, "graft_hybrid_t",
+          Seq("scan", "dup"), emb, "vec_id", "embedding",
+          queryId = 0L, k = 10, kEach = 3)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      // doc 1: text rank 1 (rare 'dup') + vector rank 1 → top by fusion;
+      // exact RRF arithmetic mirrored here
+      def rrf(rs: Int*) = rs.map(r => 1.0 / (60 + r)).sum
+      assert(got.head._1 == 1L)
+      assert(got.head._2 == rrf(1, 1))
+      val m = got.toMap
+      // doc 2: text rank 2 + vector rank 3 (cos 0 still makes the kEach=3
+      // cut, id-tiebroken past doc 4); doc 3: vector-only rank 2
+      assert(m(2L) == rrf(2, 3), s"doc 2 fused wrong: ${m(2L)}")
+      assert(m(3L) == rrf(2), s"doc 3 fused wrong: ${m(3L)}")
+      // doc 4 misses both legs' top-kEach entirely
+      assert(!m.contains(4L))
+    } finally Seq("graft_hybrid_t_postings", "graft_hybrid_t_terms")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("inverted index append + compaction: ingest loop equals full rebuild") {
     import graft.operators.Search
     import graft.sources.Sources
