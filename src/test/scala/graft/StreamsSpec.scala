@@ -587,6 +587,15 @@ class StreamsSpec extends AnyFunSuite {
       val dfFull = Search.termDocFreq(spark, "graft_sidx_full")
         .collect().map(r => (r.getString(0), r.getLong(1))).toMap
       assert(dfIncr == dfFull)
+      // the BM25 corpus stats the ingest loop rolls forward (gated per
+      // batchId, like the appends) must equal a from-scratch rebuild's —
+      // including across the no-new-files replay above
+      def stats(t: String) = spark.sql(s"SHOW TBLPROPERTIES ${t}_postings")
+        .collect().map(r => r.getString(0) -> r.getString(1))
+        .filter(kv => kv._1 == "graft.docCount" || kv._1 == "graft.totalDl")
+        .toMap
+      assert(stats("graft_sidx_store") == stats("graft_sidx_full"),
+        "streamed BM25 stats must converge to the rebuild's")
     } finally Seq("graft_sidx_store_postings", "graft_sidx_store_terms",
       "graft_sidx_full_postings", "graft_sidx_full_terms")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
