@@ -837,6 +837,21 @@ object SparkEntry {
           "embedding", q, 10)
         .orderBy("vec_id")
     }),
+    "q_mmr_select" -> ((s, dir) => {
+      // diversity-aware selection: greedy MMR (λ=0.7) of 10 vectors for
+      // query vec 1 — relevance-only top-k returns near-duplicates of the
+      // best hit, MMR trades relevance for coverage. k driver-bounded
+      // argmax rounds over one scored checkpoint; oracle = selection-order
+      // literals from the Spark-independent plain-Scala greedy
+      // (IndependentOracles.mmrOrder, the sketchOracles pattern)
+      lastMmrDir = Some(dir)
+      val emb = rd(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 1).select("embedding")
+        .head().getSeq[Float](0).map(_.toDouble)
+      Similarity.mmrSelect(emb.filter(col("vec_id") =!= 1), "vec_id",
+          "embedding", q, k = 10, lambda = 0.7)
+        .orderBy("pos")
+    }),
     "q_ann_int8_store" -> ((s, dir) => {
       // the STORE twin: identical results by construction (quantization is
       // deterministic and happened at store-write time), but the timed
@@ -2791,6 +2806,39 @@ object SparkEntry {
     * only to READ the corpus. The HLL entry is omitted (pre-round-10
     * rows-only behavior) if the estimate leaves the raw regime — see
     * [[graft.verify.IndependentOracles.hllRawEstimate]]. */
+  @volatile private var lastMmrDir: Option[String] = None
+
+  /** q_mmr_select's oracle, the [[sketchOracles]] pattern: the selection
+    * order is recomputed by the Spark-independent plain-Scala greedy
+    * ([[graft.verify.IndependentOracles.mmrOrder]] — same cosine loop as
+    * the native kernel, same 6-dp HALF_UP rounding, id ties) over the
+    * collected embeddings, and becomes a VALUES literal. Spark is used
+    * only to READ the corpus; the maxDriverRows guard keeps the collect a
+    * test-SF-only affordance. */
+  private[graft] def mmrOracle(dir: String): Map[String, String] = {
+    import graft.verify.IndependentOracles
+    val s = SparkSession.active
+    val emb = rd(s, dir, "embeddings").select("vec_id", "embedding")
+    val cap = DF.maxDriverRows
+    val probeCap = math.min(cap + 1, Int.MaxValue.toLong).toInt
+    val probed = emb.limit(probeCap).count()
+    if (probed > cap)
+      throw new DriverMaterializationException("mmrOracle", probed, cap,
+        "the rows-only check (MMR oracles are a test-SF recompute by design)")
+    val all = emb.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      .toSeq
+    val query = all.find(_._1 == 1L)
+      .getOrElse(sys.error("mmrOracle: no vec_id 1 in embeddings"))._2
+    val order = IndependentOracles.mmrOrder(
+      all.filterNot(_._1 == 1L), query, k = 10, lambda = 0.7)
+    val values = order.zipWithIndex
+      .map { case (id, i) => s"($id, ${i + 1})" }.mkString(", ")
+    Map("q_mmr_select" ->
+      s"""SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(pos AS BIGINT) AS pos
+          FROM (VALUES $values) AS t(vec_id, pos) ORDER BY pos""")
+  }
+
   private[graft] def sketchOracles(dir: String): Map[String, String] = {
     import graft.verify.IndependentOracles
     val s = SparkSession.active
@@ -3852,6 +3900,13 @@ object SparkEntry {
     catch {
       case e: Exception =>
         System.err.println(s"[oracleSql] sketch oracle recompute failed: $e")
+        Map.empty[String, String]
+    }
+  }.getOrElse(Map.empty) ++ lastMmrDir.map { dir =>
+    try mmrOracle(dir)
+    catch {
+      case e: Exception =>
+        System.err.println(s"[oracleSql] MMR oracle recompute failed: $e")
         Map.empty[String, String]
     }
   }.getOrElse(Map.empty)

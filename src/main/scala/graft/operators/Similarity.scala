@@ -55,6 +55,68 @@ object Similarity {
 
   /** brute-force top-k by cosine against one literal query vector.
     * Plan: scan → project(cosine) → TakeOrderedAndProject(k). */
+  /** Greedy Maximal Marginal Relevance selection (Carbonell & Goldstein
+    * 1998): pick `k` vectors, each round taking argmax of
+    * λ·cos(query, v) − (1−λ)·max_{s∈selected} cos(v, s) — the
+    * diversity-aware data-selection pass (a top-k by relevance alone
+    * returns k near-duplicates of the best hit; MMR trades relevance for
+    * coverage). Returns (id, pos) in selection order, pos 1..k.
+    *
+    * Iterative by nature: k rounds, each an argmax over the relevance
+    * CHECKPOINT (corpus scanned/scored once up front) = orderBy+limit(1)
+    * with ONE row collected per round — driver materialization bounded by
+    * the PARAMETER k, the ivfFit Lloyd's-iteration pattern. Selected
+    * vectors ride back into the next round's plan as literals (≤ k small
+    * arrays). At 100 TB, k scans of the scored corpus is the honest cost
+    * of exact greedy MMR; production narrows the pool first (top-N by
+    * relevance, or SemDeDup cluster heads) and runs MMR on the pool —
+    * compose with [[bruteForceTopK]]/[[ivfTopK]] for that.
+    *
+    * Determinism: every similarity and every MMR score rounds to 6 dp
+    * (the cosine-oracle convention) before comparison; ids break ties —
+    * so the selection order is engine-replicable and is oracle-pinned by
+    * the Spark-independent recompute in graft.verify.IndependentOracles. */
+  def mmrSelect(emb: DataFrame, idCol: String, vecCol: String,
+                query: Seq[Double], k: Int, lambda: Double = 0.7): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(lambda >= 0 && lambda <= 1, s"lambda must be in [0,1], got $lambda")
+    val spark = emb.sparkSession
+    val q = array(query.map(lit): _*)
+    val base = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("rel", round(cosine(col("v"), q), 6))
+      .localCheckpoint()
+    val selected =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Double])]
+    var exhausted = false
+    while (selected.size < k && !exhausted) {
+      val cand =
+        if (selected.isEmpty) base.withColumn("mmr", col("rel"))
+        else {
+          val sims = selected.toSeq.map { case (_, sv) =>
+            round(cosine(col("v"), array(sv.map(lit): _*)), 6)
+          }
+          val maxSim = if (sims.size == 1) sims.head else greatest(sims: _*)
+          base.filter(!col("id").isin(selected.toSeq.map(_._1): _*))
+            .withColumn("mmr",
+              round(lit(lambda) * col("rel") - lit(1 - lambda) * maxSim, 6))
+        }
+      val rows = cand.orderBy(desc("mmr"), col("id")).limit(1).collect()
+      if (rows.isEmpty) exhausted = true // corpus smaller than k
+      else {
+        val r = rows.head
+        selected += ((r.getLong(0), r.getSeq[Any](1).map {
+          case f: Float => f.toDouble
+          case d: Double => d
+          case other => sys.error(s"non-numeric vector element: $other")
+        }))
+      }
+    }
+    import spark.implicits._
+    selected.toSeq.map(_._1).zipWithIndex
+      .map { case (id, i) => (id, (i + 1).toLong) }
+      .toDF(idCol, "pos")
+  }
+
   def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String,
                      query: Seq[Double], k: Int): DataFrame = {
     val q = array(query.map(lit): _*)

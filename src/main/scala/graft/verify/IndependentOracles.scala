@@ -332,4 +332,51 @@ object IndependentOracles {
     val e = alphaM2 / zInverse
     if (zeroes == 0 && e >= 5.0d * m) Some(Math.round(e)) else None
   }
+
+  /** plain-Scala greedy MMR — the Spark-independent mirror of
+    * [[graft.operators.Similarity.mmrSelect]], sharing NOTHING with it but
+    * the spec: cosine as the same left-to-right fused loop the native
+    * kernel runs (float→double widening is exact, so scoring collected
+    * floats here equals scoring the cast column there), every similarity
+    * and MMR score rounded to 6 dp via scala BigDecimal HALF_UP (Spark's
+    * `round(col, 6)` double semantics), ids breaking ties. Returns the
+    * selection order. */
+  def mmrOrder(vecs: Seq[(Long, Array[Double])], query: Array[Double],
+               k: Int, lambda: Double): Seq[Long] = {
+    def cos(x: Array[Double], y: Array[Double]): Double = {
+      val n = math.min(x.length, y.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val xv = x(i); val yv = y(i)
+        dot += xv * yv; na += xv * xv; nb += yv * yv
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def r6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rel = vecs.map { case (id, v) => (id, r6(cos(v, query)), v) }
+    val sel = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double])]
+    while (sel.size < k && sel.size < vecs.size) {
+      val selIds = sel.map(_._1).toSet
+      val best = rel.iterator.filterNot(t => selIds(t._1)).map {
+        case (id, rl, v) =>
+          val score =
+            if (sel.isEmpty) rl
+            else {
+              val maxSim = sel.iterator.map(s => r6(cos(v, s._2))).max
+              r6(lambda * rl - (1 - lambda) * maxSim)
+            }
+          (id, score)
+      }.reduceOption((a, b) =>
+        if (b._2 > a._2 || (b._2 == a._2 && b._1 < a._1)) b else a)
+      best match {
+        case Some((id, _)) =>
+          sel += ((id, rel.find(_._1 == id).get._3))
+        case None => return sel.toSeq.map(_._1)
+      }
+    }
+    sel.toSeq.map(_._1)
+  }
 }

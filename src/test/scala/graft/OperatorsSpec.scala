@@ -972,6 +972,37 @@ class OperatorsSpec extends AnyFunSuite {
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("mmrSelect: diversity beats a relevance pile-up, order deterministic") {
+    import graft.operators.Similarity
+    // query (1,0,0); a tight cluster of near-duplicates hugging the query
+    // (ids 1-3) and one moderately-relevant outlier (id 4). Pure top-3 by
+    // relevance returns the whole cluster; MMR must break out to the
+    // outlier by pick 2 or 3.
+    val emb = Seq(
+      (1L, Array(0.99f, 0.10f, 0.00f)),
+      (2L, Array(0.98f, 0.11f, 0.00f)),
+      (3L, Array(0.99f, 0.09f, 0.01f)),
+      (4L, Array(0.60f, 0.00f, 0.80f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.mmrSelect(emb, "vec_id", "embedding",
+        Seq(1.0, 0.0, 0.0), k = 3, lambda = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got.map(_._2) == Seq(1L, 2L, 3L), "pos must be 1..k in order")
+    val picks = got.map(_._1)
+    assert(picks.head == 3L || picks.head == 1L) // most relevant first
+    assert(picks.contains(4L), s"MMR must escape the cluster: $picks")
+    // the Spark-independent mirror reproduces the selection exactly
+    val mirror = graft.verify.IndependentOracles.mmrOrder(
+      Seq(1L -> Array(0.99, 0.10, 0.00), 2L -> Array(0.98, 0.11, 0.00),
+        3L -> Array(0.99, 0.09, 0.01), 4L -> Array(0.60, 0.00, 0.80))
+        .map { case (id, a) => (id, a.map(_.toFloat.toDouble)) },
+      Array(1.0, 0.0, 0.0), k = 3, lambda = 0.5)
+    assert(mirror == picks, s"mirror $mirror != spark $picks")
+    // k larger than the corpus terminates with everything selected
+    assert(Similarity.mmrSelect(emb, "vec_id", "embedding",
+      Seq(1.0, 0.0, 0.0), k = 10).count() == 4)
+  }
+
   test("hybridSearchRRF: both-leg docs outrank single-leg, fusion exact") {
     import graft.operators.Search
     val docs = Seq(
