@@ -345,6 +345,10 @@ object Search {
       .select(col("doc_id"), col("__rt"))
     val qv = emb.filter(col(idCol) === queryId)
       .select(col(vecCol).as("__q"))
+    // a missing query id would silently degrade the fusion to text-only —
+    // fail loudly instead (1-row probe, the store-params-check stance)
+    require(!qv.isEmpty,
+      s"hybridSearchRRF: query id $queryId not found in the embedding side")
     val vr = emb.filter(col(idCol) =!= queryId)
       .crossJoin(broadcast(qv))
       .select(col(idCol).as("doc_id"),

@@ -1039,6 +1039,12 @@ class OperatorsSpec extends AnyFunSuite {
       assert(m(3L) == rrf(2), s"doc 3 fused wrong: ${m(3L)}")
       // doc 4 misses both legs' top-kEach entirely
       assert(!m.contains(4L))
+      // a missing query id fails loudly instead of degrading to text-only
+      val e = intercept[IllegalArgumentException] {
+        Search.hybridSearchRRF(spark, "graft_hybrid_t", Seq("scan"),
+          emb, "vec_id", "embedding", queryId = 999L, k = 5)
+      }
+      assert(e.getMessage.contains("999"))
     } finally Seq("graft_hybrid_t_postings", "graft_hybrid_t_terms")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
