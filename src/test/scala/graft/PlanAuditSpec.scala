@@ -153,6 +153,26 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(result.count() > 0)
   }
 
+  test("bigramLogProb scans/tokenizes the corpus ONCE (pair table checkpointed)") {
+    import graft.operators.TextAnalysis
+    val corpus = spark.read.parquet(docsDir)
+    var result: org.apache.spark.sql.DataFrame = null
+    val buildJobs = countInGroup("bigram-build") {
+      result = TextAnalysis.bigramLogProb(corpus, "doc_id", "text")
+    }
+    assert(buildJobs <= 2,
+      s"bigramLogProb ran $buildJobs jobs at construction, expected <= 2 " +
+        "(one tokenize+pair pass into the checkpoint)")
+    val plan = finalSection(finalPlan(result))
+    // the scoring job joins the two frequency tables and the pairs, ALL off
+    // the one checkpoint — zero parquet scans, no re-tokenization
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 0, s"scoring job re-scans the corpus ($scans scans) in:\n$plan")
+    assert(plan.contains("ExistingRDD"),
+      s"pair table not read from the checkpoint in:\n$plan")
+    assert(result.count() > 0)
+  }
+
   test("attachId/reindex stay multi-partition (distributed zipWithIndex, no global funnel)") {
     val df = (1L to 4000L).map(i => (i, s"v$i")).toDF("k", "v").repartition(8)
     val withId = DF.attachId(df)
