@@ -172,6 +172,28 @@ class PropertiesSpec extends AnyFunSuite {
     }, n = 5)
   }
 
+  test("datasetDiff ≡ reference map diff over random snapshot edits") {
+    import spark.implicits._
+    import graft.sources.Sources
+    val snapGen = Gen.choose(1, 25).flatMap(n => Gen.listOfN(n,
+      Gen.zip(Gen.choose(0L, 30L), Gen.alphaLowerStr.map(_.take(5)))))
+    check(Prop.forAll(snapGen, snapGen) { (cur0, prev0) =>
+      val cur = cur0.distinctBy(_._1)
+      val prev = prev0.distinctBy(_._1)
+      val (cm, pm) = (cur.toMap, prev.toMap)
+      val expect =
+        (cm.keySet -- pm.keySet).map(_ -> "added") ++
+        (pm.keySet -- cm.keySet).map(_ -> "removed") ++
+        (cm.keySet & pm.keySet).collect {
+          case id if cm(id) != pm(id) => id -> "changed"
+        }
+      val got = Sources.datasetDiff(cur.toDF("id", "text"),
+          prev.toDF("id", "text"), "id", Seq("text"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      got == expect.toSet
+    }, n = 10)
+  }
+
   test("globalPrefixSum ≡ sequential scan, any bucket count / partitioning") {
     import spark.implicits._
     import graft.operators.Relational
