@@ -10,6 +10,11 @@ import org.scalatest.funsuite.AnyFunSuite
 class DFBasicsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
+  test("driver smoke contract: SparkEntry.entry returns rows at sf0.001") {
+    assume(new java.io.File("/root/testdata/sf0.001/lineitem.parquet").exists())
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   private val v = Seq(1, 2, 3, 4)
   private val b = Seq(false, true, true, false)
   private val s = Seq("a", "b", "c", "d")
