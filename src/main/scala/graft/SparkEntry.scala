@@ -1677,7 +1677,59 @@ object SparkEntry {
       rd(s, dir, "nation").groupBy("n_regionkey")
         .agg(array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"),
           count(lit(1)).as("n_nations"))
-        .orderBy("n_regionkey"))
+        .orderBy("n_regionkey")),
+    "q_profile_table" -> ((s, dir) =>
+      // one-pass whole-table column profile (null + distinct counts per
+      // column) — the pre-flight sanity gate before a multi-hour job.
+      // Exact mode here (oracle-checkable); the 100 TB default is the
+      // approx_count_distinct path (Profiling scaladoc)
+      graft.operators.Profiling.profileTable(rd(s, dir, "lineitem"))),
+    "q_skew_report" -> ((s, dir) =>
+      // group-size distribution scalars for a prospective join key — the
+      // numbers behind a salting/AQE-skew decision. Two cascaded aggs;
+      // the second runs over |keys| rows only
+      graft.operators.Profiling.skewReport(rd(s, dir, "orders"), "o_custkey")),
+    "q_outlier_mad" -> ((s, dir) =>
+      // robust per-group outlier gate: |x − median| > 3·MAD over integer
+      // cents (dyadic-exact medians — the q_grouped_median doctrine)
+      graft.operators.Profiling.outlierMad(rd(s, dir, "lineitem"),
+        "l_returnflag",
+        expr("cast(round(l_extendedprice * 100) as bigint)"), k = 3.0)),
+    "q_store_merge" -> ((s, dir) => {
+      // CDC merge into a bucketed snapshot store: deletes retire base
+      // rows, upserts insert-or-replace — all via ONE co-bucketed
+      // anti-join (no base shuffle; SourcesAndUdafSpec proves the
+      // exchange elision) plus a union. The changeset is derived
+      // deterministically from the snapshot itself: deletes (%13),
+      // updated prices (%7 minus the deletes), inserts under fresh
+      // negative keys (%11 — negative so no replica-offset corpus can
+      // collide at any GenScale factor)
+      val snap = rd(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"),
+        expr("cast(round(o_totalprice * 100) as bigint)").as("price_cents"),
+        col("o_orderstatus"))
+      val upd = snap
+        .filter(col("o_orderkey") % 7 === 0 && col("o_orderkey") % 13 =!= 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("price_cents") + 100L).as("price_cents"),
+          lit("U").as("o_orderstatus"))
+        .withColumn("op", lit("upsert"))
+      val ins = snap.filter(col("o_orderkey") % 11 === 0)
+        .select((col("o_orderkey") * -1L - 1L).as("o_orderkey"),
+          col("o_custkey"), col("price_cents"), lit("N").as("o_orderstatus"))
+        .withColumn("op", lit("upsert"))
+      val del = snap.filter(col("o_orderkey") % 13 === 0)
+        .select(col("o_orderkey"),
+          lit(null).cast("bigint").as("o_custkey"),
+          lit(null).cast("bigint").as("price_cents"),
+          lit(null).cast("string").as("o_orderstatus"))
+        .withColumn("op", lit("delete"))
+      graft.sources.Sources.writeBucketed(snap, "graft_merge_base",
+        "o_orderkey", 8)
+      graft.sources.Sources.mergeIntoStore(s, "graft_merge_base",
+        upd.unionByName(ins).unionByName(del), "o_orderkey", nBuckets = 8)
+      s.table("graft_merge_base").orderBy("o_orderkey")
+    })
   )
 
   /** shared by q_cosine_topk (functions-based) and q_cosine_expr (native
@@ -2808,6 +2860,17 @@ object SparkEntry {
     * [[graft.verify.IndependentOracles.hllRawEstimate]]. */
   @volatile private var lastMmrDir: Option[String] = None
 
+  /** q_profile_table's oracle: one UNION ALL branch per profiled column —
+    * the per-column recompute of [[graft.operators.Profiling.profileTable]]
+    * (null count via FILTER, exact distinct count, shared row count). */
+  private def profileOracleSql(table: String, cols: Seq[String]): String = {
+    val branches = cols.map(c =>
+      s"""SELECT '$c' AS column_name, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(*) FILTER (WHERE $c IS NULL) AS BIGINT) AS n_nulls,
+         CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct FROM $table""")
+    s"SELECT * FROM (${branches.mkString(" UNION ALL ")}) ORDER BY column_name"
+  }
+
   /** q_mmr_select's oracle, the [[sketchOracles]] pattern: the selection
     * order is recomputed by the Spark-independent plain-Scala greedy
     * ([[graft.verify.IndependentOracles.mmrOrder]] — same cosine loop as
@@ -3802,7 +3865,72 @@ object SparkEntry {
       """SELECT n_regionkey,
            string_agg(n_name, ',' ORDER BY n_name) AS nations,
            count(*) AS n_nations
-         FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"""
+         FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
+    "q_profile_table" -> profileOracleSql("lineitem", Seq(
+      "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+      "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+      "l_linestatus", "l_shipdate")),
+    "q_skew_report" ->
+      """WITH c AS (
+           SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY o_custkey)
+         SELECT CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(cnt) AS BIGINT) AS n_rows,
+           CAST(max(cnt) AS BIGINT) AS max_cnt,
+           quantile_cont(cnt, 0.5) AS p50_cnt,
+           round(sum(cnt) / count(*), 6) AS avg_cnt,
+           round(max(cnt) * count(*) / sum(cnt), 6) AS skew_ratio
+         FROM c""",
+    // robust outlier gate over integer cents: group median interpolates to
+    // halves, |x − med| to halves, the MAD to quarters — dyadic-exact in
+    // both engines, so the 3·MAD comparison never straddles an ulp
+    "q_outlier_mad" ->
+      """WITH b AS (
+           SELECT l_returnflag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+           FROM lineitem),
+         m AS (
+           SELECT l_returnflag, quantile_cont(v, 0.5) AS med
+           FROM b GROUP BY l_returnflag),
+         d AS (
+           SELECT b.l_returnflag, b.v, m.med, abs(b.v - m.med) AS absdev
+           FROM b JOIN m USING (l_returnflag)),
+         md AS (
+           SELECT l_returnflag, quantile_cont(absdev, 0.5) AS mad
+           FROM d GROUP BY l_returnflag)
+         SELECT d.l_returnflag, CAST(count(*) AS BIGINT) AS n,
+           max(d.med) AS median_v, max(md.mad) AS mad_v,
+           CAST(count(*) FILTER (WHERE d.absdev > 3 * md.mad) AS BIGINT)
+             AS n_outliers
+         FROM d JOIN md USING (l_returnflag)
+         GROUP BY d.l_returnflag ORDER BY d.l_returnflag""",
+    // CDC merge: retire every delta key from the base snapshot (anti-join
+    // == NOT IN below — delta keys are non-null by construction), then
+    // append the upsert payloads; the changeset is the same deterministic
+    // %13/%7/%11 derivation as the Spark side
+    "q_store_merge" ->
+      """WITH snap AS (
+           SELECT o_orderkey, o_custkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+             o_orderstatus
+           FROM orders),
+         upd AS (
+           SELECT o_orderkey, o_custkey, price_cents + 100 AS price_cents,
+             'U' AS o_orderstatus
+           FROM snap WHERE o_orderkey % 7 = 0 AND o_orderkey % 13 <> 0),
+         ins AS (
+           SELECT -o_orderkey - 1 AS o_orderkey, o_custkey, price_cents,
+             'N' AS o_orderstatus
+           FROM snap WHERE o_orderkey % 11 = 0),
+         delta_keys AS (
+           SELECT o_orderkey FROM snap WHERE o_orderkey % 13 = 0
+           UNION ALL SELECT o_orderkey FROM upd
+           UNION ALL SELECT o_orderkey FROM ins)
+         SELECT * FROM (
+           SELECT * FROM snap
+           WHERE o_orderkey NOT IN (SELECT o_orderkey FROM delta_keys)
+           UNION ALL SELECT * FROM upd
+           UNION ALL SELECT * FROM ins)
+         ORDER BY o_orderkey"""
   ) ++ lastIvfDir.flatMap(ivfModels.get).map { m =>
     // generated from the fitted model the query loop memoized (one sf dir
     // per Verify process); absent only when no IVF query ran this process

@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** [EXT] Dataset-health operators (SURVEY §2.9 extension surface): one-pass
+  * column profiling, join-key skew reporting, and robust (median/MAD)
+  * outlier detection. The reference's summary layer
+  * (cl-data-frame.lisp:18-117) prints per-column type/quantile summaries on
+  * an in-memory frame; these are the distributed siblings a 100 TB pipeline
+  * needs BEFORE running a big job: which columns are null/degenerate, which
+  * join keys are skewed enough to need salting, which numeric groups carry
+  * corrupt magnitudes.
+  *
+  * Determinism doctrine (SparkEntry scaladoc): every emitted double is
+  * either dyadic-rational-exact (medians/MADs over integer cents interpolate
+  * with frac ∈ {0, 0.5}) or a single division of exact integers, so DuckDB
+  * reproduces results bit-for-bit.
+  */
+object Profiling {
+
+  /** One-pass whole-table column profile: for every column, its null count
+    * and distinct count, plus the table row count — the "is this dataset
+    * sane" gate run before a multi-hour job.
+    *
+    * Scale notes:
+    *  - `exact = false` (the 100 TB default) profiles with
+    *    `approx_count_distinct` (HLL±5%): every aggregate is a partial
+    *    map-side sketch, ONE pass, no data amplification;
+    *  - `exact = true` uses `count(DISTINCT col)` per column, which Catalyst
+    *    plans as an Expand — the input is replicated once per distinct
+    *    aggregate (k columns → k× shuffle volume). Correct, oracle-exact,
+    *    and the mode the sf-scale gate verifies; flip to approx when the
+    *    table is large enough that k× its size matters.
+    *  - the result is reshaped with `stack` (a generator projection over the
+    *    single aggregated row) — no driver collect anywhere.
+    */
+  def profileTable(df: DataFrame, exact: Boolean = true): DataFrame = {
+    val cols = df.columns.toSeq
+    require(cols.nonEmpty, "profileTable: no columns")
+    require(cols.forall(c => !c.contains("'") && !c.contains("`")),
+      s"profileTable: quote characters in column names unsupported: $cols")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).cast(LongType)
+          .as(s"__nulls_$c"),
+        (if (exact) countDistinct(col(c))
+         else approx_count_distinct(col(c))).cast(LongType)
+          .as(s"__dist_$c"))
+    } :+ count(lit(1)).cast(LongType).as("__n")
+    val agged = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols
+      .map(c => s"'$c', `__nulls_$c`, `__dist_$c`")
+      .mkString(", ")
+    agged
+      .select(
+        expr(s"stack(${cols.length}, $stackArgs) " +
+          "as (column_name, n_nulls, n_distinct)"),
+        col("__n").as("n_rows"))
+      .select("column_name", "n_rows", "n_nulls", "n_distinct")
+      .orderBy("column_name")
+  }
+
+  /** Join-key skew report: the distribution of per-key group sizes for a
+    * prospective join/groupBy key, reduced to the scalars that drive a
+    * salting decision — key count, row count, max and median group size,
+    * mean group size, and skew ratio (max/mean; ≳20 on a shuffle join key
+    * means the biggest task runs 20× longer than the average and AQE skew
+    * handling or salting is warranted, cf. Relational.saltedJoin).
+    *
+    * Two cascaded aggregations: rows → per-key counts (map-side partial
+    * combine does the heavy lifting), then per-key counts (|keys| ≪ |rows|)
+    * → one row. The median uses interpolated `percentile` over integer
+    * counts — frac ∈ {0, 0.5}, dyadic-exact; mean and skew ratio are single
+    * divisions of exact integer sums, rounded to 6 places on both engines.
+    * No percentile above 0.5 is emitted: Spark's percentile_disc and
+    * DuckDB's quantile_disc disagree on index selection for small n, and
+    * interpolated high quantiles are not dyadic-exact (the q_grouped_median
+    * doctrine).
+    */
+  def skewReport(df: DataFrame, keyCol: String): DataFrame =
+    df.groupBy(keyCol).agg(count(lit(1)).as("cnt"))
+      .agg(
+        count(lit(1)).cast(LongType).as("n_keys"),
+        sum("cnt").cast(LongType).as("n_rows"),
+        max("cnt").cast(LongType).as("max_cnt"),
+        expr("percentile(cnt, 0.5)").as("p50_cnt"),
+        expr("round(sum(cnt) / count(1), 6)").as("avg_cnt"),
+        expr("round(max(cnt) * count(1) / sum(cnt), 6)").as("skew_ratio"))
+
+  /** Robust per-group outlier detection: |x − median| > k·MAD, the
+    * median/MAD analogue of a z-score gate that a mean/stddev version gets
+    * wrong exactly when it matters (the outliers poison the mean). Returns
+    * one row per group: n, median, MAD, and the outlier count.
+    *
+    * `valueExpr` must be integral (cast your doubles to cents — the cents
+    * doctrine): the group median then interpolates to halves, |x − med| to
+    * halves, the MAD to quarters — all dyadic-exact doubles that DuckDB's
+    * quantile_cont reproduces bit-for-bit, so the k·MAD comparison is
+    * deterministic across engines.
+    *
+    * Plan shape: two aggregate+join-back rounds over the base projection.
+    * The per-group stat tables carry |groups| rows (≪ |rows|), so both
+    * join-backs broadcast at scale; the base is scanned twice (column-pruned
+    * to two columns). A one-scan alternative — collect_list per group and
+    * compute medians in a UDF — is rejected: it materializes whole groups on
+    * single executors, the thing that dies first on a skewed 100 TB table.
+    */
+  def outlierMad(df: DataFrame, groupCol: String, valueExpr: Column,
+                 k: Double = 3.0): DataFrame = {
+    val base = df.select(col(groupCol), valueExpr.cast(LongType).as("v"))
+    val med = base.groupBy(groupCol)
+      .agg(expr("percentile(v, 0.5)").as("med"))
+    val withDev = base.join(med, groupCol)
+      .withColumn("absdev", abs(col("v") - col("med")))
+    val mad = withDev.groupBy(groupCol)
+      .agg(expr("percentile(absdev, 0.5)").as("mad"))
+    withDev.join(mad, groupCol)
+      .groupBy(groupCol)
+      .agg(
+        count(lit(1)).cast(LongType).as("n"),
+        max("med").as("median_v"),
+        max("mad").as("mad_v"),
+        sum(when(col("absdev") > lit(k) * col("mad"), 1L).otherwise(0L))
+          .cast(LongType).as("n_outliers"))
+      .orderBy(groupCol)
+  }
+}

@@ -299,4 +299,54 @@ object Sources {
         s"unparseable manifest at $manifestPath: $txt")
     }
   }
+
+  /** Merge a changeset into a snapshot — the CDC/upsert primitive of an
+    * incrementally-maintained corpus store. `delta` carries the snapshot's
+    * columns plus `opCol` ∈ {"upsert", "delete"}: every delta key's base
+    * row is retired (one anti-join), then the upsert payloads are appended.
+    * An upsert therefore inserts-or-replaces; a delete just retires.
+    *
+    * Contract: `keyCol` is unique within `base` and within `delta` (a
+    * duplicate delta key would insert twice — resolve last-writer-wins
+    * upstream with a sequence column before calling; checking here would
+    * cost an extra full aggregation per merge).
+    *
+    * Scale shape: one anti-join on the key plus a union — no other
+    * shuffle. When base and delta are both bucketed stores on the key
+    * ([[writeBucketed]], same bucket count), the anti-join's exchanges
+    * elide on BOTH sides (proven in SourcesAndUdafSpec) and the merge
+    * reads each bucket pair once; a typical delta is also ≪ base, so the
+    * unbucketed case broadcasts the delta keys. */
+  def mergeSnapshot(base: DataFrame, delta: DataFrame, keyCol: String,
+                    opCol: String = "op"): DataFrame = {
+    val ops = delta.select(col(opCol)).distinct()
+    // cheap contract guard: unknown op values silently dropping rows is
+    // the worst failure mode for a store maintainer (delta is small)
+    val bad = ops.filter(!col(opCol).isin("upsert", "delete")).take(1)
+    require(bad.isEmpty,
+      s"mergeSnapshot: delta.$opCol has values outside {upsert, delete}: " +
+        bad.mkString(", "))
+    base.join(delta.select(keyCol), Seq(keyCol), "left_anti")
+      .unionByName(delta.filter(col(opCol) === "upsert").drop(opCol))
+  }
+
+  /** Apply a changeset to a bucketed store table IN PLACE: read, merge
+    * ([[mergeSnapshot]] — co-bucketed anti-join, no base shuffle), write
+    * the result to a staging table with the same bucket spec, and swap via
+    * the [[compactBucketed]] drop→rename (same caveat: the two catalog
+    * calls are not one atomic operation — run in the maintenance window).
+    * The merged frame is materialized (`localCheckpoint`) before the drop
+    * so the staging write never reads the table being replaced. */
+  def mergeIntoStore(spark: SparkSession, table: String, delta: DataFrame,
+                     keyCol: String, nBuckets: Int,
+                     opCol: String = "op"): Unit = {
+    val staging = s"${table}__merging"
+    spark.sql(s"DROP TABLE IF EXISTS $staging")
+    val merged =
+      mergeSnapshot(spark.table(table), delta, keyCol, opCol).localCheckpoint()
+    writeBucketed(merged, staging, keyCol, nBuckets)
+    merged.unpersist()
+    spark.sql(s"DROP TABLE $table")
+    spark.sql(s"ALTER TABLE $staging RENAME TO $table")
+  }
 }
