@@ -1729,7 +1729,42 @@ object SparkEntry {
       graft.sources.Sources.mergeIntoStore(s, "graft_merge_base",
         upd.unionByName(ins).unionByName(del), "o_orderkey", nBuckets = 8)
       s.table("graft_merge_base").orderBy("o_orderkey")
-    })
+    }),
+    "q_corr_matrix" -> ((s, dir) =>
+      // pairwise Pearson over integral projections, ONE aggregate pass
+      // (df.stat.corr would run a job per pair); exact DECIMAL sums, so
+      // the result is independent of partition order — corr()'s streaming
+      // co-moments are not
+      graft.operators.Profiling.corrMatrix(rd(s, dir, "lineitem"), Seq(
+        "disc_pct" -> expr("cast(round(l_discount * 100) as bigint)"),
+        "price_cents" -> expr("cast(round(l_extendedprice * 100) as bigint)"),
+        "qty" -> expr("cast(round(l_quantity) as bigint)")))),
+    "q_quantile_bins" -> ((s, dir) =>
+      // quartile discretization + per-bin stats without a global-sort
+      // ntile window: boundaries from one percentile aggregate, binning
+      // via a broadcast cross join (quarter-grid probs are dyadic-exact)
+      graft.operators.Profiling.quantileBins(rd(s, dir, "lineitem"),
+        expr("cast(round(l_extendedprice * 100) as bigint)"))),
+    "q_token_entropy" -> ((s, dir) =>
+      // corpus unigram Shannon entropy + type/token ratio in one row —
+      // the crawl-degeneracy gate; integer-NANOS c·ln c terms keep the
+      // sum order-independent (the q_unigram_lm doctrine)
+      TextAnalysis.corpusLexicalStats(rd(s, dir, "documents"), "text")),
+    "q_group_sample" -> ((s, dir) =>
+      // EXACTLY 20 docs per language by smallest md5 — fixed-size
+      // stratified eval sampling. The hash-prefix histogram prefilter
+      // keeps any one stratum from sorting through a single task; the
+      // result equals the oracle's naive full window bit-for-bit
+      Sampling.groupSampleK(rd(s, dir, "documents"), "lang",
+          col("doc_id"), k = 20)
+        .select("doc_id", "lang").orderBy("doc_id")),
+    "q_weighted_sample" -> ((s, dir) =>
+      // Efraimidis–Spirakis weighted k-sample (weight = n_chars) with
+      // md5-derived deterministic uniforms and integer-nanos scores:
+      // reproducible importance sampling as a pure projection + top-k
+      Sampling.weightedSampleK(rd(s, dir, "documents"), col("doc_id"),
+          col("n_chars"), k = 100)
+        .select("doc_id", "score_nanos").orderBy("score_nanos", "doc_id"))
   )
 
   /** shared by q_cosine_topk (functions-based) and q_cosine_expr (native
@@ -3930,7 +3965,98 @@ object SparkEntry {
            WHERE o_orderkey NOT IN (SELECT o_orderkey FROM delta_keys)
            UNION ALL SELECT * FROM upd
            UNION ALL SELECT * FROM ins)
-         ORDER BY o_orderkey"""
+         ORDER BY o_orderkey""",
+    // exact-integer-sum Pearson (HUGEINT here, DECIMAL(38,0) in Spark —
+    // both exact), one final cast to double per factor; degenerate
+    // denominators → NULL on both engines
+    "q_corr_matrix" ->
+      """WITH b AS (
+           SELECT CAST(round(l_discount * 100) AS BIGINT) AS disc_pct,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+             CAST(round(l_quantity) AS BIGINT) AS qty
+           FROM lineitem),
+         s AS (
+           SELECT CAST(count(*) AS HUGEINT) AS n,
+             sum(disc_pct) AS sd, sum(price_cents) AS sp, sum(qty) AS sq,
+             sum(disc_pct * disc_pct) AS sdd,
+             sum(price_cents * price_cents) AS spp,
+             sum(qty * qty) AS sqq,
+             sum(disc_pct * price_cents) AS sdp,
+             sum(disc_pct * qty) AS sdq,
+             sum(price_cents * qty) AS spq
+           FROM b)
+         SELECT * FROM (
+           SELECT 'disc_pct' AS col_a, 'price_cents' AS col_b,
+             CASE WHEN n*sdd - sd*sd > 0 AND n*spp - sp*sp > 0 THEN
+               round(CAST(n*sdp - sd*sp AS DOUBLE)
+                 / sqrt(CAST(n*sdd - sd*sd AS DOUBLE))
+                 / sqrt(CAST(n*spp - sp*sp AS DOUBLE)), 6) END AS corr
+           FROM s
+           UNION ALL
+           SELECT 'disc_pct', 'qty',
+             CASE WHEN n*sdd - sd*sd > 0 AND n*sqq - sq*sq > 0 THEN
+               round(CAST(n*sdq - sd*sq AS DOUBLE)
+                 / sqrt(CAST(n*sdd - sd*sd AS DOUBLE))
+                 / sqrt(CAST(n*sqq - sq*sq AS DOUBLE)), 6) END
+           FROM s
+           UNION ALL
+           SELECT 'price_cents', 'qty',
+             CASE WHEN n*spp - sp*sp > 0 AND n*sqq - sq*sq > 0 THEN
+               round(CAST(n*spq - sp*sq AS DOUBLE)
+                 / sqrt(CAST(n*spp - sp*sp AS DOUBLE))
+                 / sqrt(CAST(n*sqq - sq*sq AS DOUBLE)), 6) END
+           FROM s)
+         ORDER BY col_a, col_b""",
+    // boundary ties go UP (v >= boundary) on both engines; quarter-grid
+    // quantile_cont over integers is dyadic-exact
+    "q_quantile_bins" ->
+      """WITH b AS (
+           SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+           FROM lineitem),
+         q AS (SELECT quantile_cont(v, [0.25, 0.5, 0.75]) AS bl FROM b),
+         binned AS (
+           SELECT v, CAST(len(list_filter(bl, x -> v >= x)) AS BIGINT) AS bin
+           FROM b CROSS JOIN q)
+         SELECT bin, CAST(count(*) AS BIGINT) AS n,
+           CAST(min(v) AS BIGINT) AS min_v, CAST(max(v) AS BIGINT) AS max_v,
+           CAST(sum(v) AS BIGINT) AS sum_v
+         FROM binned GROUP BY bin ORDER BY bin""",
+    // H = ln N − (Σ c·ln c)/N over the unigram table, in bits via the ln 2
+    // double literal (shared with corpusLexicalStats — no cross-engine
+    // log2); per-type terms fixed to integer nanos before summing
+    "q_token_entropy" ->
+      """WITH tok AS (
+           SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+           FROM documents),
+         tk AS (SELECT term FROM tok WHERE len(term) > 0),
+         vocab AS (SELECT term, count(*) AS cnt FROM tk GROUP BY term)
+         SELECT CAST(count(*) AS BIGINT) AS n_types,
+           CAST(sum(cnt) AS BIGINT) AS n_tokens,
+           round((ln(CAST(sum(cnt) AS DOUBLE))
+             - CAST(sum(CAST(round(cnt * ln(cnt) * 1e9) AS BIGINT)) AS DOUBLE)
+               / 1e9 / sum(cnt)) / 0.6931471805599453, 6) AS entropy_bits,
+           round(CAST(count(*) AS DOUBLE) / sum(cnt), 6) AS ttr
+         FROM vocab""",
+    // the naive form of the prefix-filtered top-k-by-hash: identical
+    // result by the superset theorem in Sampling.groupSampleK's scaladoc
+    "q_group_sample" ->
+      """SELECT doc_id, lang FROM (
+           SELECT doc_id, lang, row_number() OVER (
+             PARTITION BY lang
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+           FROM documents)
+         WHERE rn <= 20 ORDER BY doc_id""",
+    // A-ES: u from the first 52 md5 bits over 2^53 (exact dyadic, never
+    // 0 or 1), score fixed to integer nanos before the global top-k
+    "q_weighted_sample" ->
+      """SELECT doc_id, score_nanos FROM (
+           SELECT doc_id,
+             CAST(round(-ln((CAST(concat('0x',
+                 substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT)
+                 + 1.0) / 9007199254740992.0)
+               / n_chars * 1e9) AS BIGINT) AS score_nanos
+           FROM documents WHERE n_chars > 0)
+         ORDER BY score_nanos, doc_id LIMIT 100"""
   ) ++ lastIvfDir.flatMap(ivfModels.get).map { m =>
     // generated from the fitted model the query loop memoized (one sf dir
     // per Verify process); absent only when no IVF query ran this process

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 /** [EXT] Dataset-health operators (SURVEY §2.9 extension surface): one-pass
   * column profiling, join-key skew reporting, and robust (median/MAD)
@@ -125,5 +125,96 @@ object Profiling {
         sum(when(col("absdev") > lit(k) * col("mad"), 1L).otherwise(0L))
           .cast(LongType).as("n_outliers"))
       .orderBy(groupCol)
+  }
+
+  /** Pairwise Pearson correlation matrix over integral value expressions —
+    * the multi-column step past the reference's single-column summaries
+    * (cl-data-frame.lisp:18-117): which numeric columns carry redundant
+    * signal, which quality features actually covary.
+    *
+    * ONE pass: every Σx, Σx², Σxy accumulates in a single aggregate over a
+    * k-column projection (no per-pair jobs, no `df.stat.corr` loop — that
+    * API runs one job per pair). The pair rows are reshaped from the single
+    * aggregated row with an explode projection, no driver collect.
+    *
+    * Determinism: inputs must be integral (`cast` your doubles to cents).
+    * Sums accumulate exactly in DECIMAL(38,0) — `corr()` itself streams
+    * double co-moments whose value depends on partition order, which is
+    * exactly what the engine-portable contract can't have — and the final
+    * (n·Σxy − ΣxΣy) / √(n·Σx²−(Σx)²) / √(n·Σy²−(Σy)²) is computed on exact
+    * integers cast once to double (IEEE round-to-nearest in both engines),
+    * rounded to 6 places. Degenerate (constant) columns yield a zero
+    * denominator → NULL corr in both engines (0/0 under ANSI double is NaN;
+    * we guard to NULL explicitly).
+    */
+  def corrMatrix(df: DataFrame, cols: Seq[(String, Column)]): DataFrame = {
+    val names = cols.map(_._1)
+    require(names.size >= 2, "corrMatrix: need at least two columns")
+    require(names.distinct.size == names.size,
+      s"corrMatrix: duplicate output names: $names")
+    val base = df.select(cols.map { case (n, c) =>
+      c.cast(LongType).as(n) }: _*)
+    def dec(c: Column) = c.cast(DecimalType(19, 0))
+    val aggs =
+      Seq(count(lit(1)).cast(DecimalType(19, 0)).as("__n")) ++
+        names.map(n => sum(dec(col(n))).as(s"__s_$n")) ++
+        (for {
+          i <- names.indices; j <- i until names.size
+        } yield sum(dec(col(names(i))) * dec(col(names(j))))
+          .as(s"__p_${names(i)}__${names(j)}"))
+    val agged = base.agg(aggs.head, aggs.tail: _*)
+    val pairs = for {
+      i <- names.indices; j <- (i + 1) until names.size
+    } yield {
+      val (a, b) = (names(i), names(j))
+      val num = (col("__n") * col(s"__p_${a}__$b") -
+        col(s"__s_$a") * col(s"__s_$b")).cast(DoubleType)
+      def den(x: String) = (col("__n") * col(s"__p_${x}__$x") -
+        col(s"__s_$x") * col(s"__s_$x")).cast(DoubleType)
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        when(den(a) > 0 && den(b) > 0,
+          round(num / sqrt(den(a)) / sqrt(den(b)), 6)).as("corr"))
+    }
+    agged.select(explode(array(pairs: _*)).as("r"))
+      .select("r.*").orderBy("col_a", "col_b")
+  }
+
+  /** Quantile discretization + per-bin stats: split an integral expression
+    * at the given interpolated quantiles and aggregate each bin — the
+    * binning step of stratified sampling / mixing (e.g. "sample evenly
+    * across document-length quartiles").
+    *
+    * Plan shape: one aggregate computes ALL boundaries (`percentile(v,
+    * array(...))`), broadcast-cross-joined into the binning pass — two
+    * scans of a one-column projection, no global sort (an `ntile` window
+    * would order the whole table on a single partition: the scale-killer
+    * this formulation exists to avoid; the trade is interpolated-quantile
+    * boundaries rather than exact equal-count bins, which ties at the
+    * boundary make impossible anyway).
+    *
+    * Determinism: quarters-grid probabilities over integers interpolate
+    * dyadic-exactly (the q_grouped_median doctrine extended: index frac for
+    * p = k/4 is a multiple of 1/4; f·(b−a) is exact); a value equal to a
+    * boundary goes to the UPPER bin (`v >= boundary`) on both engines.
+    */
+  def quantileBins(df: DataFrame, valueExpr: Column,
+                   probs: Seq[Double] = Seq(0.25, 0.5, 0.75)): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p > 0 && p < 1),
+      s"quantileBins: probs must lie in (0,1): $probs")
+    require(probs.forall(p => (p * 4).isWhole),
+      s"quantileBins: only quarter-grid probs are dyadic-exact " +
+        s"across engines: $probs")
+    val base = df.select(valueExpr.cast(LongType).as("v"))
+    val bounds = base.agg(
+      expr(s"percentile(v, array(${probs.mkString(", ")}))").as("__b"))
+    base.crossJoin(broadcast(bounds))
+      .withColumn("bin",
+        size(filter(col("__b"), b => col("v") >= b)).cast(LongType))
+      .groupBy("bin")
+      .agg(count(lit(1)).cast(LongType).as("n"),
+        min("v").cast(LongType).as("min_v"),
+        max("v").cast(LongType).as("max_v"),
+        sum("v").cast(LongType).as("sum_v"))
+      .orderBy("bin")
   }
 }

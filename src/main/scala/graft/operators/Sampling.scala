@@ -251,4 +251,78 @@ object Sampling {
           else math.min(1.0, math.pow(n.toDouble, alpha) / z * target / n))
     }
   }
+
+  /** EXACTLY k rows per stratum, chosen by content hash — the fixed-SIZE
+    * sibling of [[stratifiedHashSample]]'s fixed-RATE sampling ("200 eval
+    * docs per language", not "0.1% per language"). Selection = the k
+    * smallest md5(key) per stratum (key ties broken by the key itself), so
+    * membership is partition-layout-independent and the oracle is a plain
+    * `row_number() OVER (PARTITION BY stratum ORDER BY md5, key) <= k`.
+    *
+    * Scale shape: a naive window does exactly that oracle — which sorts
+    * EVERY stratum's full row set through single tasks (the per-partition
+    * window sort; a 100 TB corpus with 10 languages = 10 impossible
+    * tasks). Instead, a 24-bit hash-prefix histogram (≤16M × strata tiny
+    * rows) finds, per stratum, the smallest prefix value t whose
+    * cumulative count reaches k; only rows with prefix ≤ t — a PROVEN
+    * superset of the true top-k, expected size ≈ k + stratum/2²⁴, since a
+    * smaller fixed-width hex prefix implies a smaller full hash — enter
+    * the ranking window. The histogram threshold is exact, not
+    * probabilistic: the result row set equals the naive oracle's
+    * bit-for-bit (ProfilingSpec proves equality across k at the stratum
+    * boundary cases, including k past the stratum size).
+    *
+    * Strata with fewer than k rows keep every row (no threshold exists —
+    * the left join's null-`__t` branch). */
+  def groupSampleK(df: DataFrame, stratumCol: String, key: Column,
+                   k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"groupSampleK: k must be >= 1, got $k")
+    val withH = df
+      .withColumn("__h", md5(to_binary(key.cast(StringType), lit("utf-8"))))
+      .withColumn("__p24",
+        conv(substring(col("__h"), 1, 6), 16, 10).cast(LongType))
+    val cum = withH.groupBy(col(stratumCol), col("__p24"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__cum",
+        sum("__c").over(Window.partitionBy(stratumCol).orderBy("__p24")))
+    val thresholds = cum.filter(col("__cum") >= k)
+      .groupBy(stratumCol).agg(min("__p24").as("__t"))
+    withH.join(broadcast(thresholds), Seq(stratumCol), "left")
+      .filter(col("__t").isNull || col("__p24") <= col("__t"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(stratumCol).orderBy(col("__h"), key)))
+      .filter(col("__rn") <= k)
+      .drop("__h", "__p24", "__t", "__rn")
+  }
+
+  /** Weighted sampling without replacement (Efraimidis–Spirakis A-ES): the
+    * k rows with the smallest −ln(u)/w, where u is a deterministic uniform
+    * derived from md5(key) — heavier rows draw systematically smaller
+    * scores, so inclusion probability scales with weight, and the same
+    * corpus always yields the same sample (the [[hashSample]] doctrine
+    * applied to importance sampling: mix by quality/length without an RNG
+    * whose stream depends on partition layout).
+    *
+    * u = (first 52 hash bits + 1) / 2⁵³ ∈ (0, ½] — exact dyadic, never 0
+    * (no infinite scores) and never 1 (no colliding zero scores). The
+    * score is fixed to integer NANOS before ranking (the q_unigram_lm
+    * doctrine): cross-engine ln disagreement at the last ulp cannot
+    * reorder near-ties, and the key breaks exact ties. Rows with
+    * non-positive weight are dropped (a weight of 0 means "never sample").
+    *
+    * Scale shape: a pure codegen'd projection followed by a global top-k
+    * (`TakeOrderedAndProject` — per-partition heaps, no global sort). */
+  def weightedSampleK(df: DataFrame, key: Column, weight: Column,
+                      k: Int): DataFrame = {
+    require(k >= 1, s"weightedSampleK: k must be >= 1, got $k")
+    val u = (conv(substring(
+        md5(to_binary(key.cast(StringType), lit("utf-8"))), 1, 13), 16, 10)
+      .cast(DoubleType) + 1.0) / 9007199254740992.0 // 2^53
+    df.filter(weight.cast(DoubleType) > 0)
+      .withColumn("score_nanos",
+        round(negate(log(u)) / weight.cast(DoubleType) * 1e9).cast(LongType))
+      .orderBy(col("score_nanos"), key)
+      .limit(k)
+  }
 }

@@ -618,6 +618,40 @@ object TextAnalysis {
           (trim(x) === "") || (array_position(col("__paras"), x) === (i + 1))),
         "\n").as("clean_text"))
 
+  /** Corpus-level lexical statistics in one row: token count, vocabulary
+    * size, type/token ratio, and the Shannon entropy (bits) of the unigram
+    * distribution — the "is this corpus degenerate" gate (a crawl stuck on
+    * one template shows up as entropy collapse long before a human reads a
+    * sample).
+    *
+    * H = ln N − (Σ c·ln c)/N, in bits by dividing with the ln 2 literal
+    * (embedding the constant dodges any cross-engine `log2` disagreement).
+    * Σ c·ln c follows the [[unigramLogProb]] integer-NANOS doctrine: each
+    * vocabulary row contributes round(c·ln(c)·1e9) as a LONG, so the sum is
+    * order-independent integer addition, never float accumulation.
+    *
+    * Plan shape: explode → one vocabulary hash aggregate (map-side
+    * combined) → one single-row reduce over the vocabulary. Zero joins. */
+  def corpusLexicalStats(df: DataFrame, textCol: String): DataFrame = {
+    val Ln2 = 0.6931471805599453 // nearest double to ln 2; also in oracles
+    df.select(explode(filter(tokens(col(textCol)), t => length(t) > 0))
+        .as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .agg(
+        count(lit(1)).cast(LongType).as("n_types"),
+        sum("cnt").cast(LongType).as("n_tokens"),
+        sum(round(col("cnt").cast(DoubleType) *
+            log(col("cnt").cast(DoubleType)) * 1e9).cast(LongType))
+          .as("__clogc_nanos"))
+      .select(
+        col("n_types"), col("n_tokens"),
+        round((log(col("n_tokens").cast(DoubleType)) -
+          col("__clogc_nanos").cast(DoubleType) / 1e9 /
+            col("n_tokens")) / Ln2, 6).as("entropy_bits"),
+        round(col("n_types").cast(DoubleType) / col("n_tokens"), 6)
+          .as("ttr"))
+  }
+
   /** per-document stats frame (used by q_text_* queries). */
   def docStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(

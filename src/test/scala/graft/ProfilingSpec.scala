@@ -66,6 +66,110 @@ class ProfilingSpec extends AnyFunSuite {
     assert(out("h") == ((5L, 50.0, 0.0, 0L)))
   }
 
+  test("corrMatrix: perfect, inverted, and degenerate relationships") {
+    val df = Seq((1L, 2L, -1L, 7L), (2L, 4L, -2L, 7L), (3L, 6L, -3L, 7L))
+      .toDF("a", "b", "c", "k")
+    val got = Profiling.corrMatrix(df, Seq(
+      "a" -> col("a"), "b" -> col("b"), "c" -> col("c"), "k" -> col("k")))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        Option(r.get(2)).map(_.asInstanceOf[Double])).toMap
+    assert(got(("a", "b")).contains(1.0))   // b = 2a
+    assert(got(("a", "c")).contains(-1.0))  // c = -a
+    assert(got(("b", "c")).contains(-1.0))
+    assert(got(("a", "k")).isEmpty)         // constant column → NULL
+    assert(got.size == 6)
+  }
+
+  test("corrMatrix agrees with the closed form on a non-trivial pair") {
+    // x = (1,2,3,4), y = (1,3,2,5): n=4, Sx=10, Sy=11, Sxy=33, Sxx=30,
+    // Syy=39 → num = 132-110 = 22, denx = 120-100 = 20, deny = 156-121=35
+    val df = Seq((1L, 1L), (2L, 3L), (3L, 2L), (4L, 5L)).toDF("x", "y")
+    val expected = BigDecimal(22.0 / math.sqrt(20.0) / math.sqrt(35.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = Profiling.corrMatrix(df, Seq("x" -> col("x"), "y" -> col("y")))
+      .collect().head.getDouble(2)
+    assert(got == expected)
+  }
+
+  test("quantileBins: quartile boundaries, upper-bin ties, per-bin stats") {
+    // v = 1..8: quartiles at p(0.25)=2.75, p(0.5)=4.5, p(0.75)=6.25
+    // bins: {1,2}→0, {3,4}→1, {5,6}→2, {7,8}→3
+    val df = (1L to 8L).toDF("v")
+    val got = Profiling.quantileBins(df, col("v")).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == Map(
+      0L -> ((2L, 1L, 2L, 3L)), 1L -> ((2L, 3L, 4L, 7L)),
+      2L -> ((2L, 5L, 6L, 11L)), 3L -> ((2L, 7L, 8L, 15L))))
+    // a value EQUAL to a boundary goes up: v = (1,2,3,3) → p50 = 2.5,
+    // median boundary only; prob grid {0.5}: 3 >= 2.5 → bin 1
+    val tied = Profiling.quantileBins(Seq(1L, 2L, 3L, 3L).toDF("v"),
+      col("v"), probs = Seq(0.5)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tied == Map(0L -> 2L, 1L -> 2L))
+  }
+
+  test("quantileBins: rejects non-quarter-grid probs") {
+    val e = intercept[IllegalArgumentException](
+      Profiling.quantileBins(Seq(1L).toDF("v"), col("v"), probs = Seq(0.9)))
+    assert(e.getMessage.contains("quarter-grid"))
+  }
+
+  test("corpusLexicalStats: entropy of a uniform vs degenerate corpus") {
+    import graft.operators.TextAnalysis
+    // 4 equally-frequent tokens → H = 2 bits exactly; TTR = 4/8
+    val uniform = Seq("a b c d", "a b c d").toDF("text")
+    val u = TextAnalysis.corpusLexicalStats(uniform, "text").collect().head
+    assert(u.getLong(0) == 4L && u.getLong(1) == 8L)
+    assert(u.getDouble(2) == 2.0 && u.getDouble(3) == 0.5)
+    // single repeated token → entropy 0
+    val degen = Seq("x x x x").toDF("text")
+    val d = TextAnalysis.corpusLexicalStats(degen, "text").collect().head
+    assert(d.getDouble(2) == 0.0)
+  }
+
+  test("groupSampleK equals the naive full-window top-k for k across the boundary cases") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.Sampling
+    val df = (1L to 500L).map(i => (s"s${i % 3}", i)).toDF("lang", "id")
+    val naiveAll = df
+      .withColumn("h", md5(to_binary(col("id").cast("string"), lit("utf-8"))))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("lang").orderBy(col("h"), col("id"))))
+    for (k <- Seq(1, 7, 166, 200)) { // 200 > every stratum (167) → keep-all
+      val got = Sampling.groupSampleK(df, "lang", col("id"), k)
+        .select("lang", "id").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      val naive = naiveAll.filter(col("rn") <= k).select("lang", "id")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(got == naive, s"k=$k")
+      if (k == 200) assert(got.size == 500)
+    }
+  }
+
+  test("weightedSampleK matches a plain-Scala A-ES reference and ignores non-positive weights") {
+    import graft.operators.Sampling
+    val rows = (1L to 300L).map(i => (i, if (i % 50 == 0) 0L else 1L + i % 9))
+    val df = rows.toDF("id", "w").repartition(7) // layout-independence too
+    val got = Sampling.weightedSampleK(df, col("id"), col("w"), 25)
+      .select("id", "score_nanos").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def score(id: Long, w: Long): Long = {
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val u = (java.lang.Long.parseLong(hex.take(13), 16) + 1.0) /
+        9007199254740992.0
+      math.round(-math.log(u) / w * 1e9)
+    }
+    val expected = rows.filter(_._2 > 0)
+      .map { case (id, w) => (id, score(id, w)) }
+      .sortBy { case (id, s) => (s, id) }.take(25)
+    assert(got.sortBy { case (id, s) => (s, id) }.toSeq == expected)
+    assert(!got.exists { case (id, _) => id % 50 == 0 }) // zero weights out
+  }
+
   test("mergeSnapshot: upsert replaces, upsert inserts, delete retires, absent-key delete is a no-op") {
     val base = Seq((1L, "one"), (2L, "two"), (3L, "three")).toDF("k", "v")
     val delta = Seq(
