@@ -1764,7 +1764,18 @@ object SparkEntry {
       // reproducible importance sampling as a pure projection + top-k
       Sampling.weightedSampleK(rd(s, dir, "documents"), col("doc_id"),
           col("n_chars"), k = 100)
-        .select("doc_id", "score_nanos").orderBy("score_nanos", "doc_id"))
+        .select("doc_id", "score_nanos").orderBy("score_nanos", "doc_id")),
+    "q_psi_drift" -> ((s, dir) => {
+      // PSI of doc length between the kept corpus (src0) and the rest of
+      // the crawl: reference-quartile bins, add-one smoothing, per-bin
+      // integer-nanos terms — the distribution-shift monitor between
+      // every crawl batch and the corpus it joins
+      val docs = rd(s, dir, "documents")
+      graft.operators.Profiling.psiDrift(
+        docs.filter(col("source") === "src0"),
+        docs.filter(col("source") =!= "src0"),
+        col("n_chars"))
+    })
   )
 
   /** shared by q_cosine_topk (functions-based) and q_cosine_expr (native
@@ -4056,7 +4067,39 @@ object SparkEntry {
                  + 1.0) / 9007199254740992.0)
                / n_chars * 1e9) AS BIGINT) AS score_nanos
            FROM documents WHERE n_chars > 0)
-         ORDER BY score_nanos, doc_id LIMIT 100"""
+         ORDER BY score_nanos, doc_id LIMIT 100""",
+    // PSI over reference-quartile bins with add-one smoothing; every
+    // share divides exact integers and each bin term is fixed to nanos
+    // before the 4-term sum (Profiling.psiDrift scaladoc)
+    "q_psi_drift" ->
+      """WITH r AS (
+           SELECT CAST(n_chars AS BIGINT) AS v FROM documents
+           WHERE source = 'src0'),
+         c AS (
+           SELECT CAST(n_chars AS BIGINT) AS v FROM documents
+           WHERE source <> 'src0'),
+         q AS (SELECT quantile_cont(v, [0.25, 0.5, 0.75]) AS bl FROM r),
+         rb AS (
+           SELECT CAST(len(list_filter(bl, x -> v >= x)) AS BIGINT) AS bin,
+             count(*) AS nr
+           FROM r CROSS JOIN q GROUP BY 1),
+         cb AS (
+           SELECT CAST(len(list_filter(bl, x -> v >= x)) AS BIGINT) AS bin,
+             count(*) AS nc
+           FROM c CROSS JOIN q GROUP BY 1),
+         spine AS (SELECT unnest(range(0, 4)) AS bin),
+         j AS (
+           SELECT s.bin, coalesce(nr, 0) AS nr, coalesce(nc, 0) AS nc
+           FROM spine s LEFT JOIN rb USING (bin) LEFT JOIN cb USING (bin)),
+         t AS (SELECT sum(nr) AS tr, sum(nc) AS tc FROM j)
+         SELECT CAST(count(*) AS BIGINT) AS n_bins,
+           CAST(sum(nr) AS BIGINT) AS n_ref,
+           CAST(sum(nc) AS BIGINT) AS n_cur,
+           round(CAST(sum(CAST(round(
+               ((nr + 1.0) / (tr + 4.0) - (nc + 1.0) / (tc + 4.0))
+               * ln(((nr + 1.0) / (tr + 4.0)) / ((nc + 1.0) / (tc + 4.0)))
+               * 1e9) AS BIGINT)) AS DOUBLE) / 1e9, 6) AS psi
+         FROM j CROSS JOIN t"""
   ) ++ lastIvfDir.flatMap(ivfModels.get).map { m =>
     // generated from the fitted model the query loop memoized (one sf dir
     // per Verify process); absent only when no IVF query ran this process

@@ -217,4 +217,62 @@ object Profiling {
         sum("v").cast(LongType).as("sum_v"))
       .orderBy("bin")
   }
+
+  /** Population Stability Index between a reference and a current corpus
+    * over one integral measure — the standard "did the distribution move"
+    * monitor (PSI < 0.1 stable, > 0.25 investigate) run between every
+    * crawl batch and the corpus it joins. Quantile-bin sibling of
+    * `Summary.driftReport`'s integer histogram: bins are the REFERENCE's
+    * interpolated quartiles (the [[quantileBins]] machinery, same
+    * quarter-grid dyadic-exactness and upper-bin ties), so the reference
+    * lands ~uniform and the current batch's displacement is what the
+    * index measures.
+    *
+    * PSI = Σ_bins (p − q)·ln(p/q) with add-one smoothing — p = (ref_i +
+    * 1)/(N_ref + B), q likewise — so an empty bin on either side
+    * contributes a finite term instead of ±∞. Each bin's term is fixed to
+    * integer NANOS before the (B-term) sum; shares divide exact integers,
+    * so both engines see identical doubles throughout.
+    *
+    * Plan shape: one percentile aggregate over the reference, broadcast
+    * into one binning aggregation per side (each a pruned one-column
+    * scan + hash agg), then arithmetic over B rows. Nothing here scales
+    * with corpus size except the two scans. */
+  def psiDrift(ref: DataFrame, cur: DataFrame, value: Column,
+               probs: Seq[Double] = Seq(0.25, 0.5, 0.75)): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p > 0 && p < 1) &&
+      probs.forall(p => (p * 4).isWhole),
+      s"psiDrift: only quarter-grid probs in (0,1) are dyadic-exact: $probs")
+    val nb = probs.size + 1
+    val bounds = ref.select(value.cast(LongType).as("v"))
+      .agg(expr(s"percentile(v, array(${probs.mkString(", ")}))").as("__b"))
+    def binCounts(df: DataFrame, side: String) =
+      df.select(value.cast(LongType).as("v"))
+        .crossJoin(broadcast(bounds))
+        .withColumn("bin",
+          size(filter(col("__b"), b => col("v") >= b)).cast(LongType))
+        .groupBy("bin").agg(count(lit(1)).as(s"__n_$side"))
+    val spine = bounds
+      .select(explode(sequence(lit(0), lit(nb - 1))).as("bin"))
+      .select(col("bin").cast(LongType).as("bin"))
+    val joined = spine
+      .join(binCounts(ref, "ref"), Seq("bin"), "left")
+      .join(binCounts(cur, "cur"), Seq("bin"), "left")
+      .na.fill(0L, Seq("__n_ref", "__n_cur"))
+    val totals = joined
+      .agg(sum("__n_ref").as("__tr"), sum("__n_cur").as("__tc"))
+    joined.crossJoin(broadcast(totals))
+      .withColumn("__p", (col("__n_ref") + 1).cast(DoubleType) /
+        (col("__tr") + nb).cast(DoubleType))
+      .withColumn("__q", (col("__n_cur") + 1).cast(DoubleType) /
+        (col("__tc") + nb).cast(DoubleType))
+      .withColumn("__term_nanos",
+        round((col("__p") - col("__q")) * log(col("__p") / col("__q")) * 1e9)
+          .cast(LongType))
+      .agg(
+        count(lit(1)).cast(LongType).as("n_bins"),
+        sum("__n_ref").cast(LongType).as("n_ref"),
+        sum("__n_cur").cast(LongType).as("n_cur"),
+        round(sum("__term_nanos").cast(DoubleType) / 1e9, 6).as("psi"))
+  }
 }

@@ -129,6 +129,24 @@ class ProfilingSpec extends AnyFunSuite {
     assert(d.getDouble(2) == 0.0)
   }
 
+  test("psiDrift: zero on identical corpora, ln(3) on total displacement, finite on empty side") {
+    val ref = (1L to 8L).toDF("v")
+    val same = Profiling.psiDrift(ref, (1L to 8L).toDF("v"), col("v"))
+      .collect().head
+    assert(same.getLong(0) == 4L && same.getLong(1) == 8L &&
+      same.getLong(2) == 8L)
+    assert(same.getDouble(3) == 0.0) // equal counts → p = q exactly
+    // every current row lands in the top bin: psi = ln 3 (hand-derived
+    // with add-one smoothing: 3·(1/6)ln 3 + (−1/2)·ln(1/3))
+    val shifted = Profiling.psiDrift(ref, Seq.fill(8)(100L).toDF("v"),
+      col("v")).collect().head
+    assert(shifted.getDouble(3) == 1.098612)
+    // empty current side: smoothing keeps every term finite
+    val empty = Profiling.psiDrift(ref,
+      Seq.empty[Long].toDF("v"), col("v")).collect().head
+    assert(empty.getLong(2) == 0L && !empty.getDouble(3).isNaN)
+  }
+
   test("groupSampleK equals the naive full-window top-k for k across the boundary cases") {
     import org.apache.spark.sql.expressions.Window
     import graft.operators.Sampling

@@ -214,4 +214,43 @@ class PropertiesSpec extends AnyFunSuite {
         got == expect
     }, n = 12)
   }
+
+  test("corrMatrix agrees with Spark's streaming corr to 1e-6 and is partition-order-independent") {
+    import spark.implicits._
+    import graft.operators.Profiling
+    val rowsGen = Gen.choose(3, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(Gen.choose(-50L, 50L), Gen.choose(-50L, 50L))))
+    check(Prop.forAll(rowsGen, Gen.oneOf(1, 7)) { (rows, parts) =>
+      val df = rows.toDF("x", "y").repartition(parts)
+      val got = Profiling.corrMatrix(df, Seq("x" -> col("x"), "y" -> col("y")))
+        .collect().head
+      val ours = Option(got.get(2)).map(_.asInstanceOf[Double])
+      val xs = rows.map(_._1); val ys = rows.map(_._2)
+      val degenerate = xs.distinct.size == 1 || ys.distinct.size == 1
+      if (degenerate) ours.isEmpty
+      else {
+        // Spark's corr() streams double co-moments — close but not exact
+        val ref = df.stat.corr("x", "y")
+        ours.exists(v => math.abs(v - ref) < 1e-6)
+      }
+    }, n = 20)
+  }
+
+  test("psiDrift is non-negative and zero exactly on equal smoothed shares") {
+    import spark.implicits._
+    import graft.operators.Profiling
+    val corpusGen = Gen.choose(4, 30).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(0L, 20L)))
+    check(Prop.forAll(corpusGen, corpusGen) { (ref, cur) =>
+      val psi = Profiling.psiDrift(ref.toDF("v"), cur.toDF("v"), col("v"))
+        .collect().head.getDouble(3)
+      // each term (p−q)·ln(p/q) ≥ 0; nanos rounding can dip a hair below
+      psi >= -1e-9
+    }, n = 12)
+    // identical corpora are exactly zero (no rounding residue: p = q)
+    check(Prop.forAll(corpusGen) { ref =>
+      Profiling.psiDrift(ref.toDF("v"), ref.toDF("v"), col("v"))
+        .collect().head.getDouble(3) == 0.0
+    }, n = 8)
+  }
 }
