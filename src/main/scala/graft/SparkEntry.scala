@@ -1775,7 +1775,60 @@ object SparkEntry {
         docs.filter(col("source") === "src0"),
         docs.filter(col("source") =!= "src0"),
         col("n_chars"))
-    })
+    }),
+    "q_funnel" -> ((s, dir) =>
+      // ORDERED funnel: step i converts at the earliest step-i event
+      // strictly after step i−1's conversion — the min-ts shortcut would
+      // count purchase-before-click users. k−1 co-partitioned joins over
+      // shrinking survivor sets, no windows (Analytics scaladoc)
+      graft.operators.Analytics.funnel(rdEvents(s, dir),
+        "user_id", "ts", "event_type", Seq("view", "click", "purchase"))),
+    "q_retention" -> ((s, dir) =>
+      // weekly retention by first-event-day cohort: one first-event agg +
+      // one co-partitioned join-back carrying (user, cohort_day) only
+      graft.operators.Analytics.retentionCohorts(rdEvents(s, dir),
+        "user_id", "ts", maxWeeks = 4)),
+    "q_resample" -> ((s, dir) =>
+      // gap-filled daily resample per event type: dense key×day spine from
+      // a 2-row bounds agg (zero rows explicit); integer-cent sums are
+      // partition-order-independent where a double sum is not
+      graft.operators.Analytics.resampleDaily(rdEvents(s, dir),
+        "event_type", "ts", expr("cast(round(value * 100) as bigint)"))),
+    "q_constraints" -> ((s, dir) => {
+      // Deequ-style pre-flight gate over the TPC-H batch: each check is
+      // ONE column-pruned aggregate (or one anti-join for the FKs); the
+      // report is |checks| single-row frames unioned
+      import graft.operators.Analytics.Check
+      val orders = rd(s, dir, "orders")
+      val li = rd(s, dir, "lineitem")
+      graft.operators.Analytics.constraintReport(Seq(
+        Check.notNull("orders_custkey_notnull", orders, "o_custkey"),
+        Check.unique("orders_key_unique", orders, Seq("o_orderkey")),
+        Check.foreignKey("orders_customer_fk", orders, "o_custkey",
+          rd(s, dir, "customer"), "c_custkey"),
+        Check.foreignKey("lineitem_orders_fk", li, "l_orderkey",
+          orders, "o_orderkey"),
+        Check.acceptedValues("orders_status_enum", orders, "o_orderstatus",
+          Seq("O", "F", "P")),
+        Check.satisfies("lineitem_qty_range", li,
+          col("l_quantity") >= 1 && col("l_quantity") <= 50)))
+    }),
+    "q_ks_drift" -> ((s, dir) => {
+      // two-sample KS over doc length, exact: integer cross-products in
+      // DECIMAL(38,0), CDFs via the two-phase global prefix sum (never a
+      // one-partition window), one final division (Analytics scaladoc)
+      val docs = rd(s, dir, "documents")
+      graft.operators.Analytics.ksDrift(
+        docs.filter(col("source") === "src0"),
+        docs.filter(col("source") =!= "src0"),
+        col("n_chars"))
+    }),
+    "q_transitions" -> ((s, dir) =>
+      // first-order event-transition counts: per-user lag window (ordered
+      // by ts with event_id tiebreak — a total, engine-portable order),
+      // |types|² output rows
+      graft.operators.Analytics.transitionCounts(rdEvents(s, dir),
+        "user_id", "ts", "event_type", "event_id"))
   )
 
   /** shared by q_cosine_topk (functions-based) and q_cosine_expr (native
@@ -4099,7 +4152,144 @@ object SparkEntry {
                ((nr + 1.0) / (tr + 4.0) - (nc + 1.0) / (tc + 4.0))
                * ln(((nr + 1.0) / (tr + 4.0)) / ((nc + 1.0) / (tc + 4.0)))
                * 1e9) AS BIGINT)) AS DOUBLE) / 1e9, 6) AS psi
-         FROM j CROSS JOIN t"""
+         FROM j CROSS JOIN t""",
+    // ordered funnel: each step's conversion is the earliest step event
+    // STRICTLY AFTER the previous step's conversion time (Analytics.funnel)
+    "q_funnel" ->
+      """WITH s1 AS (
+           SELECT user_id, min(ts) AS c FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+         s2 AS (
+           SELECT e.user_id, min(e.ts) AS c FROM events e
+           JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.c
+           WHERE e.event_type = 'click' GROUP BY e.user_id),
+         s3 AS (
+           SELECT e.user_id, min(e.ts) AS c FROM events e
+           JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.c
+           WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+         SELECT * FROM (
+           SELECT CAST(1 AS BIGINT) AS step_idx, 'view' AS step,
+             CAST(count(*) AS BIGINT) AS n_users FROM s1
+           UNION ALL SELECT 2, 'click', count(*) FROM s2
+           UNION ALL SELECT 3, 'purchase', count(*) FROM s3)
+         ORDER BY step_idx""",
+    // cohort day = epoch day of a user's first event; offset 0 row is the
+    // cohort size; integer day arithmetic is timezone-free on both engines
+    "q_retention" ->
+      """WITH b AS (
+           SELECT user_id AS u,
+             CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+               AS BIGINT) AS d
+           FROM events),
+         c AS (SELECT u, min(d) AS cohort_day FROM b GROUP BY u)
+         SELECT cohort_day,
+           CAST((b.d - cohort_day) // 7 AS BIGINT) AS week_offset,
+           CAST(count(DISTINCT b.u) AS BIGINT) AS n_active
+         FROM b JOIN c USING (u)
+         WHERE (b.d - cohort_day) // 7 <= 4
+         GROUP BY cohort_day, week_offset
+         ORDER BY cohort_day, week_offset""",
+    // dense key×day spine from the corpus bounds; empty bins explicit
+    // zeros; integer-cent sums (a double sum is partition-order-dependent)
+    "q_resample" ->
+      """WITH b AS (
+           SELECT event_type AS k,
+             CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+               AS BIGINT) AS d,
+             CAST(round(value * 100) AS BIGINT) AS v
+           FROM events),
+         a AS (
+           SELECT k, d, CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(v) AS BIGINT) AS sum_cents
+           FROM b GROUP BY k, d),
+         bounds AS (SELECT min(d) AS lo, max(d) AS hi FROM b),
+         days AS (SELECT unnest(range(lo, hi + 1)) AS d FROM bounds),
+         keys AS (SELECT DISTINCT k FROM b),
+         spine AS (SELECT k, d FROM keys CROSS JOIN days)
+         SELECT spine.k AS event_type, CAST(spine.d AS BIGINT) AS epoch_day,
+           CAST(coalesce(n_events, 0) AS BIGINT) AS n_events,
+           CAST(coalesce(sum_cents, 0) AS BIGINT) AS sum_cents
+         FROM spine LEFT JOIN a USING (k, d)
+         ORDER BY event_type, epoch_day""",
+    // one branch per constraint; FK branches count orphans in both the
+    // n_rows and violations slots (the anti-join IS the scanned frame)
+    "q_constraints" ->
+      """SELECT * FROM (
+           SELECT 'orders_custkey_notnull' AS check_name,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT)
+               AS violations,
+             count(*) FILTER (WHERE o_custkey IS NULL) = 0 AS pass
+           FROM orders
+           UNION ALL
+           SELECT 'orders_key_unique', CAST(count(*) AS BIGINT),
+             CAST(coalesce(sum(cnt - 1), 0) AS BIGINT),
+             coalesce(sum(cnt - 1), 0) = 0
+           FROM (SELECT count(*) AS cnt FROM orders GROUP BY o_orderkey)
+           UNION ALL
+           SELECT 'orders_customer_fk', CAST(count(*) AS BIGINT),
+             CAST(count(*) AS BIGINT), count(*) = 0
+           FROM orders o WHERE o.o_custkey IS NOT NULL AND NOT EXISTS
+             (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+           UNION ALL
+           SELECT 'lineitem_orders_fk', CAST(count(*) AS BIGINT),
+             CAST(count(*) AS BIGINT), count(*) = 0
+           FROM lineitem l WHERE l.l_orderkey IS NOT NULL AND NOT EXISTS
+             (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+           UNION ALL
+           SELECT 'orders_status_enum', CAST(count(*) AS BIGINT),
+             CAST(count(*) FILTER (WHERE o_orderstatus IS NOT NULL
+               AND o_orderstatus NOT IN ('O', 'F', 'P')) AS BIGINT),
+             count(*) FILTER (WHERE o_orderstatus IS NOT NULL
+               AND o_orderstatus NOT IN ('O', 'F', 'P')) = 0
+           FROM orders
+           UNION ALL
+           SELECT 'lineitem_qty_range', CAST(count(*) AS BIGINT),
+             CAST(count(*) FILTER (WHERE NOT (l_quantity BETWEEN 1 AND 50))
+               AS BIGINT),
+             count(*) FILTER (WHERE NOT (l_quantity BETWEEN 1 AND 50)) = 0
+           FROM lineitem)
+         ORDER BY check_name""",
+    // exact two-sample KS: inclusive CDFs over distinct values, integer
+    // HUGEINT cross-products (DECIMAL(38,0) in Spark), one division chain
+    // CAST→÷tr→÷tc at the end (Analytics.ksDrift scaladoc)
+    "q_ks_drift" ->
+      """WITH r AS (
+           SELECT CAST(n_chars AS BIGINT) AS v FROM documents
+           WHERE source = 'src0'),
+         c AS (
+           SELECT CAST(n_chars AS BIGINT) AS v FROM documents
+           WHERE source <> 'src0'),
+         g AS (
+           SELECT v, sum(nr) AS n_ref, sum(nc) AS n_cur FROM (
+             SELECT v, 1 AS nr, 0 AS nc FROM r
+             UNION ALL SELECT v, 0, 1 FROM c)
+           GROUP BY v),
+         w AS (
+           SELECT v, sum(n_ref) OVER (ORDER BY v) AS cr,
+             sum(n_cur) OVER (ORDER BY v) AS cc
+           FROM g),
+         t AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM g)
+         SELECT CAST(max(tr) AS BIGINT) AS n_ref,
+           CAST(max(tc) AS BIGINT) AS n_cur,
+           round(CAST(max(abs(CAST(cr AS HUGEINT) * tc
+               - CAST(cc AS HUGEINT) * tr)) AS DOUBLE)
+             / CAST(max(tr) AS DOUBLE) / CAST(max(tc) AS DOUBLE), 6)
+             AS d_stat
+         FROM w CROSS JOIN t""",
+    // per-user lag with the (ts, event_id) total order — simultaneous
+    // events get the same engine-portable predecessor
+    "q_transitions" ->
+      """SELECT prev_type, next_type,
+           CAST(count(*) AS BIGINT) AS n_transitions
+         FROM (
+           SELECT lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+             event_type AS next_type
+           FROM events)
+         WHERE prev_type IS NOT NULL
+         GROUP BY prev_type, next_type
+         ORDER BY prev_type, next_type"""
   ) ++ lastIvfDir.flatMap(ivfModels.get).map { m =>
     // generated from the fitted model the query loop memoized (one sf dir
     // per Verify process); absent only when no IVF query ran this process

@@ -1,0 +1,269 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+
+/** [EXT] Event-analytics operators (SURVEY §2.9 extension surface): ordered
+  * funnels, retention cohorts, gap-filled time-series resampling, declarative
+  * data-quality constraints, two-sample KS drift, and event-transition
+  * mining. The reference frame (cl-data-frame.lisp:1-583) stops at
+  * single-table summaries; these are the event-log questions a production
+  * corpus pipeline asks of its telemetry (ingest monitoring, user-behavior
+  * QA on interaction logs mined for training data).
+  *
+  * Determinism doctrine (SparkEntry scaladoc): timestamps compare exactly
+  * (microsecond integers under the hood); every emitted double is a single
+  * division of exact integers rounded to 6 places; any value-sum is over
+  * integer cents. Ties on a timestamp are broken by the event id so window
+  * orders are total.
+  */
+object Analytics {
+
+  /** ORDERED funnel over an event log: step 1 converts at a user's earliest
+    * step-1 event; step i at the earliest step-i event STRICTLY AFTER the
+    * user's step-(i−1) conversion time. Emits one row per step with the
+    * surviving user count and conversion timestamps aggregated as a count —
+    * the product-analytics primitive ("view → click → purchase: where do we
+    * lose people?").
+    *
+    * Plan shape: one filtered min-aggregate per step (k small, fixed), each
+    * joined to the previous survivor set on the user key — all k−1 joins
+    * share the user-hash partitioning, and each survivor set only shrinks.
+    * No windows, no per-user event materialization: at 100 TB the state per
+    * step is |surviving users| × 16 bytes. The min-ts "unordered funnel"
+    * shortcut (compare min timestamps per step) is rejected: it counts a
+    * user who purchased BEFORE ever clicking.
+    */
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+             typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel: need at least one step")
+    require(steps.distinct.size == steps.size,
+      s"funnel: duplicate steps: $steps")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val base = events.select(col(userCol).as("u"),
+      col(tsCol).as("t"), col(typeCol).as("e"))
+    var conv = base.filter(col("e") === steps.head)
+      .groupBy("u").agg(min("t").as("c"))
+    var out = conv.agg(count(lit(1)).cast(LongType).as("n_users"))
+      .select(lit(1L).as("step_idx"), lit(steps.head).as("step"),
+        col("n_users"))
+    steps.zipWithIndex.drop(1).foreach { case (step, i) =>
+      conv = base.filter(col("e") === step)
+        .join(conv.select(col("u"), col("c").as("c_prev")), Seq("u"))
+        .filter(col("t") > col("c_prev"))
+        .groupBy("u").agg(min("t").as("c"))
+      out = out.unionByName(
+        conv.agg(count(lit(1)).cast(LongType).as("n_users"))
+          .select(lit(i + 1L).as("step_idx"), lit(step).as("step"),
+            col("n_users")))
+    }
+    out.orderBy("step_idx")
+  }
+
+  /** Retention cohorts: users grouped by the DAY of their first event
+    * (cohort day as epoch days — timezone-free integers), then for each
+    * (cohort, week offset) the count of distinct users active that week.
+    * Offset 0 is the cohort week itself, so its count is the cohort size.
+    *
+    * Plan shape: first-event aggregate on the user key, joined back to the
+    * log on the same key (co-partitioned — one shuffle total), then a
+    * (cohort, offset) count-distinct whose group count is
+    * |cohort days| × |offsets| — tiny. The join-back is unavoidable (each
+    * event needs its user's cohort) but carries only (user, cohort_day).
+    */
+  def retentionCohorts(events: DataFrame, userCol: String, tsCol: String,
+                       maxWeeks: Int = 4): DataFrame = {
+    require(maxWeeks >= 0, s"retentionCohorts: maxWeeks < 0: $maxWeeks")
+    val base = events.select(col(userCol).as("u"),
+      datediff(to_date(col(tsCol)), lit("1970-01-01")).cast(LongType)
+        .as("d"))
+    val cohorts = base.groupBy("u").agg(min("d").as("cohort_day"))
+    base.join(cohorts, Seq("u"))
+      .withColumn("week_offset",
+        ((col("d") - col("cohort_day")) / 7L).cast(LongType))
+      .filter(col("week_offset") <= maxWeeks)
+      .groupBy("cohort_day", "week_offset")
+      .agg(countDistinct(col("u")).cast(LongType).as("n_active"))
+      .orderBy("cohort_day", "week_offset")
+  }
+
+  /** Gap-filled resampling: bucket events into fixed UTC-day bins per key
+    * and emit a DENSE (key × day) grid from the corpus min to max day —
+    * empty bins as explicit zero rows, the shape every downstream
+    * rate-monitor and seasonal model expects. Value sums are integer cents
+    * (order-independent; a double sum is not).
+    *
+    * Plan shape: one grouped aggregate over (key, day); the spine is
+    * |keys| × |days| rows built from a 2-row bounds aggregate + a distinct
+    * key pass, both broadcast — never a per-row sequence explode over the
+    * event log. At 100 TB the dense grid is keys×days ≪ events; if the key
+    * cardinality were unbounded (user ids, not event types) the dense grid
+    * itself would be the bug — this operator is for LOW-cardinality keys
+    * and asserts nothing about high ones (the caller picks the key).
+    */
+  def resampleDaily(events: DataFrame, keyCol: String, tsCol: String,
+                    valueCents: Column): DataFrame = {
+    val base = events.select(col(keyCol).as("k"),
+      datediff(to_date(col(tsCol)), lit("1970-01-01")).cast(LongType)
+        .as("d"),
+      valueCents.cast(LongType).as("v"))
+    val agg = base.groupBy("k", "d")
+      .agg(count(lit(1)).cast(LongType).as("n_events"),
+        sum("v").cast(LongType).as("sum_cents"))
+    val bounds = base.agg(min("d").as("lo"), max("d").as("hi"))
+    val days = bounds
+      .select(explode(sequence(col("lo"), col("hi"))).as("d"))
+    val spine = events.select(col(keyCol).as("k")).distinct()
+      .crossJoin(broadcast(days))
+    spine.join(agg, Seq("k", "d"), "left")
+      .na.fill(0L, Seq("n_events", "sum_cents"))
+      .select(col("k").as(keyCol), col("d").as("epoch_day"),
+        col("n_events"), col("sum_cents"))
+      .orderBy(keyCol, "epoch_day")
+  }
+
+  /** A declarative data-quality constraint: `violations` counts offending
+    * rows with ONE aggregate over `df`. Build them with the [[Check]]
+    * constructors; run a suite with [[constraintReport]]. */
+  final case class Check(name: String, df: DataFrame, violations: Column)
+
+  object Check {
+    /** rows where `c` is NULL. */
+    def notNull(name: String, df: DataFrame, c: String): Check =
+      Check(name, df,
+        sum(when(col(c).isNull, 1L).otherwise(0L)))
+
+    /** rows beyond the first per key tuple — 0 iff the key is unique.
+      * Counted as Σ(cnt−1) over duplicated keys via a pre-aggregate, so
+      * the violation number is "rows you'd have to drop". */
+    def unique(name: String, df: DataFrame, keys: Seq[String]): Check = {
+      val g = df.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("__cnt"))
+      Check(name, g, sum(col("__cnt") - 1L))
+    }
+
+    /** child rows whose `fk` value has no match in `parent.pk` (NULL fks
+      * are not violations — compose with notNull if they should be). The
+      * anti-join side is the DISTINCT parent key set; at scale the parent
+      * keys broadcast when small and co-partition when not. */
+    def foreignKey(name: String, child: DataFrame, fk: String,
+                   parent: DataFrame, pk: String): Check = {
+      val orphans = child.filter(col(fk).isNotNull)
+        .join(parent.select(col(pk).as(fk)).distinct(), Seq(fk),
+          "left_anti")
+      Check(name, orphans, count(lit(1)))
+    }
+
+    /** non-NULL rows outside the accepted value set. */
+    def acceptedValues(name: String, df: DataFrame, c: String,
+                       values: Seq[String]): Check =
+      Check(name, df,
+        sum(when(col(c).isNotNull && !col(c).isin(values: _*), 1L)
+          .otherwise(0L)))
+
+    /** non-NULL rows where `e` is false — the generic predicate check
+      * (ranges, cross-column invariants). */
+    def satisfies(name: String, df: DataFrame, e: Column): Check =
+      Check(name, df, sum(when(!e, 1L).otherwise(0L)))
+  }
+
+  /** Run a constraint suite: one row per check — name, scanned row count,
+    * violation count, pass flag. The Deequ-style pre-flight gate a pipeline
+    * runs before committing a batch ("no orphan lineitems, order keys
+    * unique, status in the enum").
+    *
+    * Each check is one independent aggregate over its own frame (checks on
+    * the same frame share the scan only via parquet cache, deliberately:
+    * fusing differently-shaped checks — anti-joins vs plain aggregates —
+    * into one pass would force the most expensive plan onto all of them).
+    * The union is |checks| single-row frames: nothing here scales with data
+    * except each check's own scan, and every scan is column-pruned to the
+    * columns its predicate touches.
+    */
+  def constraintReport(checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, "constraintReport: empty suite")
+    require(checks.map(_.name).distinct.size == checks.size,
+      s"constraintReport: duplicate check names: ${checks.map(_.name)}")
+    checks.map { ch =>
+      ch.df.agg(
+          count(lit(1)).cast(LongType).as("n_rows"),
+          coalesce(ch.violations.cast(LongType), lit(0L))
+            .as("violations"))
+        .select(lit(ch.name).as("check_name"), col("n_rows"),
+          col("violations"),
+          (col("violations") === 0L).as("pass"))
+    }.reduce(_ unionByName _).orderBy("check_name")
+  }
+
+  /** Two-sample Kolmogorov–Smirnov statistic over an integral measure:
+    * D = max_v |F_ref(v) − F_cur(v)| — the classic distribution-shift test,
+    * complementing [[Profiling.psiDrift]] (PSI sees mass displacement
+    * between coarse bins; KS sees the worst single CDF gap, including
+    * shifts inside one PSI bin).
+    *
+    * Exactness: the max runs over INTEGER cross-products
+    * |cum_ref·N_cur − cum_cur·N_ref| in DECIMAL(38,0) — no double is
+    * formed until the final single division by N_ref·N_cur (rounded to 6
+    * places), so both engines agree bit-for-bit at any corpus size (counts
+    * up to 1e11 × 1e11 fit DECIMAL(38,0) with 16 digits to spare).
+    *
+    * Plan shape: per-value counts for both sides in ONE grouped aggregate
+    * over the unioned (value, side) projection — |distinct values| rows —
+    * then inclusive CDFs via the [[Relational.globalPrefixSum]] two-phase
+    * scan (range-bucketed partials + per-bucket windows; never a global
+    * one-partition window), run once per side over that small table, and a
+    * scalar max. Nothing beyond the two input scans touches raw rows.
+    */
+  def ksDrift(ref: DataFrame, cur: DataFrame, value: Column): DataFrame = {
+    val tagged = ref.select(value.cast(LongType).as("v"),
+        lit(1L).as("__r"), lit(0L).as("__c"))
+      .unionByName(cur.select(value.cast(LongType).as("v"),
+        lit(0L).as("__r"), lit(1L).as("__c")))
+    val counts = tagged.groupBy("v")
+      .agg(sum("__r").as("n_ref"), sum("__c").as("n_cur"))
+      .localCheckpoint() // two prefix passes + totals read one computed table
+    val withRef = Relational.globalPrefixSum(counts, "v", "n_ref",
+      prefixCol = "__pr")
+    val withBoth = Relational.globalPrefixSum(withRef, "v", "n_cur",
+      prefixCol = "__pc")
+    val totals = counts.agg(sum("n_ref").cast(LongType).as("__tr"),
+      sum("n_cur").cast(LongType).as("__tc"))
+    def dec(c: Column) = c.cast(DecimalType(38, 0))
+    withBoth.crossJoin(broadcast(totals))
+      .withColumn("__gap",
+        abs(dec(col("__pr") + col("n_ref")) * dec(col("__tc")) -
+          dec(col("__pc") + col("n_cur")) * dec(col("__tr"))))
+      .agg(
+        max(col("__tr")).cast(LongType).as("n_ref"),
+        max(col("__tc")).cast(LongType).as("n_cur"),
+        round(max(col("__gap")).cast(DoubleType) /
+          max(col("__tr")).cast(DoubleType) /
+          max(col("__tc")).cast(DoubleType), 6) // two casts then two IEEE
+          .as("d_stat")) // divisions — a long N_ref·N_cur product overflows
+  }
+
+  /** Event-transition mining: count consecutive (prev → next) event-type
+    * pairs per user in time order — the empirical first-order Markov
+    * transition table behind "what do users do after an error?".
+    *
+    * The lag window partitions by user (parallelism = |users|; at 100 TB a
+    * per-user partition is a few KB — the OPPOSITE of a global window) and
+    * orders by (ts, tiebreak) so simultaneous events have a total,
+    * engine-portable order. Output is |event types|² rows at most.
+    */
+  def transitionCounts(events: DataFrame, userCol: String, tsCol: String,
+                       typeCol: String, tiebreakCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(tiebreakCol))
+    events.select(col(userCol), col(tsCol), col(tiebreakCol),
+        col(typeCol).as("next_type"))
+      .withColumn("prev_type", lag(col("next_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy("prev_type", "next_type")
+      .agg(count(lit(1)).cast(LongType).as("n_transitions"))
+      .orderBy("prev_type", "next_type")
+  }
+}

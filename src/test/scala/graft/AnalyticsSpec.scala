@@ -1,0 +1,152 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Analytics
+import graft.operators.Analytics.Check
+
+class AnalyticsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  // (event_id, ts, user, type)
+  private def ev(rows: (Long, String, Long, String)*) =
+    rows.map { case (id, t, u, e) => (id, ts(t), u, e) }
+      .toDF("event_id", "ts", "user_id", "event_type")
+
+  test("funnel: ordered semantics — purchase before click does not count") {
+    val df = ev(
+      // u1 converts all three steps in order
+      (1L, "2024-01-01 10:00:00", 1L, "view"),
+      (2L, "2024-01-01 10:01:00", 1L, "click"),
+      (3L, "2024-01-01 10:02:00", 1L, "purchase"),
+      // u2 purchased BEFORE clicking: counts for view+click only
+      (4L, "2024-01-01 09:00:00", 2L, "purchase"),
+      (5L, "2024-01-01 10:00:00", 2L, "view"),
+      (6L, "2024-01-01 10:30:00", 2L, "click"),
+      // u3 clicked but never viewed: counts for nothing
+      (7L, "2024-01-01 08:00:00", 3L, "click"))
+    val out = Analytics.funnel(df, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, "view", 2L), (2L, "click", 2L),
+      (3L, "purchase", 1L)))
+  }
+
+  test("funnel: strictly-after — click at the exact view instant is lost") {
+    val df = ev(
+      (1L, "2024-01-01 10:00:00", 1L, "view"),
+      (2L, "2024-01-01 10:00:00", 1L, "click"))
+    val out = Analytics.funnel(df, "user_id", "ts", "event_type",
+        Seq("view", "click")).collect().map(r => r.getLong(2))
+    assert(out.toSeq == Seq(1L, 0L))
+  }
+
+  test("retentionCohorts: offset-0 row is the cohort size; gaps absent") {
+    val df = ev(
+      (1L, "2024-01-01 12:00:00", 1L, "a"), // cohort day 19723
+      (2L, "2024-01-08 12:00:00", 1L, "a"), // week 1
+      (3L, "2024-01-22 12:00:00", 1L, "a"), // week 3 (week 2 silent)
+      (4L, "2024-01-01 15:00:00", 2L, "a"), // same cohort, week 0 only
+      (5L, "2024-01-02 00:00:00", 3L, "a")) // its own cohort
+    val out = Analytics.retentionCohorts(df, "user_id", "ts", maxWeeks = 4)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val d0 = 19723L // 2024-01-01 as epoch day
+    assert(out == Map(
+      (d0, 0L) -> 2L, (d0, 1L) -> 1L, (d0, 3L) -> 1L, (d0 + 1, 0L) -> 1L))
+  }
+
+  test("resampleDaily: dense spine emits explicit zero bins, cent sums") {
+    val df = ev(
+      (1L, "2024-01-01 10:00:00", 1L, "x"),
+      (2L, "2024-01-03 10:00:00", 1L, "x"),
+      (3L, "2024-01-03 11:00:00", 1L, "y"))
+      .withColumn("value", col("event_id").cast("double") * 1.5)
+    val out = Analytics.resampleDaily(df, "event_type", "ts",
+        expr("cast(round(value * 100) as bigint)")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val d0 = 19723L
+    // 2 keys × 3 days — every cell present, gaps as zeros
+    assert(out.length == 6)
+    assert(out.contains(("x", d0, 1L, 150L)))
+    assert(out.contains(("x", d0 + 1, 0L, 0L))) // the gap-filled zero row
+    assert(out.contains(("x", d0 + 2, 1L, 300L)))
+    assert(out.contains(("y", d0, 0L, 0L)))
+    assert(out.contains(("y", d0 + 2, 1L, 450L)))
+  }
+
+  test("constraintReport: violations counted per check, pass flags") {
+    val child = Seq((1L, Some(10L)), (2L, Some(10L)), (2L, None),
+      (3L, Some(99L))).toDF("id", "fk")
+    val parent = Seq(10L, 11L).toDF("pk")
+    val out = Analytics.constraintReport(Seq(
+        Check.notNull("fk_notnull", child, "fk"),
+        Check.unique("id_unique", child, Seq("id")),
+        Check.foreignKey("fk_parent", child, "fk", parent, "pk"),
+        Check.satisfies("id_positive", child, col("id") > 0)))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))).toMap
+    assert(out("fk_notnull") == ((4L, 1L, false)))
+    // 3 distinct ids, one duplicated once
+    assert(out("id_unique") == ((3L, 1L, false)))
+    // fk=99 is the single non-null orphan (NULL fk is not a violation)
+    assert(out("fk_parent") == ((1L, 1L, false)))
+    assert(out("id_positive") == ((4L, 0L, true)))
+  }
+
+  test("constraintReport: unique on an empty duplicate set coalesces to 0") {
+    val df = Seq(1L, 2L, 3L).toDF("id")
+    val out = Analytics.constraintReport(Seq(
+        Check.unique("u", df, Seq("id")))).collect().head
+    assert(out.getLong(2) == 0L && out.getBoolean(3))
+  }
+
+  test("ksDrift: identical corpora → 0; disjoint supports → 1") {
+    val a = Seq(1L, 2L, 3L, 4L).toDF("v")
+    val b = Seq(1L, 2L, 3L, 4L).toDF("v")
+    val same = Analytics.ksDrift(a, b, col("v")).collect().head
+    assert((same.getLong(0), same.getLong(1), same.getDouble(2)) ==
+      ((4L, 4L, 0.0)))
+    val lo = Seq(1L, 2L).toDF("v")
+    val hi = Seq(10L, 11L, 12L).toDF("v")
+    val disj = Analytics.ksDrift(lo, hi, col("v")).collect().head
+    assert((disj.getLong(0), disj.getLong(1), disj.getDouble(2)) ==
+      ((2L, 3L, 1.0)))
+  }
+
+  test("ksDrift ≡ the textbook sorted-merge D on random integer samples") {
+    val rnd = new scala.util.Random(42)
+    val xs = Seq.fill(200)(rnd.nextInt(30).toLong)
+    val ys = Seq.fill(150)(rnd.nextInt(30).toLong + 5)
+    val got = Analytics.ksDrift(xs.toDF("v"), ys.toDF("v"), col("v"))
+      .collect().head.getDouble(2)
+    val values = (xs ++ ys).distinct.sorted
+    val want = values.map { v =>
+      math.abs(xs.count(_ <= v).toDouble / xs.size -
+        ys.count(_ <= v).toDouble / ys.size)
+    }.max
+    assert(math.abs(got - want) < 1e-6)
+  }
+
+  test("transitionCounts: per-user ordered pairs with event-id tiebreak") {
+    val df = ev(
+      (1L, "2024-01-01 10:00:00", 1L, "a"),
+      (2L, "2024-01-01 10:01:00", 1L, "b"),
+      (3L, "2024-01-01 10:02:00", 1L, "a"),
+      // u2: two events at the SAME instant — event_id orders them a→b
+      (4L, "2024-01-01 10:00:00", 2L, "a"),
+      (5L, "2024-01-01 10:00:00", 2L, "b"),
+      // u3: single event, no transition
+      (6L, "2024-01-01 10:00:00", 3L, "c"))
+    val out = Analytics.transitionCounts(df, "user_id", "ts", "event_type",
+        "event_id").collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(out == Map(("a", "b") -> 2L, ("b", "a") -> 1L))
+  }
+}
