@@ -1828,7 +1828,98 @@ object SparkEntry {
       // by ts with event_id tiebreak — a total, engine-portable order),
       // |types|² output rows
       graft.operators.Analytics.transitionCounts(rdEvents(s, dir),
-        "user_id", "ts", "event_type", "event_id"))
+        "user_id", "ts", "event_type", "event_id")),
+    "q_scd2_history" -> ((s, dir) => {
+      // SCD2 time-travel store: init + two CDC merges into a bucketed
+      // history table (each merge = ONE close-join on the co-bucketed key
+      // + a union; closed versions never rewritten). Batch 1 is the
+      // q_store_merge changeset (%7 upd / %11 ins / %13 del); batch 2
+      // upserts %9 keys (re-inserting any %9∧%13 deletions) with +500
+      // cents from the ORIGINAL price — all derivable in closed form by
+      // the oracle
+      val snap = rd(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"),
+        expr("cast(round(o_totalprice * 100) as bigint)").as("price_cents"),
+        col("o_orderstatus"))
+      val upd1 = snap
+        .filter(col("o_orderkey") % 7 === 0 && col("o_orderkey") % 13 =!= 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("price_cents") + 100L).as("price_cents"),
+          lit("U").as("o_orderstatus"))
+        .withColumn("op", lit("upsert"))
+      val ins1 = snap.filter(col("o_orderkey") % 11 === 0)
+        .select((col("o_orderkey") * -1L - 1L).as("o_orderkey"),
+          col("o_custkey"), col("price_cents"), lit("N").as("o_orderstatus"))
+        .withColumn("op", lit("upsert"))
+      val del1 = snap.filter(col("o_orderkey") % 13 === 0)
+        .select(col("o_orderkey"),
+          lit(null).cast("bigint").as("o_custkey"),
+          lit(null).cast("bigint").as("price_cents"),
+          lit(null).cast("string").as("o_orderstatus"))
+        .withColumn("op", lit("delete"))
+      val ups2 = snap.filter(col("o_orderkey") % 9 === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("price_cents") + 500L).as("price_cents"),
+          lit("V").as("o_orderstatus"))
+        .withColumn("op", lit("upsert"))
+      graft.sources.Sources.writeBucketed(
+        graft.sources.Sources.scd2Init(snap, 0L), "graft_scd2_hist",
+        "o_orderkey", 8)
+      graft.sources.Sources.scd2MergeIntoStore(s, "graft_scd2_hist",
+        upd1.unionByName(ins1).unionByName(del1), "o_orderkey", batch = 1L,
+        nBuckets = 8)
+      graft.sources.Sources.scd2MergeIntoStore(s, "graft_scd2_hist",
+        ups2, "o_orderkey", batch = 2L, nBuckets = 8)
+      s.table("graft_scd2_hist").orderBy("o_orderkey", "valid_from")
+    }),
+    "q_scd2_asof" -> ((s, dir) => {
+      // time travel: the same two-batch history rebuilt as a pure frame
+      // chain, read back AS OF batch 1 — one validity filter; must equal
+      // the oracle's independent closed-form state-at-1
+      val snap = rd(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"),
+        expr("cast(round(o_totalprice * 100) as bigint)").as("price_cents"),
+        col("o_orderstatus"))
+      val upd1 = snap
+        .filter(col("o_orderkey") % 7 === 0 && col("o_orderkey") % 13 =!= 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("price_cents") + 100L).as("price_cents"),
+          lit("U").as("o_orderstatus"))
+        .withColumn("op", lit("upsert"))
+      val ins1 = snap.filter(col("o_orderkey") % 11 === 0)
+        .select((col("o_orderkey") * -1L - 1L).as("o_orderkey"),
+          col("o_custkey"), col("price_cents"), lit("N").as("o_orderstatus"))
+        .withColumn("op", lit("upsert"))
+      val del1 = snap.filter(col("o_orderkey") % 13 === 0)
+        .select(col("o_orderkey"),
+          lit(null).cast("bigint").as("o_custkey"),
+          lit(null).cast("bigint").as("price_cents"),
+          lit(null).cast("string").as("o_orderstatus"))
+        .withColumn("op", lit("delete"))
+      val ups2 = snap.filter(col("o_orderkey") % 9 === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("price_cents") + 500L).as("price_cents"),
+          lit("V").as("o_orderstatus"))
+        .withColumn("op", lit("upsert"))
+      import graft.sources.Sources
+      val hist = Sources.scd2Merge(
+        Sources.scd2Merge(Sources.scd2Init(snap, 0L),
+          upd1.unionByName(ins1).unionByName(del1), "o_orderkey", 1L),
+        ups2, "o_orderkey", 2L)
+      Sources.scd2SnapshotAsOf(hist, 1L).orderBy("o_orderkey")
+    }),
+    "q_corpus_mix" -> ((s, dir) =>
+      // the pretraining-mix table: per (source, lang) docs/tokens and
+      // exact-integer corpus shares — one grouped aggregate + a 1-row
+      // totals broadcast
+      TextAnalysis.corpusMixReport(rd(s, dir, "documents"),
+        Seq("source", "lang"), "text")),
+    "q_series_anomaly" -> ((s, dir) =>
+      // daily-rate anomaly flags over the dense per-type grid (gap days
+      // are explicit zeros, so silence is flaggable); k·MAD gate over
+      // dyadic-exact integer-count medians
+      graft.operators.Analytics.seriesAnomalies(rdEvents(s, dir),
+        "event_type", "ts", k = 2.0))
   )
 
   /** shared by q_cosine_topk (functions-based) and q_cosine_expr (native
@@ -4289,7 +4380,105 @@ object SparkEntry {
            FROM events)
          WHERE prev_type IS NOT NULL
          GROUP BY prev_type, next_type
-         ORDER BY prev_type, next_type"""
+         ORDER BY prev_type, next_type""",
+    // closed-form SCD2 history after init(0) + the %7/%11/%13 batch-1 +
+    // %9-upsert batch-2 changesets: v0 closes at 1 if touched by batch 1
+    // (delete wins the %7∧%13 overlap either way), else at 2 if %9; the
+    // batch-1 'U' version closes at 2 if %9; negative insert keys are
+    // never touched again
+    "q_scd2_history" ->
+      """WITH snap AS (
+           SELECT o_orderkey AS k, o_custkey AS c,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS p,
+             o_orderstatus AS s
+           FROM orders),
+         v0 AS (
+           SELECT k, c, p, s, 0 AS vf,
+             CASE WHEN k % 13 = 0 OR k % 7 = 0 THEN 1
+                  WHEN k % 9 = 0 THEN 2 END AS vt
+           FROM snap),
+         v1u AS (
+           SELECT k, c, p + 100 AS p, 'U' AS s, 1 AS vf,
+             CASE WHEN k % 9 = 0 THEN 2 END AS vt
+           FROM snap WHERE k % 7 = 0 AND k % 13 <> 0),
+         v1i AS (
+           SELECT -k - 1 AS k, c, p, 'N' AS s, 1 AS vf,
+             CAST(NULL AS INTEGER) AS vt
+           FROM snap WHERE k % 11 = 0),
+         v2 AS (
+           SELECT k, c, p + 500 AS p, 'V' AS s, 2 AS vf,
+             CAST(NULL AS INTEGER) AS vt
+           FROM snap WHERE k % 9 = 0)
+         SELECT k AS o_orderkey, c AS o_custkey, p AS price_cents,
+           s AS o_orderstatus, CAST(vf AS BIGINT) AS valid_from,
+           CAST(vt AS BIGINT) AS valid_to
+         FROM (SELECT * FROM v0 UNION ALL SELECT * FROM v1u
+               UNION ALL SELECT * FROM v1i UNION ALL SELECT * FROM v2)
+         ORDER BY o_orderkey, valid_from""",
+    // state AS OF batch 1 in closed form: untouched originals + the
+    // batch-1 updates and inserts (batch-2 versions not yet live, %13
+    // deletions gone)
+    "q_scd2_asof" ->
+      """WITH snap AS (
+           SELECT o_orderkey AS k, o_custkey AS c,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS p,
+             o_orderstatus AS s
+           FROM orders)
+         SELECT k AS o_orderkey, c AS o_custkey, p AS price_cents,
+           s AS o_orderstatus
+         FROM (
+           SELECT k, c, p, s FROM snap WHERE k % 13 <> 0 AND k % 7 <> 0
+           UNION ALL
+           SELECT k, c, p + 100, 'U' FROM snap
+           WHERE k % 7 = 0 AND k % 13 <> 0
+           UNION ALL
+           SELECT -k - 1, c, p, 'N' FROM snap WHERE k % 11 = 0)
+         ORDER BY o_orderkey""",
+    // per (source, lang) docs/tokens + exact-integer corpus shares; the
+    // same len>0-filtered whitespace tokens as q_token_entropy
+    "q_corpus_mix" ->
+      """WITH b AS (
+           SELECT source, lang,
+             CAST(len(list_filter(
+               string_split_regex(lower(trim(text)), '\s+'),
+               t -> len(t) > 0)) AS BIGINT) AS nt
+           FROM documents),
+         g AS (
+           SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(nt) AS BIGINT) AS n_tokens
+           FROM b GROUP BY source, lang),
+         t AS (SELECT sum(n_docs) AS td, sum(n_tokens) AS tt FROM g)
+         SELECT source, lang, n_docs, n_tokens,
+           round(CAST(n_docs AS DOUBLE) / td, 6) AS share_docs,
+           round(CAST(n_tokens AS DOUBLE) / tt, 6) AS share_tokens
+         FROM g CROSS JOIN t ORDER BY source, lang""",
+    // dense grid (gap days explicit zeros), per-type median/MAD over
+    // integer daily counts (dyadic-exact halves/quarters), 2·MAD gate
+    "q_series_anomaly" ->
+      """WITH b AS (
+           SELECT event_type AS k2,
+             CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+               AS BIGINT) AS d
+           FROM events),
+         a AS (SELECT k2, d, CAST(count(*) AS BIGINT) AS n
+               FROM b GROUP BY k2, d),
+         bounds AS (SELECT min(d) AS lo, max(d) AS hi FROM b),
+         days AS (SELECT unnest(range(lo, hi + 1)) AS d FROM bounds),
+         keys AS (SELECT DISTINCT k2 FROM b),
+         grid AS (
+           SELECT k2, d, CAST(coalesce(n, 0) AS BIGINT) AS n
+           FROM keys CROSS JOIN days LEFT JOIN a USING (k2, d)),
+         med AS (SELECT k2, quantile_cont(n, 0.5) AS med
+                 FROM grid GROUP BY k2),
+         dev AS (
+           SELECT grid.k2, d, n, med, abs(n - med) AS absdev
+           FROM grid JOIN med USING (k2)),
+         mad AS (SELECT k2, quantile_cont(absdev, 0.5) AS mad
+                 FROM dev GROUP BY k2)
+         SELECT dev.k2 AS event_type, CAST(d AS BIGINT) AS epoch_day,
+           n AS n_events, med, mad, absdev > 2.0 * mad AS is_anomaly
+         FROM dev JOIN mad USING (k2)
+         ORDER BY event_type, epoch_day"""
   ) ++ lastIvfDir.flatMap(ivfModels.get).map { m =>
     // generated from the fitted model the query loop memoized (one sf dir
     // per Verify process); absent only when no IVF query ran this process

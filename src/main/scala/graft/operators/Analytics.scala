@@ -245,6 +245,35 @@ object Analytics {
           .as("d_stat")) // divisions — a long N_ref·N_cur product overflows
   }
 
+  /** Daily-rate anomaly flags per key: resample to the dense daily grid
+    * ([[resampleDaily]] — gap days are explicit zero rows, so a feed going
+    * SILENT is flaggable, the monitoring case a sparse series silently
+    * misses) and mark days whose event count deviates from the key's
+    * median by more than k·MAD. The per-row sibling of
+    * [[Profiling.outlierMad]]'s group summaries, over integer daily counts
+    * (medians interpolate to halves, MADs to quarters — dyadic-exact, the
+    * q_grouped_median doctrine).
+    *
+    * Plan shape: the dense grid (|keys| × |days| rows, low-cardinality
+    * keys by [[resampleDaily]]'s contract) is aggregated twice (median,
+    * then MAD of deviations) with |keys|-row join-backs that broadcast. */
+  def seriesAnomalies(events: DataFrame, keyCol: String, tsCol: String,
+                      k: Double = 3.0): DataFrame = {
+    val daily = resampleDaily(events, keyCol, tsCol, lit(0L))
+      .select(col(keyCol), col("epoch_day"), col("n_events"))
+    val med = daily.groupBy(keyCol)
+      .agg(expr("percentile(n_events, 0.5)").as("med"))
+    val withDev = daily.join(broadcast(med), keyCol)
+      .withColumn("absdev", abs(col("n_events") - col("med")))
+    val mad = withDev.groupBy(keyCol)
+      .agg(expr("percentile(absdev, 0.5)").as("mad"))
+    withDev.join(broadcast(mad), keyCol)
+      .select(col(keyCol), col("epoch_day"), col("n_events"),
+        col("med"), col("mad"),
+        (col("absdev") > lit(k) * col("mad")).as("is_anomaly"))
+      .orderBy(keyCol, "epoch_day")
+  }
+
   /** Event-transition mining: count consecutive (prev → next) event-type
     * pairs per user in time order — the empirical first-order Markov
     * transition table behind "what do users do after an error?".

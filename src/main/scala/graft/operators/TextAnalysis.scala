@@ -652,6 +652,34 @@ object TextAnalysis {
           .as("ttr"))
   }
 
+  /** Corpus-mix report: per group (source × language, typically) the doc
+    * and token counts plus each group's share of the corpus — the table a
+    * pretraining mix is tuned against ("src3 is 40% of tokens but 8% of
+    * docs") and the input to [[graft.operators.Sampling]]'s temperature
+    * mixing. ONE grouped aggregate over a projection carrying only the
+    * group key and a per-doc token count (map-side combined), then a
+    * broadcast of the 1-row totals; shares divide exact integers, rounded
+    * to 6 places (engine-identical). */
+  def corpusMixReport(df: DataFrame, groupCols: Seq[String],
+                      textCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "corpusMixReport: no group columns")
+    val base = df.select(groupCols.map(col) :+
+      size(filter(tokens(col(textCol)), t => length(t) > 0))
+        .cast(LongType).as("__nt"): _*)
+    val grouped = base.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).cast(LongType).as("n_docs"),
+        sum("__nt").cast(LongType).as("n_tokens"))
+    val totals = grouped.agg(sum("n_docs").as("__td"),
+      sum("n_tokens").as("__tt"))
+    grouped.crossJoin(broadcast(totals))
+      .withColumn("share_docs",
+        round(col("n_docs").cast(DoubleType) / col("__td"), 6))
+      .withColumn("share_tokens",
+        round(col("n_tokens").cast(DoubleType) / col("__tt"), 6))
+      .drop("__td", "__tt")
+      .orderBy(groupCols.map(col): _*)
+  }
+
   /** per-document stats frame (used by q_text_* queries). */
   def docStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(

@@ -349,4 +349,80 @@ object Sources {
     spark.sql(s"DROP TABLE $table")
     spark.sql(s"ALTER TABLE $staging RENAME TO $table")
   }
+
+  // ---- SCD2 history store (time travel over the CDC stream) -------------
+  //
+  // [[mergeSnapshot]] keeps only the CURRENT state; the SCD2 family keeps
+  // every version with a [valid_from, valid_to) batch interval, so any past
+  // snapshot is one filter away ("what did the corpus look like when we
+  // trained run 17?"). valid_to is NULL while a version is current.
+  //
+  // Scale shape: a merge touches the history ONCE — one left join against
+  // the delta's distinct keys (broadcast when the delta is small, bucket-
+  // co-partitioned in the store-backed form) to close open versions, plus a
+  // union of the new versions. History grows by |delta| rows per batch and
+  // never rewrites closed versions' payloads; as-of reads are a filter that
+  // parquet min/max stats on (valid_from, valid_to) skip files with.
+
+  /** seed a history from a full snapshot: every row becomes version
+    * [batch, ∞). */
+  def scd2Init(snapshot: DataFrame, batch: Long): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    snapshot
+      .withColumn("valid_from", lit(batch))
+      .withColumn("valid_to", lit(null).cast("bigint"))
+  }
+
+  /** merge one changeset at `batch`: every delta key's OPEN version is
+    * closed (valid_to = batch); each upsert payload opens a new version
+    * [batch, ∞). A delete therefore just closes; an upsert of an absent or
+    * deleted key re-inserts. Same uniqueness contract as [[mergeSnapshot]]
+    * (keys unique within the delta and among OPEN history rows).
+    *
+    * `history` must carry valid_from/valid_to ([[scd2Init]]); `delta` the
+    * payload columns plus `opCol` ∈ {"upsert", "delete"}. */
+  def scd2Merge(history: DataFrame, delta: DataFrame, keyCol: String,
+                batch: Long, opCol: String = "op"): DataFrame = {
+    import org.apache.spark.sql.functions.{lit, when}
+    val ops = delta.select(col(opCol)).distinct()
+    val bad = ops.filter(!col(opCol).isin("upsert", "delete")).take(1)
+    require(bad.isEmpty,
+      s"scd2Merge: delta.$opCol has values outside {upsert, delete}: " +
+        bad.mkString(", "))
+    val touched = delta.select(col(keyCol)).distinct()
+      .withColumn("__touched", lit(true))
+    val closed = history.join(touched, Seq(keyCol), "left")
+      .withColumn("valid_to",
+        when(col("__touched") && col("valid_to").isNull, lit(batch))
+          .otherwise(col("valid_to")))
+      .drop("__touched")
+    val opened = scd2Init(delta.filter(col(opCol) === "upsert").drop(opCol),
+      batch)
+    closed.unionByName(opened)
+  }
+
+  /** the state as of `batch` (inclusive): versions live at that batch,
+    * validity columns dropped — a one-filter time-travel read. */
+  def scd2SnapshotAsOf(history: DataFrame, batch: Long): DataFrame =
+    history.filter(col("valid_from") <= batch &&
+        (col("valid_to").isNull || col("valid_to") > batch))
+      .drop("valid_from", "valid_to")
+
+  /** [[scd2Merge]] against a bucketed history table IN PLACE — the same
+    * staging-write + drop→rename swap (and maintenance-window caveat) as
+    * [[mergeIntoStore]]. Bucketing by the key keeps the close-join
+    * exchange-free on the history side and co-locates every key's version
+    * chain in one bucket for as-of reads. */
+  def scd2MergeIntoStore(spark: SparkSession, table: String,
+                         delta: DataFrame, keyCol: String, batch: Long,
+                         nBuckets: Int, opCol: String = "op"): Unit = {
+    val staging = s"${table}__merging"
+    spark.sql(s"DROP TABLE IF EXISTS $staging")
+    val merged = scd2Merge(spark.table(table), delta, keyCol, batch, opCol)
+      .localCheckpoint()
+    writeBucketed(merged, staging, keyCol, nBuckets)
+    merged.unpersist()
+    spark.sql(s"DROP TABLE $table")
+    spark.sql(s"ALTER TABLE $staging RENAME TO $table")
+  }
 }
