@@ -35,12 +35,25 @@ object Analytics {
     * step is |surviving users| × 16 bytes. The min-ts "unordered funnel"
     * shortcut (compare min timestamps per step) is rejected: it counts a
     * user who purchased BEFORE ever clicking.
+    *
+    * `maxGapSeconds`, when set, is the conversion WINDOW real retention
+    * analysis uses: step i must land within that many seconds after step
+    * i−1's conversion (strictly-after stays; the upper bound is inclusive).
+    * Semantics note: conversion times remain the earliest step-i event in
+    * the window after the GREEDY (earliest) step-(i−1) conversion — the
+    * standard closed-form chain, not a search over all event combinations
+    * (a user whose ONLY in-window path runs through a later step-(i−1)
+    * event is not counted; every engine's funnel makes this same greedy
+    * choice because the exact variant is exponential).
     */
   def funnel(events: DataFrame, userCol: String, tsCol: String,
-             typeCol: String, steps: Seq[String]): DataFrame = {
+             typeCol: String, steps: Seq[String],
+             maxGapSeconds: Option[Long] = None): DataFrame = {
     require(steps.nonEmpty, "funnel: need at least one step")
     require(steps.distinct.size == steps.size,
       s"funnel: duplicate steps: $steps")
+    require(maxGapSeconds.forall(_ > 0),
+      s"funnel: maxGapSeconds must be positive: $maxGapSeconds")
     val spark = events.sparkSession
     import spark.implicits._
     val base = events.select(col(userCol).as("u"),
@@ -51,9 +64,13 @@ object Analytics {
       .select(lit(1L).as("step_idx"), lit(steps.head).as("step"),
         col("n_users"))
     steps.zipWithIndex.drop(1).foreach { case (step, i) =>
+      val inWindow = maxGapSeconds.fold(lit(true))(g =>
+        // integer-microsecond comparison — exact, timezone-free, and the
+        // oracle replicates it with epoch_us arithmetic
+        unix_micros(col("t")) <= unix_micros(col("c_prev")) + lit(g * 1000000L))
       conv = base.filter(col("e") === step)
         .join(conv.select(col("u"), col("c").as("c_prev")), Seq("u"))
-        .filter(col("t") > col("c_prev"))
+        .filter(col("t") > col("c_prev") && inWindow)
         .groupBy("u").agg(min("t").as("c"))
       out = out.unionByName(
         conv.agg(count(lit(1)).cast(LongType).as("n_users"))
@@ -82,8 +99,11 @@ object Analytics {
         .as("d"))
     val cohorts = base.groupBy("u").agg(min("d").as("cohort_day"))
     base.join(cohorts, Seq("u"))
-      .withColumn("week_offset",
-        ((col("d") - col("cohort_day")) / 7L).cast(LongType))
+      // `div` is integer FLOOR division like the oracle's `//` — the
+      // double-divide-then-cast form truncates toward zero instead, and
+      // only matched floor here because d ≥ cohort_day keeps offsets
+      // non-negative; say what we mean and drop the implicit invariant
+      .withColumn("week_offset", expr("(d - cohort_day) div 7"))
       .filter(col("week_offset") <= maxWeeks)
       .groupBy("cohort_day", "week_offset")
       .agg(countDistinct(col("u")).cast(LongType).as("n_active"))
@@ -175,6 +195,13 @@ object Analytics {
     * runs before committing a batch ("no orphan lineitems, order keys
     * unique, status in the enum").
     *
+    * `n_rows` is the row count of the check's OWN frame, which differs by
+    * constructor: total table rows for notNull/acceptedValues/satisfies,
+    * the DISTINCT key-tuple count for unique (its frame is the per-key
+    * pre-aggregate), and the orphan count (= violations) for foreignKey
+    * (its frame is the anti-join result). Violation RATES are therefore
+    * only meaningful per kind — don't divide across rows of mixed kinds.
+    *
     * Each check is one independent aggregate over its own frame (checks on
     * the same frame share the scan only via parquet cache, deliberately:
     * fusing differently-shaped checks — anti-joins vs plain aggregates —
@@ -218,10 +245,15 @@ object Analytics {
     * scalar max. Nothing beyond the two input scans touches raw rows.
     */
   def ksDrift(ref: DataFrame, cur: DataFrame, value: Column): DataFrame = {
+    // NULL measures are excluded (a CDF has no place for them): unfiltered,
+    // a NULL value group would reach globalPrefixSum's driver-side bucket
+    // counts (getLong on NULL → NPE), and the engines disagree on NULL sort
+    // position anyway (Spark NULLS FIRST, DuckDB NULLS LAST)
     val tagged = ref.select(value.cast(LongType).as("v"),
         lit(1L).as("__r"), lit(0L).as("__c"))
       .unionByName(cur.select(value.cast(LongType).as("v"),
         lit(0L).as("__r"), lit(1L).as("__c")))
+      .filter(col("v").isNotNull)
     val counts = tagged.groupBy("v")
       .agg(sum("__r").as("n_ref"), sum("__c").as("n_cur"))
       .localCheckpoint() // two prefix passes + totals read one computed table

@@ -25,18 +25,19 @@ object Profiling {
     * sane" gate run before a multi-hour job.
     *
     * Scale notes:
-    *  - `exact = false` (the 100 TB default) profiles with
-    *    `approx_count_distinct` (HLL±5%): every aggregate is a partial
-    *    map-side sketch, ONE pass, no data amplification;
-    *  - `exact = true` uses `count(DISTINCT col)` per column, which Catalyst
-    *    plans as an Expand — the input is replicated once per distinct
-    *    aggregate (k columns → k× shuffle volume). Correct, oracle-exact,
-    *    and the mode the sf-scale gate verifies; flip to approx when the
-    *    table is large enough that k× its size matters.
+    *  - `exact = false` (the DEFAULT — what a 100 TB caller gets) profiles
+    *    with `approx_count_distinct` (HLL±5%): every aggregate is a partial
+    *    map-side sketch, ONE pass, no data amplification. Its estimates are
+    *    oracle-pinned by contract via [[profileTableApproxChecked]];
+    *  - `exact = true` (opt-in, the oracle-exact audit mode) uses
+    *    `count(DISTINCT col)` per column, which Catalyst plans as an Expand
+    *    — the input is replicated once per distinct aggregate (k columns →
+    *    k× shuffle volume). Correct and exactly checkable, but the k× data
+    *    amplification is the documented scale-killer: never the default.
     *  - the result is reshaped with `stack` (a generator projection over the
     *    single aggregated row) — no driver collect anywhere.
     */
-  def profileTable(df: DataFrame, exact: Boolean = true): DataFrame = {
+  def profileTable(df: DataFrame, exact: Boolean = false): DataFrame = {
     val cols = df.columns.toSeq
     require(cols.nonEmpty, "profileTable: no columns")
     require(cols.forall(c => !c.contains("'") && !c.contains("`")),
@@ -59,6 +60,52 @@ object Profiling {
           "as (column_name, n_nulls, n_distinct)"),
         col("__n").as("n_rows"))
       .select("column_name", "n_rows", "n_nulls", "n_distinct")
+      .orderBy("column_name")
+  }
+
+  /** The approx profile under its CONTRACT, oracle-checkable (the
+    * q_quantiles_approx pattern): per column — exact null count, exact row
+    * count, and `dist_ok` = |HLL estimate − exact distinct| ≤
+    * slack·rsd·exact + 2. HLL++ is deterministic for a fixed value SET
+    * (order/partitioning-independent), so the flag is a deterministic
+    * output an external oracle pins as `true` while computing the exact
+    * sides itself; a Spark upgrade whose sketch strayed past the bound
+    * flips the hash and is caught.
+    *
+    * VERIFICATION-ONLY plan shape: this computes the exact distinct counts
+    * too (the Expand), so it deliberately pays exact-mode cost — bench and
+    * probe [[profileTable]] (approx default) for the production number, and
+    * run this where an oracle needs pinning. The `+2` absolute slack keeps
+    * tiny-cardinality columns (estimate error is integer-quantized) out of
+    * false alarms; slack = 4 standard deviations makes a legitimate sketch
+    * failing the gate a ~1e-4 event per column, and for FIXED data it
+    * either passes forever or fails forever — no flakiness. */
+  def profileTableApproxChecked(df: DataFrame, rsd: Double = 0.05,
+                                slack: Double = 4.0): DataFrame = {
+    val cols = df.columns.toSeq
+    require(cols.nonEmpty, "profileTableApproxChecked: no columns")
+    require(cols.forall(c => !c.contains("'") && !c.contains("`")),
+      s"profileTableApproxChecked: quote chars in column names: $cols")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).cast(LongType)
+          .as(s"__nulls_$c"),
+        countDistinct(col(c)).cast(LongType).as(s"__ex_$c"),
+        approx_count_distinct(col(c), rsd).cast(LongType).as(s"__ap_$c"))
+    } :+ count(lit(1)).cast(LongType).as("__n")
+    val agged = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols
+      .map(c => s"'$c', `__nulls_$c`, `__ex_$c`, `__ap_$c`")
+      .mkString(", ")
+    agged
+      .select(
+        expr(s"stack(${cols.length}, $stackArgs) " +
+          "as (column_name, n_nulls, __ex, __ap)"),
+        col("__n").as("n_rows"))
+      .select(col("column_name"), col("n_rows"), col("n_nulls"),
+        (abs(col("__ap") - col("__ex")).cast(DoubleType) <=
+          lit(slack * rsd) * col("__ex").cast(DoubleType) + lit(2.0))
+          .as("dist_ok"))
       .orderBy("column_name")
   }
 
@@ -138,9 +185,16 @@ object Profiling {
     * aggregated row with an explode projection, no driver collect.
     *
     * Determinism: inputs must be integral (`cast` your doubles to cents).
-    * Sums accumulate exactly in DECIMAL(38,0) — `corr()` itself streams
-    * double co-moments whose value depends on partition order, which is
-    * exactly what the engine-portable contract can't have — and the final
+    * Values ride DECIMAL(19,0); each product is DECIMAL(38,0)-exact and the
+    * sums accumulate in DECIMAL(38,0) — `corr()` itself streams double
+    * co-moments whose value depends on partition order, which is exactly
+    * what the engine-portable contract can't have. A Σx·y that exceeds
+    * 38 digits (|x| ~1e15 cents × 1e8 rows is still fine; pathological
+    * magnitudes are not) cannot be represented: rather than return the
+    * engine-dependent silent NULL / ANSI error, the plan FAILS LOUDLY via
+    * an in-plan raise_error naming the overflowed pair (one-row check, no
+    * extra pass) — callers with astronomic magnitudes rescale first. The
+    * final
     * (n·Σxy − ΣxΣy) / √(n·Σx²−(Σx)²) / √(n·Σy²−(Σy)²) is computed on exact
     * integers cast once to double (IEEE round-to-nearest in both engines),
     * rounded to 6 places. Degenerate (constant) columns yield a zero
@@ -162,7 +216,22 @@ object Profiling {
           i <- names.indices; j <- i until names.size
         } yield sum(dec(col(names(i))) * dec(col(names(j))))
           .as(s"__p_${names(i)}__${names(j)}"))
-    val agged = base.agg(aggs.head, aggs.tail: _*)
+    val rawAgged = base.agg(aggs.head, aggs.tail: _*)
+    // overflow fail-loud guard: under non-ANSI semantics a DECIMAL(38,0)
+    // sum that overflows comes back as silent NULL — with rows present
+    // (__n > 0) a NULL sum can ONLY mean overflow (inputs are non-null by
+    // the LongType cast… unless the caller's expression emits NULLs, which
+    // also must not silently zero out of a correlation). One projection
+    // over the single aggregated row; raise_error's NullType coerces to
+    // each branch's decimal type.
+    val agged = rawAgged.select(
+      col("__n") +: rawAgged.columns.filterNot(_ == "__n").map { c =>
+        when(col("__n") > 0 && col(c).isNull,
+          raise_error(lit(s"corrMatrix: $c is NULL over a non-empty input " +
+            "— DECIMAL(38,0) overflow or NULL input values; rescale the " +
+            "inputs or pre-filter NULLs")))
+          .otherwise(col(c)).as(c)
+      }.toSeq: _*)
     val pairs = for {
       i <- names.indices; j <- (i + 1) until names.size
     } yield {

@@ -343,12 +343,19 @@ object Search {
       .withColumn("__rt",
         row_number().over(Window.orderBy(desc("score"), col("doc_id"))))
       .select(col("doc_id"), col("__rt"))
-    val qv = emb.filter(col(idCol) === queryId)
-      .select(col(vecCol).as("__q"))
     // a missing query id would silently degrade the fusion to text-only —
-    // fail loudly instead (1-row probe, the store-params-check stance)
-    require(!qv.isEmpty,
-      s"hybridSearchRRF: query id $queryId not found in the embedding side")
+    // fail loudly instead, but IN-PLAN (the former eager `require(!isEmpty)`
+    // probe cost one extra Spark job per call): the global aggregate always
+    // yields exactly one row, and when no row matched the id, the guarded
+    // projection raises before the vector leg can emit a result. raise_error
+    // NullType coerces to the vector branch's array type.
+    val qv = emb.filter(col(idCol) === queryId)
+      .agg(count(lit(1)).as("__qn"), first(col(vecCol)).as("__qv"))
+      .select(
+        when(col("__qn") === 0,
+          raise_error(lit(s"hybridSearchRRF: query id $queryId not found " +
+            "in the embedding side")))
+          .otherwise(col("__qv")).as("__q"))
     val vr = emb.filter(col(idCol) =!= queryId)
       .crossJoin(broadcast(qv))
       .select(col(idCol).as("doc_id"),
