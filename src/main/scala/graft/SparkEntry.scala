@@ -1683,7 +1683,7 @@ object SparkEntry {
       // column) — the pre-flight sanity gate before a multi-hour job.
       // Exact mode here (oracle-checkable); the 100 TB default is the
       // approx_count_distinct path (Profiling scaladoc)
-      graft.operators.Profiling.profileTable(rd(s, dir, "lineitem"))),
+      graft.operators.Profiling.profileTable(rd(s, dir, "lineitem"), exact = true)),
     "q_skew_report" -> ((s, dir) =>
       // group-size distribution scalars for a prospective join key — the
       // numbers behind a salting/AQE-skew decision. Two cascaded aggs;

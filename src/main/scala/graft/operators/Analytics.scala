@@ -99,10 +99,11 @@ object Analytics {
         .as("d"))
     val cohorts = base.groupBy("u").agg(min("d").as("cohort_day"))
     base.join(cohorts, Seq("u"))
-      // `div` is integer FLOOR division like the oracle's `//` — the
-      // double-divide-then-cast form truncates toward zero instead, and
-      // only matched floor here because d ≥ cohort_day keeps offsets
-      // non-negative; say what we mean and drop the implicit invariant
+      // `div` (IntegralDivide) truncates toward ZERO on longs (-3 div 2
+      // = -1), NOT floor — it equals the oracle's floor `//` only because
+      // cohort_day = min(d) per user keeps d - cohort_day non-negative,
+      // where truncation and floor coincide. That invariant is load-bearing
+      // for oracle agreement; don't reuse this form on signed operands
       .withColumn("week_offset", expr("(d - cohort_day) div 7"))
       .filter(col("week_offset") <= maxWeeks)
       .groupBy("cohort_day", "week_offset")

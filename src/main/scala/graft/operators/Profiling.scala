@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, StringType}
 
 /** [EXT] Dataset-health operators (SURVEY §2.9 extension surface): one-pass
   * column profiling, join-key skew reporting, and robust (median/MAD)
@@ -211,26 +211,44 @@ object Profiling {
     def dec(c: Column) = c.cast(DecimalType(19, 0))
     val aggs =
       Seq(count(lit(1)).cast(DecimalType(19, 0)).as("__n")) ++
+        names.map(n => count(col(n)).cast(DecimalType(19, 0)).as(s"__nn_$n")) ++
         names.map(n => sum(dec(col(n))).as(s"__s_$n")) ++
         (for {
           i <- names.indices; j <- i until names.size
         } yield sum(dec(col(names(i))) * dec(col(names(j))))
           .as(s"__p_${names(i)}__${names(j)}"))
     val rawAgged = base.agg(aggs.head, aggs.tail: _*)
-    // overflow fail-loud guard: under non-ANSI semantics a DECIMAL(38,0)
-    // sum that overflows comes back as silent NULL — with rows present
-    // (__n > 0) a NULL sum can ONLY mean overflow (inputs are non-null by
-    // the LongType cast… unless the caller's expression emits NULLs, which
-    // also must not silently zero out of a correlation). One projection
-    // over the single aggregated row; raise_error's NullType coerces to
-    // each branch's decimal type.
+    // fail-loud guards, one projection over the single aggregated row:
+    //  - PARTIAL NULLs: sum()/count(col) SKIP nulls, so a column with some
+    //    NULL values would silently correlate over the non-null subset
+    //    while __n counts all rows — compare count(col) vs count(*) per
+    //    column and raise on any difference (catches caller expressions
+    //    emitting NULLs, which a bare NULL-sum check can NOT: the sum over
+    //    the non-null remainder is non-NULL). The check is FOLDED INTO the
+    //    __n output itself — every downstream pair references __n, so
+    //    Catalyst column pruning cannot drop the guard (a standalone
+    //    guarded __nn_ column would be pruned away unevaluated).
+    //  - OVERFLOW: under non-ANSI semantics a DECIMAL(38,0) sum that
+    //    overflows comes back as silent NULL — with all-rows-non-null
+    //    established by the __n guard, a NULL sum/product can ONLY mean
+    //    overflow.
+    // raise_error's NullType coerces to each branch's type.
+    val nGuarded = names.foldLeft(col("__n")) { (acc, n) =>
+      when(col(s"__nn_$n") =!= col("__n"),
+        raise_error(concat(lit(s"corrMatrix: column $n has "),
+          (col("__n") - col(s"__nn_$n")).cast(StringType),
+          lit(" NULL value(s) — a correlation over the non-null subset " +
+            "would be silently skewed; pre-filter or impute"))))
+        .otherwise(acc)
+    }
     val agged = rawAgged.select(
-      col("__n") +: rawAgged.columns.filterNot(_ == "__n").map { c =>
-        when(col("__n") > 0 && col(c).isNull,
-          raise_error(lit(s"corrMatrix: $c is NULL over a non-empty input " +
-            "— DECIMAL(38,0) overflow or NULL input values; rescale the " +
-            "inputs or pre-filter NULLs")))
-          .otherwise(col(c)).as(c)
+      rawAgged.columns.collect {
+        case c if c == "__n" => nGuarded.as("__n")
+        case c if c.startsWith("__s_") || c.startsWith("__p_") =>
+          when(col("__n") > 0 && col(c).isNull,
+            raise_error(lit(s"corrMatrix: $c is NULL over a non-empty " +
+              "input — DECIMAL(38,0) overflow; rescale the inputs")))
+            .otherwise(col(c)).as(c)
       }.toSeq: _*)
     val pairs = for {
       i <- names.indices; j <- (i + 1) until names.size

@@ -343,18 +343,25 @@ object Search {
       .withColumn("__rt",
         row_number().over(Window.orderBy(desc("score"), col("doc_id"))))
       .select(col("doc_id"), col("__rt"))
-    // a missing query id would silently degrade the fusion to text-only —
-    // fail loudly instead, but IN-PLAN (the former eager `require(!isEmpty)`
-    // probe cost one extra Spark job per call): the global aggregate always
-    // yields exactly one row, and when no row matched the id, the guarded
-    // projection raises before the vector leg can emit a result. raise_error
-    // NullType coerces to the vector branch's array type.
+    // a missing query id would silently degrade the fusion to text-only,
+    // and a DUPLICATED id would make first(vecCol) pick a partition-order-
+    // dependent query vector (a silent determinism violation) — fail loudly
+    // on both, but IN-PLAN (the former eager `require(!isEmpty)` probe cost
+    // one extra Spark job per call): the global aggregate always yields
+    // exactly one row, and the guarded projection raises at ACTION time
+    // (SparkRuntimeException when the frame executes), not at call time —
+    // callers that need the error must run the plan. raise_error NullType
+    // coerces to the vector branch's array type.
     val qv = emb.filter(col(idCol) === queryId)
       .agg(count(lit(1)).as("__qn"), first(col(vecCol)).as("__qv"))
       .select(
         when(col("__qn") === 0,
           raise_error(lit(s"hybridSearchRRF: query id $queryId not found " +
             "in the embedding side")))
+          .when(col("__qn") > 1,
+            raise_error(lit(s"hybridSearchRRF: query id $queryId is " +
+              "duplicated in the embedding side — query vector would be " +
+              "partition-order-dependent")))
           .otherwise(col("__qv")).as("__q"))
     val vr = emb.filter(col(idCol) =!= queryId)
       .crossJoin(broadcast(qv))

@@ -1039,12 +1039,23 @@ class OperatorsSpec extends AnyFunSuite {
       assert(m(3L) == rrf(2), s"doc 3 fused wrong: ${m(3L)}")
       // doc 4 misses both legs' top-kEach entirely
       assert(!m.contains(4L))
-      // a missing query id fails loudly instead of degrading to text-only
-      val e = intercept[IllegalArgumentException] {
+      // a missing query id fails loudly instead of degrading to text-only.
+      // The guard is IN-PLAN (raise_error), so the error surfaces at ACTION
+      // time as a Spark runtime exception, not at call time — execute the
+      // returned frame to trip it
+      val e = intercept[Exception] {
         Search.hybridSearchRRF(spark, "graft_hybrid_t", Seq("scan"),
-          emb, "vec_id", "embedding", queryId = 999L, k = 5)
+          emb, "vec_id", "embedding", queryId = 999L, k = 5).collect()
       }
       assert(e.getMessage.contains("999"))
+      // a DUPLICATED query id fails loudly too: first(vec) over >1 row
+      // would be partition-order-dependent
+      val embDup = emb.unionAll(emb.filter($"vec_id" === 0L))
+      val e2 = intercept[Exception] {
+        Search.hybridSearchRRF(spark, "graft_hybrid_t", Seq("scan"),
+          embDup, "vec_id", "embedding", queryId = 0L, k = 5).collect()
+      }
+      assert(e2.getMessage.contains("duplicated"))
     } finally Seq("graft_hybrid_t_postings", "graft_hybrid_t_terms")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }

@@ -81,6 +81,19 @@ class ProfilingSpec extends AnyFunSuite {
     assert(got.size == 6)
   }
 
+  test("corrMatrix: partial NULLs fail loudly instead of skewing the corr") {
+    // sum()/count(col) skip NULLs — without the count(col) vs count(*)
+    // guard, the NULL row would silently drop out of the correlation
+    val df = Seq((Some(1L), Some(2L)), (Some(2L), None), (Some(3L), Some(6L)))
+      .toDF("x", "y")
+    val e = intercept[Exception] {
+      Profiling.corrMatrix(df, Seq("x" -> col("x"), "y" -> col("y")))
+        .collect()
+    }
+    assert(e.getMessage.contains("NULL value(s)"))
+    assert(e.getMessage.contains("y"))
+  }
+
   test("corrMatrix agrees with the closed form on a non-trivial pair") {
     // x = (1,2,3,4), y = (1,3,2,5): n=4, Sx=10, Sy=11, Sxy=33, Sxx=30,
     // Syy=39 → num = 132-110 = 22, denx = 120-100 = 20, deny = 156-121=35
