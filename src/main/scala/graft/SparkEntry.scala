@@ -852,6 +852,22 @@ object SparkEntry {
           "embedding", q, k = 10, lambda = 0.7)
         .orderBy("pos")
     }),
+    "q_mmr_batched" -> ((s, dir) => {
+      // the batched MMR path for k in the HUNDREDS: top-m per round
+      // against a MATERIALIZED running max-sim column (per-round plan size
+      // O(m) however many are already selected; ⌈k/m⌉ driver round-trips
+      // vs greedy's k). m=3 so the batched relaxation (picks 2..3 of a
+      // round don't see pick 1) is actually exercised — the oracle is the
+      // Spark-independent batched recompute, and batched(m=1) ≡ greedy is
+      // pinned separately in OperatorsSpec
+      lastMmrDir = Some(dir)
+      val emb = rd(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 1).select("embedding")
+        .head().getSeq[Float](0).map(_.toDouble)
+      Similarity.mmrSelectBatched(emb.filter(col("vec_id") =!= 1), "vec_id",
+          "embedding", q, k = 10, lambda = 0.7, m = 3)
+        .orderBy("pos")
+    }),
     "q_ann_int8_store" -> ((s, dir) => {
       // the STORE twin: identical results by construction (quantization is
       // deterministic and happened at store-write time), but the timed
@@ -1635,6 +1651,20 @@ object SparkEntry {
           maxContamination = 0.8, ngram = 3)
         .select("doc_id", "source").orderBy("doc_id")
     }),
+    "q_decontaminate_exact" -> ((s, dir) => {
+      // EXACT substring decontamination: drop every doc sharing a VERBATIM
+      // ≥8-token run with any src0 (benchmark) doc — the exactness upgrade
+      // over q_decontaminate's pooled-shingle Jaccard score (a verbatim
+      // eval quote inside a long original dilutes below any Jaccard
+      // threshold but is still contamination; a shared 7-token run shares
+      // NO 8-window and passes). Broadcast bench window hashes, one corpus
+      // projection + semi/anti join; the string-exact oracle verifies the
+      // xxhash64 window shortcut
+      val docs = rd(s, dir, "documents")
+      Dedup.exactDecontaminate(docs, "doc_id", "text",
+          docs.filter(col("source") === "src0"), "text", minRun = 8)
+        .select("doc_id", "source").orderBy("doc_id")
+    }),
     "q_grouped_median" -> ((s, dir) =>
       // exact interpolated percentile per group. Determinism: the median of
       // INTEGER cents interpolates with frac ∈ {0, 0.5} only — exact in
@@ -1783,6 +1813,14 @@ object SparkEntry {
       // shrinking survivor sets, no windows (Analytics scaladoc)
       graft.operators.Analytics.funnel(rdEvents(s, dir),
         "user_id", "ts", "event_type", Seq("view", "click", "purchase"))),
+    "q_funnel_windowed" -> ((s, dir) =>
+      // the WINDOWED funnel real retention analysis runs: step i counts
+      // only when it lands within maxGap of step i−1's conversion
+      // (strictly after, inclusive upper bound) — integer-microsecond
+      // window arithmetic, exact and timezone-free on both engines
+      graft.operators.Analytics.funnel(rdEvents(s, dir),
+        "user_id", "ts", "event_type", Seq("view", "click", "purchase"),
+        maxGapSeconds = Some(86400L))),
     "q_retention" -> ((s, dir) =>
       // weekly retention by first-event-day cohort: one first-event agg +
       // one co-partitioned join-back carrying (user, cohort_day) only
@@ -2690,6 +2728,21 @@ object SparkEntry {
        WHERE doc_id NOT IN (SELECT DISTINCT id_b FROM m)
        ORDER BY doc_id"""
 
+  /** q_decontaminate_exact's STRING-exact ground truth: corpus and
+    * benchmark (src0) 8-token windows from the same shared window CTE,
+    * a doc is dropped iff any of its windows appears among the benchmark
+    * windows — verifying both the Spark side's xxhash64 window shortcut
+    * (a collision would flag a clean doc → hash mismatch) and the
+    * existence-only decision rule. */
+  private val ExactDecontaminateOracle: String =
+    s"""WITH ${spanWindowsSql("documents", "cw")},
+       ${spanWindowsSql(
+        "(SELECT doc_id, text FROM documents WHERE source = 'src0')", "bw")}
+       SELECT doc_id, source FROM documents
+       WHERE doc_id NOT IN (
+         SELECT DISTINCT c.doc_id FROM cw c JOIN bw b ON c.s = b.s)
+       ORDER BY doc_id"""
+
   /** recall@10 of lshTopK(nBits=16, maxFlips=3) vs brute force in DuckDB:
     * the seed-42 hyperplane weights are embedded as exact double literals
     * (Double.toString round-trips, so DuckDB parses the identical bits), the
@@ -3083,13 +3136,19 @@ object SparkEntry {
       .toSeq
     val query = all.find(_._1 == 1L)
       .getOrElse(sys.error("mmrOracle: no vec_id 1 in embeddings"))._2
-    val order = IndependentOracles.mmrOrder(
-      all.filterNot(_._1 == 1L), query, k = 10, lambda = 0.7)
-    val values = order.zipWithIndex
-      .map { case (id, i) => s"($id, ${i + 1})" }.mkString(", ")
-    Map("q_mmr_select" ->
+    def valuesSql(order: Seq[Long]): String = {
+      val values = order.zipWithIndex
+        .map { case (id, i) => s"($id, ${i + 1})" }.mkString(", ")
       s"""SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(pos AS BIGINT) AS pos
-          FROM (VALUES $values) AS t(vec_id, pos) ORDER BY pos""")
+          FROM (VALUES $values) AS t(vec_id, pos) ORDER BY pos"""
+    }
+    val pool = all.filterNot(_._1 == 1L)
+    Map(
+      "q_mmr_select" -> valuesSql(
+        IndependentOracles.mmrOrder(pool, query, k = 10, lambda = 0.7)),
+      "q_mmr_batched" -> valuesSql(
+        IndependentOracles.mmrOrderBatched(pool, query, k = 10,
+          lambda = 0.7, m = 3)))
   }
 
   private[graft] def sketchOracles(dir: String): Map[String, String] = {
@@ -4036,6 +4095,7 @@ object SparkEntry {
     "q_containment_capped" -> NgramContainmentPrefixOracle,
     "q_span_overlap" -> SpanOverlapOracle,
     "q_span_dedup" -> SpanDedupOracle,
+    "q_decontaminate_exact" -> ExactDecontaminateOracle,
     "q_contamination" -> ContaminationOracle,
     "q_decontaminate" ->
       s"""WITH ${contaminationChainSql("documents", "")}
@@ -4257,6 +4317,29 @@ object SparkEntry {
          s3 AS (
            SELECT e.user_id, min(e.ts) AS c FROM events e
            JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.c
+           WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+         SELECT * FROM (
+           SELECT CAST(1 AS BIGINT) AS step_idx, 'view' AS step,
+             CAST(count(*) AS BIGINT) AS n_users FROM s1
+           UNION ALL SELECT 2, 'click', count(*) FROM s2
+           UNION ALL SELECT 3, 'purchase', count(*) FROM s3)
+         ORDER BY step_idx""",
+    // the windowed form: step i's event must also land within 24h of the
+    // previous conversion — integer-microsecond (epoch_us) arithmetic
+    // mirrors Spark's unix_micros comparison exactly
+    "q_funnel_windowed" ->
+      """WITH s1 AS (
+           SELECT user_id, min(ts) AS c FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+         s2 AS (
+           SELECT e.user_id, min(e.ts) AS c FROM events e
+           JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.c
+             AND epoch_us(e.ts) <= epoch_us(s1.c) + 86400000000
+           WHERE e.event_type = 'click' GROUP BY e.user_id),
+         s3 AS (
+           SELECT e.user_id, min(e.ts) AS c FROM events e
+           JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.c
+             AND epoch_us(e.ts) <= epoch_us(s2.c) + 86400000000
            WHERE e.event_type = 'purchase' GROUP BY e.user_id)
          SELECT * FROM (
            SELECT CAST(1 AS BIGINT) AS step_idx, 'view' AS step,

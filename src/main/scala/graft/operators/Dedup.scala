@@ -1809,6 +1809,56 @@ object Dedup {
     df.join(flagged, Seq(idCol), "left_anti")
   }
 
+  /** EXACT substring decontamination against a benchmark set: drop every
+    * corpus document sharing a VERBATIM run of ≥ `minRun` tokens with ANY
+    * benchmark document — the exact N-token-overlap rule (the GPT-3
+    * appendix-C / Lee et al. 2021 "deduplicate at the 50-token level"
+    * form) that [[decontaminate]]'s pooled-shingle Jaccard score only
+    * approximates: a doc quoting one eval item verbatim inside a long
+    * original text dilutes its Jaccard below any threshold, but is still
+    * contaminated.
+    *
+    * Exactness: a shared verbatim run of L ≥ minRun tokens contains a
+    * shared minRun-token window, and any shared window IS such a run —
+    * so EXISTENCE of one matching window decides, with no run-length
+    * measurement needed (the [[spanDedup]] argument). A shared run of
+    * exactly minRun−1 tokens shares NO window and passes through. Windows
+    * ride as xxhash64 longs with the same collision caveat + string-
+    * recheck mitigation as [[spanWindowMatches]]; the STRING-exact oracle
+    * verifies the shortcut.
+    *
+    * Scale shape: the benchmark is small by definition (eval sets are
+    * thousands of items; the corpus is 100 TB), so its DISTINCT window-
+    * hash set is explicitly broadcast; the corpus side is ONE
+    * tokenize+hash projection, a broadcast LEFT SEMI join for the flagged
+    * ids, and an anti-join — no corpus self-join, no shuffle of corpus
+    * text. Docs shorter than minRun tokens cannot contain a run and are
+    * never flagged. Unlike the corpus-internal span family, no
+    * boilerplate doc-freq cap applies: against an eval set, even a window
+    * shared by the whole corpus is real contamination. */
+  def exactDecontaminate(corpus: DataFrame, idCol: String, textCol: String,
+                         bench: DataFrame, benchTextCol: String,
+                         minRun: Int = 8): DataFrame = {
+    require(minRun >= 2, s"minRun must be >= 2, got $minRun")
+    // filter on token count BEFORE shingling: shinglesFromTokens emits one
+    // degenerate sub-minRun window for a shorter doc (sequence floors at 0),
+    // and two short texts matching on it would be a false contamination
+    // flag. array_distinct BEFORE exploding: existence is the only signal,
+    // so collapsing a doc's repeated windows up front shrinks the join input
+    def windowRows(df: DataFrame, tcol: String, keep: Seq[Column]): DataFrame =
+      df.select(keep :+
+          TextAnalysis.tokens(TextAnalysis.normalized(col(tcol))).as("__toks"): _*)
+        .filter(size(col("__toks")) >= minRun)
+        .select(keep :+ explode(array_distinct(transform(
+          shinglesFromTokens(col("__toks"), minRun, distinct = false),
+          s => xxhash64(s)))).as("__s"): _*)
+    val bw = windowRows(bench, benchTextCol, Seq.empty).distinct()
+    val cw = windowRows(corpus, textCol, Seq(col(idCol)))
+    val flagged = cw.join(broadcast(bw), Seq("__s"), "left_semi")
+      .select(idCol).distinct()
+    corpus.join(flagged, Seq(idCol), "left_anti")
+  }
+
   /** Benchmark DECONTAMINATION scores — the training-data hygiene pass every
     * LLM pipeline runs before training: score each corpus document's n-gram
     * overlap against a pooled BENCHMARK/eval shingle set, so the model is

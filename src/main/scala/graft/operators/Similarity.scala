@@ -117,6 +117,75 @@ object Similarity {
       .toDF(idCol, "pos")
   }
 
+  /** Batched MMR for k in the HUNDREDS, where [[mmrSelect]]'s greedy loop
+    * stops scaling in two ways: k round-trips (one collect per pick), and a
+    * per-round max-sim expression that grows with |selected| (round r
+    * compares every candidate against ALL r literals — O(k²) cosine work
+    * across the run, and a plan that Catalyst re-analyzes at ever-growing
+    * size). This variant fixes both:
+    *  - the running max-similarity is MATERIALIZED as a column and folded
+    *    forward each round (`msim := greatest(msim, sims to this round's
+    *    picks)` + re-checkpoint), so every round's plan is O(m) regardless
+    *    of how many vectors are already selected — O(k) total cosine work
+    *    per candidate instead of O(k²);
+    *  - each round takes the TOP `m` candidates by the round's frozen MMR
+    *    score in one pass, so driver round-trips drop to ⌈k/m⌉.
+    * The trade at m > 1: picks 2..m of a round don't see pick 1's
+    * similarity (scores are frozen per round), so a round can admit m
+    * near-identical vectors — the classic batched-greedy relaxation; keep
+    * m ≪ k (e.g. m = 10 for k = 300). At m = 1 the relaxation vanishes and
+    * the selection is IDENTICAL to [[mmrSelect]] (same 6-dp rounding, same
+    * id tie-break — max of rounded sims is associative, so folding the
+    * running max is exact; pinned by an OperatorsSpec property).
+    * Driver state stays parameter-bounded: m rows collected per round,
+    * k ids total. */
+  def mmrSelectBatched(emb: DataFrame, idCol: String, vecCol: String,
+                       query: Seq[Double], k: Int, lambda: Double = 0.7,
+                       m: Int = 1): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(m >= 1, s"m must be >= 1, got $m")
+    require(lambda >= 0 && lambda <= 1, s"lambda must be in [0,1], got $lambda")
+    val spark = emb.sparkSession
+    val q = array(query.map(lit): _*)
+    var base = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("rel", round(cosine(col("v"), q), 6))
+      .withColumn("msim", lit(null).cast(DoubleType))
+      .localCheckpoint()
+    val order = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var exhausted = false
+    while (order.size < k && !exhausted) {
+      val take = math.min(m, k - order.size)
+      // msim is null only before the first pick — greatest() skips nulls,
+      // so after the first fold it is always the true running max
+      val rows = base
+        .withColumn("mmr", when(col("msim").isNull, col("rel"))
+          .otherwise(round(lit(lambda) * col("rel") -
+            lit(1 - lambda) * col("msim"), 6)))
+        .orderBy(desc("mmr"), col("id")).limit(take).collect()
+      if (rows.isEmpty) exhausted = true // corpus smaller than k
+      else {
+        val picks = rows.map { r =>
+          (r.getLong(0), r.getSeq[Any](1).map {
+            case f: Float => f.toDouble
+            case d: Double => d
+            case other => sys.error(s"non-numeric vector element: $other")
+          })
+        }
+        order ++= picks.map(_._1)
+        val sims = picks.toSeq.map { case (_, sv) =>
+          round(cosine(col("v"), array(sv.map(lit): _*)), 6)
+        }
+        base = base.filter(!col("id").isin(picks.map(_._1).toSeq: _*))
+          .withColumn("msim", greatest(col("msim") +: sims: _*))
+          .localCheckpoint()
+      }
+    }
+    import spark.implicits._
+    order.toSeq.zipWithIndex
+      .map { case (id, i) => (id, (i + 1).toLong) }
+      .toDF(idCol, "pos")
+  }
+
   def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String,
                      query: Seq[Double], k: Int): DataFrame = {
     val q = array(query.map(lit): _*)

@@ -129,6 +129,7 @@ object Sources {
   def compactBucketed(spark: SparkSession, table: String, bucketCol: String,
                       nBuckets: Int): Unit = {
     val staging = s"${table}__compacting"
+    recoverStoreSwap(spark, table) // an interrupted predecessor's swap
     val props = spark.sql(s"SHOW TBLPROPERTIES $table").collect()
       .map(r => r.getString(0) -> r.getString(1))
       .filter(_._1.startsWith("graft."))
@@ -163,6 +164,56 @@ object Sources {
   def openZOrdered(spark: SparkSession, path: String): DataFrame = {
     graft.operators.Layout.recoverZCompact(spark, path)
     spark.read.parquet(path)
+  }
+
+  /** recovery for a crash between a store maintainer's DROP and RENAME
+    * ([[compactBucketed]], [[mergeIntoStore]], [[scd2MergeIntoStore]] all
+    * share the two-catalog-call swap): the base table is gone but the
+    * fully-written staging table survives — rename it back. The window is
+    * unambiguous: the DROP only ever runs AFTER the staging write
+    * committed, so "base missing + staging present" can only mean an
+    * interrupted swap, and "base present + staging present" can only mean
+    * a crash BEFORE the drop (the staging is then an uncommitted rewrite a
+    * future maintenance pass discards — recovery correctly leaves the base
+    * alone). Idempotent; returns true iff a restore happened. Called
+    * automatically at the start of every merge/compaction — call directly
+    * (or open via [[openStoreTable]]) on startup when readers may touch
+    * the table before the next maintenance window.
+    *
+    * Caveat shared with the maintainers themselves: `graft.*` build
+    * properties are re-applied by a separate catalog call after the
+    * rename, so a crash inside that last window restores the DATA but not
+    * the properties — the dedup/search stores' build-parameter validation
+    * then fails loudly on the next probe instead of silently serving a
+    * store whose parameters can no longer be verified. */
+  def recoverStoreSwap(spark: SparkSession, table: String): Boolean = {
+    if (spark.catalog.tableExists(table)) false
+    else {
+      val stagings = Seq(s"${table}__merging", s"${table}__compacting")
+        .filter(spark.catalog.tableExists)
+      stagings match {
+        case Seq() => false
+        case Seq(st) =>
+          spark.sql(s"ALTER TABLE $st RENAME TO $table")
+          true
+        case many => throw new IllegalStateException(
+          s"recoverStoreSwap: $table is missing and MULTIPLE staging " +
+            s"tables exist (${many.mkString(", ")}) — ambiguous crash " +
+            "state, manual repair required")
+      }
+    }
+  }
+
+  /** open a bucketed store table THROUGH the swap crash-recovery check —
+    * the managed-table sibling of [[openZOrdered]]: a crash between a
+    * maintainer's DROP and RENAME leaves the table missing from the
+    * catalog with the data intact under the staging name, and a reader
+    * that calls `spark.table` raw in that state fails as if the store
+    * were lost. Cost when no crash happened: one catalog existence
+    * probe. */
+  def openStoreTable(spark: SparkSession, table: String): DataFrame = {
+    recoverStoreSwap(spark, table)
+    spark.table(table)
   }
 
   /** raw binary-file ingest — the media on-ramp for the multimodal pipeline
@@ -341,6 +392,7 @@ object Sources {
                      keyCol: String, nBuckets: Int,
                      opCol: String = "op"): Unit = {
     val staging = s"${table}__merging"
+    recoverStoreSwap(spark, table) // an interrupted predecessor's swap
     spark.sql(s"DROP TABLE IF EXISTS $staging")
     val merged =
       mergeSnapshot(spark.table(table), delta, keyCol, opCol).localCheckpoint()
@@ -417,6 +469,7 @@ object Sources {
                          delta: DataFrame, keyCol: String, batch: Long,
                          nBuckets: Int, opCol: String = "op"): Unit = {
     val staging = s"${table}__merging"
+    recoverStoreSwap(spark, table) // an interrupted predecessor's swap
     spark.sql(s"DROP TABLE IF EXISTS $staging")
     val merged = scd2Merge(spark.table(table), delta, keyCol, batch, opCol)
       .localCheckpoint()

@@ -379,4 +379,51 @@ object IndependentOracles {
     }
     sel.toSeq.map(_._1)
   }
+
+  /** plain-Scala BATCHED greedy MMR — the Spark-independent mirror of
+    * [[graft.operators.Similarity.mmrSelectBatched]]: scores frozen per
+    * round, top `m` picks per round (ids break ties), running max-
+    * similarity folded forward after each round. Same 6-dp HALF_UP
+    * rounding discipline as [[mmrOrder]]; at m = 1 the two orders are
+    * identical by construction. */
+  def mmrOrderBatched(vecs: Seq[(Long, Array[Double])], query: Array[Double],
+                      k: Int, lambda: Double, m: Int): Seq[Long] = {
+    def cos(x: Array[Double], y: Array[Double]): Double = {
+      val n = math.min(x.length, y.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val xv = x(i); val yv = y(i)
+        dot += xv * yv; na += xv * xv; nb += yv * yv
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def r6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rel = vecs.map { case (id, v) => (id, r6(cos(v, query)), v) }
+    var remaining = rel
+    val msim = scala.collection.mutable.Map.empty[Long, Double]
+    val order = scala.collection.mutable.ArrayBuffer.empty[Long]
+    while (order.size < k && remaining.nonEmpty) {
+      val take = math.min(m, k - order.size)
+      val picks = remaining.map { case (id, rl, v) =>
+        val score = msim.get(id) match {
+          case None => rl
+          case Some(ms) => r6(lambda * rl - (1 - lambda) * ms)
+        }
+        (id, score, v)
+      }.sortBy(t => (-t._2, t._1)).take(take)
+      order ++= picks.map(_._1)
+      val picked = picks.map(_._1).toSet
+      remaining = remaining.filterNot(t => picked(t._1))
+      remaining.foreach { case (id, _, v) =>
+        picks.foreach { case (_, _, pv) =>
+          val s = r6(cos(v, pv))
+          if (!msim.contains(id) || s > msim(id)) msim(id) = s
+        }
+      }
+    }
+    order.toSeq
+  }
 }

@@ -1003,6 +1003,44 @@ class OperatorsSpec extends AnyFunSuite {
       Seq(1.0, 0.0, 0.0), k = 10).count() == 4)
   }
 
+  test("mmrSelectBatched: m=1 ≡ greedy exactly; m>1 deterministic, mirror-pinned") {
+    import graft.operators.Similarity
+    // 8 vectors: two tight clusters plus scattered singletons — enough
+    // structure that batching order actually matters at m=3
+    val vecs = Seq(
+      (1L, Array(0.99f, 0.10f, 0.00f)), (2L, Array(0.98f, 0.11f, 0.00f)),
+      (3L, Array(0.99f, 0.09f, 0.01f)), (4L, Array(0.60f, 0.00f, 0.80f)),
+      (5L, Array(0.58f, 0.02f, 0.81f)), (6L, Array(0.10f, 0.99f, 0.00f)),
+      (7L, Array(0.50f, 0.50f, 0.70f)), (8L, Array(0.30f, 0.30f, 0.90f)))
+    val emb = vecs.toDF("vec_id", "embedding")
+    val q = Seq(1.0, 0.0, 0.0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("pos").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // the batched relaxation VANISHES at m=1: selection identical to greedy
+    // (max of rounded sims is associative, so the folded running max is
+    // exact — this is the property that licenses the batched plan shape)
+    val greedy = rows(Similarity.mmrSelect(emb, "vec_id", "embedding", q,
+      k = 6, lambda = 0.5))
+    val b1 = rows(Similarity.mmrSelectBatched(emb, "vec_id", "embedding", q,
+      k = 6, lambda = 0.5, m = 1))
+    assert(b1 == greedy, s"batched(m=1) $b1 != greedy $greedy")
+    // m=3: positions dense 1..k, ids distinct, round 1 = top-3 by pure
+    // relevance (scores frozen per round), and the Spark-independent
+    // batched mirror reproduces the full order
+    val b3 = rows(Similarity.mmrSelectBatched(emb, "vec_id", "embedding", q,
+      k = 6, lambda = 0.5, m = 3))
+    assert(b3.map(_._2) == (1L to 6L), "pos must be dense 1..k")
+    assert(b3.map(_._1).distinct.size == 6)
+    assert(b3.head._1 == greedy.head._1, "first pick must match greedy")
+    val mirror = graft.verify.IndependentOracles.mmrOrderBatched(
+      vecs.map { case (id, a) => (id, a.map(_.toDouble)) }.toSeq,
+      Array(1.0, 0.0, 0.0), k = 6, lambda = 0.5, m = 3)
+    assert(mirror == b3.map(_._1), s"mirror $mirror != spark ${b3.map(_._1)}")
+    // k larger than the corpus terminates with everything selected
+    assert(Similarity.mmrSelectBatched(emb, "vec_id", "embedding", q,
+      k = 20, lambda = 0.5, m = 3).count() == 8)
+  }
+
   test("hybridSearchRRF: both-leg docs outrank single-leg, fusion exact") {
     import graft.operators.Search
     val docs = Seq(

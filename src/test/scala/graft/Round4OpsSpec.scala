@@ -348,6 +348,39 @@ class Round4OpsSpec extends AnyFunSuite {
       plan.contains("broadcast"), s"benchmark set not broadcast:\n$plan")
   }
 
+  test("exactDecontaminate: verbatim ≥N-token run caught, N−1 near-miss passes") {
+    import graft.operators.Dedup
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("bid", "btext") // exactly 8 tokens — one window
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"), // verbatim item
+      // the case the Jaccard decontaminate MISSES: a verbatim 8-token quote
+      // buried in a long original (diluted far below any Jaccard threshold)
+      (2L, "intro words then alpha beta gamma delta epsilon zeta eta theta" +
+        " followed by a very long completely original tail that keeps the" +
+        " pooled shingle overlap ratio tiny for this document overall"),
+      // 7 shared tokens then divergence: NO shared 8-window — must pass
+      (3L, "alpha beta gamma delta epsilon zeta eta iota different ending"),
+      (4L, "alpha beta gamma"), // shorter than minRun: can't contain a run
+      (5L, "completely unrelated prose about spark query planning")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.exactDecontaminate(corpus, "doc_id", "text",
+        bench, "btext", minRun = 8)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(3L, 4L, 5L), s"kept: ${kept.toSeq}")
+    // the gap this closes: the pooled-Jaccard score of the buried quote is
+    // diluted under 0.8, so q_decontaminate-style filtering would KEEP doc 2
+    val jaccardKept = Dedup.decontaminate(corpus, "doc_id", "text",
+        bench, "btext", maxContamination = 0.8, ngram = 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(jaccardKept.contains(2L),
+      "fixture should demonstrate the dilution gap (doc 2 survives Jaccard)")
+    // scale shape: the benchmark window set must broadcast
+    val plan = Dedup.exactDecontaminate(corpus, "doc_id", "text",
+      bench, "btext", minRun = 8).queryExecution.executedPlan.toString
+    assert(plan.contains("Broadcast"), s"bench windows not broadcast:\n$plan")
+  }
+
   test("hashedQualityScore: deterministic, partitioning-independent, keep ≡ logit ≥ t") {
     val model = TextAnalysis.syntheticQualityModel()
     assert(model.length == 256 && model == TextAnalysis.syntheticQualityModel())

@@ -72,6 +72,50 @@ class Scd2AndMixSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft_test_scd2")
   }
 
+  test("recoverStoreSwap: crash between DROP and RENAME is repaired on open") {
+    val t = "graft_test_scd2_crash"
+    Sources.writeBucketed(hist0, t, "id", 2)
+    val delta = Seq((2L, "b2", "upsert")).toDF("id", "v", "op")
+    // simulate scd2MergeIntoStore dying between its two catalog calls:
+    // stage the merge, DROP the base, never RENAME
+    Sources.writeBucketed(
+      Sources.scd2Merge(spark.table(t), delta, "id", 1L).localCheckpoint(),
+      s"${t}__merging", "id", 2)
+    spark.sql(s"DROP TABLE $t")
+    assert(!spark.catalog.tableExists(t), "raw catalog sees the store lost")
+    // opening through the recovery check restores the COMMITTED merge
+    val cur = Sources.scd2SnapshotAsOf(Sources.openStoreTable(spark, t), 1L)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(cur == Set((1L, "a"), (2L, "b2"), (3L, "c")))
+    // idempotent: healthy store → no-op
+    assert(!Sources.recoverStoreSwap(spark, t))
+    // and the next maintenance pass runs clean after a recovery
+    Sources.scd2MergeIntoStore(spark, t,
+      Seq((5L, "e", "upsert")).toDF("id", "v", "op"), "id", 2L, 2)
+    val cur2 = Sources.scd2SnapshotAsOf(spark.table(t), 2L)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(cur2 == Set((1L, "a"), (2L, "b2"), (3L, "c"), (5L, "e")))
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("recoverStoreSwap: crash BEFORE the drop leaves the base authoritative") {
+    val t = "graft_test_merge_crash"
+    Sources.writeBucketed(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), t, "id", 2)
+    // a staging table from a run that died before its DROP is an
+    // UNCOMMITTED rewrite: recovery must leave the base alone...
+    Sources.writeBucketed(Seq((1L, "garbage")).toDF("id", "v"),
+      s"${t}__merging", "id", 2)
+    assert(!Sources.recoverStoreSwap(spark, t))
+    assert(Sources.openStoreTable(spark, t).count() == 2)
+    // ...and the next merge discards it and applies cleanly
+    Sources.mergeIntoStore(spark, t,
+      Seq((2L, "b2", "upsert")).toDF("id", "v", "op"), "id", 2)
+    val cur = spark.table(t).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(cur == Set((1L, "a"), (2L, "b2")))
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("corpusMixReport: shares sum to 1, counts match") {
     val docs = Seq(
       ("s1", "en", "one two three"),

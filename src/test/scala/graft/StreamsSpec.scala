@@ -601,6 +601,47 @@ class StreamsSpec extends AnyFunSuite {
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("streaming SCD2 ingest: merges once per batch, redelivery is an exact no-op") {
+    import spark.implicits._
+    import graft.sources.Sources
+    val base = java.nio.file.Files.createTempDirectory("graft_scd2s").toString
+    val (inDir, ckpt) = (s"$base/in", s"$base/ckpt")
+    val t = "graft_scd2_stream"
+    Sources.writeBucketed(Sources.scd2Init(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), 0L), t, "id", 2)
+    Seq((2L, "b2", "upsert"), (3L, "c", "upsert")).toDF("id", "v", "op")
+      .write.mode("append").parquet(inDir)
+    try {
+      Streams.runScd2IngestOnce(spark, inDir, ckpt, t, "id")
+      def state(b: Long) = Sources.scd2SnapshotAsOf(spark.table(t), b)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(state(0L) == Set((1L, "a"), (2L, "b")), "seed version intact")
+      assert(state(1L) == Set((1L, "a"), (2L, "b2"), (3L, "c")))
+      val before = spark.table(t).count()
+      // pass 2, no new files: the committed checkpoint replays nothing
+      Streams.runScd2IngestOnce(spark, inDir, ckpt, t, "id")
+      assert(spark.table(t).count() == before)
+      // lose the checkpoint AND the markers under it entirely: the stream
+      // redelivers the same content as batch 0, and only the IN-DATA batch
+      // guard stands between it and a double merge (which would close the
+      // batch's own versions at valid_to=1 and append duplicates)
+      val fs = new org.apache.hadoop.fs.Path(ckpt)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
+      Streams.runScd2IngestOnce(spark, inDir, ckpt, t, "id")
+      assert(spark.table(t).count() == before,
+        "redelivered batch must be an exact no-op")
+      assert(state(1L) == Set((1L, "a"), (2L, "b2"), (3L, "c")))
+      // a genuinely new delta file lands → merges at the next version
+      Seq((1L, null.asInstanceOf[String], "delete")).toDF("id", "v", "op")
+        .write.mode("append").parquet(inDir)
+      Streams.runScd2IngestOnce(spark, inDir, ckpt, t, "id")
+      assert(state(2L) == Set((2L, "b2"), (3L, "c")))
+      assert(state(1L) == Set((1L, "a"), (2L, "b2"), (3L, "c")),
+        "closed history rewritten — SCD2 must be append/close only")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("embedding store twin: out-of-order 3-batch replay equals the batch survivors") {
     // the replay-equivalence proof the session-window and interval-join
     // transforms already have, applied to the embedding store twin: replayed
