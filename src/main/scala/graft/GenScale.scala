@@ -96,9 +96,19 @@ object GenScale {
     replicate("customer", Map("c_custkey" -> bumped))
     replicate("orders", Map("o_orderkey" -> bumped, "o_custkey" -> bumped))
     replicate("lineitem", Map("l_orderkey" -> bumped))
+    // the event log (round 16, for the event-analytics probes): same r·10M
+    // offset on event_id AND user_id — each replica is a DISJOINT user
+    // population with identical per-user histories, so funnel/retention/
+    // transition counts scale exactly factor× while per-user event counts
+    // (the per-key state law) are unchanged. Timestamps untouched: scale
+    // here means more users, not longer history (ts round-trips as raw
+    // Long nanos under nanosAsLong, or as timestamp in newer fixtures —
+    // either way unmodified).
+    replicate("events", Map("event_id" -> bumped, "user_id" -> bumped))
 
     val scaled = Set("documents.parquet", "embeddings.parquet",
-      "customer.parquet", "orders.parquet", "lineitem.parquet")
+      "customer.parquet", "orders.parquet", "lineitem.parquet",
+      "events.parquet")
     Files.list(Paths.get(src)).forEach { p =>
       val name = p.getFileName.toString
       val link = Paths.get(out, name)
