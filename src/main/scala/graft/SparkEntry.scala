@@ -1867,6 +1867,45 @@ object SparkEntry {
       // |types|² output rows
       graft.operators.Analytics.transitionCounts(rdEvents(s, dir),
         "user_id", "ts", "event_type", "event_id")),
+    "q_attribution" -> ((s, dir) =>
+      // last-touch revenue attribution: each purchase credits the user's
+      // most recent preceding view/click within 7 days (lexicographic
+      // (ts, event_id) order; integer-microsecond window arithmetic);
+      // no-touch conversions land in the explicit '(none)' channel so
+      // the report sums to total revenue. One per-user window + a
+      // |channels|-row aggregate; cents are order-independent
+      graft.operators.Analytics.attributionLastTouch(rdEvents(s, dir),
+        "user_id", "ts", "event_type",
+        expr("cast(round(value * 100) as bigint)"), "event_id",
+        Seq("view", "click"), "purchase", windowSeconds = 604800L)),
+    "q_auc" -> ((s, dir) =>
+      // tie-corrected Mann-Whitney AUC of doc length against the
+      // is-English label: rank-sums as exact integers via the grouped
+      // two-phase prefix sum (never a SinglePartition window; products in
+      // DECIMAL(38,0)), one final rounded division
+      graft.operators.Profiling.rocAuc(rd(s, dir, "documents"),
+        col("n_chars"), col("lang") === "en")),
+    "q_chi_square" -> ((s, dir) =>
+      // chi-square independence of lang × source: one (a,b) hash-agg over
+      // the corpus, margins aggregated FROM the cell table and broadcast
+      // back; per-cell terms fixed to integer nanos before the sum
+      graft.operators.Profiling.chiSquare(rd(s, dir, "documents"),
+        col("lang"), col("source"))),
+    "q_histogram" -> ((s, dir) =>
+      // equi-width histogram of doc length: 1-row global bounds broadcast
+      // into one bucket-keyed aggregate; exact integer bucket arithmetic
+      // (non-negative operands keep div ≡ floor ≡ the oracle's //)
+      graft.operators.Profiling.histogramEquiWidth(rd(s, dir, "documents"),
+        col("n_chars"), k = 12)),
+    "q_fuzzy_join" -> ((s, dir) =>
+      // blocked Levenshtein record linkage over 40-char text prefixes:
+      // candidates share a (lang, 4-char-prefix) block — one shuffle on
+      // the block key, bucket-local self-join, O(40²) verify per pair;
+      // blocking is part of the semantics (exactly oracle-checkable)
+      graft.operators.TextAnalysis.fuzzyJoin(rd(s, dir, "documents"),
+        "doc_id", col("text"),
+        concat_ws("|", col("lang"), substring(col("text"), 1, 4)),
+        maxDist = 12, keyLen = 40)),
     "q_scd2_history" -> ((s, dir) => {
       // SCD2 time-travel store: init + two CDC merges into a bucketed
       // history table (each merge = ONE close-join on the co-bucketed key
@@ -4464,6 +4503,96 @@ object SparkEntry {
          WHERE prev_type IS NOT NULL
          GROUP BY prev_type, next_type
          ORDER BY prev_type, next_type""",
+    // last-touch attribution: the two IGNORE NULLS last_value frames are
+    // null-aligned (both fed by the same touch rows); window bound in
+    // integer microseconds exactly like Spark's unix_micros comparison
+    "q_attribution" ->
+      """WITH w AS (
+           SELECT user_id, ts, event_type, value,
+             last_value(CASE WHEN event_type IN ('view', 'click')
+                 THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS lt_type,
+             last_value(CASE WHEN event_type IN ('view', 'click')
+                 THEN epoch_us(ts) END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS lt_us
+           FROM events)
+         SELECT coalesce(CASE WHEN epoch_us(ts) - lt_us <= 604800000000
+               THEN lt_type END, '(none)') AS channel,
+           CAST(count(*) AS BIGINT) AS n_conversions,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+         FROM w WHERE event_type = 'purchase'
+         GROUP BY channel ORDER BY channel""",
+    // tie-corrected AUC: 2·S⁺ = Σ p·(2·pb+c+1) over score groups is an
+    // exact integer (HUGEINT here, DECIMAL(38,0) in Spark); one final
+    // double division of identical integer operands
+    "q_auc" ->
+      """WITH g AS (
+           SELECT n_chars AS sc, CAST(count(*) AS BIGINT) AS c,
+             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS p
+           FROM documents GROUP BY sc),
+         w AS (
+           SELECT *, CAST(coalesce(sum(c) OVER (ORDER BY sc
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS pb
+           FROM g),
+         t AS (SELECT sum(p * (2 * pb + c + 1)) AS s2, sum(p) AS np,
+                 sum(c - p) AS nn
+               FROM w)
+         SELECT round(CAST(s2 - np * (np + 1) AS DOUBLE)
+             / CAST(2 * np * nn AS DOUBLE), 6) AS auc,
+           CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg
+         FROM t""",
+    // chi-square of lang × source: e = HUGEINT margins product → one
+    // double division; per-cell nanos terms sum order-independently
+    "q_chi_square" ->
+      """WITH cells AS (
+           SELECT lang AS a, source AS b, CAST(count(*) AS BIGINT) AS o
+           FROM documents GROUP BY a, b),
+         rt AS (SELECT a, CAST(sum(o) AS BIGINT) AS ra FROM cells GROUP BY a),
+         ct AS (SELECT b, CAST(sum(o) AS BIGINT) AS cb FROM cells GROUP BY b),
+         tt AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+                  CAST(count(DISTINCT a) AS BIGINT) AS nr,
+                  CAST(count(DISTINCT b) AS BIGINT) AS nc
+                FROM cells),
+         terms AS (
+           SELECT CAST(round((o - e) * (o - e) / e * 1e9) AS BIGINT) AS tn,
+             nr, nc, n
+           FROM (
+             SELECT o, CAST(CAST(ra AS HUGEINT) * cb AS DOUBLE) / n AS e,
+               nr, nc, n
+             FROM cells JOIN rt USING (a) JOIN ct USING (b) CROSS JOIN tt))
+         SELECT round(CAST(sum(tn) AS DOUBLE) / 1e9, 6) AS chi2,
+           CAST((max(nr) - 1) * (max(nc) - 1) AS BIGINT) AS dof,
+           CAST(max(n) AS BIGINT) AS n
+         FROM terms""",
+    // equi-width histogram: integer bucket arithmetic, non-negative
+    // operands keep // ≡ Spark's div; empty buckets absent on both sides
+    "q_histogram" ->
+      """WITH b AS (SELECT CAST(n_chars AS BIGINT) AS v FROM documents),
+         bounds AS (SELECT min(v) AS lo, max(v) AS hi FROM b)
+         SELECT CAST(((v - lo) * 12) // (hi - lo + 1) AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(v) AS BIGINT) AS min_v,
+           CAST(max(v) AS BIGINT) AS max_v
+         FROM b CROSS JOIN bounds GROUP BY bucket ORDER BY bucket""",
+    // blocked Levenshtein linkage: identical blocking + verify; both
+    // engines' levenshtein is the classic unit-cost edit distance
+    "q_fuzzy_join" ->
+      """WITH d AS (
+           SELECT doc_id, substr(text, 1, 40) AS k,
+             lang || '|' || substr(text, 1, 4) AS blk
+           FROM documents)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.k, b.k) AS BIGINT) AS dist
+         FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+         WHERE levenshtein(a.k, b.k) <= 12
+         ORDER BY id_a, id_b""",
     // closed-form SCD2 history after init(0) + the %7/%11/%13 batch-1 +
     // %9-upsert batch-2 changesets: v0 closes at 1 if touched by batch 1
     // (delete wins the %7∧%13 overlap either way), else at 2 if %9; the

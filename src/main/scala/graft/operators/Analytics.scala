@@ -328,4 +328,56 @@ object Analytics {
       .agg(count(lit(1)).cast(LongType).as("n_transitions"))
       .orderBy("prev_type", "next_type")
   }
+
+  /** Last-touch revenue attribution: each conversion event credits its
+    * value to the user's most recent PRECEDING touch event (type in
+    * `touchTypes`) within `windowSeconds`; conversions with no in-window
+    * touch land in the explicit `(none)` channel so the report always sums
+    * to total conversion revenue — the marketing-analytics primitive every
+    * event warehouse runs ("which channel gets credit for this purchase?").
+    *
+    * "Preceding" is lexicographic on (ts, tiebreak) — a total,
+    * engine-portable order (a touch and a conversion on the same
+    * microsecond are ordered by the id, never by partition luck). The
+    * window bound compares integer microseconds (exact, timezone-free).
+    *
+    * Plan shape: ONE window per user over the event log, carrying two
+    * last(_, ignoreNulls) frames (touch type + touch ts, null-aligned by
+    * construction since both come from the same touch rows) — the
+    * per-user-partition lag pattern of [[transitionCounts]]: parallelism =
+    * |users|, per-partition state = one user's events, no global window.
+    * The final aggregate is |touchTypes|+1 rows. Value sums are integer
+    * cents (order-independent; a double sum is not).
+    */
+  def attributionLastTouch(events: DataFrame, userCol: String, tsCol: String,
+                           typeCol: String, valueCents: Column,
+                           tiebreakCol: String, touchTypes: Seq[String],
+                           convType: String,
+                           windowSeconds: Long): DataFrame = {
+    require(touchTypes.nonEmpty, "attributionLastTouch: no touch types")
+    require(!touchTypes.contains(convType),
+      s"attributionLastTouch: conversion type '$convType' is also a touch")
+    require(windowSeconds > 0,
+      s"attributionLastTouch: windowSeconds must be positive: $windowSeconds")
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(tiebreakCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val isTouch = col(typeCol).isin(touchTypes.map(x => x: Any): _*)
+    events.select(col(userCol), col(tsCol), col(tiebreakCol),
+        col(typeCol), valueCents.as("__cents"))
+      .withColumn("__lt_type",
+        last(when(isTouch, col(typeCol)), ignoreNulls = true).over(w))
+      .withColumn("__lt_us",
+        last(when(isTouch, unix_micros(col(tsCol))), ignoreNulls = true)
+          .over(w))
+      .filter(col(typeCol) === convType)
+      .withColumn("channel", coalesce(
+        when(unix_micros(col(tsCol)) - col("__lt_us")
+               <= lit(windowSeconds * 1000000L), col("__lt_type")),
+        lit("(none)")))
+      .groupBy("channel")
+      .agg(count(lit(1)).cast(LongType).as("n_conversions"),
+        sum(col("__cents")).cast(LongType).as("revenue_cents"))
+      .orderBy("channel")
+  }
 }

@@ -362,4 +362,128 @@ object Profiling {
         sum("__n_cur").cast(LongType).as("n_cur"),
         round(sum("__term_nanos").cast(DoubleType) / 1e9, 6).as("psi"))
   }
+
+  /** Tie-corrected ROC AUC (Mann-Whitney) of an integral score against a
+    * boolean label — the one-number answer to "does this quality score
+    * actually separate the classes?" run over every heuristic classifier
+    * before it gates a corpus.
+    *
+    * Math: with ranks ascending by score and tied scores taking their
+    * AVERAGE rank, AUC = (S⁺ − n⁺(n⁺+1)/2) / (n⁺·n⁻) where S⁺ is the
+    * rank-sum of positives. Every tied row in a score group with c rows,
+    * p positives and `pb` rows strictly below contributes average rank
+    * pb + (c+1)/2, so 2·S⁺ = Σ_groups p·(2·pb + c + 1) — an INTEGER. The
+    * whole statistic is exact integer arithmetic until one final division
+    * (rounded to 6), so both engines agree bit-for-bit; no per-row double
+    * ranks anywhere.
+    *
+    * Plan shape: one hash-aggregate per distinct score (the only pass over
+    * the data), then [[Relational.globalPrefixSum]]'s two-phase prefix sum
+    * over the |distinct scores| group table — bucket-parallel, never a
+    * SinglePartition window. The rank-sum products run in DECIMAL(38,0):
+    * at 10¹² rows, p·(2·pb+c+1) ≈ 10²⁴ overflows BIGINT but not
+    * DECIMAL(38,0) (headroom to ~10¹⁸ rows). Degenerate inputs (all
+    * positive / all negative) raise in-plan rather than emit NULL.
+    */
+  def rocAuc(df: DataFrame, scoreExpr: Column, labelExpr: Column): DataFrame = {
+    val g = df.select(scoreExpr.cast(LongType).as("sc"),
+        labelExpr.cast("boolean").as("__pos"))
+      .groupBy("sc")
+      .agg(count(lit(1)).cast(LongType).as("__c"),
+        sum(when(col("__pos"), 1L).otherwise(0L)).cast(LongType).as("__p"))
+    def dec(c: Column) = c.cast(DecimalType(38, 0))
+    Relational.globalPrefixSum(g, "sc", "__c", "__pb")
+      .agg(
+        sum(dec(col("__p")) * (dec(col("__pb")) * 2 + col("__c") + 1))
+          .as("__s2"),
+        sum("__p").cast(LongType).as("n_pos"),
+        sum(col("__c") - col("__p")).cast(LongType).as("n_neg"))
+      .select(
+        when(col("n_pos") === 0 || col("n_neg") === 0,
+          raise_error(lit("rocAuc: degenerate label (all one class)")))
+          .otherwise(round(
+            (col("__s2") - dec(col("n_pos")) * (dec(col("n_pos")) + 1))
+              .cast(DoubleType)
+              / (dec(col("n_pos")) * col("n_neg") * 2).cast(DoubleType), 6))
+          .as("auc"),
+        col("n_pos"), col("n_neg"))
+  }
+
+  /** Pearson chi-square test of independence between two categorical
+    * columns — "is language independent of source?" over a corpus, the
+    * stratification sanity check before sampling by either axis.
+    *
+    * χ² = Σ_cells (o − e)²/e with e = rowTotal·colTotal/n. Each expected
+    * value is ONE double division of an exact BIGINT product (identical
+    * IEEE on both engines); each cell's term is fixed to integer nanos
+    * before the sum, so the Σ is order-independent. Output: the statistic,
+    * the degrees of freedom (R−1)(C−1), and n.
+    *
+    * Plan shape: one (a,b) hash-aggregate over the data — the only full
+    * pass — then two aggregates OF THE CELL TABLE (|R|·|C| rows) for the
+    * margins, broadcast back. Nothing downstream of the first aggregate
+    * scales with the data. Cells with zero observed count contribute
+    * (0−e)²/e only if present in the cell table — absent (o,e) pairs are
+    * structural zeros this test (correctly) never sees, matching every
+    * textbook contingency-table formulation over observed categories.
+    */
+  def chiSquare(df: DataFrame, aExpr: Column, bExpr: Column): DataFrame = {
+    val cells = df.select(aExpr.cast(StringType).as("__a"),
+        bExpr.cast(StringType).as("__b"))
+      .groupBy("__a", "__b")
+      .agg(count(lit(1)).cast(LongType).as("__o"))
+    val rowT = cells.groupBy("__a").agg(sum("__o").cast(LongType).as("__ra"))
+    val colT = cells.groupBy("__b").agg(sum("__o").cast(LongType).as("__cb"))
+    val tot = cells.agg(sum("__o").cast(LongType).as("__n"),
+      countDistinct(col("__a")).cast(LongType).as("__nr"),
+      countDistinct(col("__b")).cast(LongType).as("__nc"))
+    cells.join(broadcast(rowT), Seq("__a"))
+      .join(broadcast(colT), Seq("__b"))
+      .crossJoin(broadcast(tot))
+      // margins product through DECIMAL(38,0): ra·cb overflows BIGINT past
+      // ~3·10⁹ rows; the exact integer → double conversion is identical on
+      // both engines either way (oracle: HUGEINT product)
+      .withColumn("__e",
+        (col("__ra").cast(DecimalType(38, 0)) * col("__cb"))
+          .cast(DoubleType) / col("__n"))
+      .withColumn("__term_nanos",
+        round((col("__o") - col("__e")) * (col("__o") - col("__e"))
+          / col("__e") * 1e9).cast(LongType))
+      .agg(
+        round(sum("__term_nanos").cast(DoubleType) / 1e9, 6).as("chi2"),
+        ((first("__nr") - 1) * (first("__nc") - 1)).cast(LongType).as("dof"),
+        first("__n").cast(LongType).as("n"))
+  }
+
+  /** Equi-width histogram over an integral measure: k buckets spanning the
+    * global [min, max], bucket of v = ((v−min)·k) div (max−min+1) — exact
+    * integer arithmetic (operands non-negative, so `div` ≡ floor ≡ the
+    * oracle's `//`; see the retentionCohorts comment for why that
+    * invariant is load-bearing). The distribution-shape sibling of
+    * [[quantileBins]] (equi-DEPTH): fixed boundaries, varying counts.
+    *
+    * Empty buckets are ABSENT (sparse output) — the dense-spine variant
+    * would need nothing more than a sequence join, but sparse is what
+    * plotting and drift layers consume. (v−min)·k stays in BIGINT up to
+    * ~10¹⁸/k of range — integral measures (chars, tokens, cents) are
+    * nowhere near it.
+    *
+    * Plan shape: a 1-row global bounds aggregate broadcast into one
+    * hash-aggregate keyed by bucket — two column-pruned scans, output
+    * ≤ k rows.
+    */
+  def histogramEquiWidth(df: DataFrame, valueExpr: Column,
+                         k: Int): DataFrame = {
+    require(k > 0, s"histogramEquiWidth: k must be positive: $k")
+    val base = df.select(valueExpr.cast(LongType).as("__v"))
+    val bounds = base.agg(min("__v").as("__lo"), max("__v").as("__hi"))
+    base.crossJoin(broadcast(bounds))
+      .withColumn("bucket",
+        expr(s"((__v - __lo) * $k) div (__hi - __lo + 1)"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).cast(LongType).as("n"),
+        min("__v").cast(LongType).as("min_v"),
+        max("__v").cast(LongType).as("max_v"))
+      .orderBy("bucket")
+  }
 }

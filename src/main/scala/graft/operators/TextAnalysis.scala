@@ -680,6 +680,49 @@ object TextAnalysis {
       .orderBy(groupCols.map(col): _*)
   }
 
+  /** Blocked fuzzy self-join (record linkage): emit pairs of rows whose
+    * `keyExpr` strings are within `maxDist` Levenshtein edits, with
+    * candidates restricted to pairs sharing a BLOCK key — the standard
+    * blocking architecture every entity-resolution system uses, because the
+    * unblocked form is all-pairs O(n²) at any scale. The block key here is
+    * deliberately part of the SEMANTICS (pairs in different blocks are not
+    * compared, by contract), which is what makes the operator exactly
+    * oracle-checkable rather than best-effort.
+    *
+    * Plan shape: one shuffle on the block key, bucket-local self-join
+    * (`id_a < id_b` halves the candidate mass), then the O(|s|·|t|)
+    * Levenshtein verify per candidate — the candidates×verify cost law of
+    * the dedup families. Block-key skew is the caller's lever: a prefix
+    * block over natural-language text yields near-uniform buckets; a
+    * degenerate block (constant key) degrades to all-pairs and the skew
+    * belongs in [[graft.operators.Profiling.skewReport]] first.
+    *
+    * Keys are truncated to `keyLen` chars BEFORE comparison so the verify
+    * cost per pair is bounded (edit distance on full documents is both
+    * quadratic and semantically wrong for linkage — use the minhash/simhash
+    * families for whole-document similarity).
+    */
+  def fuzzyJoin(df: DataFrame, idCol: String, keyExpr: Column,
+                blockExpr: Column, maxDist: Int,
+                keyLen: Int = 40): DataFrame = {
+    require(maxDist >= 0, s"fuzzyJoin: maxDist < 0: $maxDist")
+    require(keyLen > 0, s"fuzzyJoin: keyLen must be positive: $keyLen")
+    val base = df.select(col(idCol).as("__id"),
+      substring(keyExpr, 1, keyLen).as("__k"),
+      blockExpr.as("__blk"))
+    val a = base.select(col("__id").as("id_a"), col("__k").as("__ka"),
+      col("__blk"))
+    val b = base.select(col("__id").as("id_b"), col("__k").as("__kb"),
+      col("__blk"))
+    a.join(b, Seq("__blk"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dist", levenshtein(col("__ka"), col("__kb"))
+        .cast(LongType))
+      .filter(col("dist") <= maxDist)
+      .select("id_a", "id_b", "dist")
+      .orderBy("id_a", "id_b")
+  }
+
   /** per-document stats frame (used by q_text_* queries). */
   def docStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(

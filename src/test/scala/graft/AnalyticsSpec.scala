@@ -149,4 +149,42 @@ class AnalyticsSpec extends AnyFunSuite {
       .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
     assert(out == Map(("a", "b") -> 2L, ("b", "a") -> 1L))
   }
+
+  private def evv(rows: (Long, String, Long, String, Double)*) =
+    rows.map { case (id, t, u, e, v) => (id, ts(t), u, e, v) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+
+  test("attributionLastTouch: last preceding touch wins; window + (none)") {
+    val df = evv(
+      // u1: view then click then purchase → click (the LAST touch) wins
+      (1L, "2024-01-01 10:00:00", 1L, "view", 0.0),
+      (2L, "2024-01-01 10:01:00", 1L, "click", 0.0),
+      (3L, "2024-01-01 10:02:00", 1L, "purchase", 10.0),
+      // u2: touch outside the 1h window → (none)
+      (4L, "2024-01-01 08:00:00", 2L, "view", 0.0),
+      (5L, "2024-01-01 10:00:00", 2L, "purchase", 5.0),
+      // u3: no touch at all → (none)
+      (6L, "2024-01-01 10:00:00", 3L, "purchase", 2.5),
+      // u4: touch at the SAME instant as the purchase, lower event_id →
+      // counts as preceding (lexicographic (ts, id) order)
+      (7L, "2024-01-01 10:00:00", 4L, "view", 0.0),
+      (8L, "2024-01-01 10:00:00", 4L, "purchase", 1.0))
+    val out = Analytics.attributionLastTouch(df, "user_id", "ts",
+        "event_type", expr("cast(round(value * 100) as bigint)"), "event_id",
+        Seq("view", "click"), "purchase", windowSeconds = 3600L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(out == Map("click" -> ((1L, 1000L)), "view" -> ((1L, 100L)),
+      "(none)" -> ((2L, 750L))))
+    // revenue conservation: channels sum to total conversion revenue
+    assert(out.values.map(_._2).sum == 1850L)
+  }
+
+  test("attributionLastTouch: rejects conv type listed as a touch") {
+    val df = evv((1L, "2024-01-01 10:00:00", 1L, "view", 0.0))
+    val e = intercept[IllegalArgumentException](
+      Analytics.attributionLastTouch(df, "user_id", "ts", "event_type",
+        lit(0L), "event_id", Seq("view"), "view", 3600L))
+    assert(e.getMessage.contains("also a touch"))
+  }
 }

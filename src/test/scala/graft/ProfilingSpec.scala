@@ -266,4 +266,74 @@ class ProfilingSpec extends AnyFunSuite {
       spark.sql(s"DROP TABLE IF EXISTS $dtab")
     }
   }
+
+  test("rocAuc: perfect separation is 1.0, reversed is 0.0, ties average") {
+    val perfect = Seq((1L, false), (2L, false), (3L, true), (4L, true))
+      .toDF("sc", "pos")
+    val r = Profiling.rocAuc(perfect, col("sc"), col("pos")).collect().head
+    assert(r.getDouble(0) == 1.0 && r.getLong(1) == 2L && r.getLong(2) == 2L)
+    val reversed = Profiling.rocAuc(perfect, -col("sc"), col("pos"))
+      .collect().head
+    assert(reversed.getDouble(0) == 0.0)
+    // all rows tied → AUC exactly 0.5 regardless of labels
+    val tied = Seq((7L, true), (7L, false), (7L, true), (7L, false))
+      .toDF("sc", "pos")
+    assert(Profiling.rocAuc(tied, col("sc"), col("pos"))
+      .collect().head.getDouble(0) == 0.5)
+  }
+
+  test("rocAuc ≡ brute-force pairwise P(score⁺>score⁻) + ½P(tie)") {
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(300)((rnd.nextInt(20).toLong, rnd.nextBoolean()))
+    val got = Profiling.rocAuc(rows.toDF("sc", "pos"), col("sc"), col("pos"))
+      .collect().head.getDouble(0)
+    val pos = rows.filter(_._2).map(_._1)
+    val neg = rows.filterNot(_._2).map(_._1)
+    val want = pos.map(p => neg.map(n =>
+      if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum).sum /
+      (pos.size.toDouble * neg.size)
+    assert(math.abs(got - want) < 1e-6)
+  }
+
+  test("rocAuc: degenerate single-class label raises in-plan") {
+    val df = Seq((1L, true), (2L, true)).toDF("sc", "pos")
+    val e = intercept[Exception](
+      Profiling.rocAuc(df, col("sc"), col("pos")).collect())
+    assert(e.getMessage.contains("degenerate"))
+  }
+
+  test("chiSquare: exact independence gives 0; 2x2 matches hand value") {
+    // perfectly independent 2x2: counts proportional to margins
+    val ind = (Seq.fill(40)(("x", "u")) ++ Seq.fill(10)(("x", "v")) ++
+      Seq.fill(40)(("y", "u")) ++ Seq.fill(10)(("y", "v"))).toDF("a", "b")
+    val r0 = Profiling.chiSquare(ind, col("a"), col("b")).collect().head
+    assert(r0.getDouble(0) == 0.0 && r0.getLong(1) == 1L &&
+      r0.getLong(2) == 100L)
+    // classic hand-checkable 2x2: (10,20 / 30,5) n=65
+    val dep = (Seq.fill(10)(("x", "u")) ++ Seq.fill(20)(("x", "v")) ++
+      Seq.fill(30)(("y", "u")) ++ Seq.fill(5)(("y", "v"))).toDF("a", "b")
+    val chi = Profiling.chiSquare(dep, col("a"), col("b"))
+      .collect().head.getDouble(0)
+    // χ² = n(ad−bc)²/((a+b)(c+d)(a+c)(b+d)) for 2x2
+    val want = 65.0 * math.pow(10.0 * 5 - 20.0 * 30, 2) /
+      (30.0 * 35 * 40 * 25)
+    assert(math.abs(chi - want) < 1e-5)
+  }
+
+  test("histogramEquiWidth: counts conserve, boundaries exact, k=1 lumps") {
+    val df = (0L to 99L).toDF("v")
+    val h = Profiling.histogramEquiWidth(df, col("v"), k = 10).collect()
+    assert(h.length == 10 && h.map(_.getLong(1)).sum == 100L)
+    // bucket i spans exactly [10i, 10i+9] on this uniform input
+    h.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getLong(0) == i.toLong && r.getLong(2) == 10L * i &&
+        r.getLong(3) == 10L * i + 9)
+    }
+    val one = Profiling.histogramEquiWidth(df, col("v"), k = 1).collect()
+    assert(one.length == 1 && one.head.getLong(1) == 100L)
+    // max value lands in the LAST bucket, never k
+    val two = Profiling.histogramEquiWidth(Seq(0L, 10L).toDF("v"),
+      col("v"), k = 2).collect()
+    assert(two.map(_.getLong(0)).toSet == Set(0L, 1L))
+  }
 }

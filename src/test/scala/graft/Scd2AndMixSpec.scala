@@ -142,4 +142,35 @@ class Scd2AndMixSpec extends AnyFunSuite {
     val anomalous = out.filter(_._2).keys.toSet
     assert(anomalous == Set(19725L)) // 2024-01-03, the zero day
   }
+
+  test("fuzzyJoin: in-block near-matches found, cross-block never compared") {
+    import org.apache.spark.sql.functions.{col, substring}
+    val docs = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha beta gamme"),   // 1 edit from doc 1, same block 'alph'
+      (3L, "alpha XXXX YYYY"),    // same block, 8 edits from doc 1
+      (4L, "blpha beta gamma")    // 1 edit from doc 1 but block 'blph'
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.fuzzyJoin(docs, "doc_id", col("text"),
+        substring(col("text"), 1, 4), maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 2L, 1L)))
+    // widen the distance: the in-block far pair appears, doc 4 never does
+    val wide = TextAnalysis.fuzzyJoin(docs, "doc_id", col("text"),
+        substring(col("text"), 1, 4), maxDist = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(wide == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  test("fuzzyJoin: keyLen truncation bounds the verify") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val docs = Seq(
+      (1L, "same-prefix-here tail A"),
+      (2L, "same-prefix-here tail completely different Z")
+    ).toDF("doc_id", "text")
+    // truncated to the shared 16-char prefix the pair is identical
+    val out = TextAnalysis.fuzzyJoin(docs, "doc_id", col("text"),
+        lit("b"), maxDist = 0, keyLen = 16).collect()
+    assert(out.length == 1 && out.head.getLong(2) == 0L)
+  }
 }
