@@ -93,6 +93,30 @@ object SparkEntry {
       name
     })
 
+  /** memoized deterministic PQ codebook fit (offline index build, like the
+    * IVF fit — sample rows in vec_id order so the fitted codebooks are
+    * reproducible doubles the generated oracle embeds as exact literals). */
+  private val pqModels =
+    new scala.collection.concurrent.TrieMap[String, Similarity.PqModel]
+  @volatile private var lastPqDir: Option[String] = None
+  private def pqModelFor(s: SparkSession, dir: String): Similarity.PqModel = {
+    lastPqDir = Some(dir)
+    pqModels.getOrElseUpdate(dir,
+      Similarity.pqFit(rd(s, dir, "embeddings").orderBy("vec_id"),
+        "embedding"))
+  }
+
+  /** memoized per-dir PQ code store (the persisted m-bytes-per-vector
+    * index — an offline step like the fit itself). */
+  private val pqStores = new scala.collection.concurrent.TrieMap[String, String]
+  private def pqStoreFor(s: SparkSession, dir: String): String =
+    pqStores.getOrElseUpdate(dir, {
+      val name = s"graft_pq_store_${java.lang.Integer.toHexString(dir.hashCode)}"
+      Similarity.writePqStore(rd(s, dir, "embeddings"), "vec_id", "embedding",
+        pqModelFor(s, dir), name)
+      name
+    })
+
   private val int8Stores =
     new scala.collection.concurrent.TrieMap[String, String]
   private def int8StoreFor(s: SparkSession, dir: String): String =
@@ -335,6 +359,7 @@ object SparkEntry {
     ivfStoreFor(s, dir)
     lshStoreFor(s, dir)
     int8StoreFor(s, dir)
+    pqStoreFor(s, dir)
     searchStoreFor(s, dir)
     posStoreFor(s, dir)
     zorderBoundsFor(s, dir)
@@ -1228,6 +1253,60 @@ object SparkEntry {
       val bf = Similarity.bruteForceTopK(corpus, "vec_id", "embedding", q, 10)
         .select("vec_id")
       ivf.join(bf, Seq("vec_id"))
+        .agg(count(lit(1)).as("n_matched"))
+        .select(col("n_matched"),
+          round(col("n_matched") / 10.0, 6).as("recall_at_10"))
+    }),
+    "q_pq_ann" -> ((s, dir) => {
+      // PQ-ADC top-10 computed on the fly (encode + table-lookup in one
+      // scan — the full-scan reference twin; the store variant is the
+      // production shape). Codebook fit is the memoized offline step;
+      // ranking is an exact-integer nanos sum of m=8 LUT lookups per row,
+      // so the generated codebook-literal oracle replicates encode, LUT,
+      // and ranking bit-for-bit
+      val emb = rd(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 1).select("embedding")
+        .head().getSeq[Float](0).map(_.toDouble)
+      Similarity.pqAdcTopK(emb.filter(col("vec_id") =!= 1), "vec_id",
+        "embedding", q, pqModelFor(s, dir), k = 10)
+    }),
+    "q_pq_store_ann" -> ((s, dir) => {
+      // the PERSISTED-CODES twin: the scan reads m=8 bytes per vector
+      // (32× under float32) and never touches floats or re-encodes —
+      // identical result by construction (encoding happened at write
+      // time under the fingerprint-checked model); same oracle
+      val emb = rd(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 1).select("embedding")
+        .head().getSeq[Float](0).map(_.toDouble)
+      val model = pqModelFor(s, dir)
+      Similarity.pqAdcTopKAgainstStore(s, pqStoreFor(s, dir), "vec_id", q,
+        model, k = 10, extraFilter = col("vec_id") =!= 1)
+    }),
+    "q_pq_rerank" -> ((s, dir) => {
+      // the production IVFADC+R shape: exact-integer ADC ranks the code
+      // scan, top-50 candidate ids fetch their float rows (broadcast id
+      // join), exact squared-L2 re-rank emits the top-10 — recall
+      // recovers to ~1.0 from pure ADC's 0.3 on these structure-free
+      // vectors at the cost of 50 float-row fetches per query
+      val emb = rd(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 1).select("embedding")
+        .head().getSeq[Float](0).map(_.toDouble)
+      Similarity.pqAdcRerankTopK(emb.filter(col("vec_id") =!= 1), "vec_id",
+        "embedding", q, pqModelFor(s, dir), k = 10, rerank = 50)
+    }),
+    "q_pq_recall" -> ((s, dir) => {
+      // recall@10 of PQ-ADC vs exact squared-L2 brute force, one
+      // oracle-checkable row (the q_ivf_recall analog for the
+      // compressed-domain path) — quantization error is the metric here,
+      // determinism of the approximation is what the oracle pins
+      val emb = rd(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 1).select("embedding")
+        .head().getSeq[Float](0).map(_.toDouble)
+      val corpus = emb.filter(col("vec_id") =!= 1)
+      val pq = Similarity.pqAdcTopK(corpus, "vec_id", "embedding", q,
+        pqModelFor(s, dir), k = 10).select("vec_id")
+      val bf = Similarity.bruteL2TopK(corpus, "vec_id", "embedding", q, 10)
+      pq.join(bf, Seq("vec_id"))
         .agg(count(lit(1)).as("n_matched"))
         .select(col("n_matched"),
           round(col("n_matched") / 10.0, 6).as("recall_at_10"))
@@ -3038,6 +3117,91 @@ object SparkEntry {
        WHERE vec_id NOT IN (SELECT DISTINCT id_b FROM sd)
        ORDER BY vec_id"""
 
+  /** PQ oracle chain: codebook + per-(subspace,code) sqNorm literals from
+    * the fitted model; DuckDB then replicates encode (argmin ranked by
+    * n2 − 2·dot, ties to the lower code — the ivfChainSql formula), the
+    * per-query LUT (nanos round matches the driver's HALF_UP — SQL round
+    * is half-away-from-zero in both engines), and the exact-integer ADC
+    * sum bit-for-bit. */
+  private def pqChainSql(model: Similarity.PqModel): String = {
+    val sub = model.subDim
+    val cbv = model.codebooks.zipWithIndex.flatMap { case (book, j) =>
+      book.zipWithIndex.flatMap { case (c, ci) =>
+        c.zipWithIndex.map { case (w, d) => s"($j, $ci, $d, $w)" }
+      }
+    }.mkString(", ")
+    val norms = model.codebooks.zipWithIndex.flatMap { case (book, j) =>
+      book.zipWithIndex.map { case (c, ci) =>
+        s"($j, $ci, ${Similarity.sqNorm(c)})"
+      }
+    }.mkString(", ")
+    s"""cbv(j, c, d, w) AS (VALUES $cbv),
+       cb AS (SELECT j, c, list(w ORDER BY d) AS w FROM cbv GROUP BY j, c),
+       cn(j, c, n2) AS (VALUES $norms),
+       e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       q AS (SELECT v AS qv FROM e WHERE vec_id = 1),
+       corp AS (SELECT vec_id, v FROM e WHERE vec_id != 1),
+       js AS (SELECT unnest(range(0, ${model.m})) AS j),
+       qsub AS (
+         SELECT j, list_slice(qv, j * $sub + 1, j * $sub + $sub) AS qs
+         FROM q CROSS JOIN js),
+       lut AS (
+         SELECT cb.j, cb.c,
+           CAST(round((cn.n2 - 2.0 * list_dot_product(qs.qs, cb.w)) * 1e9)
+             AS BIGINT) AS nn
+         FROM cb JOIN cn ON cn.j = cb.j AND cn.c = cb.c
+         JOIN qsub qs ON qs.j = cb.j),
+       qn AS (
+         SELECT CAST(sum(CAST(round(list_dot_product(qs, qs) * 1e9)
+             AS BIGINT)) AS BIGINT) AS qn2
+         FROM qsub),
+       subv AS (
+         SELECT vec_id, j, list_slice(v, j * $sub + 1, j * $sub + $sub) AS sv
+         FROM corp CROSS JOIN js),
+       assign AS (
+         SELECT vec_id, j, c FROM (
+           SELECT s.vec_id, s.j, cb.c,
+             row_number() OVER (PARTITION BY s.vec_id, s.j
+               ORDER BY cn.n2 - 2.0 * list_dot_product(s.sv, cb.w), cb.c)
+               AS rn
+           FROM subv s JOIN cb ON cb.j = s.j
+           JOIN cn ON cn.j = cb.j AND cn.c = cb.c)
+         WHERE rn = 1),
+       adc AS (
+         SELECT a.vec_id, CAST(sum(l.nn) AS BIGINT) + max(qn.qn2) AS nanos
+         FROM assign a JOIN lut l ON l.j = a.j AND l.c = a.c CROSS JOIN qn
+         GROUP BY a.vec_id),
+       pq AS (
+         SELECT vec_id, round(CAST(nanos AS DOUBLE) / 1e9, 6) AS dist_sq
+         FROM adc ORDER BY nanos, vec_id LIMIT 10)"""
+  }
+
+  private def pqAnnOracle(model: Similarity.PqModel): String =
+    s"""WITH ${pqChainSql(model)}
+       SELECT vec_id, dist_sq FROM pq ORDER BY dist_sq, vec_id"""
+
+  private def pqRerankOracle(model: Similarity.PqModel): String =
+    s"""WITH ${pqChainSql(model)},
+       cand AS (SELECT vec_id FROM adc ORDER BY nanos, vec_id LIMIT 50),
+       rr AS (
+         SELECT c2.vec_id,
+           list_dot_product(v, v) - 2.0 * list_dot_product(v, qv)
+             + list_dot_product(qv, qv) AS raw
+         FROM corp c2 JOIN cand USING (vec_id) CROSS JOIN q)
+       SELECT vec_id, round(raw, 6) AS dist_sq
+       FROM rr ORDER BY raw, vec_id LIMIT 10"""
+
+  private def pqRecallOracle(model: Similarity.PqModel): String =
+    s"""WITH ${pqChainSql(model)},
+       bf AS (
+         SELECT vec_id FROM corp CROSS JOIN q
+         ORDER BY list_dot_product(v, v) - 2.0 * list_dot_product(v, qv),
+           vec_id
+         LIMIT 10),
+       m AS (SELECT count(*) AS nm FROM pq JOIN bf USING (vec_id))
+       SELECT CAST(nm AS BIGINT) AS n_matched,
+         round(nm / 10.0, 6) AS recall_at_10 FROM m"""
+
   private def ivfAnnOracle(model: Similarity.IvfModel): String =
     s"""WITH ${ivfChainSql(model, 4)}
        SELECT vec_id, cos FROM ivf ORDER BY cos DESC, vec_id"""
@@ -4701,6 +4865,15 @@ object SparkEntry {
       "q_ivf_recall" -> ivfRecallOracle(m),
       "q_semdedup_pairs" -> semDedupPairsOracle(m),
       "q_semdedup" -> semDedupOracle(m))
+  }.getOrElse(Map.empty) ++ lastPqDir.flatMap(pqModels.get).map { m =>
+    // generated from the fitted PQ codebooks the query loop memoized (the
+    // ivfModels mechanism); the store twin shares the on-the-fly oracle
+    // by construction — encoding happened at write time under the same
+    // fingerprint-checked model
+    Map("q_pq_ann" -> pqAnnOracle(m),
+      "q_pq_store_ann" -> pqAnnOracle(m),
+      "q_pq_rerank" -> pqRerankOracle(m),
+      "q_pq_recall" -> pqRecallOracle(m))
   }.getOrElse(Map.empty) ++ lastBudgetDir.flatMap(budgetRatesMemo.get).map { r =>
     // same lazy-literal mechanism: the thresholds the query derived offline
     val cases = r.toSeq.sortBy(_._1).map { case (d, f) =>

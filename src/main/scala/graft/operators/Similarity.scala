@@ -512,6 +512,15 @@ object Similarity {
       df.select(col(vecCol)).limit(fitSampleCap).collect()
         .map(_.getSeq[Number](0).map(_.doubleValue()).toArray)
     require(sample.nonEmpty, "ivfFit: empty input")
+    IvfModel(localLloyd(sample, k, seed, maxIter))
+  }
+
+  /** the exact driver-local Lloyd's iteration shared by [[ivfFitLocal]]
+    * (extracted VERBATIM — a pure function of (sample, k, seed, maxIter),
+    * so every fitted-centroid oracle and fixture stays bit-identical) and
+    * the per-subspace [[pqFit]]. */
+  private[graft] def localLloyd(sample: Array[Array[Double]], k: Int,
+                                seed: Long, maxIter: Int): Array[Array[Double]] = {
     val kk = math.min(k, sample.length)
     val dim = sample.head.length
     def nearest(cs: Array[Array[Double]], v: Array[Double]): Int = {
@@ -540,7 +549,7 @@ object Similarity {
         else sums(i).map(_ / counts(i))
       }
     }
-    IvfModel(centers)
+    centers
   }
 
   /** the distributed-sample Lloyd's for k-scaled sample sizes (see
@@ -826,4 +835,247 @@ object Similarity {
     df.select(lshSignature(col(vecCol), dim, nBits, seed).as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("n"))
       .orderBy(desc("n"), asc("bucket"))
+
+  // ──────────────────── product quantization (PQ) ANN ────────────────────
+
+  /** PQ codebooks: `m` subspaces × `ksub` centroids × `subDim` doubles.
+    * The compressed-domain ANN scale path (Jégou, Douze, Schmid, "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011) beside int8
+    * (4× compression, exact integer dot) and IVF (pruned scan, exact
+    * rerank): PQ stores ONE BYTE per subspace — a 64-dim float32 vector
+    * becomes 8 code bytes (32×) — and answers queries from a per-query
+    * lookup table without touching a single float. At 100 TB that is the
+    * difference between scanning 25 TB of float rows and ~0.8 TB of codes. */
+  final case class PqModel(codebooks: Array[Array[Array[Double]]]) {
+    require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
+      "PqModel: empty codebooks")
+    def m: Int = codebooks.length
+    def ksub: Int = codebooks.head.length
+    def subDim: Int = codebooks.head.head.length
+  }
+
+  /** Per-subspace driver-local Lloyd's on ONE deterministic sample (the
+    * first `fitSampleCap` rows — callers pre-sort, the [[ivfFit]]
+    * contract): collect once, slice `m` ways, fit `m` independent
+    * codebooks (seed offset by subspace index so initializations differ).
+    * The offline index-build step — sample-bounded driver work, never a
+    * corpus job; reproducible doubles, so generated oracles can embed the
+    * codebooks as exact literals. */
+  def pqFit(df: DataFrame, vecCol: String, m: Int = 8, ksub: Int = 16,
+            seed: Long = 42L, fitSampleCap: Int = 2048,
+            maxIter: Int = 10): PqModel = {
+    require(m >= 1, s"pqFit: m must be >= 1, got $m")
+    require(ksub >= 2 && ksub <= 256,
+      s"pqFit: ksub must be in [2, 256] (codes are one byte), got $ksub")
+    val sample: Array[Array[Double]] =
+      df.select(col(vecCol)).limit(fitSampleCap).collect()
+        .map(_.getSeq[Number](0).map(_.doubleValue()).toArray)
+    require(sample.nonEmpty, "pqFit: empty input")
+    val dim = sample.head.length
+    require(dim % m == 0, s"pqFit: dim $dim not divisible by m = $m")
+    val sub = dim / m
+    PqModel(Array.tabulate(m) { j =>
+      localLloyd(
+        sample.map(v => java.util.Arrays.copyOfRange(v, j * sub, (j + 1) * sub)),
+        ksub, seed + j, maxIter)
+    })
+  }
+
+  /** the `m`-byte PQ code of a vector: per subspace, argmin over the
+    * codebook ranked by `|c|² − 2·v·c` with ties to the lower code — `m`
+    * runs of the SAME codegen'd [[graft.functions.IvfArgminExpr]] kernel
+    * the IVF path uses (same fold order, same tie-break), each over a
+    * `slice` of the double-cast vector, so a SQL oracle replicates
+    * assignment bit-for-bit from the codebook literals. */
+  def pqCodes(vec: Column, model: PqModel): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    val v = vec.cast(ArrayType(DoubleType))
+    array((0 until model.m).map { j =>
+      GraftSqlBridge.column(graft.functions.IvfArgminExpr(
+        GraftSqlBridge.expression(
+          slice(v, j * model.subDim + 1, model.subDim)),
+        model.codebooks(j))).cast(ByteType)
+    }: _*)
+  }
+
+  /** the per-query ADC lookup table in integer NANOS, flattened
+    * `j · ksub + c`: entry = round(1e9 · (|cb[j][c]|² − 2·q_j·cb[j][c])) —
+    * the |q_j|² term is constant per subspace and folded into
+    * [[pqQueryNormNanos]] so the TOTAL is the true squared L2 distance.
+    * Integer entries make the ADC sum aggregation-order-independent and
+    * exactly embeddable in a SQL oracle ([[sqNorm]]/[[seqDot]] fold
+    * orders). */
+  private[graft] def pqLutNanos(model: PqModel, query: Seq[Double]): Array[Long] = {
+    val q = query.toArray
+    require(q.length == model.m * model.subDim,
+      s"pqLutNanos: query dim ${q.length} != ${model.m}·${model.subDim}")
+    val lut = new Array[Long](model.m * model.ksub)
+    var j = 0
+    while (j < model.m) {
+      val qs = java.util.Arrays.copyOfRange(q, j * model.subDim,
+        (j + 1) * model.subDim)
+      var c = 0
+      while (c < model.ksub) {
+        val cb = model.codebooks(j)(c)
+        lut(j * model.ksub + c) =
+          roundHalfAway((sqNorm(cb) - 2.0 * seqDot(cb, qs)) * 1e9)
+        c += 1
+      }
+      j += 1
+    }
+    lut
+  }
+
+  /** round-half-AWAY-from-zero — SQL `round()` semantics in both Spark and
+    * DuckDB. `math.round` rounds half toward +∞ (floor(x+0.5)), which
+    * diverges on negative .5 ties — and ADC LUT entries (|c|² − 2·q·c) are
+    * routinely negative, so the driver-side literals must use the same
+    * rule the SQL oracle's `round()` applies (the [[int8TopK]]
+    * query-cell precedent). */
+  private def roundHalfAway(v: Double): Long =
+    BigDecimal(v).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+
+  /** Σ_j |q_j|² in nanos — the constant completing [[pqLutNanos]] to the
+    * true squared distance (per-subspace rounding matches the LUT's). */
+  private[graft] def pqQueryNormNanos(model: PqModel, query: Seq[Double]): Long = {
+    val q = query.toArray
+    (0 until model.m).map { j =>
+      roundHalfAway(sqNorm(java.util.Arrays.copyOfRange(q, j * model.subDim,
+        (j + 1) * model.subDim)) * 1e9)
+    }.sum
+  }
+
+  /** ADC score column: codes (array<byte>) → Σ_j lut[j·ksub + code_j], an
+    * exact integer sum of `m` table lookups — no floats touched per row.
+    * The LUT literal is materialized into its own column by the callers
+    * (the HOF-lambda-trap rule: a captured 128-element array literal would
+    * otherwise be rebuilt per element). */
+  private def adcNanos(codesCol: Column, lutCol: Column, m: Int,
+                       ksub: Int): Column =
+    aggregate(
+      zip_with(codesCol, sequence(lit(0), lit(m - 1)),
+        (c, j) => element_at(lutCol, j * ksub + c.cast(IntegerType) + 1)),
+      lit(0L), (s, x) => s + x)
+
+  /** PQ-ADC top-k on the fly (codes computed from the float vectors in the
+    * same scan — the full-scan reference; [[pqAdcTopKAgainstStore]] is the
+    * production shape). Ranking ascends by exact-integer ADC nanos with id
+    * ties; the emitted distance divides that integer once (engine-stable).
+    * ADC is an APPROXIMATE distance by construction (quantization error
+    * bounded by cell radii — pinned in SkewAndIvfSpec, recall measured by
+    * q_pq_recall); determinism of the approximation is what's exact. */
+  def pqAdcTopK(df: DataFrame, idCol: String, vecCol: String,
+                query: Seq[Double], model: PqModel, k: Int): DataFrame = {
+    val lut = pqLutNanos(model, query)
+    val qn = pqQueryNormNanos(model, query)
+    df.select(col(idCol), pqCodes(col(vecCol), model).as("__codes"))
+      .withColumn("__lut", array(lut.map(lit): _*))
+      .withColumn("__nanos",
+        adcNanos(col("__codes"), col("__lut"), model.m, model.ksub) + qn)
+      .orderBy(col("__nanos"), col(idCol))
+      .limit(k)
+      .select(col(idCol),
+        round(col("__nanos").cast(DoubleType) / 1e9, 6).as("dist_sq"))
+      // output order on the ROUNDED distance with id ties — top-k selection
+      // ranks on exact nanos, but the emitted frame must order identically
+      // to an oracle that only sees the rounded column
+      .orderBy(col("dist_sq"), col(idCol))
+  }
+
+  /** deterministic PQ model fingerprint (micros-rounded codebook elements)
+    * — persisted with the code store and checked at probe time: ADC
+    * against codes from a DIFFERENT model is silently wrong, the
+    * [[modelFingerprint]] failure class. */
+  private[operators] def pqFingerprint(model: PqModel): Long =
+    model.codebooks.foldLeft(0L) { (acc, book) =>
+      book.foldLeft(31L * acc + book.length) { (a, c) =>
+        c.foldLeft(31L * a + c.length)((x, v) => 31L * x + math.round(v * 1e6))
+      }
+    }
+
+  /** persist the PRE-ENCODED PQ corpus: (id, m code bytes) — the storage
+    * shape PQ exists for: probes scan `m` bytes per row (32× under
+    * float32 at m=8/dim=64) and never touch the vectors or re-encode.
+    * Bucketed managed table with build metadata + model fingerprint, like
+    * the int8/LSH/IVF store twins. */
+  def writePqStore(df: DataFrame, idCol: String, vecCol: String,
+                   model: PqModel, store: String, nBuckets: Int = 64): Unit = {
+    graft.sources.Sources.writeBucketed(
+      df.select(col(idCol), pqCodes(col(vecCol), model).as("codes")),
+      s"${store}_pq", idCol, nBuckets)
+    graft.operators.Dedup.setStoreParams(df.sparkSession, s"${store}_pq",
+      Map("kind" -> "pq", "fp" -> pqFingerprint(model).toString))
+  }
+
+  /** top-k against a [[writePqStore]] store — same result as [[pqAdcTopK]]
+    * BY CONSTRUCTION (encoding is deterministic and happened at write
+    * time); the scan reads stored code bytes only. Fails loudly if the
+    * store was encoded under a different model (fingerprint check). */
+  def pqAdcTopKAgainstStore(spark: SparkSession, store: String, idCol: String,
+                            query: Seq[Double], model: PqModel, k: Int,
+                            extraFilter: Column = lit(true)): DataFrame = {
+    graft.operators.Dedup.checkStoreParams(spark, s"${store}_pq",
+      Map("kind" -> "pq", "fp" -> pqFingerprint(model).toString))
+    val lut = pqLutNanos(model, query)
+    val qn = pqQueryNormNanos(model, query)
+    spark.table(s"${store}_pq")
+      .filter(extraFilter)
+      .withColumn("__lut", array(lut.map(lit): _*))
+      .withColumn("__nanos",
+        adcNanos(col("codes"), col("__lut"), model.m, model.ksub) + qn)
+      .orderBy(col("__nanos"), col(idCol))
+      .limit(k)
+      .select(col(idCol),
+        round(col("__nanos").cast(DoubleType) / 1e9, 6).as("dist_sq"))
+      // output order on the ROUNDED distance with id ties — top-k selection
+      // ranks on exact nanos, but the emitted frame must order identically
+      // to an oracle that only sees the rounded column
+      .orderBy(col("dist_sq"), col(idCol))
+  }
+
+  /** PQ-ADC with exact RE-RANKING — the production IVFADC+R architecture
+    * (Jégou et al. §V): the code scan ranks ALL rows by exact-integer ADC,
+    * the top `rerank` candidate ids (R ≪ corpus) join back to their float
+    * vectors for an exact squared-L2 re-rank, and the final top-k is
+    * exact over that candidate set. Pure ADC is cell-resolution-limited
+    * (recall@10 ≈ 0.3 on structure-free random vectors — measured,
+    * q_pq_recall); re-ranking recovers exactness wherever the true
+    * neighbors survive into the top R, at the cost of fetching R float
+    * rows per query (a broadcast-semi-join against the corpus — at 100 TB
+    * the ID join is index-shaped, R rows of float I/O per query).
+    * Determinism: candidate selection is exact-integer ADC; the re-rank
+    * double (|v|² − 2·q·v + |q|²) uses the engine-shared left fold, so
+    * ordering and the 6-dp emission replicate in SQL. */
+  def pqAdcRerankTopK(df: DataFrame, idCol: String, vecCol: String,
+                      query: Seq[Double], model: PqModel, k: Int,
+                      rerank: Int = 50): DataFrame = {
+    require(rerank >= k, s"pqAdcRerankTopK: rerank $rerank < k $k")
+    val cand = pqAdcTopK(df, idCol, vecCol, query, model, rerank)
+      .select(col(idCol))
+    val q = array(query.map(lit): _*)
+    val qn2 = sqNorm(query.toArray)
+    val v = col("__v")
+    df.join(broadcast(cand), Seq(idCol))
+      .select(col(idCol), col(vecCol).cast(ArrayType(DoubleType)).as("__v"))
+      .withColumn("__raw",
+        dotProduct(v, v) - lit(2.0) * dotProduct(v, q) + lit(qn2))
+      .orderBy(col("__raw"), col(idCol))
+      .limit(k)
+      .select(col(idCol), round(col("__raw"), 6).as("dist_sq"))
+  }
+
+  /** brute-force exact top-k by squared L2 (ranked by `|v|² − 2·v·q`, the
+    * |q|² constant dropped; ties to the lower id) — the ground truth
+    * [[pqAdcTopK]]'s recall is measured against, fold orders matching
+    * DuckDB's `list_dot_product`. */
+  def bruteL2TopK(df: DataFrame, idCol: String, vecCol: String,
+                  query: Seq[Double], k: Int): DataFrame = {
+    val q = array(query.map(lit): _*)
+    val v = col("__v")
+    df.select(col(idCol), col(vecCol).cast(ArrayType(DoubleType)).as("__v"))
+      .withColumn("__rank", dotProduct(v, v) - lit(2.0) * dotProduct(v, q))
+      .orderBy(col("__rank"), col(idCol))
+      .limit(k)
+      .select(col(idCol))
+  }
 }

@@ -476,4 +476,73 @@ class SkewAndIvfSpec extends AnyFunSuite {
           org.apache.spark.sql.types.ByteType, containsNull = true))
     } finally spark.sql("DROP TABLE IF EXISTS graft_i8_test_q")
   }
+
+  test("pqCodes ≡ plain-Scala per-subspace argmin recompute") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val model = Similarity.pqFit(emb.orderBy("vec_id"), "embedding")
+    val got = emb.select(col("vec_id"),
+        Similarity.pqCodes(col("embedding"), model).as("codes"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Byte](1).toSeq).toMap
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    val sub = model.subDim
+    vecs.foreach { case (id, v) =>
+      val want = (0 until model.m).map { j =>
+        val sv = java.util.Arrays.copyOfRange(v, j * sub, (j + 1) * sub)
+        // the kernel's exact formula: n2 − 2·dot, strict <, first minimum
+        var best = 0; var bestD = Double.MaxValue
+        model.codebooks(j).zipWithIndex.foreach { case (c, ci) =>
+          var d = 0.0; var t = 0
+          while (t < sub) { d += sv(t) * c(t); t += 1 }
+          val dist = Similarity.sqNorm(c) - 2.0 * d
+          if (dist < bestD) { bestD = dist; best = ci }
+        }
+        best.toByte
+      }
+      assert(got(id) == want, s"codes diverged for vec $id")
+    }
+  }
+
+  test("pq ADC: top-10 overlaps exact L2 top-10; store twin bit-identical") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val model = Similarity.pqFit(emb.orderBy("vec_id"), "embedding")
+    val qv = emb.filter(col("vec_id") === 1).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    val corpus = emb.filter(col("vec_id") =!= 1)
+    val fly = Similarity.pqAdcTopK(corpus, "vec_id", "embedding", qv, model,
+        k = 10).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val exact = Similarity.bruteL2TopK(corpus, "vec_id", "embedding", qv, 10)
+      .collect().map(_.getLong(0)).toSet
+    // pure ADC is cell-resolution-limited on structure-free random vectors
+    // (~0.3 recall@10, the Similarity scaladoc) — the floor here pins
+    // "better than chance", the rerank assertion below pins quality
+    assert(fly.map(_._1).toSet.intersect(exact).size >= 2,
+      s"PQ recall too low: ${fly.map(_._1).toSet.intersect(exact).size}/10")
+    // ADC top-50 → exact re-rank recovers the true neighbors
+    val rr = Similarity.pqAdcRerankTopK(corpus, "vec_id", "embedding", qv,
+        model, k = 10, rerank = 50).collect().map(_.getLong(0)).toSet
+    assert(rr.intersect(exact).size >= 8,
+      s"PQ+rerank recall too low: ${rr.intersect(exact).size}/10")
+    Similarity.writePqStore(emb, "vec_id", "embedding", model,
+      "graft_pq_test", nBuckets = 4)
+    try {
+      val store = Similarity.pqAdcTopKAgainstStore(spark, "graft_pq_test",
+          "vec_id", qv, model, k = 10, extraFilter = col("vec_id") =!= 1)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(fly == store, s"PQ store twin diverged: $fly vs $store")
+      // code storage really happened: m bytes per vector
+      val t = spark.table("graft_pq_test_pq")
+      assert(t.schema("codes").dataType
+        .asInstanceOf[org.apache.spark.sql.types.ArrayType]
+        .elementType == org.apache.spark.sql.types.ByteType)
+      // probing under a DIFFERENT model fails loudly (fingerprint check)
+      val other = Similarity.PqModel(
+        model.codebooks.map(_.map(_.map(_ + 1.0))))
+      val e = intercept[IllegalArgumentException](
+        Similarity.pqAdcTopKAgainstStore(spark, "graft_pq_test", "vec_id",
+          qv, other, k = 10))
+      assert(e.getMessage.toLowerCase.contains("param") ||
+        e.getMessage.contains("fp"))
+    } finally spark.sql("DROP TABLE IF EXISTS graft_pq_test_pq")
+  }
 }
