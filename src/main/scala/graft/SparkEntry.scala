@@ -37,6 +37,11 @@ object SparkEntry {
     * so the generated q_ivf_* oracles embed THAT run's fitted centroids. */
   @volatile private var lastIvfDir: Option[String] = None
 
+  /** the sf dir the most recent scaled fuzzy-join ran against — its
+    * generated oracle embeds the SAME docCount-derived prefix length the
+    * query resolved. */
+  @volatile private var lastFuzzyDir: Option[String] = None
+
   /** the sf dir the most recent xxhash64/HLL sketch query ran against —
     * [[oracleSql]] then recomputes those pipelines Spark-independently
     * ([[graft.verify.IndependentOracles]]) over that dir's corpus and embeds
@@ -114,6 +119,18 @@ object SparkEntry {
       val name = s"graft_pq_store_${java.lang.Integer.toHexString(dir.hashCode)}"
       Similarity.writePqStore(rd(s, dir, "embeddings"), "vec_id", "embedding",
         pqModelFor(s, dir), name)
+      name
+    })
+
+  /** memoized per-dir IVF-PQ composite store (cell-partitioned code bytes
+    * — the FAISS IVFADC shape; offline build like its two parents). */
+  private val ivfPqStores =
+    new scala.collection.concurrent.TrieMap[String, String]
+  private def ivfPqStoreFor(s: SparkSession, dir: String): String =
+    ivfPqStores.getOrElseUpdate(dir, {
+      val name = s"graft_ivfpq_store_${java.lang.Integer.toHexString(dir.hashCode)}"
+      Similarity.writeIvfPqStore(rd(s, dir, "embeddings"), "vec_id",
+        "embedding", ivfModelFor(s, dir), pqModelFor(s, dir), name)
       name
     })
 
@@ -339,6 +356,27 @@ object SparkEntry {
   private[graft] def simhashBandBits(n: Long): Int =
     math.min(30, math.max(15, math.ceil(log2(n)).toInt + 3))
 
+  /** corpus-scaled fuzzy-join BLOCK prefix length: +1.5 chars per corpus
+    * DOUBLING past the fixture scale. Fixed-prefix blocking is quadratic
+    * in data (block count constant ⇒ block size ∝ n ⇒ pairs ∝ n² —
+    * measured: q_fuzzy_join 1.9 s → 19.2 s → 256 s at 10×/30×); each
+    * added prefix char multiplies the distinct-block count by the text's
+    * effective branching factor, holding expected pair mass — and the
+    * candidates×verify term — bounded. The slope is calibrated to
+    * measured branching (~0.7 bits/char through the first word, where
+    * salted-replica suffixes split late): a gentler +0.5 chars/doubling
+    * left 260 M pairs at 100× (probe DNF-class, 598 s); this profile
+    * measures 105 k → 911 k → 229 k → 311 k pairs at sf0.1/10×/30×/100×.
+    * ≤ 8192 docs resolves to the legacy 4 (static oracle and baseline
+    * shares unchanged). The trade is recall at the BLOCK boundary: pairs
+    * differing inside the first L chars are out of scope by contract —
+    * exactly the [[graft.operators.TextAnalysis.fuzzyJoin]] blocking
+    * semantics, which is what keeps the scaled form oracle-checkable. */
+  private[graft] def fuzzyPrefixLen(n: Long): Int = {
+    val excess = log2(math.max(n, 1)) - 13.0 // log2(8192)
+    4 + math.max(0, math.ceil(1.5 * excess).toInt)
+  }
+
   /** pre-build every memoized OFFLINE artifact for `dir` — the IVF model
     * (sampled Lloyd's fit), token-budget rates, and temperature rates — so
     * a bench's timed queries measure probing/filtering, not index
@@ -360,6 +398,7 @@ object SparkEntry {
     lshStoreFor(s, dir)
     int8StoreFor(s, dir)
     pqStoreFor(s, dir)
+    ivfPqStoreFor(s, dir)
     searchStoreFor(s, dir)
     posStoreFor(s, dir)
     zorderBoundsFor(s, dir)
@@ -1282,6 +1321,20 @@ object SparkEntry {
       Similarity.pqAdcTopKAgainstStore(s, pqStoreFor(s, dir), "vec_id", q,
         model, k = 10, extraFilter = col("vec_id") =!= 1)
     }),
+    "q_ivfpq_ann" -> ((s, dir) => {
+      // the COMPOSITE index probe (FAISS IVFADC): partition pruning reads
+      // only the nprobe probed cells' FILES, and each surviving row is
+      // m=8 code bytes — the two savings multiply (~nprobe/k of the
+      // corpus × 1/32 of the bytes). Cell ranking is driver-side centroid
+      // math; ADC is the exact-integer LUT sum; both models fingerprinted
+      val emb = rd(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 1).select("embedding")
+        .head().getSeq[Float](0).map(_.toDouble)
+      val ivfM = ivfModelFor(s, dir)
+      val pqM = pqModelFor(s, dir)
+      Similarity.ivfPqTopK(s, ivfPqStoreFor(s, dir), ivfM, pqM, "vec_id",
+        q, k = 10, nprobe = 4, extraFilter = col("vec_id") =!= 1)
+    }),
     "q_pq_rerank" -> ((s, dir) => {
       // the production IVFADC+R shape: exact-integer ADC ranks the code
       // scan, top-50 candidate ids fetch their float rows (broadcast id
@@ -1980,11 +2033,27 @@ object SparkEntry {
       // blocked Levenshtein record linkage over 40-char text prefixes:
       // candidates share a (lang, 4-char-prefix) block — one shuffle on
       // the block key, bucket-local self-join, O(40²) verify per pair;
-      // blocking is part of the semantics (exactly oracle-checkable)
+      // blocking is part of the semantics (exactly oracle-checkable).
+      // FIXED profile — quadratic past fixture scale by the block-size
+      // law (measured 10.1x at 10x data); the scaled twin below is the
+      // production form
       graft.operators.TextAnalysis.fuzzyJoin(rd(s, dir, "documents"),
         "doc_id", col("text"),
         concat_ws("|", col("lang"), substring(col("text"), 1, 4)),
         maxDist = 12, keyLen = 40)),
+    "q_fuzzy_join_scaled" -> ((s, dir) => {
+      // the corpus-scaled blocking profile (the simhash_hamming_scaled
+      // pattern): prefix length grows +1 char per 4x corpus, holding
+      // expected block size — and the candidates×verify term — near
+      // constant; resolves to the legacy profile at the test SFs, and the
+      // generated oracle pins the SAME derived length
+      lastFuzzyDir = Some(dir)
+      val len = fuzzyPrefixLen(docCountFor(s, dir))
+      graft.operators.TextAnalysis.fuzzyJoin(rd(s, dir, "documents"),
+        "doc_id", col("text"),
+        concat_ws("|", col("lang"), substring(col("text"), 1, len)),
+        maxDist = 12, keyLen = 40)
+    }),
     "q_scd2_history" -> ((s, dir) => {
       // SCD2 time-travel store: init + two CDC merges into a bucketed
       // history table (each merge = ONE close-join on the co-bucketed key
@@ -3123,6 +3192,20 @@ object SparkEntry {
     * per-query LUT (nanos round matches the driver's HALF_UP — SQL round
     * is half-away-from-zero in both engines), and the exact-integer ADC
     * sum bit-for-bit. */
+  /** q_fuzzy_join (+ the scaled twin) in DuckDB: identical (lang, L-char
+    * prefix) blocking and 40-char-key Levenshtein verify; the scaled form
+    * is generated with the SAME docCount-derived L the query resolved. */
+  private def fuzzyJoinOracleSql(prefixLen: Int): String =
+    s"""WITH d AS (
+         SELECT doc_id, substr(text, 1, 40) AS k,
+           lang || '|' || substr(text, 1, $prefixLen) AS blk
+         FROM documents)
+       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(levenshtein(a.k, b.k) AS BIGINT) AS dist
+       FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+       WHERE levenshtein(a.k, b.k) <= 12
+       ORDER BY id_a, id_b"""
+
   private def pqChainSql(model: Similarity.PqModel): String = {
     val sub = model.subDim
     val cbv = model.codebooks.zipWithIndex.flatMap { case (book, j) =>
@@ -3190,6 +3273,45 @@ object SparkEntry {
          FROM corp c2 JOIN cand USING (vec_id) CROSS JOIN q)
        SELECT vec_id, round(raw, 6) AS dist_sq
        FROM rr ORDER BY raw, vec_id LIMIT 10"""
+
+  /** q_ivfpq_ann in DuckDB: the PQ ADC chain restricted to the IVF-probed
+    * cells — ivf centroid literals rank cells (same n2 − 2·dot form and
+    * lower-id ties as ivfChainSql) and assign each corpus row; the
+    * composite emits ADC over rows whose cell is probed. */
+  private def ivfPqAnnOracle(ivf: Similarity.IvfModel,
+                             pq: Similarity.PqModel): String = {
+    val icents = ivf.centers.zipWithIndex.flatMap { case (c, i) =>
+      c.zipWithIndex.map { case (w, j) => s"($i, $j, $w)" }
+    }.mkString(", ")
+    val inorms = ivf.centers.zipWithIndex.map { case (c, i) =>
+      s"($i, ${Similarity.sqNorm(c)})"
+    }.mkString(", ")
+    s"""WITH ${pqChainSql(pq)},
+       icents(ici, icj, icw) AS (VALUES $icents),
+       icl AS (SELECT ici, list(icw ORDER BY icj) AS icv
+               FROM icents GROUP BY ici),
+       icn(ici, in2) AS (VALUES $inorms),
+       iassign AS (
+         SELECT vec_id, ici FROM (
+           SELECT corp.vec_id, icl.ici,
+             row_number() OVER (PARTITION BY corp.vec_id
+               ORDER BY icn.in2 - 2.0 * list_dot_product(corp.v, icl.icv),
+                 icl.ici) AS rn
+           FROM corp CROSS JOIN icl JOIN icn ON icn.ici = icl.ici)
+         WHERE rn = 1),
+       iprobes AS (
+         SELECT icl.ici FROM icl JOIN icn ON icn.ici = icl.ici CROSS JOIN q
+         ORDER BY icn.in2 - 2.0 * list_dot_product(q.qv, icl.icv), icl.ici
+         LIMIT 4),
+       adcp AS (
+         SELECT adc.vec_id, adc.nanos FROM adc
+         JOIN iassign ON iassign.vec_id = adc.vec_id
+         WHERE iassign.ici IN (SELECT ici FROM iprobes)),
+       ipq AS (
+         SELECT vec_id, round(CAST(nanos AS DOUBLE) / 1e9, 6) AS dist_sq
+         FROM adcp ORDER BY nanos, vec_id LIMIT 10)
+       SELECT vec_id, dist_sq FROM ipq ORDER BY dist_sq, vec_id"""
+  }
 
   private def pqRecallOracle(model: Similarity.PqModel): String =
     s"""WITH ${pqChainSql(model)},
@@ -4747,16 +4869,7 @@ object SparkEntry {
          FROM b CROSS JOIN bounds GROUP BY bucket ORDER BY bucket""",
     // blocked Levenshtein linkage: identical blocking + verify; both
     // engines' levenshtein is the classic unit-cost edit distance
-    "q_fuzzy_join" ->
-      """WITH d AS (
-           SELECT doc_id, substr(text, 1, 40) AS k,
-             lang || '|' || substr(text, 1, 4) AS blk
-           FROM documents)
-         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           CAST(levenshtein(a.k, b.k) AS BIGINT) AS dist
-         FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
-         WHERE levenshtein(a.k, b.k) <= 12
-         ORDER BY id_a, id_b""",
+    "q_fuzzy_join" -> fuzzyJoinOracleSql(4),
     // closed-form SCD2 history after init(0) + the %7/%11/%13 batch-1 +
     // %9-upsert batch-2 changesets: v0 closes at 1 if touched by batch 1
     // (delete wins the %7∧%13 overlap either way), else at 2 if %9; the
@@ -4873,7 +4986,15 @@ object SparkEntry {
     Map("q_pq_ann" -> pqAnnOracle(m),
       "q_pq_store_ann" -> pqAnnOracle(m),
       "q_pq_rerank" -> pqRerankOracle(m),
-      "q_pq_recall" -> pqRecallOracle(m))
+      "q_pq_recall" -> pqRecallOracle(m)) ++
+      lastIvfDir.flatMap(ivfModels.get).map { im =>
+        Map("q_ivfpq_ann" -> ivfPqAnnOracle(im, m))
+      }.getOrElse(Map.empty)
+  }.getOrElse(Map.empty) ++ lastFuzzyDir.flatMap(docCounts.get).map { n =>
+    // the scaled-blocking twin: generated with the SAME corpus-derived
+    // prefix length the query resolved (the simhash_hamming_scaled
+    // profile-pinning pattern)
+    Map("q_fuzzy_join_scaled" -> fuzzyJoinOracleSql(fuzzyPrefixLen(n)))
   }.getOrElse(Map.empty) ++ lastBudgetDir.flatMap(budgetRatesMemo.get).map { r =>
     // same lazy-literal mechanism: the thresholds the query derived offline
     val cases = r.toSeq.sortBy(_._1).map { case (d, f) =>

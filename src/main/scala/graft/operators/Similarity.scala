@@ -1001,10 +1001,44 @@ object Similarity {
   def writePqStore(df: DataFrame, idCol: String, vecCol: String,
                    model: PqModel, store: String, nBuckets: Int = 64): Unit = {
     graft.sources.Sources.writeBucketed(
-      df.select(col(idCol), pqCodes(col(vecCol), model).as("codes")),
+      df.select(col(idCol), pqCodes(col(vecCol), model).as("codes"))
+        .withColumn("__batch", lit(-1L)),
       s"${store}_pq", idCol, nBuckets)
     graft.operators.Dedup.setStoreParams(df.sparkSession, s"${store}_pq",
+      Map("kind" -> "pq", "fp" -> pqFingerprint(model).toString,
+        "nBuckets" -> nBuckets))
+  }
+
+  /** idempotent batched append to a [[writePqStore]] store: encode the
+    * batch under the SAME fingerprint-checked model and append with a
+    * `__batch` tag; a replayed batchId (streaming retry, crash-recovery
+    * re-delivery) is skipped exactly — the
+    * [[graft.operators.Search.appendInvertedIndex]] in-data idempotence
+    * contract, carried to the ANN index. Returns whether the append ran.
+    * Batches must be id-disjoint from prior content (the ingest contract
+    * of every accreting store here); same-bucket appends accrete one file
+    * per writing task per batch — compact on the store's maintenance
+    * cadence ([[graft.sources.Sources.compactBucketed]]). */
+  def appendPqStore(df: DataFrame, idCol: String, vecCol: String,
+                    model: PqModel, store: String,
+                    batchId: Long = -1L): Boolean = {
+    val spark = df.sparkSession
+    graft.operators.Dedup.checkStoreParams(spark, s"${store}_pq",
       Map("kind" -> "pq", "fp" -> pqFingerprint(model).toString))
+    val props = spark.sql(s"SHOW TBLPROPERTIES ${store}_pq").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val nBuckets = props.getOrElse("graft.nBuckets",
+      sys.error(s"$store: no graft.nBuckets property — not an appendable " +
+        "PQ store (rebuild with writePqStore to upgrade)")).toInt
+    val committed = batchId >= 0 &&
+      spark.table(s"${store}_pq").filter(col("__batch") === batchId)
+        .limit(1).count() > 0
+    if (!committed)
+      graft.sources.Sources.writeBucketed(
+        df.select(col(idCol), pqCodes(col(vecCol), model).as("codes"))
+          .withColumn("__batch", lit(batchId)),
+        s"${store}_pq", idCol, nBuckets, SaveMode.Append)
+    !committed
   }
 
   /** top-k against a [[writePqStore]] store — same result as [[pqAdcTopK]]
@@ -1062,6 +1096,59 @@ object Similarity {
       .orderBy(col("__raw"), col(idCol))
       .limit(k)
       .select(col(idCol), round(col("__raw"), 6).as("dist_sq"))
+  }
+
+  /** persist the IVF-PQ COMPOSITE index (the FAISS "IVFADC" shape, Jégou
+    * et al. §V): rows are IVF-assigned to cells AND PQ-encoded, stored as
+    * (id, m code bytes) PARTITIONED BY CELL. A probe then multiplies the
+    * two savings that [[writeIvfStore]] and [[writePqStore]] each deliver
+    * alone: partition pruning reads only ~nprobe/k of the FILES, and each
+    * surviving row is m bytes instead of dim·4 float bytes — at 100 TB of
+    * float32 vectors with k=4096 cells, nprobe=8, m=8/dim=64, a query
+    * touches ~100TB · (8/4096) / 32 ≈ 6 GB. Both models are
+    * fingerprinted; probing under either wrong model fails loudly. */
+  def writeIvfPqStore(df: DataFrame, idCol: String, vecCol: String,
+                      ivf: IvfModel, pq: PqModel, store: String): Unit = {
+    ivfAssign(df, vecCol, ivf)
+      .select(col(idCol), pqCodes(col(vecCol), pq).as("codes"),
+        col("__cluster"))
+      .write.mode(SaveMode.Overwrite).format("parquet")
+      .partitionBy("__cluster").saveAsTable(s"${store}_pqcells")
+    graft.operators.Dedup.setStoreParams(df.sparkSession, s"${store}_pqcells",
+      Map("kind" -> "ivfpq", "ivfFp" -> modelFingerprint(ivf),
+        "pqFp" -> pqFingerprint(pq).toString))
+  }
+
+  /** ADC top-k against a [[writeIvfPqStore]] store: rank the `nprobe`
+    * nearest cells driver-side ([[ivfProbes]] — pure k-centroid math),
+    * PARTITION-prune the code scan to those cells, and rank survivors by
+    * the exact-integer ADC sum. Same determinism contract as
+    * [[pqAdcTopK]] (integer ranking, id ties, rounded emission), so the
+    * generated two-model oracle replicates cell ranking, encoding, and
+    * ADC bit-for-bit. Recall stacks the two approximations (cell miss +
+    * quantization); compose with [[pqAdcRerankTopK]]'s candidate-fetch
+    * pattern when exactness-within-candidates matters. */
+  def ivfPqTopK(spark: SparkSession, store: String, ivf: IvfModel,
+                pq: PqModel, idCol: String, query: Seq[Double], k: Int,
+                nprobe: Int = 4,
+                extraFilter: Column = lit(true)): DataFrame = {
+    graft.operators.Dedup.checkStoreParams(spark, s"${store}_pqcells",
+      Map("kind" -> "ivfpq", "ivfFp" -> modelFingerprint(ivf),
+        "pqFp" -> pqFingerprint(pq).toString))
+    val probes = ivfProbes(ivf, query, nprobe)
+    val lut = pqLutNanos(pq, query)
+    val qn = pqQueryNormNanos(pq, query)
+    spark.table(s"${store}_pqcells")
+      .filter(col("__cluster").isin(probes.map(Int.box): _*))
+      .filter(extraFilter)
+      .withColumn("__lut", array(lut.map(lit): _*))
+      .withColumn("__nanos",
+        adcNanos(col("codes"), col("__lut"), pq.m, pq.ksub) + qn)
+      .orderBy(col("__nanos"), col(idCol))
+      .limit(k)
+      .select(col(idCol),
+        round(col("__nanos").cast(DoubleType) / 1e9, 6).as("dist_sq"))
+      .orderBy(col("dist_sq"), col(idCol))
   }
 
   /** brute-force exact top-k by squared L2 (ranked by `|v|² − 2·v·q`, the

@@ -612,4 +612,44 @@ object Streams {
     q.processAllAvailable()
     q.stop()
   }
+
+  /** one pass of streaming ANN-index ingest: each micro-batch of vector
+    * rows is PQ-ENCODED under the fingerprint-checked model and appended
+    * to the [[graft.operators.Similarity.writePqStore]] code store via
+    * [[graft.operators.Similarity.appendPqStore]] — the search-index
+    * ingest architecture ([[runSearchIngestOnce]]) carried to the vector
+    * side: filesystem markers make replay cheap, but the guarantee is
+    * IN-DATA (the `__batch` tag gate), which survives a crash between
+    * append and marker. Probes against the store see each batch's vectors
+    * as soon as its append commits; the codebooks themselves are FROZEN at
+    * fit time (the standard production contract — re-fitting requires a
+    * store rebuild, which the fingerprint check enforces loudly). */
+  def runPqIngestOnce(spark: SparkSession, inDir: String,
+                      checkpointDir: String, store: String,
+                      model: graft.operators.Similarity.PqModel,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): Unit = {
+    val schema = spark.read.parquet(inDir).schema
+    spark.catalog.refreshTable(s"${store}_pq")
+    val markers = new org.apache.hadoop.fs.Path(checkpointDir, "pq_commits")
+    val q = spark.readStream.schema(schema).parquet(inDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val s = batch.sparkSession
+        val fs = markers.getFileSystem(s.sessionState.newHadoopConf())
+        val marker = new org.apache.hadoop.fs.Path(markers, batchId.toString)
+        if (!fs.exists(marker)) {
+          graft.operators.Similarity.appendPqStore(
+            batch.toDF(), idCol, vecCol, model, store, batchId)
+          fs.mkdirs(markers)
+          fs.createNewFile(marker)
+          s.catalog.refreshTable(s"${store}_pq")
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
 }

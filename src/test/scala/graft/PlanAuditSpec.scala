@@ -433,4 +433,74 @@ class PlanAuditSpec extends AnyFunSuite {
         s"int8 store probe still reads float vectors:\n$plan")
     } finally spark.sql("DROP TABLE IF EXISTS graft_plan_i8_q")
   }
+
+  test("pq store probe scans code bytes, never the float vectors") {
+    import graft.operators.Similarity
+    val emb = (1L to 100L).map(i =>
+        (i, Array.tabulate(8)(j => math.sin(i * (j + 1)).toFloat).toSeq))
+      .toDF("vec_id", "embedding")
+    val model = Similarity.pqFit(emb.orderBy("vec_id"), "embedding",
+      m = 2, ksub = 4)
+    Similarity.writePqStore(emb, "vec_id", "embedding", model,
+      "graft_plan_pq", nBuckets = 2)
+    try {
+      val q = (0 until 8).map(j => math.sin(j + 1.0))
+      val plan = finalPlan(Similarity.pqAdcTopKAgainstStore(spark,
+        "graft_plan_pq", "vec_id", q, model, 5))
+      assert(plan.contains("graft_plan_pq_pq"), plan)
+      assert(!plan.contains("embedding"),
+        s"pq store probe still reads float vectors:\n$plan")
+    } finally spark.sql("DROP TABLE IF EXISTS graft_plan_pq_pq")
+  }
+
+  test("attributionLastTouch: window partitions by user, no SinglePartition") {
+    import graft.operators.Analytics
+    val ev = (1L to 200L).map(i => (i, new java.sql.Timestamp(i * 60000),
+        i % 20, if (i % 5 == 0) "purchase" else "view", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val plan = finalPlan(Analytics.attributionLastTouch(ev, "user_id", "ts",
+      "event_type", expr("cast(round(value * 100) as bigint)"), "event_id",
+      Seq("view"), "purchase", 3600L))
+    assert(!plan.contains("SinglePartition"),
+      s"attribution funnels through one partition:\n$plan")
+    assert(plan.contains("Window"), plan)
+  }
+
+  test("rocAuc: rank window runs bucket-partitioned, never globally") {
+    import graft.operators.Profiling
+    val df = spark.read.parquet(dir)
+    val plan = finalPlan(Profiling.rocAuc(df, col("id") % 50, col("grp") < 3))
+    // the prefix-sum window must sit on a hash-partitioned (__bucket)
+    // exchange; the only SinglePartition allowed is the final 1-row
+    // scalar aggregate over map-side partials
+    assert(plan.contains("hashpartitioning(__bucket"),
+      s"rocAuc prefix sum not bucket-partitioned:\n$plan")
+    val windowSection = plan.linesIterator.dropWhile(!_.contains(") Window"))
+      .take(6).mkString("\n")
+    assert(!windowSection.contains("SinglePartition"),
+      s"rocAuc rank window is global:\n$plan")
+  }
+
+  test("chiSquare + histogram: margins/bounds broadcast back, codegen'd aggs") {
+    import graft.operators.Profiling
+    val df = spark.read.parquet(dir)
+    val chi = finalPlan(Profiling.chiSquare(df, col("grp"), col("id") % 3))
+    assert(chi.contains("BroadcastExchange"), chi)
+    assert(!chi.contains("SortMergeJoin"),
+      s"chiSquare margins should broadcast, not SMJ:\n$chi")
+    val hist = finalPlan(Profiling.histogramEquiWidth(df, col("id"), 8))
+    assert(hist.contains("BroadcastExchange"), hist)
+    assert(hist.contains("[codegen id :"), hist)
+  }
+
+  test("fuzzyJoin: ONE equi-exchange per side on the block key, no cartesian") {
+    import graft.operators.TextAnalysis
+    val docs = (1L to 300L).map(i => (i, s"prefix_${i % 9} body $i"))
+      .toDF("doc_id", "text")
+    val plan = finalPlan(TextAnalysis.fuzzyJoin(docs, "doc_id", col("text"),
+      substring(col("text"), 1, 8), maxDist = 20))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"fuzzyJoin degenerated to all-pairs:\n$plan")
+  }
 }

@@ -477,6 +477,53 @@ class SkewAndIvfSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS graft_i8_test_q")
   }
 
+  test("IVF-PQ composite: pruned code probe ≡ restrict-then-ADC; byte scan") {
+    val vecs = (0 until 40).map { i =>
+      val base = if (i % 2 == 0) Array(1.0f, 0.0f, 0.0f, 0.0f)
+                 else Array(0.0f, 1.0f, 0.0f, 0.0f)
+      (i.toLong, base.zipWithIndex.map { case (v, j) => v + (i * (j + 1)) * 1e-4f }.toSeq)
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val (ivfM, assigned) = Similarity.ivfBuild(emb, "embedding", k = 4)
+    val pqM = Similarity.pqFit(emb.orderBy("vec_id"), "embedding",
+      m = 2, ksub = 4)
+    val q = Seq(1.0, 0.0, 0.0, 0.0)
+    try {
+      Similarity.writeIvfPqStore(emb, "vec_id", "embedding", ivfM, pqM,
+        "graft_ivfpq_spec")
+      val got = Similarity.ivfPqTopK(spark, "graft_ivfpq_spec", ivfM, pqM,
+        "vec_id", q, k = 5, nprobe = 2)
+      val rows = got.as[(Long, Double)].collect().toSeq
+      // reference: restrict the corpus to the probed cells in memory, then
+      // run plain PQ-ADC over that restriction — the composite must equal it
+      val probes = ivfM.centers.indices
+        .map(i => (i, Similarity.sqNorm(ivfM.centers(i)) -
+          2.0 * ivfM.centers(i).zip(q).map { case (a, b) => a * b }.sum))
+        .sortBy { case (i, d) => (d, i) }.take(2).map(_._1).toSet
+      val restricted = assigned
+        .filter(col("__cluster").isin(probes.map(Int.box).toSeq: _*))
+      val want = Similarity.pqAdcTopK(restricted, "vec_id", "embedding",
+        q, pqM, k = 5).as[(Long, Double)].collect().toSeq
+      assert(rows == want, s"composite $rows != restrict-then-ADC $want")
+      // partition pruning + bytes-only scan: the probe must never read a
+      // float 'embedding' column and must prune on __cluster
+      val plan = got.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") && plan.contains("__cluster"),
+        s"ivfpq probe not partition-pruned:\n$plan")
+      assert(!plan.contains("embedding"),
+        s"ivfpq probe reads float vectors:\n$plan")
+      // either wrong model is refused
+      val otherIvf = Similarity.IvfModel(ivfM.centers.map(_.map(_ + 0.25)))
+      intercept[IllegalArgumentException](
+        Similarity.ivfPqTopK(spark, "graft_ivfpq_spec", otherIvf, pqM,
+          "vec_id", q, k = 5))
+      val otherPq = Similarity.PqModel(pqM.codebooks.map(_.map(_.map(_ + 1))))
+      intercept[IllegalArgumentException](
+        Similarity.ivfPqTopK(spark, "graft_ivfpq_spec", ivfM, otherPq,
+          "vec_id", q, k = 5))
+    } finally spark.sql("DROP TABLE IF EXISTS graft_ivfpq_spec_pqcells")
+  }
+
   test("pqCodes ≡ plain-Scala per-subspace argmin recompute") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val model = Similarity.pqFit(emb.orderBy("vec_id"), "embedding")

@@ -773,4 +773,50 @@ class StreamsSpec extends AnyFunSuite {
       Seq("event_id"), "ts", delay = "10 minutes")
     assert(ok.isStreaming)
   }
+
+  test("streaming PQ ingest: appends equal a full rebuild, replay-idempotent") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    def v(seed: Int): Seq[Float] =
+      Array.tabulate(8)(j => math.sin(seed * 7 + j).toFloat).toSeq
+    val base = java.nio.file.Files.createTempDirectory("graft_pqing").toString
+    val (inDir, ckpt) = (s"$base/in", s"$base/ckpt")
+    val b0 = (1L to 20L).map(i => (i, v(i.toInt))).toDF("vec_id", "embedding")
+    val b1 = (21L to 30L).map(i => (i, v(i.toInt))).toDF("vec_id", "embedding")
+    val model = Similarity.pqFit(b0.orderBy("vec_id"), "embedding",
+      m = 2, ksub = 4)
+    Similarity.writePqStore(b0, "vec_id", "embedding", model,
+      "graft_pqing_store", nBuckets = 2)
+    b1.write.mode("append").parquet(inDir)
+    Streams.runPqIngestOnce(spark, inDir, ckpt, "graft_pqing_store", model)
+    try {
+      val q = (0 until 8).map(j => math.sin(j + 3.0))
+      def res = Similarity.pqAdcTopKAgainstStore(spark, "graft_pqing_store",
+          "vec_id", q, model, k = 30)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val afterStream = res
+      assert(afterStream.map(_._1).toSet == (1L to 30L).toSet,
+        s"streamed batch not probeable: ${afterStream.map(_._1).sorted}")
+      // replay with a FRESH checkpoint: batchIds restart at 0, so the
+      // filesystem markers are blind — the __batch in-data gate must skip
+      Streams.runPqIngestOnce(spark, inDir, s"$base/ckpt2",
+        "graft_pqing_store", model)
+      assert(res == afterStream, "replayed batch double-appended")
+      // final state equals a from-scratch rebuild over both batches
+      Similarity.writePqStore(b0.unionAll(b1), "vec_id", "embedding", model,
+        "graft_pqing_rebuild", nBuckets = 2)
+      val rebuilt = Similarity.pqAdcTopKAgainstStore(spark,
+          "graft_pqing_rebuild", "vec_id", q, model, k = 30)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(res == rebuilt, "incremental store diverged from rebuild")
+      // a different model cannot append (fingerprint check)
+      val other = Similarity.PqModel(model.codebooks.map(_.map(_.map(_ + 1))))
+      intercept[IllegalArgumentException](
+        Similarity.appendPqStore(b1, "vec_id", "embedding", other,
+          "graft_pqing_store", batchId = 99L))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_pqing_store_pq")
+      spark.sql("DROP TABLE IF EXISTS graft_pqing_rebuild_pq")
+    }
+  }
 }
