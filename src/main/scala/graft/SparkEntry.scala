@@ -1101,6 +1101,20 @@ object SparkEntry {
       // a dedup pass drops the difference
       Dedup.clusterSizeHistogramPortable(rd(s, dir, "documents"),
         "doc_id", "text", 0.5)),
+    "q_golden_record" -> ((s, dir) =>
+      // entity-resolution survivorship over the same components: one
+      // canonical row per cluster, each field independently from the
+      // longest member that has it (per-field max-struct aggregate, no
+      // per-component sort); singletons pass through as themselves
+      Dedup.goldenRecordPortable(rd(s, dir, "documents"), "doc_id", "text",
+        col("n_chars"), Seq("lang", "source"), 0.5)),
+    "q_split_leakage" -> ((s, dir) =>
+      // eval-integrity audit: near-dup pairs (same md5 candidate chain)
+      // that CROSS the hash-interval train/val/test assignment — silent
+      // eval contamination external decontamination never sees; split pair
+      // normalized lexicographically, cost ∝ |pairs|
+      Dedup.splitLeakagePortable(rd(s, dir, "documents"), "doc_id", "text",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), 0.5)),
     "q_simhash_dedup" -> ((s, dir) => {
       lastSketchDir = Some(dir)
       Dedup.simhashDedup(rd(s, dir, "documents"), "doc_id", "text")
@@ -1295,6 +1309,21 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_matched"))
         .select(col("n_matched"),
           round(col("n_matched") / 10.0, 6).as("recall_at_10"))
+    }),
+    "q_kmeans_refine" -> ((s, dir) => {
+      // ONE full-corpus Lloyd pass from the memoized sampled fit — the
+      // 100 TB centroid-quality pattern (fit on a bounded sample, refine
+      // distributed): assignment + per-dim means run as one codegen argmin
+      // projection + one hash aggregate, k×dim rows reach the driver. The
+      // integer-micros offset-floor mean makes the refined centroids
+      // engine-exact, so the generated oracle replays the whole iteration
+      // (assignment, sums, floor mean, empty-cluster carry) in DuckDB
+      val refined = Similarity.kmeansRefine(rd(s, dir, "embeddings"),
+        "embedding", ivfModelFor(s, dir), iters = 1)
+      import s.implicits._
+      refined.centers.zipWithIndex.flatMap { case (c, i) =>
+        c.zipWithIndex.map { case (w, j) => (i.toLong, j.toLong, w) }
+      }.toSeq.toDF("cluster", "pos", "coord").orderBy("cluster", "pos")
     }),
     "q_pq_ann" -> ((s, dir) => {
       // PQ-ADC top-10 computed on the fly (encode + table-lookup in one
@@ -1964,6 +1993,13 @@ object SparkEntry {
       // partition-order-independent where a double sum is not
       graft.operators.Analytics.resampleDaily(rdEvents(s, dir),
         "event_type", "ts", expr("cast(round(value * 100) as bigint)"))),
+    "q_rolling_active" -> ((s, dir) =>
+      // trailing-7-day active users, EXACT, via disjoint coverage
+      // intervals: each (user, day) covers up to its user's next active
+      // day, so a plain count per covered day IS the distinct count — no
+      // per-day count(DISTINCT), no w× explode-then-dedup
+      graft.operators.Analytics.rollingActive(rdEvents(s, dir),
+        "user_id", "ts", windowDays = 7)),
     "q_constraints" -> ((s, dir) => {
       // Deequ-style pre-flight gate over the TPC-H batch: each check is
       // ONE column-pruned aggregate (or one anti-join for the FKs); the
@@ -2569,6 +2605,56 @@ object SparkEntry {
        FROM (SELECT * FROM hist
              UNION ALL SELECT * FROM singles WHERE n_clusters > 0)
        ORDER BY cluster_size"""
+
+  /** q_golden_record's oracle: the shared component chain, membership with
+    * singleton fallback (coalesce to own id — component labels are min ids,
+    * so cluster_id stays the min member id everywhere), then per-field
+    * survivorship as row_number over (n_chars DESC, id) — replicating the
+    * max-struct aggregate exactly (documents' fields are never null, so the
+    * non-null rank flag is constant on this fixture; null-skipping is
+    * ScalaTest-pinned). */
+  private val GoldenRecordOracle: String =
+    s"""$ClusterLabelsChainSql,
+       mem AS (
+         SELECT d.doc_id AS id, coalesce(l.label, d.doc_id) AS cl,
+                d.n_chars, d.lang, d.source
+         FROM documents d LEFT JOIN labels l ON l.id = d.doc_id),
+       r AS (
+         SELECT cl, lang, source,
+           row_number() OVER (PARTITION BY cl ORDER BY n_chars DESC, id)
+             AS rn
+         FROM mem),
+       cnt AS (
+         SELECT cl, CAST(count(*) AS BIGINT) AS n_members
+         FROM mem GROUP BY cl)
+       SELECT CAST(r.cl AS BIGINT) AS cluster_id, cnt.n_members,
+              r.lang, r.source
+       FROM r JOIN cnt ON cnt.cl = r.cl WHERE r.rn = 1
+       ORDER BY cluster_id"""
+
+  /** q_split_leakage's oracle: the shared candidate chain's `sim` pair set
+    * (threshold 0.5) crossed with the q_split_assign hash-interval
+    * assignment; split pair normalized lexicographically. The chain's
+    * unused component CTEs cost nothing — CTEs are lazy. */
+  private val SplitLeakageOracle: String =
+    s"""$ClusterLabelsChainSql,
+       sa AS (
+         SELECT doc_id, CASE WHEN b < 8000 THEN 'train'
+                             WHEN b < 9000 THEN 'val'
+                             WHEN b < 10000 THEN 'test'
+                             ELSE 'holdout' END AS sp
+         FROM (SELECT doc_id,
+                 CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) % 10000 AS b
+               FROM documents))
+       SELECT least(a.sp, b2.sp) AS split_a,
+              greatest(a.sp, b2.sp) AS split_b,
+              CAST(count(*) AS BIGINT) AS n_pairs
+       FROM sim
+       JOIN sa a ON a.doc_id = sim.id_a
+       JOIN sa b2 ON b2.doc_id = sim.id_b
+       WHERE a.sp <> b2.sp
+       GROUP BY 1, 2 ORDER BY 1, 2"""
 
   /** the md5-portable 60-bit SimHash signature CTE chain (documents →
     * (doc_id, sig)) — shared by q_simhash_oracle (hamming-0 dedup) and
@@ -3335,6 +3421,45 @@ object SparkEntry {
        SELECT CAST(nm AS BIGINT) AS n_matched,
          round(nm / 10.0, 6) AS recall_at_10 FROM m"""
 
+  /** q_kmeans_refine in DuckDB: replay ONE full-corpus Lloyd iteration from
+    * the fitted-centroid literals — argmin assignment over ALL embeddings
+    * (same bit-identical ranking as [[ivfChainSql]], which excludes the
+    * query row and so isn't reused here), per-(cluster, dim) sums of
+    * offset-shifted integer micros, floor-division mean (`//` floors in
+    * DuckDB, Spark `div`/BigInteger truncates — equal on the non-negative
+    * offset domain), empty clusters carried from the init literals. */
+  private def kmeansRefineOracle(model: Similarity.IvfModel): String = {
+    val cents = model.centers.zipWithIndex.flatMap { case (c, i) =>
+      c.zipWithIndex.map { case (w, j) => s"($i, $j, $w)" }
+    }.mkString(", ")
+    val norms = model.centers.zipWithIndex.map { case (c, i) =>
+      s"($i, ${Similarity.sqNorm(c)})"
+    }.mkString(", ")
+    s"""WITH cents(ci, cj, cw) AS (VALUES $cents),
+       cl AS (SELECT ci, list(cw ORDER BY cj) AS cv FROM cents GROUP BY ci),
+       cn(ci, n2) AS (VALUES $norms),
+       e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       assign AS (
+         SELECT vec_id, ci FROM (
+           SELECT e.vec_id, cl.ci,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY cn.n2 - 2.0 * list_dot_product(e.v, cl.cv), cl.ci) AS rn
+           FROM e CROSS JOIN cl JOIN cn ON cn.ci = cl.ci)
+         WHERE rn = 1),
+       ex AS (
+         SELECT a.ci, generate_subscripts(e.v, 1) - 1 AS p, unnest(e.v) AS x
+         FROM assign a JOIN e ON e.vec_id = a.vec_id),
+       means AS (
+         SELECT ci, p,
+           CAST(sum(CAST(round(x * 1000000) AS BIGINT) + 4000000)
+                  // count(*) - 4000000 AS BIGINT) / 1000000.0 AS coord
+         FROM ex GROUP BY ci, p)
+       SELECT CAST(c.ci AS BIGINT) AS cluster, CAST(c.cj AS BIGINT) AS pos,
+         coalesce(m2.coord, c.cw) AS coord
+       FROM cents c LEFT JOIN means m2 ON m2.ci = c.ci AND m2.p = c.cj
+       ORDER BY cluster, pos"""
+  }
+
   /** q_embedding_neardup / q_embedding_neardup_scaled in DuckDB: the full
     * banded-LSH near-dup for any (bandBits, bands) — one pooled
     * `bandBits·bands`-bit signature from the seed-42 planes, bands sliced
@@ -3543,6 +3668,8 @@ object SparkEntry {
     "q_cluster_dedup" -> ClusterDedupOracle,
     "q_cluster_keep_best" -> ClusterKeepBestOracle,
     "q_cluster_sizes" -> ClusterSizesOracle,
+    "q_golden_record" -> GoldenRecordOracle,
+    "q_split_leakage" -> SplitLeakageOracle,
     "q_simhash_oracle" ->
       s"""WITH ${simhashSigChainSql("documents")},
          keep AS (SELECT min(doc_id) AS doc_id FROM sg GROUP BY sig)
@@ -4710,6 +4837,27 @@ object SparkEntry {
            CAST(coalesce(sum_cents, 0) AS BIGINT) AS sum_cents
          FROM spine LEFT JOIN a USING (k, d)
          ORDER BY event_type, epoch_day""",
+    // disjoint coverage intervals: lead() caps each (user, day)'s covered
+    // range at the next active day, so count(*) per covered day is the
+    // exact trailing-window distinct (validated against the naive
+    // count(DISTINCT) range-join form)
+    "q_rolling_active" ->
+      """WITH ud AS (
+           SELECT DISTINCT user_id AS u,
+             CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+               AS BIGINT) AS d
+           FROM events),
+         mx AS (SELECT max(d) AS maxd FROM ud),
+         iv AS (SELECT u, d,
+             lead(d) OVER (PARTITION BY u ORDER BY d) AS nd
+           FROM ud)
+         SELECT CAST(day AS BIGINT) AS day,
+           CAST(count(*) AS BIGINT) AS n_active
+         FROM iv, mx, LATERAL (
+           SELECT unnest(generate_series(iv.d,
+             least(iv.d + 6, coalesce(iv.nd - 1, mx.maxd), mx.maxd)))
+             AS day) g
+         GROUP BY day ORDER BY day""",
     // one branch per constraint; FK branches count orphans in both the
     // n_rows and violations slots (the anti-join IS the scanned frame)
     "q_constraints" ->
@@ -4976,6 +5124,7 @@ object SparkEntry {
       // Spark-side plan (partition pruning vs per-row assignment)
       "q_ivf_store_ann" -> ivfAnnOracle(m),
       "q_ivf_recall" -> ivfRecallOracle(m),
+      "q_kmeans_refine" -> kmeansRefineOracle(m),
       "q_semdedup_pairs" -> semDedupPairsOracle(m),
       "q_semdedup" -> semDedupOracle(m))
   }.getOrElse(Map.empty) ++ lastPqDir.flatMap(pqModels.get).map { m =>

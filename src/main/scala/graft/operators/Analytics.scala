@@ -380,4 +380,48 @@ object Analytics {
         sum(col("__cents")).cast(LongType).as("revenue_cents"))
       .orderBy("channel")
   }
+
+  /** EXACT trailing-window active-user counts (the DAU/WAU/MAU family):
+    * for every day in the data's span, how many distinct users had at
+    * least one event in the last `windowDays` days (inclusive of the day
+    * itself). Days with no events still get a row — users from earlier
+    * days remain window-active until they age out.
+    *
+    * The naive plans both die at 100 TB: `count(DISTINCT user)` per day
+    * over a w-day self-join re-shuffles the event log w times, and
+    * exploding every (user, day) into its w covered days then
+    * re-DISTINCTing pays a w× shuffle THEN a dedup. This is instead the
+    * disjoint-interval formulation: from the distinct (user, day) pairs,
+    * each pair covers days [day, min(day + w − 1, next_day − 1, max_day)]
+    * — capped by the user's NEXT active day, so per user the covered
+    * ranges are disjoint by construction and a plain `count(*)` per
+    * covered day IS the exact distinct count. Total exploded mass =
+    * Σ window-active user-days — the size of the answer's underlying set,
+    * the information-theoretic floor, ≤ w × |distinct (user, day)|.
+    *
+    * Plan: one distinct over (user, day-number), one lead window on the
+    * same user-hash partitioning, a `sequence` explode, one count
+    * aggregate. Day numbers are integer days since 1970-01-01 (the
+    * [[retentionCohorts]] convention — timezone-free, engine-exact);
+    * `max_day` is a 1-row aggregate broadcast by the cross join. */
+  def rollingActive(events: DataFrame, userCol: String, tsCol: String,
+                    windowDays: Int): DataFrame = {
+    require(windowDays >= 1,
+      s"rollingActive: windowDays must be >= 1, got $windowDays")
+    val ud = events.select(col(userCol).as("u"),
+        datediff(to_date(col(tsCol)), lit("1970-01-01")).cast(LongType)
+          .as("d"))
+      .distinct()
+    val maxDay = ud.agg(max("d").as("__maxd"))
+    val nextW = Window.partitionBy("u").orderBy("d")
+    ud.withColumn("__nd", lead(col("d"), 1).over(nextW))
+      .crossJoin(broadcast(maxDay))
+      .withColumn("__end",
+        least(col("d") + lit(windowDays.toLong - 1L),
+          coalesce(col("__nd") - 1L, col("__maxd")), col("__maxd")))
+      .select(explode(sequence(col("d"), col("__end"))).as("day"))
+      .groupBy("day")
+      .agg(count(lit(1)).cast(LongType).as("n_active"))
+      .orderBy("day")
+  }
 }

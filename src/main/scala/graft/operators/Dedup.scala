@@ -1090,6 +1090,124 @@ object Dedup {
     clusterDedupFromPairsKeepBest(df, idCol, score, pairs)
   }
 
+  /** Entity-resolution SURVIVORSHIP ("golden record"): collapse each
+    * near-dup component to ONE canonical row whose fields are chosen
+    * per-field independently — for every requested field, the value comes
+    * from the component member ranked first by (`prefer` DESC, id ASC)
+    * among members where that field is NON-NULL. This is the step after
+    * linkage (fuzzy join / minhash pairs → components): keep-best keeps one
+    * whole row, survivorship assembles the most complete row — a cluster
+    * mixing a long record with a null `lang` and a short one that has it
+    * yields a golden record with BOTH.
+    *
+    * Singletons (rows in no pair) pass through as their own cluster, so
+    * the output is a full canonical table: one row per entity.
+    *
+    * Plan shape: component labels via the [[clusterDedupFromPairs]] hybrid
+    * (driver union-find under the pair budget, distributed min-label
+    * propagation above), one left join to attach labels (pair-graph-sized
+    * build side), then ONE hash aggregate over all fields — each field is
+    * a max over struct(non-null, prefer, −id, value), computed with
+    * map-side partials; no per-component sort, no windows. NULL `prefer`
+    * ranks below every non-null prefer (same doctrine as
+    * [[clusterDedupFromPairsKeepBest]]).
+    *
+    * Output: (cluster_id = component min id BIGINT, n_members BIGINT,
+    * fields…) ordered by cluster_id. Ids must be integral — the Long
+    * alignment cast with the pair graph must be lossless. */
+  def goldenRecord(df: DataFrame, idCol: String, pairs: DataFrame,
+                   prefer: Column, fields: Seq[String],
+                   maxDriverPairs: Long = DriverUnionFindMaxPairs): DataFrame = {
+    require(fields.nonEmpty, "goldenRecord: no fields requested")
+    val idType = df.schema(idCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
+      s"goldenRecord needs an integral id column (Byte/Short/Int/Long — " +
+        s"the Long alignment cast must be lossless), got $idType for '$idCol'")
+    val labels = componentLabels(pairs, maxDriverPairs, "goldenRecord")
+    val base = df.select(
+      (col(idCol).cast(LongType).as("id") +:
+        prefer.as("__prefer") +:
+        fields.map(f => col(f))): _*)
+      .join(labels, Seq("id"), "left")
+      // a singleton is its own component; component labels are min ids, so
+      // coalescing to the row id keeps cluster_id = min member id everywhere
+      .withColumn("__cl", coalesce(col("label"), col("id")))
+    val fieldAggs = fields.map { f =>
+      max(struct(
+        col(f).isNotNull.as("fnn"),
+        col("__prefer").isNotNull.as("pnn"),
+        col("__prefer").as("p"),
+        (lit(0L) - col("id")).as("negid"),
+        col(f).as("v"))).getField("v").as(f)
+    }
+    base.groupBy(col("__cl").as("cluster_id"))
+      .agg(count(lit(1)).cast(LongType).as("n_members"), fieldAggs: _*)
+      .orderBy("cluster_id")
+  }
+
+  /** md5-portable variant of [[goldenRecord]] — same candidate chain as
+    * [[clusterDedupPortable]], so the DuckDB oracle replicates components
+    * with the shared recursive CTE and survivorship with per-field
+    * row_number windows. */
+  def goldenRecordPortable(df: DataFrame, idCol: String, textCol: String,
+                           prefer: Column, fields: Seq[String],
+                           threshold: Double = 0.5, numHashes: Int = 16,
+                           bands: Int = 4, shingleSize: Int = 3): DataFrame = {
+    val (cands, sigs) = minhashCandidatesPortableWithSigs(
+      df, idCol, textCol, numHashes, bands, shingleSize)
+    val pairs = cands.filter(col("est_jaccard") >= threshold)
+      .select("id_a", "id_b").localCheckpoint()
+    sigs.unpersist(blocking = false)
+    goldenRecord(df, idCol, pairs, prefer, fields)
+  }
+
+  /** Cross-SPLIT leakage audit: near-dup pairs whose members landed in
+    * DIFFERENT train/val/test splits — the eval-integrity check every
+    * pipeline should run AFTER split assignment (hash-interval splits are
+    * content-blind: a near-duplicate of a test doc in train is silent eval
+    * contamination that decontamination-vs-external-benchmarks never sees).
+    * Takes the already-computed near-dup pair set (any candidate family)
+    * and the per-id split assignment; returns (split_a, split_b, n_pairs)
+    * with the split pair NORMALIZED lexicographically (train→val ≡
+    * val→train) and same-split pairs dropped.
+    *
+    * Plan shape: two co-partitioned joins keyed on the pair ids (the
+    * assignment side carries (id, split) only — column-pruned, never
+    * documents), one small aggregate. Cost ∝ |pairs|, never corpus². */
+  def splitLeakageFromPairs(pairs: DataFrame, assign: DataFrame,
+                            idCol: String, splitCol: String): DataFrame = {
+    val sp = assign.select(col(idCol).as("__sid"), col(splitCol).as("__sp"))
+    pairs.select(col("id_a"), col("id_b"))
+      .join(sp.withColumnRenamed("__sp", "__spa"),
+        col("id_a") === col("__sid")).drop("__sid")
+      .join(sp.withColumnRenamed("__sp", "__spb"),
+        col("id_b") === col("__sid")).drop("__sid")
+      .filter(col("__spa") =!= col("__spb"))
+      .select(least(col("__spa"), col("__spb")).as("split_a"),
+        greatest(col("__spa"), col("__spb")).as("split_b"))
+      .groupBy("split_a", "split_b")
+      .agg(count(lit(1)).cast(LongType).as("n_pairs"))
+      .orderBy("split_a", "split_b")
+  }
+
+  /** md5-portable end-to-end leakage audit: the [[clusterDedupPortable]]
+    * candidate chain (est-jaccard ≥ threshold) crossed with
+    * [[Sampling.assignSplit]] — one call from corpus to report, DuckDB
+    * oracle replicates both legs. */
+  def splitLeakagePortable(df: DataFrame, idCol: String, textCol: String,
+                           splits: Seq[(String, Double)],
+                           threshold: Double = 0.5, numHashes: Int = 16,
+                           bands: Int = 4, shingleSize: Int = 3): DataFrame = {
+    val (cands, sigs) = minhashCandidatesPortableWithSigs(
+      df, idCol, textCol, numHashes, bands, shingleSize)
+    val pairs = cands.filter(col("est_jaccard") >= threshold)
+      .select("id_a", "id_b").localCheckpoint()
+    sigs.unpersist(blocking = false)
+    val assign = Sampling.assignSplit(
+      df.select(col(idCol)), col(idCol), splits)
+    splitLeakageFromPairs(pairs, assign, idCol, "split")
+  }
+
   /** 64-bit SimHash over tokens: per-bit majority vote of token hashes,
     * computed as one fold over the token array into a 64-long vote vector —
     * single codegen'd projection, no shuffle. */

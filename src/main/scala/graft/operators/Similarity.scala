@@ -600,6 +600,66 @@ object Similarity {
     IvfModel(centers)
   }
 
+  /** FULL-CORPUS Lloyd refinement of a sampled fit — the scale pattern for
+    * k-means at 100 TB: [[ivfFit]] fits on a bounded sample (driver-cheap
+    * but sample-blind), then each refine iteration is ONE distributed
+    * pass — the codegen'd [[ivfAssign]] argmin projection, a posexplode,
+    * and a k×dim-row aggregate — so centroid quality reflects the whole
+    * corpus while driver traffic stays k×dim rows per iteration.
+    *
+    * Determinism doctrine (cross-engine-exact so a SQL oracle can replay
+    * every iteration): components are rounded to integer MICROS before
+    * summing; sums accumulate in DECIMAL(38,0) (a LongType sum overflows
+    * ANSI-loudly around 10¹² rows × 10⁶ micros); the new centroid is an
+    * OFFSET-shifted floor division — mean = (Σ(micros + OFFSET) div n) −
+    * OFFSET with every operand non-negative, because truncating (Spark
+    * `div`) and flooring (DuckDB `//`) integer division only agree on
+    * non-negative operands (the q_retention doctrine). Floor-of-mean
+    * instead of round-half: one deterministic rule, sub-micro bias is
+    * irrelevant to clustering. Components must satisfy |x| ≤ 4 (covers
+    * unit-normalized embeddings with headroom) — checked IN the same
+    * aggregate pass and raised loudly, not assumed. An empty cluster
+    * keeps its previous center ([[ivfFitDistributed]]'s rule). */
+  def kmeansRefine(df: DataFrame, vecCol: String, init: IvfModel,
+                   iters: Int = 2): IvfModel = {
+    require(iters >= 1, s"kmeansRefine: iters must be >= 1, got $iters")
+    require(init.centers.nonEmpty, "kmeansRefine: empty init model")
+    val offset = 4000000L
+    val kk = init.centers.length
+    val dim = init.centers.head.length
+    val v = df.select(col(vecCol).cast(ArrayType(DoubleType)).as("__v"))
+    var centers = init.centers
+    for (_ <- 0 until iters) {
+      val rows = ivfAssign(v, "__v", IvfModel(centers))
+        .select(col("__cluster"),
+          posexplode(col("__v")).as(Seq("__p", "__x")))
+        .withColumn("__m",
+          round(col("__x") * 1000000L).cast(LongType) + lit(offset))
+        .groupBy(col("__cluster"), col("__p"))
+        .agg(sum(col("__m").cast(DecimalType(38, 0))).as("__s"),
+          count(lit(1)).as("__n"), min(col("__m")).as("__min"))
+        .collect()
+      val sums = Array.fill(kk)(new Array[java.math.BigInteger](dim))
+      val counts = new Array[Long](kk)
+      rows.foreach { r => // columns: __cluster, __p, __s, __n, __min
+        val c = r.getInt(0); val p = r.getInt(1)
+        require(r.getLong(4) >= 0L,
+          s"kmeansRefine: component below -4.0 in cluster $c dim $p — " +
+            "outside the offset-shifted non-negative domain")
+        sums(c)(p) = r.getDecimal(2).toBigInteger
+        counts(c) = r.getLong(3)
+      }
+      centers = centers.zipWithIndex.map { case (old, i) =>
+        if (counts(i) == 0L) old
+        else sums(i).map { s =>
+          (s.divide(java.math.BigInteger.valueOf(counts(i))).longValueExact()
+            - offset) / 1000000.0
+        }
+      }
+    }
+    IvfModel(centers)
+  }
+
   /** cluster assignment as ONE codegen'd projection: argmin over the k
     * centroid distances (|c|² − 2·v·c ranks identically to full squared L2;
     * ties break to the lower cluster id). Runs the native

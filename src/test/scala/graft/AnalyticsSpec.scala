@@ -180,6 +180,34 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out.values.map(_._2).sum == 1850L)
   }
 
+  test("rollingActive ≡ brute-force trailing-window distinct count") {
+    val df = ev(
+      (1L, "2024-01-01 10:00:00", 1L, "a"),
+      (2L, "2024-01-01 23:59:59", 2L, "a"), // same day, second user
+      (3L, "2024-01-03 00:00:00", 1L, "a"), // u1 again two days later
+      (4L, "2024-01-10 12:00:00", 3L, "a"), // gap: days 4-8 have no events
+      (5L, "2024-01-20 00:00:00", 1L, "a"), // u1 far out — everyone aged out between
+      (6L, "2024-01-20 05:00:00", 1L, "a")) // same (user, day) dup collapses
+    for (w <- Seq(1, 3, 7)) {
+      val got = Analytics.rollingActive(df, "user_id", "ts", w).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      // brute force over the day span: distinct users with an event in
+      // (d-w, d]; days with zero window-active users emit NO row
+      val ud = df.select(col("user_id"),
+          datediff(to_date(col("ts")), lit("1970-01-01")).cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).distinct
+      val (minD, maxD) = (ud.map(_._2).min, ud.map(_._2).max)
+      val want = (minD to maxD).map { d =>
+        d -> ud.filter { case (_, ad) => ad <= d && ad > d - w }
+          .map(_._1).distinct.size.toLong
+      }.filter(_._2 > 0L).toMap
+      assert(got == want, s"windowDays=$w")
+    }
+    val e = intercept[IllegalArgumentException](
+      Analytics.rollingActive(df, "user_id", "ts", 0))
+    assert(e.getMessage.contains("windowDays"))
+  }
+
   test("attributionLastTouch: rejects conv type listed as a touch") {
     val df = evv((1L, "2024-01-01 10:00:00", 1L, "view", 0.0))
     val e = intercept[IllegalArgumentException](

@@ -781,6 +781,62 @@ class OperatorsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("integral"))
   }
 
+  test("goldenRecord: per-field survivorship assembles across members, singletons pass through") {
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    // component {1,2,3}: the longest member (1) is missing lang; the golden
+    // record must take source from 1 (highest prefer with source non-null)
+    // and lang from 2 (highest prefer among lang-bearing members) — a row
+    // NO single member equals
+    val frame = Seq(
+      (1L, 10.0, Option.empty[String], Some("a")),
+      (2L, 5.0, Some("en"), Option.empty[String]),
+      (3L, 1.0, Some("fr"), Some("b")),
+      (9L, 2.0, Some("de"), Some("c"))) // singleton
+      .toDF("id", "len", "lang", "source")
+    val got = Dedup.goldenRecord(frame, "id", pairs, col("len"),
+        Seq("lang", "source"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getString(2), r.getString(3))).toSeq
+    assert(got == Seq((1L, 3L, "en", "a"), (9L, 1L, "de", "c")))
+    // all-null field stays null; null prefer ranks below every scored member
+    val f2 = Seq(
+      (1L, Option.empty[Double], Some("x")),
+      (2L, Some(1.0), Some("y")),
+      (3L, Option.empty[Double], Option.empty[String]))
+      .toDF("id", "len", "tag")
+    val g2 = Dedup.goldenRecord(f2, "id", pairs, col("len"), Seq("tag"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(g2 == Seq((1L, 3L, "y")))
+    // distributed-label path (driver budget 0) agrees
+    val dist = Dedup.goldenRecord(frame, "id", pairs, col("len"),
+        Seq("lang", "source"), maxDriverPairs = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getString(2), r.getString(3))).toSeq
+    assert(dist == got)
+    // fractional ids reject loudly (Long alignment with the pair graph)
+    val frac = Seq((1.5, 1.0, "z")).toDF("id", "len", "tag")
+    val e2 = intercept[IllegalArgumentException](
+      Dedup.goldenRecord(frac, "id", pairs, col("len"), Seq("tag")))
+    assert(e2.getMessage.contains("integral"))
+    // empty field list rejects
+    val e3 = intercept[IllegalArgumentException](
+      Dedup.goldenRecord(frame, "id", pairs, col("len"), Seq.empty))
+    assert(e3.getMessage.contains("no fields"))
+  }
+
+  test("splitLeakageFromPairs: lexicographic pair normalization, same-split pairs dropped") {
+    val pairs = Seq((1L, 2L), (3L, 4L), (5L, 6L), (7L, 8L))
+      .toDF("id_a", "id_b")
+    val assign = Seq((1L, "train"), (2L, "test"), (3L, "test"), (4L, "train"),
+      (5L, "train"), (6L, "train"), (7L, "val"), (8L, "train"))
+      .toDF("doc_id", "split")
+    val got = Dedup.splitLeakageFromPairs(pairs, assign, "doc_id", "split")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    // (1,2) train↔test and (3,4) test↔train normalize to the SAME bucket;
+    // (5,6) same-split is dropped; (7,8) train↔val normalizes train-first
+    assert(got == Seq(("test", "train", 2L), ("train", "val", 1L)))
+  }
+
   test("inverted index search: conjunctive match, integer tf ranking") {
     import graft.operators.Search
     val d = Seq(

@@ -361,6 +361,42 @@ class SkewAndIvfSpec extends AnyFunSuite {
     assert(mk.centers.length == 2100)
   }
 
+  test("kmeansRefine: hand-computed floor-micros means, empty-cluster carry, range guard") {
+    // two tight groups; init centers already separate them, so one refine
+    // iteration must land each center on the group's exact floor-micros mean
+    val pts = Seq(
+      (1L, Seq(0.1, 0.2)), (2L, Seq(0.3, 0.4)), (3L, Seq(0.2, 0.3)),
+      (4L, Seq(3.1, 3.0)), (5L, Seq(2.9, 3.2)))
+    val emb = pts.toDF("vec_id", "embedding")
+    val init = Similarity.IvfModel(Array(Array(0.0, 0.0), Array(3.0, 3.0)))
+    val got = Similarity.kmeansRefine(emb, "embedding", init, iters = 1)
+    def floorMean(xs: Seq[Double]): Double = {
+      val micros = xs.map(x => math.round(x * 1000000L) + 4000000L)
+      (micros.sum / micros.size - 4000000L) / 1000000.0
+    }
+    val want = Array(
+      Array(floorMean(Seq(0.1, 0.3, 0.2)), floorMean(Seq(0.2, 0.4, 0.3))),
+      Array(floorMean(Seq(3.1, 2.9)), floorMean(Seq(3.0, 3.2))))
+    assert(got.centers.map(_.toSeq).toSeq == want.map(_.toSeq).toSeq)
+    // determinism: a second refine run is bit-identical
+    val again = Similarity.kmeansRefine(emb, "embedding", init, iters = 1)
+    assert(again.centers.map(_.toSeq).toSeq == got.centers.map(_.toSeq).toSeq)
+    // a centroid no point assigns to keeps its init coordinates
+    val init3 = Similarity.IvfModel(
+      Array(Array(0.0, 0.0), Array(3.0, 3.0), Array(100.0, 100.0)))
+    val g3 = Similarity.kmeansRefine(emb, "embedding", init3, iters = 2)
+    assert(g3.centers(2).toSeq == Seq(100.0, 100.0))
+    // components below the −4 offset domain raise loudly, not silently wrap
+    val bad = Seq((1L, Seq(-5.0, 0.0))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException](
+      Similarity.kmeansRefine(bad, "embedding", init, iters = 1))
+    assert(e.getMessage.contains("offset-shifted"))
+    // parameter guards
+    val e2 = intercept[IllegalArgumentException](
+      Similarity.kmeansRefine(emb, "embedding", init, iters = 0))
+    assert(e2.getMessage.contains("iters"))
+  }
+
   test("corpus-size parameter profile: legacy constants at test SFs, log2 growth past them") {
     // the oracle-stability contract: every driver test SF (500 / 5000 docs)
     // must resolve to the constants the static oracle SQL encodes
