@@ -2035,6 +2035,32 @@ object SparkEntry {
       // |types|² output rows
       graft.operators.Analytics.transitionCounts(rdEvents(s, dir),
         "user_id", "ts", "event_type", "event_id")),
+    "q_event_paths" -> ((s, dir) =>
+      // top event-type trigram paths: two leads over the same per-user
+      // (ts, event_id) window, one hash aggregate over ≤|types|³ paths,
+      // (count DESC, path) total-order top-20
+      graft.operators.Analytics.pathCounts(rdEvents(s, dir),
+        "user_id", "ts", "event_type", "event_id", len = 3, topK = 20)),
+    "q_interval_coverage" -> ((s, dir) =>
+      // union-of-intervals dwell time (10-minute hold per event): exact
+      // integer-micros sweep — two windows + two aggregates, all on the
+      // user-hash partitioning; never the |events|² self-join
+      graft.operators.Analytics.intervalCoverage(rdEvents(s, dir),
+        "user_id", "ts", holdSeconds = 600L)),
+    "q_decayed_sum" -> ((s, dir) =>
+      // 7-day-half-life decayed revenue per user: bucketed 2^−b weights
+      // keep every product an exact integer (decimal sum, one final
+      // power-of-two division) — the decay form that is engine-exact,
+      // unlike pow(λ, Δt) accumulation
+      graft.operators.Analytics.decayedSum(rdEvents(s, dir),
+        "user_id", "ts", expr("cast(round(value * 100) as bigint)"),
+        halfLifeDays = 7)),
+    "q_kappa" -> ((s, dir) =>
+      // chance-corrected agreement between the stored lang label and the
+      // n-gram heuristic's prediction: one contingency aggregate over the
+      // corpus, κ as a single exact-integer division
+      graft.operators.Profiling.agreementKappa(rd(s, dir, "documents"),
+        col("lang"), graft.operators.TextAnalysis.langId(col("text")))),
     "q_attribution" -> ((s, dir) =>
       // last-touch revenue attribution: each purchase credits the user's
       // most recent preceding view/click within 7 days (lexicographic
@@ -4937,6 +4963,101 @@ object SparkEntry {
          WHERE prev_type IS NOT NULL
          GROUP BY prev_type, next_type
          ORDER BY prev_type, next_type""",
+    // trigram paths: two leads over the same (ts, event_id) window; a
+    // non-null FINAL lead implies the earlier one is non-null too
+    "q_event_paths" ->
+      """SELECT concat(event_type, '>', e2, '>', e3) AS path,
+           CAST(count(*) AS BIGINT) AS n_occurrences
+         FROM (
+           SELECT event_type,
+             lead(event_type, 1) OVER w AS e2,
+             lead(event_type, 2) OVER w AS e3
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         WHERE e3 IS NOT NULL
+         GROUP BY 1 ORDER BY n_occurrences DESC, path LIMIT 20""",
+    // union-of-intervals sweep in integer epoch-micros: island = running
+    // sum of starts-after-running-max-end flags; per-island aggregates are
+    // permutation-invariant so tied (s, e) rows can't diverge engines
+    "q_interval_coverage" ->
+      """WITH iv AS (
+           SELECT user_id AS k, epoch_us(ts) AS s,
+             epoch_us(ts) + 600000000 AS e
+           FROM events),
+         w AS (
+           SELECT k, s, e, max(e) OVER (PARTITION BY k ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+           FROM iv),
+         isl AS (
+           SELECT k, s, e, sum(CASE WHEN pm IS NULL OR s > pm THEN 1
+               ELSE 0 END) OVER (PARTITION BY k ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+           FROM w),
+         g AS (SELECT k, island, count(*) AS nn, max(e) - min(s) AS cov
+               FROM isl GROUP BY k, island)
+         SELECT k AS user_id, CAST(sum(nn) AS BIGINT) AS n_intervals,
+           CAST(count(*) AS BIGINT) AS n_islands,
+           CAST(sum(cov) AS BIGINT) AS covered_micros
+         FROM g GROUP BY k ORDER BY user_id""",
+    // bucketed half-life decay: every rescaled weight 2^(20−b) is an exact
+    // integer, the sum is HUGEINT-exact, one correctly-rounded double
+    // conversion + one power-of-two division at the end
+    "q_decayed_sum" ->
+      """WITH e AS (
+           SELECT user_id AS k,
+             datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+             CAST(round(value * 100) AS BIGINT) AS c
+           FROM events),
+         mx AS (SELECT max(d) AS maxd FROM e),
+         b AS (SELECT k, c, (maxd - d) // 7 AS b FROM e, mx)
+         SELECT k AS user_id, CAST(count(*) AS BIGINT) AS n_events,
+           round(CAST(sum(CAST(c AS HUGEINT)
+               * (CAST(1 AS BIGINT) << CAST(20 - b AS INTEGER)))
+             AS DOUBLE) / 1048576.0, 6) AS decayed_cents
+         FROM b WHERE b <= 20 GROUP BY k ORDER BY user_id""",
+    // Cohen's kappa of stored lang vs the q_lang_guess heuristic chain:
+    // κ reduces to ONE division of exact integers —
+    // (agree·n − Σ ra·cb) / (n² − Σ ra·cb), HUGEINT until the final
+    // correctly-rounded double conversion
+    "q_kappa" ->
+      """WITH tk AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+           FROM documents),
+         cc AS (
+           SELECT doc_id,
+             len(list_filter(t, x -> list_contains(['the','and','of','is'], x))) AS he,
+             len(list_filter(t, x -> list_contains(['el','los','las','es'], x))) AS hs,
+             len(list_filter(t, x -> list_contains(['le','les','est','une'], x))) AS hf,
+             len(list_filter(t, x -> list_contains(['der','die','das','ist'], x))) AS hd
+           FROM tk),
+         pred AS (
+           SELECT doc_id,
+             CASE WHEN he = 0 AND hs = 0 AND hf = 0 AND hd = 0 THEN 'und'
+                  WHEN he >= hs AND he >= hf AND he >= hd THEN 'en'
+                  WHEN hs >= hf AND hs >= hd THEN 'es'
+                  WHEN hf >= hd THEN 'fr' ELSE 'de' END AS b
+           FROM cc),
+         cells AS (
+           SELECT d.lang AS a, pred.b AS b, count(*) AS o
+           FROM documents d JOIN pred USING (doc_id) GROUP BY 1, 2),
+         rt AS (SELECT a, sum(o) AS ra FROM cells GROUP BY a),
+         ct AS (SELECT b, sum(o) AS cb FROM cells GROUP BY b),
+         tot AS (
+           SELECT CAST(sum(o) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN a IS NOT DISTINCT FROM b THEN o ELSE 0 END)
+               AS BIGINT) AS agree
+           FROM cells),
+         pe AS (
+           SELECT coalesce(sum(CAST(ra AS HUGEINT) * cb), 0) AS pen
+           FROM rt JOIN ct ON rt.a IS NOT DISTINCT FROM ct.b)
+         SELECT n, agree AS n_agree,
+           round(CAST(agree AS DOUBLE) / n, 6) AS po,
+           round(CAST(pen AS DOUBLE) / (CAST(n AS DOUBLE) * n), 6) AS pe,
+           CASE WHEN CAST(n AS HUGEINT) * n = pen THEN NULL
+                ELSE round(CAST(CAST(agree AS HUGEINT) * n - pen AS DOUBLE)
+                  / CAST(CAST(n AS HUGEINT) * n - pen AS DOUBLE), 6)
+           END AS kappa
+         FROM tot, pe""",
     // last-touch attribution: the two IGNORE NULLS last_value frames are
     // null-aligned (both fed by the same touch rows); window bound in
     // integer microseconds exactly like Spark's unix_micros comparison

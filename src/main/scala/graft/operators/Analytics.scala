@@ -404,6 +404,130 @@ object Analytics {
     * aggregate. Day numbers are integer days since 1970-01-01 (the
     * [[retentionCohorts]] convention — timezone-free, engine-exact);
     * `max_day` is a 1-row aggregate broadcast by the cross join. */
+  /** Union-of-intervals coverage per key ("total engaged time"): each event
+    * opens a hold interval [ts, ts + holdSeconds); overlapping intervals
+    * merge; the output is the merged-island count and the exact covered
+    * time per key — the dwell-time primitive session gap-cutting doesn't
+    * answer (sessions split on gaps; coverage measures the union, so two
+    * events 1s apart with a 30s hold count ~31s, not 2 sessions or 60s).
+    *
+    * Exactness: all arithmetic is integer epoch MICROS (`unix_micros` —
+    * timezone-free, engine-exact). The merge is the textbook sweep: sort a
+    * key's intervals by (start, end), an interval starts a new island iff
+    * its start exceeds the running max end of everything before it; island
+    * ids are the running sum of those flags. Tied (start, end) rows are
+    * interchangeable, and the per-island aggregate (min start, max end) is
+    * permutation-invariant, so the result is total-order deterministic.
+    *
+    * Plan shape: two windows and two aggregates, ALL on the same key-hash
+    * partitioning (one shuffle): parallelism = |keys|, per-partition state
+    * = one key's events — the [[transitionCounts]] scaling pattern. No
+    * self-join (the naive overlap join is |events|² per key). */
+  def intervalCoverage(events: DataFrame, keyCol: String, tsCol: String,
+                       holdSeconds: Long): DataFrame = {
+    require(holdSeconds >= 1, s"intervalCoverage: holdSeconds must be >= 1, "
+      + s"got $holdSeconds")
+    val w = Window.partitionBy("__k").orderBy("__s", "__e")
+    events.select(col(keyCol).as("__k"),
+        unix_micros(col(tsCol)).as("__s"),
+        (unix_micros(col(tsCol)) + lit(holdSeconds * 1000000L)).as("__e"))
+      .withColumn("__pm",
+        max(col("__e")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__ni",
+        when(col("__pm").isNull || col("__s") > col("__pm"), 1L).otherwise(0L))
+      .withColumn("__island",
+        sum(col("__ni")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("__k"), col("__island"))
+      .agg(count(lit(1)).as("__n"), (max("__e") - min("__s")).as("__cov"))
+      .groupBy(col("__k").as(keyCol))
+      .agg(sum("__n").cast(LongType).as("n_intervals"),
+        count(lit(1)).cast(LongType).as("n_islands"),
+        sum("__cov").cast(LongType).as("covered_micros"))
+      .orderBy(keyCol)
+  }
+
+  /** Half-life-decayed value sums per key — recency-weighted activity
+    * scoring (lead scoring, freshness-weighted corpus stats) with EXACT
+    * cross-engine arithmetic: the classic per-day exponential decay uses
+    * pow(λ, Δt) doubles whose accumulation order and pow ulps differ
+    * between engines, so this uses the BUCKETED form — weight = 2^−b where
+    * b = floor(age_days / halfLifeDays) — and computes Σ cents·2^(B−b) in
+    * DECIMAL(38,0) (every weight is an exact power-of-two INTEGER after
+    * the 2^B rescale; the sum is order-independent integer addition,
+    * overflow is ANSI-loud), then divides once by 2^B: a correctly-rounded
+    * decimal→double conversion and one exact power-of-two scaling.
+    *
+    * Events older than `maxBuckets` half-lives are DROPPED, not clamped:
+    * their true decayed weight is < 2^−maxBuckets (≤ 1e−6 at the default
+    * 20) and dropping approximates the ideal decay strictly better than a
+    * floor weight — and keeps the rescaled weights in a bounded integer
+    * domain. `n_events` counts the surviving (weighted) events.
+    *
+    * Plan: one column-pruned scan + a 1-row max-day aggregate broadcast
+    * (the [[rollingActive]] pattern) + one hash aggregate per key. */
+  def decayedSum(events: DataFrame, keyCol: String, tsCol: String,
+                 cents: Column, halfLifeDays: Int,
+                 maxBuckets: Int = 20): DataFrame = {
+    require(halfLifeDays >= 1,
+      s"decayedSum: halfLifeDays must be >= 1, got $halfLifeDays")
+    require(maxBuckets >= 1 && maxBuckets <= 40,
+      s"decayedSum: maxBuckets must be in [1, 40], got $maxBuckets")
+    val e = events.select(col(keyCol).as("__k"),
+      datediff(to_date(col(tsCol)), lit("1970-01-01")).cast(LongType)
+        .as("__d"),
+      cents.cast(LongType).as("__c"))
+    val maxDay = e.agg(max("__d").as("__maxd"))
+    e.crossJoin(broadcast(maxDay))
+      // age is non-negative by construction, so `div` (truncating) and the
+      // oracle's `//` (flooring) agree — the q_retention doctrine
+      .withColumn("__b",
+        expr(s"(__maxd - __d) div ${halfLifeDays.toLong}"))
+      .filter(col("__b") <= maxBuckets.toLong)
+      .withColumn("__w",
+        expr(s"shiftleft(1L, cast($maxBuckets - __b as int))"))
+      .groupBy(col("__k").as(keyCol))
+      .agg(count(lit(1)).cast(LongType).as("n_events"),
+        round(sum(col("__c").cast(DecimalType(38, 0)) * col("__w"))
+          .cast(DoubleType) / math.pow(2.0, maxBuckets), 6)
+          .as("decayed_cents"))
+      .orderBy(keyCol)
+  }
+
+  /** Top event-type PATHS of length `len` (the [[transitionCounts]]
+    * generalization): per-user ordered windows of `len` consecutive event
+    * types, joined with '>' into one path string, counted corpus-wide —
+    * "what do users actually do?" beyond single transitions. Ordering is
+    * lexicographic (ts, tiebreak) like every event window here; ranking is
+    * (count DESC, path ASC) — total and engine-portable.
+    *
+    * Plan: len−1 leads over ONE per-user window (one shuffle, state = one
+    * user's events), one hash aggregate, one top-k sort of path-cardinality
+    * rows (bounded by |types|^len, never |events|). */
+  def pathCounts(events: DataFrame, userCol: String, tsCol: String,
+                 typeCol: String, tiebreakCol: String, len: Int = 3,
+                 topK: Int = 20): DataFrame = {
+    require(len >= 2 && len <= 8, s"pathCounts: len must be in [2, 8], got $len")
+    require(topK >= 1, s"pathCounts: topK must be >= 1, got $topK")
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(tiebreakCol))
+    val steps = (0 until len).map {
+      case 0 => col(typeCol)
+      case i => lead(col(typeCol), i).over(w)
+    }
+    events.select(col(userCol), col(tsCol), col(tiebreakCol), col(typeCol))
+      // null types would silently vanish inside concat_ws mid-path
+      .filter(col(typeCol).isNotNull)
+      .withColumn("__last", steps.last)
+      .withColumn("__path", concat_ws(">", steps: _*))
+      // a window shorter than len has a null FINAL lead (leads only grow
+      // more null with distance) — drop it before counting
+      .filter(col("__last").isNotNull)
+      .groupBy(col("__path").as("path"))
+      .agg(count(lit(1)).cast(LongType).as("n_occurrences"))
+      .orderBy(desc("n_occurrences"), asc("path"))
+      .limit(topK)
+  }
+
   def rollingActive(events: DataFrame, userCol: String, tsCol: String,
                     windowDays: Int): DataFrame = {
     require(windowDays >= 1,

@@ -455,6 +455,52 @@ object Profiling {
         first("__n").cast(LongType).as("n"))
   }
 
+  /** Cohen's kappa: chance-corrected agreement between two categorical
+    * columns (heuristic labeler vs model, two annotators, two classifier
+    * versions) — the labeling-QA primitive raw accuracy overstates when
+    * classes are imbalanced. κ = (pₒ − pₑ)/(1 − pₑ) with pₒ the observed
+    * agreement rate and pₑ the chance rate Σ rowMarginₖ·colMarginₖ / n².
+    *
+    * Exactness: the whole statistic reduces to ONE division of exact
+    * integers — κ = (agree·n − Σ ra·ca) / (n² − Σ ra·ca) — computed in
+    * DECIMAL(38,0) (margin products overflow BIGINT past ~3·10⁹ rows, the
+    * [[chiSquare]] hazard), converted to double only for the final
+    * correctly-rounded division. Both-columns-constant-and-equal makes the
+    * denominator 0 (pₑ = 1): κ is undefined and emitted NULL. NULL labels
+    * are a category of their own (null-safe join and agree test).
+    *
+    * Plan shape: ONE hash aggregate over the corpus (the (a,b) contingency
+    * cells); margins, totals, and the κ algebra all run on the
+    * |labels|²-sized cell frame — the [[chiSquare]] pattern. */
+  def agreementKappa(df: DataFrame, aExpr: Column, bExpr: Column): DataFrame = {
+    val cells = df.select(aExpr.cast(StringType).as("__a"),
+        bExpr.cast(StringType).as("__b"))
+      .groupBy("__a", "__b")
+      .agg(count(lit(1)).cast(LongType).as("__o"))
+    val rowT = cells.groupBy("__a").agg(sum("__o").cast(LongType).as("__ra"))
+    val colT = cells.groupBy("__b").agg(sum("__o").cast(LongType).as("__ca"))
+    val tot = cells.agg(sum("__o").cast(LongType).as("__n"),
+      sum(when(col("__a") <=> col("__b"), col("__o")).otherwise(0L))
+        .cast(LongType).as("__agree"))
+    val peNum = rowT.join(colT, col("__a") <=> col("__b"))
+      .agg(coalesce(sum(col("__ra").cast(DecimalType(38, 0)) * col("__ca")),
+        lit(0).cast(DecimalType(38, 0))).as("__pe_num"))
+    tot.crossJoin(peNum)
+      .withColumn("__nsq", col("__n").cast(DecimalType(38, 0)) * col("__n"))
+      .select(
+        col("__n").as("n"),
+        col("__agree").as("n_agree"),
+        round(col("__agree").cast(DoubleType) / col("__n"), 6).as("po"),
+        round(col("__pe_num").cast(DoubleType)
+          / (col("__n").cast(DoubleType) * col("__n")), 6).as("pe"),
+        when(col("__nsq") === col("__pe_num"), lit(null).cast(DoubleType))
+          .otherwise(round(
+            (col("__agree").cast(DecimalType(38, 0)) * col("__n")
+              - col("__pe_num")).cast(DoubleType)
+              / (col("__nsq") - col("__pe_num")).cast(DoubleType), 6))
+          .as("kappa"))
+  }
+
   /** Equi-width histogram over an integral measure: k buckets spanning the
     * global [min, max], bucket of v = ((v−min)·k) div (max−min+1) — exact
     * integer arithmetic (operands non-negative, so `div` ≡ floor ≡ the

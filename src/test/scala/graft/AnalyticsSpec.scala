@@ -208,6 +208,86 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("windowDays"))
   }
 
+  test("intervalCoverage ≡ brute-force interval union") {
+    val df = ev(
+      (1L, "2024-01-01 10:00:00", 1L, "a"),
+      (2L, "2024-01-01 10:00:30", 1L, "a"),  // overlaps 1 → one island
+      (3L, "2024-01-01 10:05:00", 1L, "a"),  // gap > 60s → new island
+      (4L, "2024-01-01 10:05:59", 1L, "a"),  // chained overlap
+      (5L, "2024-01-01 10:06:30", 1L, "a"),  // still chained
+      (6L, "2024-01-01 10:00:00", 2L, "a"),  // u2: single event
+      (7L, "2024-01-01 10:00:00", 2L, "a"))  // exact duplicate ts merges
+    val got = Analytics.intervalCoverage(df, "user_id", "ts", 60L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // brute force: merge sorted [s, s+60s) intervals per user
+    val want = df.select(col("user_id"), unix_micros(col("ts"))).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1).toSeq
+      .map { case (u, rows) =>
+        val iv = rows.map(_._2).sorted.map(s => (s, s + 60000000L))
+        val merged = iv.foldLeft(Vector.empty[(Long, Long)]) {
+          case (acc, (s, e)) if acc.nonEmpty && s <= acc.last._2 =>
+            acc.init :+ ((acc.last._1, math.max(acc.last._2, e)))
+          case (acc, i) => acc :+ i
+        }
+        (u, iv.size.toLong, merged.size.toLong,
+          merged.map(i => i._2 - i._1).sum)
+      }.sortBy(_._1)
+    assert(got.toSeq == want)
+    val e = intercept[IllegalArgumentException](
+      Analytics.intervalCoverage(df, "user_id", "ts", 0L))
+    assert(e.getMessage.contains("holdSeconds"))
+  }
+
+  test("decayedSum: bucketed 2^-b weights, drop past maxBuckets, exact doubles") {
+    val df = ev(
+      (1L, "2024-03-01 10:00:00", 1L, "a"), // maxd: bucket 0, weight 1
+      (2L, "2024-02-27 10:00:00", 1L, "a"), // 3 days old, h=2 → b=1, w=.5
+      (3L, "2024-02-20 10:00:00", 1L, "a"), // 10 days → b=5, w=1/32
+      (4L, "2024-01-01 10:00:00", 2L, "a")) // 60 days → b=30 > 20: dropped
+      .withColumn("cents", lit(100L))
+    val got = Analytics.decayedSum(df, "user_id", "ts", col("cents"),
+        halfLifeDays = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // u1: 100·1 + 100·0.5 + 100·(1/32) = 153.125 exactly (dyadic rational);
+    // u2's only event is older than 20 half-lives → no surviving events,
+    // the key vanishes (count filter, not a zero row)
+    assert(got == Seq((1L, 3L, 153.125)))
+    val e = intercept[IllegalArgumentException](
+      Analytics.decayedSum(df, "user_id", "ts", col("cents"), 0))
+    assert(e.getMessage.contains("halfLifeDays"))
+    val e2 = intercept[IllegalArgumentException](
+      Analytics.decayedSum(df, "user_id", "ts", col("cents"), 2,
+        maxBuckets = 50))
+    assert(e2.getMessage.contains("maxBuckets"))
+  }
+
+  test("pathCounts: trigram windows, tie order, len-2 ≡ transitionCounts") {
+    val df = ev(
+      (1L, "2024-01-01 10:00:00", 1L, "a"),
+      (2L, "2024-01-01 10:01:00", 1L, "b"),
+      (3L, "2024-01-01 10:02:00", 1L, "c"),
+      (4L, "2024-01-01 10:03:00", 1L, "a"),
+      // u2: only two events — no trigram
+      (5L, "2024-01-01 10:00:00", 2L, "a"),
+      (6L, "2024-01-01 10:00:00", 2L, "b")) // same ts: event_id orders a→b
+    val got = Analytics.pathCounts(df, "user_id", "ts", "event_type",
+        "event_id", len = 3, topK = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("a>b>c", 1L), ("b>c>a", 1L)))
+    // len=2 reduces to transitionCounts (modulo output shape)
+    val p2 = Analytics.pathCounts(df, "user_id", "ts", "event_type",
+        "event_id", len = 2, topK = 100).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val t = Analytics.transitionCounts(df, "user_id", "ts", "event_type",
+        "event_id").collect()
+      .map(r => (s"${r.getString(0)}>${r.getString(1)}", r.getLong(2))).toMap
+    assert(p2 == t)
+    val e = intercept[IllegalArgumentException](
+      Analytics.pathCounts(df, "user_id", "ts", "event_type", "event_id",
+        len = 1))
+    assert(e.getMessage.contains("len"))
+  }
+
   test("attributionLastTouch: rejects conv type listed as a touch") {
     val df = evv((1L, "2024-01-01 10:00:00", 1L, "view", 0.0))
     val e = intercept[IllegalArgumentException](

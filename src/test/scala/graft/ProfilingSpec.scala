@@ -320,6 +320,36 @@ class ProfilingSpec extends AnyFunSuite {
     assert(math.abs(chi - want) < 1e-5)
   }
 
+  test("agreementKappa: hand value, perfect/chance/degenerate cases") {
+    // classic 2x2: raters agree on 20 'p' + 15 'n', disagree on 15
+    //   po = 35/50; pe = (25·30 + 25·20)/2500 = 0.5; κ = 0.4
+    val df = (Seq.fill(20)(("p", "p")) ++ Seq.fill(15)(("n", "n")) ++
+      Seq.fill(5)(("p", "n")) ++ Seq.fill(10)(("n", "p"))).toDF("a", "b")
+    val r = Profiling.agreementKappa(df, col("a"), col("b")).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+      r.getDouble(4)) == ((50L, 35L, 0.7, 0.5, 0.4)))
+    // perfect agreement with >1 class: κ = 1
+    val perf = Seq(("x", "x"), ("y", "y"), ("x", "x")).toDF("a", "b")
+    assert(Profiling.agreementKappa(perf, col("a"), col("b"))
+      .collect().head.getDouble(4) == 1.0)
+    // both constant and equal: pe = 1 → κ undefined (NULL)
+    val const = Seq(("x", "x"), ("x", "x")).toDF("a", "b")
+    assert(Profiling.agreementKappa(const, col("a"), col("b"))
+      .collect().head.isNullAt(4))
+    // independent margins at exact chance level: κ = 0
+    val chance = (Seq.fill(9)(("x", "u")) ++ Seq.fill(9)(("x", "x")) ++
+      Seq.fill(1)(("u", "u")) ++ Seq.fill(1)(("u", "x"))).toDF("a", "b")
+    assert(Profiling.agreementKappa(chance, col("a"), col("b"))
+      .collect().head.getDouble(4) == 0.0)
+    // null labels are a category: a null-null pair counts as agreement
+    val withNull = Seq((Some("x"), Some("x")),
+      (Option.empty[String], Option.empty[String]),
+      (Some("x"), Option.empty[String])).toDF("a", "b")
+    val rn = Profiling.agreementKappa(withNull, col("a"), col("b"))
+      .collect().head
+    assert(rn.getLong(1) == 2L)
+  }
+
   test("histogramEquiWidth: counts conserve, boundaries exact, k=1 lumps") {
     val df = (0L to 99L).toDF("v")
     val h = Profiling.histogramEquiWidth(df, col("v"), k = 10).collect()
