@@ -2055,6 +2055,28 @@ object SparkEntry {
       graft.operators.Analytics.decayedSum(rdEvents(s, dir),
         "user_id", "ts", expr("cast(round(value * 100) as bigint)"),
         halfLifeDays = 7)),
+    "q_asof_tolerance" -> ((s, dir) => {
+      // pandas merge_asof parity: FORWARD direction (earliest event at or
+      // after the order date), 3-day tolerance (farther matches → NULL,
+      // order row kept), event_id tie rule — same one-shuffle union+window
+      // plan as q_asof_join, direction only flips the sort
+      val ord = rd(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+      val ev = rdEvents(s, dir).select(col("user_id").as("o_custkey"),
+        col("ts"), col("value"), col("event_id"))
+      Relational.asofJoinDirected(ord, ev, Seq("o_custkey"), "o_orderdate",
+          "ts", Seq("value"), direction = "forward",
+          toleranceSeconds = 259200L, rightTiebreak = Some("event_id"))
+        .select("o_orderkey", "o_custkey", "value")
+        .orderBy("o_orderkey")
+    }),
+    "q_trend_fit" -> ((s, dir) =>
+      // per-type OLS of cents on epoch-day: five exact decimal sufficient
+      // statistics in ONE hash aggregate, closed-form slope/intercept/R²
+      // as final correctly-rounded divisions
+      graft.operators.Profiling.trendFit(rdEvents(s, dir), "event_type",
+        datediff(to_date(col("ts")), lit("1970-01-01")),
+        expr("cast(round(value * 100) as bigint)"))),
     "q_kappa" -> ((s, dir) =>
       // chance-corrected agreement between the stored lang label and the
       // n-gram heuristic's prediction: one contingency aggregate over the
@@ -5015,6 +5037,49 @@ object SparkEntry {
                * (CAST(1 AS BIGINT) << CAST(20 - b AS INTEGER)))
              AS DOUBLE) / 1048576.0, 6) AS decayed_cents
          FROM b WHERE b <= 20 GROUP BY k ORDER BY user_id""",
+    // forward as-of with tolerance: earliest event >= order date within 3
+    // days, ties by (ts, event_id) — a correlated min-scan per order row
+    // (fine at oracle scale; the Spark side is the one-shuffle window)
+    "q_asof_tolerance" ->
+      """SELECT o.o_orderkey, o.o_custkey,
+           (SELECT e.value FROM events e
+            WHERE e.user_id = o.o_custkey
+              AND e.ts >= CAST(o.o_orderdate AS TIMESTAMP)
+              AND epoch_us(e.ts) - epoch_us(CAST(o.o_orderdate AS TIMESTAMP))
+                    <= 259200000000
+            ORDER BY e.ts, e.event_id LIMIT 1) AS value
+         FROM orders o ORDER BY o.o_orderkey""",
+    // OLS closed forms over HUGEINT sufficient statistics; every division
+    // mirrors the Spark expression shape exactly (same IEEE op order)
+    "q_trend_fit" ->
+      """WITH e AS (
+           SELECT event_type AS k,
+             CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+               AS HUGEINT) AS x,
+             CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT) AS y
+           FROM events),
+         a AS (
+           SELECT k, CAST(count(*) AS BIGINT) AS n,
+             sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx,
+             sum(x * y) AS sxy, sum(y * y) AS syy
+           FROM e GROUP BY k)
+         SELECT k AS event_type, n,
+           CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                ELSE round(CAST(n * sxy - sx * sy AS DOUBLE)
+                  / CAST(n * sxx - sx * sx AS DOUBLE), 6) END AS slope,
+           CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                ELSE round((CAST(sy AS DOUBLE)
+                  - (CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE))
+                    * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6)
+           END AS intercept,
+           CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN NULL
+                ELSE round(CAST(n * sxy - sx * sy AS DOUBLE)
+                  * CAST(n * sxy - sx * sy AS DOUBLE)
+                  / (CAST(n * sxx - sx * sx AS DOUBLE)
+                     * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+           END AS r2
+         FROM a ORDER BY event_type""",
     // Cohen's kappa of stored lang vs the q_lang_guess heuristic chain:
     // κ reduces to ONE division of exact integers —
     // (agree·n − Σ ra·cb) / (n² − Σ ra·cb), HUGEINT until the final

@@ -501,6 +501,59 @@ object Profiling {
           .as("kappa"))
   }
 
+  /** Per-group OLS trend fit: slope/intercept/R² of y on x for every key —
+    * "is this metric trending, and how fast, per segment" as ONE aggregate
+    * (ingest-volume trends, per-source quality drift, revenue slopes).
+    *
+    * Exactness: x and y must be integral (epoch days, cents — the repo
+    * doctrine); the five sufficient statistics (Σx, Σy, Σx², Σxy, Σy²)
+    * accumulate in DECIMAL(38,0) — exact, order-independent, ANSI-loud on
+    * overflow (bound: n·Σx² < 10³⁸, comfortable for day×cent magnitudes
+    * well past 10¹² rows). The closed forms then use exact integer
+    * differences — slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) — converted to
+    * double only for the final correctly-rounded divisions, so DuckDB
+    * (HUGEINT) reproduces every emitted double bit-for-bit.
+    *
+    * Degenerate groups: constant x (or a single row) has no defined slope —
+    * slope/intercept/r2 are NULL; constant y under varying x fits slope 0
+    * with r2 NULL (zero variance explained is undefined, 0/0).
+    *
+    * Plan shape: one column-pruned scan into one hash aggregate (map-side
+    * partials), |keys| output rows — nothing downstream of the shuffle. */
+  def trendFit(df: DataFrame, keyCol: String, xExpr: Column,
+               yExpr: Column): DataFrame = {
+    // inputs at DECIMAL(19,0) so every product is EXACT in DECIMAL(38,0)
+    // (the corrMatrix precedent); sums and the n·Σ products stay in the
+    // 38-digit domain, ANSI-loud past it
+    def dec(c: Column) = c.cast(LongType).cast(DecimalType(19, 0))
+    val agg = df.select(col(keyCol).as("__k"), dec(xExpr).as("__x"),
+        dec(yExpr).as("__y"))
+      .groupBy(col("__k").as(keyCol))
+      .agg(count(lit(1)).cast(LongType).as("n"),
+        sum("__x").as("__sx"), sum("__y").as("__sy"),
+        sum(col("__x") * col("__x")).as("__sxx"),
+        sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__y") * col("__y")).as("__syy"))
+    val n = col("n").cast(DecimalType(38, 0))
+    val num = (n * col("__sxy") - col("__sx") * col("__sy"))
+      .cast(DoubleType)
+    val dx = (n * col("__sxx") - col("__sx") * col("__sx"))
+      .cast(DoubleType)
+    val dy = (n * col("__syy") - col("__sy") * col("__sy"))
+      .cast(DoubleType)
+    val slopeRaw = num / dx
+    agg.select(col(keyCol), col("n"),
+        when(dx === 0.0, lit(null).cast(DoubleType))
+          .otherwise(round(slopeRaw, 6)).as("slope"),
+        when(dx === 0.0, lit(null).cast(DoubleType))
+          .otherwise(round((col("__sy").cast(DoubleType)
+            - slopeRaw * col("__sx").cast(DoubleType))
+            / col("n").cast(DoubleType), 6)).as("intercept"),
+        when(dx === 0.0 || dy === 0.0, lit(null).cast(DoubleType))
+          .otherwise(round(num * num / (dx * dy), 6)).as("r2"))
+      .orderBy(keyCol)
+  }
+
   /** Equi-width histogram over an integral measure: k buckets spanning the
     * global [min, max], bucket of v = ((v−min)·k) div (max−min+1) — exact
     * integer arithmetic (operands non-negative, so `div` ≡ floor ≡ the

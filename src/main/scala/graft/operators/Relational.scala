@@ -132,6 +132,89 @@ object Relational {
       .drop((valueCols.map(c => s"__v_$c") :+ "__t" :+ "__side"): _*)
   }
 
+  /** [[asofJoin]] with DIRECTION, TOLERANCE, and a deterministic tie rule —
+    * the full pandas `merge_asof` surface:
+    *
+    *  - `direction = "backward"`: most recent right row with
+    *    rightTime <= leftTime (the [[asofJoin]] semantics);
+    *  - `direction = "forward"`: EARLIEST right row with
+    *    rightTime >= leftTime;
+    *  - `toleranceSeconds`: matches farther than this from the left time
+    *    yield NULL values (the left row is kept — left-join semantics);
+    *  - `rightTiebreak`: right rows tied on the match time are resolved by
+    *    this column (backward: max time then MAX tiebreak; forward: min
+    *    time then MIN tiebreak) — a total order, so the result can never
+    *    depend on partition luck. [[asofJoin]] leaves ties to the engine;
+    *    this variant refuses the ambiguity.
+    *
+    * Same scalable union+window plan as [[asofJoin]] (ONE shuffle on the
+    * keys, no range self-join): the direction only flips the window's sort
+    * order, and the tolerance is a post-fill integer-micros comparison
+    * against the matched right time carried alongside the values. */
+  def asofJoinDirected(left: DataFrame, right: DataFrame, keys: Seq[String],
+                       leftTime: String, rightTime: String,
+                       valueCols: Seq[String], direction: String,
+                       toleranceSeconds: Long = Long.MaxValue,
+                       rightTiebreak: Option[String] = None): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"asofJoinDirected: direction must be backward|forward, got $direction")
+    require(toleranceSeconds >= 0,
+      s"asofJoinDirected: negative tolerance $toleranceSeconds")
+    val carried = valueCols :+ "__mt"
+    val lTagged = left
+      .withColumn("__t", col(leftTime))
+      .withColumn("__side", lit(1))
+    val rTagged = right.select(
+      keys.map(col) ++ Seq(col(rightTime).as("__t"), lit(0).as("__side"),
+        rightTiebreak.map(col).getOrElse(lit(0L)).as("__tb"),
+        col(rightTime).as("__v___mt")) ++
+        valueCols.map(c => col(c).as(s"__v_$c")): _*)
+    val lAligned = lTagged.select(
+      keys.map(col) ++ Seq(col("__t"), col("__side"),
+        rightTiebreak.map(c => lit(null).cast(right.schema(c).dataType))
+          .getOrElse(lit(null).cast("long")).as("__tb"),
+        lit(null).cast(right.schema(rightTime).dataType).as("__v___mt")) ++
+        left.columns.filterNot(keys.contains).map(c => col(c)) ++
+        valueCols.map(c =>
+          lit(null).cast(right.schema(c).dataType).as(s"__v_$c")): _*)
+    val unioned = lAligned.unionByName(
+      rTagged.select(
+        keys.map(col) ++ Seq(col("__t"), col("__side"), col("__tb"),
+          col("__v___mt")) ++
+          left.columns.filterNot(keys.contains).map(c =>
+            lit(null).cast(left.schema(c).dataType).as(c)) ++
+          valueCols.map(c => col(s"__v_$c")): _*))
+    // backward scans time ascending (carried = latest right <= t, max-tb on
+    // ties); forward scans descending (carried = earliest right >= t,
+    // min-tb on ties — the LAST-scanned tie wins under a desc tb order).
+    // Left rows sort after right rows at the same instant either way
+    // (side 1 > 0), so exact-time matches are included in both directions.
+    val ord =
+      if (direction == "backward")
+        Seq(col("__t").asc, col("__side").asc, col("__tb").asc)
+      else Seq(col("__t").desc, col("__side").asc, col("__tb").desc)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val filled = carried.foldLeft(unioned) { (d, c) =>
+      d.withColumn(s"__f_$c", last(col(s"__v_$c"), ignoreNulls = true).over(w))
+    }
+    // DATE-typed times widen to midnight-UTC timestamps before the integer
+    // micros delta (a no-op for timestamp inputs; exact either way)
+    def us(c: Column) = unix_micros(c.cast("timestamp"))
+    val deltaUs =
+      if (direction == "backward") us(col("__t")) - us(col("__f___mt"))
+      else us(col("__f___mt")) - us(col("__t"))
+    val inTol = col("__f___mt").isNotNull &&
+      deltaUs <= lit(toleranceSeconds) * lit(1000000L)
+    val out = valueCols.foldLeft(filled) { (d, c) =>
+      d.withColumn(c, when(inTol, col(s"__f_$c")))
+    }
+    out.filter(col("__side") === 1)
+      .drop((carried.flatMap(c => Seq(s"__v_$c", s"__f_$c")) ++
+        Seq("__t", "__side", "__tb")): _*)
+  }
+
   /** Skew-salted inner equi-join for when ONE fact key is hot enough to
     * overwhelm a single reducer even under AQE's skew splitting: the fact
     * side gets a random salt in [0, buckets), the (small) other side is

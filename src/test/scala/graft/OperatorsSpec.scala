@@ -588,6 +588,45 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(3L).isEmpty)      // nothing at-or-before
   }
 
+  test("asofJoinDirected: forward/backward, tolerance nulls, tie rule") {
+    val left = Seq(
+      (1L, 100L, ts("2024-01-01 10:00:00")),
+      (2L, 100L, ts("2024-01-01 12:00:00")),
+      (3L, 200L, ts("2024-01-01 09:00:00")),
+      (4L, 300L, ts("2024-01-01 10:00:00"))
+    ).toDF("oid", "k", "lt")
+    val right = Seq(
+      (10L, 100L, ts("2024-01-01 10:30:00"), 1.0),
+      (11L, 100L, ts("2024-01-01 12:00:00"), 2.0), // equal ts: forward match
+      (12L, 200L, ts("2024-01-01 08:00:00"), 9.9), // before left 3: no fwd
+      // two right rows at the SAME instant: min event id must win forward
+      (13L, 300L, ts("2024-01-01 10:15:00"), 5.0),
+      (14L, 300L, ts("2024-01-01 10:15:00"), 6.0)
+    ).toDF("rid", "k", "rt", "value")
+    def run(dir: String, tolSec: Long) =
+      Relational.asofJoinDirected(left, right, Seq("k"), "lt", "rt",
+          Seq("value"), direction = dir, toleranceSeconds = tolSec,
+          rightTiebreak = Some("rid"))
+        .select("oid", "value").collect()
+        .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    val fwd = run("forward", 86400L)
+    assert(fwd(1L).contains(1.0))  // earliest at-or-after 10:00 is 10:30
+    assert(fwd(2L).contains(2.0))  // exact-time match included
+    assert(fwd(3L).isEmpty)        // only earlier rows exist
+    assert(fwd(4L).contains(5.0))  // tie at 10:15 → min rid (13)
+    // 20-minute tolerance: left 1's nearest forward match (30 min) nulls out
+    val tight = run("forward", 1200L)
+    assert(tight(1L).isEmpty && tight(4L).contains(5.0))
+    // backward ≡ asofJoin where defined; tie at same ts → max rid
+    val bwd = run("backward", 86400L)
+    assert(bwd(1L).isEmpty)        // nothing at-or-before 10:00 for k=100
+    assert(bwd(2L).contains(2.0))
+    assert(bwd(3L).contains(9.9))
+    assert(bwd(4L).isEmpty)        // 10:15 is after 10:00
+    val e = intercept[IllegalArgumentException](run("sideways", 1L))
+    assert(e.getMessage.contains("direction"))
+  }
+
   test("topNPerGroup and runningAgg windows") {
     val d = Seq(("a", 1, 10), ("a", 2, 30), ("a", 3, 20), ("b", 4, 5))
       .toDF("g", "id", "x")

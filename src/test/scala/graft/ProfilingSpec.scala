@@ -320,6 +320,31 @@ class ProfilingSpec extends AnyFunSuite {
     assert(math.abs(chi - want) < 1e-5)
   }
 
+  test("trendFit: exact line recovered, hand OLS value, degenerate groups") {
+    // group "exact": y = 3x + 7 exactly → slope 3, intercept 7, r2 = 1
+    // group "hand": (0,0),(1,2),(2,3) → slope 1.5, intercept 1/6, r2 = 27/28
+    // group "flatx": constant x → slope/intercept/r2 NULL
+    // group "flaty": constant y, varying x → slope 0, intercept y, r2 NULL
+    val rows =
+      Seq((0L, 7L), (1L, 10L), (2L, 13L), (5L, 22L)).map(p => ("exact", p)) ++
+      Seq((0L, 0L), (1L, 2L), (2L, 3L)).map(p => ("hand", p)) ++
+      Seq((4L, 1L), (4L, 9L)).map(p => ("flatx", p)) ++
+      Seq((1L, 5L), (2L, 5L), (9L, 5L)).map(p => ("flaty", p))
+    val df = rows.map { case (k, (x, y)) => (k, x, y) }.toDF("k", "x", "y")
+    val got = Profiling.trendFit(df, "k", col("x"), col("y")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1),
+        Option(r.get(2)), Option(r.get(3)), Option(r.get(4))))).toMap
+    assert(got("exact") == ((4L, Some(3.0), Some(7.0), Some(1.0))))
+    val (n, sl, ic, r2) = got("hand")
+    assert(n == 3L && sl.contains(1.5))
+    assert(ic.contains(math.rint(1.0 / 6.0 * 1e6) / 1e6) ||
+      ic.contains(0.166667))
+    assert(r2.contains(math.rint(27.0 / 28.0 * 1e6) / 1e6) ||
+      r2.contains(0.964286))
+    assert(got("flatx") == ((2L, None, None, None)))
+    assert(got("flaty") == ((3L, Some(0.0), Some(5.0), None)))
+  }
+
   test("agreementKappa: hand value, perfect/chance/degenerate cases") {
     // classic 2x2: raters agree on 20 'p' + 15 'n', disagree on 15
     //   po = 35/50; pe = (25·30 + 25·20)/2500 = 0.5; κ = 0.4
