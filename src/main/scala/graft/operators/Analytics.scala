@@ -536,7 +536,11 @@ object Analytics {
         datediff(to_date(col(tsCol)), lit("1970-01-01")).cast(LongType)
           .as("d"))
       .distinct()
-    val maxDay = ud.agg(max("d").as("__maxd"))
+    // max day from the RAW events (same value): one column-pruned agg scan
+    // instead of re-running the corpus-sized distinct shuffle a second time
+    val maxDay = events.agg(
+      max(datediff(to_date(col(tsCol)), lit("1970-01-01")).cast(LongType))
+        .as("__maxd"))
     val nextW = Window.partitionBy("u").orderBy("d")
     ud.withColumn("__nd", lead(col("d"), 1).over(nextW))
       .crossJoin(broadcast(maxDay))

@@ -432,6 +432,9 @@ object Profiling {
         bExpr.cast(StringType).as("__b"))
       .groupBy("__a", "__b")
       .agg(count(lit(1)).cast(LongType).as("__o"))
+      // row/col margins and the totals row all branch off the cells:
+      // checkpoint the |a|×|b|-row table so the corpus scan runs ONCE
+      .localCheckpoint()
     val rowT = cells.groupBy("__a").agg(sum("__o").cast(LongType).as("__ra"))
     val colT = cells.groupBy("__b").agg(sum("__o").cast(LongType).as("__cb"))
     val tot = cells.agg(sum("__o").cast(LongType).as("__n"),
@@ -477,6 +480,9 @@ object Profiling {
         bExpr.cast(StringType).as("__b"))
       .groupBy("__a", "__b")
       .agg(count(lit(1)).cast(LongType).as("__o"))
+      // margins/totals/pe all branch off the cells: checkpoint the
+      // |labels|²-row table so the corpus aggregate runs ONCE, not 4×
+      .localCheckpoint()
     val rowT = cells.groupBy("__a").agg(sum("__o").cast(LongType).as("__ra"))
     val colT = cells.groupBy("__b").agg(sum("__o").cast(LongType).as("__ca"))
     val tot = cells.agg(sum("__o").cast(LongType).as("__n"),

@@ -87,13 +87,22 @@ object TextAnalysis {
   }
 
   def langId(text: Column): Column = {
-    // argmax via a left-to-right fold: keep (bestLang, bestScore)
-    val scored = LangMarkers.map { case (langCode, ms) => (langCode, markerHits(text, ms)) }
-    val init = (lit("und"), lit(0))
-    val (bestLang, _) = scored.foldLeft(init) { case ((bl, bs), (langCode, s)) =>
-      (when(s > bs, lit(langCode)).otherwise(bl), when(s > bs, s).otherwise(bs))
+    // argmax as ONE aggregate-HOF fold over an array of (score, lang)
+    // structs: every markerHits runs EXACTLY ONCE per row (array
+    // construction, outside the lambda). The previous when-chain fold
+    // nested each partial best inside the next comparison, duplicating
+    // score subtrees ~2^|langs|-fold — interpreted eval (this expression
+    // is CodegenFallback via the filter HOF) re-tokenized the text ~15×
+    // per row (measured 8× on q_kappa's contingency pass). Semantics are
+    // identical: strictly-greater wins, scan order = marker-list order,
+    // 'und' when every score is 0.
+    val entries = LangMarkers.map { case (langCode, ms) =>
+      struct(markerHits(text, ms).as("s"), lit(langCode).as("l"))
     }
-    bestLang
+    val init = struct(lit(0).as("s"), lit("und").as("l"))
+    aggregate(array(entries: _*), init,
+      (acc, x) => when(x.getField("s") > acc.getField("s"), x).otherwise(acc))
+      .getField("l")
   }
 
   /** normalization for fingerprinting: lowercase, strip non-alphanumerics to
