@@ -503,4 +503,41 @@ class PlanAuditSpec extends AnyFunSuite {
       !plan.contains("BroadcastNestedLoopJoin"),
       s"fuzzyJoin degenerated to all-pairs:\n$plan")
   }
+
+  test("rollingActive / intervalCoverage: key-partitioned windows, broadcast max-day, no SinglePartition") {
+    import graft.operators.Analytics
+    val ev = (1L to 300L).map(i => (i, new java.sql.Timestamp(i * 7200000),
+        i % 12, "a"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val ra = finalPlan(Analytics.rollingActive(ev, "user_id", "ts", 7))
+    // the lead window must hash-partition on the user; the only
+    // SinglePartition is the 1-row max-day aggregate that broadcasts
+    val raWin = ra.linesIterator.dropWhile(!_.contains(") Window"))
+      .take(6).mkString("\n")
+    assert(!raWin.contains("SinglePartition"),
+      s"rollingActive lead window is global:\n$ra")
+    assert(ra.contains("BroadcastExchange"), ra)
+    val ic = finalPlan(Analytics.intervalCoverage(ev, "user_id", "ts", 3600L))
+    assert(ic.contains("hashpartitioning(__k"),
+      s"intervalCoverage windows not key-partitioned:\n$ic")
+    assert(!ic.contains("SinglePartition"),
+      s"intervalCoverage funnels through one partition:\n$ic")
+  }
+
+  test("trendFit / decayedSum: one hash aggregate with partial combine, no joins beyond the broadcast") {
+    import graft.operators.{Analytics, Profiling}
+    val df = spark.read.parquet(dir)
+    val tf = finalPlan(Profiling.trendFit(df, "grp", col("id"), col("id") % 9))
+    assert(tf.contains("partial_"),
+      s"trendFit missing map-side partial aggregation:\n$tf")
+    assert(!tf.contains("SortMergeJoin") && !tf.contains("CartesianProduct"),
+      tf)
+    val ev = (1L to 200L).map(i => (i, new java.sql.Timestamp(i * 3600000),
+        i % 10, 2.5)).toDF("event_id", "ts", "user_id", "value")
+    val ds = finalPlan(Analytics.decayedSum(ev, "user_id", "ts",
+      expr("cast(round(value * 100) as bigint)"), 7))
+    assert(ds.contains("BroadcastExchange"), ds)
+    assert(!ds.contains("SortMergeJoin"),
+      s"decayedSum max-day should broadcast, not SMJ:\n$ds")
+  }
 }
