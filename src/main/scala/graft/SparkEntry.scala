@@ -777,6 +777,24 @@ object SparkEntry {
       // integer nanos before the per-doc sum (order-independent ranking)
       graft.operators.Search.searchBM25(s, searchStoreFor(s, dir),
         Seq("scan", "dup"), 20)),
+    "q_hard_negatives" -> ((s, dir) =>
+      // retrieval-training hard negatives: the BM25 top-20 for the query
+      // EXCLUDING the labeled positives (the src0 docs) — the anti-join
+      // runs BEFORE the top-k cut so positives free slots for the
+      // next-best negatives; positives broadcast, probe stays
+      // postings-bucket-pruned
+      graft.operators.Search.searchBM25HardNegatives(s,
+        searchStoreFor(s, dir), Seq("scan", "dup"),
+        rd(s, dir, "documents").filter(col("source") === "src0"),
+        "doc_id", k = 20)),
+    "q_winsorized" -> ((s, dir) =>
+      // robust per-flag price stats: clamp at the group's [p01, p99]
+      // ORDER STATISTICS (type-1 — integer-exact at any p, no
+      // interpolation to disagree about), then exact integer sum + one
+      // rounded mean division
+      graft.operators.Profiling.winsorizedAgg(rd(s, dir, "lineitem"),
+        "l_returnflag", expr("cast(round(l_extendedprice * 100) as bigint)"),
+        pLo = 0.01, pHi = 0.99)),
     "q_hybrid_search" -> ((s, dir) =>
       // two-tower retrieval fusion: BM25 text leg + cosine vector leg
       // (query = the corpus's own vector 0, broadcast in-plan), fused by
@@ -4107,6 +4125,66 @@ object SparkEntry {
                FROM contrib GROUP BY doc_id)
          SELECT doc_id, CAST(nanos AS DOUBLE) / 1e9 AS score
          FROM m ORDER BY nanos DESC, doc_id LIMIT 20""",
+    // the BM25 chain with the labeled-positive exclusion BEFORE the top-k
+    // cut — q_bm25's oracle plus one NOT IN
+    "q_hard_negatives" ->
+      """WITH post AS (
+           SELECT doc_id, t AS term, count(*) AS tf FROM (
+             SELECT doc_id, unnest(string_split_regex(
+               trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+               '\s+')) AS t
+             FROM documents)
+           WHERE len(t) > 0 GROUP BY doc_id, t),
+         dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+                FROM post GROUP BY doc_id),
+         n AS (SELECT count(*) AS nd,
+                 (SELECT CAST(sum(tf) AS DOUBLE) FROM post) / count(*)
+                   AS avgdl
+               FROM documents),
+         w AS (SELECT term, count(*) AS df FROM post GROUP BY term),
+         contrib AS (
+           SELECT p.doc_id,
+             CAST(round(ln(1.0 + (nd - df + 0.5) / (df + 0.5))
+               * (p.tf * (1.2 + 1))
+               / (p.tf + 1.2 * (1 - 0.75) + 1.2 * 0.75 * d.dl / avgdl)
+               * 1e9) AS BIGINT) AS nanos
+           FROM post p JOIN w USING (term) JOIN dl d USING (doc_id)
+           CROSS JOIN n
+           WHERE p.term IN ('scan', 'dup')),
+         m AS (SELECT doc_id, CAST(sum(nanos) AS BIGINT) AS nanos
+               FROM contrib GROUP BY doc_id)
+         SELECT doc_id, CAST(nanos AS DOUBLE) / 1e9 AS score
+         FROM m
+         WHERE doc_id NOT IN
+           (SELECT doc_id FROM documents WHERE source = 'src0')
+         ORDER BY nanos DESC, doc_id LIMIT 20""",
+    // type-1 quantile cuts: the ceil(p*n)-th order statistic per group —
+    // selection, not interpolation, so any p is integer-exact; ties on v
+    // are harmless (the selected VALUE at a rank is tie-order-invariant)
+    "q_winsorized" ->
+      """WITH b AS (
+           SELECT l_returnflag AS g,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+           FROM lineitem),
+         r AS (
+           SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+             count(*) OVER (PARTITION BY g) AS n
+           FROM b),
+         cuts AS (
+           SELECT g,
+             max(CASE WHEN rn = greatest(1, CAST(ceil(0.01 * n) AS BIGINT))
+                 THEN v END) AS lo,
+             max(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT)
+                 THEN v END) AS hi
+           FROM r GROUP BY g)
+         SELECT b.g AS l_returnflag, CAST(count(*) AS BIGINT) AS n,
+           CAST(max(lo) AS BIGINT) AS lo_cut,
+           CAST(max(hi) AS BIGINT) AS hi_cut,
+           CAST(sum(least(greatest(v, lo), hi)) AS BIGINT) AS win_sum,
+           round(CAST(sum(least(greatest(v, lo), hi)) AS DOUBLE) / count(*), 6)
+             AS win_mean
+         FROM b JOIN cuts USING (g)
+         GROUP BY b.g ORDER BY l_returnflag""",
     // RRF fusion of the two leg rankings (same BM25 CTE chain; cosine vs
     // the corpus's vector 0, round-6 like CosineTopkOracle); integer ranks
     // -> 1.0/(60+rank) doubles are engine-identical

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, StringType}
 
@@ -456,6 +457,53 @@ object Profiling {
         round(sum("__term_nanos").cast(DoubleType) / 1e9, 6).as("chi2"),
         ((first("__nr") - 1) * (first("__nc") - 1)).cast(LongType).as("dof"),
         first("__n").cast(LongType).as("n"))
+  }
+
+  /** Per-group WINSORIZED aggregates: clamp an integral measure at its
+    * group's [pLo, pHi] order statistics, then count/sum/mean — the robust
+    * aggregate that keeps fat-tailed corrupt magnitudes (a 10¹² "price",
+    * a 500 MB "document") from dominating per-segment means, without
+    * dropping the rows like a filter would.
+    *
+    * Exactness: cuts are TYPE-1 quantiles — the ceil(p·n)-th order
+    * statistic, an actual data value, integer-exact at ANY p (the
+    * interpolating percentile is only dyadic-safe on the quarter grid,
+    * the [[quantileBins]] restriction; selection has no interpolation to
+    * disagree about — `ceil` runs on the same IEEE product in both
+    * engines). Clamped values stay integers, so the winsorized sum is
+    * order-independent and the mean is one correctly-rounded division.
+    * Ties on the value are harmless: row_number among equal values is
+    * arbitrary, but the SELECTED value at a rank is the same either way.
+    *
+    * Plan shape: one per-group sort window (rank + group count in the
+    * same window pass, group-hash partitioned — spills gracefully; the
+    * 100 TB shortcut is approx_percentile cuts, the profileTable
+    * trade-off), a groups-sized cuts table broadcast back, one clamp +
+    * hash aggregate. */
+  def winsorizedAgg(df: DataFrame, groupCol: String, cents: Column,
+                    pLo: Double = 0.01, pHi: Double = 0.99): DataFrame = {
+    require(pLo >= 0 && pLo < pHi && pHi <= 1,
+      s"winsorizedAgg: need 0 <= pLo < pHi <= 1, got ($pLo, $pHi)")
+    val base = df.select(col(groupCol).as("__g"), cents.cast(LongType).as("__v"))
+    val w = Window.partitionBy("__g").orderBy("__v")
+    val ranked = base
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy("__g")))
+    val cuts = ranked.groupBy("__g").agg(
+      max(when(col("__rn") ===
+        greatest(lit(1L), ceil(lit(pLo) * col("__n"))), col("__v")))
+        .as("__lo"),
+      max(when(col("__rn") === ceil(lit(pHi) * col("__n")), col("__v")))
+        .as("__hi"))
+    base.join(broadcast(cuts), Seq("__g"))
+      .withColumn("__w", least(greatest(col("__v"), col("__lo")), col("__hi")))
+      .groupBy(col("__g").as(groupCol))
+      .agg(count(lit(1)).cast(LongType).as("n"),
+        first(col("__lo")).cast(LongType).as("lo_cut"),
+        first(col("__hi")).cast(LongType).as("hi_cut"),
+        sum("__w").cast(LongType).as("win_sum"),
+        round(sum("__w").cast(DoubleType) / count(lit(1)), 6).as("win_mean"))
+      .orderBy(groupCol)
   }
 
   /** Cohen's kappa: chance-corrected agreement between two categorical

@@ -282,9 +282,15 @@ object Search {
     * longs — exact and order-independent, so ranking can't flip on
     * partition-order float addition. The oracle mirrors the identical
     * expression shape; constant subexpressions are written symbolically
-    * (`k1·(1−b)`, not `0.3`) so both engines fold the same doubles. */
-  def searchBM25(spark: SparkSession, store: String, terms: Seq[String],
-                 k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    * (`k1·(1−b)`, not `0.3`) so both engines fold the same doubles.
+    *
+    * This is the shared scoring leg — (doc_id, __nanos) over the query
+    * terms' postings buckets, pre-ranking: [[searchBM25]] cuts top-k
+    * directly; [[searchBM25HardNegatives]] anti-joins the labeled
+    * positives first. */
+  private def bm25Nanos(spark: SparkSession, store: String,
+                        terms: Seq[String], k1: Double,
+                        b: Double): DataFrame = {
     require(terms.nonEmpty, "searchBM25: empty term list")
     Dedup.checkStoreParams(spark, s"${store}_postings",
       Map("kind" -> "inverted_index"))
@@ -311,11 +317,39 @@ object Search {
           * lit(1e9)).cast("long"))
       .groupBy("doc_id")
       .agg(sum("__nanos").as("__nanos"))
+  }
+
+  def searchBM25(spark: SparkSession, store: String, terms: Seq[String],
+                 k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25Nanos(spark, store, terms, k1, b)
       .orderBy(desc("__nanos"), col("doc_id"))
       .limit(k)
       .select(col("doc_id"),
         (col("__nanos").cast("double") / lit(1e9)).as("score"))
-  }
+
+  /** HARD-NEGATIVE mining for retrieval training (DPR / sentence-encoder
+    * recipes): the top-k BM25 matches for the query EXCLUDING the labeled
+    * positives — lexically similar non-relevant docs, the negatives that
+    * actually teach a dual encoder something (random negatives are too
+    * easy). The anti-join runs BEFORE the top-k cut, so positives inside
+    * the raw top-k free slots for the next-best negatives rather than
+    * silently shrinking the result.
+    *
+    * Scale shape: the scoring leg reads only the query terms' postings
+    * buckets (the [[searchBM25]] probe); the positives side is a labeled
+    * training set — small by construction — and broadcasts into the
+    * anti-join, so the probe never shuffles. */
+  def searchBM25HardNegatives(spark: SparkSession, store: String,
+                              terms: Seq[String], positives: DataFrame,
+                              posIdCol: String, k: Int, k1: Double = 1.2,
+                              b: Double = 0.75): DataFrame =
+    bm25Nanos(spark, store, terms, k1, b)
+      .join(broadcast(positives.select(col(posIdCol).as("doc_id")).distinct()),
+        Seq("doc_id"), "left_anti")
+      .orderBy(desc("__nanos"), col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"),
+        (col("__nanos").cast("double") / lit(1e9)).as("score"))
 
   /** Hybrid retrieval: Reciprocal Rank Fusion (Cormack/Clarke/Büttcher) of
     * the BM25 text leg and an embedding-cosine vector leg over the same

@@ -1067,6 +1067,36 @@ class OperatorsSpec extends AnyFunSuite {
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("searchBM25HardNegatives: positives excluded BEFORE the cut, empty set ≡ plain BM25") {
+    import graft.operators.Search
+    val d = Seq(
+      (1L, "dup scan"),
+      (2L, "scan scan scan scan"),
+      (3L, "scan"),
+      (4L, "other words only")
+    ).toDF("doc_id", "text")
+    Search.writeInvertedIndex(d, "doc_id", "text", "graft_hneg_t",
+      nBuckets = 2)
+    try {
+      // plain top-2 is (1, 2); excluding positive doc 1 must PROMOTE doc 3
+      // into the k=2 cut, not return a 1-row result
+      val pos = Seq(1L).toDF("doc_id")
+      val got = Search.searchBM25HardNegatives(spark, "graft_hneg_t",
+          Seq("scan", "dup"), pos, "doc_id", k = 2)
+        .collect().map(_.getLong(0)).toSeq
+      assert(got == Seq(2L, 3L))
+      // empty positives ≡ searchBM25 (ids and scores)
+      val none = Seq.empty[Long].toDF("doc_id")
+      val a = Search.searchBM25HardNegatives(spark, "graft_hneg_t",
+          Seq("scan", "dup"), none, "doc_id", k = 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val b = Search.searchBM25(spark, "graft_hneg_t", Seq("scan", "dup"), 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(a == b)
+    } finally Seq("graft_hneg_t_postings", "graft_hneg_t_terms")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("mmrSelect: diversity beats a relevance pile-up, order deterministic") {
     import graft.operators.Similarity
     // query (1,0,0); a tight cluster of near-duplicates hugging the query

@@ -320,6 +320,27 @@ class ProfilingSpec extends AnyFunSuite {
     assert(math.abs(chi - want) < 1e-5)
   }
 
+  test("winsorizedAgg: type-1 cuts, clamped sums, outlier tamed, param guard") {
+    // group "a": 1..10 plus a corrupt 10_000; at (0.1, 0.9) the cuts are
+    // the ceil(0.1*11)=2nd (=2) and ceil(0.9*11)=10th (=10) order stats
+    val vals = (1L to 10L) :+ 10000L
+    val df = vals.map(("a", _)).toDF("g", "v")
+    val r = Profiling.winsorizedAgg(df, "g", col("v"), 0.1, 0.9)
+      .collect().head
+    assert((r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      (("a", 11L, 2L, 10L)))
+    // clamped: 1→2, 2..10 unchanged, 10000→10 ⇒ sum = 2+2+3+...+10+10 = 66
+    assert(r.getLong(4) == 66L)
+    assert(r.getDouble(5) == math.rint(66.0 / 11 * 1e6) / 1e6)
+    // pLo = 0: the lower cut index clamps to 1 (the minimum) — no lower clamp
+    val r0 = Profiling.winsorizedAgg(df, "g", col("v"), 0.0, 0.9)
+      .collect().head
+    assert(r0.getLong(2) == 1L && r0.getLong(4) == 65L)
+    val e = intercept[IllegalArgumentException](
+      Profiling.winsorizedAgg(df, "g", col("v"), 0.9, 0.1))
+    assert(e.getMessage.contains("pLo"))
+  }
+
   test("trendFit: exact line recovered, hand OLS value, degenerate groups") {
     // group "exact": y = 3x + 7 exactly → slope 3, intercept 7, r2 = 1
     // group "hand": (0,0),(1,2),(2,3) → slope 1.5, intercept 1/6, r2 = 27/28
