@@ -777,6 +777,12 @@ object SparkEntry {
       // integer nanos before the per-doc sum (order-independent ranking)
       graft.operators.Search.searchBM25(s, searchStoreFor(s, dir),
         Seq("scan", "dup"), 20)),
+    "q_gopher_rep" -> ((s, dir) =>
+      // the Gopher n-gram repetition rule set (top-2/3-gram char mass,
+      // duplicated-3/4-gram char mass): one tokenize pass, doc-keyed
+      // shuffles only
+      TextAnalysis.gopherRepetitionReport(rd(s, dir, "documents"),
+        "doc_id", "text")),
     "q_hard_negatives" -> ((s, dir) =>
       // retrieval-training hard negatives: the BM25 top-20 for the query
       // EXCLUDING the labeled positives (the src0 docs) — the anti-join
@@ -4125,6 +4131,62 @@ object SparkEntry {
                FROM contrib GROUP BY doc_id)
          SELECT doc_id, CAST(nanos AS DOUBLE) / 1e9 AS score
          FROM m ORDER BY nanos DESC, doc_id LIMIT 20""",
+    // per-(doc, n, gram) counts from the shared range/slice shingle shape;
+    // top gram via (cnt DESC, gram ASC) row_number, dup mass via
+    // conditional sum; fractions of the NORMALIZED char count
+    "q_gopher_rep" ->
+      """WITH tk AS (
+           SELECT doc_id,
+             trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS nt
+           FROM documents),
+         tt AS (SELECT doc_id, nt, string_split_regex(nt, '\s+') AS t
+                FROM tk),
+         b AS (SELECT doc_id, CAST(length(nt) AS BIGINT) AS n_chars,
+                 CAST(len(t) AS BIGINT) AS n_words
+               FROM tt),
+         g AS (
+           SELECT doc_id, 2 AS n, concat_ws(' ', t[i+1], t[i+2]) AS gr
+           FROM (SELECT doc_id, t,
+                   unnest(range(0, greatest(len(t) - 2, 0) + 1)) AS i
+                 FROM tt)
+           UNION ALL
+           SELECT doc_id, 3, concat_ws(' ', t[i+1], t[i+2], t[i+3])
+           FROM (SELECT doc_id, t,
+                   unnest(range(0, greatest(len(t) - 3, 0) + 1)) AS i
+                 FROM tt)
+           UNION ALL
+           SELECT doc_id, 4, concat_ws(' ', t[i+1], t[i+2], t[i+3], t[i+4])
+           FROM (SELECT doc_id, t,
+                   unnest(range(0, greatest(len(t) - 4, 0) + 1)) AS i
+                 FROM tt)),
+         c AS (SELECT doc_id, n, gr, count(*) AS cnt
+               FROM g GROUP BY 1, 2, 3),
+         p AS (
+           SELECT doc_id, n,
+             max(CASE WHEN rn = 1 THEN cnt * length(gr) END) AS topc,
+             sum(CASE WHEN cnt >= 2 THEN cnt * length(gr) ELSE 0 END) AS dupc
+           FROM (SELECT doc_id, n, gr, cnt,
+                   row_number() OVER (PARTITION BY doc_id, n
+                     ORDER BY cnt DESC, gr) AS rn
+                 FROM c)
+           GROUP BY doc_id, n),
+         s AS (
+           SELECT doc_id,
+             max(CASE WHEN n = 2 THEN topc END) AS t2,
+             max(CASE WHEN n = 3 THEN topc END) AS t3,
+             max(CASE WHEN n = 3 THEN dupc END) AS d3,
+             max(CASE WHEN n = 4 THEN dupc END) AS d4
+           FROM p GROUP BY doc_id)
+         SELECT b.doc_id, b.n_words, b.n_chars,
+           round(CAST(coalesce(t2, 0) AS DOUBLE) / greatest(b.n_chars, 1), 6)
+             AS top2_char_frac,
+           round(CAST(coalesce(t3, 0) AS DOUBLE) / greatest(b.n_chars, 1), 6)
+             AS top3_char_frac,
+           round(CAST(coalesce(d3, 0) AS DOUBLE) / greatest(b.n_chars, 1), 6)
+             AS dup3_char_frac,
+           round(CAST(coalesce(d4, 0) AS DOUBLE) / greatest(b.n_chars, 1), 6)
+             AS dup4_char_frac
+         FROM b LEFT JOIN s USING (doc_id) ORDER BY b.doc_id""",
     // the BM25 chain with the labeled-positive exclusion BEFORE the top-k
     // cut — q_bm25's oracle plus one NOT IN
     "q_hard_negatives" ->

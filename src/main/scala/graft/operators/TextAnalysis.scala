@@ -142,6 +142,62 @@ object TextAnalysis {
       size(array_distinct(grams)).cast(DoubleType) / size(grams), 6)
   }
 
+  /** Gopher-style n-gram repetition REPORT (Rae et al. 2021 §A1.1 rules,
+    * the ones meaningful on unsegmented text): per document, the character
+    * mass of (a) the single most frequent 2-/3-gram and (b) all DUPLICATED
+    * 3-/4-grams, each as a fraction of the normalized text's characters —
+    * the signals that separate looping/boilerplate generation from merely
+    * wordy text, beyond [[repetitionRatio]]'s single distinct-ratio.
+    * Definitions (deterministic, engine-replicable): top-n fraction =
+    * count·len(gram)/n_chars for the (count DESC, gram ASC)-first gram;
+    * dup-n fraction = Σ_{count ≥ 2} count·len(gram)/n_chars. Line-based
+    * Gopher rules need line-segmented corpora and are out of scope here.
+    *
+    * Plan shape: ONE tokenize pass feeding a two-level explode ((n, gram)
+    * for n ∈ {2,3,4}), one (doc, n, gram) count aggregate, one (doc, n)
+    * aggregate (top via min-struct, dup via conditional sum), a 4-way
+    * conditional pivot, and one id-keyed join back to the per-doc
+    * char/word counts — all shuffles on the doc key.
+    */
+  def gopherRepetitionReport(df: DataFrame, idCol: String,
+                             textCol: String): DataFrame = {
+    val base = df.select(col(idCol).as("__id"), normalized(col(textCol)).as("__nt"))
+      .select(col("__id"),
+        length(col("__nt")).cast(LongType).as("n_chars"),
+        size(tokens(col("__nt"))).cast(LongType).as("n_words"),
+        tokens(col("__nt")).as("__t"))
+    val grams = base.select(col("__id"),
+        explode(array(Seq(2, 3, 4).map(n => struct(lit(n).as("n"),
+          Dedup.shinglesFromTokens(col("__t"), n, distinct = false)
+            .as("g"))): _*)).as("__e"))
+      .select(col("__id"), col("__e.n").as("__n"),
+        explode(col("__e.g")).as("__g"))
+    val perN = grams.groupBy("__id", "__n", "__g")
+      .agg(count(lit(1)).as("__cnt"))
+      .groupBy("__id", "__n")
+      .agg(
+        min(struct((lit(0L) - col("__cnt")).as("nc"), col("__g").as("g")))
+          .as("__top"),
+        sum(when(col("__cnt") >= 2, col("__cnt") * length(col("__g")))
+          .otherwise(0L)).as("__dup"))
+      .withColumn("__topc",
+        (lit(0L) - col("__top.nc")) * length(col("__top.g")))
+    val stats = perN.groupBy("__id").agg(
+      max(when(col("__n") === 2, col("__topc"))).as("__t2"),
+      max(when(col("__n") === 3, col("__topc"))).as("__t3"),
+      max(when(col("__n") === 3, col("__dup"))).as("__d3"),
+      max(when(col("__n") === 4, col("__dup"))).as("__d4"))
+    def frac(c: Column) = round(coalesce(c, lit(0L)).cast(DoubleType)
+      / greatest(col("n_chars"), lit(1L)), 6)
+    base.join(stats, Seq("__id"), "left")
+      .select(col("__id").as(idCol), col("n_words"), col("n_chars"),
+        frac(col("__t2")).as("top2_char_frac"),
+        frac(col("__t3")).as("top3_char_frac"),
+        frac(col("__d3")).as("dup3_char_frac"),
+        frac(col("__d4")).as("dup4_char_frac"))
+      .orderBy(idCol)
+  }
+
   /** top-k TF-IDF terms per document: tf = in-doc term count, idf =
     * ln(N / doc-frequency), ranked per doc on the ROUNDED score (term asc
     * tiebreak) so the ordering is reproducible across engines. Scale shape:

@@ -510,6 +510,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r(2L) == 0.0)
   }
 
+  test("gopherRepetitionReport: hand-computed char fractions, looping vs varied, short-doc edge") {
+    val d = Seq(
+      (1L, "spam spam spam spam"), // n_chars 19: top2 = 3*9/19, top3 = dup3 = 2*14/19, dup4 = 0
+      (2L, "a b c d"),             // all unique: top2 = 3/7 ('a b'), top3 = 5/7, dups 0
+      (3L, "x")                    // 1 token: degenerate gram = the token itself
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherRepetitionReport(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5), r.getDouble(6)))).toMap
+    def f(a: Long, b: Long) = math.rint(a.toDouble / b * 1e6) / 1e6
+    assert(got(1L) == ((4L, 19L, f(27, 19), f(28, 19), f(28, 19), 0.0)))
+    assert(got(2L) == ((4L, 7L, f(3, 7), f(5, 7), 0.0, 0.0)))
+    assert(got(3L) == ((1L, 1L, 1.0, 1.0, 0.0, 0.0)))
+  }
+
   test("tfIdfTopTerms ranks distinctive terms above ubiquitous ones") {
     val d = Seq(
       (1L, "zebra zebra common"),
