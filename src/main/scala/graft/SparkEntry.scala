@@ -777,6 +777,16 @@ object SparkEntry {
       // integer nanos before the per-doc sum (order-independent ranking)
       graft.operators.Search.searchBM25(s, searchStoreFor(s, dir),
         Seq("scan", "dup"), 20)),
+    "q_calibrate" -> ((s, dir) => {
+      // cross-source score calibration: each doc's n_chars mapped to the
+      // CORPUS-WIDE type-1 quantile at its within-source percentile —
+      // fully integer (ceil as (rn·n_ref + n − 1) div n), cumulative ref
+      // counts from the bucketed global prefix sum, k→value lookup as an
+      // equi-join on the expanded rank table
+      val docs = rd(s, dir, "documents")
+      graft.operators.Profiling.quantileCalibrate(docs, "source", "doc_id",
+        col("n_chars"), docs, col("n_chars"))
+    }),
     "q_gopher_rep" -> ((s, dir) =>
       // the Gopher n-gram repetition rule set (top-2/3-gram char mass,
       // duplicated-3/4-gram char mass): one tokenize pass, doc-keyed
@@ -4131,6 +4141,33 @@ object SparkEntry {
                FROM contrib GROUP BY doc_id)
          SELECT doc_id, CAST(nanos AS DOUBLE) / 1e9 AS score
          FROM m ORDER BY nanos DESC, doc_id LIMIT 20""",
+    // rank→reference-quantile mapping, all integer: k = (rn·n_ref + n − 1)
+    // // n (operands non-negative ⇒ `//` ≡ Spark `div`), lookup by
+    // generate_series expansion
+    "q_calibrate" ->
+      """WITH c AS (
+           SELECT doc_id, source, CAST(n_chars AS BIGINT) AS v
+           FROM documents),
+         rv AS (SELECT CAST(n_chars AS BIGINT) AS rv, count(*) AS cnt
+                FROM documents GROUP BY 1),
+         rc AS (SELECT rv, cnt,
+             coalesce(sum(cnt) OVER (ORDER BY rv
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p
+           FROM rv),
+         nr AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_ref FROM rv),
+         lk AS (SELECT rv, unnest(generate_series(CAST(p + 1 AS BIGINT),
+                  CAST(p + cnt AS BIGINT))) AS k
+                FROM rc),
+         cu AS (SELECT doc_id, source, v,
+             row_number() OVER (PARTITION BY source ORDER BY v, doc_id)
+               AS rn,
+             count(*) OVER (PARTITION BY source) AS n
+           FROM c)
+         SELECT cu.doc_id, cu.source, CAST(cu.v AS BIGINT) AS value,
+           CAST(lk.rv AS BIGINT) AS calibrated
+         FROM cu CROSS JOIN nr
+         JOIN lk ON lk.k = (cu.rn * nr.n_ref + cu.n - 1) // cu.n
+         ORDER BY cu.doc_id""",
     // per-(doc, n, gram) counts from the shared range/slice shingle shape;
     // top gram via (cnt DESC, gram ASC) row_number, dup mass via
     // conditional sum; fractions of the NORMALIZED char count

@@ -506,6 +506,52 @@ object Profiling {
       .orderBy(groupCol)
   }
 
+  /** Quantile NORMALIZATION of a per-group score against a reference
+    * distribution — the cross-source score-calibration step (quality
+    * scores from different classifiers/sources aren't comparable; mapping
+    * each source's rank to the corpus-wide quantile makes one threshold
+    * mean the same thing everywhere). Each row's value becomes the
+    * reference's type-1 quantile at the row's within-group percentile:
+    * calibrated = the k-th smallest reference value, k = ceil(rank·n_ref /
+    * n_group).
+    *
+    * Exactness: rank is a (value, id) total-order row_number; k is the
+    * INTEGER form of the ceil — (rank·n_ref + n − 1) div n, all operands
+    * non-negative (trunc ≡ floor ≡ the oracle's `//`), no float in the
+    * pipeline at all. rank·n_ref must fit a long — past ~3·10⁹ rows per
+    * side, pre-quantize the score grid (ANSI raises loudly, never wraps).
+    *
+    * Plan shape: the reference compacts to its DISTINCT value table
+    * (groups ≪ rows for real score grids) whose cumulative counts come
+    * from the bucketed [[Relational.globalPrefixSum]] — never a
+    * SinglePartition window; the k→value lookup EXPANDS back to exactly
+    * n_ref (rank, value) rows and hash-joins on the rank key — an
+    * equi-join, not the broadcast-nested-loop a range join would plan.
+    * Current side: one per-group sort window. */
+  def quantileCalibrate(cur: DataFrame, groupCol: String, idCol: String,
+                        valueExpr: Column, ref: DataFrame,
+                        refValueExpr: Column): DataFrame = {
+    val refV = ref.select(refValueExpr.cast(LongType).as("__rv"))
+      .groupBy("__rv").agg(count(lit(1)).cast(LongType).as("__c"))
+    val refCum = Relational.globalPrefixSum(refV, "__rv", "__c", "__p")
+    val lookup = refCum.select(col("__rv"),
+      explode(sequence(col("__p") + lit(1L), col("__p") + col("__c")))
+        .as("__k"))
+    val nRef = refCum.agg(max(col("__p") + col("__c")).as("__nref"))
+    val wG = Window.partitionBy("__g").orderBy("__v", "__id")
+    cur.select(col(idCol).as("__id"), col(groupCol).as("__g"),
+        valueExpr.cast(LongType).as("__v"))
+      .withColumn("__rn", row_number().over(wG))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy("__g")))
+      .crossJoin(broadcast(nRef))
+      .withColumn("__k",
+        expr("(__rn * __nref + __n - 1L) div __n"))
+      .join(lookup, Seq("__k"))
+      .select(col("__id").as(idCol), col("__g").as(groupCol),
+        col("__v").as("value"), col("__rv").as("calibrated"))
+      .orderBy(idCol)
+  }
+
   /** Cohen's kappa: chance-corrected agreement between two categorical
     * columns (heuristic labeler vs model, two annotators, two classifier
     * versions) — the labeling-QA primitive raw accuracy overstates when

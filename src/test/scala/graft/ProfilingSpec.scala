@@ -366,6 +366,34 @@ class ProfilingSpec extends AnyFunSuite {
     assert(got("flaty") == ((3L, Some(0.0), Some(5.0), None)))
   }
 
+  test("quantileCalibrate: identity on itself, hand mapping, duplicate ref values") {
+    // identity: one group calibrated against itself returns each value
+    // (rank k maps to the k-th smallest = the value itself, distinct vals)
+    val self = (1L to 7L).map(v => (v, "g", v * 10)).toDF("id", "g", "v")
+    val idGot = Profiling.quantileCalibrate(self, "g", "id", col("v"),
+        self, col("v")).collect()
+      .map(r => (r.getLong(2), r.getLong(3)))
+    assert(idGot.forall { case (v, c) => v == c })
+    // hand mapping: ref = 1..10; group "a" has 2 rows → k = 5 and 10;
+    // group "b" has 4 rows → k = ceil(10/4, 20/4, 30/4, 40/4) = 3,5,8,10
+    val ref = (1L to 10L).map(v => (v, "r", v)).toDF("id", "g", "v")
+    val cur = Seq((1L, "a", 100L), (2L, "a", 200L),
+      (3L, "b", 5L), (4L, "b", 6L), (5L, "b", 7L), (6L, "b", 8L))
+      .toDF("id", "g", "v")
+    val got = Profiling.quantileCalibrate(cur, "g", "id", col("v"),
+        ref, col("v")).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got == Map(1L -> 5L, 2L -> 10L, 3L -> 3L, 4L -> 5L,
+      5L -> 8L, 6L -> 10L))
+    // duplicate ref values: ref {1,2,2,9} — ranks 2 AND 3 both map to 2
+    val dupRef = Seq(1L, 2L, 2L, 9L).map(v => (v, "r", v)).toDF("id", "g", "v")
+    val cur4 = (1L to 4L).map(i => (i, "x", i * 100)).toDF("id", "g", "v")
+    val g2 = Profiling.quantileCalibrate(cur4, "g",
+        "id", col("v"), dupRef, col("v")).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(g2 == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 9L))
+  }
+
   test("agreementKappa: hand value, perfect/chance/degenerate cases") {
     // classic 2x2: raters agree on 20 'p' + 15 'n', disagree on 15
     //   po = 35/50; pe = (25·30 + 25·20)/2500 = 0.5; κ = 0.4
