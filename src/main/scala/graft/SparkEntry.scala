@@ -777,6 +777,33 @@ object SparkEntry {
       // integer nanos before the per-doc sum (order-independent ranking)
       graft.operators.Search.searchBM25(s, searchStoreFor(s, dir),
         Seq("scan", "dup"), 20)),
+    "q_dedup_consecutive" -> ((s, dir) =>
+      // run-length event dedup: keep the first of each consecutive
+      // same-type run per user (telemetry chatter cleaning) — one lag on
+      // the per-user (ts, event_id) window
+      graft.operators.Analytics.dedupConsecutive(rdEvents(s, dir),
+          "user_id", "ts", "event_type", "event_id")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .orderBy("event_id")),
+    "q_diff_columns" -> ((s, dir) => {
+      // column-level churn attribution over the q_dataset_diff versions,
+      // with three planted edit patterns (text %7, lang %5, n_chars %13):
+      // which columns drive the changed rows — one co-keyed join, one
+      // aggregate, stack reshape
+      val docs = rd(s, dir, "documents")
+      val cur = docs.filter(col("doc_id") % 11 =!= 5)
+      val prev = docs.filter(col("doc_id") % 10 =!= 3)
+        .withColumn("text",
+          when(col("doc_id") % 7 === 0, concat(lit("OLD "), col("text")))
+            .otherwise(col("text")))
+        .withColumn("lang",
+          when(col("doc_id") % 5 === 0, lit("xx")).otherwise(col("lang")))
+        .withColumn("n_chars",
+          when(col("doc_id") % 13 === 0, col("n_chars") + 1L)
+            .otherwise(col("n_chars")))
+      graft.sources.Sources.datasetDiffColumns(cur, prev, "doc_id",
+        Seq("lang", "n_chars", "text"))
+    }),
     "q_calibrate" -> ((s, dir) => {
       // cross-source score calibration: each doc's n_chars mapped to the
       // CORPUS-WIDE type-1 quantile at its within-source percentile —
@@ -4141,6 +4168,50 @@ object SparkEntry {
                FROM contrib GROUP BY doc_id)
          SELECT doc_id, CAST(nanos AS DOUBLE) / 1e9 AS score
          FROM m ORDER BY nanos DESC, doc_id LIMIT 20""",
+    // run boundary = null-safe type change; rn = 1 marks the key's first
+    // row (lag-is-null can't tell "no predecessor" from a null type)
+    "q_dedup_consecutive" ->
+      """SELECT event_id, user_id, event_type FROM (
+           SELECT event_id, user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS prev,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS rn
+           FROM events)
+         WHERE rn = 1 OR prev IS DISTINCT FROM event_type
+         ORDER BY event_id""",
+    // per-column null-safe change counts over the common-id join of the
+    // q_dataset_diff versions + three planted edit patterns
+    "q_diff_columns" ->
+      """WITH cur AS (
+           SELECT doc_id, text, lang, n_chars FROM documents
+           WHERE doc_id % 11 <> 5),
+         prev AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN 'OLD ' || text ELSE text END
+               AS text,
+             CASE WHEN doc_id % 5 = 0 THEN 'xx' ELSE lang END AS lang,
+             CASE WHEN doc_id % 13 = 0 THEN n_chars + 1 ELSE n_chars END
+               AS n_chars
+           FROM documents WHERE doc_id % 10 <> 3),
+         j AS (
+           SELECT c.text AS ct, p.text AS pt, c.lang AS cl, p.lang AS pl,
+             c.n_chars AS cn, p.n_chars AS pn
+           FROM cur c JOIN prev p USING (doc_id)),
+         w AS (
+           SELECT
+             CAST(sum(CASE WHEN ct IS DISTINCT FROM pt THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_text,
+             CAST(sum(CASE WHEN cl IS DISTINCT FROM pl THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_lang,
+             CAST(sum(CASE WHEN cn IS DISTINCT FROM pn THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_nchars,
+             CAST(count(*) AS BIGINT) AS n_common
+           FROM j)
+         SELECT 'lang' AS col_name, n_lang AS n_changed, n_common FROM w
+         UNION ALL SELECT 'n_chars', n_nchars, n_common FROM w
+         UNION ALL SELECT 'text', n_text, n_common FROM w
+         ORDER BY col_name""",
     // rank→reference-quantile mapping, all integer: k = (rn·n_ref + n − 1)
     // // n (operands non-negative ⇒ `//` ≡ Spark `div`), lookup by
     // generate_series expansion

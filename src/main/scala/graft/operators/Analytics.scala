@@ -404,6 +404,29 @@ object Analytics {
     * aggregate. Day numbers are integer days since 1970-01-01 (the
     * [[retentionCohorts]] convention — timezone-free, engine-exact);
     * `max_day` is a 1-row aggregate broadcast by the cross join. */
+  /** Run-length event dedup: per key, keep only the FIRST event of each
+    * consecutive run of the same type — the telemetry-cleaning pass for
+    * at-least-once emitters and UI chatter (a user mashing "retry" is one
+    * intent, not forty) that [[transitionCounts]]/[[funnel]] consumers run
+    * first so self-transitions don't drown the signal. Ordering is the
+    * house (ts, tiebreak) total order; a run boundary is a CHANGE of type
+    * (null-safe, so null-typed events form runs too).
+    *
+    * Plan: one lag over the per-key window, one filter — single shuffle on
+    * the key, per-partition state one key's events. */
+  def dedupConsecutive(events: DataFrame, keyCol: String, tsCol: String,
+                       typeCol: String, tiebreakCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(tiebreakCol))
+    events
+      .withColumn("__prev", lag(col(typeCol), 1).over(w))
+      .withColumn("__rn", row_number().over(w))
+      // first row of the key, or a (null-safe) type change — lag-is-null
+      // alone can't tell "no predecessor" from "predecessor typed null"
+      .filter(col("__rn") === 1 || !(col("__prev") <=> col(typeCol)))
+      .drop("__prev", "__rn")
+  }
+
   /** Union-of-intervals coverage per key ("total engaged time"): each event
     * opens a hold interval [ts, ts + holdSeconds); overlapping intervals
     * merge; the output is the merged-island count and the exact covered

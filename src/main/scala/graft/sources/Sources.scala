@@ -325,6 +325,40 @@ object Sources {
       .select(col(idCol), col("status"))
   }
 
+  /** Column-level diff attribution — WHICH columns drive the churn
+    * [[datasetDiff]] reports: over the ids present in BOTH versions, count
+    * per compare column how many rows changed it (null-safe inequality —
+    * null→value and value→null are changes, null→null is not). The
+    * follow-up question every snapshot diff raises ("10M changed rows —
+    * is that a re-crawl or did one enrichment column get recomputed?")
+    * answered with ONE co-keyed join + one aggregate; the k per-column
+    * sums ride the same map-side partials, and the one-row wide result
+    * reshapes to rows with `stack` (the profileTable pattern — no driver
+    * collect).
+    *
+    * Output: (col_name, n_changed, n_common) per compare column, ordered
+    * by col_name. */
+  def datasetDiffColumns(cur: DataFrame, prev: DataFrame, idCol: String,
+                         compareCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(compareCols.nonEmpty, "datasetDiffColumns: no compare columns")
+    val c = cur.select(col(idCol) +:
+      compareCols.map(n => col(n).as(s"__c_$n")): _*)
+    val p = prev.select(col(idCol) +:
+      compareCols.map(n => col(n).as(s"__p_$n")): _*)
+    val sums = compareCols.map { n =>
+      sum(when(!(col(s"__c_$n") <=> col(s"__p_$n")), 1L).otherwise(0L))
+        .cast("long").as(s"__n_$n")
+    } :+ count(lit(1)).cast("long").as("__common")
+    val wide = c.join(p, Seq(idCol)).agg(sums.head, sums.tail: _*)
+    val stackArgs = compareCols
+      .map(n => s"'${n}', `__n_${n}`").mkString(", ")
+    wide.select(
+        expr(s"stack(${compareCols.size}, $stackArgs) AS (col_name, n_changed)"),
+        col("__common").as("n_common"))
+      .orderBy("col_name")
+  }
+
   /** write a JSON manifest next to a dataset (one line: rows + hash). */
   def writeManifest(df: DataFrame, manifestPath: String): Unit = {
     val (n, h) = contentManifest(df)

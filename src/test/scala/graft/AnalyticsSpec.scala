@@ -208,6 +208,31 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("windowDays"))
   }
 
+  test("dedupConsecutive: run firsts survive, null runs, cross-user isolation") {
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, Some("a")),
+      (2L, ts("2024-01-01 10:01:00"), 1L, Some("a")), // run continues: drop
+      (3L, ts("2024-01-01 10:02:00"), 1L, Some("b")), // change: keep
+      (4L, ts("2024-01-01 10:03:00"), 1L, Some("a")), // back to a: keep
+      (5L, ts("2024-01-01 10:00:00"), 2L, Some("a")), // other user: keep
+      // null-typed run: first kept, repeat dropped, change to 'c' kept
+      (6L, ts("2024-01-01 10:00:00"), 3L, Option.empty[String]),
+      (7L, ts("2024-01-01 10:01:00"), 3L, Option.empty[String]),
+      (8L, ts("2024-01-01 10:02:00"), 3L, Some("c")))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val kept = Analytics.dedupConsecutive(df, "user_id", "ts",
+        "event_type", "event_id")
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 4L, 5L, 6L, 8L))
+    // idempotent: running it again keeps everything
+    val once = Analytics.dedupConsecutive(df, "user_id", "ts",
+      "event_type", "event_id")
+    val twice = Analytics.dedupConsecutive(once, "user_id", "ts",
+        "event_type", "event_id")
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(twice == kept)
+  }
+
   test("intervalCoverage ≡ brute-force interval union") {
     val df = ev(
       (1L, "2024-01-01 10:00:00", 1L, "a"),

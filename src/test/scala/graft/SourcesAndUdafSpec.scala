@@ -191,6 +191,30 @@ class SourcesAndUdafSpec extends AnyFunSuite {
     assert(mp._2 != m1._2, "an even-duplicated row must not cancel out")
   }
 
+  test("datasetDiffColumns: per-column change counts, null-safe, common ids only") {
+    val prev = Seq(
+      (1L, Some("alpha"), Some("x")),
+      (2L, Some("beta"), Some("y")),
+      (3L, Some("gone"), Some("z")),            // removed: not counted
+      (4L, Option.empty[String], Some("w")),    // null -> value: text change
+      (5L, Option.empty[String], Some("v")))    // null -> null: no change
+      .toDF("id", "text", "meta")
+    val cur = Seq(
+      (1L, Some("alpha"), Some("X2")),          // meta changed
+      (2L, Some("beta EDITED"), Some("y")),     // text changed
+      (4L, Some("filled"), Some("w")),
+      (5L, Option.empty[String], Some("v")),
+      (6L, Some("new"), Some("n")))             // added: not counted
+      .toDF("id", "text", "meta")
+    val got = Sources.datasetDiffColumns(cur, prev, "id",
+        Seq("meta", "text")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(("meta", 1L, 4L), ("text", 2L, 4L)))
+    val e = intercept[IllegalArgumentException](
+      Sources.datasetDiffColumns(cur, prev, "id", Seq.empty))
+    assert(e.getMessage.contains("compare"))
+  }
+
   test("datasetDiff: added/removed/changed only, hash-before-join semantics") {
     val prev = Seq((1L, "alpha", "x"), (2L, "beta", "y"), (3L, "gone", "z"),
       (4L, "same", "w")).toDF("id", "text", "meta")
