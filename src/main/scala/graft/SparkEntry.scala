@@ -1936,6 +1936,17 @@ object SparkEntry {
       // Exact mode here (oracle-checkable); the 100 TB default is the
       // approx_count_distinct path (Profiling scaladoc)
       graft.operators.Profiling.profileTable(rd(s, dir, "lineitem"), exact = true)),
+    "q_profile_approx" -> ((s, dir) =>
+      // the 100 TB profile path under its CONTRACT: per column, exact
+      // null/row counts plus dist_ok = |HLL estimate − exact| within
+      // slack·rsd·exact + 2 — the oracle computes the exact sides itself
+      // and pins the flag TRUE, so a strayed sketch hash-mismatches
+      // (the q_approx_distinct pattern). On orders, not lineitem: this
+      // verification shape deliberately pays exact+HLL (the Expand), and
+      // the contract is per-sketch, not per-byte — the cheaper table
+      // checks the same thing at a fifth of the bench cost
+      graft.operators.Profiling.profileTableApproxChecked(
+        rd(s, dir, "orders"))),
     "q_skew_report" -> ((s, dir) =>
       // group-size distribution scalars for a prospective join key — the
       // numbers behind a salting/AQE-skew decision. Two cascaded aggs;
@@ -3673,6 +3684,18 @@ object SparkEntry {
     s"SELECT * FROM (${branches.mkString(" UNION ALL ")}) ORDER BY column_name"
   }
 
+  /** q_profile_approx's oracle: the same exact branches, but the distinct
+    * slot is the CONTRACT flag — the oracle pins dist_ok = TRUE while the
+    * Spark side computes |HLL − exact| against the bound; a Spark upgrade
+    * whose sketch strays flips the boolean and hash-mismatches loudly. */
+  private def profileApproxOracleSql(table: String, cols: Seq[String]): String = {
+    val branches = cols.map(c =>
+      s"""SELECT '$c' AS column_name, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(*) FILTER (WHERE $c IS NULL) AS BIGINT) AS n_nulls,
+         TRUE AS dist_ok FROM $table""")
+    s"SELECT * FROM (${branches.mkString(" UNION ALL ")}) ORDER BY column_name"
+  }
+
   /** q_mmr_select's oracle, the [[sketchOracles]] pattern: the selection
     * order is recomputed by the Spark-independent plain-Scala greedy
     * ([[graft.verify.IndependentOracles.mmrOrder]] — same cosine loop as
@@ -4868,6 +4891,9 @@ object SparkEntry {
       "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
       "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
       "l_linestatus", "l_shipdate")),
+    "q_profile_approx" -> profileApproxOracleSql("orders", Seq(
+      "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")),
     "q_skew_report" ->
       """WITH c AS (
            SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY o_custkey)

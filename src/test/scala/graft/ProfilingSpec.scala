@@ -366,6 +366,19 @@ class ProfilingSpec extends AnyFunSuite {
     assert(got("flaty") == ((3L, Some(0.0), Some(5.0), None)))
   }
 
+  test("profileTableApproxChecked: contract flag true, exact null/row counts") {
+    val df = Seq(
+      (Some(1L), Some("a")), (Some(1L), None),
+      (Some(2L), Some("b")), (None, Some("b")))
+      .toDF("id", "s")
+    val got = Profiling.profileTableApproxChecked(df).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    // small cardinalities: HLL is exact, the +2 absolute slack guarantees
+    // the contract flag — and null/row counts are the exact-mode numbers
+    assert(got == Map("id" -> ((4L, 1L, true)), "s" -> ((4L, 1L, true))))
+  }
+
   test("quantileCalibrate: identity on itself, hand mapping, duplicate ref values") {
     // identity: one group calibrated against itself returns each value
     // (rank k maps to the k-th smallest = the value itself, distinct vals)
