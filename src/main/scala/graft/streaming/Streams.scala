@@ -399,6 +399,64 @@ object Streams {
         })
   }
 
+  /** carried run state for [[streamingDedupConsecutive]]: the key's last
+    * seen event type (None only before the first event). */
+  case class RunState(lastType: Option[String])
+
+  /** streaming twin of [[graft.operators.Analytics.dedupConsecutive]]:
+    * drop consecutive same-type repeats per key AT INGEST (at-least-once
+    * emitters, UI chatter) so downstream transition/funnel state never
+    * sees the noise. Within each micro-batch the group's rows are sorted
+    * by (ts, event_id) — the house total order — before comparing against
+    * the CARRIED last type, so in-batch disorder is handled exactly;
+    * cross-batch reordering inside the watermark is not re-sorted (the
+    * [[streamingDedup]] caveat class — dedup the batch way downstream if
+    * late cross-batch inversions matter).
+    *
+    * State is ONE Option[String] per key, evicted by EventTimeTimeout
+    * `idleTTL` past the key's latest event — after eviction the next
+    * event starts a new run (kept), so pick a TTL above the longest
+    * in-run gap. Streaming callers must `.withWatermark("ts", …)`. */
+  def streamingDedupConsecutive(events: Dataset[Event],
+                                idleTTL: String = "1 hour"): Dataset[Event] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ttlMs = {
+      val parts = idleTTL.trim.toLowerCase.split("\\s+")
+      val n = parts(0).toLong
+      parts.lift(1).getOrElse("ms") match {
+        case u if u.startsWith("day")  => n * 86400000L
+        case u if u.startsWith("hour") => n * 3600000L
+        case u if u.startsWith("min")  => n * 60000L
+        case u if u.startsWith("sec")  => n * 1000L
+        case _                         => n
+      }
+    }
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (_: Long, it: Iterator[Event], state: GroupState[RunState]) => {
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val batch = it.toArray.sortBy(e => (e.ts.getTime, e.event_id))
+            var last = state.getOption.getOrElse(RunState(None)).lastType
+            val kept = batch.filter { e =>
+              val keep = !last.contains(e.event_type)
+              last = Some(e.event_type)
+              keep
+            }
+            state.update(RunState(last))
+            if (batch.nonEmpty) {
+              val maxTs = batch.map(_.ts.getTime).max
+              try state.setTimeoutTimestamp(maxTs + ttlMs)
+              catch { case _: UnsupportedOperationException => () } // batch mode
+            }
+            kept.iterator
+          }
+        })
+  }
+
   /** run any batch-compatible transform as a real streaming query against a
     * directory of parquet (file source), sinking to memory — used by tests
     * to prove the streaming path works end to end. */

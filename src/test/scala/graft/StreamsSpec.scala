@@ -59,6 +59,44 @@ class StreamsSpec extends AnyFunSuite {
     assert(out(1).getAs[Long]("n_events") == 1L)
   }
 
+  test("streamingDedupConsecutive: in-batch sort, cross-batch run carry, TTL restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val out = Streams.streamingDedupConsecutive(
+      mem.toDS().withWatermark("ts", "10 minutes"), idleTTL = "1 hour")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_consec").start()
+    try {
+      // batch 1 arrives OUT of order: (ts,id) sort must reconstruct
+      // a@10:00, a@10:01, b@10:02 → keep 1 and 3
+      mem.addData(
+        Event(2L, ts("2024-01-01 10:01:00"), 7L, "a", 0.0),
+        Event(1L, ts("2024-01-01 10:00:00"), 7L, "a", 0.0),
+        Event(3L, ts("2024-01-01 10:02:00"), 7L, "b", 0.0))
+      q.processAllAvailable()
+      // batch 2: the run CARRIES across batches — another b is dropped,
+      // a type change is kept
+      mem.addData(
+        Event(4L, ts("2024-01-01 10:03:00"), 7L, "b", 0.0),
+        Event(5L, ts("2024-01-01 10:04:00"), 7L, "a", 0.0))
+      q.processAllAvailable()
+      // batch 3: push the watermark past user 7's TTL via another user
+      mem.addData(Event(6L, ts("2024-01-01 14:00:00"), 8L, "a", 0.0))
+      q.processAllAvailable()
+      // batch 4: user 7 returns with the SAME type as its last run —
+      // state was evicted, so this starts a new run and is KEPT
+      mem.addData(Event(7L, ts("2024-01-01 14:05:00"), 7L, "a", 0.0))
+      q.processAllAvailable()
+      val kept = spark.table("dedup_consec").as[Event].collect()
+        .map(_.event_id).toSet
+      assert(kept == Set(1L, 3L, 5L, 6L, 7L), s"got $kept")
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS dedup_consec")
+    }
+  }
+
   test("runningUserTotals on a real stream evicts state past the watermark TTL") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
