@@ -1752,6 +1752,20 @@ object SparkEntry {
       TextAnalysis.shardAssignments(rd(s, dir, "documents"),
           "doc_id", "text", budget = 4096)
         .orderBy("doc_id")),
+    "q_centroid_drift" -> ((s, dir) => {
+      // embedding-SPACE drift per label: the raw corpus vs a planted "new
+      // crawl" whose every-third label's vectors are reversed (semantic
+      // shift the value-distribution monitors can't see); integer-micros
+      // centroid dot/norm sums, one rounded cosine per label
+      val emb = rd(s, dir, "embeddings")
+      val cur = emb.withColumn("embedding",
+        when(col("label") % 3 === 0, reverse(col("embedding")))
+          .otherwise(col("embedding")))
+      Similarity.centroidDrift(emb, cur, "label", "embedding")
+        .select(col("label").cast(LongType).as("label"),
+          col("in_ref"), col("in_cur"), col("centroid_cos"))
+        .orderBy("label")
+    }),
     "q_embedding_centroid" -> ((s, dir) =>
       Similarity.labelCentroids(rd(s, dir, "embeddings"), "label", "embedding")
         .select(col("label"), col("pos").cast(LongType).as("pos"), col("centroid"))
@@ -4849,6 +4863,43 @@ object SparkEntry {
     // mean is rounded to INTEGER micros (scale-0 rounding is boundary-safe
     // across engines; scale-6 rounding of the fraction is not — a mean of
     // exactly x.xxxxxx5 diverged at sf0.1), then divided exactly by 1e6
+    // both sides run the q_embedding_centroid mean (integer micros, floor
+    // rounding), then integer dot/norm sums and ONE rounded division —
+    // list_reverse plants the every-third-label semantic shift
+    "q_centroid_drift" ->
+      """WITH er AS (
+           SELECT label, unnest(embedding) AS v,
+             generate_subscripts(embedding, 1) - 1 AS pos
+           FROM embeddings),
+         cr AS (
+           SELECT label, pos,
+             CAST(round(CAST(sum(CAST(round(CAST(v AS DOUBLE) * 1000000)
+                 AS BIGINT)) AS DOUBLE) / count(*)) AS BIGINT) AS m
+           FROM er GROUP BY label, pos),
+         ec AS (
+           SELECT label, unnest(e2) AS v,
+             generate_subscripts(e2, 1) - 1 AS pos
+           FROM (SELECT label,
+                   CASE WHEN label % 3 = 0 THEN list_reverse(embedding)
+                        ELSE embedding END AS e2
+                 FROM embeddings)),
+         cc AS (
+           SELECT label, pos,
+             CAST(round(CAST(sum(CAST(round(CAST(v AS DOUBLE) * 1000000)
+                 AS BIGINT)) AS DOUBLE) / count(*)) AS BIGINT) AS m
+           FROM ec GROUP BY label, pos),
+         j AS (
+           SELECT cr.label, sum(cr.m * cc.m) AS dot,
+             sum(cr.m * cr.m) AS nr, sum(cc.m * cc.m) AS nc
+           FROM cr JOIN cc ON cc.label = cr.label AND cc.pos = cr.pos
+           GROUP BY cr.label)
+         SELECT CAST(label AS BIGINT) AS label,
+           TRUE AS in_ref, TRUE AS in_cur,
+           CASE WHEN nr > 0 AND nc > 0 THEN
+             round(CAST(dot AS DOUBLE)
+               / (sqrt(CAST(nr AS DOUBLE)) * sqrt(CAST(nc AS DOUBLE))), 6)
+           END AS centroid_cos
+         FROM j ORDER BY label""",
     "q_embedding_centroid" ->
       """WITH e AS (
            SELECT label, unnest(embedding) AS v,

@@ -888,6 +888,48 @@ object Similarity {
           .cast(DoubleType) / count(lit(1))).cast(LongType)
         / lit(1000000.0)).as("centroid"))
 
+  /** Per-label EMBEDDING-SPACE drift between two corpus versions: the
+    * cosine between each label's mean embedding in `ref` vs `cur` — the
+    * semantic sibling of the value-distribution monitors (PSI/KS see a
+    * length histogram move; this sees "the docs labeled 'news' aren't
+    * about the same things anymore"). Labels on one side only carry NULL
+    * cosine (new/vanished classes are drift findings, not errors).
+    *
+    * Exactness: both centroids come from [[labelCentroids]]' integer-MICROS
+    * means; recovering the micros (round(c·10⁶), exact by construction)
+    * makes dot and norms INTEGER sums (micros ≤ ~4·10⁶ ⇒ per-term products
+    * < 2⁵³ and dim-bounded sums well inside long — ANSI-loud past it), so
+    * the only doubles are two correctly-rounded sqrt's and one division,
+    * rounded to 6 — bit-identical cross-engine.
+    *
+    * Plan shape: two (labels × dim)-row centroid aggregates, one join on
+    * (label, pos), one |labels|-row aggregate. Nothing downstream of the
+    * shuffles exceeds labels × dim. */
+  def centroidDrift(ref: DataFrame, cur: DataFrame, labelCol: String,
+                    vecCol: String): DataFrame = {
+    def side(df: DataFrame, n: String) =
+      labelCentroids(df, labelCol, vecCol)
+        .select(col(labelCol), col("pos"),
+          round(col("centroid") * 1000000L).cast(LongType).as(s"__m_$n"))
+    side(ref, "r").join(side(cur, "c"), Seq(labelCol, "pos"), "full_outer")
+      .groupBy(labelCol)
+      .agg(
+        max(col("__m_r").isNotNull).as("__has_r"),
+        max(col("__m_c").isNotNull).as("__has_c"),
+        sum(col("__m_r") * col("__m_c")).as("__dot"),
+        sum(col("__m_r") * col("__m_r")).as("__nr"),
+        sum(col("__m_c") * col("__m_c")).as("__nc"))
+      .select(col(labelCol),
+        col("__has_r").as("in_ref"), col("__has_c").as("in_cur"),
+        when(col("__has_r") && col("__has_c") &&
+            col("__nr") > 0 && col("__nc") > 0,
+          round(col("__dot").cast(DoubleType) /
+            (sqrt(col("__nr").cast(DoubleType))
+              * sqrt(col("__nc").cast(DoubleType))), 6))
+          .as("centroid_cos"))
+      .orderBy(labelCol)
+  }
+
   /** IVF-style bucket stats: how balanced are the ANN buckets (diagnostic —
     * at scale you want bucket sizes ≪ partition size). */
   def bucketStats(df: DataFrame, vecCol: String, dim: Int, nBits: Int = 8,

@@ -361,6 +361,32 @@ class SkewAndIvfSpec extends AnyFunSuite {
     assert(mk.centers.length == 2100)
   }
 
+  test("centroidDrift: self-identity 1.0, one-sided labels NULL, planted shift detected") {
+    val ref = Seq(
+      (1L, 0L, Seq(1.0f, 0.0f)), (2L, 0L, Seq(1.0f, 0.2f)),
+      (3L, 1L, Seq(0.0f, 1.0f)), (4L, 1L, Seq(0.2f, 1.0f)),
+      (5L, 9L, Seq(0.5f, 0.5f))) // label 9 only in ref
+      .toDF("vec_id", "label", "embedding")
+    val self = Similarity.centroidDrift(ref, ref, "label", "embedding")
+      .collect().map(r => r.getLong(0) -> r.get(3)).toMap
+    assert(self(0L) == 1.0 && self(1L) == 1.0 && self(9L) == 1.0)
+    // cur: label 0 unchanged, label 1 flipped to the x-axis (big drift),
+    // label 9 absent, label 7 new
+    val cur = Seq(
+      (1L, 0L, Seq(1.0f, 0.0f)), (2L, 0L, Seq(1.0f, 0.2f)),
+      (3L, 1L, Seq(1.0f, 0.0f)), (4L, 1L, Seq(1.0f, 0.2f)),
+      (6L, 7L, Seq(0.3f, 0.3f)))
+      .toDF("vec_id", "label", "embedding")
+    val got = Similarity.centroidDrift(ref, cur, "label", "embedding")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getBoolean(2), Option(r.get(3))))).toMap
+    assert(got(0L) == ((true, true, Some(1.0))))
+    val (ir, ic, cos1) = got(1L)
+    assert(ir && ic && cos1.exists(_.asInstanceOf[Double] < 0.25))
+    assert(got(9L) == ((true, false, None)))
+    assert(got(7L) == ((false, true, None)))
+  }
+
   test("kmeansRefine: hand-computed floor-micros means, empty-cluster carry, range guard") {
     // two tight groups; init centers already separate them, so one refine
     // iteration must land each center on the group's exact floor-micros mean
