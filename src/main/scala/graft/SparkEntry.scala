@@ -4292,17 +4292,17 @@ object SparkEntry {
          g AS (
            SELECT doc_id, 2 AS n, concat_ws(' ', t[i+1], t[i+2]) AS gr
            FROM (SELECT doc_id, t,
-                   unnest(range(0, greatest(len(t) - 2, 0) + 1)) AS i
+                   unnest(range(0, greatest(len(t) - 1, 0))) AS i
                  FROM tt)
            UNION ALL
            SELECT doc_id, 3, concat_ws(' ', t[i+1], t[i+2], t[i+3])
            FROM (SELECT doc_id, t,
-                   unnest(range(0, greatest(len(t) - 3, 0) + 1)) AS i
+                   unnest(range(0, greatest(len(t) - 2, 0))) AS i
                  FROM tt)
            UNION ALL
            SELECT doc_id, 4, concat_ws(' ', t[i+1], t[i+2], t[i+3], t[i+4])
            FROM (SELECT doc_id, t,
-                   unnest(range(0, greatest(len(t) - 4, 0) + 1)) AS i
+                   unnest(range(0, greatest(len(t) - 3, 0))) AS i
                  FROM tt)),
          c AS (SELECT doc_id, n, gr, count(*) AS cnt
                FROM g GROUP BY 1, 2, 3),

@@ -381,29 +381,6 @@ object Analytics {
       .orderBy("channel")
   }
 
-  /** EXACT trailing-window active-user counts (the DAU/WAU/MAU family):
-    * for every day in the data's span, how many distinct users had at
-    * least one event in the last `windowDays` days (inclusive of the day
-    * itself). Days with no events still get a row — users from earlier
-    * days remain window-active until they age out.
-    *
-    * The naive plans both die at 100 TB: `count(DISTINCT user)` per day
-    * over a w-day self-join re-shuffles the event log w times, and
-    * exploding every (user, day) into its w covered days then
-    * re-DISTINCTing pays a w× shuffle THEN a dedup. This is instead the
-    * disjoint-interval formulation: from the distinct (user, day) pairs,
-    * each pair covers days [day, min(day + w − 1, next_day − 1, max_day)]
-    * — capped by the user's NEXT active day, so per user the covered
-    * ranges are disjoint by construction and a plain `count(*)` per
-    * covered day IS the exact distinct count. Total exploded mass =
-    * Σ window-active user-days — the size of the answer's underlying set,
-    * the information-theoretic floor, ≤ w × |distinct (user, day)|.
-    *
-    * Plan: one distinct over (user, day-number), one lead window on the
-    * same user-hash partitioning, a `sequence` explode, one count
-    * aggregate. Day numbers are integer days since 1970-01-01 (the
-    * [[retentionCohorts]] convention — timezone-free, engine-exact);
-    * `max_day` is a 1-row aggregate broadcast by the cross join. */
   /** Run-length event dedup: per key, keep only the FIRST event of each
     * consecutive run of the same type — the telemetry-cleaning pass for
     * at-least-once emitters and UI chatter (a user mashing "retry" is one
@@ -551,6 +528,33 @@ object Analytics {
       .limit(topK)
   }
 
+  /** EXACT trailing-window active-user counts (the DAU/WAU/MAU family):
+    * per day, how many distinct users had at least one event in the last
+    * `windowDays` days (inclusive of the day itself). A day with no
+    * EVENTS still gets a row while any user remains window-active (users
+    * from earlier days age out after w days); output is SPARSE — a day
+    * where no user is window-active at all (possible only after an
+    * event gap longer than `windowDays`) emits no row, the convention
+    * of every sparse aggregate here (histogramEquiWidth precedent);
+    * join a day spine downstream if dense zeros are needed.
+    *
+    * The naive plans both die at 100 TB: `count(DISTINCT user)` per day
+    * over a w-day self-join re-shuffles the event log w times, and
+    * exploding every (user, day) into its w covered days then
+    * re-DISTINCTing pays a w× shuffle THEN a dedup. This is instead the
+    * disjoint-interval formulation: from the distinct (user, day) pairs,
+    * each pair covers days [day, min(day + w − 1, next_day − 1, max_day)]
+    * — capped by the user's NEXT active day, so per user the covered
+    * ranges are disjoint by construction and a plain `count(*)` per
+    * covered day IS the exact distinct count. Total exploded mass =
+    * Σ window-active user-days — the size of the answer's underlying set,
+    * the information-theoretic floor, ≤ w × |distinct (user, day)|.
+    *
+    * Plan: one distinct over (user, day-number), one lead window on the
+    * same user-hash partitioning, a `sequence` explode, one count
+    * aggregate. Day numbers are integer days since 1970-01-01 (the
+    * [[retentionCohorts]] convention — timezone-free, engine-exact);
+    * `max_day` is a 1-row aggregate broadcast by the cross join. */
   def rollingActive(events: DataFrame, userCol: String, tsCol: String,
                     windowDays: Int): DataFrame = {
     require(windowDays >= 1,

@@ -175,16 +175,37 @@ object Similarity {
         val sims = picks.toSeq.map { case (_, sv) =>
           round(cosine(col("v"), array(sv.map(lit): _*)), 6)
         }
+        // free the superseded checkpoint once the new one is materialized
+        // (localCheckpoint is eager): without this, a k-in-the-hundreds run
+        // holds ⌈k/m⌉ checkpointed copies of the scored corpus in
+        // block-manager storage until session cleanup
+        val prev = base
         base = base.filter(!col("id").isin(picks.map(_._1).toSeq: _*))
           .withColumn("msim", greatest(col("msim") +: sims: _*))
           .localCheckpoint()
+        unpersistCheckpoint(prev)
       }
     }
+    unpersistCheckpoint(base) // the final round's checkpoint: the result
+                              // below is driver-side ids only
     import spark.implicits._
     order.toSeq.zipWithIndex
       .map { case (id, i) => (id, (i + 1).toLong) }
       .toDF(idCol, "pos")
   }
+
+  /** free the block-manager storage behind a localCheckpoint'd frame.
+    * `Dataset.unpersist` only drops `cache()` entries (CacheManager); a
+    * local checkpoint's blocks belong to the UNDERLYING RDD captured in
+    * the plan's LogicalRDD leaf and otherwise live until the context
+    * cleaner GCs the reference — too late for a loop that supersedes a
+    * corpus-sized checkpoint every round ([[mmrSelectBatched]]). */
+  private def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 
   def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String,
                      query: Seq[Double], k: Int): DataFrame = {
@@ -637,15 +658,19 @@ object Similarity {
           round(col("__x") * 1000000L).cast(LongType) + lit(offset))
         .groupBy(col("__cluster"), col("__p"))
         .agg(sum(col("__m").cast(DecimalType(38, 0))).as("__s"),
-          count(lit(1)).as("__n"), min(col("__m")).as("__min"))
+          count(lit(1)).as("__n"), min(col("__m")).as("__min"),
+          max(col("__m")).as("__max"))
         .collect()
       val sums = Array.fill(kk)(new Array[java.math.BigInteger](dim))
       val counts = new Array[Long](kk)
-      rows.foreach { r => // columns: __cluster, __p, __s, __n, __min
+      rows.foreach { r => // columns: __cluster, __p, __s, __n, __min, __max
         val c = r.getInt(0); val p = r.getInt(1)
         require(r.getLong(4) >= 0L,
           s"kmeansRefine: component below -4.0 in cluster $c dim $p — " +
             "outside the offset-shifted non-negative domain")
+        require(r.getLong(5) <= 2L * offset,
+          s"kmeansRefine: component above 4.0 in cluster $c dim $p — " +
+            "outside the documented |x| <= 4 domain")
         sums(c)(p) = r.getDecimal(2).toBigInteger
         counts(c) = r.getLong(3)
       }
@@ -988,15 +1013,24 @@ object Similarity {
     * runs of the SAME codegen'd [[graft.functions.IvfArgminExpr]] kernel
     * the IVF path uses (same fold order, same tie-break), each over a
     * `slice` of the double-cast vector, so a SQL oracle replicates
-    * assignment bit-for-bit from the codebook literals. */
+    * assignment bit-for-bit from the codebook literals.
+    *
+    * Storage representation: the byte holds `argmin − 128` — the bias
+    * shift maps the full code range [0, 255] onto [−128, 127], so the
+    * canonical ksub = 256 configuration (Jégou et al. §V) fits one byte.
+    * A plain cast would overflow at code ≥ 128: ANSI mode raises at
+    * encode time, and with ANSI off the wrapped negative byte indexes
+    * the ADC LUT at wrong (or negative) positions — silent distance
+    * corruption. [[adcNanos]] is the single decode site (+128); the
+    * shift never escapes this file. */
   def pqCodes(vec: Column, model: PqModel): Column = {
     import org.apache.spark.sql.GraftSqlBridge
     val v = vec.cast(ArrayType(DoubleType))
     array((0 until model.m).map { j =>
-      GraftSqlBridge.column(graft.functions.IvfArgminExpr(
+      (GraftSqlBridge.column(graft.functions.IvfArgminExpr(
         GraftSqlBridge.expression(
           slice(v, j * model.subDim + 1, model.subDim)),
-        model.codebooks(j))).cast(ByteType)
+        model.codebooks(j))) - lit(128)).cast(ByteType)
     }: _*)
   }
 
@@ -1051,12 +1085,15 @@ object Similarity {
     * exact integer sum of `m` table lookups — no floats touched per row.
     * The LUT literal is materialized into its own column by the callers
     * (the HOF-lambda-trap rule: a captured 128-element array literal would
-    * otherwise be rebuilt per element). */
+    * otherwise be rebuilt per element). Decodes [[pqCodes]]'s bias-shifted
+    * bytes (+128 → the original [0, ksub) code) — the shift's only other
+    * site. */
   private def adcNanos(codesCol: Column, lutCol: Column, m: Int,
                        ksub: Int): Column =
     aggregate(
       zip_with(codesCol, sequence(lit(0), lit(m - 1)),
-        (c, j) => element_at(lutCol, j * ksub + c.cast(IntegerType) + 1)),
+        (c, j) => element_at(lutCol,
+          j * ksub + (c.cast(IntegerType) + 128) + 1)),
       lit(0L), (s, x) => s + x)
 
   /** PQ-ADC top-k on the fly (codes computed from the float vectors in the

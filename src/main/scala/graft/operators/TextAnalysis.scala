@@ -150,8 +150,14 @@ object TextAnalysis {
     * wordy text, beyond [[repetitionRatio]]'s single distinct-ratio.
     * Definitions (deterministic, engine-replicable): top-n fraction =
     * count·len(gram)/n_chars for the (count DESC, gram ASC)-first gram;
-    * dup-n fraction = Σ_{count ≥ 2} count·len(gram)/n_chars. Line-based
-    * Gopher rules need line-segmented corpora and are out of scope here.
+    * dup-n fraction = Σ_{count ≥ 2} count·len(gram)/n_chars. A document
+    * with FEWER than n tokens has no n-grams and scores 0 for that n —
+    * guarded per n before shingling (shinglesFromTokens emits one
+    * degenerate sub-n window otherwise, which would score a 1-token doc
+    * top2_frac = 1.0, inverting the semantics: Gopher repetition gates
+    * must never drop short clean docs; the exactDecontaminate minRun
+    * pattern). Line-based Gopher rules need line-segmented corpora and
+    * are out of scope here.
     *
     * Plan shape: ONE tokenize pass feeding a two-level explode ((n, gram)
     * for n ∈ {2,3,4}), one (doc, n, gram) count aggregate, one (doc, n)
@@ -168,7 +174,9 @@ object TextAnalysis {
         tokens(col("__nt")).as("__t"))
     val grams = base.select(col("__id"),
         explode(array(Seq(2, 3, 4).map(n => struct(lit(n).as("n"),
-          Dedup.shinglesFromTokens(col("__t"), n, distinct = false)
+          when(size(col("__t")) >= n,
+            Dedup.shinglesFromTokens(col("__t"), n, distinct = false))
+            .otherwise(array().cast(ArrayType(StringType)))
             .as("g"))): _*)).as("__e"))
       .select(col("__id"), col("__e.n").as("__n"),
         explode(col("__e.g")).as("__g"))

@@ -514,7 +514,8 @@ class OperatorsSpec extends AnyFunSuite {
     val d = Seq(
       (1L, "spam spam spam spam"), // n_chars 19: top2 = 3*9/19, top3 = dup3 = 2*14/19, dup4 = 0
       (2L, "a b c d"),             // all unique: top2 = 3/7 ('a b'), top3 = 5/7, dups 0
-      (3L, "x")                    // 1 token: degenerate gram = the token itself
+      (3L, "x"),                   // 1 token: no n-grams exist → all fractions 0
+      (4L, "ab cd")                // 2 tokens: one 2-gram, no 3-/4-grams
     ).toDF("doc_id", "text")
     val got = TextAnalysis.gopherRepetitionReport(d, "doc_id", "text")
       .collect().map(r => r.getLong(0) ->
@@ -523,7 +524,11 @@ class OperatorsSpec extends AnyFunSuite {
     def f(a: Long, b: Long) = math.rint(a.toDouble / b * 1e6) / 1e6
     assert(got(1L) == ((4L, 19L, f(27, 19), f(28, 19), f(28, 19), 0.0)))
     assert(got(2L) == ((4L, 7L, f(3, 7), f(5, 7), 0.0, 0.0)))
-    assert(got(3L) == ((1L, 1L, 1.0, 1.0, 0.0, 0.0)))
+    // a doc with fewer than n tokens has NO n-grams: a degenerate sub-n
+    // window would score it 1.0 and a repetition threshold would drop
+    // short clean docs — the guard emits 0 instead
+    assert(got(3L) == ((1L, 1L, 0.0, 0.0, 0.0, 0.0)))
+    assert(got(4L) == ((2L, 5L, 1.0, 0.0, 0.0, 0.0)))
   }
 
   test("tfIdfTopTerms ranks distinctive terms above ubiquitous ones") {

@@ -606,10 +606,38 @@ class SkewAndIvfSpec extends AnyFunSuite {
           val dist = Similarity.sqNorm(c) - 2.0 * d
           if (dist < bestD) { bestD = dist; best = ci }
         }
-        best.toByte
+        (best - 128).toByte // the storage bias shift (Similarity.pqCodes)
       }
       assert(got(id) == want, s"codes diverged for vec $id")
     }
+  }
+
+  test("pq codes >= 128 survive the byte round-trip (ksub = 256)") {
+    // handcrafted model: per subspace, 256 centroids at distinct scalar
+    // positions, so a vector placed AT centroid c encodes to code c — in
+    // particular codes >= 128, which a plain ByteType cast corrupts (ANSI
+    // raise at encode, or wrapped-negative LUT indexing with ANSI off).
+    // The assertion is end-to-end: pqAdcTopK must rank the vector sitting
+    // at the query's own centroid first with its exact LUT distance.
+    val cb = Array.tabulate(1, 256, 1)((_, c, _) => c.toDouble)
+    val model = Similarity.PqModel(cb)
+    val emb = Seq(
+      (1L, Seq(200.0f)), // encodes to code 200 (> 127)
+      (2L, Seq(10.0f)),
+      (3L, Seq(255.0f))
+    ).toDF("vec_id", "embedding")
+    val codes = emb.select(col("vec_id"),
+        Similarity.pqCodes(col("embedding"), model).as("codes"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Byte](1).head).toMap
+    assert(codes(1L) == (200 - 128).toByte && codes(3L) == (255 - 128).toByte,
+      s"bias-shifted storage bytes wrong: $codes")
+    val got = Similarity.pqAdcTopK(emb, "vec_id", "embedding",
+        query = Seq(200.0), model, k = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // ADC distance at the matching centroid: |c|^2 - 2*q*c + |q|^2 =
+    // (200-200)^2 = 0; next nearest is 255 → (255-200)^2 = 3025
+    assert(got.head == ((1L, 0.0)), s"ksub=256 ADC broken: ${got.toSeq}")
+    assert(got(1) == ((3L, 3025.0)), s"ksub=256 ADC broken: ${got.toSeq}")
   }
 
   test("pq ADC: top-10 overlaps exact L2 top-10; store twin bit-identical") {
