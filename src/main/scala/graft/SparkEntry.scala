@@ -838,6 +838,17 @@ object SparkEntry {
       graft.operators.Profiling.winsorizedAgg(rd(s, dir, "lineitem"),
         "l_returnflag", expr("cast(round(l_extendedprice * 100) as bigint)"),
         pLo = 0.01, pHi = 0.99)),
+    "q_winsorized_approx" -> ((s, dir) =>
+      // the winsorized SCALE path's contract: per-group sketch cuts at
+      // p01/p99 must satisfy the per-group GK rank bound (exact ranks
+      // counted distributively, oracle pins lo_ok/hi_ok TRUE). The
+      // production twin (winsorizedAggApprox) replaces the exact form's
+      // per-group sort WINDOW with one partially-merged sketch aggregate
+      // — no full-group sort task to die first on a skewed 100 TB key
+      graft.operators.Profiling.winsorizedAggApproxChecked(
+        rd(s, dir, "lineitem"), "l_returnflag",
+        expr("cast(round(l_extendedprice * 100) as bigint)"),
+        pLo = 0.01, pHi = 0.99)),
     "q_hybrid_search" -> ((s, dir) =>
       // two-tower retrieval fusion: BM25 text leg + cosine vector leg
       // (query = the corpus's own vector 0, broadcast in-plan), fused by
@@ -1913,6 +1924,16 @@ object SparkEntry {
           expr("percentile(l_quantity, 0.5)").as("median_qty"),
           count(lit(1)).as("n"))
         .orderBy("l_returnflag")),
+    "q_grouped_median_approx" -> ((s, dir) =>
+      // the grouped-median SCALE path under its per-group GK contract:
+      // exact `percentile` buffers each group's full value multiset in one
+      // aggregation buffer (the 100 TB memory killer this twin retires);
+      // the sketch median's exact within-group rank must bracket n/2
+      // within ±n/accuracy — the oracle pins ok50 TRUE computing the
+      // exact side itself (the q_quantiles_approx pattern, per group)
+      graft.operators.Profiling.groupedMedianApproxChecked(
+        rd(s, dir, "lineitem"), "l_returnflag",
+        expr("cast(round(l_extendedprice * 100) as bigint)"))),
     "q_curation_full" -> ((s, dir) => {
       // the FULL composed pass: gates → learned quality filter → benchmark
       // decontamination → fingerprint dedup → MinHash-LSH near-dedup →
@@ -2019,8 +2040,19 @@ object SparkEntry {
     "q_quantile_bins" -> ((s, dir) =>
       // quartile discretization + per-bin stats without a global-sort
       // ntile window: boundaries from one percentile aggregate, binning
-      // via a broadcast cross join (quarter-grid probs are dyadic-exact)
+      // via a broadcast cross join (quarter-grid probs are dyadic-exact).
+      // VERIFICATION-ONLY at scale: exact `percentile` buffers the full
+      // value multiset — q_quantile_bins_approx is the production twin
       graft.operators.Profiling.quantileBins(rd(s, dir, "lineitem"),
+        expr("cast(round(l_extendedprice * 100) as bigint)"))),
+    "q_quantile_bins_approx" -> ((s, dir) =>
+      // the production-twin contract: the GK sketch boundaries the approx
+      // binning uses must have exact ranks within ±N/accuracy of each
+      // quartile (cumulative bin count through bin i IS boundary i's
+      // rank, so a passing check bounds every bin share); exact
+      // n/min/max/sum ride along so the oracle pins real values too
+      graft.operators.Profiling.quantileBinsApproxChecked(
+        rd(s, dir, "lineitem"),
         expr("cast(round(l_extendedprice * 100) as bigint)"))),
     "q_token_entropy" -> ((s, dir) =>
       // corpus unigram Shannon entropy + type/token ratio in one row —
@@ -2049,6 +2081,18 @@ object SparkEntry {
       // every crawl batch and the corpus it joins
       val docs = rd(s, dir, "documents")
       graft.operators.Profiling.psiDrift(
+        docs.filter(col("source") === "src0"),
+        docs.filter(col("source") =!= "src0"),
+        col("n_chars"))
+    }),
+    "q_psi_drift_approx" -> ((s, dir) => {
+      // the PSI production twin's contract: reference-side sketch
+      // quartiles (the bins psiDriftApprox cuts on) must satisfy the GK
+      // rank bound against the exact reference column; exact n_ref/n_cur
+      // ride along — exact `percentile` over the reference (the
+      // q_psi_drift audit path) buffers its full multiset, this does not
+      val docs = rd(s, dir, "documents")
+      graft.operators.Profiling.psiDriftApproxChecked(
         docs.filter(col("source") === "src0"),
         docs.filter(col("source") =!= "src0"),
         col("n_chars"))
@@ -4392,6 +4436,12 @@ object SparkEntry {
              AS win_mean
          FROM b JOIN cuts USING (g)
          GROUP BY b.g ORDER BY l_returnflag""",
+    // the winsorized scale-path contract: per-group exact n + the p01/p99
+    // sketch-cut GK flags pinned true (ranks counted by the engine itself)
+    "q_winsorized_approx" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+           true AS lo_ok, true AS hi_ok
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     // RRF fusion of the two leg rankings (same BM25 CTE chain; cosine vs
     // the corpus's vector 0, round-6 like CosineTopkOracle); integer ranks
     // -> 1.0/(60+rank) doubles are engine-identical
@@ -4933,6 +4983,12 @@ object SparkEntry {
            quantile_cont(l_quantity, 0.5) AS median_qty,
            count(*) AS n
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // the per-group GK contract: flag true whenever the sketch median's
+    // exact rank brackets n/2 within ±n/accuracy — the oracle computes
+    // the exact side (count) itself and pins the boolean
+    "q_grouped_median_approx" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n, true AS ok50
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_string_agg" ->
       """SELECT n_regionkey,
            string_agg(n_name, ',' ORDER BY n_name) AS nations,
@@ -5061,6 +5117,15 @@ object SparkEntry {
            CAST(min(v) AS BIGINT) AS min_v, CAST(max(v) AS BIGINT) AS max_v,
            CAST(sum(v) AS BIGINT) AS sum_v
          FROM binned GROUP BY bin ORDER BY bin""",
+    // the production twin's GK boundary contract + exact global stats
+    // (the q_quantiles_approx pattern over the cents projection)
+    "q_quantile_bins_approx" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(min(v) AS BIGINT) AS min_v, CAST(max(v) AS BIGINT) AS max_v,
+           CAST(sum(v) AS BIGINT) AS sum_v,
+           true AS ok25, true AS ok50, true AS ok75
+         FROM (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+               FROM lineitem)""",
     // H = ln N − (Σ c·ln c)/N over the unigram table, in bits via the ln 2
     // double literal (shared with corpusLexicalStats — no cross-engine
     // log2); per-type terms fixed to integer nanos before summing
@@ -5129,6 +5194,15 @@ object SparkEntry {
                * ln(((nr + 1.0) / (tr + 4.0)) / ((nc + 1.0) / (tc + 4.0)))
                * 1e9) AS BIGINT)) AS DOUBLE) / 1e9, 6) AS psi
          FROM j CROSS JOIN t""",
+    // the PSI production twin's contract: exact side counts + the
+    // reference-side GK boundary flags pinned true
+    "q_psi_drift_approx" ->
+      """SELECT
+           (SELECT CAST(count(*) AS BIGINT) FROM documents
+            WHERE source = 'src0') AS n_ref,
+           (SELECT CAST(count(*) AS BIGINT) FROM documents
+            WHERE source <> 'src0') AS n_cur,
+           true AS ok25, true AS ok50, true AS ok75""",
     // ordered funnel: each step's conversion is the earliest step event
     // STRICTLY AFTER the previous step's conversion time (Analytics.funnel)
     "q_funnel" ->

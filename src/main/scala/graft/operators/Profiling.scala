@@ -306,6 +306,163 @@ object Profiling {
       .orderBy("bin")
   }
 
+  /** The 100 TB production twin of [[quantileBins]]: identical bin/stat
+    * shape, but boundaries come from ONE `approx_percentile` aggregate
+    * (Greenwald-Khanna sketch, rank error ≤ N/accuracy) instead of exact
+    * `percentile` — the exact form buffers the column's FULL value
+    * multiset in a single aggregation buffer, the remaining class of
+    * unbounded-executor-memory operators this split retires (the
+    * profileTable exact/approx precedent). Every aggregate here is
+    * partially mergeable map-side; state is O(accuracy), not O(rows).
+    *
+    * The sketch's boundary VALUES are engine- and merge-order-specific,
+    * so this form is benched and property-tested but not hash-pinned;
+    * its CONTRACT is pinned by [[quantileBinsApproxChecked]] (the
+    * q_quantiles_approx pattern). Exact [[quantileBins]] stays the
+    * verification/audit mode. Any probs in (0,1) are accepted — the
+    * quarter-grid dyadic restriction exists only for exact interpolation
+    * portability, and sketch boundaries are observed data values. */
+  def quantileBinsApprox(df: DataFrame, valueExpr: Column,
+                         probs: Seq[Double] = Seq(0.25, 0.5, 0.75),
+                         accuracy: Int = 10000): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p > 0 && p < 1),
+      s"quantileBinsApprox: probs must lie in (0,1): $probs")
+    val base = df.select(valueExpr.cast(LongType).as("v"))
+    val bounds = base.agg(
+      approx_percentile(col("v"), lit(probs.toArray), lit(accuracy))
+        .as("__b"))
+    base.crossJoin(broadcast(bounds))
+      .withColumn("bin",
+        size(filter(col("__b"), b => col("v") >= b)).cast(LongType))
+      .groupBy("bin")
+      .agg(count(lit(1)).cast(LongType).as("n"),
+        min("v").cast(LongType).as("min_v"),
+        max("v").cast(LongType).as("max_v"),
+        sum("v").cast(LongType).as("sum_v"))
+      .orderBy("bin")
+  }
+
+  /** [[quantileBinsApprox]] under its oracle-checkable CONTRACT (the
+    * approxQuantileBoundCheck pattern): the quartile boundary values the
+    * production twin bins on cannot be replicated externally (GK merge
+    * order varies), but their exact ranks — counted distributively
+    * against the raw column — must bracket a rank within ±N/accuracy of
+    * each target. Output is deterministic (exact n / min / max / sum
+    * plus the three bound booleans, true whenever the GK guarantee
+    * holds), so the driver's hash compare pins it; since the cumulative
+    * bin count through bin i IS the i-th boundary's rank, a passing
+    * check bounds every bin share the production twin can emit. */
+  def quantileBinsApproxChecked(df: DataFrame, valueExpr: Column,
+                                accuracy: Int = 10000): DataFrame = {
+    val base = df.select(valueExpr.cast(LongType).as("v"))
+    val sketch = base.agg(approx_percentile(
+      col("v"), lit(Array(0.25, 0.5, 0.75)), lit(accuracy)).as("__qs"))
+    val eps = 1.0 / accuracy
+    def ok(i: Int, p: Double): Column = {
+      val b = col("__qs").getItem(i)
+      graft.Summary.gkRankOk(
+        sum((col("v") < b).cast(LongType)),
+        sum((col("v") <= b).cast(LongType)),
+        count(col("v")), p, eps)
+    }
+    base.crossJoin(broadcast(sketch)).agg(
+      count(col("v")).cast(LongType).as("n"),
+      min("v").cast(LongType).as("min_v"),
+      max("v").cast(LongType).as("max_v"),
+      sum("v").cast(LongType).as("sum_v"),
+      ok(0, 0.25).as("ok25"), ok(1, 0.5).as("ok50"), ok(2, 0.75).as("ok75"))
+  }
+
+  /** The 100 TB production twin of [[winsorizedAgg]]: per-group clamp
+    * cuts from ONE `approx_percentile` hash aggregate instead of the
+    * exact per-group sort WINDOW — this retires both exact-path scale
+    * hazards at once (the window sorts every group's full row set; and
+    * at 100 TB a skewed group's sort partition is the task that dies
+    * first). Here the only state is a GK sketch per group and every
+    * aggregate merges map-side; the clamp + stats pass is unchanged.
+    *
+    * Same output shape as the exact form. Cut VALUES are sketch-specific
+    * (merge-order-dependent), so: benched + property-tested here,
+    * contract pinned by [[winsorizedAggApproxChecked]]. The exact form
+    * stays the oracle-audit mode. */
+  def winsorizedAggApprox(df: DataFrame, groupCol: String, cents: Column,
+                          pLo: Double = 0.01, pHi: Double = 0.99,
+                          accuracy: Int = 10000): DataFrame = {
+    require(pLo >= 0 && pLo < pHi && pHi <= 1,
+      s"winsorizedAggApprox: need 0 <= pLo < pHi <= 1, got ($pLo, $pHi)")
+    val base = df.select(col(groupCol).as("__g"),
+      cents.cast(LongType).as("__v"))
+    val cuts = base.groupBy("__g").agg(
+      approx_percentile(col("__v"), lit(Array(pLo, pHi)), lit(accuracy))
+        .as("__c"))
+      .select(col("__g"), col("__c").getItem(0).as("__lo"),
+        col("__c").getItem(1).as("__hi"))
+    base.join(broadcast(cuts), Seq("__g"))
+      .withColumn("__w", least(greatest(col("__v"), col("__lo")), col("__hi")))
+      .groupBy(col("__g").as(groupCol))
+      .agg(count(lit(1)).cast(LongType).as("n"),
+        first(col("__lo")).cast(LongType).as("lo_cut"),
+        first(col("__hi")).cast(LongType).as("hi_cut"),
+        sum("__w").cast(LongType).as("win_sum"),
+        round(sum("__w").cast(DoubleType) / count(lit(1)), 6).as("win_mean"))
+      .orderBy(groupCol)
+  }
+
+  /** Per-group GK rank-contract check shared by the grouped approx
+    * twins ([[winsorizedAggApproxChecked]], [[groupedMedianApproxChecked]]):
+    * fit the per-group sketch cuts in one hash aggregate, broadcast the
+    * groups-sized cut table back, and count each cut's exact ranks
+    * within its group in a second single-pass aggregate — every
+    * aggregate partially mergeable, nothing buffered. Output: one row
+    * per group — exact n plus one boolean per probe, true whenever the
+    * per-group GK bound holds. */
+  private def groupedGkChecked(df: DataFrame, groupCol: String,
+                               value: Column, probs: Seq[Double],
+                               okNames: Seq[String],
+                               accuracy: Int): DataFrame = {
+    require(probs.size == okNames.size,
+      s"groupedGkChecked: ${probs.size} probs vs ${okNames.size} names")
+    val eps = 1.0 / accuracy
+    val base = df.select(col(groupCol).as("__g"), value.cast(LongType).as("__v"))
+    val sk = base.groupBy("__g").agg(
+      approx_percentile(col("__v"), lit(probs.toArray), lit(accuracy))
+        .as("__qs"))
+    val oks = probs.zip(okNames).zipWithIndex.map { case ((p, name), i) =>
+      val b = col("__qs").getItem(i)
+      graft.Summary.gkRankOk(
+        sum((col("__v") < b).cast(LongType)),
+        sum((col("__v") <= b).cast(LongType)),
+        count(col("__v")), p, eps).as(name)
+    }
+    base.join(broadcast(sk), Seq("__g"))
+      .groupBy(col("__g").as(groupCol))
+      .agg(count(lit(1)).cast(LongType).as("n"), oks: _*)
+      .orderBy(groupCol)
+  }
+
+  /** [[winsorizedAggApprox]]'s contract form: per group, exact n plus
+    * lo_ok / hi_ok — the approx cuts' exact within-group ranks must sit
+    * within ±n/accuracy of pLo·n / pHi·n (per-group GK bound). An
+    * external oracle pins the booleans TRUE while computing the exact
+    * sides itself — the HLL-bound pattern, per group. */
+  def winsorizedAggApproxChecked(df: DataFrame, groupCol: String,
+                                 cents: Column, pLo: Double = 0.01,
+                                 pHi: Double = 0.99,
+                                 accuracy: Int = 10000): DataFrame =
+    groupedGkChecked(df, groupCol, cents, Seq(pLo, pHi),
+      Seq("lo_ok", "hi_ok"), accuracy)
+
+  /** The grouped-median scale path under its contract: per group, exact
+    * n plus ok50 (the approx median's exact rank brackets n/2 within
+    * ±n/accuracy). The production read is `approx_percentile(v, 0.5)`
+    * per group — one partially-merged sketch per group vs exact
+    * `percentile`'s full per-group value buffer (the q_grouped_median
+    * exact form, which stays the audit mode). */
+  def groupedMedianApproxChecked(df: DataFrame, groupCol: String,
+                                 value: Column,
+                                 accuracy: Int = 10000): DataFrame =
+    groupedGkChecked(df, groupCol, value, Seq(0.5), Seq("ok50"), accuracy)
+
   /** Population Stability Index between a reference and a current corpus
     * over one integral measure — the standard "did the distribution move"
     * monitor (PSI < 0.1 stable, > 0.25 investigate) run between every
@@ -331,9 +488,41 @@ object Profiling {
     require(probs.nonEmpty && probs.forall(p => p > 0 && p < 1) &&
       probs.forall(p => (p * 4).isWhole),
       s"psiDrift: only quarter-grid probs in (0,1) are dyadic-exact: $probs")
-    val nb = probs.size + 1
     val bounds = ref.select(value.cast(LongType).as("v"))
       .agg(expr(s"percentile(v, array(${probs.mkString(", ")}))").as("__b"))
+    psiFromBounds(ref, cur, value, bounds, probs.size + 1)
+  }
+
+  /** The 100 TB production twin of [[psiDrift]]: reference-quantile bin
+    * BOUNDS from one `approx_percentile` sketch aggregate instead of
+    * exact `percentile` (which buffers the reference column's full
+    * multiset in one aggregation buffer — the psiDrift-side instance of
+    * the exact-percentile scale hazard). Everything downstream — both
+    * binning aggregations, the spine, smoothing, nanos-fixed terms — is
+    * IDENTICAL code to the exact form, so only the boundary source
+    * changes. PSI against sketch boundaries is a (bounded) perturbation
+    * of exact PSI: boundary ranks are within ±N_ref/accuracy of the
+    * quartiles by the GK contract, pinned by [[psiDriftApproxChecked]];
+    * the PSI VALUE itself is sketch-specific and benched, not
+    * hash-pinned (the quantileBinsApprox doctrine). */
+  def psiDriftApprox(ref: DataFrame, cur: DataFrame, value: Column,
+                     probs: Seq[Double] = Seq(0.25, 0.5, 0.75),
+                     accuracy: Int = 10000): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p > 0 && p < 1),
+      s"psiDriftApprox: probs must lie in (0,1): $probs")
+    val bounds = ref.select(value.cast(LongType).as("v"))
+      .agg(approx_percentile(col("v"), lit(probs.toArray), lit(accuracy))
+        .as("__b"))
+    psiFromBounds(ref, cur, value, bounds, probs.size + 1)
+  }
+
+  /** the shared PSI interior: reference/current binning against a 1-row
+    * boundary-array frame, dense spine, add-one smoothing, integer-nanos
+    * terms — extracted so [[psiDrift]] (exact bounds, the oracle-pinned
+    * audit) and [[psiDriftApprox]] (sketch bounds, the production
+    * default) are the same code with different boundary sources. */
+  private def psiFromBounds(ref: DataFrame, cur: DataFrame, value: Column,
+                            bounds: DataFrame, nb: Int): DataFrame = {
     def binCounts(df: DataFrame, side: String) =
       df.select(value.cast(LongType).as("v"))
         .crossJoin(broadcast(bounds))
@@ -362,6 +551,34 @@ object Profiling {
         sum("__n_ref").cast(LongType).as("n_ref"),
         sum("__n_cur").cast(LongType).as("n_cur"),
         round(sum("__term_nanos").cast(DoubleType) / 1e9, 6).as("psi"))
+  }
+
+  /** [[psiDriftApprox]]'s contract form: exact n_ref / n_cur plus the
+    * three GK rank-bound booleans for the sketch quartiles of the
+    * REFERENCE side (the side that defines the bins). An oracle pins
+    * the flags TRUE computing the exact ranks itself; a sketch whose
+    * boundary strayed past ±N_ref/accuracy flips the hash. */
+  def psiDriftApproxChecked(ref: DataFrame, cur: DataFrame, value: Column,
+                            accuracy: Int = 10000): DataFrame = {
+    val refV = ref.select(value.cast(LongType).as("v"))
+    val sketch = refV.agg(approx_percentile(
+      col("v"), lit(Array(0.25, 0.5, 0.75)), lit(accuracy)).as("__qs"))
+    val eps = 1.0 / accuracy
+    def ok(i: Int, p: Double): Column = {
+      val b = col("__qs").getItem(i)
+      graft.Summary.gkRankOk(
+        sum((col("v") < b).cast(LongType)),
+        sum((col("v") <= b).cast(LongType)),
+        count(col("v")), p, eps)
+    }
+    val refChecked = refV.crossJoin(broadcast(sketch)).agg(
+      count(col("v")).cast(LongType).as("n_ref"),
+      ok(0, 0.25).as("ok25"), ok(1, 0.5).as("ok50"), ok(2, 0.75).as("ok75"))
+    val curN = cur.select(value.cast(LongType).as("v"))
+      .agg(count(col("v")).cast(LongType).as("n_cur"))
+    refChecked.crossJoin(broadcast(curN))
+      .select(col("n_ref"), col("n_cur"),
+        col("ok25"), col("ok50"), col("ok75"))
   }
 
   /** Tie-corrected ROC AUC (Mann-Whitney) of an integral score against a

@@ -540,4 +540,34 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!ds.contains("SortMergeJoin"),
       s"decayedSum max-day should broadcast, not SMJ:\n$ds")
   }
+
+  test("approx-percentile twins: partial sketch aggregates, no exact buffer, no sort window") {
+    import graft.operators.Profiling
+    val df = spark.read.parquet(dir)
+    // a plan is sketch-only when stripping approx_percentile leaves no
+    // bare percentile( call — exact `percentile` buffers the full value
+    // multiset per aggregation buffer, the 100 TB hazard these twins
+    // exist to retire
+    def assertSketchOnly(name: String, plan: String): Unit = {
+      assert(plan.contains("partial_approx_percentile"),
+        s"$name: sketch aggregate not partially merged map-side:\n$plan")
+      assert(!plan.replace("approx_percentile", "").contains("percentile("),
+        s"$name: exact percentile buffer present:\n$plan")
+    }
+    val qb = finalPlan(Profiling.quantileBinsApprox(df, col("id")))
+    assertSketchOnly("quantileBinsApprox", qb)
+    val wz = finalPlan(Profiling.winsorizedAggApprox(df, "grp", col("id")))
+    assertSketchOnly("winsorizedAggApprox", wz)
+    // the approx twin also kills the exact form's per-group sort window —
+    // the skewed-group task that dies first at 100 TB
+    assert(!wz.contains("Window"),
+      s"winsorizedAggApprox still sorts per group:\n$wz")
+    val ps = finalPlan(Profiling.psiDriftApprox(
+      df.filter(col("grp") < 3), df.filter(col("grp") >= 3), col("id")))
+    assertSketchOnly("psiDriftApprox", ps)
+    val ck = finalPlan(Profiling.winsorizedAggApproxChecked(
+      df, "grp", col("id")))
+    assertSketchOnly("winsorizedAggApproxChecked", ck)
+    assert(!ck.contains("Window"), ck)
+  }
 }

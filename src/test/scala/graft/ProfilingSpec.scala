@@ -453,4 +453,62 @@ class ProfilingSpec extends AnyFunSuite {
       col("v"), k = 2).collect()
     assert(two.map(_.getLong(0)).toSet == Set(0L, 1L))
   }
+
+  test("approx twins track the exact forms and pass their GK contracts") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val cents = expr("cast(round(l_extendedprice * 100) as bigint)")
+    // quantile bins: totals conserved, per-bin counts inside the rank bound
+    val ex = Profiling.quantileBins(li, cents).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ap = Profiling.quantileBinsApprox(li, cents).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = ex.values.sum
+    assert(ap.values.sum == n, s"approx bins dropped rows: $ap vs $ex")
+    // each bin count is a difference of two boundary ranks, each within
+    // ±n/accuracy of its exact quartile rank (+1 interpolation-vs-observed
+    // slack per side)
+    val tol = math.max(2L, 2L * (n / 10000L) + 2L)
+    (0L to 3L).foreach { b =>
+      assert(math.abs(ap.getOrElse(b, 0L) - ex.getOrElse(b, 0L)) <= tol,
+        s"bin $b: approx ${ap.get(b)} vs exact ${ex.get(b)} (tol $tol)") }
+    val qc = Profiling.quantileBinsApproxChecked(li, cents).collect().head
+    assert(qc.getLong(0) == n)
+    assert(qc.getBoolean(4) && qc.getBoolean(5) && qc.getBoolean(6),
+      s"quantileBins GK contract violated: $qc")
+    // winsorized: same groups/counts, means within 1% of the exact cuts'
+    val we = Profiling.winsorizedAgg(li, "l_returnflag", cents).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(5)))).toMap
+    val wa = Profiling.winsorizedAggApprox(li, "l_returnflag", cents)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(5)))).toMap
+    assert(we.keySet == wa.keySet)
+    we.foreach { case (g, (ng, me)) =>
+      val (na, ma) = wa(g)
+      assert(na == ng, s"group $g row count diverged")
+      assert(math.abs(ma - me) / math.max(1.0, math.abs(me)) < 0.01,
+        s"group $g win_mean: approx $ma vs exact $me") }
+    val wc = Profiling.winsorizedAggApproxChecked(li, "l_returnflag", cents)
+      .collect()
+    assert(wc.nonEmpty && wc.forall(r => r.getBoolean(2) && r.getBoolean(3)),
+      s"winsorized GK contract violated: ${wc.toSeq}")
+    val gm = Profiling.groupedMedianApproxChecked(li, "l_returnflag", cents)
+      .collect()
+    assert(gm.nonEmpty && gm.forall(_.getBoolean(2)),
+      s"grouped-median GK contract violated: ${gm.toSeq}")
+  }
+
+  test("psiDriftApprox tracks exact PSI; checked form passes its contract") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val ref = docs.filter(col("source") === "src0")
+    val cur = docs.filter(col("source") =!= "src0")
+    val pe = Profiling.psiDrift(ref, cur, col("n_chars")).collect().head
+    val pa = Profiling.psiDriftApprox(ref, cur, col("n_chars")).collect().head
+    assert(pa.getLong(1) == pe.getLong(1) && pa.getLong(2) == pe.getLong(2))
+    assert(math.abs(pa.getDouble(3) - pe.getDouble(3)) <= 0.02,
+      s"approx PSI ${pa.getDouble(3)} strayed from exact ${pe.getDouble(3)}")
+    val ck = Profiling.psiDriftApproxChecked(ref, cur, col("n_chars"))
+      .collect().head
+    assert(ck.getBoolean(2) && ck.getBoolean(3) && ck.getBoolean(4),
+      s"psi GK contract violated: $ck")
+  }
 }
