@@ -134,6 +134,11 @@ final class DF private (private[graft] val inner: DataFrame,
   // ---- schema / key layer (ordered-keys, SURVEY §2.1) ----
   def keys: Vector[String] = inner.columns.filterNot(_ == ROW_ID).toVector
   def ncol: Int = keys.length
+  /** the ordered-keys print-object render (cl-data-frame.lisp:213-215):
+    * `#<ORDERED-KEYS key, key, ...>` — keys comma-joined in order inside
+    * the unreadable-object wrapper, completing the §2.7 render family
+    * (data-vector / vector-summary / frame header). */
+  def renderOrderedKeys: String = s"#<ORDERED-KEYS ${keys.mkString(", ")}>"
   /** memoized: DF is immutable, so the row count of the underlying plan never
     * changes; callers (addColumn/replaceColumn/slice) would otherwise trigger
     * a fresh full-scan count job each time. */
@@ -241,15 +246,12 @@ final class DF private (private[graft] val inner: DataFrame,
       (keys ++ other.keys).map(joined.col) :+ joined.col(ROW_ID): _*), Ids.Dense)
   }
 
-  /** copy with a key-renaming function. DOCUMENTED DELTA from the reference:
-    * `copy`'s `key` argument there maps over the *columns* — it deep-copies
-    * the data vectors (cl-data-frame.lisp:337-343, e.g. `#'copy-array`) so
-    * later destructive edits of the original don't alias into the copy.
-    * Spark frames are immutable, so data-copying is a no-op here and the
-    * aliasing contract holds without it (pinned in the isolation property
-    * tests); this Spark-side `keyFn` instead renames *keys* — an extension,
-    * not the reference's semantics. The copy's schema diverges, data is
-    * shared (immutably). */
+  /** copy with a key-renaming function — an ENGINE EXTENSION, not the
+    * reference's `copy` (whose `:key` maps over the *columns*; that
+    * reference-faithful form is [[copyColumns]]). This Spark-side `keyFn`
+    * renames *keys*; the copy's schema diverges, data is shared
+    * (immutably — the aliasing contract is pinned in the isolation
+    * property tests). */
   def copy(keyFn: String => String = identity): DF = {
     val newKeys = keys.map(keyFn)
     newKeys.diff(newKeys.distinct).headOption
@@ -257,6 +259,19 @@ final class DF private (private[graft] val inner: DataFrame,
     new DF(inner.select(
       keys.zip(newKeys).map { case (k, nk) => inner.col(k).as(nk) } ++ idCols: _*), ids)
   }
+
+  /** the REFERENCE-faithful copy: `columnFn` maps over the COLUMN vectors
+    * (cl-data-frame.lisp:337-343 — `copy`'s `:key` argument, default
+    * identity = shallow copy), keys preserved; this is the overload a user
+    * porting reference code reaches for. Under immutability the aliasing
+    * depth the reference's `#'copy-array` controls is moot (any copy is
+    * isolated — the property tests pin it), so identity yields an
+    * independent DF over shared immutable data, and a non-identity
+    * `columnFn` is the reference's map-over-columns semantics expressed as
+    * Spark column expressions (each applied per key, names kept). */
+  def copyColumns(columnFn: Column => Column = identity): DF =
+    new DF(inner.select(
+      keys.map(k => columnFn(inner.col(k)).as(k)) ++ idCols: _*), ids)
 
   /** replace an existing column with an expression or with fn(old) per row
     * (cl-data-frame.lisp:570-583). */

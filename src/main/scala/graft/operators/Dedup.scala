@@ -1727,12 +1727,15 @@ object Dedup {
     * between finishing and dying. */
   def ngramContainmentPrefix(df: DataFrame, idCol: String, textCol: String,
                              threshold: Double = 0.7, ngram: Int = 3,
-                             maxShingleDocFreq: Long = Long.MaxValue): DataFrame = {
+                             maxShingleDocFreq: Long = Long.MaxValue,
+                             maxCandidateMass: Long = DefaultMaxCandidateMass): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"containment threshold must be in (0,1], got $threshold")
     require(maxShingleDocFreq >= 2,
       s"maxShingleDocFreq must be >= 2 (got $maxShingleDocFreq): " +
         "freq-2 shingles are the minimum that can witness a pair")
+    require(maxCandidateMass >= 1,
+      s"maxCandidateMass must be >= 1, got $maxCandidateMass")
     // shingles are carried as xxhash64 LONGS end to end: the freq window,
     // candidate join, and array_intersect verify all move 8-byte keys
     // instead of ~20-byte strings (~2.5× less shuffle, cheaper compares).
@@ -1785,7 +1788,47 @@ object Dedup {
     val full = ex.join(shared.filter(col("__freq") <= maxShingleDocFreq)
         .select("__s"), "__s")
       .select(col(idCol).as("__fid"), col("__sz").as("__fsz"), col("__s"))
+    // FAIL-FAST candidate-mass budget (the blockSizeGuard doctrine, applied
+    // to the whole join instead of one block): the candidate join's fan-out
+    // is Σ_s |prefix(s)|·|postings(s)| ≤ Σ_s f_s² over the retained shared
+    // vocabulary — computable from the CHECKPOINTED vocab table for
+    // milliseconds, BEFORE any heavy stage runs. The round-14 100× probe
+    // showed the lossless profile burning scratch disk for ~an hour before
+    // dying (>75 GB spill); the EAGER check below turns that into an
+    // immediate, actionable error at operator-call time (the vocab
+    // checkpoint has already run an action, so one more tiny aggregate is
+    // free and deterministic — an in-plan-only guard is scheduled by AQE
+    // alongside the expensive stages, too late to save them). Decimal
+    // accumulation: Σ f² can pass BIGINT at exactly the corpus sizes the
+    // guard exists for.
+    def massAdvice(mass: Any): String =
+      s"ngramContainmentPrefix: candidate-mass bound $mass exceeds " +
+        s"maxCandidateMass=$maxCandidateMass — the candidate join would " +
+        "spill for minutes before dying (the round-14 100x lossless DNF). " +
+        "Apply the production doc-freq cap (maxShingleDocFreq ≈ " +
+        "3·log₂ corpusDocs, the q_containment_capped profile) or raise " +
+        "maxCandidateMass explicitly for an audit run"
+    val retainedVocab = shared.filter(col("__freq") <= maxShingleDocFreq)
+    val massBound: java.math.BigDecimal = Option(
+      retainedVocab
+        .agg(sum(col("__freq").cast(DecimalType(38, 0)) * col("__freq")))
+        .head().getDecimal(0))
+      .getOrElse(java.math.BigDecimal.ZERO)
+    require(massBound.compareTo(
+      new java.math.BigDecimal(maxCandidateMass)) <= 0, massAdvice(massBound))
+    // belt-and-braces IN-PLAN twin of the eager check (visible in the
+    // audit plan; re-fires if the returned frame is re-executed in some
+    // future context where the eager check was bypassed) — a 1-row
+    // broadcast riding the candidate join, negligible cost
+    val massGuard = retainedVocab
+      .agg(sum(col("__freq").cast(DecimalType(38, 0)) * col("__freq"))
+        .as("__mass"))
+      .select(when(col("__mass") > maxCandidateMass,
+        raise_error(format_string(massAdvice("%s"),
+          col("__mass").cast("string"))).cast("boolean"))
+        .otherwise(lit(true)).as("__mass_ok"))
     val cands = prefix.join(full, "__s")
+      .crossJoin(broadcast(massGuard)).filter(col("__mass_ok"))
       .filter(col("__psz") < col("__fsz") ||
         (col("__psz") === col("__fsz") && col("__pid") < col("__fid")))
       .select(least(col("__pid"), col("__fid")).as("id_a"),
@@ -2058,6 +2101,24 @@ object Dedup {
     * to pairwise blocks, where dropping the block (the span-window cap's
     * answer) would silently change dedup semantics. */
   val DefaultMaxBlockRows: Long = 10000L
+
+  /** default candidate-mass budget for the lossless containment profile
+    * (Σ f² over the RETAINED shared vocabulary — i.e. post-`maxShingleDocFreq`,
+    * exactly what the guard computes — an upper bound on the prefix⋈postings
+    * fan-out, read from the checkpointed vocab table before the join runs).
+    * Calibrated by ProbeContainmentMass (round 17) against what the guard
+    * actually SEES under q_containment's 8·log₂ lossless valve: sf0.1
+    * measures 2.8e6 (valve inactive ≤ 10k docs), the 30× GenScale corpus —
+    * where the lossless profile still COMPLETES (52.8 s, BASELINE.md
+    * round-14 table) — measures 3.69e8 under its valve (f ≤ 137), and the
+    * 100× corpus — where it DNFs exhausting a 75 GB scratch disk — measures
+    * 9.55e8 under its valve (f ≤ 151). (Raw un-valved masses are 1.28e9 /
+    * 1.18e10 — irrelevant to the guard, which sieves after the freq cap.)
+    * The default sits at the geometric middle of the completes/dies pair
+    * (√(3.69e8·9.55e8) ≈ 5.9e8): a no-op at every correctness/bench/probe
+    * scale, an immediate loud failure where the join would otherwise spill
+    * for an hour and die. */
+  val DefaultMaxCandidateMass: Long = 600_000_000L
 
   /** the in-plan oversized-block guard: `true` for every row of a block
     * within bound, raise_error (named block, its size, the advice) above

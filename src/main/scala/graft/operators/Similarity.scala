@@ -67,10 +67,13 @@ object Similarity {
     * with ONE row collected per round — driver materialization bounded by
     * the PARAMETER k, the ivfFit Lloyd's-iteration pattern. Selected
     * vectors ride back into the next round's plan as literals (≤ k small
-    * arrays). At 100 TB, k scans of the scored corpus is the honest cost
-    * of exact greedy MMR; production narrows the pool first (top-N by
-    * relevance, or SemDeDup cluster heads) and runs MMR on the pool —
-    * compose with [[bruteForceTopK]]/[[ivfTopK]] for that.
+    * arrays). THE REFERENCE FORM: exact greedy MMR, kept for parity and
+    * as the m=1 oracle twin — [[mmrSelectBatched]] is the PRODUCTION
+    * entry (⌈k/m⌉ driver round-trips, O(k) total cosine work per
+    * candidate, superseded checkpoints freed; 30×/100× scale-probed in
+    * BASELINE.md Appendix B). At 100 TB also narrow the pool first
+    * (top-N by relevance, or SemDeDup cluster heads) and run MMR on the
+    * pool — compose with [[bruteForceTopK]]/[[ivfTopK]] for that.
     *
     * Determinism: every similarity and every MMR score rounds to 6 dp
     * (the cosine-oracle convention) before comparison; ids break ties —

@@ -195,6 +195,31 @@ class DFBasicsSpec extends AnyFunSuite {
     assert(txt.startsWith("#<DATA-FRAME (3 x 4)"))
     assert(df.sliceRow(0).render.startsWith("#<DATA-VECTOR (3)"))
   }
+
+  test("ordered-keys print-object golden (cl-data-frame.lisp:213-215)") {
+    // reference: (print-unreadable-object ... :type t) then keys joined
+    // with ", " — e.g. #<ORDERED-KEYS vv, b, s>
+    assert(df.renderOrderedKeys == "#<ORDERED-KEYS vv, b, s>")
+    assert(df.copy(_.toUpperCase).renderOrderedKeys ==
+      "#<ORDERED-KEYS VV, B, S>")
+  }
+
+  test("copyColumns: the reference's map-over-columns copy (cl-data-frame.lisp:337-343)") {
+    // default identity = shallow copy: keys and data equal, frame independent
+    val shallow = df.copyColumns()
+    assert(shallow.keys == df.keys)
+    assert(shallow.column("vv") == df.column("vv"))
+    // non-identity columnFn maps over every column vector, keys kept —
+    // the reference's `:key #'fn` semantics (cast keeps the mixed-type
+    // frame total: strings stay strings)
+    val mapped = df.copyColumns(c => upper(c.cast("string")))
+    assert(mapped.keys == df.keys)
+    assert(mapped.column("s") == df.column("s").map(
+      _.asInstanceOf[String].toUpperCase))
+    assert(mapped.column("vv") == Vector("1", "2", "3", "4"))
+    // original untouched (the isolation contract)
+    assert(df.column("s") == Vector("a", "b", "c", "d"))
+  }
 }
 
 /** static (JVM-wide) invocation counter for the exactly-once mapDFRows test —

@@ -268,6 +268,35 @@ class Round4OpsSpec extends AnyFunSuite {
       s"cap failed to drop boilerplate-only pairs: $capped")
   }
 
+  test("containment candidate-mass guard: over-budget fails fast and loud, in-budget is a no-op") {
+    import graft.operators.Dedup
+    // shared boilerplate across all 30 docs → Σ f² over the shared vocab is
+    // in the hundreds; a budget of 100 must trip BEFORE any pair verifies
+    val boiler = "every document carries this exact same template sentence today"
+    val docs = (1 to 30).map(i =>
+      (i.toLong, s"$boiler body $i item${i}a item${i}b")).toDF("doc_id", "text")
+    val e = intercept[Exception](
+      Dedup.ngramContainmentPrefix(docs, "doc_id", "text", threshold = 0.5,
+        maxCandidateMass = 100L).collect())
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(m => m.contains("candidate-mass") &&
+      m.contains("maxShingleDocFreq")),
+      s"expected the actionable mass-guard error, got: ${msgs(e)}")
+    // the guard rides the plan (broadcast 1-row bound frame) — visible in
+    // the audit, and a NO-OP under the default budget: identical pairs
+    val guarded = Dedup.ngramContainmentPrefix(docs, "doc_id", "text", 0.5)
+    assert(guarded.queryExecution.analyzed.toString.contains("__mass_ok"),
+      "mass guard missing from the containment plan")
+    val unbounded = Dedup.ngramContainmentPrefix(docs, "doc_id", "text", 0.5,
+        maxCandidateMass = Long.MaxValue)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = guarded.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == unbounded, s"default-budget guard changed results: $got vs $unbounded")
+  }
+
   test("SQL kernels: graft_minhash_tokens / graft_simhash_tokens match operators") {
     import graft.operators.{Dedup, TextAnalysis}
     GraftExtensions.register(spark)
