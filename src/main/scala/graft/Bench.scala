@@ -201,7 +201,18 @@ object Bench {
           Layout.DimBounds(0L, 4096L, 8)).as("z")).count()
       }),
       "int8_ann" -> (() =>
-        Similarity.int8TopK(emb, "vec_id", "embedding", qv, 5).count()))
+        Similarity.int8TopK(emb, "vec_id", "embedding", qv, 5).count()),
+      // round-17 family: the real JVM codec stack (ImageIO/AudioSystem
+      // service-registry init + the encode/decode/resize mapPartitions
+      // shapes) — first touch otherwise lands on q_audio_decode (alphabet)
+      "media_codecs" -> (() => {
+        import graft.operators.Multimodal
+        val ids = docs.select(col("doc_id")).limit(32)
+        Multimodal.decodeFeatures(Multimodal.resizeImages(
+          Multimodal.encodeSyntheticPng(ids, "doc_id"), 6, 10)).count()
+        Multimodal.decodeAudioFeatures(
+          Multimodal.encodeSyntheticWav(ids, "doc_id")).count()
+      }))
     steps.foreach { case (name, step) =>
       try step()
       catch { case e: Throwable =>

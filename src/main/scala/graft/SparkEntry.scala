@@ -1493,10 +1493,15 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
     "q_media_decode" -> ((s, dir) => {
-      // fake decode kernel is md5-derived → the whole mapPartitions decode
-      // path is verified by an exact SQL oracle (was rows-only pre-r3)
+      // REAL codec end-to-end (round 17): synthesize one genuine grayscale
+      // PNG per document (real ImageIO encode), decode it back through the
+      // real javax.imageio kernel in batched mapPartitions, and emit pixel
+      // features. Pixel content is a closed-form function of doc_id
+      // (Multimodal.synthGray), so the SQL oracle verifies the decoded
+      // width/height/pixel-sum/mean EXACTLY — the decode path is no longer
+      // a deterministic fake, and it is still hash-pinned
       Multimodal.decodeFeatures(
-          Multimodal.asMedia(rd(s, dir, "documents"), "doc_id", "text"))
+          Multimodal.encodeSyntheticPng(rd(s, dir, "documents"), "doc_id"))
         .toDF().orderBy("media_id")
     }),
     "q_running_totals" -> ((s, dir) => {
@@ -1534,6 +1539,28 @@ object SparkEntry {
         .select(col("media_id"), col("kind"),
           col("frame_no").cast(LongType).as("frame_no"), col("byte_offset"))
         .orderBy("media_id", "frame_no")
+    }),
+    "q_media_resize" -> ((s, dir) => {
+      // REAL resize end-to-end (round 17): real PNGs, decoded and
+      // nearest-neighbor-resampled to 6x10 by the real javax.imageio
+      // kernel, re-encoded, decoded AGAIN for features — the oracle
+      // replays the exact NN source-pixel mapping (x·w div 6, y·h div 10)
+      // through the synthetic pixel law, so both codec passes and the
+      // resample arithmetic are verified pixel-exactly
+      Multimodal.decodeFeatures(
+          Multimodal.resizeImages(
+            Multimodal.encodeSyntheticPng(rd(s, dir, "documents"), "doc_id"),
+            targetW = 6, targetH = 10))
+        .toDF().orderBy("media_id")
+    }),
+    "q_audio_decode" -> ((s, dir) => {
+      // REAL audio codec end-to-end (round 17): genuine RIFF/WAVE clips
+      // (javax.sound.sampled encode) decoded by the real audio stack;
+      // clip content is the closed-form PCM law (Multimodal.synthPcm), so
+      // the oracle verifies rate/channels/length/sum/peak EXACTLY
+      Multimodal.decodeAudioFeatures(
+          Multimodal.encodeSyntheticWav(rd(s, dir, "documents"), "doc_id"))
+        .toDF().orderBy("media_id")
     }),
 
     // ---- [EXT] streaming transforms, batch-equivalent forms ----
@@ -4604,26 +4631,75 @@ object SparkEntry {
     "q_lsh_store_ann" -> LshAnnOracle,
     "q_embedding_neardup" -> EmbeddingNearDupLshOracle,
     "q_dedup_incr_embedding" -> DedupIncrEmbeddingOracle,
-    // NOTE: parity holds because the documents fixture is ASCII-only — the
-    // Spark kernel's mean_intensity averages UTF-8 BYTES while ascii(substr)
-    // here averages CODEPOINTS over the CHARACTER count; any multi-byte text
-    // would diverge (a false alarm, not a product bug). DuckDB has no
-    // per-byte blob indexing to express the byte-exact form.
+    // closed-form replay of the synthetic-PNG pixel law
+    // (Multimodal.synthDims/synthGray): the engine renders REAL PNGs from
+    // this law and decodes them with the real javax.imageio codec — the
+    // oracle recomputes what a correct decode must see, pixel by pixel
     "q_media_decode" ->
       """WITH m AS (
            SELECT doc_id AS media_id,
-             CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) AS h,
-             length(text) AS n,
-             list_sum(list_transform(range(1, length(text) + 1),
-               i -> ascii(substr(text, i, 1)))) AS bsum
-           FROM documents)
-         SELECT media_id,
-           CAST(16 + h % 1024 AS INT) AS width,
-           CAST(16 + (h // 1024) % 1024 AS INT) AS height,
-           CASE WHEN n = 0 THEN 0.0
-                ELSE round(CAST(bsum AS DOUBLE) / n, 6) END AS mean_intensity,
-           h AS feature_hash
-         FROM m ORDER BY media_id""",
+             CAST(8 + doc_id % 9 AS INT) AS width,
+             CAST(8 + (doc_id // 9) % 9 AS INT) AS height
+           FROM documents),
+         px AS (
+           SELECT media_id, width, height,
+             unnest(range(0, width * height)) AS i
+           FROM m),
+         g AS (
+           SELECT media_id, width, height,
+             sum((i % width + 31 * (i // width) + media_id) % 256) AS ps
+           FROM px GROUP BY media_id, width, height)
+         SELECT media_id, width, height,
+           round(CAST(ps AS DOUBLE) / (width * height), 6) AS mean_intensity,
+           CAST(ps AS BIGINT) AS pixel_sum
+         FROM g ORDER BY media_id""",
+    // the resize oracle replays decode∘NN-resample∘decode through the same
+    // pixel law: target (x, y) reads source (x·w div 6, y·h div 10) — the
+    // exact integer mapping Multimodal.resizeImages applies — so both
+    // real-codec passes AND the resample arithmetic must agree pixel-wise
+    "q_media_resize" ->
+      """WITH m AS (
+           SELECT doc_id AS media_id,
+             CAST(8 + doc_id % 9 AS INT) AS w,
+             CAST(8 + (doc_id // 9) % 9 AS INT) AS h
+           FROM documents),
+         px AS (
+           SELECT media_id, w, h, unnest(range(0, 60)) AS i
+           FROM m),
+         g AS (
+           SELECT media_id,
+             sum((((i % 6) * w // 6)
+                  + 31 * ((i // 6) * h // 10) + media_id) % 256) AS ps
+           FROM px GROUP BY media_id)
+         SELECT media_id, CAST(6 AS INT) AS width, CAST(10 AS INT) AS height,
+           round(CAST(ps AS DOUBLE) / 60, 6) AS mean_intensity,
+           CAST(ps AS BIGINT) AS pixel_sum
+         FROM g ORDER BY media_id""",
+    // closed-form replay of the synthetic PCM law (Multimodal.synthPcm):
+    // n = 64 + id mod 193 samples, sample i = (17i + 31·id) mod 4001 −
+    // 2000. mean_sample replays the Scala side's floor(x·1e6 + 0.5) rule
+    // LITERALLY (not round(): means are signed here, and SQL round() is
+    // half-away-from-zero on negatives where the house rule is
+    // half-toward-+∞ — identical double op sequence instead)
+    "q_audio_decode" ->
+      """WITH m AS (
+           SELECT doc_id AS media_id,
+             CAST(64 + doc_id % 193 AS BIGINT) AS n
+           FROM documents),
+         px AS (
+           SELECT media_id, n, unnest(range(0, n)) AS i
+           FROM m),
+         g AS (
+           SELECT media_id, n,
+             sum((17 * i + 31 * media_id) % 4001 - 2000) AS ss,
+             max(abs((17 * i + 31 * media_id) % 4001 - 2000)) AS pk
+           FROM px GROUP BY media_id, n)
+         SELECT media_id, CAST(8000 AS INT) AS sample_rate,
+           CAST(1 AS INT) AS channels, n AS n_samples,
+           CAST(ss AS BIGINT) AS sample_sum, CAST(pk AS INT) AS peak,
+           floor(CAST(ss AS DOUBLE) / n * 1000000.0 + 0.5) / 1000000.0
+             AS mean_sample
+         FROM g ORDER BY media_id""",
     "q_media_meta" ->
       """SELECT 'image' AS kind, count(*) AS n,
            CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,

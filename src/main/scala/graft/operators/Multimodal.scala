@@ -8,13 +8,17 @@ import org.apache.spark.sql.types._
   * with typed metadata, plus decode / feature-extract / resize / frame-sample
   * plumbing.
   *
-  * The actual codecs are NOT in this container, so the decode kernels are
-  * STUBBED with deterministic fakes (clearly marked below) — but everything
-  * Spark-side is real and tested: the schema shape, the batched
-  * `mapPartitions` execution (the Scala analogue of `mapInPandas` — one
-  * iterator per partition, amortizing per-batch codec setup), partitioning,
-  * and the column plumbing. Swapping a real decoder in changes only the
-  * kernel body.
+  * The image DECODE kernel is REAL — `javax.imageio` (pure JVM, in every
+  * container) consuming actual PNG/BMP byte streams through the batched
+  * `mapPartitions` shape a production (expensive-to-initialize) codec
+  * needs. The container ships no media FILES, so the test fixture
+  * synthesizes real PNG bytes deterministically from row ids
+  * ([[encodeSyntheticPng]]) — the bytes are genuine PNG streams
+  * (encoded and decoded by the real codec), and because the pixel
+  * content is a closed-form function of the id, a SQL oracle verifies
+  * the decoded features exactly. Resize / frame-sample remain byte-level
+  * stand-ins (clearly marked below); swapping a richer codec in changes
+  * only those kernel bodies.
   *
   * Scale notes: media blobs dominate bytes at 100 TB. The schema keeps
   * metadata in separate scalar columns so Catalyst can prune the blob column
@@ -33,7 +37,7 @@ object Multimodal {
     StructField("mime", StringType, nullable = true)))
 
   /** wrap any table with a text-ish payload column into media rows (test
-    * harness: the container has no real media, so blobs are utf-8 bytes). */
+    * harness for the metadata/frame plumbing: blobs are utf-8 bytes). */
   def asMedia(df: DataFrame, idCol: String, payloadCol: String,
               kind: String = "image"): DataFrame =
     df.select(
@@ -59,54 +63,201 @@ object Multimodal {
       lit(mime).as("mime"),
       col("path"))
 
-  /** decoded-image feature row. */
-  case class MediaFeatures(media_id: Long, width: Int, height: Int,
-                           mean_intensity: Double, feature_hash: Long)
+  /** the synthetic-image pixel law, shared by [[encodeSyntheticPng]], the
+    * decode unit test, and (as SQL) the q_media_decode oracle:
+    * width = 8 + id mod 9, height = 8 + (id div 9) mod 9, and pixel
+    * (x, y) carries gray value (x + 31·y + id) mod 256. All non-negative
+    * integer arithmetic — `div`/`mod` agree across Scala, Spark, and
+    * DuckDB — so the decoded width/height/pixel-sum are exactly
+    * predictable from the id alone. */
+  private[graft] def synthDims(id: Long): (Int, Int) =
+    ((8 + (id % 9)).toInt, (8 + ((id / 9) % 9)).toInt)
+  private[graft] def synthGray(id: Long, x: Int, y: Int): Int =
+    ((x + 31L * y + id) % 256).toInt
 
-  /** STUB KERNEL — deterministic fake "decode": derives width/height/hash
-    * from the first 32 bits of md5(bytes) (unsigned) and mean intensity from
-    * the byte values. md5-derived (like the portable minhash/simhash
-    * pipelines) so a DuckDB oracle can replicate the fake exactly. A real
-    * implementation would call an image codec here (and nothing else in this
-    * file would change). */
-  private def fakeDecode(md: java.security.MessageDigest, id: Long,
-                         bytes: Array[Byte]): MediaFeatures = {
-    md.reset()
-    val d = md.digest(bytes)
-    val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
-    val w = (16 + h % 1024).toInt
-    val ht = (16 + (h / 1024) % 1024).toInt
-    val mean = if (bytes.isEmpty) 0.0
-      else bytes.foldLeft(0L)((a, b) => a + (b & 0xff)).toDouble / bytes.length
-    // HALF_UP like every other rounding path (math.rint's HALF_EVEN diverges
-    // from the oracle's round() on exact .5 micro-units, e.g. mean 93.7265625)
-    MediaFeatures(id, w, ht, math.floor(mean * 1e6 + 0.5) / 1e6, h)
+  /** deterministic REAL-PNG fixture generator: one grayscale PNG per row,
+    * rendered via `java.awt.image.BufferedImage` (TYPE_BYTE_GRAY) and
+    * encoded by `javax.imageio` inside the same batched mapPartitions
+    * shape the decode side uses — so [[decodeFeatures]] exercises a real
+    * codec on real byte streams even though the container ships no media
+    * files. PNG encoding of an 8-bit gray raster is lossless and
+    * byte-deterministic for the JVM's ImageIO writer; the DECODED content
+    * (what the pipeline verifies) is deterministic across any compliant
+    * codec by the PNG spec. */
+  def encodeSyntheticPng(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val encoded = df.select(col(idCol).cast(LongType)).as[Long]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false) // no temp-file cache churn
+        it.map { id =>
+          require(id >= 0, s"encodeSyntheticPng: ids must be non-negative " +
+            s"(got $id) — the pixel law's div/mod identities across " +
+            "engines hold only there (the q_retention doctrine)")
+          val (w, h) = synthDims(id)
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val raster = img.getRaster
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              raster.setSample(x, y, 0, synthGray(id, x, y)); x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream(256)
+          javax.imageio.ImageIO.write(img, "png", bos)
+          (id, bos.toByteArray)
+        }
+      }
+    encoded.select(
+      col("_1").as("media_id"),
+      lit("image").as("kind"),
+      col("_2").as("bytes"),
+      octet_length(col("_2")).cast(LongType).as("n_bytes"),
+      lit("image/png").as("mime"))
   }
 
-  /** batched decode via mapPartitions: one kernel instantiation per
-    * partition, streaming rows through it — the shape a real (expensive to
-    * initialize) decoder needs. Blob column read once, features out. */
+  /** decoded-image feature row: dimensions, mean intensity (mean over all
+    * pixel samples across bands, rounded half-up to 6 dp — the house
+    * rounding rule), and the exact integer sample sum (the oracle-checkable
+    * raw statistic). Undecodable blobs yield (-1, -1, 0.0, 0) — a corrupt
+    * blob in a 100 TB scan must mark, not kill, the job; count the -1s
+    * downstream. */
+  case class MediaFeatures(media_id: Long, width: Int, height: Int,
+                           mean_intensity: Double, pixel_sum: Long)
+
+  /** REAL image decode via batched mapPartitions: `javax.imageio` reads
+    * each blob (PNG/BMP/GIF/JPEG — whatever the JVM's registered readers
+    * handle), features come from raster SAMPLES (no colorspace conversion:
+    * `getRGB` would gamma-map instead of returning stored values). One
+    * `setUseCache` init per partition stands where a real codec pins its
+    * native context; rows stream through the iterator — no shuffle, the
+    * stage pipelines with the scan and scales with executors. */
   def decodeFeatures(media: DataFrame): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select("media_id", "bytes").as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        // real codec init would happen once here, per partition (the digest
-        // instance stands in for it)
-        val md = java.security.MessageDigest.getInstance("MD5")
+        javax.imageio.ImageIO.setUseCache(false)
         it.map { case (id, bytes) =>
-          fakeDecode(md, id, Option(bytes).getOrElse(Array.empty)) }
+          val img =
+            try javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(
+                Option(bytes).getOrElse(Array.empty)))
+            catch { case _: Exception => null }
+          if (img == null) MediaFeatures(id, -1, -1, 0.0, 0L)
+          else {
+            val (w, h) = (img.getWidth, img.getHeight)
+            val raster = img.getRaster
+            val bands = raster.getNumBands
+            var sum = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                var b = 0
+                while (b < bands) { sum += raster.getSample(x, y, b); b += 1 }
+                x += 1
+              }
+              y += 1
+            }
+            val mean = sum.toDouble / (w.toLong * h * bands)
+            // HALF_UP like every other rounding path (math.rint's HALF_EVEN
+            // diverges from the oracle's round() on exact .5 micro-units)
+            MediaFeatures(id, w, h, math.floor(mean * 1e6 + 0.5) / 1e6, sum)
+          }
+        }
       }
   }
 
   /** STUB "resize": deterministic truncation of the blob to maxBytes —
     * stands in for a real resize kernel; plumbing (binary→binary map,
-    * metadata update) is real. */
+    * metadata update) is real. Kept for the byte-budget use case (cap blob
+    * bytes flowing into a downstream stage); [[resizeImages]] below is the
+    * REAL image resize. */
   def resize(media: DataFrame, maxBytes: Int): DataFrame =
     media.withColumn("bytes",
         expr(s"substring(bytes, 1, $maxBytes)").cast(BinaryType))
       .withColumn("n_bytes", least(col("n_bytes"), lit(maxBytes.toLong)))
+
+  /** REAL image resize kernel: decode each blob with `javax.imageio`,
+    * nearest-neighbor-sample it to `targetW`×`targetH` (source pixel for
+    * target (x, y) is (⌊x·w/targetW⌋, ⌊y·h/targetH⌋) — the canonical NN
+    * mapping, pure integer arithmetic, so the resized raster is an EXACT
+    * closed-form function of the source raster that a SQL oracle can
+    * replay), re-encode as PNG. Grayscale sources stay single-band
+    * (TYPE_BYTE_GRAY); multi-band sources resize band-wise into 3-band
+    * BGR. Undecodable blobs pass through as NULL bytes with n_bytes = -1
+    * (mark, not kill — the [[decodeFeatures]] corrupt-blob convention).
+    *
+    * NN rather than an area/bilinear filter is a deliberate determinism
+    * choice: filtered resampling rounds intermediate floats differently
+    * across platforms/codecs, NN moves whole samples. The mapPartitions
+    * shape (one codec init per partition, rows streamed) is the same as
+    * decode — no shuffle, pipelines with the scan.
+    *
+    * Scale note: at 100 TB this is the bytes-dominant stage; resized
+    * output (fixed target dims) is orders of magnitude smaller than the
+    * input, so resize-early-then-shuffle is the production order — this
+    * operator preserves partitioning precisely so callers can do that. */
+  def resizeImages(media: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    require(targetW >= 1 && targetH >= 1,
+      s"resizeImages: target dims must be >= 1, got ${targetW}x$targetH")
+    val spark = media.sparkSession
+    import spark.implicits._
+    val out = media.select(col("media_id").cast(LongType),
+        col("kind").cast(StringType), col("bytes"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, kind, bytes) =>
+          val img =
+            try javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(
+                Option(bytes).getOrElse(Array.empty)))
+            catch { case _: Exception => null }
+          if (img == null) (id, kind, null: Array[Byte])
+          else {
+            val (w, h) = (img.getWidth, img.getHeight)
+            val src = img.getRaster
+            val gray = src.getNumBands == 1
+            val dst = new java.awt.image.BufferedImage(targetW, targetH,
+              if (gray) java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+              else java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+            val dr = dst.getRaster
+            val bands = dr.getNumBands
+            var y = 0
+            while (y < targetH) {
+              val sy = (y.toLong * h / targetH).toInt
+              var x = 0
+              while (x < targetW) {
+                val sx = (x.toLong * w / targetW).toInt
+                var b = 0
+                while (b < bands) {
+                  dr.setSample(x, y, b,
+                    src.getSample(sx, sy, math.min(b, src.getNumBands - 1)))
+                  b += 1
+                }
+                x += 1
+              }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream(512)
+            javax.imageio.ImageIO.write(dst, "png", bos)
+            (id, kind, bos.toByteArray)
+          }
+        }
+      }
+    out.select(
+      col("_1").as("media_id"),
+      col("_2").as("kind"),
+      col("_3").as("bytes"),
+      when(col("_3").isNull, lit(-1L))
+        .otherwise(octet_length(col("_3")).cast(LongType)).as("n_bytes"),
+      lit("image/png").as("mime"))
+  }
 
   /** STUB "frame sample": for video-kind rows, emit every k-th byte-window as
     * a "frame" — stands in for real frame extraction; the explode shape
@@ -128,4 +279,121 @@ object Multimodal {
       count(lit(1)).as("n"),
       sum("n_bytes").as("total_bytes"),
       round(avg("n_bytes"), 4).as("avg_bytes"))
+
+  // ---------------------------------------------------------------- audio
+
+  /** the synthetic-audio sample law, shared by [[encodeSyntheticWav]], the
+    * decode unit test, and (as SQL) the q_audio_decode oracle: a clip of
+    * `64 + id mod 193` mono PCM16 samples at 8 kHz, sample i carrying
+    * value (17·i + 31·id) mod 4001 − 2000. Pure non-negative integer
+    * arithmetic before the final shift, so `mod` agrees across Scala,
+    * Spark, and DuckDB and every decoded statistic is exactly
+    * predictable from the id. */
+  private[graft] def synthAudioLen(id: Long): Int = (64 + id % 193).toInt
+  private[graft] def synthPcm(id: Long, i: Int): Short =
+    (((17L * i + 31L * id) % 4001L) - 2000L).toShort
+
+  /** deterministic REAL-WAV fixture generator: one mono PCM16 8 kHz clip
+    * per row, packaged by `javax.sound.sampled.AudioSystem` (pure JVM)
+    * into a genuine RIFF/WAVE stream. WAV PCM is a lossless container, so
+    * the decode side recovers the exact samples — the audio analogue of
+    * [[encodeSyntheticPng]]. */
+  def encodeSyntheticWav(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val encoded = df.select(col(idCol).cast(LongType)).as[Long]
+      .mapPartitions { it =>
+        val fmt = new javax.sound.sampled.AudioFormat(
+          8000f, 16, 1, true /* signed */, false /* little-endian */)
+        it.map { id =>
+          require(id >= 0, s"encodeSyntheticWav: ids must be non-negative " +
+            s"(got $id) — the sample law's mod identities across engines " +
+            "hold only there (the q_retention doctrine)")
+          val n = synthAudioLen(id)
+          val pcm = new Array[Byte](n * 2)
+          var i = 0
+          while (i < n) {
+            val v = synthPcm(id, i)
+            pcm(2 * i) = (v & 0xff).toByte
+            pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+            i += 1
+          }
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+          val bos = new java.io.ByteArrayOutputStream(n * 2 + 64)
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          (id, bos.toByteArray)
+        }
+      }
+    encoded.select(
+      col("_1").as("media_id"),
+      lit("audio").as("kind"),
+      col("_2").as("bytes"),
+      octet_length(col("_2")).cast(LongType).as("n_bytes"),
+      lit("audio/wav").as("mime"))
+  }
+
+  /** decoded-audio feature row: container-declared format (rate, channels)
+    * plus exact integer statistics over the decoded PCM16 samples —
+    * `sample_sum` (the oracle-checkable raw statistic), `peak` (max |s|,
+    * clipping detection), and the 6-dp half-up mean. Undecodable blobs
+    * yield (-1, -1, -1, 0, 0, 0.0) — mark, not kill. */
+  case class AudioFeatures(media_id: Long, sample_rate: Int, channels: Int,
+                           n_samples: Long, sample_sum: Long, peak: Int,
+                           mean_sample: Double)
+
+  /** REAL audio decode via batched mapPartitions: `javax.sound.sampled`
+    * parses each blob's container (WAV/AIFF/AU — the JVM's registered
+    * readers), streams the PCM frames, and emits per-clip statistics.
+    * Samples are read little/big-endian per the container's declared
+    * format; 16-bit signed is the supported depth (the LLM-pipeline
+    * interchange norm) — other depths mark as undecodable rather than
+    * silently mis-scale. Same no-shuffle pipeline shape as
+    * [[decodeFeatures]]. */
+  def decodeAudioFeatures(media: DataFrame): Dataset[AudioFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "bytes").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val ais =
+            try javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(
+                Option(bytes).getOrElse(Array.empty)))
+            catch { case _: Exception => null }
+          if (ais == null || ais.getFormat.getSampleSizeInBits != 16 ||
+              ais.getFormat.getEncoding !=
+                javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+            AudioFeatures(id, -1, -1, -1L, 0L, 0, 0.0)
+          else {
+            val fmt = ais.getFormat
+            val big = fmt.isBigEndian
+            val data = ais.readAllBytes()
+            val n = data.length / 2
+            var sum = 0L
+            var peak = 0
+            var i = 0
+            while (i < n) {
+              val lo = data(2 * i) & 0xff
+              val hi = data(2 * i + 1) & 0xff
+              val s = (if (big) (lo << 8) | hi else (hi << 8) | lo).toShort
+              sum += s
+              val a = math.abs(s.toInt)
+              if (a > peak) peak = a
+              i += 1
+            }
+            val mean = if (n == 0) 0.0 else sum.toDouble / n
+            AudioFeatures(id, fmt.getSampleRate.toInt, fmt.getChannels,
+              n.toLong, sum, peak,
+              // 6-dp floor(x·1e6 + 0.5): means can be NEGATIVE here (unlike
+              // pixel intensities), and SQL round() is half-AWAY-FROM-ZERO
+              // on negatives while this rule is half-toward-+∞ — so the
+              // oracle replays the identical floor formula rather than
+              // using round() (bit-identical double sequence both sides)
+              math.floor(mean * 1e6 + 0.5) / 1e6)
+          }
+        }
+      }
+  }
 }

@@ -704,17 +704,130 @@ class OperatorsSpec extends AnyFunSuite {
     val media = Multimodal.asMedia(docs, "doc_id", "text")
     assert(media.columns.toSeq ==
       Seq("media_id", "kind", "bytes", "n_bytes", "mime"))
+    // text blobs are NOT images: the real codec must mark them
+    // undecodable (-1 dims), never throw — a corrupt blob in a 100 TB
+    // scan marks, not kills, the job
     val feats = Multimodal.decodeFeatures(media).collect()
     assert(feats.length == 5)
-    assert(feats.forall(f => f.width >= 16 && f.mean_intensity > 0))
-    // determinism: same bytes → same features
-    val again = Multimodal.decodeFeatures(media).collect()
-    assert(feats.map(_.feature_hash).toSet == again.map(_.feature_hash).toSet)
+    assert(feats.forall(f => f.width == -1 && f.height == -1 &&
+      f.mean_intensity == 0.0 && f.pixel_sum == 0L))
     val frames = Multimodal.sampleFrames(media, frameBytes = 8, everyK = 2).collect()
     // each doc yields max(1, floor(n/16)) frames at offsets i*16
     assert(frames.forall(r => r.getLong(3) % 16 == 0))
     val stats = Multimodal.metadataStats(media).collect()
     assert(stats.length == 1 && stats.head.getAs[Long]("n") == 5L)
+  }
+
+  test("multimodal: real PNG bytes decode to exact pixel stats via javax.imageio") {
+    // hand-rendered 2x2 gray PNG with known samples — the decode kernel
+    // must recover the REAL pixel values, not a fingerprint of the bytes
+    val img = new java.awt.image.BufferedImage(2, 2,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val samples = Seq((0, 0, 10), (1, 0, 20), (0, 1, 30), (1, 1, 240))
+    samples.foreach { case (x, y, v) => img.getRaster.setSample(x, y, 0, v) }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val media = Seq((7L, "image", bos.toByteArray))
+      .toDF("media_id", "kind", "bytes")
+    val f = Multimodal.decodeFeatures(media).collect().head
+    assert((f.width, f.height, f.pixel_sum) == ((2, 2, 300L)), f.toString)
+    assert(f.mean_intensity == 75.0, f.toString)
+    // the synthetic fixture generator: encode → decode round-trips the
+    // closed-form pixel law for every id (incl. ids past one 256 wrap)
+    val ids = Seq(0L, 5L, 86L, 400L).toDF("doc_id")
+    val rt = Multimodal.decodeFeatures(
+        Multimodal.encodeSyntheticPng(ids, "doc_id"))
+      .collect().map(f => f.media_id -> f).toMap
+    Seq(0L, 5L, 86L, 400L).foreach { id =>
+      val (w, h) = Multimodal.synthDims(id)
+      var want = 0L
+      for (y <- 0 until h; x <- 0 until w)
+        want += Multimodal.synthGray(id, x, y)
+      val f = rt(id)
+      assert((f.width, f.height, f.pixel_sum) == ((w, h, want)),
+        s"id $id: ${f.toString} vs ($w, $h, $want)")
+      assert(f.mean_intensity ==
+        math.floor(want.toDouble / (w * h) * 1e6 + 0.5) / 1e6)
+    }
+    // PNG bytes are genuinely PNG (magic header), and encode is stable
+    val bytes = Multimodal.encodeSyntheticPng(ids, "doc_id")
+      .select("bytes").collect().map(_.getAs[Array[Byte]](0))
+    assert(bytes.forall(b => (b(0) & 0xff) == 0x89 && b(1) == 'P' &&
+      b(2) == 'N' && b(3) == 'G'))
+  }
+
+  test("multimodal: real NN resize recovers the exact resampled pixel law") {
+    // decode → NN resample → re-encode → decode: target (x, y) must carry
+    // source sample (x·w div tw, y·h div th) exactly
+    val ids = Seq(3L, 44L, 170L).toDF("doc_id")
+    val rt = Multimodal.decodeFeatures(
+        Multimodal.resizeImages(
+          Multimodal.encodeSyntheticPng(ids, "doc_id"), 6, 10))
+      .collect().map(f => f.media_id -> f).toMap
+    Seq(3L, 44L, 170L).foreach { id =>
+      val (w, h) = Multimodal.synthDims(id)
+      var want = 0L
+      for (y <- 0 until 10; x <- 0 until 6)
+        want += Multimodal.synthGray(id,
+          (x.toLong * w / 6).toInt, (y.toLong * h / 10).toInt)
+      val f = rt(id)
+      assert((f.width, f.height, f.pixel_sum) == ((6, 10, want)),
+        s"id $id: $f vs (6, 10, $want)")
+    }
+    // undecodable blobs mark (null bytes, n_bytes = -1), never throw
+    val junk = Seq((9L, "image", "not a png".getBytes("UTF-8")))
+      .toDF("media_id", "kind", "bytes")
+    val r = Multimodal.resizeImages(junk, 6, 10).collect().head
+    assert(r.getAs[Array[Byte]]("bytes") == null &&
+      r.getAs[Long]("n_bytes") == -1L)
+  }
+
+  test("multimodal: real WAV clips decode to exact PCM stats via javax.sound") {
+    // hand-built mono PCM16 WAV with known samples — the decode kernel
+    // must recover the REAL sample values (incl. negatives), rate, depth
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val samples = Seq[Short](100, -200, 32767, -32768, 0)
+    val pcm = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (v, i) =>
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val media = Seq((5L, "audio", bos.toByteArray))
+      .toDF("media_id", "kind", "bytes")
+    val f = Multimodal.decodeAudioFeatures(media).collect().head
+    assert((f.sample_rate, f.channels, f.n_samples) == ((8000, 1, 5L)), f.toString)
+    assert(f.sample_sum == samples.map(_.toLong).sum, f.toString)
+    assert(f.peak == 32768, f.toString)
+    // synthetic fixture round-trip: encode → decode replays the PCM law,
+    // and mean_sample follows the signed floor(x·1e6 + 0.5) rule
+    val ids = Seq(0L, 7L, 250L).toDF("doc_id")
+    val rt = Multimodal.decodeAudioFeatures(
+        Multimodal.encodeSyntheticWav(ids, "doc_id"))
+      .collect().map(a => a.media_id -> a).toMap
+    Seq(0L, 7L, 250L).foreach { id =>
+      val n = Multimodal.synthAudioLen(id)
+      val vals = (0 until n).map(i => Multimodal.synthPcm(id, i).toLong)
+      val a = rt(id)
+      assert((a.sample_rate, a.channels, a.n_samples) == ((8000, 1, n.toLong)))
+      assert(a.sample_sum == vals.sum, s"id $id: $a")
+      assert(a.peak == vals.map(math.abs).max.toInt)
+      assert(a.mean_sample ==
+        math.floor(vals.sum.toDouble / n * 1e6 + 0.5) / 1e6)
+    }
+    // WAV bytes are genuinely RIFF/WAVE (magic), and junk marks, not kills
+    val wav = Multimodal.encodeSyntheticWav(ids, "doc_id")
+      .select("bytes").collect().map(_.getAs[Array[Byte]](0))
+    assert(wav.forall(b => new String(b.take(4), "US-ASCII") == "RIFF" &&
+      new String(b.slice(8, 12), "US-ASCII") == "WAVE"))
+    val junk = Seq((9L, "audio", "not a wav".getBytes("UTF-8")))
+      .toDF("media_id", "kind", "bytes")
+    val j = Multimodal.decodeAudioFeatures(junk).collect().head
+    assert((j.sample_rate, j.channels, j.n_samples) == ((-1, -1, -1L)))
   }
 
   test("temperatureRates: alpha flattens the head, alpha=1 is natural, caps at 1") {
