@@ -1562,6 +1562,16 @@ object SparkEntry {
           Multimodal.encodeSyntheticWav(rd(s, dir, "documents"), "doc_id"))
         .toDF().orderBy("media_id")
     }),
+    "q_audio_frames" -> ((s, dir) => {
+      // REAL windowed frame extraction (round 17): hop-advanced analysis
+      // windows (frameLen 32, hop 16 — 50% overlap, the speech-feature
+      // shape) over really-decoded WAV clips; per-frame integer sums and
+      // peaks replay exactly in SQL
+      Multimodal.audioFrames(
+          Multimodal.encodeSyntheticWav(rd(s, dir, "documents"), "doc_id"),
+          frameLen = 32, hop = 16)
+        .toDF().orderBy("media_id", "frame_no")
+    }),
 
     // ---- [EXT] streaming transforms, batch-equivalent forms ----
     "q_tumbling" -> ((s, dir) => {
@@ -4700,6 +4710,29 @@ object SparkEntry {
            floor(CAST(ss AS DOUBLE) / n * 1000000.0 + 0.5) / 1000000.0
              AS mean_sample
          FROM g ORDER BY media_id""",
+    // the frame oracle replays the hop/window law over the same PCM law:
+    // frame f covers samples [16f, 16f + 32), emitted while it fits
+    // ((n - 32) // 16 + 1 frames; every fixture clip has n >= 64)
+    "q_audio_frames" ->
+      """WITH m AS (
+           SELECT doc_id AS media_id,
+             CAST(64 + doc_id % 193 AS BIGINT) AS n
+           FROM documents),
+         f AS (
+           SELECT media_id, unnest(range(0, (n - 32) // 16 + 1)) AS f
+           FROM m),
+         s AS (
+           SELECT media_id, f, unnest(range(f * 16, f * 16 + 32)) AS i
+           FROM f),
+         g AS (
+           SELECT media_id, f,
+             sum((17 * i + 31 * media_id) % 4001 - 2000) AS ss,
+             max(abs((17 * i + 31 * media_id) % 4001 - 2000)) AS pk
+           FROM s GROUP BY media_id, f)
+         SELECT media_id, CAST(f AS INT) AS frame_no,
+           CAST(f * 16 AS BIGINT) AS start_sample,
+           CAST(ss AS BIGINT) AS sample_sum, CAST(pk AS INT) AS peak
+         FROM g ORDER BY media_id, frame_no""",
     "q_media_meta" ->
       """SELECT 'image' AS kind, count(*) AS n,
            CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,

@@ -343,6 +343,71 @@ object Multimodal {
                            n_samples: Long, sample_sum: Long, peak: Int,
                            mean_sample: Double)
 
+  /** one windowed-analysis frame of a decoded clip: frame `frame_no`
+    * covers samples [frame_no·hop, frame_no·hop + frameLen); `sample_sum`
+    * and `peak` are exact integer statistics over the window (the
+    * energy/VAD-feature shape a speech pipeline computes per frame). */
+  case class AudioFrame(media_id: Long, frame_no: Int, start_sample: Long,
+                        sample_sum: Long, peak: Int)
+
+  /** REAL audio frame extraction: decode each clip (same codec stack and
+    * 16-bit contract as [[decodeAudioFeatures]]) and emit one row per
+    * hop-advanced analysis window — frame i covers samples
+    * [i·hop, i·hop + frameLen), frames emitted while they fit entirely
+    * (count = max(0, (n − frameLen) div hop + 1); a clip shorter than one
+    * frame emits nothing, the gopherRepetitionReport short-doc rule).
+    * This is the audio analogue of video frame sampling with the decode
+    * REAL end to end; per-frame integer sums make the whole explode
+    * oracle-replayable. Undecodable blobs emit a single marker row
+    * (frame_no = -1). Scale shape: flatMap inside mapPartitions — no
+    * shuffle, output size = Σ frames (the answer's own size), blob column
+    * read once. */
+  def audioFrames(media: DataFrame, frameLen: Int, hop: Int): Dataset[AudioFrame] = {
+    require(frameLen >= 1 && hop >= 1,
+      s"audioFrames: frameLen and hop must be >= 1, got $frameLen/$hop")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "bytes").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val ais =
+            try javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(
+                Option(bytes).getOrElse(Array.empty)))
+            catch { case _: Exception => null }
+          if (ais == null || ais.getFormat.getSampleSizeInBits != 16 ||
+              ais.getFormat.getEncoding !=
+                javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+            Iterator.single(AudioFrame(id, -1, -1L, 0L, 0))
+          else {
+            val big = ais.getFormat.isBigEndian
+            val data = ais.readAllBytes()
+            val n = data.length / 2
+            def sample(i: Int): Int = {
+              val lo = data(2 * i) & 0xff
+              val hi = data(2 * i + 1) & 0xff
+              (if (big) (lo << 8) | hi else (hi << 8) | lo).toShort.toInt
+            }
+            val nFrames = if (n < frameLen) 0 else (n - frameLen) / hop + 1
+            (0 until nFrames).iterator.map { f =>
+              var sum = 0L
+              var peak = 0
+              var i = f * hop
+              val end = f * hop + frameLen
+              while (i < end) {
+                val s = sample(i)
+                sum += s
+                val a = math.abs(s)
+                if (a > peak) peak = a
+                i += 1
+              }
+              AudioFrame(id, f, f.toLong * hop, sum, peak)
+            }
+          }
+        }
+      }
+  }
+
   /** REAL audio decode via batched mapPartitions: `javax.sound.sampled`
     * parses each blob's container (WAV/AIFF/AU — the JVM's registered
     * readers), streams the PCM frames, and emits per-clip statistics.

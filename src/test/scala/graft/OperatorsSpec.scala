@@ -830,6 +830,41 @@ class OperatorsSpec extends AnyFunSuite {
     assert((j.sample_rate, j.channels, j.n_samples) == ((-1, -1, -1L)))
   }
 
+  test("multimodal: audioFrames windows real decoded PCM by the hop law") {
+    val ids = Seq(0L, 13L).toDF("doc_id")
+    val frames = Multimodal.audioFrames(
+        Multimodal.encodeSyntheticWav(ids, "doc_id"), frameLen = 32, hop = 16)
+      .collect().groupBy(_.media_id)
+    Seq(0L, 13L).foreach { id =>
+      val n = Multimodal.synthAudioLen(id)
+      val want = (n - 32) / 16 + 1
+      val fs = frames(id).sortBy(_.frame_no)
+      assert(fs.length == want, s"id $id: ${fs.length} frames, want $want")
+      fs.foreach { fr =>
+        assert(fr.start_sample == fr.frame_no.toLong * 16)
+        val vals = (fr.frame_no * 16 until fr.frame_no * 16 + 32)
+          .map(i => Multimodal.synthPcm(id, i).toLong)
+        assert(fr.sample_sum == vals.sum, s"id $id frame ${fr.frame_no}")
+        assert(fr.peak == vals.map(math.abs).max.toInt)
+      }
+    }
+    // a clip shorter than one frame emits NOTHING (no degenerate window —
+    // the gopherRepetitionReport short-doc rule); junk marks with -1
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(new Array[Byte](20)), fmt, 10L)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val shortMedia = Seq((1L, "audio", bos.toByteArray))
+      .toDF("media_id", "kind", "bytes")
+    assert(Multimodal.audioFrames(shortMedia, 32, 16).collect().isEmpty)
+    val junk2 = Seq((2L, "audio", "nope".getBytes("UTF-8")))
+      .toDF("media_id", "kind", "bytes")
+    val marks = Multimodal.audioFrames(junk2, 32, 16).collect()
+    assert(marks.length == 1 && marks.head.frame_no == -1)
+  }
+
   test("temperatureRates: alpha flattens the head, alpha=1 is natural, caps at 1") {
     // skewed corpus: head 64 docs, mid 16, tail 4
     val docs = ((1L to 64L).map(i => (i, "head")) ++

@@ -362,11 +362,36 @@ class PlanAuditSpec extends AnyFunSuite {
         "simhash_wide" -> finalPlan(Dedup.simhashHammingPairsWide(
           docs, "doc_id", "text", nBits = 84, maxHamming = 3, portable = true)))
       plans.foreach { case (name, plan) =>
-        assert(!plan.contains("CartesianProduct") &&
-          !plan.contains("BroadcastNestedLoopJoin"),
+        assert(!plan.contains("CartesianProduct"),
           s"$name lost its join key at ${factor}x:\n$plan")
-        assert(!plan.contains("SinglePartition"),
-          s"$name funnels to one partition at ${factor}x:\n$plan")
+        // a BNLJ is a lost join key — EXCEPT the containment mass guard,
+        // a deliberate 1-row broadcast (round 17) that must stay visible
+        // in the audited plan; assert it is that guard and nothing else
+        if (name == "contain") {
+          // the round-17 candidate-mass guard is a DELIBERATE exception to
+          // both blanket bans below: a 1-row Σf² aggregate over the
+          // checkpointed vocab, broadcast onto the candidate join. Assert
+          // it is present (the __mass_ok alias is projection-collapsed in
+          // the physical plan; the surviving markers are the raise_error
+          // message and the __mass sum) and that every SinglePartition
+          // exchange is THAT guard — a single-column partial-sum input —
+          // never a corpus-wide funnel.
+          assert(plan.contains("candidate-mass"),
+            s"$name: mass guard missing from the audited plan at ${factor}x:\n$plan")
+          val blocks = plan.split("\n\n").filter(_.contains("SinglePartition"))
+          blocks.foreach { b =>
+            // the decimal sum's partial state is [sum#N, isEmpty#N]
+            assert("Input \\[[12]\\]: \\[sum#\\d+(, isEmpty#\\d+)?\\]".r
+                .findFirstIn(b).isDefined,
+              s"$name: SinglePartition beyond the mass-guard sum " +
+                s"at ${factor}x:\n$b")
+          }
+        } else {
+          assert(!plan.contains("BroadcastNestedLoopJoin"),
+            s"$name lost its join key at ${factor}x:\n$plan")
+          assert(!plan.contains("SinglePartition"),
+            s"$name funnels to one partition at ${factor}x:\n$plan")
+        }
       }
     }
   }
@@ -569,5 +594,31 @@ class PlanAuditSpec extends AnyFunSuite {
       df, "grp", col("id")))
     assertSketchOnly("winsorizedAggApproxChecked", ck)
     assert(!ck.contains("Window"), ck)
+  }
+
+  test("media pipeline: metadata scan prunes the blob column; codec chain never shuffles") {
+    import graft.operators.Multimodal
+    val mediaDir = Files.createTempDirectory("graft_media_audit").toString
+    Multimodal.encodeSyntheticPng(
+        spark.range(1, 65).select(col("id").as("doc_id")), "doc_id")
+      .write.mode("overwrite").parquet(mediaDir)
+    // at 100 TB the blob column IS the table: a metadata aggregate that
+    // drags `bytes` through the scan reads orders of magnitude more than
+    // it needs — ReadSchema must carry only the scalar metadata columns
+    val meta = finalPlan(Multimodal.metadataStats(spark.read.parquet(mediaDir)))
+    val reads = "ReadSchema: [^\\n]*".r.findAllIn(meta).toList.distinct
+    assert(reads.nonEmpty, s"no ReadSchema details in:\n$meta")
+    // the blob column is `bytes:binary` — match the typed form, since the
+    // legitimate scalar `n_bytes:bigint` contains "bytes" as a substring
+    assert(reads.forall(!_.contains("bytes:binary")),
+      s"metadata stats read the blob column: $reads")
+    // decode→resize→decode is per-row kernel work: it must pipeline with
+    // the scan in one stage — an Exchange here would shuffle the (huge)
+    // blob bytes for no reason
+    val chain = finalPlan(
+      Multimodal.decodeFeatures(Multimodal.resizeImages(
+        spark.read.parquet(mediaDir), 6, 10)).toDF())
+    assert(!chain.contains("Exchange"),
+      s"codec chain shuffles blob bytes:\n$chain")
   }
 }
