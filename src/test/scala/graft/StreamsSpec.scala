@@ -857,4 +857,41 @@ class StreamsSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS graft_pqing_rebuild_pq")
     }
   }
+
+  test("media decode runs as a streaming stage: per-batch features ≡ batch decode") {
+    // the multimodal ingest shape at 100 TB: blobs land continuously and
+    // decode as they arrive. decodeFeatures/audioFrames are STATELESS
+    // mapPartitions kernels, so they lift into Structured Streaming
+    // unchanged — pin that (a refactor to a stateful/shuffling shape
+    // would break this test) and that streamed features equal the batch
+    // decode of the same blobs.
+    import graft.operators.Multimodal
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ids = Seq(3L, 44L, 170L, 401L)
+    val blobs = Multimodal.encodeSyntheticPng(ids.toDF("doc_id"), "doc_id")
+      .select("media_id", "bytes").as[(Long, Array[Byte])].collect().toSeq
+    val mem = MemoryStream[(Long, Array[Byte])]
+    val feats = Multimodal.decodeFeatures(
+      mem.toDF().select(col("_1").as("media_id"), col("_2").as("bytes")))
+    assert(feats.isStreaming, "decode stage must lift into a streaming plan")
+    val q = feats.writeStream.outputMode("append")
+      .format("memory").queryName("media_stream").start()
+    try {
+      mem.addData(blobs.take(2))
+      q.processAllAvailable()
+      mem.addData(blobs.drop(2))
+      q.processAllAvailable()
+      val streamed = spark.table("media_stream")
+        .as[Multimodal.MediaFeatures].collect().sortBy(_.media_id)
+      val batch = Multimodal.decodeFeatures(
+          Multimodal.encodeSyntheticPng(ids.toDF("doc_id"), "doc_id"))
+        .collect().sortBy(_.media_id)
+      assert(streamed.toSeq == batch.toSeq,
+        s"streamed decode diverged:\n${streamed.toSeq}\nvs\n${batch.toSeq}")
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS media_stream")
+    }
+  }
 }
