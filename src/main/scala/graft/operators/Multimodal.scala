@@ -8,17 +8,21 @@ import org.apache.spark.sql.types._
   * with typed metadata, plus decode / feature-extract / resize / frame-sample
   * plumbing.
   *
-  * The image DECODE kernel is REAL — `javax.imageio` (pure JVM, in every
-  * container) consuming actual PNG/BMP byte streams through the batched
-  * `mapPartitions` shape a production (expensive-to-initialize) codec
-  * needs. The container ships no media FILES, so the test fixture
-  * synthesizes real PNG bytes deterministically from row ids
-  * ([[encodeSyntheticPng]]) — the bytes are genuine PNG streams
-  * (encoded and decoded by the real codec), and because the pixel
-  * content is a closed-form function of the id, a SQL oracle verifies
-  * the decoded features exactly. Resize / frame-sample remain byte-level
-  * stand-ins (clearly marked below); swapping a richer codec in changes
-  * only those kernel bodies.
+  * The image DECODE, image RESIZE, audio DECODE, and audio FRAME kernels
+  * are REAL — `javax.imageio` / `javax.sound.sampled` (pure JVM, in every
+  * container) consuming actual PNG/BMP and RIFF/WAVE byte streams through
+  * the batched `mapPartitions` shape a production (expensive-to-
+  * initialize) codec needs. The container ships no media FILES, so the
+  * test fixtures synthesize real PNG/WAV bytes deterministically from row
+  * ids ([[encodeSyntheticPng]]/[[encodeSyntheticWav]]) — the bytes are
+  * genuine codec streams, and because the pixel/PCM content is a
+  * closed-form function of the id, SQL oracles verify the decoded
+  * features exactly. The remaining byte-level stand-ins (clearly marked
+  * below) are the byte-budget [[resize]] and VIDEO frame sampling
+  * ([[sampleFrames]] — the JVM ships no video codec; the audio analogue
+  * [[audioFrames]] is real end to end, and the JVM's one multi-frame
+  * image codec, GIF, measurably does not round-trip gray rasters
+  * pixel-exactly, so a fake-precise video kernel would be dishonest).
   *
   * Scale notes: media blobs dominate bytes at 100 TB. The schema keeps
   * metadata in separate scalar columns so Catalyst can prune the blob column
@@ -293,18 +297,106 @@ object Multimodal {
   private[graft] def synthPcm(id: Long, i: Int): Short =
     (((17L * i + 31L * id) % 4001L) - 2000L).toShort
 
+  /** canonical 44-byte RIFF/WAVE PCM header + data chunk (the WAVE spec's
+    * minimal conformant layout — the same bytes AudioSystem's WAVE writer
+    * emits for PCM16). Written directly because `AudioSystem.write` holds
+    * a global provider lock: a 32-thread encode of 500k clips measured
+    * 8.2 s — NO faster than one thread (~7 s) — i.e. the service layer
+    * serializes the whole executor. MediaCodecSpec/OperatorsSpec pin that
+    * AudioSystem decodes these bytes identically. */
+  private[graft] def wavBytes(pcm: Array[Byte], sampleRate: Int,
+                              channels: Int): Array[Byte] = {
+    val out = new Array[Byte](44 + pcm.length)
+    def le32(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte; out(off + 1) = ((v >> 8) & 0xff).toByte
+      out(off + 2) = ((v >> 16) & 0xff).toByte
+      out(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    def le16(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte; out(off + 1) = ((v >> 8) & 0xff).toByte
+    }
+    def tag(off: Int, s: String): Unit =
+      s.getBytes("US-ASCII").copyToArray(out, off)
+    tag(0, "RIFF"); le32(4, 36 + pcm.length); tag(8, "WAVE")
+    tag(12, "fmt "); le32(16, 16); le16(20, 1 /* PCM */); le16(22, channels)
+    le32(24, sampleRate); le32(28, sampleRate * channels * 2)
+    le16(32, channels * 2); le16(34, 16)
+    tag(36, "data"); le32(40, pcm.length)
+    pcm.copyToArray(out, 44)
+    out
+  }
+
+  /** RIFF/WAVE PCM16 fast-path parser: walks the chunk list (fmt must
+    * declare audioFormat=1/PCM at 16 bits; chunks pad to even offsets per
+    * the RIFF spec) and returns (sampleRate, channels, pcmData) — WAV PCM
+    * data is always little-endian. Returns None for non-RIFF or non-PCM16
+    * bytes so callers can fall back to the `javax.sound.sampled` service
+    * layer (AIFF/AU/odd depths) — which is correct but SERIALIZES under
+    * concurrency (global provider lock, measured: 32-thread decode of
+    * 500k clips 9.6 s ≈ single-thread speed), so the hot path must not
+    * touch it. */
+  private[graft] def parseWavPcm16(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (bytes == null || bytes.length < 44) return None
+    def le32(off: Int): Int =
+      (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8) |
+        ((bytes(off + 2) & 0xff) << 16) | ((bytes(off + 3) & 0xff) << 24)
+    def le16(off: Int): Int = (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)
+    def tag(off: Int): String = new String(bytes, off, 4, "US-ASCII")
+    if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var off = 12
+    var rate = -1; var channels = -1; var ok = false
+    var data: Array[Byte] = null
+    while (off + 8 <= bytes.length && (data == null || !ok)) {
+      val id = tag(off); val sz = le32(off + 4)
+      if (sz < 0 || off + 8 + sz > bytes.length) return None
+      if (id == "fmt " && sz >= 16) {
+        ok = le16(off + 8) == 1 && le16(off + 22) == 16
+        channels = le16(off + 10); rate = le32(off + 12)
+      } else if (id == "data")
+        data = java.util.Arrays.copyOfRange(bytes, off + 8, off + 8 + sz)
+      off += 8 + sz + (sz & 1) // RIFF chunks pad to even boundaries
+    }
+    if (ok && data != null) Some((rate, channels, data)) else None
+  }
+
+  /** decode any supported audio container to (sampleRate, channels,
+    * little-endian PCM16 bytes): the RIFF fast path above, falling back to
+    * `javax.sound.sampled` for other containers (normalizing big-endian
+    * frames to LE). None = undecodable or unsupported depth. */
+  private def decodePcm16(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+    parseWavPcm16(bytes).orElse {
+      val ais =
+        try javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(
+            Option(bytes).getOrElse(Array.empty)))
+        catch { case _: Exception => null }
+      if (ais == null || ais.getFormat.getSampleSizeInBits != 16 ||
+          ais.getFormat.getEncoding !=
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) None
+      else {
+        val fmt = ais.getFormat
+        val data = ais.readAllBytes()
+        if (fmt.isBigEndian) {
+          var i = 0
+          while (i + 1 < data.length) {
+            val t = data(i); data(i) = data(i + 1); data(i + 1) = t; i += 2
+          }
+        }
+        Some((fmt.getSampleRate.toInt, fmt.getChannels, data))
+      }
+    }
+
   /** deterministic REAL-WAV fixture generator: one mono PCM16 8 kHz clip
-    * per row, packaged by `javax.sound.sampled.AudioSystem` (pure JVM)
-    * into a genuine RIFF/WAVE stream. WAV PCM is a lossless container, so
-    * the decode side recovers the exact samples — the audio analogue of
+    * per row as a genuine spec-conformant RIFF/WAVE stream ([[wavBytes]] —
+    * decodable by any WAV reader including `javax.sound.sampled`, pinned
+    * in tests). WAV PCM is a lossless container, so the decode side
+    * recovers the exact samples — the audio analogue of
     * [[encodeSyntheticPng]]. */
   def encodeSyntheticWav(df: DataFrame, idCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val encoded = df.select(col(idCol).cast(LongType)).as[Long]
       .mapPartitions { it =>
-        val fmt = new javax.sound.sampled.AudioFormat(
-          8000f, 16, 1, true /* signed */, false /* little-endian */)
         it.map { id =>
           require(id >= 0, s"encodeSyntheticWav: ids must be non-negative " +
             s"(got $id) — the sample law's mod identities across engines " +
@@ -318,12 +410,7 @@ object Multimodal {
             pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
             i += 1
           }
-          val ais = new javax.sound.sampled.AudioInputStream(
-            new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
-          val bos = new java.io.ByteArrayOutputStream(n * 2 + 64)
-          javax.sound.sampled.AudioSystem.write(ais,
-            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-          (id, bos.toByteArray)
+          (id, wavBytes(pcm, 8000, 1))
         }
       }
     encoded.select(
@@ -370,93 +457,70 @@ object Multimodal {
     media.select("media_id", "bytes").as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (id, bytes) =>
-          val ais =
-            try javax.sound.sampled.AudioSystem.getAudioInputStream(
-              new java.io.ByteArrayInputStream(
-                Option(bytes).getOrElse(Array.empty)))
-            catch { case _: Exception => null }
-          if (ais == null || ais.getFormat.getSampleSizeInBits != 16 ||
-              ais.getFormat.getEncoding !=
-                javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
-            Iterator.single(AudioFrame(id, -1, -1L, 0L, 0))
-          else {
-            val big = ais.getFormat.isBigEndian
-            val data = ais.readAllBytes()
-            val n = data.length / 2
-            def sample(i: Int): Int = {
-              val lo = data(2 * i) & 0xff
-              val hi = data(2 * i + 1) & 0xff
-              (if (big) (lo << 8) | hi else (hi << 8) | lo).toShort.toInt
-            }
-            val nFrames = if (n < frameLen) 0 else (n - frameLen) / hop + 1
-            (0 until nFrames).iterator.map { f =>
-              var sum = 0L
-              var peak = 0
-              var i = f * hop
-              val end = f * hop + frameLen
-              while (i < end) {
-                val s = sample(i)
-                sum += s
-                val a = math.abs(s)
-                if (a > peak) peak = a
-                i += 1
+          decodePcm16(bytes) match {
+            case None => Iterator.single(AudioFrame(id, -1, -1L, 0L, 0))
+            case Some((_, _, data)) =>
+              val n = data.length / 2
+              def sample(i: Int): Int =
+                (((data(2 * i + 1) & 0xff) << 8) | (data(2 * i) & 0xff))
+                  .toShort.toInt
+              val nFrames = if (n < frameLen) 0 else (n - frameLen) / hop + 1
+              (0 until nFrames).iterator.map { f =>
+                var sum = 0L
+                var peak = 0
+                var i = f * hop
+                val end = f * hop + frameLen
+                while (i < end) {
+                  val s = sample(i)
+                  sum += s
+                  val a = math.abs(s)
+                  if (a > peak) peak = a
+                  i += 1
+                }
+                AudioFrame(id, f, f.toLong * hop, sum, peak)
               }
-              AudioFrame(id, f, f.toLong * hop, sum, peak)
-            }
           }
         }
       }
   }
 
-  /** REAL audio decode via batched mapPartitions: `javax.sound.sampled`
-    * parses each blob's container (WAV/AIFF/AU — the JVM's registered
-    * readers), streams the PCM frames, and emits per-clip statistics.
-    * Samples are read little/big-endian per the container's declared
-    * format; 16-bit signed is the supported depth (the LLM-pipeline
-    * interchange norm) — other depths mark as undecodable rather than
-    * silently mis-scale. Same no-shuffle pipeline shape as
-    * [[decodeFeatures]]. */
+  /** REAL audio decode via batched mapPartitions: the RIFF/WAVE PCM16
+    * fast path ([[parseWavPcm16]] — thread-scaling, no service-registry
+    * lock), falling back to `javax.sound.sampled` for other containers
+    * (AIFF/AU); emits per-clip statistics. 16-bit signed is the supported
+    * depth (the LLM-pipeline interchange norm) — other depths mark as
+    * undecodable rather than silently mis-scale. Same no-shuffle pipeline
+    * shape as [[decodeFeatures]]. */
   def decodeAudioFeatures(media: DataFrame): Dataset[AudioFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select("media_id", "bytes").as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
-          val ais =
-            try javax.sound.sampled.AudioSystem.getAudioInputStream(
-              new java.io.ByteArrayInputStream(
-                Option(bytes).getOrElse(Array.empty)))
-            catch { case _: Exception => null }
-          if (ais == null || ais.getFormat.getSampleSizeInBits != 16 ||
-              ais.getFormat.getEncoding !=
-                javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
-            AudioFeatures(id, -1, -1, -1L, 0L, 0, 0.0)
-          else {
-            val fmt = ais.getFormat
-            val big = fmt.isBigEndian
-            val data = ais.readAllBytes()
-            val n = data.length / 2
-            var sum = 0L
-            var peak = 0
-            var i = 0
-            while (i < n) {
-              val lo = data(2 * i) & 0xff
-              val hi = data(2 * i + 1) & 0xff
-              val s = (if (big) (lo << 8) | hi else (hi << 8) | lo).toShort
-              sum += s
-              val a = math.abs(s.toInt)
-              if (a > peak) peak = a
-              i += 1
-            }
-            val mean = if (n == 0) 0.0 else sum.toDouble / n
-            AudioFeatures(id, fmt.getSampleRate.toInt, fmt.getChannels,
-              n.toLong, sum, peak,
-              // 6-dp floor(x·1e6 + 0.5): means can be NEGATIVE here (unlike
-              // pixel intensities), and SQL round() is half-AWAY-FROM-ZERO
-              // on negatives while this rule is half-toward-+∞ — so the
-              // oracle replays the identical floor formula rather than
-              // using round() (bit-identical double sequence both sides)
-              math.floor(mean * 1e6 + 0.5) / 1e6)
+          decodePcm16(bytes) match {
+            case None => AudioFeatures(id, -1, -1, -1L, 0L, 0, 0.0)
+            case Some((rate, channels, data)) =>
+              val n = data.length / 2
+              var sum = 0L
+              var peak = 0
+              var i = 0
+              while (i < n) {
+                val s = (((data(2 * i + 1) & 0xff) << 8) |
+                  (data(2 * i) & 0xff)).toShort
+                sum += s
+                val a = math.abs(s.toInt)
+                if (a > peak) peak = a
+                i += 1
+              }
+              val mean = if (n == 0) 0.0 else sum.toDouble / n
+              AudioFeatures(id, rate, channels, n.toLong, sum, peak,
+                // 6-dp floor(x·1e6 + 0.5): means can be NEGATIVE here
+                // (unlike pixel intensities), and SQL round() is
+                // half-AWAY-FROM-ZERO on negatives while this rule is
+                // half-toward-+∞ — so the oracle replays the identical
+                // floor formula rather than using round() (bit-identical
+                // double sequence both sides)
+                math.floor(mean * 1e6 + 0.5) / 1e6)
           }
         }
       }

@@ -819,11 +819,48 @@ class OperatorsSpec extends AnyFunSuite {
       assert(a.mean_sample ==
         math.floor(vals.sum.toDouble / n * 1e6 + 0.5) / 1e6)
     }
-    // WAV bytes are genuinely RIFF/WAVE (magic), and junk marks, not kills
+    // WAV bytes are genuinely RIFF/WAVE: magic + SPEC CONFORMANCE — the
+    // reference javax.sound codec must parse the hand-written header and
+    // recover the identical stream (rate/frames/samples), pinning that the
+    // fast-path encoder and the JVM's own reader agree byte-for-byte
     val wav = Multimodal.encodeSyntheticWav(ids, "doc_id")
-      .select("bytes").collect().map(_.getAs[Array[Byte]](0))
-    assert(wav.forall(b => new String(b.take(4), "US-ASCII") == "RIFF" &&
-      new String(b.slice(8, 12), "US-ASCII") == "WAVE"))
+      .select("media_id", "bytes").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1))
+    wav.foreach { case (id, b) =>
+      assert(new String(b.take(4), "US-ASCII") == "RIFF" &&
+        new String(b.slice(8, 12), "US-ASCII") == "WAVE")
+      val ref = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(b))
+      assert(ref.getFormat.getSampleRate == 8000f &&
+        ref.getFormat.getChannels == 1 &&
+        ref.getFrameLength == Multimodal.synthAudioLen(id).toLong,
+        s"id $id: reference codec disagrees with the fast-path header")
+      val refSum = ref.readAllBytes().grouped(2)
+        .map(p => (((p(1) & 0xff) << 8) | (p(0) & 0xff)).toShort.toLong).sum
+      assert(refSum == rt(id).sample_sum)
+    }
+    // the AudioSystem FALLBACK path (non-RIFF container): the same PCM
+    // packaged as big-endian AIFF must decode to identical statistics
+    val aiffFmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, true)
+    val vals7 = (0 until Multimodal.synthAudioLen(7L))
+      .map(i => Multimodal.synthPcm(7L, i))
+    val bePcm = new Array[Byte](vals7.length * 2)
+    vals7.zipWithIndex.foreach { case (v, i) =>
+      bePcm(2 * i) = ((v >> 8) & 0xff).toByte
+      bePcm(2 * i + 1) = (v & 0xff).toByte
+    }
+    val aiffBos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(bePcm), aiffFmt, vals7.length.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.AIFF, aiffBos)
+    val aiff = Multimodal.decodeAudioFeatures(
+        Seq((7L, "audio", aiffBos.toByteArray))
+          .toDF("media_id", "kind", "bytes"))
+      .collect().head
+    assert((aiff.n_samples, aiff.sample_sum, aiff.peak) ==
+      ((rt(7L).n_samples, rt(7L).sample_sum, rt(7L).peak)),
+      s"AIFF fallback diverged: $aiff vs ${rt(7L)}")
     val junk = Seq((9L, "audio", "not a wav".getBytes("UTF-8")))
       .toDF("media_id", "kind", "bytes")
     val j = Multimodal.decodeAudioFeatures(junk).collect().head
