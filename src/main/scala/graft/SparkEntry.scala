@@ -1678,6 +1678,34 @@ object SparkEntry {
           Seq("source"), Seq(desc("n_chars"), asc("doc_id")), 50)
         .orderBy("doc_id")
     }),
+    "q_html_extract" -> ((s, dir) => {
+      // HTML → text extraction (round 17): wrap each doc in a synthetic
+      // page (script/style/comment subtrees, heading, entity samples) and
+      // run the codegen'd strip/decode/collapse chain. The oracle replays
+      // BOTH the synthesis and the extraction in DuckDB — every regex is
+      // RE2-compatible by design, so the chain is engine-for-engine
+      val html = concat(
+        lit("<html><head><title>t</title><style type=\"text/css\">" +
+          "p{margin:0}</style><script>if(a<b){c&&d}</script></head>" +
+          "<body><h1>"),
+        col("source"),
+        lit("</h1>\n<p>"), col("text"),
+        lit("</p><!-- hidden -->\n<div>x &amp; y &lt;tag&gt; " +
+          "&quot;q&quot; &#39;s&#39; a&nbsp;b</div></body></html>"))
+      rd(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.htmlToText(html).as("text_clean"))
+        .withColumn("n_chars", length(col("text_clean")).cast(LongType))
+        .orderBy("doc_id")
+    }),
+    "q_compress_ratio" -> ((s, dir) => {
+      // deflate compression ratio per doc — the repetition/low-entropy
+      // quality signal; oracle = plain-JVM fresh-Deflater recompute
+      // embedded as literals (n_bytes cross-checked by DuckDB's strlen)
+      lastCompressDir = Some(dir)
+      TextAnalysis.compressionRatio(rd(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
     "q_boilerplate" -> ((s, dir) => {
       // host-level boilerplate line removal. The corpus is single-line, so
       // each doc plants a 4-line page (the q_redact pattern): a nav header
@@ -3768,6 +3796,45 @@ object SparkEntry {
     * [[graft.verify.IndependentOracles.hllRawEstimate]]. */
   @volatile private var lastMmrDir: Option[String] = None
 
+  /** the sf dir the most recent q_compress_ratio ran against — oracleSql
+    * embeds the plain-JVM deflate recompute for that corpus as literals
+    * (the sketchOracles pattern). */
+  @volatile private var lastCompressDir: Option[String] = None
+
+  /** q_compress_ratio's generated oracle: deflated sizes + ratios from the
+    * single-threaded fresh-Deflater recompute
+    * ([[graft.verify.IndependentOracles.deflatedSizes]]) embedded as a
+    * VALUES literal; n_bytes deliberately left to DuckDB's own strlen so
+    * the raw-byte side is cross-engine, not an echo. */
+  private[graft] def compressOracle(dir: String): Map[String, String] = {
+    import graft.verify.IndependentOracles
+    val s = SparkSession.active
+    val corpus = rd(s, dir, "documents").select("doc_id", "text")
+    val cap = DF.maxDriverRows
+    val probeCap = math.min(cap + 1, Int.MaxValue.toLong).toInt
+    val probed = corpus.limit(probeCap).count()
+    if (probed > cap)
+      throw new DriverMaterializationException("compressOracle", probed, cap,
+        "the rows-only check (the deflate oracle is a test-SF recompute by design)")
+    val docs = corpus.collect().toSeq.map(r => (r.getLong(0), r.getString(1)))
+    val rows = IndependentOracles.deflatedSizes(docs, level = 6)
+      .map { case (id, out) =>
+        val raw = docs.find(_._1 == id).get._2.getBytes("UTF-8").length
+        val ratio = if (raw == 0) 1.0
+          else math.floor(out.toDouble / raw * 1e6 + 0.5) / 1e6
+        s"($id, $out, $ratio)"
+      }
+    Map("q_compress_ratio" ->
+      s"""WITH exp(doc_id, n_deflated, compress_ratio) AS (
+           VALUES ${rows.mkString(", ")})
+         SELECT CAST(e.doc_id AS BIGINT) AS doc_id,
+           CAST(strlen(d.text) AS BIGINT) AS n_bytes,
+           CAST(e.n_deflated AS BIGINT) AS n_deflated,
+           CAST(e.compress_ratio AS DOUBLE) AS compress_ratio
+         FROM exp e JOIN documents d ON d.doc_id = e.doc_id
+         ORDER BY doc_id""")
+  }
+
   /** q_profile_table's oracle: one UNION ALL branch per profiled column —
     * the per-column recompute of [[graft.operators.Profiling.profileTable]]
     * (null count via FILTER, exact distinct count, shared row count). */
@@ -4641,6 +4708,34 @@ object SparkEntry {
     "q_lsh_store_ann" -> LshAnnOracle,
     "q_embedding_neardup" -> EmbeddingNearDupLshOracle,
     "q_dedup_incr_embedding" -> DedupIncrEmbeddingOracle,
+    // full engine-for-engine replay: DuckDB re-synthesizes the page AND
+    // re-runs the strip/decode/collapse chain (RE2-compatible patterns by
+    // construction; 'g' = replace-all, Spark's default)
+    "q_html_extract" ->
+      """WITH h AS (
+           SELECT doc_id,
+             '<html><head><title>t</title><style type="text/css">p{margin:0}</style><script>if(a<b){c&&d}</script></head><body><h1>'
+             || source || '</h1>' || chr(10) || '<p>' || text ||
+             '</p><!-- hidden -->' || chr(10) ||
+             '<div>x &amp; y &lt;tag&gt; &quot;q&quot; &#39;s&#39; a&nbsp;b</div></body></html>'
+             AS html
+           FROM documents),
+         x AS (
+           SELECT doc_id, trim(regexp_replace(
+             replace(replace(replace(replace(replace(replace(
+               regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                 html,
+                 '(?is)<script[^>]*>.*?</script\s*>', ' ', 'g'),
+                 '(?is)<style[^>]*>.*?</style\s*>', ' ', 'g'),
+                 '(?s)<!--.*?-->', ' ', 'g'),
+                 '(?s)<[^>]*>', ' ', 'g'),
+               '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+               '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&'),
+             '\s+', ' ', 'g')) AS text_clean
+           FROM h)
+         SELECT doc_id, text_clean,
+           CAST(length(text_clean) AS BIGINT) AS n_chars
+         FROM x ORDER BY doc_id""",
     // closed-form replay of the synthetic-PNG pixel law
     // (Multimodal.synthDims/synthGray): the engine renders REAL PNGs from
     // this law and decodes them with the real javax.imageio codec — the
@@ -5932,6 +6027,13 @@ object SparkEntry {
     catch {
       case e: Exception =>
         System.err.println(s"[oracleSql] MMR oracle recompute failed: $e")
+        Map.empty[String, String]
+    }
+  }.getOrElse(Map.empty) ++ lastCompressDir.map { dir =>
+    try compressOracle(dir)
+    catch {
+      case e: Exception =>
+        System.err.println(s"[oracleSql] deflate oracle recompute failed: $e")
         Map.empty[String, String]
     }
   }.getOrElse(Map.empty)

@@ -805,4 +805,74 @@ object TextAnalysis {
       qualityScore(col(textCol)).as("quality"),
       langId(col(textCol)).as("lang_pred"),
       fingerprint(col(textCol)).as("fp"))
+
+  /** HTML → text extraction, the web-corpus curation front door: drop
+    * script/style/comment subtrees, strip remaining tags, decode the six
+    * ubiquitous entities, collapse whitespace. Built entirely from
+    * codegen'd `regexp_replace`/`replace` columns (one projection, no
+    * UDF), and every pattern is deliberately RE2-compatible — lazy
+    * quantifiers and inline (?is) flags only, NO backreferences — so a
+    * DuckDB oracle replays the identical chain (q_html_extract verifies
+    * engine-for-engine). Entity order: `&amp;` is decoded LAST (the
+    * single-pass decode convention — `&amp;lt;` must yield the literal
+    * `&lt;`, not `<`). This is the markup-STRIP tier (the C4/CC-Net
+    * preprocessing shape): a DOM-fidelity extractor (tables, links,
+    * block-level newlines) is a different, parser-backed component. */
+  def htmlToText(html: Column): Column = {
+    val noScript = regexp_replace(html,
+      "(?is)<script[^>]*>.*?</script\\s*>", " ")
+    val noStyle = regexp_replace(noScript,
+      "(?is)<style[^>]*>.*?</style\\s*>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTag = regexp_replace(noComment, "(?s)<[^>]*>", " ")
+    val decoded = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+        "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTag) { case (c, (ent, ch)) =>
+        // literal (non-regex) replace — exists in both engines
+        call_function("replace", c, lit(ent), lit(ch))
+      }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** deflate compression ratio per document — the classic repetition /
+    * low-entropy quality signal (boilerplate, keyword stuffing, and
+    * generated spam compress far below clean prose). One
+    * `java.util.zip.Deflater` per PARTITION, `reset()` between rows (the
+    * codec-reuse shape: allocation-free inner loop, the decodeFeatures
+    * doctrine); raw/deflated byte counts are exact integers and the ratio
+    * rounds 6-dp half-up. Empty documents report ratio 1.0 (nothing to
+    * compress ≠ suspicious). No shuffle — pipelines with the scan.
+    *
+    * Determinism: zlib at a FIXED level is deterministic for a given
+    * implementation; the verify-side oracle recomputes with the same JVM
+    * library (the IndependentOracles sketch precedent), which checks the
+    * distributed plumbing (partitioning, reuse, no row mixing) — the
+    * codec itself is pinned by unit tests on known strings. */
+  def compressionRatio(df: DataFrame, idCol: String, textCol: String,
+                       level: Int = 6): DataFrame = {
+    require(level >= 1 && level <= 9,
+      s"compressionRatio: level must be in [1,9], got $level")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType), col(textCol).cast(StringType))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val d = new java.util.zip.Deflater(level, true /* raw, no header */)
+        val buf = new Array[Byte](8192)
+        it.map { case (id, text) =>
+          val raw = Option(text).getOrElse("").getBytes("UTF-8")
+          d.reset()
+          d.setInput(raw)
+          d.finish()
+          var out = 0L
+          while (!d.finished()) out += d.deflate(buf)
+          val ratio =
+            if (raw.isEmpty) 1.0
+            else math.floor(out.toDouble / raw.length * 1e6 + 0.5) / 1e6
+          (id, raw.length.toLong, out, ratio)
+        }
+      }
+      .select(col("_1").as("doc_id"), col("_2").as("n_bytes"),
+        col("_3").as("n_deflated"), col("_4").as("compress_ratio"))
+  }
 }

@@ -426,4 +426,21 @@ object IndependentOracles {
     }
     order.toSeq
   }
+
+  /** plain-JVM deflate sizes for the q_compress_ratio oracle: a FRESH
+    * single-threaded Deflater pass per document (deliberately NOT the
+    * operator's per-partition reuse shape — if the distributed reset/reuse
+    * loop ever leaked state between rows, these sizes would diverge).
+    * Same zlib level and raw-stream flag as the operator. */
+  def deflatedSizes(docs: Seq[(Long, String)], level: Int): Seq[(Long, Long)] =
+    docs.map { case (id, text) =>
+      val d = new java.util.zip.Deflater(level, true)
+      val raw = Option(text).getOrElse("").getBytes("UTF-8")
+      d.setInput(raw); d.finish()
+      val buf = new Array[Byte](8192)
+      var out = 0L
+      while (!d.finished()) out += d.deflate(buf)
+      d.end()
+      (id, out)
+    }
 }

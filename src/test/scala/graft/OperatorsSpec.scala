@@ -902,6 +902,54 @@ class OperatorsSpec extends AnyFunSuite {
     assert(marks.length == 1 && marks.head.frame_no == -1)
   }
 
+  test("htmlToText: strips subtrees and tags, decodes entities, collapses whitespace") {
+    import graft.operators.TextAnalysis
+    val cases = Seq(
+      // script content with < and && inside must vanish WHOLE, not leave
+      // fragments after the first >
+      ("<html><script>if(a<b){c&&d}</script><p>Hello</p></html>", "Hello"),
+      ("<style>p{a:1} .x>y{b:2}</style>text", "text"),
+      ("a<!-- <p>not this</p> -->b", "a b"),
+      ("<div class=\"x\" data-y='1'>inner</div>", "inner"),
+      // entity decode, &amp; LAST: &amp;lt; is the literal string "&lt;"
+      ("x &amp; y &lt;tag&gt; &quot;q&quot; &#39;s&#39; a&nbsp;b &amp;lt;",
+        "x & y <tag> \"q\" 's' a b &lt;"),
+      ("  spaced \n\t out  ", "spaced out"),
+      // multi-line script (the (?s) flag) and case-insensitive tags
+      ("<SCRIPT>\nvar x;\n</SCRIPT>kept", "kept"))
+    val got = TextAnalysis.htmlToText(col("h"))
+    val rows = cases.map(_._1).toDF("h").select(got.as("t"))
+      .collect().map(_.getString(0))
+    cases.zip(rows).foreach { case ((in, want), t) =>
+      assert(t == want, s"htmlToText($in) = '$t', want '$want'")
+    }
+  }
+
+  test("compressionRatio: repetition compresses, prose doesn't, reuse leaks nothing") {
+    import graft.operators.TextAnalysis
+    val boiler = ("lorem ipsum " * 200).trim          // highly repetitive
+    val prose = (1 to 150).map(i =>
+      Integer.toString(i * 2654435761L.toInt, 36)).mkString(" ") // high entropy
+    val docs = Seq((1L, boiler), (2L, prose), (3L, ""), (4L, boiler))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.compressionRatio(docs, "doc_id", "text")
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getDouble(3))).toMap
+    assert(r(1L)._3 < 0.1, s"boilerplate should compress hard: ${r(1L)}")
+    assert(r(2L)._3 > 0.5, s"high-entropy text should not: ${r(2L)}")
+    // empty input still emits the 2-byte empty-deflate-block terminator;
+    // the ratio convention pins 1.0 (nothing to compress ≠ suspicious)
+    assert(r(3L) == ((0L, 2L, 1.0)), s"empty doc convention: ${r(3L)}")
+    // per-partition Deflater REUSE must not leak state across rows: the
+    // two identical docs (different rows, same partition or not) deflate
+    // to identical sizes, equal to a fresh single-use Deflater's
+    assert(r(1L) == r(4L), s"reuse leaked state: ${r(1L)} vs ${r(4L)}")
+    val fresh = graft.verify.IndependentOracles
+      .deflatedSizes(Seq((9L, boiler)), level = 6).head._2
+    assert(r(1L)._2 == fresh,
+      s"partition-reused deflate ${r(1L)._2} != fresh $fresh")
+  }
+
   test("temperatureRates: alpha flattens the head, alpha=1 is natural, caps at 1") {
     // skewed corpus: head 64 docs, mid 16, tail 4
     val docs = ((1L to 64L).map(i => (i, "head")) ++
