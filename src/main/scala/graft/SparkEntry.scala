@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{BinaryType, LongType}
 
 import graft.operators.{Dedup, Layout, Multimodal, Relational, Sampling, Similarity, TextAnalysis}
 import graft.streaming.Streams
@@ -1705,6 +1705,35 @@ object SparkEntry {
       lastCompressDir = Some(dir)
       TextAnalysis.compressionRatio(rd(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")
+    }),
+    "q_cdc_chunks" -> ((s, dir) => {
+      // content-defined chunking (round 17): per-doc chunk structure of
+      // the UTF-8 blob, summarized exactly (count / partitioned length /
+      // distinct hashes / order-sensitive checksum); oracle = plain-JVM
+      // re-chunk from the gear-hash spec, total_len cross-checked against
+      // DuckDB's own strlen
+      lastCdcDir = Some(dir)
+      Dedup.cdcChunks(
+          rd(s, dir, "documents")
+            .select(col("doc_id"), col("text").cast(BinaryType).as("blob")),
+          "doc_id", "blob")
+        .toDF().groupBy("doc_id")
+        .agg(count(lit(1)).cast(LongType).as("n_chunks"),
+          sum("chunk_len").cast(LongType).as("total_len"),
+          countDistinct("chunk_hash").cast(LongType).as("n_distinct"),
+          sum((col("chunk_no") + 1) *
+            pmod(col("chunk_hash"), lit(1L << 31)))
+            .cast(LongType).as("chunk_sig"))
+        .orderBy("doc_id")
+    }),
+    "q_cdc_dedup" -> ((s, dir) => {
+      // the storage-dedup savings report a chunk store runs before
+      // admitting blobs: distinct vs total chunk bytes corpus-wide
+      lastCdcDir = Some(dir)
+      Dedup.cdcDedupStats(Dedup.cdcChunks(
+        rd(s, dir, "documents")
+          .select(col("doc_id"), col("text").cast(BinaryType).as("blob")),
+        "doc_id", "blob"))
     }),
     "q_boilerplate" -> ((s, dir) => {
       // host-level boilerplate line removal. The corpus is single-line, so
@@ -3800,6 +3829,48 @@ object SparkEntry {
     * embeds the plain-JVM deflate recompute for that corpus as literals
     * (the sketchOracles pattern). */
   @volatile private var lastCompressDir: Option[String] = None
+
+  /** same memo for the q_cdc_* pair. */
+  @volatile private var lastCdcDir: Option[String] = None
+
+  /** q_cdc_chunks / q_cdc_dedup generated oracles: the plain-JVM re-chunk
+    * ([[graft.verify.IndependentOracles.cdcSummaries]]) embedded as
+    * literals; per-doc total_len deliberately taken from DuckDB's own
+    * strlen (chunk lengths must PARTITION the blob, so the engine's sum
+    * must land on the byte count DuckDB sees). */
+  private[graft] def cdcOracle(dir: String): Map[String, String] = {
+    import graft.verify.IndependentOracles
+    val s = SparkSession.active
+    val corpus = rd(s, dir, "documents").select("doc_id", "text")
+    val cap = DF.maxDriverRows
+    val probeCap = math.min(cap + 1, Int.MaxValue.toLong).toInt
+    val probed = corpus.limit(probeCap).count()
+    if (probed > cap)
+      throw new DriverMaterializationException("cdcOracle", probed, cap,
+        "the rows-only check (the CDC oracle is a test-SF recompute by design)")
+    val docs = corpus.collect().toSeq.map(r => (r.getLong(0), r.getString(1)))
+    val (rows, totals) = IndependentOracles.cdcSummaries(
+      docs, minLen = 32, maxLen = 256, maskBits = 5)
+    val values = rows.map { case (id, n, _, nd, sig) =>
+      s"($id, $n, $nd, $sig)"
+    }
+    Map(
+      "q_cdc_chunks" ->
+        s"""WITH exp(doc_id, n_chunks, n_distinct, chunk_sig) AS (
+             VALUES ${values.mkString(", ")})
+           SELECT CAST(e.doc_id AS BIGINT) AS doc_id,
+             CAST(e.n_chunks AS BIGINT) AS n_chunks,
+             CAST(strlen(d.text) AS BIGINT) AS total_len,
+             CAST(e.n_distinct AS BIGINT) AS n_distinct,
+             CAST(e.chunk_sig AS BIGINT) AS chunk_sig
+           FROM exp e JOIN documents d ON d.doc_id = e.doc_id
+           ORDER BY doc_id""",
+      "q_cdc_dedup" ->
+        s"""SELECT CAST(${totals._1} AS BIGINT) AS total_chunks,
+             CAST(${totals._2} AS BIGINT) AS distinct_chunks,
+             CAST(${totals._3} AS BIGINT) AS total_bytes,
+             CAST(${totals._4} AS BIGINT) AS distinct_bytes""")
+  }
 
   /** q_compress_ratio's generated oracle: deflated sizes + ratios from the
     * single-threaded fresh-Deflater recompute
@@ -6034,6 +6105,13 @@ object SparkEntry {
     catch {
       case e: Exception =>
         System.err.println(s"[oracleSql] deflate oracle recompute failed: $e")
+        Map.empty[String, String]
+    }
+  }.getOrElse(Map.empty) ++ lastCdcDir.map { dir =>
+    try cdcOracle(dir)
+    catch {
+      case e: Exception =>
+        System.err.println(s"[oracleSql] CDC oracle recompute failed: $e")
         Map.empty[String, String]
     }
   }.getOrElse(Map.empty)

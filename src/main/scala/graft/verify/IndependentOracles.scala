@@ -427,6 +427,56 @@ object IndependentOracles {
     order.toSeq
   }
 
+  /** plain-JVM CDC re-chunk for the q_cdc_* oracles: single-threaded
+    * re-derivation of the gear-hash recurrence from its written spec
+    * (h ← (h<<1) + gear[b]; cut at (h & mask)==0 past minLen, force at
+    * maxLen, reset h at cuts; gear[b] = xxh64(b, fixed seed) via
+    * [[XxH64Portable]]). Returns per-doc summary rows
+    * (doc_id, n_chunks, total_len, n_distinct, chunk_sig) with
+    * chunk_sig = Σ (chunk_no+1)·(hash mod 2³¹) — an order-sensitive
+    * checksum — plus corpus totals (total_chunks, distinct_chunks,
+    * total_bytes, distinct_bytes). */
+  def cdcSummaries(docs: Seq[(Long, String)], minLen: Int, maxLen: Int,
+                   maskBits: Int)
+      : (Seq[(Long, Long, Long, Long, Long)], (Long, Long, Long, Long)) = {
+    val gear = Array.tabulate(256)(b =>
+      XxH64Portable.hashLong(b.toLong, 0x67E6C7D5CDC17L))
+    val mask = (1L << maskBits) - 1
+    val seen = scala.collection.mutable.Map.empty[Long, Long]
+    var totalChunks = 0L
+    var totalBytes = 0L
+    val rows = docs.sortBy(_._1).map { case (id, text) =>
+      val bytes = Option(text).getOrElse("").getBytes("UTF-8")
+      val cuts = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var start = 0; var h = 0L; var i = 0
+      while (i < bytes.length) {
+        h = (h << 1) + gear(bytes(i) & 0xff)
+        val len = i - start + 1
+        if ((len >= minLen && (h & mask) == 0L) || len >= maxLen) {
+          cuts += i + 1; start = i + 1; h = 0L
+        }
+        i += 1
+      }
+      if (start < bytes.length) cuts += bytes.length
+      var s2 = 0
+      var sig = 0L
+      val hs = cuts.toSeq.zipWithIndex.map { case (end, no) =>
+        val hh = XxH64Portable.hashBytes(
+          java.util.Arrays.copyOfRange(bytes, s2, end), 0L)
+        seen.getOrElseUpdate(hh, (end - s2).toLong)
+        val m = ((hh % (1L << 31)) + (1L << 31)) % (1L << 31)
+        sig += (no + 1) * m
+        s2 = end
+        hh
+      }
+      totalChunks += hs.length
+      totalBytes += bytes.length
+      (id, hs.length.toLong, bytes.length.toLong,
+        hs.distinct.length.toLong, sig)
+    }
+    (rows, (totalChunks, seen.size.toLong, totalBytes, seen.values.sum))
+  }
+
   /** plain-JVM deflate sizes for the q_compress_ratio oracle: a FRESH
     * single-threaded Deflater pass per document (deliberately NOT the
     * operator's per-partition reuse shape — if the distributed reset/reuse

@@ -297,6 +297,61 @@ class Round4OpsSpec extends AnyFunSuite {
     assert(got == unbounded, s"default-budget guard changed results: $got vs $unbounded")
   }
 
+  test("CDC chunking: partition law, bounds, dedup at sub-blob granularity, shift resistance") {
+    import graft.operators.Dedup
+    // deterministic pseudo-random bytes (fixed recurrence, not Random)
+    def mkBytes(n: Int, seed: Long): Array[Byte] = {
+      var x = seed
+      Array.fill(n) { x = x * 6364136223846793005L + 1442695040888963407L
+        (x >>> 33).toByte }
+    }
+    val base = mkBytes(4000, 7L)
+    val shifted = Array[Byte](99) ++ base // 1-byte insertion at the front
+    val docs = Seq(
+      (1L, base), (2L, base),             // exact dup pair
+      (3L, shifted),                      // shifted near-dup
+      (4L, Array.fill[Byte](1000)(0)),    // pathological run: maxLen forcing
+      (5L, Array.emptyByteArray))         // empty: no rows
+      .toDF("doc_id", "blob")
+    val chunks = Dedup.cdcChunks(docs, "doc_id", "blob").collect()
+      .groupBy(_.doc_id).map { case (k, v) => k -> v.sortBy(_.chunk_no) }
+    // chunks PARTITION the blob: contiguous offsets, lengths sum to size,
+    // every length within [minLen, maxLen] except a possibly-short tail
+    for ((id, n) <- Seq(1L -> 4000, 3L -> 4001, 4L -> 1000)) {
+      val cs = chunks(id)
+      assert(cs.map(_.chunk_len).sum == n.toLong, s"doc $id length law")
+      cs.sliding(2).foreach { case Array(a, b) =>
+        assert(a.offset + a.chunk_len == b.offset, s"doc $id contiguity")
+      case _ => }
+      assert(cs.init.forall(c => c.chunk_len >= 32 && c.chunk_len <= 256),
+        s"doc $id interior bounds: ${cs.map(_.chunk_len).mkString(",")}")
+      assert(cs.last.chunk_len <= 256)
+    }
+    assert(!chunks.contains(5L), "empty blob must emit no rows")
+    // the all-zero run never hits the mask naturally -> every cut is the
+    // maxLen forcing, and all chunks hash identically (ONE stored chunk)
+    assert(chunks(4L).init.forall(_.chunk_len == 256))
+    assert(chunks(4L).init.map(_.chunk_hash).distinct.length == 1)
+    // exact dup: identical chunk-hash sequences
+    assert(chunks(1L).map(c => (c.chunk_no, c.chunk_hash)).toSeq ==
+      chunks(2L).map(c => (c.chunk_no, c.chunk_hash)).toSeq)
+    // SHIFT RESISTANCE (the reason CDC exists): after a 1-byte front
+    // insertion the boundaries resynchronize and the suffix chunks hash
+    // identically — a fixed-width chunker would share ~nothing
+    val h1 = chunks(1L).map(_.chunk_hash).toSeq
+    val h3 = chunks(3L).map(_.chunk_hash).toSeq
+    val commonSuffix = h1.reverse.zip(h3.reverse).takeWhile(t => t._1 == t._2).length
+    assert(commonSuffix >= h1.length - 2,
+      s"expected resync within ~1 chunk: suffix $commonSuffix of ${h1.length}")
+    // the dedup report sees the sharing: distinct bytes well under total
+    val stats = Dedup.cdcDedupStats(Dedup.cdcChunks(docs, "doc_id", "blob"))
+      .collect().head
+    val (tot, dist) = (stats.getAs[Long]("total_bytes"),
+      stats.getAs[Long]("distinct_bytes"))
+    assert(tot == 4000L + 4000L + 4001L + 1000L, s"total $tot")
+    assert(dist < 4000L + 300L + 300L, s"dedup saw no sharing: $dist of $tot")
+  }
+
   test("SQL kernels: graft_minhash_tokens / graft_simhash_tokens match operators") {
     import graft.operators.{Dedup, TextAnalysis}
     GraftExtensions.register(spark)
