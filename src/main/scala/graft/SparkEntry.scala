@@ -1735,6 +1735,25 @@ object SparkEntry {
           .select(col("doc_id"), col("text").cast(BinaryType).as("blob")),
         "doc_id", "blob"))
     }),
+    "q_cdc_incr" -> ((s, dir) => {
+      // incremental byte-level admission against the persisted chunk
+      // store: batch 1 (the corpus) is stored; batch 2 is every blob
+      // re-ingested with a 1-byte front edit — the CDC property means
+      // most bytes are already held (shift resistance), so dup_bytes
+      // dominates. Oracle = plain-JVM replay of store + keep-first walk
+      lastCdcDir = Some(dir)
+      val blobs = rd(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast(BinaryType).as("blob"))
+      val store = s"graft_cdc_store_${java.lang.Integer.toHexString(dir.hashCode)}"
+      s.sql(s"DROP TABLE IF EXISTS ${store}_chunks")
+      Dedup.writeChunkStore(Dedup.cdcChunks(blobs, "doc_id", "blob"), store)
+      val batch2 = rd(s, dir, "documents")
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(lit("x"), col("text")).cast(BinaryType).as("blob"))
+      Dedup.cdcDedupAgainst(batch2, "doc_id", "blob", store,
+          updateStore = false)
+        .orderBy("doc_id")
+    }),
     "q_boilerplate" -> ((s, dir) => {
       // host-level boilerplate line removal. The corpus is single-line, so
       // each doc plants a 4-line page (the q_redact pattern): a nav header
@@ -3854,7 +3873,22 @@ object SparkEntry {
     val values = rows.map { case (id, n, _, nd, sig) =>
       s"($id, $n, $nd, $sig)"
     }
+    val incr = IndependentOracles.cdcIncrReport(
+      docs, docs.map { case (id, t) => (id + 1000000L, "x" + t) },
+      minLen = 32, maxLen = 256, maskBits = 5)
+    val incrValues = incr.map { case (id, n, tot, nb, db) =>
+      s"($id, $n, $tot, $nb, $db)"
+    }
     Map(
+      "q_cdc_incr" ->
+        s"""WITH exp(doc_id, n_chunks, total_bytes, new_bytes, dup_bytes) AS (
+             VALUES ${incrValues.mkString(", ")})
+           SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             CAST(n_chunks AS BIGINT) AS n_chunks,
+             CAST(total_bytes AS BIGINT) AS total_bytes,
+             CAST(new_bytes AS BIGINT) AS new_bytes,
+             CAST(dup_bytes AS BIGINT) AS dup_bytes
+           FROM exp ORDER BY doc_id""",
       "q_cdc_chunks" ->
         s"""WITH exp(doc_id, n_chunks, n_distinct, chunk_sig) AS (
              VALUES ${values.mkString(", ")})

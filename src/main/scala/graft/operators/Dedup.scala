@@ -2341,4 +2341,63 @@ object Dedup {
         count(lit(1)).cast(LongType).as("distinct_chunks"),
         sum(col("__n") * col("__len")).cast(LongType).as("total_bytes"),
         sum(col("__len")).cast(LongType).as("distinct_bytes"))
+
+  /** persisted CDC chunk store (the incremental-store family,
+    * [[writeFingerprintStore]] conventions): `<store>_chunks`
+    * (chunk_hash, chunk_len), bucketed on the hash so every later probe
+    * joins bucket-local without reshuffling the store. */
+  def writeChunkStore(chunks: org.apache.spark.sql.Dataset[CdcChunk],
+                      store: String, nBuckets: Int = 8): Unit =
+    Sources.writeBucketed(
+      chunks.toDF().groupBy("chunk_hash")
+        .agg(first(col("chunk_len")).as("chunk_len")),
+      s"${store}_chunks", "chunk_hash", nBuckets)
+
+  /** incremental byte-level dedup of a new blob batch against the chunk
+    * store: per blob, how many of its bytes the store ALREADY holds
+    * (`dup_bytes`) vs must newly admit (`new_bytes`) — the ingest
+    * admission report for a 100 TB blob lake, where "is this crawl worth
+    * storing" is a bytes question, not a whole-blob-identity question.
+    * In-batch repeats count as stored after their first occurrence (the
+    * keep-first convention: min (doc, chunk_no) owns a batch-new hash).
+    * When `updateStore`, the batch's store-new distinct chunks append as
+    * new bucket files ([[exactDedupAgainst]]'s append shape); append ≡
+    * rebuild is pinned in BucketingSpec-style tests. One shuffle on the
+    * chunk hash; the store side stays bucket-local. */
+  def cdcDedupAgainst(newBatch: DataFrame, idCol: String, bytesCol: String,
+                      store: String, updateStore: Boolean = true,
+                      nBuckets: Int = 8, minLen: Int = 32, maxLen: Int = 256,
+                      maskBits: Int = 5): DataFrame = {
+    val spark = newBatch.sparkSession
+    val chunks = cdcChunks(newBatch, idCol, bytesCol, minLen, maxLen, maskBits)
+      .toDF().localCheckpoint() // chunk once: probed, aggregated, appended
+    val stored = spark.table(s"${store}_chunks")
+      .select(col("chunk_hash"), lit(true).as("__stored"))
+    val probed = chunks.join(stored, Seq("chunk_hash"), "left")
+    // first in-batch occurrence of each not-stored hash (keep-first)
+    val w = Window.partitionBy(col("chunk_hash"))
+      .orderBy(col("doc_id"), col("chunk_no"))
+    val marked0 = probed.withColumn("__first",
+      row_number().over(w) === 1 && col("__stored").isNull)
+    // MATERIALIZE the store probe before any append: the report is lazy,
+    // and an un-pinned plan re-evaluated after the append below would see
+    // the batch's own chunks as already stored (every byte "dup" — the
+    // exactDedupAgainst checkpoint-before-append rule)
+    val marked = if (updateStore) marked0.localCheckpoint() else marked0
+    val report = marked.groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).cast(LongType).as("n_chunks"),
+        sum(col("chunk_len")).cast(LongType).as("total_bytes"),
+        sum(when(col("__first"), col("chunk_len")).otherwise(0L))
+          .cast(LongType).as("new_bytes"),
+        sum(when(col("__first"), lit(0L)).otherwise(col("chunk_len")))
+          .cast(LongType).as("dup_bytes"))
+    if (updateStore) {
+      Sources.writeBucketed(
+        marked.filter(col("__first"))
+          .select(col("chunk_hash"), col("chunk_len")),
+        s"${store}_chunks", "chunk_hash", nBuckets, SaveMode.Append)
+    }
+    report
+  }
 }

@@ -477,6 +477,49 @@ object IndependentOracles {
     (rows, (totalChunks, seen.size.toLong, totalBytes, seen.values.sum))
   }
 
+  /** plain-JVM replay of the incremental CDC admission report
+    * (q_cdc_incr): chunk the stored corpus into a hash set, then walk the
+    * new batch in (doc_id, chunk_no) order keeping first occurrences —
+    * per doc (n_chunks, total_bytes, new_bytes, dup_bytes). Same
+    * single-threaded re-derived chunk loop as [[cdcSummaries]]. */
+  def cdcIncrReport(stored: Seq[(Long, String)], batch: Seq[(Long, String)],
+                    minLen: Int, maxLen: Int, maskBits: Int)
+      : Seq[(Long, Long, Long, Long, Long)] = {
+    val gear = Array.tabulate(256)(b =>
+      XxH64Portable.hashLong(b.toLong, 0x67E6C7D5CDC17L))
+    val mask = (1L << maskBits) - 1
+    def chunksOf(text: String): Seq[(Long, Long)] = {
+      val bytes = Option(text).getOrElse("").getBytes("UTF-8")
+      val cuts = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var start = 0; var h = 0L; var i = 0
+      while (i < bytes.length) {
+        h = (h << 1) + gear(bytes(i) & 0xff)
+        val len = i - start + 1
+        if ((len >= minLen && (h & mask) == 0L) || len >= maxLen) {
+          cuts += i + 1; start = i + 1; h = 0L
+        }
+        i += 1
+      }
+      if (start < bytes.length) cuts += bytes.length
+      var s2 = 0
+      cuts.toSeq.map { end =>
+        val hh = XxH64Portable.hashBytes(
+          java.util.Arrays.copyOfRange(bytes, s2, end), 0L)
+        val r = (hh, (end - s2).toLong); s2 = end; r
+      }
+    }
+    val seen = scala.collection.mutable.Set.empty[Long]
+    stored.foreach { case (_, t) => chunksOf(t).foreach(c => seen += c._1) }
+    batch.sortBy(_._1).map { case (id, t) =>
+      val cs = chunksOf(t)
+      var newB = 0L; var dupB = 0L
+      cs.foreach { case (h, len) =>
+        if (seen.add(h)) newB += len else dupB += len
+      }
+      (id, cs.length.toLong, cs.map(_._2).sum, newB, dupB)
+    }
+  }
+
   /** plain-JVM deflate sizes for the q_compress_ratio oracle: a FRESH
     * single-threaded Deflater pass per document (deliberately NOT the
     * operator's per-partition reuse shape — if the distributed reset/reuse

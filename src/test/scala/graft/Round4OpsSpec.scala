@@ -352,6 +352,46 @@ class Round4OpsSpec extends AnyFunSuite {
     assert(dist < 4000L + 300L + 300L, s"dedup saw no sharing: $dist of $tot")
   }
 
+  test("CDC chunk store: admission report, keep-first in batch, append, re-probe all-dup") {
+    import graft.operators.Dedup
+    def mkBytes(n: Int, seed: Long): Array[Byte] = {
+      var x = seed
+      Array.fill(n) { x = x * 6364136223846793005L + 1442695040888963407L
+        (x >>> 33).toByte }
+    }
+    val a = mkBytes(3000, 1L)
+    val b = mkBytes(3000, 2L)
+    val store = "graft_cdc_test_store"
+    spark.sql(s"DROP TABLE IF EXISTS ${store}_chunks")
+    try {
+      Dedup.writeChunkStore(Dedup.cdcChunks(
+        Seq((1L, a)).toDF("doc_id", "blob"), "doc_id", "blob"), store,
+        nBuckets = 2)
+      // batch: a 1-byte-edited replica of the stored blob (mostly dup
+      // bytes), a fresh blob (all new), and that fresh blob AGAIN under a
+      // higher id (keep-first: second copy is all-dup within the batch)
+      val batch = Seq(
+        (10L, Array[Byte](42) ++ a), (11L, b), (12L, b))
+        .toDF("doc_id", "blob")
+      val r = Dedup.cdcDedupAgainst(batch, "doc_id", "blob", store,
+          updateStore = true, nBuckets = 2)
+        .collect().map(x => x.getLong(0) ->
+          (x.getLong(2), x.getLong(3), x.getLong(4))).toMap
+      val (tot10, new10, dup10) = r(10L)
+      assert(tot10 == 3001L && new10 + dup10 == tot10)
+      assert(dup10 > tot10 * 8 / 10,
+        s"shift resistance should keep most bytes stored: $r")
+      assert(r(11L) == ((3000L, 3000L, 0L)), s"fresh blob all new: ${r(11L)}")
+      assert(r(12L) == ((3000L, 0L, 3000L)),
+        s"in-batch second copy all dup (keep-first): ${r(12L)}")
+      // after the append, re-probing the same batch holds every byte
+      val again = Dedup.cdcDedupAgainst(batch, "doc_id", "blob", store,
+          updateStore = false, nBuckets = 2)
+        .collect().map(x => x.getLong(0) -> x.getLong(3)).toMap
+      assert(again.values.forall(_ == 0L), s"re-probe saw new bytes: $again")
+    } finally spark.sql(s"DROP TABLE IF EXISTS ${store}_chunks")
+  }
+
   test("SQL kernels: graft_minhash_tokens / graft_simhash_tokens match operators") {
     import graft.operators.{Dedup, TextAnalysis}
     GraftExtensions.register(spark)
