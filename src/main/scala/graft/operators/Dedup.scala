@@ -419,12 +419,24 @@ object Dedup {
   /** validate probe parameters against the build parameters persisted by
     * [[setStoreParams]]. Stores written before the properties existed are
     * accepted (nothing to check against) — the in-plan signature-width guard
-    * in [[dedupAgainstCore]] still backstops the minhash case. */
+    * in [[dedupAgainstCore]] still backstops the minhash case — EXCEPT for
+    * keys listed in `required`: those mark an on-disk FORMAT version (e.g.
+    * the PQ code stores' `enc=bias128` byte encoding), where a store
+    * predating the property is not merely uncheckable but physically
+    * incompatible — probing it would decode valid-looking-but-wrong values,
+    * the exact silent-corruption class the fingerprints exist to prevent.
+    * A missing required key fails loudly with rebuild advice. */
   private[graft] def checkStoreParams(spark: SparkSession, table: String,
-                               params: Map[String, Any]): Unit = {
+                               params: Map[String, Any],
+                               required: Set[String] = Set.empty): Unit = {
     val props = spark.sql(s"SHOW TBLPROPERTIES $table").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
     params.foreach { case (k, v) =>
+      if (required(k)) require(props.contains(s"graft.$k"),
+        s"$table has no graft.$k property — it was written by a build whose " +
+          s"on-disk format predates $k=$v; decoding it under the current " +
+          "format would return silently wrong values. Rebuild the store " +
+          "with its write* entry point")
       props.get(s"graft.$k").foreach(stored => require(stored == v.toString,
         s"$table was built with $k=$stored but the probe passed $k=$v — " +
           "mismatched parameters silently miss true duplicates (signatures " +
@@ -1724,7 +1736,19 @@ object Dedup {
     * peak spill, growing ~linearly with data (the corpus's true-pair
     * mass itself grows 100×, so linear is the honest floor). The cap
     * is not an optimization at that scale; it is the difference
-    * between finishing and dying. */
+    * between finishing and dying.
+    *
+    * BEHAVIOR NOTES for lossless-profile callers (round 17+): (1) this
+    * call is NOT fully lazy — constructing the frame runs two small eager
+    * Spark actions (the shared-vocab checkpoint plus a one-row
+    * candidate-mass aggregate) so that an over-budget audit run fails at
+    * CALL time in seconds, not after an hour of candidate-join spill; and
+    * (2) `maxCandidateMass` now defaults to the FINITE
+    * [[DefaultMaxCandidateMass]] (6e8, the geometric mean between the
+    * largest measured completing probe, 3.69e8 / 52.8 s, and the smallest
+    * measured DNF, 9.55e8) — an uncapped audit over a corpus in or above
+    * that band must SIZE the budget explicitly
+    * (`maxCandidateMass = Long.MaxValue` accepts unbounded spill risk). */
   def ngramContainmentPrefix(df: DataFrame, idCol: String, textCol: String,
                              threshold: Double = 0.7, ngram: Int = 3,
                              maxShingleDocFreq: Long = Long.MaxValue,
@@ -2344,13 +2368,17 @@ object Dedup {
 
   /** persisted CDC chunk store (the incremental-store family,
     * [[writeFingerprintStore]] conventions): `<store>_chunks`
-    * (chunk_hash, chunk_len), bucketed on the hash so every later probe
-    * joins bucket-local without reshuffling the store. */
+    * (chunk_hash, chunk_len, __batch), bucketed on the hash so every later
+    * probe joins bucket-local without reshuffling the store. `__batch` is
+    * the same in-data idempotence tag the other accreting stores carry
+    * (−1 for the initial build) — [[cdcDedupAgainst]] skips a replayed
+    * batch append exactly. */
   def writeChunkStore(chunks: org.apache.spark.sql.Dataset[CdcChunk],
                       store: String, nBuckets: Int = 8): Unit =
     Sources.writeBucketed(
       chunks.toDF().groupBy("chunk_hash")
-        .agg(first(col("chunk_len")).as("chunk_len")),
+        .agg(first(col("chunk_len")).as("chunk_len"))
+        .withColumn("__batch", lit(-1L)),
       s"${store}_chunks", "chunk_hash", nBuckets)
 
   /** incremental byte-level dedup of a new blob batch against the chunk
@@ -2363,16 +2391,33 @@ object Dedup {
     * When `updateStore`, the batch's store-new distinct chunks append as
     * new bucket files ([[exactDedupAgainst]]'s append shape); append ≡
     * rebuild is pinned in BucketingSpec-style tests. One shuffle on the
-    * chunk hash; the store side stays bucket-local. */
+    * chunk hash; the store side stays bucket-local.
+    *
+    * `batchId` ≥ 0 makes the call EXACTLY-ONCE under replay (streaming
+    * retry, crash-recovery re-delivery), the [[appendPqStore]] contract:
+    * the probe excludes the store's own `__batch == batchId` rows — so a
+    * replayed batch reports the SAME admission numbers it reported the
+    * first time, not all-dup — and the append is skipped if that batch tag
+    * is already present, so concurrent/replayed batches can never
+    * double-insert a chunk hash. The probe side additionally distincts the
+    * stored hashes (bucket-local — no shuffle on a bucketed store), so
+    * even a store that accreted duplicate hashes through untagged
+    * concurrent appends cannot multiply probed chunk rows and inflate the
+    * report. */
   def cdcDedupAgainst(newBatch: DataFrame, idCol: String, bytesCol: String,
                       store: String, updateStore: Boolean = true,
                       nBuckets: Int = 8, minLen: Int = 32, maxLen: Int = 256,
-                      maskBits: Int = 5): DataFrame = {
+                      maskBits: Int = 5, batchId: Long = -1L): DataFrame = {
     val spark = newBatch.sparkSession
     val chunks = cdcChunks(newBatch, idCol, bytesCol, minLen, maxLen, maskBits)
       .toDF().localCheckpoint() // chunk once: probed, aggregated, appended
-    val stored = spark.table(s"${store}_chunks")
-      .select(col("chunk_hash"), lit(true).as("__stored"))
+    val storeTbl0 = spark.table(s"${store}_chunks")
+    // self-exclusion: a replayed tagged batch must probe the store AS OF
+    // before its own (possibly already-committed) append
+    val storeTbl = if (batchId >= 0)
+      storeTbl0.filter(col("__batch") =!= batchId) else storeTbl0
+    val stored = storeTbl.select(col("chunk_hash")).distinct()
+      .withColumn("__stored", lit(true))
     val probed = chunks.join(stored, Seq("chunk_hash"), "left")
     // first in-batch occurrence of each not-stored hash (keep-first)
     val w = Window.partitionBy(col("chunk_hash"))
@@ -2393,10 +2438,14 @@ object Dedup {
         sum(when(col("__first"), lit(0L)).otherwise(col("chunk_len")))
           .cast(LongType).as("dup_bytes"))
     if (updateStore) {
-      Sources.writeBucketed(
-        marked.filter(col("__first"))
-          .select(col("chunk_hash"), col("chunk_len")),
-        s"${store}_chunks", "chunk_hash", nBuckets, SaveMode.Append)
+      val committed = batchId >= 0 &&
+        storeTbl0.filter(col("__batch") === batchId).limit(1).count() > 0
+      if (!committed)
+        Sources.writeBucketed(
+          marked.filter(col("__first"))
+            .select(col("chunk_hash"), col("chunk_len"))
+            .withColumn("__batch", lit(batchId)),
+          s"${store}_chunks", "chunk_hash", nBuckets, SaveMode.Append)
     }
     report
   }

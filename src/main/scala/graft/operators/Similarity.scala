@@ -1025,7 +1025,11 @@ object Similarity {
     * encode time, and with ANSI off the wrapped negative byte indexes
     * the ADC LUT at wrong (or negative) positions — silent distance
     * corruption. [[adcNanos]] is the single decode site (+128); the
-    * shift never escapes this file. */
+    * shift never escapes this file. Persisted code stores record the
+    * encoding version (`enc=bias128`) in their table properties and every
+    * probe/append REQUIRES it — a store written under a different byte
+    * encoding fails loudly with rebuild advice instead of decoding
+    * valid-but-wrong LUT slots. */
   def pqCodes(vec: Column, model: PqModel): Column = {
     import org.apache.spark.sql.GraftSqlBridge
     val v = vec.cast(ArrayType(DoubleType))
@@ -1148,7 +1152,7 @@ object Similarity {
       s"${store}_pq", idCol, nBuckets)
     graft.operators.Dedup.setStoreParams(df.sparkSession, s"${store}_pq",
       Map("kind" -> "pq", "fp" -> pqFingerprint(model).toString,
-        "nBuckets" -> nBuckets))
+        "enc" -> "bias128", "nBuckets" -> nBuckets))
   }
 
   /** idempotent batched append to a [[writePqStore]] store: encode the
@@ -1166,7 +1170,8 @@ object Similarity {
                     batchId: Long = -1L): Boolean = {
     val spark = df.sparkSession
     graft.operators.Dedup.checkStoreParams(spark, s"${store}_pq",
-      Map("kind" -> "pq", "fp" -> pqFingerprint(model).toString))
+      Map("kind" -> "pq", "fp" -> pqFingerprint(model).toString,
+        "enc" -> "bias128"), required = Set("enc"))
     val props = spark.sql(s"SHOW TBLPROPERTIES ${store}_pq").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
     val nBuckets = props.getOrElse("graft.nBuckets",
@@ -1191,7 +1196,8 @@ object Similarity {
                             query: Seq[Double], model: PqModel, k: Int,
                             extraFilter: Column = lit(true)): DataFrame = {
     graft.operators.Dedup.checkStoreParams(spark, s"${store}_pq",
-      Map("kind" -> "pq", "fp" -> pqFingerprint(model).toString))
+      Map("kind" -> "pq", "fp" -> pqFingerprint(model).toString,
+        "enc" -> "bias128"), required = Set("enc"))
     val lut = pqLutNanos(model, query)
     val qn = pqQueryNormNanos(model, query)
     spark.table(s"${store}_pq")
@@ -1258,7 +1264,7 @@ object Similarity {
       .partitionBy("__cluster").saveAsTable(s"${store}_pqcells")
     graft.operators.Dedup.setStoreParams(df.sparkSession, s"${store}_pqcells",
       Map("kind" -> "ivfpq", "ivfFp" -> modelFingerprint(ivf),
-        "pqFp" -> pqFingerprint(pq).toString))
+        "pqFp" -> pqFingerprint(pq).toString, "enc" -> "bias128"))
   }
 
   /** ADC top-k against a [[writeIvfPqStore]] store: rank the `nprobe`
@@ -1276,7 +1282,8 @@ object Similarity {
                 extraFilter: Column = lit(true)): DataFrame = {
     graft.operators.Dedup.checkStoreParams(spark, s"${store}_pqcells",
       Map("kind" -> "ivfpq", "ivfFp" -> modelFingerprint(ivf),
-        "pqFp" -> pqFingerprint(pq).toString))
+        "pqFp" -> pqFingerprint(pq).toString, "enc" -> "bias128"),
+      required = Set("enc"))
     val probes = ivfProbes(ivf, query, nprobe)
     val lut = pqLutNanos(pq, query)
     val qn = pqQueryNormNanos(pq, query)

@@ -389,6 +389,36 @@ class Round4OpsSpec extends AnyFunSuite {
           updateStore = false, nBuckets = 2)
         .collect().map(x => x.getLong(0) -> x.getLong(3)).toMap
       assert(again.values.forall(_ == 0L), s"re-probe saw new bytes: $again")
+      // tagged batch: exactly-once under replay — the appendPqStore
+      // contract carried to the chunk store. The replayed call excludes
+      // its own __batch rows from the probe (same report as the first
+      // run, NOT all-dup) and skips the double-append.
+      val c = mkBytes(2000, 3L)
+      val tagged = Seq((20L, c)).toDF("doc_id", "blob")
+      def runTagged() = Dedup.cdcDedupAgainst(tagged, "doc_id", "blob",
+          store, updateStore = true, nBuckets = 2, batchId = 7L)
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+          x.getLong(3), x.getLong(4))).toSeq.sorted
+      val first = runTagged()
+      assert(first.head._4 == 2000L, s"tagged fresh blob all new: $first")
+      val nRows = spark.table(s"${store}_chunks").count()
+      val replay = runTagged()
+      assert(replay == first,
+        s"replayed tagged batch changed its report: $first vs $replay")
+      assert(spark.table(s"${store}_chunks").count() == nRows,
+        "replayed tagged batch double-appended chunk rows")
+      // duplicate store hashes (e.g. legacy untagged concurrent appends)
+      // cannot multiply probed rows: force duplicates in, then check the
+      // report still counts each batch chunk once (store-side distinct)
+      spark.sql(s"INSERT INTO ${store}_chunks SELECT chunk_hash, " +
+        s"chunk_len, CAST(99 AS BIGINT) FROM ${store}_chunks " +
+        "WHERE __batch = 7")
+      val r20 = Dedup.cdcDedupAgainst(tagged, "doc_id", "blob", store,
+          updateStore = false, nBuckets = 2)
+        .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+      val nChunks20 = first.head._2
+      assert(r20(20L) == nChunks20,
+        s"probe multiplied chunk rows: ${r20(20L)} vs $nChunks20")
     } finally spark.sql(s"DROP TABLE IF EXISTS ${store}_chunks")
   }
 

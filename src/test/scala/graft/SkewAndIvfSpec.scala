@@ -680,6 +680,18 @@ class SkewAndIvfSpec extends AnyFunSuite {
           qv, other, k = 10))
       assert(e.getMessage.toLowerCase.contains("param") ||
         e.getMessage.contains("fp"))
+      // a store missing the byte-encoding version tag (i.e. written by a
+      // pre-bias128 build whose raw-cast codes this decoder would read at
+      // wrong LUT slots) fails LOUDLY at probe time with rebuild advice —
+      // enc is a REQUIRED property, unlike the back-compat-optional ones
+      spark.sql(
+        "ALTER TABLE graft_pq_test_pq UNSET TBLPROPERTIES ('graft.enc')")
+      val encErr = intercept[IllegalArgumentException](
+        Similarity.pqAdcTopKAgainstStore(spark, "graft_pq_test", "vec_id",
+          qv, model, k = 10))
+      assert(encErr.getMessage.contains("graft.enc") &&
+        encErr.getMessage.toLowerCase.contains("rebuild"),
+        s"pre-enc store must demand a rebuild: ${encErr.getMessage}")
     } finally spark.sql("DROP TABLE IF EXISTS graft_pq_test_pq")
   }
 }
