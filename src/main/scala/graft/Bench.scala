@@ -212,6 +212,9 @@ object Bench {
           Multimodal.encodeSyntheticPng(ids, "doc_id"), 6, 10)).count()
         Multimodal.decodeAudioFeatures(
           Multimodal.encodeSyntheticWav(ids, "doc_id")).count()
+        // round-18: the AVI container mux/parse + per-frame PNG decode
+        Multimodal.videoFrames(
+          Multimodal.encodeSyntheticAvi(ids, "doc_id"), everyK = 2).count()
       }))
     steps.foreach { case (name, step) =>
       try step()

@@ -1533,12 +1533,17 @@ object SparkEntry {
         Multimodal.asMedia(rd(s, dir, "documents"), "doc_id", "text"))
         .orderBy("kind")),
     "q_frame_sample" -> ((s, dir) => {
-      Multimodal.sampleFrames(
-          Multimodal.asMedia(rd(s, dir, "documents"), "doc_id", "text"),
-          frameBytes = 64, everyK = 2)
-        .select(col("media_id"), col("kind"),
-          col("frame_no").cast(LongType).as("frame_no"), col("byte_offset"))
-        .orderBy("media_id", "frame_no")
+      // REAL video end-to-end (round 18, retiring the last fake kernel):
+      // synthesize one genuine MPNG-in-AVI clip per document (real RIFF
+      // container, real ImageIO-encoded PNG frames), parse the container,
+      // keep every 2nd frame, and decode ONLY the kept frames. Frame
+      // content follows the closed-form law (synthGray(id + 97f)), so the
+      // SQL oracle verifies sampled frame numbers, decoded dims, and
+      // per-frame pixel sums EXACTLY
+      Multimodal.videoFrames(
+          Multimodal.encodeSyntheticAvi(rd(s, dir, "documents"), "doc_id"),
+          everyK = 2)
+        .toDF().orderBy("media_id", "frame_no")
     }),
     "q_media_resize" -> ((s, dir) => {
       // REAL resize end-to-end (round 17): real PNGs, decoded and
@@ -4938,14 +4943,31 @@ object SparkEntry {
            CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
            round(CAST(sum(strlen(text)) AS DOUBLE) / count(*), 4) AS avg_bytes
          FROM documents""",
+    // the video oracle replays container-parse ∘ every-2nd-sample ∘
+    // PNG-decode through the frame law: clip id has 2 + id mod 4 frames at
+    // the synthDims(id) dimensions, frame f pixel (x, y) =
+    // (x + 31y + id + 97f) mod 256 — PNG frames are lossless, so decoded
+    // pixel sums must match the law exactly (no tolerance)
     "q_frame_sample" ->
-      """SELECT media_id, kind, frame_no,
-           CAST(frame_no * 128 AS BIGINT) AS byte_offset
-         FROM (
-           SELECT doc_id AS media_id, 'image' AS kind,
-             unnest(range(0, CAST(greatest(1, floor(strlen(text) / 128.0)) AS BIGINT))) AS frame_no
-           FROM documents)
-         ORDER BY media_id, frame_no""",
+      """WITH m AS (
+           SELECT doc_id AS media_id,
+             CAST(8 + doc_id % 9 AS INT) AS w,
+             CAST(8 + (doc_id // 9) % 9 AS INT) AS h,
+             CAST(2 + doc_id % 4 AS BIGINT) AS nf
+           FROM documents),
+         f AS (
+           SELECT media_id, w, h, unnest(range(0, nf)) AS f
+           FROM m),
+         px AS (
+           SELECT media_id, w, h, f, unnest(range(0, w * h)) AS i
+           FROM f WHERE f % 2 = 0),
+         g AS (
+           SELECT media_id, w, h, f,
+             sum((i % w + 31 * (i // w) + media_id + 97 * f) % 256) AS ps
+           FROM px GROUP BY media_id, w, h, f)
+         SELECT media_id, CAST(f AS INT) AS frame_no, w AS width,
+           h AS height, CAST(ps AS BIGINT) AS pixel_sum
+         FROM g ORDER BY media_id, frame_no""",
     "q_interval_join" ->
       """SELECT l.user_id, l.event_id AS from_id, r.event_id AS to_id,
            epoch_ms(l.ts) AS from_ms, epoch_ms(r.ts) AS to_ms, r.value

@@ -8,21 +8,23 @@ import org.apache.spark.sql.types._
   * with typed metadata, plus decode / feature-extract / resize / frame-sample
   * plumbing.
   *
-  * The image DECODE, image RESIZE, audio DECODE, and audio FRAME kernels
-  * are REAL — `javax.imageio` / `javax.sound.sampled` (pure JVM, in every
-  * container) consuming actual PNG/BMP and RIFF/WAVE byte streams through
-  * the batched `mapPartitions` shape a production (expensive-to-
-  * initialize) codec needs. The container ships no media FILES, so the
-  * test fixtures synthesize real PNG/WAV bytes deterministically from row
-  * ids ([[encodeSyntheticPng]]/[[encodeSyntheticWav]]) — the bytes are
-  * genuine codec streams, and because the pixel/PCM content is a
-  * closed-form function of the id, SQL oracles verify the decoded
-  * features exactly. The remaining byte-level stand-ins (clearly marked
-  * below) are the byte-budget [[resize]] and VIDEO frame sampling
-  * ([[sampleFrames]] — the JVM ships no video codec; the audio analogue
-  * [[audioFrames]] is real end to end, and the JVM's one multi-frame
-  * image codec, GIF, measurably does not round-trip gray rasters
-  * pixel-exactly, so a fake-precise video kernel would be dishonest).
+  * The image DECODE, image RESIZE, audio DECODE, audio FRAME, and VIDEO
+  * FRAME-SAMPLING kernels are all REAL — `javax.imageio` /
+  * `javax.sound.sampled` plus spec-level RIFF container parsers (pure
+  * JVM, in every container) consuming actual PNG/BMP, RIFF/WAVE, and
+  * AVI/RIFF byte streams through the batched `mapPartitions` shape a
+  * production (expensive-to-initialize) codec needs. The container ships
+  * no media FILES, so the test fixtures synthesize real PNG/WAV/AVI bytes
+  * deterministically from row ids ([[encodeSyntheticPng]] /
+  * [[encodeSyntheticWav]] / [[encodeSyntheticAvi]]) — the bytes are
+  * genuine codec/container streams, and because the pixel/PCM/frame
+  * content is a closed-form function of the id, SQL oracles verify the
+  * decoded features exactly. Video uses MPNG-in-AVI (lossless PNG frame
+  * payloads in a real AVI container) rather than MJPEG because the JVM
+  * ships no video codec and JPEG's lossy transform would break exact
+  * oracles; the container parse, frame sampling, and per-frame decode are
+  * the production shape either way. [[truncateBlob]] is a BYTE operator
+  * by contract (budget cap), not a stand-in.
   *
   * Scale notes: media blobs dominate bytes at 100 TB. The schema keeps
   * metadata in separate scalar columns so Catalyst can prune the blob column
@@ -176,12 +178,14 @@ object Multimodal {
       }
   }
 
-  /** STUB "resize": deterministic truncation of the blob to maxBytes —
-    * stands in for a real resize kernel; plumbing (binary→binary map,
-    * metadata update) is real. Kept for the byte-budget use case (cap blob
-    * bytes flowing into a downstream stage); [[resizeImages]] below is the
-    * REAL image resize. */
-  def resize(media: DataFrame, maxBytes: Int): DataFrame =
+  /** byte-budget blob cap: deterministic truncation of the blob to
+    * maxBytes, with the metadata kept consistent — the guard in front of a
+    * downstream stage that must bound per-row bytes (e.g. feed at most 1 MB
+    * into a fingerprint or preview kernel). This is a BYTE operator by
+    * contract, not an image one — [[resizeImages]] is the real image
+    * resize (the operator was named `resize` before round 18; renamed so
+    * no API named "resize" is a stand-in). */
+  def truncateBlob(media: DataFrame, maxBytes: Int): DataFrame =
     media.withColumn("bytes",
         expr(s"substring(bytes, 1, $maxBytes)").cast(BinaryType))
       .withColumn("n_bytes", least(col("n_bytes"), lit(maxBytes.toLong)))
@@ -263,17 +267,231 @@ object Multimodal {
       lit("image/png").as("mime"))
   }
 
-  /** STUB "frame sample": for video-kind rows, emit every k-th byte-window as
-    * a "frame" — stands in for real frame extraction; the explode shape
-    * (one row in, n frames out) is the real plumbing. */
-  def sampleFrames(media: DataFrame, frameBytes: Int, everyK: Int): DataFrame = {
-    val nFrames = greatest(lit(1),
-      floor(col("n_bytes") / lit((frameBytes * everyK).toLong))).cast(IntegerType)
-    media.select(col("media_id"), col("kind"), col("n_bytes"),
-        posexplode(transform(sequence(lit(0), nFrames - 1),
-          i => (i * everyK * frameBytes).cast(LongType)))
-        .as(Seq("frame_no", "byte_offset")))
-      .select("media_id", "kind", "frame_no", "byte_offset")
+  // ---------------------------------------------------------------- video
+
+  /** the synthetic-video frame law, shared by [[encodeSyntheticAvi]], the
+    * round-trip unit tests, and (as SQL) the q_frame_sample oracle: a clip
+    * of `2 + id mod 4` frames, every frame at the clip's [[synthDims]]
+    * (AVI requires fixed stream dimensions), frame `f` carrying pixel
+    * (x, y) = [[synthGray]](id + 97·f, x, y) = (x + 31·y + id + 97·f)
+    * mod 256. Non-negative integer arithmetic throughout, so every decoded
+    * frame statistic is exactly predictable from (id, f) alone. */
+  private[graft] def synthVideoFrameCount(id: Long): Int = (2 + id % 4).toInt
+
+  /** minimal spec-conformant AVI/RIFF container (Microsoft AVI RIFF form:
+    * RIFF('AVI ') → LIST(hdrl){avih, LIST(strl){strh,strf}} →
+    * LIST(movi){00dc…}) holding one video stream whose frames are complete
+    * PNG byte streams — the "Motion PNG in AVI" shape (fourcc MPNG), the
+    * LOSSLESS analogue of MJPEG-in-AVI: frame payloads are plain
+    * single-image codec streams, so a pure-JVM reader decodes each frame
+    * with `javax.imageio` and recovers pixels EXACTLY (JPEG frames would
+    * be codec-approximate). Written directly (the [[wavBytes]] precedent —
+    * the JVM ships no video muxer at all); `idx1` is omitted, which the
+    * AVI spec permits when AVIF_HASINDEX is unset. Chunks pad to even
+    * offsets per RIFF. */
+  private[graft] def aviBytes(frames: Seq[Array[Byte]], w: Int, h: Int,
+                              fps: Int = 10): Array[Byte] = {
+    require(fps >= 1, s"aviBytes: fps must be >= 1, got $fps")
+    val maxFrame = if (frames.isEmpty) 0 else frames.map(_.length).max
+    val moviSize = 4 + frames.map(f => 8 + f.length + (f.length & 1)).sum
+    val hdrlSize = 192 // 'hdrl' + (avih hdr+56) + (LIST hdr + 116 strl)
+    val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize)
+    val buf = java.nio.ByteBuffer.allocate(8 + riffSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(s: String): Unit = buf.put(s.getBytes("US-ASCII"))
+    tag("RIFF"); buf.putInt(riffSize); tag("AVI ")
+    tag("LIST"); buf.putInt(hdrlSize); tag("hdrl")
+    tag("avih"); buf.putInt(56)
+    buf.putInt(1000000 / fps) // dwMicroSecPerFrame
+    buf.putInt(0)             // dwMaxBytesPerSec
+    buf.putInt(0)             // dwPaddingGranularity
+    buf.putInt(0)             // dwFlags (no AVIF_HASINDEX: idx1 omitted)
+    buf.putInt(frames.length) // dwTotalFrames — the container-level count
+    buf.putInt(0)             // dwInitialFrames
+    buf.putInt(1)             // dwStreams
+    buf.putInt(maxFrame)      // dwSuggestedBufferSize
+    buf.putInt(w); buf.putInt(h)
+    buf.putInt(0); buf.putInt(0); buf.putInt(0); buf.putInt(0) // dwReserved
+    tag("LIST"); buf.putInt(116); tag("strl")
+    tag("strh"); buf.putInt(56)
+    tag("vids"); tag("MPNG")
+    buf.putInt(0)             // dwFlags
+    buf.putInt(0)             // wPriority + wLanguage
+    buf.putInt(0)             // dwInitialFrames
+    buf.putInt(1)             // dwScale
+    buf.putInt(fps)           // dwRate (rate/scale = fps)
+    buf.putInt(0)             // dwStart
+    buf.putInt(frames.length) // dwLength in frames
+    buf.putInt(maxFrame)      // dwSuggestedBufferSize
+    buf.putInt(-1)            // dwQuality (default)
+    buf.putInt(0)             // dwSampleSize (0: one sample = one frame)
+    buf.putShort(0); buf.putShort(0)
+    buf.putShort(w.toShort); buf.putShort(h.toShort) // rcFrame
+    tag("strf"); buf.putInt(40)
+    buf.putInt(40)            // biSize (BITMAPINFOHEADER)
+    buf.putInt(w); buf.putInt(h)
+    buf.putShort(1)           // biPlanes
+    buf.putShort(8)           // biBitCount (gray frames)
+    tag("MPNG")               // biCompression fourcc
+    buf.putInt(0); buf.putInt(0); buf.putInt(0); buf.putInt(0); buf.putInt(0)
+    tag("LIST"); buf.putInt(moviSize); tag("movi")
+    frames.foreach { f =>
+      tag("00dc"); buf.putInt(f.length); buf.put(f)
+      if ((f.length & 1) == 1) buf.put(0.toByte)
+    }
+    buf.array()
+  }
+
+  /** AVI/RIFF container parse: walks the chunk tree generically (every
+    * LIST recursed, so `rec `-grouped frames are found too), reads the
+    * declared dimensions and total-frame count from `avih`, and collects
+    * the video-stream data chunk payloads (`##dc` compressed / `##db`
+    * uncompressed, ## = stream digits) in container order. Returns
+    * (width, height, declaredFrames, framePayloads); None for non-AVI or
+    * structurally invalid bytes — the caller marks, not kills (the
+    * [[parseWavPcm16]] convention, including the even-padding rule). */
+  private[graft] def parseAviFrames(
+      bytes: Array[Byte]): Option[(Int, Int, Int, Vector[Array[Byte]])] = {
+    if (bytes == null || bytes.length < 24) return None
+    def le32(off: Int): Int =
+      (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8) |
+        ((bytes(off + 2) & 0xff) << 16) | ((bytes(off + 3) & 0xff) << 24)
+    def tag(off: Int): String = new String(bytes, off, 4, "US-ASCII")
+    if (tag(0) != "RIFF" || tag(8) != "AVI ") return None
+    var width = -1; var height = -1; var declared = -1
+    val frames = Vector.newBuilder[Array[Byte]]
+    def walk(start: Int, end: Int): Boolean = {
+      var off = start
+      while (off + 8 <= end) {
+        val id = tag(off); val sz = le32(off + 4)
+        if (sz < 0 || off + 8 + sz > end) return false
+        if (id == "LIST" && sz >= 4) {
+          if (!walk(off + 12, off + 8 + sz)) return false
+        } else if (id == "avih" && sz >= 40) {
+          declared = le32(off + 8 + 16)
+          width = le32(off + 8 + 32); height = le32(off + 8 + 36)
+        } else if (id(0).isDigit && id(1).isDigit && id(2) == 'd' &&
+            (id(3) == 'c' || id(3) == 'b')) {
+          frames += java.util.Arrays.copyOfRange(bytes, off + 8, off + 8 + sz)
+        }
+        off += 8 + sz + (sz & 1) // RIFF chunks pad to even boundaries
+      }
+      true
+    }
+    // RIFF size at offset 4 counts from offset 8: content ends at 8 + size
+    if (!walk(12, math.min(bytes.length, 8 + le32(4)))) return None
+    if (width <= 0 || height <= 0 || declared < 0) None
+    else Some((width, height, declared, frames.result()))
+  }
+
+  /** deterministic REAL-VIDEO fixture generator: one MPNG-in-AVI clip per
+    * row ([[aviBytes]] — a genuine RIFF/AVI container whose frames are
+    * real ImageIO-encoded PNGs following the [[synthVideoFrameCount]] /
+    * [[synthGray]] frame law). The video analogue of
+    * [[encodeSyntheticPng]]/[[encodeSyntheticWav]]: genuine container
+    * bytes, losslessly-coded frames, closed-form content — so frame
+    * counts, dims, and per-frame pixel sums verify EXACTLY in SQL. */
+  def encodeSyntheticAvi(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val encoded = df.select(col(idCol).cast(LongType)).as[Long]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { id =>
+          require(id >= 0, s"encodeSyntheticAvi: ids must be non-negative " +
+            s"(got $id) — the frame law's div/mod identities across " +
+            "engines hold only there (the q_retention doctrine)")
+          val (w, h) = synthDims(id)
+          val frames = (0 until synthVideoFrameCount(id)).map { f =>
+            val img = new java.awt.image.BufferedImage(w, h,
+              java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+            val raster = img.getRaster
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                raster.setSample(x, y, 0, synthGray(id + 97L * f, x, y))
+                x += 1
+              }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream(256)
+            javax.imageio.ImageIO.write(img, "png", bos)
+            bos.toByteArray
+          }
+          (id, aviBytes(frames, w, h))
+        }
+      }
+    encoded.select(
+      col("_1").as("media_id"),
+      lit("video").as("kind"),
+      col("_2").as("bytes"),
+      octet_length(col("_2")).cast(LongType).as("n_bytes"),
+      lit("video/x-msvideo").as("mime"))
+  }
+
+  /** one sampled-and-decoded video frame: container frame index, decoded
+    * dimensions, and the exact integer pixel-sample sum (the
+    * [[MediaFeatures]] raw statistic, per frame). */
+  case class VideoFrame(media_id: Long, frame_no: Int, width: Int,
+                        height: Int, pixel_sum: Long)
+
+  /** REAL video frame sampling: parse each AVI/RIFF container
+    * ([[parseAviFrames]]), keep every `everyK`-th frame (0, k, 2k, … —
+    * the uniform temporal subsample a vision pipeline feeds to per-frame
+    * models), and decode ONLY the kept frames with `javax.imageio` —
+    * frame payloads skipped by the sampler are never decoded, which is
+    * the point of sampling (at 100 TB the decode, not the scan, is the
+    * cost). Emits exact integer pixel sums per kept frame. Undecodable
+    * containers emit a single marker row (frame_no = −1, the
+    * [[decodeFeatures]] mark-don't-kill convention); an undecodable
+    * individual frame payload marks with width/height = −1 at its own
+    * frame_no. Scale shape: flatMap inside mapPartitions — no shuffle,
+    * output size = Σ kept frames, blob column read once, pipelines with
+    * the scan. Until round 18 this operator was a byte-window stub; it
+    * now consumes genuine container bytes end to end. */
+  def videoFrames(media: DataFrame, everyK: Int = 1): Dataset[VideoFrame] = {
+    require(everyK >= 1, s"videoFrames: everyK must be >= 1, got $everyK")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "bytes").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.flatMap { case (id, bytes) =>
+          parseAviFrames(bytes) match {
+            case None => Iterator.single(VideoFrame(id, -1, -1, -1, 0L))
+            case Some((_, _, _, payloads)) =>
+              payloads.iterator.zipWithIndex
+                .filter(_._2 % everyK == 0)
+                .map { case (payload, f) =>
+                  val img =
+                    try javax.imageio.ImageIO.read(
+                      new java.io.ByteArrayInputStream(payload))
+                    catch { case _: Exception => null }
+                  if (img == null) VideoFrame(id, f, -1, -1, 0L)
+                  else {
+                    val (w, h) = (img.getWidth, img.getHeight)
+                    val raster = img.getRaster
+                    val bands = raster.getNumBands
+                    var sum = 0L
+                    var y = 0
+                    while (y < h) {
+                      var x = 0
+                      while (x < w) {
+                        var b = 0
+                        while (b < bands) {
+                          sum += raster.getSample(x, y, b); b += 1
+                        }
+                        x += 1
+                      }
+                      y += 1
+                    }
+                    VideoFrame(id, f, w, h, sum)
+                  }
+                }
+          }
+        }
+      }
   }
 
   /** metadata-only scan — demonstrates blob-column pruning: this plan never

@@ -700,7 +700,7 @@ class OperatorsSpec extends AnyFunSuite {
       (None, None, 7L)))                                  // () grand total
   }
 
-  test("multimodal: decode plumbing, frame sampling, metadata shape") {
+  test("multimodal: decode plumbing, metadata shape, corrupt blobs mark") {
     val media = Multimodal.asMedia(docs, "doc_id", "text")
     assert(media.columns.toSeq ==
       Seq("media_id", "kind", "bytes", "n_bytes", "mime"))
@@ -711,11 +711,63 @@ class OperatorsSpec extends AnyFunSuite {
     assert(feats.length == 5)
     assert(feats.forall(f => f.width == -1 && f.height == -1 &&
       f.mean_intensity == 0.0 && f.pixel_sum == 0L))
-    val frames = Multimodal.sampleFrames(media, frameBytes = 8, everyK = 2).collect()
-    // each doc yields max(1, floor(n/16)) frames at offsets i*16
-    assert(frames.forall(r => r.getLong(3) % 16 == 0))
+    // text blobs are not AVI containers either: one marker row each
+    val vf = Multimodal.videoFrames(media, everyK = 2).collect()
+    assert(vf.length == 5 && vf.forall(f => f.frame_no == -1 &&
+      f.width == -1 && f.pixel_sum == 0L))
     val stats = Multimodal.metadataStats(media).collect()
     assert(stats.length == 1 && stats.head.getAs[Long]("n") == 5L)
+    // truncateBlob (the byte-budget cap): bytes and metadata stay
+    // consistent after the cap
+    val capped = Multimodal.truncateBlob(media, 10).collect()
+    assert(capped.forall(r => r.getAs[Array[Byte]]("bytes").length <= 10 &&
+      r.getAs[Long]("n_bytes") <= 10L))
+  }
+
+  test("multimodal: real AVI/MPNG clips round-trip the frame pixel law") {
+    // encode → container parse → every-2nd sample → per-frame PNG decode:
+    // frame counts, dims, and pixel sums must match the closed-form law
+    val ids = Seq(0L, 3L, 44L, 170L, 401L)
+    val media = Multimodal.encodeSyntheticAvi(ids.toDF("doc_id"), "doc_id")
+    // genuine RIFF/AVI containers (magic tags)
+    val blobs = media.select("bytes").collect().map(_.getAs[Array[Byte]](0))
+    assert(blobs.forall(b => new String(b, 0, 4, "US-ASCII") == "RIFF" &&
+      new String(b, 8, 4, "US-ASCII") == "AVI "))
+    // container parse recovers declared dims + frame count, and every
+    // frame payload is a genuine PNG stream
+    blobs.zip(ids).foreach { case (b, id) =>
+      val Some((w, h, declared, frames)) = Multimodal.parseAviFrames(b)
+      val (ew, eh) = Multimodal.synthDims(id)
+      assert((w, h) == ((ew, eh)), s"id $id dims: ($w,$h) vs ($ew,$eh)")
+      assert(declared == Multimodal.synthVideoFrameCount(id) &&
+        frames.length == declared, s"id $id frames: $declared/${frames.length}")
+      assert(frames.forall(p => (p(0) & 0xff) == 0x89 && p(1) == 'P'))
+    }
+    // sampled decode: frames 0, 2, 4 only, each pixel-exact per the law
+    val got = Multimodal.videoFrames(media, everyK = 2).collect()
+      .map(f => (f.media_id, f.frame_no) -> f).toMap
+    ids.foreach { id =>
+      val (w, h) = Multimodal.synthDims(id)
+      val nf = Multimodal.synthVideoFrameCount(id)
+      val sampled = (0 until nf).filter(_ % 2 == 0)
+      assert(got.keys.count(_._1 == id) == sampled.size,
+        s"id $id sampled-frame count")
+      sampled.foreach { f =>
+        var want = 0L
+        for (y <- 0 until h; x <- 0 until w)
+          want += Multimodal.synthGray(id + 97L * f, x, y)
+        val vf = got((id, f))
+        assert((vf.width, vf.height, vf.pixel_sum) == ((w, h, want)),
+          s"id $id frame $f: $vf vs ($w, $h, $want)")
+      }
+    }
+    // everyK = 1 keeps every frame
+    val all = Multimodal.videoFrames(media, everyK = 1).collect()
+    assert(all.length == ids.map(Multimodal.synthVideoFrameCount).sum)
+    // a structurally broken container (truncated mid-chunk) marks
+    val broken = Seq((9L, blobs.head.take(40))).toDF("media_id", "bytes")
+    val mk = Multimodal.videoFrames(broken, 1).collect()
+    assert(mk.length == 1 && mk.head.frame_no == -1)
   }
 
   test("multimodal: real PNG bytes decode to exact pixel stats via javax.imageio") {
