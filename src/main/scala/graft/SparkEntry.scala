@@ -377,6 +377,24 @@ object SparkEntry {
     4 + math.max(0, math.ceil(1.5 * excess).toInt)
   }
 
+  /** memoized exact per-column distinct counts of the profiled table —
+    * the offline AUDIT ARTIFACT q_profile_prod's contract flag compares
+    * the production one-pass HLL estimates against
+    * ([[graft.operators.Profiling.profileTableApproxAgainst]]). One exact
+    * profile pass per sf dir (the k× Expand), run once per JVM on the
+    * audit cadence — warmOffline pre-builds it so the benched query times
+    * ONLY the production HLL plan. */
+  private val profileExactStats =
+    new scala.collection.concurrent.TrieMap[String, Map[String, Long]]
+  private def profileExactDistinctFor(s: SparkSession,
+                                      dir: String): Map[String, Long] =
+    profileExactStats.getOrElseUpdate(dir, {
+      graft.operators.Profiling.profileTable(rd(s, dir, "lineitem"),
+          exact = true)
+        .select("column_name", "n_distinct").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    })
+
   /** pre-build every memoized OFFLINE artifact for `dir` — the IVF model
     * (sampled Lloyd's fit), token-budget rates, and temperature rates — so
     * a bench's timed queries measure probing/filtering, not index
@@ -402,6 +420,7 @@ object SparkEntry {
     searchStoreFor(s, dir)
     posStoreFor(s, dir)
     zorderBoundsFor(s, dir)
+    profileExactDistinctFor(s, dir)
   }
 
   /** the synthetic web-page plant shared by q_boilerplate and
@@ -2100,6 +2119,17 @@ object SparkEntry {
       // checks the same thing at a fifth of the bench cost
       graft.operators.Profiling.profileTableApproxChecked(
         rd(s, dir, "orders"))),
+    "q_profile_prod" -> ((s, dir) =>
+      // the ACTUAL 100 TB profile plan, bench-gated (round 18, closing the
+      // r17 "production profile cost unobserved" gap): one pass of
+      // map-side HLL partials over lineitem — NO Expand — with the exact
+      // distinct counts hoisted into plan literals from the memoized
+      // offline audit artifact (warmOffline pre-builds it, so the timed
+      // window prices only this plan). dist_ok pins each sketch within
+      // the contract band; the oracle computes exact n_rows/n_nulls and
+      // pins the flags TRUE (the q_profile_approx pattern)
+      graft.operators.Profiling.profileTableApproxAgainst(
+        rd(s, dir, "lineitem"), profileExactDistinctFor(s, dir))),
     "q_skew_report" -> ((s, dir) =>
       // group-size distribution scalars for a prospective join key — the
       // numbers behind a salting/AQE-skew decision. Two cascaded aggs;
@@ -5332,6 +5362,14 @@ object SparkEntry {
     "q_profile_approx" -> profileApproxOracleSql("orders", Seq(
       "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
       "o_orderdate", "o_orderpriority")),
+    // the PRODUCTION profile plan's gate row: same contract shape as
+    // q_profile_approx (exact n_rows/n_nulls per column, dist_ok pinned
+    // TRUE), but the Spark side is the pure one-pass HLL plan with the
+    // exact side hoisted into offline-artifact literals
+    "q_profile_prod" -> profileApproxOracleSql("lineitem", Seq(
+      "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+      "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+      "l_linestatus", "l_shipdate")),
     "q_skew_report" ->
       """WITH c AS (
            SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY o_custkey)

