@@ -1722,6 +1722,58 @@ object SparkEntry {
         .withColumn("n_chars", length(col("text_clean")).cast(LongType))
         .orderBy("doc_id")
     }),
+    "q_html_blocks" -> ((s, dir) => {
+      // DOM-tier HTML extraction (round 18): block-level structure
+      // preserved — headings/paragraphs/list items/table rows become
+      // newline-separated blocks, table cells tab-separate — where
+      // q_html_extract's strip tier collapses everything to spaces. The
+      // synthetic page exercises every rule: script/style/comment drops,
+      // a heading, two paragraphs, a 3-row table (th + td cells), a list
+      // with a <br> inside an item, and entity decode. The oracle replays
+      // synthesis AND the whole sentinel chain engine-for-engine (all
+      // patterns RE2-compatible by design)
+      val html = concat(
+        lit("<html><head><title>t</title><style>p{margin:0}</style>" +
+          "<script>if(a<b){c&&d}</script></head><body><h1>"),
+        col("source"),
+        lit("</h1><p>intro &amp; summary</p>\n<p>"), col("text"),
+        lit("</p><!-- hidden --><table><tr><th>key</th><th>val</th></tr>" +
+          "<tr><td>id</td><td>"),
+        col("doc_id"),
+        lit("</td></tr><tr><td>source</td><td>"), col("source"),
+        lit("</td></tr></table><ul><li>alpha</li><li>beta<br>gamma</li>" +
+          "</ul></body></html>"))
+      val blocksCol = TextAnalysis.htmlToBlocks(html)
+      rd(s, dir, "documents")
+        .select(col("doc_id"), blocksCol.as("text_blocks"))
+        .withColumn("n_lines",
+          (length(col("text_blocks")) -
+            length(call_function("replace", col("text_blocks"), lit("\n"),
+              lit("")))).cast(LongType) + 1L)
+        .withColumn("n_cells",
+          (length(col("text_blocks")) -
+            length(call_function("replace", col("text_blocks"), lit("\t"),
+              lit("")))).cast(LongType))
+        .orderBy("doc_id")
+    }),
+    "q_html_paragraph_dedup" -> ((s, dir) => {
+      // the COMPOSITION the block tier exists for (round 18): block-level
+      // extraction feeding corpus-global paragraph dedup. Each doc's page
+      // carries a boilerplate paragraph shared by every doc (df = N →
+      // only the lowest doc keeps it), a group paragraph shared by ~1/50
+      // of docs (one survivor per group), and the doc's own text — as
+      // <p> blocks, which htmlToBlocks must turn into the newline-keyed
+      // paragraphs dedupParagraphs operates on (the strip tier would fuse
+      // them into one line and starve the dedup)
+      val html = concat(
+        lit("<div><p>shared global paragraph</p><p>group "),
+        col("doc_id") % 50,
+        lit("</p><p>"), col("text"), lit("</p></div>"))
+      val pages = rd(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.htmlToBlocks(html).as("text"))
+      TextAnalysis.dedupParagraphs(pages, "doc_id", "text", maxDocFreq = 2)
+        .orderBy("doc_id")
+    }),
     "q_compress_ratio" -> ((s, dir) => {
       // deflate compression ratio per doc — the repetition/low-entropy
       // quality signal; oracle = plain-JVM fresh-Deflater recompute
@@ -3975,6 +4027,39 @@ object SparkEntry {
          ORDER BY doc_id""")
   }
 
+  /** the DuckDB replay of [[graft.operators.TextAnalysis.htmlToBlocks]]'s
+    * sentinel chain around an input SQL expression — shared by the
+    * q_html_blocks and q_html_paragraph_dedup oracles so the chain and its
+    * replays can never drift apart one-sidedly without a loud mismatch. */
+  private def htmlBlocksChainSql(input: String): String = {
+    def rr(x: String, pat: String, rep: String) =
+      s"regexp_replace($x, '$pat', $rep, 'g')"
+    def lrep(x: String, from: String, to: String) =
+      s"replace($x, '$from', $to)"
+    var x = input
+    x = rr(x, """[\x11\x12]""", "' '")
+    x = rr(x, """(?is)<script[^>]*>.*?</script\s*>""", "' '")
+    x = rr(x, """(?is)<style[^>]*>.*?</style\s*>""", "' '")
+    x = rr(x, """(?s)<!--.*?-->""", "' '")
+    x = rr(x, """(?is)</(td|th)\s*>""", "chr(17)")
+    x = rr(x, """(?is)<br\s*/?\s*>|""" +
+      """</?(p|div|h[1-6]|li|tr|ul|ol|table|blockquote)(\s[^>]*)?>""",
+      "chr(18)")
+    x = rr(x, """(?s)<[^>]*>""", "' '")
+    x = lrep(x, "&nbsp;", "' '")
+    x = lrep(x, "&lt;", "'<'")
+    x = lrep(x, "&gt;", "'>'")
+    x = lrep(x, "&quot;", "'\"'")
+    x = lrep(x, "&#39;", "chr(39)")
+    x = lrep(x, "&amp;", "'&'")
+    x = rr(x, """\s+""", "' '")
+    x = rr(x, """ ?\x11 ?""", "chr(9)")
+    x = rr(x, """( ?\x12 ?)+""", "chr(10)")
+    x = rr(x, """\t+\n""", "chr(10)")
+    x = rr(x, """^\s+""", "''")
+    rr(x, """\s+$""", "''")
+  }
+
   /** q_profile_table's oracle: one UNION ALL branch per profiled column —
     * the per-column recompute of [[graft.operators.Profiling.profileTable]]
     * (null count via FILTER, exact distinct count, shared row count). */
@@ -4876,6 +4961,60 @@ object SparkEntry {
          SELECT doc_id, text_clean,
            CAST(length(text_clean) AS BIGINT) AS n_chars
          FROM x ORDER BY doc_id""",
+    // block-tier replay: DuckDB re-synthesizes the structured page and
+    // re-runs the whole sentinel chain (cells→\x11, blocks→\x12, strip,
+    // decode, collapse, sentinel resolution — htmlBlocksChainSql is the
+    // single shared replay of TextAnalysis.htmlToBlocks)
+    "q_html_blocks" -> {
+      val synth = "'<html><head><title>t</title><style>p{margin:0}</style>" +
+        "<script>if(a<b){c&&d}</script></head><body><h1>' || source || " +
+        "'</h1><p>intro &amp; summary</p>' || chr(10) || '<p>' || text || " +
+        "'</p><!-- hidden --><table><tr><th>key</th><th>val</th></tr>" +
+        "<tr><td>id</td><td>' || doc_id || '</td></tr><tr><td>source</td>" +
+        "<td>' || source || '</td></tr></table><ul><li>alpha</li>" +
+        "<li>beta<br>gamma</li></ul></body></html>'"
+      s"""WITH h AS (SELECT doc_id, $synth AS html FROM documents),
+         x AS (SELECT doc_id, ${htmlBlocksChainSql("html")} AS text_blocks
+           FROM h)
+         SELECT doc_id, text_blocks,
+           CAST(length(text_blocks)
+             - length(replace(text_blocks, chr(10), '')) + 1 AS BIGINT)
+             AS n_lines,
+           CAST(length(text_blocks)
+             - length(replace(text_blocks, chr(9), '')) AS BIGINT)
+             AS n_cells
+         FROM x ORDER BY doc_id"""
+    },
+    // composition oracle: the block chain feeding the q_paragraph_dedup
+    // keep-first replay (df > 2 drops to one survivor corpus-wide; blanks
+    // would ride through, though this plant produces none)
+    "q_html_paragraph_dedup" -> {
+      val synth = "'<div><p>shared global paragraph</p><p>group ' || " +
+        "(doc_id % 50) || '</p><p>' || text || '</p></div>'"
+      s"""WITH h AS (SELECT doc_id, $synth AS html FROM documents),
+         p AS (SELECT doc_id, ${htmlBlocksChainSql("html")} AS text FROM h),
+         post AS (
+           SELECT doc_id, u['pos'] AS pos, u['para'] AS para FROM (
+             SELECT doc_id,
+               unnest(list_transform(string_split(text, chr(10)),
+                 (x, i) -> {'pos': i - 1, 'para': x})) AS u
+             FROM p)),
+         ranked AS (
+           SELECT doc_id, pos, para,
+             row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+           FROM post),
+         dfreq AS (SELECT para, count(DISTINCT doc_id) AS df
+           FROM post GROUP BY para),
+         kept AS (
+           SELECT r.doc_id, r.pos, r.para
+           FROM ranked r JOIN dfreq USING (para)
+           WHERE trim(r.para) = '' OR dfreq.df <= 2 OR r.rn = 1),
+         agg AS (
+           SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS clean_text
+           FROM kept GROUP BY doc_id)
+         SELECT p.doc_id, coalesce(agg.clean_text, '') AS clean_text
+         FROM p LEFT JOIN agg USING (doc_id) ORDER BY doc_id"""
+    },
     // closed-form replay of the synthetic-PNG pixel law
     // (Multimodal.synthDims/synthGray): the engine renders REAL PNGs from
     // this law and decodes them with the real javax.imageio codec — the

@@ -834,6 +834,55 @@ object TextAnalysis {
     trim(regexp_replace(decoded, "\\s+", " "))
   }
 
+  /** HTML → text with BLOCK STRUCTURE, the DOM-fidelity tier above
+    * [[htmlToText]] (which collapses all structure to spaces and thereby
+    * starves paragraph-keyed consumers like [[dedupParagraphs]]): block-
+    * level boundaries (`<br>` plus open/close of
+    * p/div/h1-6/li/tr/ul/ol/table/blockquote) become newlines, table-cell
+    * CLOSES (`</td>`/`</th>`) become tabs, THEN the strip/decode/collapse
+    * chain runs — so the emitted text is newline-per-block,
+    * tab-between-cells: exactly what a web-corpus pipeline feeds to
+    * paragraph dedup and table-aware extractors.
+    *
+    * Still one codegen'd projection of RE2-compatible regex/replace
+    * columns (lazy quantifiers, alternation, NO backreferences), so a
+    * DuckDB oracle replays the chain engine-for-engine (q_html_blocks).
+    * Mechanics: boundaries are first rewritten to the non-whitespace
+    * sentinels \x11 (cell) and \x12 (block) — any pre-existing \x11/\x12
+    * in the input maps to space up front, keeping the operator total —
+    * which survive the single `\s+`→' ' collapse; then cell sentinels
+    * become tabs (consecutive empty cells keep their tabs — TSV
+    * semantics), block-sentinel RUNS become one newline, row-trailing
+    * tabs drop, and outer whitespace strips. Tag-name matching is
+    * whole-name by construction (`(\s[^>]*)?>` — `<pre>`/`<link>` fall to
+    * the generic strip, never to the p/li rules). */
+  def htmlToBlocks(html: Column): Column = {
+    val clean0 = regexp_replace(html, "[\\x11\\x12]", " ")
+    val noScript = regexp_replace(clean0,
+      "(?is)<script[^>]*>.*?</script\\s*>", " ")
+    val noStyle = regexp_replace(noScript,
+      "(?is)<style[^>]*>.*?</style\\s*>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    // cell closes BEFORE the block rule (tr close is a block break, cell
+    // closes inside it are column separators)
+    val cells = regexp_replace(noComment, "(?is)</(td|th)\\s*>", "\u0011")
+    val blocks = regexp_replace(cells,
+      "(?is)<br\\s*/?\\s*>|" +
+        "</?(p|div|h[1-6]|li|tr|ul|ol|table|blockquote)(\\s[^>]*)?>",
+      "\u0012")
+    val noTag = regexp_replace(blocks, "(?s)<[^>]*>", " ")
+    val decoded = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+        "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTag) { case (c, (ent, ch)) =>
+        call_function("replace", c, lit(ent), lit(ch))
+      }
+    val oneSpace = regexp_replace(decoded, "\\s+", " ")
+    val tabs = regexp_replace(oneSpace, " ?\\x11 ?", "\t")
+    val newlines = regexp_replace(tabs, "( ?\\x12 ?)+", "\n")
+    val noEdgeTabs = regexp_replace(newlines, "\\t+\\n", "\n")
+    regexp_replace(regexp_replace(noEdgeTabs, "^\\s+", ""), "\\s+$", "")
+  }
+
   /** deflate compression ratio per document — the classic repetition /
     * low-entropy quality signal (boilerplate, keyword stuffing, and
     * generated spam compress far below clean prose). One

@@ -977,6 +977,43 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("htmlToBlocks: block newlines, cell tabs, sentinel safety, name boundaries") {
+    import graft.operators.TextAnalysis
+    val cases = Seq(
+      // paragraphs become separate lines (the strip tier would fuse them)
+      ("<p>one</p><p>two</p>", "one\ntwo"),
+      // heading + br + list items
+      ("<h2>T</h2>a<br>b<ul><li>x</li><li>y</li></ul>", "T\na\nb\nx\ny"),
+      // table: cells tab-separated, rows on their own lines, the
+      // row-trailing cell tab dropped
+      ("<table><tr><th>k</th><th>v</th></tr><tr><td>a</td><td>1</td></tr></table>",
+        "k\tv\na\t1"),
+      // empty cell keeps its tab (TSV semantics: column positions survive)
+      ("<tr><td>a</td><td></td><td>b</td></tr>", "a\t\tb"),
+      // consecutive block closes collapse to ONE newline; outer strip
+      ("<div><p>x</p></div><div><p>y</p></div>", "x\ny"),
+      // entities + inline (non-block) tags behave like the strip tier
+      ("<p>x &amp; <b>y</b></p><p>z</p>", "x & y\nz"),
+      // script/style/comment subtrees vanish whole
+      ("<script>if(a<b){c&&d}</script><p>kept</p><!-- <p>no</p> -->", "kept"),
+      // tag-name boundaries: <pre>/<link> are NOT block/cell tags — they
+      // strip to spaces, not newlines
+      ("a<pre>b</pre>c<link href='x'>d", "a b c d"),
+      // pre-existing sentinel control chars in the input map to space
+      // (the operator is total: no input can forge a block boundary)
+      ("x\u0011y\u0012z<p>w</p>", "x y z\nw"),
+      // attributes on block tags still break blocks
+      ("<p class=\"a\">x</p><div data-z='1'>y</div>", "x\ny"))
+    val got = TextAnalysis.htmlToBlocks(col("h"))
+    val rows = cases.map(_._1).toDF("h").select(got.as("t"))
+      .collect().map(_.getString(0))
+    cases.zip(rows).foreach { case ((in, want), t) =>
+      assert(t == want, s"htmlToBlocks($in) = '${t.replace("\n", "\\n")
+        .replace("\t", "\\t")}', want '${want.replace("\n", "\\n")
+        .replace("\t", "\\t")}'")
+    }
+  }
+
   test("compressionRatio: repetition compresses, prose doesn't, reuse leaks nothing") {
     import graft.operators.TextAnalysis
     val boiler = ("lorem ipsum " * 200).trim          // highly repetitive
