@@ -207,6 +207,43 @@ object SparkEntry {
         weights = Map("src0" -> 0.25, "src1" -> 0.15)))
   }
 
+  /** memoized REAL-BPE model (round 18 — the tokenizer the token-budget
+    * hook existed for): 200 Sennrich merges learned offline from the
+    * corpus's capped word-frequency head (the ivfFit offline-index shape;
+    * fit cost is vocab-sized, never corpus-sized). The merges table is
+    * plain data — the oracle side re-runs an independently-coded GPT-2
+    * encode loop over the SAME table (a production merges file), so the
+    * distributed kernel's counts are externally pinned per doc. */
+  private val bpeModels =
+    new scala.collection.concurrent.TrieMap[String, graft.operators.Bpe.BpeModel]
+  @volatile private var lastBpeDir: Option[String] = None
+  private def bpeModelFor(s: SparkSession, dir: String): graft.operators.Bpe.BpeModel = {
+    lastBpeDir = Some(dir)
+    bpeModels.getOrElseUpdate(dir,
+      graft.operators.Bpe.fit(rd(s, dir, "documents"), "text",
+        numMerges = 200, maxVocab = 20000))
+  }
+
+  /** token-budget rates over REAL BPE counts (the production budget unit):
+    * the same 10k-token budget and weights as [[budgetRatesFor]], with the
+    * per-doc counts from the distributed BPE kernel — BPE merges compress
+    * frequent words to fewer units than subwordCount's one-per-run, so the
+    * totals, rates, and kept set all differ from both siblings. */
+  private val budgetBpeRatesMemo =
+    new scala.collection.concurrent.TrieMap[String, Map[String, Double]]
+  private def budgetBpeRatesFor(s: SparkSession, dir: String): Map[String, Double] = {
+    lastBudgetDir = Some(dir)
+    budgetBpeRatesMemo.getOrElseUpdate(dir, {
+      val docs = rd(s, dir, "documents")
+      val counted = docs.select(col("doc_id"), col("source"))
+        .join(graft.operators.Bpe.tokenCounts(docs, "doc_id", "text",
+          bpeModelFor(s, dir)), Seq("doc_id"))
+      Sampling.tokenBudgetRates(counted, col("n_bpe"), "source",
+        budgetTokens = 10000L,
+        weights = Map("src0" -> 0.25, "src1" -> 0.15))
+    })
+  }
+
   /** WATERFILL rates (budget as exact TARGET, not cap): budget = half the
     * corpus tokens with src0 claiming 0.6 of it — src0's tokens (~5% of the
     * corpus) fit inside that allocation, so it saturates (kept whole) and
@@ -421,6 +458,8 @@ object SparkEntry {
     posStoreFor(s, dir)
     zorderBoundsFor(s, dir)
     profileExactDistinctFor(s, dir)
+    bpeModelFor(s, dir)
+    budgetBpeRatesFor(s, dir)
   }
 
   /** the synthetic web-page plant shared by q_boilerplate and
@@ -2007,6 +2046,26 @@ object SparkEntry {
       // one-content-hash-filter apply
       Sampling.tokenBudgetSample(plantPunctuated(rd(s, dir, "documents")),
           "doc_id", "source", budgetSubwordRatesFor(s, dir))
+        .select("doc_id", "source").orderBy("doc_id")),
+    "q_bpe_count" -> ((s, dir) => {
+      // REAL BPE token counts per doc (round 18): the distributed GPT-2
+      // encode loop under the corpus-learned 200-merge table, with a
+      // per-partition word memo. Oracle = memo-free sequential recompute
+      // by an independently-coded encoder over the SAME merges table,
+      // embedded as per-doc literals — diverges if the kernel's memo ever
+      // leaked or partitions mixed rows (the q_compress_ratio doctrine)
+      graft.operators.Bpe.tokenCounts(rd(s, dir, "documents"), "doc_id",
+          "text", bpeModelFor(s, dir))
+        .orderBy("doc_id")
+    }),
+    "q_token_budget_bpe" -> ((s, dir) =>
+      // the budget-mixing family under its REAL production unit: rates
+      // derived over the BPE kernel's counts (merges compress the Zipf
+      // head, so totals/rates/kept set differ from both the whitespace
+      // and the subword-stand-in twins), applied as the same single
+      // content-hash filter
+      Sampling.tokenBudgetSample(rd(s, dir, "documents"), "doc_id", "source",
+          budgetBpeRatesFor(s, dir))
         .select("doc_id", "source").orderBy("doc_id")),
     "q_token_budget_waterfill" -> ((s, dir) =>
       // the budget as an exact TARGET: saturated domains' unclaimed
@@ -4058,6 +4117,31 @@ object SparkEntry {
     x = rr(x, """\t+\n""", "chr(10)")
     x = rr(x, """^\s+""", "''")
     rr(x, """\s+$""", "''")
+  }
+
+  /** q_bpe_count's generated oracle: per-doc BPE token counts from the
+    * independently-coded sequential encoder
+    * ([[graft.verify.IndependentOracles.bpeCounts]]) over the SAME
+    * memoized merges table (merges are data, like fitted centroids),
+    * embedded as VALUES literals — the cdcOracle pattern, cap-guarded. */
+  private[graft] def bpeOracle(dir: String): Map[String, String] = {
+    import graft.verify.IndependentOracles
+    val s = SparkSession.active
+    val corpus = rd(s, dir, "documents").select("doc_id", "text")
+    val cap = DF.maxDriverRows
+    val probeCap = math.min(cap + 1, Int.MaxValue.toLong).toInt
+    val probed = corpus.limit(probeCap).count()
+    if (probed > cap)
+      throw new DriverMaterializationException("bpeOracle", probed, cap,
+        "the rows-only check (the BPE oracle is a test-SF recompute by design)")
+    val docs = corpus.collect().toSeq.map(r => (r.getLong(0), r.getString(1)))
+    val counts = IndependentOracles.bpeCounts(docs, bpeModels(dir).merges)
+    val values = counts.map { case (id, n) => s"($id, $n)" }
+    Map("q_bpe_count" ->
+      s"""WITH exp(doc_id, n_bpe) AS (VALUES ${values.mkString(", ")})
+         SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(n_bpe AS BIGINT) AS n_bpe
+         FROM exp ORDER BY doc_id""")
   }
 
   /** q_profile_table's oracle: one UNION ALL branch per profiled column —
@@ -6269,7 +6353,22 @@ object SparkEntry {
          WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
                  % 10000 < CASE source $cases ELSE 0 END
          ORDER BY doc_id""")
-  }.getOrElse(Map.empty) ++ lastEmbScaledDir.flatMap(embCounts.get).map { n =>
+  }.getOrElse(Map.empty) ++ lastBudgetDir.flatMap(budgetBpeRatesMemo.get).map { r =>
+    // the REAL-BPE twin: identical CASE mechanism, thresholds from the
+    // rates the distributed BPE kernel's totals produced (the kernel's
+    // counts themselves are pinned per doc by q_bpe_count's independent
+    // recompute — this row pins the budget math over them)
+    val cases = r.toSeq.sortBy(_._1).map { case (d, f) =>
+      s"WHEN '$d' THEN ${math.round(f * Sampling.Buckets)}"
+    }.mkString(" ")
+    Map("q_token_budget_bpe" ->
+      s"""SELECT doc_id, source FROM documents
+         WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                 % 10000 < CASE source $cases ELSE 0 END
+         ORDER BY doc_id""")
+  }.getOrElse(Map.empty) ++
+    lastBpeDir.filter(bpeModels.contains).map(bpeOracle).getOrElse(Map.empty) ++
+    lastEmbScaledDir.flatMap(embCounts.get).map { n =>
     // generated with the SAME corpus-derived bandBits the query resolved —
     // the profile itself is what this oracle pins
     Map("q_embedding_neardup_scaled" ->

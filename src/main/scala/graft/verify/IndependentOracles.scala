@@ -520,6 +520,48 @@ object IndependentOracles {
     }
   }
 
+  /** plain-Scala BPE token counts for the q_bpe_count oracle: a separate
+    * single-threaded re-derivation of the public algorithm pair from its
+    * written spec (Sennrich learning isn't needed here — the MERGES TABLE
+    * arrives as data, exactly as a production merges file would; this
+    * recomputes only the GPT-2 encode loop: lowest-rank adjacent pair,
+    * merge all occurrences leftmost-first, repeat). Deliberately memo-free
+    * and sequential — if the distributed kernel's per-partition memo ever
+    * leaked a stale count across rows or partitions mixed rows, these
+    * counts would diverge (the deflatedSizes doctrine). */
+  def bpeCounts(docs: Seq[(Long, String)],
+                merges: Seq[(String, String)]): Seq[(Long, Long)] = {
+    val rank = merges.zipWithIndex.toMap
+    val pre = java.util.regex.Pattern.compile("[a-z0-9]+|[^a-z0-9\\s]")
+    def encodeLen(word: String): Int = {
+      var syms = word.map(_.toString).toList
+      var going = true
+      while (going && syms.lengthCompare(2) >= 0) {
+        val pairs = syms.zip(syms.tail)
+        val ranked = pairs.flatMap(p => rank.get(p).map(r => (r, p)))
+        if (ranked.isEmpty) going = false
+        else {
+          val (_, best) = ranked.minBy(_._1)
+          val out = scala.collection.mutable.ListBuffer.empty[String]
+          var rest = syms
+          while (rest.nonEmpty) rest match {
+            case a :: b :: tl if (a, b) == best => out += a + b; rest = tl
+            case a :: tl => out += a; rest = tl
+            case Nil => ()
+          }
+          syms = out.toList
+        }
+      }
+      syms.length
+    }
+    docs.sortBy(_._1).map { case (id, text) =>
+      val m = pre.matcher(Option(text).getOrElse("").toLowerCase)
+      var n = 0L
+      while (m.find()) n += encodeLen(m.group())
+      (id, n)
+    }
+  }
+
   /** plain-JVM deflate sizes for the q_compress_ratio oracle: a FRESH
     * single-threaded Deflater pass per document (deliberately NOT the
     * operator's per-partition reuse shape — if the distributed reset/reuse
