@@ -444,6 +444,45 @@ class BucketingSpec extends AnyFunSuite {
     } finally dropStore("graft_cmp_sh")
   }
 
+  test("compactBucketed parity: CDC chunk store") {
+    // the fifth store modality in the shared maintenance harness
+    // (round 18): gear-hash chunk hashes bucketed on chunk_hash, accreted
+    // by tagged cdcDedupAgainst appends, compacted to one file per bucket
+    // with contents (incl. the __batch idempotence tags) and probe path
+    // unchanged
+    def mkBytes(n: Int, seed: Long): Array[Byte] = {
+      var x = seed
+      Array.fill(n) { x = x * 6364136223846793005L + 1442695040888963407L
+        (x >>> 33).toByte }
+    }
+    def blobs(lo: Long, hi: Long) =
+      (lo to hi).map(i => (i, mkBytes(2000, i))).toDF("doc_id", "blob")
+    try {
+      Dedup.writeChunkStore(
+        Dedup.cdcChunks(blobs(1, 10), "doc_id", "blob"),
+        "graft_cmp_cdc", nBuckets = 2)
+      compactionParity(Seq(("graft_cmp_cdc_chunks", "chunk_hash")), 2) {
+        b => Dedup.cdcDedupAgainst(blobs(100L * b, 100L * b + 4), "doc_id",
+          "blob", "graft_cmp_cdc", updateStore = true, nBuckets = 2,
+          batchId = b.toLong).count()
+      } {
+        // probe path unchanged after compaction: a stored seed blob and an
+        // appended-batch blob are all-dup; a fresh blob is all-new
+        val probe = Seq((9001L, mkBytes(2000, 3L)),
+          (9002L, mkBytes(2000, 102L)), (9003L, mkBytes(2000, 777L)))
+          .toDF("doc_id", "blob")
+        val r = Dedup.cdcDedupAgainst(probe, "doc_id", "blob",
+            "graft_cmp_cdc", updateStore = false, nBuckets = 2)
+          .collect().map(x => x.getLong(0) -> ((x.getLong(3), x.getLong(4))))
+          .toMap
+        assert(r(9001L)._1 == 0L && r(9002L)._1 == 0L,
+          s"stored/appended blobs must probe all-dup after compaction: $r")
+        assert(r(9003L)._2 == 0L && r(9003L)._1 == 2000L,
+          s"fresh blob must probe all-new after compaction: $r")
+      }
+    } finally spark.sql("DROP TABLE IF EXISTS graft_cmp_cdc_chunks")
+  }
+
   test("compactBucketed parity: embedding store (bands + vecs)") {
     // seed outside the per-id seed space below (Random(5) IS vec(5))
     val rnd = new scala.util.Random(987654321L)
