@@ -208,12 +208,23 @@ object SparkEntry {
   }
 
   /** memoized REAL-BPE model (round 18 — the tokenizer the token-budget
-    * hook existed for): 200 Sennrich merges learned offline from the
-    * corpus's capped word-frequency head (the ivfFit offline-index shape;
-    * fit cost is vocab-sized, never corpus-sized). The merges table is
-    * plain data — the oracle side re-runs an independently-coded GPT-2
-    * encode loop over the SAME table (a production merges file), so the
-    * distributed kernel's counts are externally pinned per doc. */
+    * hook existed for): Sennrich merges learned offline from the corpus's
+    * capped word-frequency head (the ivfFit offline-index shape; fit cost
+    * is vocab-sized, never corpus-sized). The merges table is plain data —
+    * the oracle side re-runs an independently-coded GPT-2 encode loop over
+    * the SAME table (a production merges file), so the distributed
+    * kernel's counts are externally pinned per doc.
+    *
+    * The merge budget is deliberately SMALL relative to the fixture's
+    * vocabulary (the synthetic corpus has ~31 words; ~109 merges would
+    * fully fuse all of them, collapsing BPE counts onto whitespace counts
+    * and making the q_bpe_count / q_token_budget_bpe rows vacuous — 200
+    * merges MEASURED exactly that degeneracy). 24 merges leave the vocab
+    * partially merged: frequent short words fuse to one unit, longer/rarer
+    * words stay split 2-4 ways, so per-doc counts — and the budget rates
+    * derived from them — genuinely differ from both the whitespace and
+    * subword siblings. The kernel itself is merge-count-agnostic; a
+    * production fit would pass 32k-50k. */
   private val bpeModels =
     new scala.collection.concurrent.TrieMap[String, graft.operators.Bpe.BpeModel]
   @volatile private var lastBpeDir: Option[String] = None
@@ -221,7 +232,7 @@ object SparkEntry {
     lastBpeDir = Some(dir)
     bpeModels.getOrElseUpdate(dir,
       graft.operators.Bpe.fit(rd(s, dir, "documents"), "text",
-        numMerges = 200, maxVocab = 20000))
+        numMerges = 24, maxVocab = 20000))
   }
 
   /** token-budget rates over REAL BPE counts (the production budget unit):
