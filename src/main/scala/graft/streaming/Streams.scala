@@ -710,4 +710,48 @@ object Streams {
     q.processAllAvailable()
     q.stop()
   }
+
+  /** one pass of streaming BYTE-LEVEL ingest admission: each micro-batch
+    * of blob rows runs the tagged [[graft.operators.Dedup.cdcDedupAgainst]]
+    * (chunk, probe the accreted chunk store, append the store-new chunks)
+    * — the blob-lake ingest architecture, completing the streaming twin
+    * family across all six store modalities. Exactly-once is IN-DATA (the
+    * `__batch` tag: a replayed batchId probes the store as-of before its
+    * own append and skips the double-append), so a fresh-checkpoint replay
+    * converges to the same store state; filesystem markers only make the
+    * replay cheap. The per-batch admission reports are the streaming
+    * byproduct a 100 TB ingest alerts on ("this crawl is 95% dup bytes —
+    * stop paying for it"); they land under `reportDir/batch=<id>` so a
+    * replay overwrites, never duplicates, a batch's report. */
+  def runCdcIngestOnce(spark: SparkSession, inDir: String,
+                       checkpointDir: String, store: String,
+                       reportDir: String,
+                       idCol: String = "doc_id",
+                       bytesCol: String = "blob",
+                       nBuckets: Int = 8): Unit = {
+    val schema = spark.read.parquet(inDir).schema
+    spark.catalog.refreshTable(s"${store}_chunks")
+    val markers = new org.apache.hadoop.fs.Path(checkpointDir, "cdc_commits")
+    val q = spark.readStream.schema(schema).parquet(inDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val s = batch.sparkSession
+        val fs = markers.getFileSystem(s.sessionState.newHadoopConf())
+        val marker = new org.apache.hadoop.fs.Path(markers, batchId.toString)
+        if (!fs.exists(marker)) {
+          graft.operators.Dedup.cdcDedupAgainst(batch.toDF(), idCol, bytesCol,
+              store, updateStore = true, nBuckets = nBuckets,
+              batchId = batchId)
+            .write.mode("overwrite").parquet(s"$reportDir/batch=$batchId")
+          fs.mkdirs(markers)
+          fs.createNewFile(marker)
+          s.catalog.refreshTable(s"${store}_chunks")
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
 }

@@ -621,4 +621,33 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!chain.contains("Exchange"),
       s"codec chain shuffles blob bytes:\n$chain")
   }
+
+  test("round-18 kernels: video mux+sample, BPE count, block extraction never shuffle") {
+    import graft.operators.{Bpe, Multimodal, TextAnalysis}
+    val docs = spark.range(1, 65)
+      .select(col("id").as("doc_id"),
+        concat(lit("alpha beta gamma doc "), col("id")).as("text"))
+    // video: synth AVI mux → container parse → sampled per-frame decode is
+    // per-row kernel work end to end — blob bytes must never enter an
+    // Exchange (at 100 TB the container bytes ARE the table)
+    val video = finalPlan(Multimodal.videoFrames(
+      Multimodal.encodeSyntheticAvi(docs, "doc_id"), everyK = 2).toDF())
+    assert(!video.contains("Exchange"),
+      s"video mux/parse/decode chain shuffles blob bytes:\n$video")
+    // BPE: the encode kernel is a pure projection; the merges table rides
+    // the closure, so there is no join and no shuffle anywhere
+    val model = Bpe.BpeModel(Vector(("a", "l"), ("al", "p")))
+    val bpe = finalPlan(Bpe.tokenCounts(docs, "doc_id", "text", model))
+    assert(!bpe.contains("Exchange") && !bpe.contains("Join"),
+      s"BPE count kernel must be a pure projection:\n$bpe")
+    // block-tier HTML extraction: ONE codegen'd projection over the scan —
+    // no Exchange, and the whole sentinel chain stays inside one
+    // WholeStageCodegen span (the strip-tier contract, q_html_extract)
+    val blocks = finalPlan(docs.select(col("doc_id"),
+      TextAnalysis.htmlToBlocks(col("text")).as("t")))
+    assert(!blocks.contains("Exchange"),
+      s"block extraction shuffles:\n$blocks")
+    assert(blocks.contains("codegen id"),
+      s"block extraction fell out of codegen:\n$blocks")
+  }
 }

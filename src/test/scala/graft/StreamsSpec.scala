@@ -858,6 +858,59 @@ class StreamsSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming CDC ingest: store ≡ rebuild, replay-idempotent, stable report") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    def mkBytes(n: Int, seed: Long): Array[Byte] = {
+      var x = seed
+      Array.fill(n) { x = x * 6364136223846793005L + 1442695040888963407L
+        (x >>> 33).toByte }
+    }
+    val base = java.nio.file.Files.createTempDirectory("graft_cdcing").toString
+    val (inDir, ckpt, reports) = (s"$base/in", s"$base/ckpt", s"$base/rep")
+    val b0 = (1L to 10L).map(i => (i, mkBytes(2000, i))).toDF("doc_id", "blob")
+    // batch 1: one fresh blob, one 1-byte-edited replica of a stored blob
+    val b1 = Seq((100L, mkBytes(2000, 77L)),
+      (101L, Array[Byte](9) ++ mkBytes(2000, 3L))).toDF("doc_id", "blob")
+    spark.sql("DROP TABLE IF EXISTS graft_cdcing_chunks")
+    spark.sql("DROP TABLE IF EXISTS graft_cdcing_rb_chunks")
+    Dedup.writeChunkStore(Dedup.cdcChunks(b0, "doc_id", "blob"),
+      "graft_cdcing", nBuckets = 2)
+    b1.write.mode("append").parquet(inDir)
+    Streams.runCdcIngestOnce(spark, inDir, ckpt, "graft_cdcing", reports,
+      nBuckets = 2)
+    try {
+      def storeHashes = spark.table("graft_cdcing_chunks")
+        .select("chunk_hash").as[Long].collect().toSet
+      def report = spark.read.parquet(reports)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      val afterStream = storeHashes
+      val rep1 = report
+      // the edited replica admits only its edit-region bytes (CDC shift
+      // resistance through the STREAMING path)
+      assert(rep1(101L)._3 < rep1(101L)._2 / 5,
+        s"shifted replica should be mostly dup bytes: ${rep1(101L)}")
+      assert(rep1(100L)._3 == rep1(100L)._2,
+        s"fresh blob should be all new: ${rep1(100L)}")
+      // replay with a FRESH checkpoint: batchIds restart, markers blind —
+      // the __batch in-data gate must keep store AND report unchanged
+      Streams.runCdcIngestOnce(spark, inDir, s"$base/ckpt2", "graft_cdcing",
+        reports, nBuckets = 2)
+      assert(storeHashes == afterStream, "replay changed the chunk store")
+      assert(report == rep1, "replay changed the admission report")
+      // final store state equals a from-scratch rebuild over both batches
+      Dedup.writeChunkStore(Dedup.cdcChunks(b0.unionAll(b1), "doc_id", "blob"),
+        "graft_cdcing_rb", nBuckets = 2)
+      val rebuilt = spark.table("graft_cdcing_rb_chunks")
+        .select("chunk_hash").as[Long].collect().toSet
+      assert(afterStream == rebuilt, "streamed store diverged from rebuild")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_cdcing_chunks")
+      spark.sql("DROP TABLE IF EXISTS graft_cdcing_rb_chunks")
+    }
+  }
+
   test("media decode runs as a streaming stage: per-batch features ≡ batch decode") {
     // the multimodal ingest shape at 100 TB: blobs land continuously and
     // decode as they arrive. decodeFeatures/audioFrames are STATELESS
