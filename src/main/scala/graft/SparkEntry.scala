@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{BinaryType, LongType}
 
-import graft.operators.{Dedup, Layout, Multimodal, Relational, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Layout, LinkGraph, Multimodal, Relational, Sampling, Similarity, TextAnalysis}
 import graft.streaming.Streams
 
 /** Driver contract — see /root/repo/SURVEY.md §7.5 + the builder prompt.
@@ -484,6 +484,24 @@ object SparkEntry {
         when(col("doc_id") % 40 < 20, "promo sale")
           .otherwise("no promo today"),
         concat(lit("copyright "), col("source"))).as("text"))
+
+  /** the synthetic LINKED web pages shared by the q_link_extract /
+    * q_host_graph / q_host_rank family (and replicated verbatim by their
+    * oracles): each doc's page links to a hub host keyed by doc_id mod 5,
+    * carries a RELATIVE href (no host — must be filtered by the edge
+    * builder), and links to portal.example (even ids) or its OWN host
+    * (odd ids — a self-loop the edge builder must drop). */
+  private def plantLinkedPages(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      concat(col("source"), lit(".example")).as("src_host"),
+      concat(
+        lit("<html><body><p>"), col("text"),
+        lit("</p><a href=\"https://hub"), pmod(col("doc_id"), lit(5)),
+        lit(".example/p/"), col("doc_id"),
+        lit("\">h</a> <a href=\"/relative/skip\">r</a><a href=\"https://"),
+        when(col("doc_id") % 2 === 0, lit("portal.example"))
+          .otherwise(concat(col("source"), lit(".example"))),
+        lit("/x\">p</a></body></html>")).as("html"))
 
   /** events.parquet's `ts` has shipped in two fixture generations:
     * TIMESTAMP(NANOS), which Spark's vectorized reader rejects — with
@@ -1941,6 +1959,37 @@ object SparkEntry {
           sampleFraction = 0.5)
         .select("doc_id", "source").orderBy("doc_id")
     }),
+    "q_link_extract" -> ((s, dir) => {
+      // anchor-href extraction over synthetic linked pages (round 18):
+      // every href surfaces with its position and lowercased host —
+      // including the relative href, whose empty host downstream edge
+      // building must filter. Pure codegen'd regex projection + explode
+      plantLinkedPages(rd(s, dir, "documents"))
+        .select(col("doc_id"),
+          posexplode(LinkGraph.extractHrefs(col("html")))
+            .as(Seq("link_no", "url")))
+        .select(col("doc_id"), col("link_no").cast(LongType), col("url"),
+          TextAnalysis.urlHost(col("url")).as("dst_host"))
+        .orderBy("doc_id", "link_no")
+    }),
+    "q_host_graph" -> ((s, dir) =>
+      // host-level link edges: hostless hrefs and self-loops dropped,
+      // (src, dst) pair counts map-side combined — the crawl-graph
+      // aggregation a web corpus ranks hosts with
+      LinkGraph.hostEdges(plantLinkedPages(rd(s, dir, "documents")),
+          "src_host", "html")
+        .orderBy("src_host", "dst_host")),
+    "q_host_rank" -> ((s, dir) =>
+      // 3-iteration weighted PageRank in exact integer nanos (d = 17/20):
+      // hubs and the portal accumulate authority from the source hosts,
+      // which stay at the dangling base — the oracle unrolls the SAME
+      // three iterations in SQL (floor division ≡ div on non-negatives),
+      // so every rank matches bit-for-bit
+      LinkGraph.pageRankHosts(
+          LinkGraph.hostEdges(plantLinkedPages(rd(s, dir, "documents")),
+            "src_host", "html"),
+          iterations = 3)
+        .orderBy("host")),
     "q_url_extract" -> ((s, dir) => {
       // per-host crawl stats over extracted + CANONICALIZED urls. The
       // corpus has no urls, so each doc plants two (the q_redact pattern):
@@ -4130,6 +4179,66 @@ object SparkEntry {
     rr(x, """\s+$""", "''")
   }
 
+  /** the linked-pages synthesis + href/host regexes shared by the three
+    * q_link_* / q_host_* oracles — one definition so the plant and its
+    * replays cannot drift apart one-sidedly. */
+  private val LinkPagesSql: String =
+    """pages AS (
+         SELECT doc_id, source || '.example' AS src_host,
+           '<html><body><p>' || text || '</p><a href="https://hub' ||
+           (doc_id % 5) || '.example/p/' || doc_id ||
+           '">h</a> <a href="/relative/skip">r</a><a href="https://' ||
+           CASE WHEN doc_id % 2 = 0 THEN 'portal.example'
+                ELSE source || '.example' END ||
+           '/x">p</a></body></html>' AS html
+         FROM documents)"""
+  private val HrefPatternSql = """(?is)<a\s[^>]*?href\s*=\s*"([^"]*)""""
+  private val HostPatternSql = """^https?://([^/:?#]+)"""
+
+  /** q_host_rank's oracle: the SAME fixed-iteration integer-nanos PageRank
+    * unrolled in SQL — `//` (DuckDB floor division) ≡ Spark `div` on the
+    * non-negative ranks, N computed by the oracle itself, no generated
+    * literals. */
+  private def hostRankOracleSql(iterations: Int): String = {
+    val steps = (1 to iterations).map { k =>
+      val prev = if (k == 1) "r0" else s"it${k - 1}"
+      s"""it$k AS (
+           SELECT nd.host,
+             (3000000000 // (20 * p.n)) +
+               (17 * coalesce(s.sm, CAST(0 AS BIGINT))) // 20 AS rank_nanos
+           FROM nodes nd CROSS JOIN params p
+           LEFT JOIN (
+             SELECT e.dst_host AS host,
+               sum((r.rank_nanos * e.n_links) // o.outn) AS sm
+             FROM e JOIN out_t o USING (src_host)
+                    JOIN $prev r ON r.host = e.src_host
+             GROUP BY 1) s ON s.host = nd.host)"""
+    }.mkString(", ")
+    s"""WITH $LinkPagesSql,
+       links AS (
+         SELECT src_host,
+           unnest(regexp_extract_all(html, '$HrefPatternSql', 1)) AS url
+         FROM pages),
+       e0 AS (
+         SELECT src_host,
+           lower(regexp_extract(url, '$HostPatternSql', 1)) AS dst_host
+         FROM links),
+       e AS (
+         SELECT src_host, dst_host, count(*) AS n_links
+         FROM e0 WHERE dst_host <> '' AND dst_host <> src_host
+         GROUP BY 1, 2),
+       out_t AS (SELECT src_host, sum(n_links) AS outn FROM e GROUP BY 1),
+       nodes AS (SELECT DISTINCT host FROM (
+         SELECT src_host AS host FROM e
+         UNION ALL SELECT dst_host FROM e)),
+       params AS (SELECT count(*) AS n FROM nodes),
+       r0 AS (SELECT host, 1000000000 // p.n AS rank_nanos
+              FROM nodes CROSS JOIN params p),
+       $steps
+       SELECT host, CAST(rank_nanos AS BIGINT) AS rank_nanos
+       FROM it$iterations ORDER BY host"""
+  }
+
   /** q_bpe_count's generated oracle: per-doc BPE token counts from the
     * independently-coded sequential encoder
     * ([[graft.verify.IndependentOracles.bpeCounts]]) over the SAME
@@ -5389,6 +5498,33 @@ object SparkEntry {
          SELECT doc_id, array_to_string(kept, chr(10)) AS clean_text
          FROM f ORDER BY doc_id""",
     "q_curation_web" -> CurationWebOracle,
+    // anchor extraction replay: identical plant, identical RE2 patterns;
+    // link_no from the 1-based lambda index (Spark's posexplode is 0-based)
+    "q_link_extract" ->
+      s"""WITH $LinkPagesSql,
+         post AS (
+           SELECT doc_id, u['no'] AS link_no, u['url'] AS url FROM (
+             SELECT doc_id, unnest(list_transform(
+               regexp_extract_all(html, '$HrefPatternSql', 1),
+               (x, i) -> {'no': i - 1, 'url': x})) AS u
+             FROM pages))
+         SELECT doc_id, CAST(link_no AS BIGINT) AS link_no, url,
+           lower(regexp_extract(url, '$HostPatternSql', 1)) AS dst_host
+         FROM post ORDER BY doc_id, link_no""",
+    "q_host_graph" ->
+      s"""WITH $LinkPagesSql,
+         links AS (
+           SELECT src_host,
+             unnest(regexp_extract_all(html, '$HrefPatternSql', 1)) AS url
+           FROM pages),
+         e0 AS (
+           SELECT src_host,
+             lower(regexp_extract(url, '$HostPatternSql', 1)) AS dst_host
+           FROM links)
+         SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links
+         FROM e0 WHERE dst_host <> '' AND dst_host <> src_host
+         GROUP BY 1, 2 ORDER BY src_host, dst_host""",
+    "q_host_rank" -> hostRankOracleSql(3),
     "q_url_extract" ->
       """WITH p AS (
            SELECT doc_id,

@@ -954,6 +954,38 @@ class OperatorsSpec extends AnyFunSuite {
     assert(marks.length == 1 && marks.head.frame_no == -1)
   }
 
+  test("linkGraph: href extraction, edge filtering, hand-computed integer PageRank") {
+    import graft.operators.LinkGraph
+    val pages = Seq(
+      ("a.x", "<a href=\"https://b.x/1\">l</a><a href=\"https://c.x/1\">l</a>" +
+        "<a href=\"https://c.x/2\">l</a><a href=\"https://c.x/3\">l</a>" +
+        "<a href=\"/rel\">skip</a><a href=\"https://a.x/self\">loop</a>"),
+      ("b.x", "<A HREF=\"https://c.x/z\">case-insensitive</A>"))
+      .toDF("src_host", "html")
+    val edges = LinkGraph.hostEdges(pages, "src_host", "html")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    // relative href (no host) and the a.x→a.x self-loop are dropped;
+    // uppercase anchor matched by (?i)
+    assert(edges == Map(("a.x", "b.x") -> 1L, ("a.x", "c.x") -> 3L,
+      ("b.x", "c.x") -> 1L), edges.toString)
+    // one iteration, hand-derived in exact integer nanos: N=3,
+    // init = 1e9 div 3 = 333333333, base = 3e9 div 60 = 50000000, out(a)=4,
+    // out(b)=1; contrib(b) = 333333333 div 4 = 83333333; contrib(c) =
+    // (333333333·3) div 4 + 333333333 = 249999999 + 333333333 = 583333332;
+    // rank = base + (17·contrib) div 20
+    val r1 = LinkGraph.pageRankHosts(edges.toSeq.map { case ((s, d), n) =>
+        (s, d, n) }.toDF("src_host", "dst_host", "n_links"), iterations = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(r1 == Map("a.x" -> 50000000L, "b.x" -> 120833333L,
+      "c.x" -> 545833332L), r1.toString)
+    // more iterations keep the authority ordering: sink > middle > source
+    val r3 = LinkGraph.pageRankHosts(edges.toSeq.map { case ((s, d), n) =>
+        (s, d, n) }.toDF("src_host", "dst_host", "n_links"), iterations = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(r3("c.x") > r3("b.x") && r3("b.x") > r3("a.x"), r3.toString)
+  }
+
   test("htmlToText: strips subtrees and tags, decodes entities, collapses whitespace") {
     import graft.operators.TextAnalysis
     val cases = Seq(
