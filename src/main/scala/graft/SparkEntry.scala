@@ -1990,6 +1990,13 @@ object SparkEntry {
             "src_host", "html"),
           iterations = 3)
         .orderBy("host")),
+    "q_anchor_text" -> ((s, dir) =>
+      // anchor-text postings by target host — the retrieval-corpus mining
+      // signal (anchor text ≈ human queries for the target page). Two
+      // positional regex passes zipped, self-loops KEPT (text is content,
+      // not endorsement), hostless/blank rows dropped
+      LinkGraph.anchorTexts(plantLinkedPages(rd(s, dir, "documents")), "html")
+        .orderBy("dst_host", "anchor")),
     "q_url_extract" -> ((s, dir) => {
       // per-host crawl stats over extracted + CANONICALIZED urls. The
       // corpus has no urls, so each doc plants two (the q_redact pattern):
@@ -4194,6 +4201,8 @@ object SparkEntry {
          FROM documents)"""
   private val HrefPatternSql = """(?is)<a\s[^>]*?href\s*=\s*"([^"]*)""""
   private val HostPatternSql = """^https?://([^/:?#]+)"""
+  private val AnchorPairSql =
+    """(?is)<a\s[^>]*?href\s*=\s*"([^"]*)"[^>]*>(.*?)</a\s*>"""
 
   /** q_host_rank's oracle: the SAME fixed-iteration integer-nanos PageRank
     * unrolled in SQL — `//` (DuckDB floor division) ≡ Spark `div` on the
@@ -5525,6 +5534,24 @@ object SparkEntry {
          FROM e0 WHERE dst_host <> '' AND dst_host <> src_host
          GROUP BY 1, 2 ORDER BY src_host, dst_host""",
     "q_host_rank" -> hostRankOracleSql(3),
+    // anchor-text replay: the same two-group pattern, lists zipped
+    // positionally (numeric struct indexes — DuckDB list_zip structs are
+    // unnamed), self-loops kept by construction
+    "q_anchor_text" ->
+      s"""WITH $LinkPagesSql,
+         a AS (
+           SELECT unnest(list_zip(
+             regexp_extract_all(html, '$AnchorPairSql', 1),
+             regexp_extract_all(html, '$AnchorPairSql', 2))) AS z
+           FROM pages),
+         t AS (
+           SELECT lower(regexp_extract(z[1], '$HostPatternSql', 1))
+                    AS dst_host,
+                  trim(lower(z[2])) AS anchor
+           FROM a)
+         SELECT dst_host, anchor, CAST(count(*) AS BIGINT) AS n
+         FROM t WHERE dst_host <> '' AND anchor <> ''
+         GROUP BY 1, 2 ORDER BY dst_host, anchor""",
     "q_url_extract" ->
       """WITH p AS (
            SELECT doc_id,

@@ -50,6 +50,35 @@ object LinkGraph {
       .groupBy("src_host", "dst_host")
       .agg(count(lit(1)).cast(LongType).as("n_links"))
 
+  /** the anchor-pair pattern: group 1 = quoted href, group 2 = the
+    * anchor's inner text (lazy up to the closing tag). Shared between the
+    * two positional extract_all passes and the oracle replay. */
+  private[graft] val AnchorPairPattern =
+    "(?is)<a\\s[^>]*?href\\s*=\\s*\"([^\"]*)\"[^>]*>(.*?)</a\\s*>"
+
+  /** anchor-TEXT postings (dst_host, anchor, n): what the web calls a
+    * target, aggregated by target host — the classic retrieval-corpus
+    * signal (anchor text ≈ human-written queries for the page; the
+    * MS-MARCO/ORCAS-style mining step). Hrefs and inner texts come from
+    * two positional `regexp_extract_all` passes over the SAME pattern,
+    * zipped — still a pure codegen'd projection (no UDF, no parse state),
+    * and the oracle replays both passes identically. Unlike [[hostEdges]],
+    * SELF-LOOPS are KEPT: a site's own navigation text still describes
+    * the target page (different semantics from authority flow — anchor
+    * text is content, not endorsement). Hostless targets and whitespace-
+    * only anchors drop. One shuffle on the (dst_host, anchor) pair —
+    * high cardinality, map-side combined. */
+  def anchorTexts(pages: DataFrame, htmlCol: String): DataFrame =
+    pages.select(explode(zip_with(
+        regexp_extract_all(col(htmlCol), lit(AnchorPairPattern), lit(1)),
+        regexp_extract_all(col(htmlCol), lit(AnchorPairPattern), lit(2)),
+        (u, t) => struct(u.as("u"), t.as("t")))).as("__a"))
+      .select(TextAnalysis.urlHost(col("__a.u")).as("dst_host"),
+        trim(lower(col("__a.t"))).as("anchor"))
+      .filter(col("dst_host") =!= "" && col("anchor") =!= "")
+      .groupBy("dst_host", "anchor")
+      .agg(count(lit(1)).cast(LongType).as("n"))
+
   /** fixed-iteration weighted PageRank over host edges, exact-integer
     * deterministic: rank_{t+1}(v) = (1−d)/N + d · Σ_{u→v}
     * rank_t(u) · w(u,v) / out(u), with d = 17/20 (0.85) kept as an

@@ -984,6 +984,14 @@ class OperatorsSpec extends AnyFunSuite {
         (s, d, n) }.toDF("src_host", "dst_host", "n_links"), iterations = 3)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(r3("c.x") > r3("b.x") && r3("b.x") > r3("a.x"), r3.toString)
+    // anchor-text postings: href+text zipped positionally, SELF-LOOP text
+    // kept (content, not endorsement), relative href dropped, lowercased
+    val anchors = LinkGraph.anchorTexts(pages, "html")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(anchors == Map(("b.x", "l") -> 1L, ("c.x", "l") -> 3L,
+      ("a.x", "loop") -> 1L, ("c.x", "case-insensitive") -> 1L),
+      anchors.toString)
   }
 
   test("htmlToText: strips subtrees and tags, decodes entities, collapses whitespace") {
