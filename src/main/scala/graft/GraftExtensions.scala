@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarityExpr, HyperplaneSigExpr, MinHashSigExpr, MinHashTokensSigExpr, SimHashTokensExpr}
+import graft.functions.{CosineSimilarityExpr, HyperplaneSigExpr, JaroWinklerExpr, MinHashSigExpr, MinHashTokensSigExpr, SimHashTokensExpr}
 
 /** Session extensions registering graft's native Catalyst expressions
   * (SURVEY §7.3 tier (b)). Activate either at session build time
@@ -22,6 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.hyperplaneDescriptor)
     ext.injectFunction(GraftExtensions.minhashTokensDescriptor)
     ext.injectFunction(GraftExtensions.simhashTokensDescriptor)
+    ext.injectFunction(GraftExtensions.jaroWinklerDescriptor)
   }
 }
 
@@ -108,10 +109,21 @@ object GraftExtensions {
       SimHashTokensExpr(args.head)
     })
 
+  /** record-linkage scoring for SQL: graft_jaro_winkler(string, string). */
+  private val jaroWinklerDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_jaro_winkler"),
+    new ExpressionInfo(classOf[JaroWinklerExpr].getName, "graft_jaro_winkler"),
+    (args: Seq[Expression]) => {
+      require(args.length == 2,
+        s"graft_jaro_winkler takes 2 string arguments, got ${args.length}")
+      JaroWinklerExpr(args.head, args.last)
+    })
+
   /** imperative registration on an existing session (idempotent). */
   def register(spark: SparkSession): Unit = {
     Seq(cosineDescriptor, minhashDescriptor, hyperplaneDescriptor,
-      minhashTokensDescriptor, simhashTokensDescriptor).foreach { d =>
+      minhashTokensDescriptor, simhashTokensDescriptor,
+      jaroWinklerDescriptor).foreach { d =>
       spark.sessionState.functionRegistry.registerFunction(d._1, d._2, d._3)
     }
   }

@@ -2594,6 +2594,26 @@ object SparkEntry {
         concat_ws("|", col("lang"), substring(col("text"), 1, len)),
         maxDist = 12, keyLen = 40)
     }),
+    "q_jw_linkage" -> ((s, dir) =>
+      // blocked Jaro-Winkler record linkage over the same (lang, 4-char
+      // prefix) blocks as q_fuzzy_join, scored by the native codegen'd
+      // JaroWinklerExpr in integer MICROS — thresholding on the integer
+      // keeps the row set immune to last-ulp double drift vs the oracle.
+      // Verify kernel is O(keyLen·window) vs Levenshtein's O(keyLen²):
+      // the cheap scorer for the same candidate mass at 100 TB
+      graft.operators.TextAnalysis.jaroWinklerLinkage(rd(s, dir, "documents"),
+        "doc_id", col("text"),
+        concat_ws("|", col("lang"), substring(col("text"), 1, 4)),
+        minSimMicros = 850000L, keyLen = 40)),
+    "q_jw_best_match" -> ((s, dir) =>
+      // entity-resolution survivor assignment: each record's single best
+      // Jaro-Winkler match within its block (integer-micros score, ties →
+      // smaller id, row_number window per record) — output stays linear in
+      // input no matter how dense the candidate graph gets
+      graft.operators.TextAnalysis.jaroWinklerBestMatch(rd(s, dir, "documents"),
+        "doc_id", col("text"),
+        concat_ws("|", col("lang"), substring(col("text"), 1, 4)),
+        minSimMicros = 800000L, keyLen = 40)),
     "q_scd2_history" -> ((s, dir) => {
       // SCD2 time-travel store: init + two CDC merges into a bucketed
       // history table (each merge = ONE close-join on the co-bucketed key
@@ -6369,6 +6389,36 @@ object SparkEntry {
     // blocked Levenshtein linkage: identical blocking + verify; both
     // engines' levenshtein is the classic unit-cost edit distance
     "q_fuzzy_join" -> fuzzyJoinOracleSql(4),
+    // DuckDB's jaro_winkler_similarity IS the pinned semantics of
+    // JaroWinklerExpr (boost only above 0.7, prefix cap 4, empty → 0);
+    // both sides round to integer micros BEFORE the threshold compare
+    "q_jw_linkage" ->
+      """WITH d AS (
+           SELECT doc_id, substr(text, 1, 40) AS k,
+             lang || '|' || substr(text, 1, 4) AS blk
+           FROM documents)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(round(jaro_winkler_similarity(a.k, b.k) * 1e6) AS BIGINT)
+             AS sim_micros
+         FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+         WHERE CAST(round(jaro_winkler_similarity(a.k, b.k) * 1e6) AS BIGINT)
+           >= 850000
+         ORDER BY id_a, id_b""",
+    "q_jw_best_match" ->
+      """WITH d AS (
+           SELECT doc_id, substr(text, 1, 40) AS k,
+             lang || '|' || substr(text, 1, 4) AS blk
+           FROM documents),
+         scored AS (
+           SELECT a.doc_id AS id, b.doc_id AS match_id,
+             CAST(round(jaro_winkler_similarity(a.k, b.k) * 1e6) AS BIGINT)
+               AS sim_micros
+           FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id <> b.doc_id)
+         SELECT id, match_id, sim_micros FROM (
+           SELECT id, match_id, sim_micros, row_number() OVER (
+             PARTITION BY id ORDER BY sim_micros DESC, match_id ASC) AS rn
+           FROM scored WHERE sim_micros >= 800000)
+         WHERE rn = 1 ORDER BY id""",
     // closed-form SCD2 history after init(0) + the %7/%11/%13 batch-1 +
     // %9-upsert batch-2 changesets: v0 closes at 1 if touched by batch 1
     // (delete wins the %7∧%13 overlap either way), else at 2 if %9; the

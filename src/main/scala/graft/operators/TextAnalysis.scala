@@ -796,6 +796,83 @@ object TextAnalysis {
       .orderBy("id_a", "id_b")
   }
 
+  /** Jaro-Winkler similarity as a Column — the native codegen'd
+    * [[graft.functions.JaroWinklerExpr]] kernel (DuckDB
+    * `jaro_winkler_similarity` semantics; see its scaladoc for the pinned
+    * algorithm). Levenshtein ([[fuzzyJoin]]) charges every edit equally;
+    * Jaro-Winkler weights agreement density and shared prefixes, the
+    * standard scorer for name/title/URL linkage. */
+  def jaroWinkler(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.JaroWinklerExpr(
+        org.apache.spark.sql.GraftSqlBridge.expression(a),
+        org.apache.spark.sql.GraftSqlBridge.expression(b)))
+
+  /** Jaro-Winkler similarity in integer MICROS (round(jw·1e6)): all
+    * thresholding and ordering downstream happens on this integer, so the
+    * row SET is immune to last-ulp double drift between engines — the same
+    * integer-score doctrine as the nanos-entropy queries. */
+  def jaroWinklerMicros(a: Column, b: Column): Column =
+    round(jaroWinkler(a, b) * lit(1000000L)).cast(LongType)
+
+  /** Blocked Jaro-Winkler record linkage: pairs of rows sharing a block key
+    * whose `keyExpr` prefixes score at least `minSimMicros` (similarity in
+    * integer micros, e.g. 900000L = 0.90). Same blocking architecture,
+    * candidate-mass law, and `id_a < id_b` halving as [[fuzzyJoin]] — only
+    * the verify kernel differs: the codegen'd O(keyLen·window) Jaro-Winkler
+    * scorer instead of O(keyLen²) Levenshtein, so the per-candidate verify
+    * is ~keyLen-times cheaper on long keys at 100 TB candidate mass. */
+  def jaroWinklerLinkage(df: DataFrame, idCol: String, keyExpr: Column,
+                         blockExpr: Column, minSimMicros: Long,
+                         keyLen: Int = 40): DataFrame = {
+    require(minSimMicros >= 0 && minSimMicros <= 1000000L,
+      s"jaroWinklerLinkage: minSimMicros out of [0, 1e6]: $minSimMicros")
+    require(keyLen > 0, s"jaroWinklerLinkage: keyLen must be positive: $keyLen")
+    val base = df.select(col(idCol).as("__id"),
+      substring(keyExpr, 1, keyLen).as("__k"),
+      blockExpr.as("__blk"))
+    val a = base.select(col("__id").as("id_a"), col("__k").as("__ka"),
+      col("__blk"))
+    val b = base.select(col("__id").as("id_b"), col("__k").as("__kb"),
+      col("__blk"))
+    a.join(b, Seq("__blk"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim_micros", jaroWinklerMicros(col("__ka"), col("__kb")))
+      .filter(col("sim_micros") >= minSimMicros)
+      .select("id_a", "id_b", "sim_micros")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Best-match resolution on top of [[jaroWinklerLinkage]] blocking: for
+    * every record, the single highest-scoring OTHER record in its block
+    * (ties broken by smaller candidate id — deterministic because the score
+    * is integer micros). This is the golden-record "survivor → canonical"
+    * assignment step of entity resolution; emitting one row per matched
+    * record keeps the output linear in input size no matter how dense the
+    * candidate graph gets. */
+  def jaroWinklerBestMatch(df: DataFrame, idCol: String, keyExpr: Column,
+                           blockExpr: Column, minSimMicros: Long,
+                           keyLen: Int = 40): DataFrame = {
+    val base = df.select(col(idCol).as("__id"),
+      substring(keyExpr, 1, keyLen).as("__k"),
+      blockExpr.as("__blk"))
+    val a = base.select(col("__id").as("id"), col("__k").as("__ka"),
+      col("__blk"))
+    val b = base.select(col("__id").as("match_id"), col("__k").as("__kb"),
+      col("__blk"))
+    val scored = a.join(b, Seq("__blk"))
+      .filter(col("id") =!= col("match_id"))
+      .withColumn("sim_micros", jaroWinklerMicros(col("__ka"), col("__kb")))
+      .filter(col("sim_micros") >= minSimMicros)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("id")
+      .orderBy(col("sim_micros").desc, col("match_id").asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select("id", "match_id", "sim_micros")
+      .orderBy("id")
+  }
+
   /** per-document stats frame (used by q_text_* queries). */
   def docStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(

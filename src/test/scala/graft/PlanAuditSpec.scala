@@ -529,6 +529,28 @@ class PlanAuditSpec extends AnyFunSuite {
       s"fuzzyJoin degenerated to all-pairs:\n$plan")
   }
 
+  test("jaroWinklerLinkage: block-keyed equi-join, scorer inside codegen, no cartesian") {
+    import graft.operators.TextAnalysis
+    val docs = (1L to 300L).map(i => (i, s"prefix_${i % 9} body $i"))
+      .toDF("doc_id", "text")
+    val plan = finalPlan(TextAnalysis.jaroWinklerLinkage(docs, "doc_id",
+      col("text"), substring(col("text"), 1, 8), minSimMicros = 500000L))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"jaroWinklerLinkage degenerated to all-pairs:\n$plan")
+    // the verify kernel is the native expression, not a UDF fallback
+    assert(plan.contains("graft_jaro_winkler"), plan)
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"), plan)
+    // best-match variant: the rank window hash-partitions by record id
+    // (scales with records), never a single global partition
+    val best = finalPlan(TextAnalysis.jaroWinklerBestMatch(docs, "doc_id",
+      col("text"), substring(col("text"), 1, 8), minSimMicros = 500000L))
+    assert(best.contains("hashpartitioning(id"),
+      s"best-match window should partition by id:\n$best")
+    assert(!best.contains("CartesianProduct") &&
+      !best.contains("BroadcastNestedLoopJoin"), best)
+  }
+
   test("rollingActive / intervalCoverage: key-partitioned windows, broadcast max-day, no SinglePartition") {
     import graft.operators.Analytics
     val ev = (1L to 300L).map(i => (i, new java.sql.Timestamp(i * 7200000),
