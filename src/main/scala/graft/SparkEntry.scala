@@ -2594,6 +2594,18 @@ object SparkEntry {
         concat_ws("|", col("lang"), substring(col("text"), 1, len)),
         maxDist = 12, keyLen = 40)
     }),
+    "q_chunk_overlap" -> ((s, dir) =>
+      // RAG chunker: 24-token windows advancing by 16 (8-token overlap),
+      // cover-all-tokens contract — pure projection + one Generate, no
+      // shuffle; chunk width bounded so embedding batches see uniform work
+      graft.operators.TextAnalysis.chunkTokenWindows(rd(s, dir, "documents"),
+        "doc_id", "text", chunkTokens = 24, strideTokens = 16)),
+    "q_js_divergence" -> ((s, dir) =>
+      // pairwise Jensen-Shannon divergence between source unigram
+      // distributions — the mixing diagnostic; ln2-reduction keeps the join
+      // common-vocabulary-sized, per-token terms fixed to integer nanos
+      graft.operators.TextAnalysis.groupJsDivergence(rd(s, dir, "documents"),
+        "source", "text")),
     "q_jw_linkage" -> ((s, dir) =>
       // blocked Jaro-Winkler record linkage over the same (lang, 4-char
       // prefix) blocks as q_fuzzy_join, scored by the native codegen'd
@@ -6389,6 +6401,64 @@ object SparkEntry {
     // blocked Levenshtein linkage: identical blocking + verify; both
     // engines' levenshtein is the classic unit-cost edit distance
     "q_fuzzy_join" -> fuzzyJoinOracleSql(4),
+    // closed-form chunk count 1 + ceil(max(n-24,0)/16) via integer-exact
+    // (x+15)//16; list_slice is 1-based with INCLUSIVE end
+    "q_chunk_overlap" ->
+      """WITH d AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'),
+               t -> len(t) > 0) AS toks
+           FROM documents),
+         n AS (
+           SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS nt,
+             1 + (greatest(CAST(len(toks) AS BIGINT) - 24, 0) + 15) // 16
+               AS nchunks
+           FROM d),
+         c AS (
+           SELECT doc_id, toks, nt,
+             unnest(generate_series(0, nchunks - 1)) AS i
+           FROM n)
+         SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+           CAST(i * 16 AS BIGINT) AS start_token,
+           least(nt - i * 16, 24) AS n_chunk_tokens,
+           array_to_string(list_slice(toks, i * 16 + 1,
+             i * 16 + least(nt - i * 16, 24)), ' ') AS chunk_text
+         FROM c
+         ORDER BY doc_id, chunk_idx""",
+    // same ln2-reduction and literal ln2 divisor as the Spark side; the ln
+    // argument is one division of two exact BIGINT products, per-token
+    // terms fixed to integer nanos before the sum (q_token_entropy doctrine)
+    "q_js_divergence" ->
+      """WITH tok AS (
+           SELECT source AS g,
+             unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+               t -> len(t) > 0)) AS term
+           FROM documents),
+         dist AS (SELECT g, term, count(*) AS c FROM tok GROUP BY g, term),
+         tot AS (SELECT g, sum(c) AS t FROM dist GROUP BY g),
+         j AS (
+           SELECT a.g AS ga, b.g AS gb,
+             CAST(round((
+               CAST(a.c AS DOUBLE) / ta.t
+                 * ln(CAST(a.c * tb.t AS DOUBLE)
+                     / CAST(a.c * tb.t + b.c * ta.t AS DOUBLE))
+               + CAST(b.c AS DOUBLE) / tb.t
+                 * ln(CAST(b.c * ta.t AS DOUBLE)
+                     / CAST(a.c * tb.t + b.c * ta.t AS DOUBLE))
+             ) * 1e9) AS BIGINT) AS tn
+           FROM dist a JOIN dist b ON a.term = b.term AND a.g < b.g
+           JOIN tot ta ON ta.g = a.g JOIN tot tb ON tb.g = b.g),
+         agg AS (SELECT ga, gb, CAST(count(*) AS BIGINT) AS n_common,
+                   sum(tn) AS sn
+                 FROM j GROUP BY ga, gb),
+         pairs AS (SELECT a.g AS ga, b.g AS gb
+                   FROM tot a JOIN tot b ON a.g < b.g)
+         SELECT pairs.ga AS group_a, pairs.gb AS group_b,
+           coalesce(n_common, 0) AS n_common,
+           round(1.0 + coalesce(sn, 0) / 1e9 / 2.0 / 0.6931471805599453, 6)
+             AS jsd_bits
+         FROM pairs LEFT JOIN agg ON pairs.ga = agg.ga AND pairs.gb = agg.gb
+         ORDER BY group_a, group_b""",
     // DuckDB's jaro_winkler_similarity IS the pinned semantics of
     // JaroWinklerExpr (boost only above 0.7, prefix cap 4, empty → 0);
     // both sides round to integer micros BEFORE the threshold compare

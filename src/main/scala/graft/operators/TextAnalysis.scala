@@ -414,6 +414,100 @@ object TextAnalysis {
       .withColumn("chunk_id", floor(col("start_offset") / budget))
   }
 
+  /** RAG-style overlapping token-window chunking: split each document into
+    * windows of `chunkTokens` whitespace tokens advancing by `strideTokens`
+    * (overlap = chunkTokens − strideTokens), the retrieval-index chunker in
+    * front of every embedding pipeline. Chunk count per doc is the closed
+    * form 1 + ceil(max(n − chunk, 0) / stride) — the canonical cover-all-
+    * tokens contract: the last window always reaches the final token and no
+    * window is fully contained in its predecessor (an empty doc yields one
+    * empty chunk, mirrored exactly by the oracle).
+    *
+    * Scale shape: a pure per-row projection + one Generate (explode of the
+    * per-doc start sequence) — no shuffle, no join; output rows ≈ n/stride
+    * per doc and each carries only its own window's text. Row width stays
+    * bounded by chunkTokens, so downstream embedding batches see uniform
+    * work regardless of document length skew. */
+  def chunkTokenWindows(df: DataFrame, idCol: String, textCol: String,
+                        chunkTokens: Int, strideTokens: Int): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be positive: $chunkTokens")
+    require(strideTokens > 0 && strideTokens <= chunkTokens,
+      s"strideTokens must be in (0, chunkTokens]: $strideTokens")
+    val toks = filter(split(trim(col(textCol)), "\\s+"),
+      t => length(t) > lit(0))
+    df.select(col(idCol), toks.as("__toks"))
+      .withColumn("__n", size(col("__toks")).cast(LongType))
+      .withColumn("__nchunks",
+        (lit(1L) + (greatest(col("__n") - chunkTokens, lit(0L))
+          + lit(strideTokens - 1)) / strideTokens).cast(LongType))
+      .select(col(idCol), col("__toks"), col("__n"),
+        explode(sequence(lit(0L), col("__nchunks") - 1)).as("chunk_idx"))
+      .withColumn("start_token", col("chunk_idx") * strideTokens)
+      .withColumn("n_chunk_tokens",
+        least(col("__n") - col("start_token"), lit(chunkTokens.toLong)))
+      .withColumn("chunk_text", array_join(
+        slice(col("__toks"), (col("start_token") + 1).cast(IntegerType),
+          col("n_chunk_tokens").cast(IntegerType)), " "))
+      .select(col(idCol), col("chunk_idx"), col("start_token"),
+        col("n_chunk_tokens"), col("chunk_text"))
+      .orderBy(col(idCol), col("chunk_idx"))
+  }
+
+  /** Pairwise Jensen-Shannon divergence (in bits) between the unigram token
+    * distributions of each pair of `groupCol` values — the corpus-mixing
+    * diagnostic that tells you how lexically different two sources really
+    * are before you weight them (0 = identical distributions, 1 = disjoint
+    * vocabularies). Uses the algebraic reduction
+    * JSD = ln2 + ½·Σ_common [p·ln(p/(p+q)) + q·ln(q/(p+q))] (nats): tokens
+    * present in only one side contribute exactly their ln2 mass, so ONLY
+    * the common-vocabulary inner join is ever materialized.
+    *
+    * Integer-NANOS doctrine (the q_token_entropy pattern): each per-token
+    * term is fixed to a BIGINT nanos value before the sum, making the
+    * aggregate order-independent and cross-engine exact; the ln argument is
+    * a single division of two exact long products (c_a·t_b vs the pooled
+    * denominator), so both engines round the same rational to double.
+    *
+    * Scale shape: one (group, token) hash aggregate with map-side combine,
+    * a vocabulary-sized self-join on the token key (never corpus-sized),
+    * group totals broadcast back, and a groups²-sized result. */
+  def groupJsDivergence(df: DataFrame, groupCol: String,
+                        textCol: String): DataFrame = {
+    val tok = df.select(col(groupCol).as("__g"),
+      explode(filter(split(lower(trim(col(textCol))), "\\s+"),
+        t => length(t) > lit(0))).as("__term"))
+    val dist = tok.groupBy("__g", "__term").agg(count(lit(1)).as("__c"))
+    val totals = dist.groupBy("__g").agg(sum("__c").as("__t"))
+    val a = dist.join(broadcast(totals), "__g").select(
+      col("__g").as("__ga"), col("__term"),
+      col("__c").as("__ca"), col("__t").as("__ta"))
+    val b = dist.join(broadcast(totals), "__g").select(
+      col("__g").as("__gb"), col("__term"),
+      col("__c").as("__cb"), col("__t").as("__tb"))
+    val den = (col("__ca") * col("__tb") + col("__cb") * col("__ta"))
+      .cast(DoubleType)
+    val termNanos = round((
+      col("__ca").cast(DoubleType) / col("__ta")
+        * log((col("__ca") * col("__tb")).cast(DoubleType) / den)
+      + col("__cb").cast(DoubleType) / col("__tb")
+        * log((col("__cb") * col("__ta")).cast(DoubleType) / den)
+      ) * lit(1e9)).cast(LongType)
+    val common = a.join(b, Seq("__term"))
+      .filter(col("__ga") < col("__gb"))
+      .select(col("__ga"), col("__gb"), termNanos.as("__tn"))
+      .groupBy("__ga", "__gb")
+      .agg(count(lit(1)).as("n_common"), sum("__tn").as("__sn"))
+    val pairs = totals.select(col("__g").as("__ga"))
+      .crossJoin(totals.select(col("__g").as("__gb")))
+      .filter(col("__ga") < col("__gb"))
+    pairs.join(common, Seq("__ga", "__gb"), "left")
+      .select(col("__ga").as("group_a"), col("__gb").as("group_b"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        round(lit(1.0) + coalesce(col("__sn"), lit(0L)) / lit(1e9) / lit(2.0)
+          / lit(0.6931471805599453), 6).as("jsd_bits"))
+      .orderBy("group_a", "group_b")
+  }
+
   /** GLOBAL shard planning — [[chunkAssignments]] without a group key:
     * lay the WHOLE corpus end to end in `idCol` order and assign each
     * document the output shard its first token lands in (shard =
