@@ -41,6 +41,7 @@ object SparkEntry {
     * generated oracle embeds the SAME docCount-derived prefix length the
     * query resolved. */
   @volatile private var lastFuzzyDir: Option[String] = None
+  @volatile private var lastJwDir: Option[String] = None
 
   /** the sf dir the most recent xxhash64/HLL sketch query ran against —
     * [[oracleSql]] then recomputes those pipelines Spark-independently
@@ -2594,6 +2595,26 @@ object SparkEntry {
         concat_ws("|", col("lang"), substring(col("text"), 1, len)),
         maxDist = 12, keyLen = 40)
     }),
+    "q_rbo" -> ((s, dir) => {
+      // rank-biased overlap between two per-source top-10 rankings (quality
+      // ranker vs naive length ranker): per-item W(max(ra,rb)) weights in
+      // integer nanos, one (source, doc) equi-join + one hash aggregate —
+      // cost ∝ groups·k, never corpus-sized
+      import org.apache.spark.sql.expressions.Window
+      val sc = rd(s, dir, "documents").select(col("source"), col("doc_id"),
+        graft.operators.TextAnalysis.qualityScore(col("text")).as("__qs"),
+        col("n_chars"))
+      val wA = Window.partitionBy("source")
+        .orderBy(col("__qs").desc, col("doc_id").asc)
+      val wB = Window.partitionBy("source")
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+      graft.operators.Profiling.rankRbo(
+        sc.select(col("source"), col("doc_id"),
+          row_number().over(wA).as("rnk")),
+        sc.select(col("source"), col("doc_id"),
+          row_number().over(wB).as("rnk")),
+        "source", "doc_id", "rnk", k = 10, p = 0.9)
+    }),
     "q_chunk_overlap" -> ((s, dir) =>
       // RAG chunker: 24-token windows advancing by 16 (8-token overlap),
       // cover-all-tokens contract — pure projection + one Generate, no
@@ -2617,6 +2638,19 @@ object SparkEntry {
         "doc_id", col("text"),
         concat_ws("|", col("lang"), substring(col("text"), 1, 4)),
         minSimMicros = 850000L, keyLen = 40)),
+    "q_jw_linkage_scaled" -> ((s, dir) => {
+      // the corpus-scaled blocking profile (shared fuzzyPrefixLen law with
+      // q_fuzzy_join_scaled: prefix +1 char per 4x corpus holds expected
+      // block size — and candidates×verify — near constant); resolves to
+      // the legacy 4-char profile at the test SFs, and the generated
+      // oracle pins the SAME derived length
+      lastJwDir = Some(dir)
+      val len = fuzzyPrefixLen(docCountFor(s, dir))
+      graft.operators.TextAnalysis.jaroWinklerLinkage(rd(s, dir, "documents"),
+        "doc_id", col("text"),
+        concat_ws("|", col("lang"), substring(col("text"), 1, len)),
+        minSimMicros = 850000L, keyLen = 40)
+    }),
     "q_jw_best_match" -> ((s, dir) =>
       // entity-resolution survivor assignment: each record's single best
       // Jaro-Winkler match within its block (integer-micros score, ties →
@@ -3827,6 +3861,61 @@ object SparkEntry {
        FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
        WHERE levenshtein(a.k, b.k) <= 12
        ORDER BY id_a, id_b"""
+
+  private def jwLinkageOracleSql(prefixLen: Int): String =
+    s"""WITH d AS (
+         SELECT doc_id, substr(text, 1, 40) AS k,
+           lang || '|' || substr(text, 1, $prefixLen) AS blk
+         FROM documents)
+       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(round(jaro_winkler_similarity(a.k, b.k) * 1e6) AS BIGINT)
+           AS sim_micros
+       FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+       WHERE CAST(round(jaro_winkler_similarity(a.k, b.k) * 1e6) AS BIGINT)
+         >= 850000
+       ORDER BY id_a, id_b"""
+
+  /** generated RBO oracle: the k weight nanos and the normalizer come from
+    * the SAME Profiling.rboWeightsNanos/rboScale the operator uses, so both
+    * engines sum identical integers (the pqChainSql literal pattern). */
+  private def rboOracleSql(k: Int, p: Double): String = {
+    val wts = graft.operators.Profiling.rboWeightsNanos(k, p).zipWithIndex
+      .map { case (w, i) => s"(${i + 1}, $w)" }.mkString(", ")
+    val scale = graft.operators.Profiling.rboScale(k, p)
+    s"""WITH qx AS (
+         SELECT doc_id, source, n_chars, text,
+           CAST(length(text) AS DOUBLE) AS n,
+           round(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+               t -> list_contains(['the','a','an','of','to','and','in','is','it','that'], t)))
+             / len(string_split_regex(lower(trim(text)), '\\s+')), 6) AS sr
+         FROM documents),
+       sc AS (
+         SELECT doc_id, source, n_chars, round((
+             CASE WHEN n >= 100 AND n <= 10000 THEN 1.0
+                  WHEN n >= 20 THEN 0.5 ELSE 0.0 END
+           + CASE WHEN sr > 0.05 THEN 1.0 ELSE 0.0 END
+           + CASE WHEN (n - length(regexp_replace(text, '[.,;:!?]', '', 'g'))) / n <= 0.2
+                  THEN 1.0 ELSE 0.0 END) / 3.0, 6) AS quality
+         FROM qx),
+       ra AS (SELECT source, doc_id, row_number() OVER (
+                PARTITION BY source ORDER BY quality DESC, doc_id) AS r
+              FROM sc),
+       rb AS (SELECT source, doc_id, row_number() OVER (
+                PARTITION BY source ORDER BY n_chars DESC, doc_id) AS r
+              FROM sc),
+       wts(m, wn) AS (VALUES $wts),
+       j AS (SELECT ra.source, greatest(ra.r, rb.r) AS mx
+             FROM ra JOIN rb ON ra.source = rb.source
+               AND ra.doc_id = rb.doc_id
+             WHERE ra.r <= $k AND rb.r <= $k),
+       agg AS (SELECT source, CAST(count(*) AS BIGINT) AS n_overlap,
+                 sum(wn) AS sn
+               FROM j JOIN wts ON wts.m = j.mx GROUP BY source),
+       gs AS (SELECT DISTINCT source FROM sc)
+       SELECT gs.source, coalesce(n_overlap, 0) AS n_overlap,
+         round(coalesce(sn, 0) / 1e9 * CAST($scale AS DOUBLE), 6) AS rbo
+       FROM gs LEFT JOIN agg USING (source) ORDER BY source"""
+  }
 
   private def pqChainSql(model: Similarity.PqModel): String = {
     val sub = model.subDim
@@ -6401,6 +6490,7 @@ object SparkEntry {
     // blocked Levenshtein linkage: identical blocking + verify; both
     // engines' levenshtein is the classic unit-cost edit distance
     "q_fuzzy_join" -> fuzzyJoinOracleSql(4),
+    "q_rbo" -> rboOracleSql(10, 0.9),
     // closed-form chunk count 1 + ceil(max(n-24,0)/16) via integer-exact
     // (x+15)//16; list_slice is 1-based with INCLUSIVE end
     "q_chunk_overlap" ->
@@ -6462,18 +6552,7 @@ object SparkEntry {
     // DuckDB's jaro_winkler_similarity IS the pinned semantics of
     // JaroWinklerExpr (boost only above 0.7, prefix cap 4, empty → 0);
     // both sides round to integer micros BEFORE the threshold compare
-    "q_jw_linkage" ->
-      """WITH d AS (
-           SELECT doc_id, substr(text, 1, 40) AS k,
-             lang || '|' || substr(text, 1, 4) AS blk
-           FROM documents)
-         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           CAST(round(jaro_winkler_similarity(a.k, b.k) * 1e6) AS BIGINT)
-             AS sim_micros
-         FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
-         WHERE CAST(round(jaro_winkler_similarity(a.k, b.k) * 1e6) AS BIGINT)
-           >= 850000
-         ORDER BY id_a, id_b""",
+    "q_jw_linkage" -> jwLinkageOracleSql(4),
     "q_jw_best_match" ->
       """WITH d AS (
            SELECT doc_id, substr(text, 1, 40) AS k,
@@ -6615,6 +6694,10 @@ object SparkEntry {
     // prefix length the query resolved (the simhash_hamming_scaled
     // profile-pinning pattern)
     Map("q_fuzzy_join_scaled" -> fuzzyJoinOracleSql(fuzzyPrefixLen(n)))
+  }.getOrElse(Map.empty) ++ lastJwDir.flatMap(docCounts.get).map { n =>
+    // Jaro-Winkler scaled-blocking twin: same fuzzyPrefixLen law, same
+    // generated-oracle pinning
+    Map("q_jw_linkage_scaled" -> jwLinkageOracleSql(fuzzyPrefixLen(n)))
   }.getOrElse(Map.empty) ++ lastBudgetDir.flatMap(budgetRatesMemo.get).map { r =>
     // same lazy-literal mechanism: the thresholds the query derived offline
     val cases = r.toSeq.sortBy(_._1).map { case (d, f) =>

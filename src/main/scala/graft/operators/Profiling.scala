@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, StringType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType, LongType, StringType}
 
 /** [EXT] Dataset-health operators (SURVEY §2.9 extension surface): one-pass
   * column profiling, join-key skew reporting, and robust (median/MAD)
@@ -854,6 +854,67 @@ object Profiling {
               / (col("__nsq") - col("__pe_num")).cast(DoubleType), 6))
           .as("kappa"))
   }
+
+  /** Rank-biased overlap (Webber et al. 2010) between two top-k rankings
+    * per query/group key — "how much did the ranker change" as a single
+    * top-weighted score in [0, 1] (1 = identical prefixes, 0 = disjoint).
+    * The ranking-agreement sibling of [[agreementKappa]]: kappa compares
+    * label assignments, RBO compares ordered lists (ranker A/B swaps, ANN
+    * recall rankings, BM25-vs-weighted search evals).
+    *
+    * Algebraic shape: truncated RBO@k = (1−p)·Σ_{d≤k} p^{d−1}·|A_d∩B_d|/d
+    * re-expressed PER ITEM — an item ranked r_a and r_b (both ≤ k) enters
+    * every depth d ≥ max(r_a, r_b), so its total mass is
+    * W(max(r_a, r_b)) with W(m) = Σ_{d=m}^{k} p^{d−1}/d. The k weights are
+    * fixed to integer NANOS at plan-build time (same literals ride into the
+    * generated oracle — the pqChainSql pattern), so the per-group sum is an
+    * exact long and order-independent; normalization by (1−p^k) makes
+    * identical rankings score exactly 1. One equi-join on (q, item) of two
+    * already-top-k frames + one hash aggregate — cost ∝ |groups|·k, never
+    * corpus-sized. Groups present in `a` but sharing nothing with `b` keep
+    * a row at rbo = 0 (left join from a's group list).
+    *
+    * Both inputs must carry ranks 1..k (ties already broken
+    * deterministically by the caller — integer ranks are the contract that
+    * keeps cross-engine results exact). */
+  def rankRbo(a: DataFrame, b: DataFrame, qCol: String, itemCol: String,
+              rankCol: String, k: Int, p: Double): DataFrame = {
+    require(k > 0 && k <= 1000, s"rankRbo: k out of (0, 1000]: $k")
+    require(p > 0.0 && p < 1.0, s"rankRbo: p out of (0, 1): $p")
+    val weightsNanos = rboWeightsNanos(k, p)
+    val scale = rboScale(k, p)
+    val ar = a.select(col(qCol).as("__q"), col(itemCol).as("__i"),
+      col(rankCol).cast(LongType).as("__ra")).filter(col("__ra") <= k)
+    val br = b.select(col(qCol).as("__q"), col(itemCol).as("__i"),
+      col(rankCol).cast(LongType).as("__rb")).filter(col("__rb") <= k)
+    val joined = ar.join(br, Seq("__q", "__i"))
+      .withColumn("__wn", element_at(typedLit(weightsNanos.toSeq),
+        greatest(col("__ra"), col("__rb")).cast(IntegerType)))
+      .groupBy("__q")
+      .agg(count(lit(1)).as("n_overlap"), sum("__wn").as("__sn"))
+    ar.select(col("__q")).distinct()
+      .join(joined, Seq("__q"), "left")
+      .select(col("__q").as(qCol),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        round(coalesce(col("__sn"), lit(0L)) / lit(1e9) * lit(scale), 6)
+          .as("rbo"))
+      .orderBy(qCol)
+  }
+
+  /** W(m) = Σ_{d=m}^{k} p^{d−1}/d in integer nanos, m = 1..k — shared by
+    * [[rankRbo]] and the generated oracle so both engines sum the SAME
+    * integers. */
+  def rboWeightsNanos(k: Int, p: Double): Array[Long] =
+    Array.tabulate(k) { m0 =>
+      var w = 0.0
+      var d = m0 + 1
+      while (d <= k) { w += math.pow(p, d - 1) / d; d += 1 }
+      math.round(w * 1e9)
+    }
+
+  /** (1−p)/(1−p^k): the truncated-RBO normalizer (identical rankings → 1). */
+  def rboScale(k: Int, p: Double): Double =
+    (1.0 - p) / (1.0 - math.pow(p, k))
 
   /** Per-group OLS trend fit: slope/intercept/R² of y on x for every key —
     * "is this metric trending, and how fast, per segment" as ONE aggregate

@@ -541,4 +541,32 @@ class ProfilingSpec extends AnyFunSuite {
     assert(ck.getBoolean(2) && ck.getBoolean(3) && ck.getBoolean(4),
       s"psi GK contract violated: $ck")
   }
+
+  test("rankRbo: identical → 1, disjoint → 0, hand-computed swap case") {
+    import graft.operators.Profiling
+    def ranks(rows: (String, String, Int)*) =
+      rows.toSeq.toDF("q", "item", "rnk")
+    // identical top-3 rankings score exactly 1 after normalization
+    val same = ranks(("g", "a", 1), ("g", "b", 2), ("g", "c", 3))
+    val r1 = Profiling.rankRbo(same, same, "q", "item", "rnk", 3, 0.9).head()
+    assert(r1.getLong(1) == 3L && r1.getDouble(2) == 1.0, r1)
+    // disjoint items: group keeps its row at 0 (left join from a's groups)
+    val a0 = ranks(("g", "a", 1)); val b0 = ranks(("g", "z", 1))
+    val r0 = Profiling.rankRbo(a0, b0, "q", "item", "rnk", 3, 0.9).head()
+    assert(r0.getLong(1) == 0L && r0.getDouble(2) == 0.0, r0)
+    // k=2, p=0.5, A=[x,y] vs B=[y,x]: A_1=0, A_2=1 → RBO=(1-p)·p=0.25,
+    // normalized by (1-p²)=0.75 → 1/3
+    val ax = ranks(("g", "x", 1), ("g", "y", 2))
+    val bx = ranks(("g", "y", 1), ("g", "x", 2))
+    val r2 = Profiling.rankRbo(ax, bx, "q", "item", "rnk", 2, 0.5).head()
+    assert(r2.getLong(1) == 2L && math.abs(r2.getDouble(2) - 1.0 / 3) < 1e-6, r2)
+    // an item beyond b's top-k contributes nothing
+    val bFar = ranks(("g", "x", 1), ("g", "y", 5))
+    val r3 = Profiling.rankRbo(ax, bFar, "q", "item", "rnk", 2, 0.5).head()
+    assert(r3.getLong(1) == 1L, r3)
+    // weight identity: Σ_m W(m) · scale = 1 (the normalization argument)
+    val w = Profiling.rboWeightsNanos(10, 0.9)
+    val total = w.sum / 1e9 * Profiling.rboScale(10, 0.9)
+    assert(math.abs(total - 1.0) < 1e-7, total)
+  }
 }
