@@ -155,6 +155,29 @@ object SparkEntry {
       name
     })
 
+  /** accreting cardinality sketch store, one per sf dir: slice 0 of a
+    * doc_id-mod-3 split seeds it, slices 1-2 append (tagged, idempotent) —
+    * the 3-batch ingest history q_card_store's estimates probe never
+    * rescans. */
+  private val cardStores =
+    new scala.collection.concurrent.TrieMap[String, String]
+  private def cardStoreFor(s: SparkSession, dir: String): String =
+    cardStores.getOrElseUpdate(dir, {
+      val name = s"graft_card_store_${java.lang.Integer.toHexString(dir.hashCode)}"
+      val tok = rd(s, dir, "documents").select(col("source"), col("doc_id"),
+        explode(filter(split(lower(trim(col("text"))), "\\s+"),
+          t => length(t) > lit(0))).as("__tok"))
+      graft.operators.Profiling.writeCardinalityStore(
+        tok.filter(pmod(col("doc_id"), lit(3)) === 0),
+        "source", col("__tok"), name, lgK = 12)
+      Seq(1, 2).foreach { b =>
+        graft.operators.Profiling.appendCardinalitySketches(s, name,
+          tok.filter(pmod(col("doc_id"), lit(3)) === b),
+          "source", col("__tok"), lgK = 12, batchTag = b.toLong)
+      }
+      name
+    })
+
   private val posStores =
     new scala.collection.concurrent.TrieMap[String, String]
   private def posStoreFor(s: SparkSession, dir: String): String =
@@ -468,6 +491,7 @@ object SparkEntry {
     ivfPqStoreFor(s, dir)
     searchStoreFor(s, dir)
     posStoreFor(s, dir)
+    cardStoreFor(s, dir)
     zorderBoundsFor(s, dir)
     profileExactDistinctFor(s, dir)
     bpeModelFor(s, dir)
@@ -2594,6 +2618,22 @@ object SparkEntry {
         "doc_id", col("text"),
         concat_ws("|", col("lang"), substring(col("text"), 1, len)),
         maxDist = 12, keyLen = 40)
+    }),
+    "q_card_store" -> ((s, dir) => {
+      // incremental distinct-vocabulary tracking: per-source token
+      // cardinality estimates from the 3-batch accreted HLL sketch store
+      // (merge cost ∝ groups×batches sketch bytes, history never
+      // rescanned), under the q_profile_approx contract — the verification
+      // shape computes the exact side too and the oracle pins est_ok TRUE
+      val store = cardStoreFor(s, dir)
+      val exact = rd(s, dir, "documents").select(col("source"),
+          explode(filter(split(lower(trim(col("text"))), "\\s+"),
+            t => length(t) > lit(0))).as("__tok"))
+        .groupBy("source")
+        .agg(countDistinct(col("__tok")).cast(LongType).as("exact_distinct"))
+        .select(col("source").as("group_key"), col("exact_distinct"))
+      graft.operators.Profiling.cardinalityEstimatesChecked(s, store, exact,
+        lgK = 12)
     }),
     "q_rbo" -> ((s, dir) => {
       // rank-biased overlap between two per-source top-10 rankings (quality
@@ -6491,6 +6531,22 @@ object SparkEntry {
     // engines' levenshtein is the classic unit-cost edit distance
     "q_fuzzy_join" -> fuzzyJoinOracleSql(4),
     "q_rbo" -> rboOracleSql(10, 0.9),
+    // exact sides recomputed over the full corpus (the 3 mod-slices are
+    // disjoint and covering); n_batches = slices that actually hold the
+    // source; est_ok pinned TRUE (4σ·rse(lgK=12) band, q_profile_approx
+    // doctrine)
+    "q_card_store" ->
+      """WITH tok AS (
+           SELECT source, doc_id,
+             unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+               t -> len(t) > 0)) AS term
+           FROM documents)
+         SELECT source AS group_key,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT doc_id % 3) AS BIGINT) AS n_batches,
+           CAST(count(DISTINCT term) AS BIGINT) AS exact_distinct,
+           TRUE AS est_ok
+         FROM tok GROUP BY source ORDER BY group_key""",
     // closed-form chunk count 1 + ceil(max(n-24,0)/16) via integer-exact
     // (x+15)//16; list_slice is 1-based with INCLUSIVE end
     "q_chunk_overlap" ->

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType, LongType, StringType}
@@ -915,6 +915,98 @@ object Profiling {
   /** (1−p)/(1−p^k): the truncated-RBO normalizer (identical rankings → 1). */
   def rboScale(k: Int, p: Double): Double =
     (1.0 - p) / (1.0 - math.pow(p, k))
+
+  /** Accreting per-group cardinality sketch store — incremental COUNT
+    * DISTINCT across ingest batches without ever rescanning history. Each
+    * batch appends one Datasketches-HLL sketch row per group (group,
+    * sketch, row count, __batch tag); the estimate probe unions the
+    * accreted sketches per group (`hll_union_agg`) and reads the estimate —
+    * merge cost ∝ groups × batches × 2^lgK BYTES, corpus never touched
+    * again. This is the vocabulary-growth / unique-users / distinct-URLs
+    * tracker of a year-long 100 TB ingest: batch K pays only its own scan,
+    * exactly like the fingerprint/minhash/simhash/PQ/CDC store family.
+    *
+    * Determinism: DS-HLL insertion and union are max-per-register — order-
+    * and partitioning-independent — so for fixed batch contents the stored
+    * sketches and every estimate are stable, and the contract probe
+    * ([[cardinalityEstimatesChecked]]) is oracle-pinnable the same way the
+    * q_profile_approx flags are. */
+  def writeCardinalityStore(df: DataFrame, groupCol: String,
+                            valueExpr: Column, store: String,
+                            lgK: Int = 12, nBuckets: Int = 8): Unit = {
+    require(lgK >= 4 && lgK <= 21, s"writeCardinalityStore: lgK $lgK")
+    graft.sources.Sources.writeBucketed(
+      cardinalitySketchRows(df, groupCol, valueExpr, lgK, batchTag = 0L),
+      store, "__g", nBuckets)
+    Dedup.setStoreParams(df.sparkSession, store,
+      Map("kind" -> "cardinality_hll", "lgK" -> lgK, "enc" -> "ds_hll_v1"))
+  }
+
+  /** append one ingest batch's sketches (idempotent under `batchTag`: a
+    * replayed tag is a no-op, the tagged-append doctrine of the other
+    * accreting stores). Build parameters are validated against the store's
+    * persisted properties — a sketch built at a different lgK would union
+    * fine but silently degrade the error contract, so it refuses. */
+  def appendCardinalitySketches(spark: SparkSession, store: String,
+                                df: DataFrame, groupCol: String,
+                                valueExpr: Column, lgK: Int,
+                                batchTag: Long): Unit = {
+    Dedup.checkStoreParams(spark, store,
+      Map("kind" -> "cardinality_hll", "lgK" -> lgK, "enc" -> "ds_hll_v1"),
+      required = Set("enc"))
+    val seen = spark.table(store).select("__batch").distinct()
+      .collect().map(_.getLong(0)).toSet
+    if (!seen.contains(batchTag)) {
+      graft.sources.Sources.writeBucketed(
+        cardinalitySketchRows(df, groupCol, valueExpr, lgK, batchTag),
+        store, "__g", nBuckets = 8,
+        mode = org.apache.spark.sql.SaveMode.Append)
+    }
+  }
+
+  private def cardinalitySketchRows(df: DataFrame, groupCol: String,
+                                    valueExpr: Column, lgK: Int,
+                                    batchTag: Long): DataFrame =
+    df.select(col(groupCol).cast(StringType).as("__g"), valueExpr.as("__v"))
+      .groupBy("__g")
+      .agg(hll_sketch_agg(col("__v"), lgK).as("__sketch"),
+        count(lit(1)).cast(LongType).as("__n"))
+      .withColumn("__batch", lit(batchTag))
+
+  /** per-group estimates over the WHOLE accreted store: one sketch-union
+    * aggregate over groups×batches rows — never the corpus. */
+  def cardinalityEstimates(spark: SparkSession, store: String): DataFrame =
+    spark.table(store)
+      .groupBy("__g")
+      .agg(hll_sketch_estimate(hll_union_agg(col("__sketch"))).as("estimate"),
+        sum("__n").cast(LongType).as("n_rows"),
+        countDistinct(col("__batch")).cast(LongType).as("n_batches"))
+      .select(col("__g").as("group_key"), col("estimate"), col("n_rows"),
+        col("n_batches"))
+      .orderBy("group_key")
+
+  /** the estimates under their CONTRACT (the q_profile_approx pattern):
+    * joined with caller-supplied exact distinct counts, emitting
+    * est_ok = |estimate − exact| ≤ slack·rse·exact + 2 with
+    * rse = 1.04/√2^lgK (the published DS-HLL relative standard error);
+    * slack = 4σ makes a legitimate sketch failing a ~1e-4 event, and for
+    * fixed data the flag either passes forever or fails forever. The raw
+    * estimate is dropped from the output — the flag is what an external
+    * engine can pin. */
+  def cardinalityEstimatesChecked(spark: SparkSession, store: String,
+                                  exact: DataFrame, lgK: Int,
+                                  slack: Double = 4.0): DataFrame = {
+    val rse = 1.04 / math.sqrt(math.pow(2.0, lgK))
+    cardinalityEstimates(spark, store)
+      .join(exact.select(col("group_key"),
+        col("exact_distinct").cast(LongType)), Seq("group_key"))
+      .select(col("group_key"), col("n_rows"), col("n_batches"),
+        col("exact_distinct"),
+        (abs(col("estimate") - col("exact_distinct"))
+          <= lit(slack * rse) * col("exact_distinct") + lit(2.0))
+          .as("est_ok"))
+      .orderBy("group_key")
+  }
 
   /** Per-group OLS trend fit: slope/intercept/R² of y on x for every key —
     * "is this metric trending, and how fast, per segment" as ONE aggregate

@@ -569,4 +569,53 @@ class ProfilingSpec extends AnyFunSuite {
     val total = w.sum / 1e9 * Profiling.rboScale(10, 0.9)
     assert(math.abs(total - 1.0) < 1e-7, total)
   }
+
+  test("cardinality sketch store: accretion ≡ one-shot, replay idempotent, lgK refusal") {
+    import graft.operators.Profiling
+    import org.apache.spark.sql.functions.col
+    val b1 = (1 to 300).map(i => (s"g${i % 3}", s"v${i % 50}")).toDF("g", "v")
+    val b2 = (1 to 300).map(i => (s"g${i % 3}", s"w${i % 40}")).toDF("g", "v")
+    val store = "graft_card_store_spec"
+    val oneShot = "graft_card_store_spec_oneshot"
+    Seq(store, oneShot).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    Profiling.writeCardinalityStore(b1, "g", col("v"), store, lgK = 12)
+    Profiling.appendCardinalitySketches(spark, store, b2, "g", col("v"),
+      lgK = 12, batchTag = 1L)
+    val accreted = Profiling.cardinalityEstimates(spark, store).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // HLL union is max-per-register: union of per-batch sketches estimates
+    // exactly like one sketch over the concatenated batches
+    Profiling.writeCardinalityStore(b1.union(b2), "g", col("v"), oneShot,
+      lgK = 12)
+    val once = Profiling.cardinalityEstimates(spark, oneShot).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    accreted.foreach { case (g, (est, n, nb)) =>
+      assert(est == once(g), s"$g: accreted $est != one-shot ${once(g)}")
+      assert(n == 200L && nb == 2L, s"$g: n=$n nb=$nb")
+    }
+    // replayed tag is a no-op
+    Profiling.appendCardinalitySketches(spark, store, b2, "g", col("v"),
+      lgK = 12, batchTag = 1L)
+    assert(spark.table(store).count() == 6L) // 3 groups × 2 batches
+    // a different lgK would silently degrade the error contract: refuse
+    val err = intercept[IllegalArgumentException] {
+      Profiling.appendCardinalitySketches(spark, store, b2, "g", col("v"),
+        lgK = 10, batchTag = 2L)
+    }
+    assert(err.getMessage.contains("lgK"), err.getMessage)
+    // contract flag true against the true exact side, false on a wrong one
+    val exact = b1.union(b2).groupBy("g")
+      .agg(org.apache.spark.sql.functions.countDistinct(col("v"))
+        .cast("long").as("exact_distinct"))
+      .select(col("g").as("group_key"), col("exact_distinct"))
+    val checked = Profiling.cardinalityEstimatesChecked(spark, store, exact,
+      lgK = 12).collect()
+    assert(checked.length == 3 && checked.forall(_.getBoolean(4)), checked.mkString(", "))
+    val wrong = exact.withColumn("exact_distinct",
+      col("exact_distinct") * 100)
+    val bad = Profiling.cardinalityEstimatesChecked(spark, store, wrong,
+      lgK = 12).collect()
+    assert(bad.forall(!_.getBoolean(4)), bad.mkString(", "))
+  }
 }
