@@ -2635,6 +2635,23 @@ object SparkEntry {
       graft.operators.Profiling.cardinalityEstimatesChecked(s, store, exact,
         lgK = 12)
     }),
+    "q_ndcg" -> ((s, dir) => {
+      // nDCG@10 of the quality ranking against length-derived graded
+      // relevance (quartile thresholds as literals): exact integer DCG/IDCG
+      // dot products over nanos-fixed discounts, ONE division at the end
+      import org.apache.spark.sql.expressions.Window
+      val sc = rd(s, dir, "documents").select(col("source"), col("doc_id"),
+        graft.operators.TextAnalysis.qualityScore(col("text")).as("__qs"),
+        col("n_chars"))
+      val wA = Window.partitionBy("source")
+        .orderBy(col("__qs").desc, col("doc_id").asc)
+      val ranked = sc.select(col("source"), col("doc_id"),
+        row_number().over(wA).as("rnk"),
+        when(col("n_chars") >= 420, 3L).when(col("n_chars") >= 300, 2L)
+          .when(col("n_chars") >= 180, 1L).otherwise(0L).as("rel"))
+      graft.operators.Profiling.ndcgAtK(ranked, "source", "doc_id", "rnk",
+        "rel", k = 10)
+    }),
     "q_rbo" -> ((s, dir) => {
       // rank-biased overlap between two per-source top-10 rankings (quality
       // ranker vs naive length ranker): per-item W(max(ra,rb)) weights in
@@ -3955,6 +3972,57 @@ object SparkEntry {
        SELECT gs.source, coalesce(n_overlap, 0) AS n_overlap,
          round(coalesce(sn, 0) / 1e9 * CAST($scale AS DOUBLE), 6) AS rbo
        FROM gs LEFT JOIN agg USING (source) ORDER BY source"""
+  }
+
+  /** generated nDCG oracle: position discounts from the SAME
+    * Profiling.ndcgDiscountsNanos the operator uses (the rboOracleSql
+    * pattern); grades + quality ranking replicated from verified
+    * fragments. */
+  private def ndcgOracleSql(k: Int): String = {
+    val disc = graft.operators.Profiling.ndcgDiscountsNanos(k).zipWithIndex
+      .map { case (d, i) => s"(${i + 1}, $d)" }.mkString(", ")
+    s"""WITH qx AS (
+         SELECT doc_id, source, n_chars, text,
+           CAST(length(text) AS DOUBLE) AS n,
+           round(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+               t -> list_contains(['the','a','an','of','to','and','in','is','it','that'], t)))
+             / len(string_split_regex(lower(trim(text)), '\\s+')), 6) AS sr
+         FROM documents),
+       sc AS (
+         SELECT doc_id, source, n_chars, round((
+             CASE WHEN n >= 100 AND n <= 10000 THEN 1.0
+                  WHEN n >= 20 THEN 0.5 ELSE 0.0 END
+           + CASE WHEN sr > 0.05 THEN 1.0 ELSE 0.0 END
+           + CASE WHEN (n - length(regexp_replace(text, '[.,;:!?]', '', 'g'))) / n <= 0.2
+                  THEN 1.0 ELSE 0.0 END) / 3.0, 6) AS quality
+         FROM qx),
+       ra AS (SELECT source, doc_id, n_chars, row_number() OVER (
+                PARTITION BY source ORDER BY quality DESC, doc_id) AS r
+              FROM sc),
+       g AS (SELECT source, r,
+               CASE WHEN n_chars >= 420 THEN 3
+                    WHEN n_chars >= 300 THEN 2
+                    WHEN n_chars >= 180 THEN 1 ELSE 0 END AS rel
+             FROM ra),
+       gg AS (SELECT source, r,
+                (CAST(1 AS BIGINT) << rel) - 1 AS gain,
+                row_number() OVER (PARTITION BY source
+                  ORDER BY rel DESC, r) AS ir
+              FROM g),
+       disc(m, dn) AS (VALUES $disc),
+       t AS (SELECT gg.source,
+               coalesce(CASE WHEN gg.r <= $k THEN gg.gain * d1.dn END, 0)
+                 AS dcg_t,
+               coalesce(CASE WHEN gg.ir <= $k THEN gg.gain * d2.dn END, 0)
+                 AS idcg_t
+             FROM gg LEFT JOIN disc d1 ON d1.m = gg.r
+             LEFT JOIN disc d2 ON d2.m = gg.ir),
+       agg AS (SELECT source, sum(dcg_t) AS dcg, sum(idcg_t) AS idcg
+               FROM t GROUP BY source)
+       SELECT source, CASE WHEN idcg = 0 THEN NULL
+         ELSE round(CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE), 6) END
+         AS ndcg
+       FROM agg ORDER BY source"""
   }
 
   private def pqChainSql(model: Similarity.PqModel): String = {
@@ -6531,6 +6599,7 @@ object SparkEntry {
     // engines' levenshtein is the classic unit-cost edit distance
     "q_fuzzy_join" -> fuzzyJoinOracleSql(4),
     "q_rbo" -> rboOracleSql(10, 0.9),
+    "q_ndcg" -> ndcgOracleSql(10),
     // exact sides recomputed over the full corpus (the 3 mod-slices are
     // disjoint and covering); n_batches = slices that actually hold the
     // source; est_ok pinned TRUE (4σ·rse(lgK=12) band, q_profile_approx

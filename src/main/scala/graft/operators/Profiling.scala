@@ -916,6 +916,65 @@ object Profiling {
   def rboScale(k: Int, p: Double): Double =
     (1.0 - p) / (1.0 - math.pow(p, k))
 
+  /** nDCG@k per group — the graded-relevance ranking-quality metric
+    * ([[rankRbo]] compares two rankings to each other; nDCG scores ONE
+    * ranking against relevance labels). DCG = Σ_{i≤k} (2^rel − 1)/log₂(i+1)
+    * over the given ranking, IDCG the same over the ideal reordering
+    * (rel DESC, original rank ASC tie-break — the deterministic standard),
+    * nDCG = DCG/IDCG ∈ [0, 1].
+    *
+    * Exactness: integral relevance grades make every gain 2^rel − 1 an
+    * exact long, and the k position discounts 1/log₂(i+1) are fixed to
+    * integer NANOS at plan-build time ([[ndcgDiscountsNanos]] — shared with
+    * the generated oracle, the rboWeightsNanos pattern), so both DCG and
+    * IDCG are exact integer dot products; the single final division is the
+    * only double op. Groups whose top-k relevance is all zero have
+    * IDCG = 0: nDCG is undefined and emitted NULL (the agreementKappa
+    * degenerate-case doctrine).
+    *
+    * Plan shape: one rank-filter pass + one per-group ideal-rank window
+    * (partitioned by the group key, never global) + one hash aggregate —
+    * cost ∝ rows with rank ≤ max(k, group size), output |groups|. */
+  def ndcgAtK(df: DataFrame, qCol: String, itemCol: String, rankCol: String,
+              relCol: String, k: Int): DataFrame = {
+    require(k > 0 && k <= 1000, s"ndcgAtK: k out of (0, 1000]: $k")
+    val discounts = ndcgDiscountsNanos(k)
+    val base = df.select(col(qCol).as("__q"), col(itemCol).as("__i"),
+      col(rankCol).cast(LongType).as("__r"),
+      col(relCol).cast(LongType).as("__rel"))
+    // 2^rel − 1 in exact long space; grades are small by contract (the
+    // SQL shiftleft accepts a column bit count where the Scala builder
+    // only takes a literal)
+    val gain = expr("CAST(shiftleft(CAST(1 AS BIGINT), " +
+      "CAST(__rel AS INT)) AS BIGINT) - CAST(1 AS BIGINT)")
+    val wIdeal = Window.partitionBy("__q")
+      .orderBy(col("__rel").desc, col("__r").asc)
+    val ranked = base
+      .withColumn("__ideal_r", row_number().over(wIdeal).cast(LongType))
+      .withColumn("__g", gain)
+      .withColumn("__dcg_term", when(col("__r") <= k,
+        col("__g") * element_at(typedLit(discounts.toSeq),
+          col("__r").cast(IntegerType))).otherwise(0L))
+      .withColumn("__idcg_term", when(col("__ideal_r") <= k,
+        col("__g") * element_at(typedLit(discounts.toSeq),
+          col("__ideal_r").cast(IntegerType))).otherwise(0L))
+    ranked.groupBy("__q")
+      .agg(sum("__dcg_term").as("__dcg"), sum("__idcg_term").as("__idcg"))
+      .select(col("__q").as(qCol),
+        when(col("__idcg") === 0L, lit(null).cast(DoubleType))
+          .otherwise(round(col("__dcg").cast(DoubleType)
+            / col("__idcg").cast(DoubleType), 6)).as("ndcg"))
+      .orderBy(qCol)
+  }
+
+  /** 1/log₂(i+1) for i = 1..k in integer nanos — shared by [[ndcgAtK]] and
+    * its generated oracle so both engines compute the same integer dot
+    * products. */
+  def ndcgDiscountsNanos(k: Int): Array[Long] =
+    Array.tabulate(k) { i0 =>
+      math.round(1e9 / (math.log(i0 + 2.0) / math.log(2.0)))
+    }
+
   /** Accreting per-group cardinality sketch store — incremental COUNT
     * DISTINCT across ingest batches without ever rescanning history. Each
     * batch appends one Datasketches-HLL sketch row per group (group,

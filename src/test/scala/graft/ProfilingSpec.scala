@@ -570,6 +570,31 @@ class ProfilingSpec extends AnyFunSuite {
     assert(math.abs(total - 1.0) < 1e-7, total)
   }
 
+  test("ndcgAtK: perfect → 1, hand-computed swap, all-zero → NULL, beyond-k ignored") {
+    import graft.operators.Profiling
+    def f(rows: (String, String, Int, Int)*) =
+      rows.toSeq.toDF("q", "item", "rnk", "rel")
+    // relevance already sorted by the ranking: perfect, exactly 1
+    val perfect = f(("g", "a", 1, 3), ("g", "b", 2, 2), ("g", "c", 3, 0))
+    assert(Profiling.ndcgAtK(perfect, "q", "item", "rnk", "rel", 10)
+      .head().getDouble(1) == 1.0)
+    // the relevant item demoted to rank 2: nDCG = d2/d1 = 1/log2(3)
+    val swap = f(("g", "a", 1, 0), ("g", "b", 2, 1))
+    val got = Profiling.ndcgAtK(swap, "q", "item", "rnk", "rel", 10)
+      .head().getDouble(1)
+    assert(math.abs(got - 0.630930) < 1e-6, got)
+    // all-zero relevance: IDCG = 0 → undefined, NULL
+    val zero = f(("g", "a", 1, 0), ("g", "b", 2, 0))
+    assert(Profiling.ndcgAtK(zero, "q", "item", "rnk", "rel", 10)
+      .head().isNullAt(1))
+    // standard @k semantics: an item beyond the display cut still enters
+    // the IDEAL top-k — at k=1 the missed rel-3 item caps the score at
+    // gain 1·d1 / gain 7·d1
+    val far = f(("g", "a", 1, 1), ("g", "b", 2, 3))
+    assert(Profiling.ndcgAtK(far, "q", "item", "rnk", "rel", 1)
+      .head().getDouble(1) == 0.142857)
+  }
+
   test("cardinality sketch store: accretion ≡ one-shot, replay idempotent, lgK refusal") {
     import graft.operators.Profiling
     import org.apache.spark.sql.functions.col
