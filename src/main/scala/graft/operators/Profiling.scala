@@ -994,8 +994,10 @@ object Profiling {
                             valueExpr: Column, store: String,
                             lgK: Int = 12, nBuckets: Int = 8): Unit = {
     require(lgK >= 4 && lgK <= 21, s"writeCardinalityStore: lgK $lgK")
+    // seed tag -1 (the writeInvertedIndex convention): streaming ingest
+    // batchIds start at 0 and must never collide with the seed batch
     graft.sources.Sources.writeBucketed(
-      cardinalitySketchRows(df, groupCol, valueExpr, lgK, batchTag = 0L),
+      cardinalitySketchRows(df, groupCol, valueExpr, lgK, batchTag = -1L),
       store, "__g", nBuckets)
     Dedup.setStoreParams(df.sparkSession, store,
       Map("kind" -> "cardinality_hll", "lgK" -> lgK, "enc" -> "ds_hll_v1"))

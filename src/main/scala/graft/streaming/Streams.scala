@@ -754,4 +754,43 @@ object Streams {
     q.processAllAvailable()
     q.stop()
   }
+
+  /** one pass of streaming cardinality-sketch ingest: each micro-batch
+    * appends its per-group HLL sketch rows to the
+    * [[graft.operators.Profiling.writeCardinalityStore]] store — the
+    * distinct-count tracker of a CONTINUOUS ingest, completing the
+    * streaming twin family's seventh store modality. Exactly-once is
+    * IN-DATA (appendCardinalitySketches' `__batch` tag gate skips a
+    * replayed batchId even under a fresh checkpoint, whose batchIds
+    * restart at 0 — the seed write tags itself -1 so a stream can never
+    * collide with it); filesystem markers only make replay cheap.
+    * Estimate probes ([[graft.operators.Profiling.cardinalityEstimates]])
+    * see each batch's contribution as soon as its append commits. */
+  def runCardIngestOnce(spark: SparkSession, inDir: String,
+                        checkpointDir: String, store: String,
+                        groupCol: String, valueCol: String,
+                        lgK: Int): Unit = {
+    val schema = spark.read.parquet(inDir).schema
+    spark.catalog.refreshTable(store)
+    val markers = new org.apache.hadoop.fs.Path(checkpointDir, "card_commits")
+    val q = spark.readStream.schema(schema).parquet(inDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val s = batch.sparkSession
+        val fs = markers.getFileSystem(s.sessionState.newHadoopConf())
+        val marker = new org.apache.hadoop.fs.Path(markers, batchId.toString)
+        if (!fs.exists(marker)) {
+          graft.operators.Profiling.appendCardinalitySketches(s, store,
+            batch.toDF(), groupCol, col(valueCol), lgK, batchId)
+          fs.mkdirs(markers)
+          fs.createNewFile(marker)
+          s.catalog.refreshTable(store)
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
 }

@@ -947,4 +947,43 @@ class StreamsSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS media_stream")
     }
   }
+
+  test("streaming cardinality ingest: estimates equal a rebuild, replay-idempotent") {
+    import graft.operators.Profiling
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_carding").toString
+    val (inDir, ckpt) = (s"$base/in", s"$base/ckpt")
+    val seed = (1 to 200).map(i => (s"g${i % 2}", s"s${i % 30}")).toDF("g", "v")
+    val b1 = (1 to 200).map(i => (s"g${i % 2}", s"t${i % 25}")).toDF("g", "v")
+    spark.sql("DROP TABLE IF EXISTS graft_carding_store")
+    spark.sql("DROP TABLE IF EXISTS graft_carding_rebuild")
+    Profiling.writeCardinalityStore(seed, "g", col("v"),
+      "graft_carding_store", lgK = 12)
+    b1.write.mode("append").parquet(inDir)
+    Streams.runCardIngestOnce(spark, inDir, ckpt, "graft_carding_store",
+      "g", "v", lgK = 12)
+    try {
+      def est = Profiling.cardinalityEstimates(spark, "graft_carding_store")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val afterStream = est
+      // replay under a FRESH checkpoint: batchIds restart at 0, markers are
+      // blind — the __batch in-data gate must skip the double-append
+      Streams.runCardIngestOnce(spark, inDir, s"$base/ckpt2",
+        "graft_carding_store", "g", "v", lgK = 12)
+      assert(est == afterStream, "replayed batch double-appended")
+      assert(spark.table("graft_carding_store")
+        .select("__batch").distinct().count() == 2L) // seed -1 + batch 0
+      // estimates equal a from-scratch one-shot store over seed ∪ batch
+      Profiling.writeCardinalityStore(seed.unionAll(b1), "g", col("v"),
+        "graft_carding_rebuild", lgK = 12)
+      val rebuilt = Profiling.cardinalityEstimates(spark,
+          "graft_carding_rebuild")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(afterStream == rebuilt,
+        s"incremental $afterStream diverged from rebuild $rebuilt")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_carding_store")
+      spark.sql("DROP TABLE IF EXISTS graft_carding_rebuild")
+    }
+  }
 }
