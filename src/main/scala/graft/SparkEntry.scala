@@ -178,6 +178,27 @@ object SparkEntry {
       name
     })
 
+  /** accreting CMS frequency store, one per sf dir: same 3-batch mod-slice
+    * ingest history as [[cardStoreFor]] — the heavy-hitter twin. */
+  private val freqStores =
+    new scala.collection.concurrent.TrieMap[String, String]
+  private def freqStoreFor(s: SparkSession, dir: String): String =
+    freqStores.getOrElseUpdate(dir, {
+      val name = s"graft_freq_store_${java.lang.Integer.toHexString(dir.hashCode)}"
+      val tok = rd(s, dir, "documents").select(col("source"), col("doc_id"),
+        explode(filter(split(lower(trim(col("text"))), "\\s+"),
+          t => length(t) > lit(0))).as("__tok"))
+      graft.operators.Profiling.writeFrequencyStore(
+        tok.filter(pmod(col("doc_id"), lit(3)) === 0), col("__tok"), name,
+        eps = 0.001, confidence = 0.99, seed = 42)
+      Seq(1, 2).foreach { b =>
+        graft.operators.Profiling.appendFrequencySketch(s, name,
+          tok.filter(pmod(col("doc_id"), lit(3)) === b), col("__tok"),
+          eps = 0.001, confidence = 0.99, seed = 42, batchTag = b.toLong)
+      }
+      name
+    })
+
   private val posStores =
     new scala.collection.concurrent.TrieMap[String, String]
   private def posStoreFor(s: SparkSession, dir: String): String =
@@ -492,6 +513,7 @@ object SparkEntry {
     searchStoreFor(s, dir)
     posStoreFor(s, dir)
     cardStoreFor(s, dir)
+    freqStoreFor(s, dir)
     zorderBoundsFor(s, dir)
     profileExactDistinctFor(s, dir)
     bpeModelFor(s, dir)
@@ -2634,6 +2656,22 @@ object SparkEntry {
         .select(col("source").as("group_key"), col("exact_distinct"))
       graft.operators.Profiling.cardinalityEstimatesChecked(s, store, exact,
         lgK = 12)
+    }),
+    "q_cms_store" -> ((s, dir) => {
+      // incremental heavy-hitter tracking: exact top-20 token counts (the
+      // candidate side — verification shape) probed against the 3-batch
+      // accreted CMS store; cms_ok = exact ≤ est ≤ exact + ceil(eps·N),
+      // deterministic for fixed data, pinned TRUE by the oracle
+      val store = freqStoreFor(s, dir)
+      val exactTop = rd(s, dir, "documents").select(
+          explode(filter(split(lower(trim(col("text"))), "\\s+"),
+            t => length(t) > lit(0))).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).cast(LongType).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("token").asc)
+        .limit(20)
+      graft.operators.Profiling.frequencyEstimatesChecked(s, store,
+        exactTop, "token", eps = 0.001)
     }),
     "q_ndcg" -> ((s, dir) => {
       // nDCG@10 of the quality ranking against length-derived graded
@@ -6600,6 +6638,20 @@ object SparkEntry {
     "q_fuzzy_join" -> fuzzyJoinOracleSql(4),
     "q_rbo" -> rboOracleSql(10, 0.9),
     "q_ndcg" -> ndcgOracleSql(10),
+    // exact top-20 recomputed (count DESC, token ASC ties); cms_ok pinned
+    // TRUE — CMS never undercounts and the eps·N overcount band holds
+    // deterministically for fixed data (q_profile_approx doctrine)
+    "q_cms_store" ->
+      """WITH tok AS (
+           SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             t -> len(t) > 0)) AS token
+           FROM documents),
+         cnt AS (SELECT token, CAST(count(*) AS BIGINT) AS exact_cnt
+                 FROM tok GROUP BY token)
+         SELECT token, exact_cnt, TRUE AS cms_ok FROM (
+           SELECT token, exact_cnt FROM cnt
+           ORDER BY exact_cnt DESC, token LIMIT 20)
+         ORDER BY token""",
     // exact sides recomputed over the full corpus (the 3 mod-slices are
     // disjoint and covering); n_batches = slices that actually hold the
     // source; est_ok pinned TRUE (4σ·rse(lgK=12) band, q_profile_approx

@@ -755,6 +755,41 @@ object Streams {
     q.stop()
   }
 
+  /** one pass of streaming frequency-sketch ingest — the CMS heavy-hitter
+    * twin of [[runCardIngestOnce]]: each micro-batch appends ONE
+    * count-min-sketch row to the
+    * [[graft.operators.Profiling.writeFrequencyStore]] store. Same
+    * exactly-once shape: the in-data `__batch` tag gate survives a
+    * fresh-checkpoint replay, the seed row is tagged -1, filesystem
+    * markers only make replay cheap. */
+  def runFreqIngestOnce(spark: SparkSession, inDir: String,
+                        checkpointDir: String, store: String,
+                        valueCol: String, eps: Double, confidence: Double,
+                        seed: Int): Unit = {
+    val schema = spark.read.parquet(inDir).schema
+    spark.catalog.refreshTable(store)
+    val markers = new org.apache.hadoop.fs.Path(checkpointDir, "freq_commits")
+    val q = spark.readStream.schema(schema).parquet(inDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val s = batch.sparkSession
+        val fs = markers.getFileSystem(s.sessionState.newHadoopConf())
+        val marker = new org.apache.hadoop.fs.Path(markers, batchId.toString)
+        if (!fs.exists(marker)) {
+          graft.operators.Profiling.appendFrequencySketch(s, store,
+            batch.toDF(), col(valueCol), eps, confidence, seed, batchId)
+          fs.mkdirs(markers)
+          fs.createNewFile(marker)
+          s.catalog.refreshTable(store)
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** one pass of streaming cardinality-sketch ingest: each micro-batch
     * appends its per-group HLL sketch rows to the
     * [[graft.operators.Profiling.writeCardinalityStore]] store — the

@@ -595,6 +595,50 @@ class ProfilingSpec extends AnyFunSuite {
       .head().getDouble(1) == 0.142857)
   }
 
+  test("frequency (CMS) sketch store: accretion ≡ one-shot, replay no-op, eps refusal, contract") {
+    import graft.operators.Profiling
+    import org.apache.spark.sql.functions.col
+    val b1 = (1 to 400).map(i => (s"v${i % 37}")).toDF("v")
+    val b2 = (1 to 400).map(i => (s"v${i % 23}")).toDF("v")
+    val store = "graft_freq_store_spec"
+    val oneShot = "graft_freq_store_spec_oneshot"
+    Seq(store, oneShot).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    Profiling.writeFrequencyStore(b1, col("v"), store, eps = 0.01)
+    Profiling.appendFrequencySketch(spark, store, b2, col("v"),
+      eps = 0.01, confidence = 0.99, seed = 42, batchTag = 1L)
+    val cands = (0 until 37).map(i => s"v$i").toDF("item")
+    def est(table: String) =
+      Profiling.frequencyEstimates(spark, table, cands, "item")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val accreted = est(store)
+    // CMS merge is cell-wise exact: accreted ≡ one sketch over both batches
+    Profiling.writeFrequencyStore(b1.union(b2), col("v"), oneShot,
+      eps = 0.01)
+    assert(accreted == est(oneShot), "merge diverged from one-shot sketch")
+    // replayed tag is a no-op
+    Profiling.appendFrequencySketch(spark, store, b2, col("v"),
+      eps = 0.01, confidence = 0.99, seed = 42, batchTag = 1L)
+    assert(spark.table(store).count() == 2L)
+    // mismatched eps refuses loudly
+    val err = intercept[IllegalArgumentException] {
+      Profiling.appendFrequencySketch(spark, store, b2, col("v"),
+        eps = 0.001, confidence = 0.99, seed = 42, batchTag = 2L)
+    }
+    assert(err.getMessage.contains("eps"), err.getMessage)
+    // contract: never undercounts, and the checked flag is true on the
+    // real exact side, false on a planted-wrong one
+    val exact = b1.union(b2).groupBy(col("v").as("item"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).cast("long").as("exact_cnt"))
+    val checked = Profiling.frequencyEstimatesChecked(spark, store, exact,
+      "item", eps = 0.01).collect()
+    assert(checked.nonEmpty && checked.forall(_.getBoolean(2)),
+      checked.mkString(", "))
+    val wrong = exact.withColumn("exact_cnt", col("exact_cnt") + 1000L)
+    assert(Profiling.frequencyEstimatesChecked(spark, store, wrong,
+      "item", eps = 0.01).collect().forall(!_.getBoolean(2)))
+  }
+
   test("cardinality sketch store: accretion ≡ one-shot, replay idempotent, lgK refusal") {
     import graft.operators.Profiling
     import org.apache.spark.sql.functions.col

@@ -948,6 +948,42 @@ class StreamsSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming frequency (CMS) ingest: estimates equal a rebuild, replay-idempotent") {
+    import graft.operators.Profiling
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_freqing").toString
+    val (inDir, ckpt) = (s"$base/in", s"$base/ckpt")
+    val seed = (1 to 300).map(i => s"s${i % 29}").toDF("v")
+    val b1 = (1 to 300).map(i => s"t${i % 31}").toDF("v")
+    spark.sql("DROP TABLE IF EXISTS graft_freqing_store")
+    spark.sql("DROP TABLE IF EXISTS graft_freqing_rebuild")
+    Profiling.writeFrequencyStore(seed, col("v"), "graft_freqing_store",
+      eps = 0.01)
+    b1.write.mode("append").parquet(inDir)
+    Streams.runFreqIngestOnce(spark, inDir, ckpt, "graft_freqing_store",
+      "v", eps = 0.01, confidence = 0.99, seed = 42)
+    try {
+      val cands = ((0 until 29).map(i => s"s$i") ++
+        (0 until 31).map(i => s"t$i")).toDF("item")
+      def est(table: String) =
+        Profiling.frequencyEstimates(spark, table, cands, "item")
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val afterStream = est("graft_freqing_store")
+      Streams.runFreqIngestOnce(spark, inDir, s"$base/ckpt2",
+        "graft_freqing_store", "v", eps = 0.01, confidence = 0.99, seed = 42)
+      assert(est("graft_freqing_store") == afterStream,
+        "replayed batch double-appended")
+      assert(spark.table("graft_freqing_store").count() == 2L)
+      Profiling.writeFrequencyStore(seed.unionAll(b1), col("v"),
+        "graft_freqing_rebuild", eps = 0.01)
+      assert(afterStream == est("graft_freqing_rebuild"),
+        "incremental store diverged from rebuild")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_freqing_store")
+      spark.sql("DROP TABLE IF EXISTS graft_freqing_rebuild")
+    }
+  }
+
   test("streaming cardinality ingest: estimates equal a rebuild, replay-idempotent") {
     import graft.operators.Profiling
     import spark.implicits._
