@@ -2657,6 +2657,13 @@ object SparkEntry {
       graft.operators.Profiling.cardinalityEstimatesChecked(s, store, exact,
         lgK = 12)
     }),
+    "q_pmi" -> ((s, dir) =>
+      // top-30 PMI collocations (min pair count 5): one checkpointed
+      // tokenize pass feeds pair + unigram aggregates; the PMI argument is
+      // one fixed-shape double product ratio of six exact longs, fixed to
+      // integer nanos; final cut is TakeOrdered on integer keys
+      graft.operators.TextAnalysis.topPmiBigrams(rd(s, dir, "documents"),
+        "text", k = 30, minPairCount = 5L)),
     "q_cms_store" -> ((s, dir) => {
       // incremental heavy-hitter tracking: exact top-20 token counts (the
       // candidate side — verification shape) probed against the 3-batch
@@ -6638,6 +6645,33 @@ object SparkEntry {
     "q_fuzzy_join" -> fuzzyJoinOracleSql(4),
     "q_rbo" -> rboOracleSql(10, 0.9),
     "q_ndcg" -> ndcgOracleSql(10),
+    // same positional pair fragment as q_bigram_lm; PMI argument mirrors
+    // the Spark side's exact double-product shape factor for factor
+    "q_pmi" ->
+      """WITH tok AS (
+           SELECT doc_id, u['t'] AS t, u['p'] AS p FROM (
+             SELECT doc_id, unnest(list_transform(
+               string_split_regex(lower(trim(text)), '\s+'),
+               (x, i) -> {'t': x, 'p': i})) AS u
+             FROM documents)
+           WHERE len(u['t']) > 0),
+         pairs AS (
+           SELECT a.t AS t1, b.t AS t2
+           FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.p = a.p + 1),
+         pc AS (SELECT t1, t2, CAST(count(*) AS BIGINT) AS cnt_ab
+                FROM pairs GROUP BY t1, t2 HAVING count(*) >= 5),
+         uc AS (SELECT t, CAST(count(*) AS BIGINT) AS cnt
+                FROM tok GROUP BY t),
+         tot AS (SELECT (SELECT sum(cnt) FROM uc) AS n,
+                        (SELECT count(*) FROM pairs) AS m)
+         SELECT t1, t2, cnt_ab,
+           CAST(round(ln(
+             (CAST(cnt_ab AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+             / (CAST(m AS DOUBLE) * CAST(ca.cnt AS DOUBLE)
+                * CAST(cb.cnt AS DOUBLE))) * 1e9) AS BIGINT) AS pmi_nanos
+         FROM pc JOIN uc ca ON ca.t = pc.t1 JOIN uc cb ON cb.t = pc.t2
+         CROSS JOIN tot
+         ORDER BY pmi_nanos DESC, t1, t2 LIMIT 30""",
     // exact top-20 recomputed (count DESC, token ASC ties); cms_ok pinned
     // TRUE — CMS never undercounts and the eps·N overcount band holds
     // deterministically for fixed data (q_profile_approx doctrine)

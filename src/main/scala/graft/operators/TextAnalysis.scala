@@ -390,6 +390,63 @@ object TextAnalysis {
           .cast(DoubleType) / count(lit(1)) / 1e9, 6).as("avg_logp"))
   }
 
+  /** Top-k PMI collocations: adjacent token pairs ranked by pointwise
+    * mutual information PMI(a,b) = ln(p(a,b)/(p(a)p(b))) with p(a,b) over
+    * the bigram table and p(·) over unigrams — the corpus-analysis pass
+    * that surfaces multiword expressions ("new york", "machine learning")
+    * for tokenizer vocab curation and boilerplate phrase review.
+    * `minPairCount` is the standard hapax guard (raw PMI is maximized by
+    * pairs seen once).
+    *
+    * Determinism: the PMI argument is one fixed-shape double product
+    * ratio (cnt_ab·N·N)/(M·cnt_a·cnt_b) — all six factors exact longs cast
+    * to double, so both engines evaluate the identical IEEE expression;
+    * the value is fixed to integer NANOS and ordering/ties run entirely on
+    * (pmi_nanos DESC, t1, t2) integers. Double products keep the operator
+    * safe where long products (N² at a 10¹³-token corpus) would overflow.
+    *
+    * Scale shape: ONE tokenize pass (checkpointed) feeds both the pair and
+    * unigram aggregates (row-local zip pairs, the bigramLogProb HOF-trap
+    * doctrine); totals are 1-row broadcasts; the final cut is a top-k
+    * TakeOrdered, never a full sort. */
+  def topPmiBigrams(df: DataFrame, textCol: String, k: Int,
+                    minPairCount: Long = 5L): DataFrame = {
+    require(k > 0, s"topPmiBigrams: k must be positive: $k")
+    require(minPairCount >= 1, s"topPmiBigrams: minPairCount $minPairCount")
+    val t = col("__toks")
+    val pairsArr = when(size(t) >= 2,
+        zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+          (a, b) => struct(a.as("t1"), b.as("t2"))))
+      .otherwise(array().cast("array<struct<t1:string,t2:string>>"))
+    val base = df
+      .select(filter(tokens(col(textCol)), x => length(x) > 0).as("__toks"))
+      .localCheckpoint()
+    val prs = base.select(explode(pairsArr).as("p"))
+      .select(col("p.t1").as("t1"), col("p.t2").as("t2"))
+    val pairCnt = prs.groupBy("t1", "t2")
+      .agg(count(lit(1)).cast(LongType).as("cnt_ab"))
+      .filter(col("cnt_ab") >= minPairCount)
+      .localCheckpoint()
+    val uniCnt = base.select(explode(t).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).cast(LongType).as("cnt"))
+      .localCheckpoint()
+    val nTok = uniCnt.agg(sum("cnt").cast(LongType).as("__n"))
+    val mPairs = prs.agg(count(lit(1)).cast(LongType).as("__m"))
+    val pmiNanos = round(log(
+      (col("cnt_ab").cast(DoubleType) * col("__n").cast(DoubleType)
+        * col("__n").cast(DoubleType))
+      / (col("__m").cast(DoubleType) * col("__ca").cast(DoubleType)
+        * col("__cb").cast(DoubleType))) * lit(1e9)).cast(LongType)
+    pairCnt
+      .join(uniCnt.select(col("tok").as("t1"), col("cnt").as("__ca")), "t1")
+      .join(uniCnt.select(col("tok").as("t2"), col("cnt").as("__cb")), "t2")
+      .crossJoin(broadcast(nTok)).crossJoin(broadcast(mPairs))
+      .select(col("t1"), col("t2"), col("cnt_ab"),
+        pmiNanos.as("pmi_nanos"))
+      .orderBy(col("pmi_nanos").desc, col("t1").asc, col("t2").asc)
+      .limit(k)
+  }
+
   /** Sequence packing (concat-and-chunk): lay each group's documents end to
     * end in deterministic (`orderCol`) order and assign every document the
     * training chunk its FIRST token lands in — chunk = floor(start_offset /

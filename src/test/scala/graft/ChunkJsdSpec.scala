@@ -101,6 +101,31 @@ class ChunkJsdSpec extends AnyFunSuite {
     }
   }
 
+  test("topPmiBigrams: hand-computed PMI, hapax guard, top-k cut") {
+    val docs = Seq("a b", "a b", "a b", "c c").toDF("text")
+    // tokens a:3 b:3 c:2 (N=8), pairs (a,b):3 (c,c):1 (M=4)
+    val all = TextAnalysis.topPmiBigrams(docs, "text", k = 10,
+      minPairCount = 1L).collect()
+    val rows = all.map(r => (r.getAs[String]("t1"), r.getAs[String]("t2"),
+      r.getAs[Long]("cnt_ab"), r.getAs[Long]("pmi_nanos")))
+    assert(rows.length == 2, rows.mkString(", "))
+    val abRow = rows.find(t => t._1 == "a" && t._2 == "b").get
+    val ccRow = rows.find(t => t._1 == "c" && t._2 == "c").get
+    assert(abRow._3 == 3L)
+    assert(abRow._4 == math.round(math.log(3.0 * 64 / (4 * 3 * 3)) * 1e9))
+    assert(ccRow._3 == 1L)
+    assert(ccRow._4 == math.round(math.log(4.0) * 1e9))
+    // hapax guard drops the singleton pair
+    val guarded = TextAnalysis.topPmiBigrams(docs, "text", k = 10,
+      minPairCount = 2L).collect()
+    assert(guarded.length == 1 &&
+      guarded.head.getAs[String]("t1") == "a")
+    // top-k cut keeps the highest-PMI pair (a,b at ln 16/3 > c,c at ln 4)
+    val top1 = TextAnalysis.topPmiBigrams(docs, "text", k = 1,
+      minPairCount = 1L).collect()
+    assert(top1.head.getAs[String]("t1") == "a", top1.mkString(", "))
+  }
+
   test("groupJsDivergence: group totals broadcast; join is vocab-keyed") {
     val docs = (1 to 300).map(i =>
       (s"g${i % 5}", s"tok${i % 40} tok${i % 17} common")).toDF("g", "text")
