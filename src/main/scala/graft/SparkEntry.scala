@@ -2657,6 +2657,13 @@ object SparkEntry {
       graft.operators.Profiling.cardinalityEstimatesChecked(s, store, exact,
         lgK = 12)
     }),
+    "q_jl_project" -> ((s, dir) =>
+      // Johnson-Lindenstrauss ±1 sign projection 64 → 16 in integer
+      // micros: exact signed integer sums (order-independent), sign matrix
+      // as plan literals — the dim-reduction front end that cuts every
+      // downstream distance scan 4x
+      graft.operators.Similarity.jlProjectMicros(rd(s, dir, "embeddings"),
+        "vec_id", "embedding", inDim = 64, outDim = 16)),
     "q_pmi" -> ((s, dir) =>
       // top-30 PMI collocations (min pair count 5): one checkpointed
       // tokenize pass feeds pair + unigram aggregates; the PMI argument is
@@ -3976,6 +3983,28 @@ object SparkEntry {
        WHERE CAST(round(jaro_winkler_similarity(a.k, b.k) * 1e6) AS BIGINT)
          >= 850000
        ORDER BY id_a, id_b"""
+
+  /** generated JL oracle: the ±1 sign literals come from the SAME
+    * Similarity.jlSigns the operator embeds (1-based i for DuckDB's
+    * list_transform index). */
+  private def jlOracleSql(inDim: Int, outDim: Int, seed: Long): String = {
+    val sgn = graft.operators.Similarity.jlSigns(inDim, outDim, seed)
+      .zipWithIndex.flatMap { case (row, j) =>
+        row.zipWithIndex.map { case (s, i) => s"($j, ${i + 1}, $s)" }
+      }.mkString(", ")
+    s"""WITH x AS (
+         SELECT vec_id, u['v'] AS v, u['i'] AS i FROM (
+           SELECT vec_id, unnest(list_transform(embedding,
+             (e, ix) -> {'v': e, 'i': ix})) AS u
+           FROM embeddings)),
+       sgn(j, i, s) AS (VALUES $sgn)
+       SELECT x.vec_id, CAST(sgn.j AS BIGINT) AS j,
+         CAST(sum(CAST(round(CAST(v AS DOUBLE) * 1e6) AS BIGINT) * s)
+           AS BIGINT) AS y_micros
+       FROM x JOIN sgn ON sgn.i = x.i
+       GROUP BY x.vec_id, sgn.j
+       ORDER BY vec_id, j"""
+  }
 
   /** generated RBO oracle: the k weight nanos and the normalizer come from
     * the SAME Profiling.rboWeightsNanos/rboScale the operator uses, so both
@@ -6645,6 +6674,7 @@ object SparkEntry {
     "q_fuzzy_join" -> fuzzyJoinOracleSql(4),
     "q_rbo" -> rboOracleSql(10, 0.9),
     "q_ndcg" -> ndcgOracleSql(10),
+    "q_jl_project" -> jlOracleSql(64, 16, 42L),
     // same positional pair fragment as q_bigram_lm; PMI argument mirrors
     // the Spark side's exact double-product shape factor for factor
     "q_pmi" ->

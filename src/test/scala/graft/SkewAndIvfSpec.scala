@@ -694,4 +694,45 @@ class SkewAndIvfSpec extends AnyFunSuite {
         s"pre-enc store must demand a rebuild: ${encErr.getMessage}")
     } finally spark.sql("DROP TABLE IF EXISTS graft_pq_test_pq")
   }
+
+  test("jlProjectMicros: exact integer sums, partition-immune, JL geometry holds") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val vecs = (1L to 40L).map(i =>
+      (i, Seq.fill(64)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    // hand case: inDim 2 → outDim 1 with the actual sign literals
+    val signs = Similarity.jlSigns(2, 1, seed = 42L)
+    val tiny = Seq((1L, Seq(0.5f, -0.25f))).toDF("vec_id", "embedding")
+    val y = Similarity.jlProjectMicros(tiny, "vec_id", "embedding", 2, 1)
+      .head().getLong(2)
+    assert(y == signs(0)(0) * 500000L + signs(0)(1) * -250000L, y)
+    // partitioning immunity: exact integer sums can't drift
+    val a = Similarity.jlProjectMicros(vecs, "vec_id", "embedding", 64, 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val b = Similarity.jlProjectMicros(vecs.repartition(7), "vec_id",
+      "embedding", 64, 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(a == b)
+    // JL geometry for THIS fixed seed/data (deterministic, not a flake):
+    // ||ya−yb||² / (m·||xa−xb||²) concentrates near 1
+    val xm = vecs.collect().map { r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(v =>
+        math.round(v.toDouble * 1e6)).toArray
+    }.toMap
+    val proj = a.toSeq.groupBy(_._1._1).map { case (id, kv) =>
+      id -> kv.sortBy(_._1._2).map(_._2).toArray
+    }
+    val ratios = for (i <- 1L to 20L; j <- (i + 1) to 21L) yield {
+      val dx = xm(i).zip(xm(j)).map { case (p, q) => (p - q).toDouble }
+        .map(d => d * d).sum
+      val dy = proj(i).zip(proj(j)).map { case (p, q) => (p - q).toDouble }
+        .map(d => d * d).sum
+      dy / (16.0 * dx)
+    }
+    assert(ratios.forall(r => r > 0.2 && r < 2.5),
+      s"JL distortion out of band: min=${ratios.min} max=${ratios.max}")
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.7 && mean < 1.3, s"JL mean ratio drifted: $mean")
+  }
 }
