@@ -484,9 +484,12 @@ object TextAnalysis {
     * per-doc start sequence) — no shuffle, no join; output rows ≈ n/stride
     * per doc and each carries only its own window's text. Row width stays
     * bounded by chunkTokens, so downstream embedding batches see uniform
-    * work regardless of document length skew. */
+    * work regardless of document length skew. Being stateless it composes
+    * onto a STREAM unchanged — pass `ordered = false` (streams cannot
+    * global-sort; batch callers keep the deterministic dump order). */
   def chunkTokenWindows(df: DataFrame, idCol: String, textCol: String,
-                        chunkTokens: Int, strideTokens: Int): DataFrame = {
+                        chunkTokens: Int, strideTokens: Int,
+                        ordered: Boolean = true): DataFrame = {
     require(chunkTokens > 0, s"chunkTokens must be positive: $chunkTokens")
     require(strideTokens > 0 && strideTokens <= chunkTokens,
       s"strideTokens must be in (0, chunkTokens]: $strideTokens")
@@ -506,8 +509,10 @@ object TextAnalysis {
         slice(col("__toks"), (col("start_token") + 1).cast(IntegerType),
           col("n_chunk_tokens").cast(IntegerType)), " "))
       .select(col(idCol), col("chunk_idx"), col("start_token"),
-        col("n_chunk_tokens"), col("chunk_text"))
-      .orderBy(col(idCol), col("chunk_idx"))
+        col("n_chunk_tokens"), col("chunk_text")) match {
+      case out if ordered => out.orderBy(col(idCol), col("chunk_idx"))
+      case out => out
+    }
   }
 
   /** Pairwise Jensen-Shannon divergence (in bits) between the unigram token

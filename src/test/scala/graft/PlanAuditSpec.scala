@@ -551,6 +551,29 @@ class PlanAuditSpec extends AnyFunSuite {
       !best.contains("BroadcastNestedLoopJoin"), best)
   }
 
+  test("topPmiBigrams / jlProjectMicros: one tokenize pass, pure projection — no stray shuffles") {
+    import graft.operators.{Similarity, TextAnalysis}
+    val docs = (1L to 200L).map(i => (i, s"w${i % 9} w${(i + 1) % 9} w${(i + 2) % 9}"))
+      .toDF("doc_id", "text")
+    val pmi = finalPlan(TextAnalysis.topPmiBigrams(docs, "text", k = 10,
+      minPairCount = 2L))
+    // totals ride broadcasts; the vocab joins must never be cartesian
+    assert(!pmi.contains("CartesianProduct"), pmi)
+    assert(pmi.contains("TakeOrderedAndProject") || pmi.contains("TakeOrdered"),
+      s"top-k cut must be TakeOrdered, not a full sort:\n$pmi")
+    val rnd = new scala.util.Random(5)
+    val vecs = (1L to 100L).map(i => (i, Seq.fill(8)(rnd.nextFloat())))
+      .toDF("vec_id", "embedding")
+    val jl = Similarity.jlProjectMicros(vecs, "vec_id", "embedding", 8, 4,
+      seed = 1L)
+    jl.collect()
+    val jlPlan = jl.queryExecution.executedPlan.toString
+    // a pure projection + Generate: the only exchange is the output sort
+    assert(!jlPlan.contains("hashpartitioning"),
+      s"JL projection must not hash-shuffle:\n$jlPlan")
+    assert(!jlPlan.contains("Join"), jlPlan)
+  }
+
   test("rollingActive / intervalCoverage: key-partitioned windows, broadcast max-day, no SinglePartition") {
     import graft.operators.Analytics
     val ev = (1L to 300L).map(i => (i, new java.sql.Timestamp(i * 7200000),

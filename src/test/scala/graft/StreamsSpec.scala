@@ -948,6 +948,36 @@ class StreamsSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming chunker: stateless chunkTokenWindows on a stream ≡ batch") {
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val docs = Seq((1L, "a b c d e f g"), (2L, "x y"), (3L, "p q r s t"))
+    val mem = MemoryStream[(Long, String)]
+    val streamed = TextAnalysis.chunkTokenWindows(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      chunkTokens = 3, strideTokens = 2, ordered = false)
+    val q = streamed.writeStream.outputMode("append")
+      .format("memory").queryName("chunk_stream").start()
+    try {
+      mem.addData(docs.take(2))
+      q.processAllAvailable()
+      mem.addData(docs.drop(2))
+      q.processAllAvailable()
+      val got = spark.table("chunk_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getString(4))).toSet
+      val batch = TextAnalysis.chunkTokenWindows(
+        docs.toDF("doc_id", "text"), "doc_id", "text", 3, 2).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getString(4))).toSet
+      assert(got == batch, s"stream $got != batch $batch")
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS chunk_stream")
+    }
+  }
+
   test("streaming frequency (CMS) ingest: estimates equal a rebuild, replay-idempotent") {
     import graft.operators.Profiling
     import spark.implicits._
