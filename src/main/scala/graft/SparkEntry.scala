@@ -2730,6 +2730,12 @@ object SparkEntry {
       // shuffle; chunk width bounded so embedding batches see uniform work
       graft.operators.TextAnalysis.chunkTokenWindows(rd(s, dir, "documents"),
         "doc_id", "text", chunkTokens = 24, strideTokens = 16)),
+    "q_source_jaccard" -> ((s, dir) =>
+      // pairwise token-SET Jaccard between sources: integer-exact
+      // inclusion-exclusion over one distinct (source, token) aggregate +
+      // one vocab-keyed join — the set complement of q_js_divergence
+      graft.operators.TextAnalysis.groupTokenJaccard(rd(s, dir, "documents"),
+        "source", "text")),
     "q_js_divergence" -> ((s, dir) =>
       // pairwise Jensen-Shannon divergence between source unigram
       // distributions — the mixing diagnostic; ln2-reduction keeps the join
@@ -6756,6 +6762,27 @@ object SparkEntry {
              i * 16 + least(nt - i * 16, 24)), ' ') AS chunk_text
          FROM c
          ORDER BY doc_id, chunk_idx""",
+    "q_source_jaccard" ->
+      """WITH sets AS (
+           SELECT DISTINCT g, term FROM (
+             SELECT source AS g,
+               unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                 t -> len(t) > 0)) AS term
+             FROM documents)),
+         sz AS (SELECT g, CAST(count(*) AS BIGINT) AS s FROM sets GROUP BY g),
+         com AS (
+           SELECT a.g AS ga, b.g AS gb, CAST(count(*) AS BIGINT) AS i
+           FROM sets a JOIN sets b ON a.term = b.term AND a.g < b.g
+           GROUP BY a.g, b.g),
+         pairs AS (SELECT a.g AS ga, a.s AS sa, b.g AS gb, b.s AS sb
+                   FROM sz a JOIN sz b ON a.g < b.g)
+         SELECT pairs.ga AS group_a, pairs.gb AS group_b,
+           coalesce(i, 0) AS n_common,
+           sa + sb - coalesce(i, 0) AS n_union,
+           round(CAST(coalesce(i, 0) AS DOUBLE)
+             / (sa + sb - coalesce(i, 0)), 6) AS jaccard
+         FROM pairs LEFT JOIN com ON pairs.ga = com.ga AND pairs.gb = com.gb
+         ORDER BY group_a, group_b""",
     // same ln2-reduction and literal ln2 divisor as the Spark side; the ln
     // argument is one division of two exact BIGINT products, per-token
     // terms fixed to integer nanos before the sum (q_token_entropy doctrine)

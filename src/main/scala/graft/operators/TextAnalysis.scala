@@ -570,6 +570,44 @@ object TextAnalysis {
       .orderBy("group_a", "group_b")
   }
 
+  /** Pairwise token-SET Jaccard between groups — the set-overlap
+    * complement of [[groupJsDivergence]] (JSD weighs frequency mass; this
+    * asks only "how much vocabulary do two sources share", the corpus
+    * pre-merge diagnostic). Entirely integer-exact: |A∩B| from one
+    * vocab-keyed self-join of the distinct (group, token) table,
+    * |A∪B| = |A| + |B| − |A∩B| by inclusion-exclusion — one final
+    * correctly-rounded division. Pairs sharing nothing keep a 0 row.
+    *
+    * Scale shape: one distinct aggregate (map-side combined) over
+    * (group, token), a vocabulary-keyed join, sizes broadcast,
+    * groups²-sized output — the groupJsDivergence plan with set
+    * semantics. */
+  def groupTokenJaccard(df: DataFrame, groupCol: String,
+                        textCol: String): DataFrame = {
+    val sets = df.select(col(groupCol).as("__g"),
+        explode(filter(split(lower(trim(col(textCol))), "\\s+"),
+          t => length(t) > lit(0))).as("__term"))
+      .distinct()
+    val sizes = sets.groupBy("__g")
+      .agg(count(lit(1)).cast(LongType).as("__sz"))
+    val common = sets.select(col("__g").as("__ga"), col("__term"))
+      .join(sets.select(col("__g").as("__gb"), col("__term")), Seq("__term"))
+      .filter(col("__ga") < col("__gb"))
+      .groupBy("__ga", "__gb")
+      .agg(count(lit(1)).cast(LongType).as("__inter"))
+    val pairs = sizes.select(col("__g").as("__ga"), col("__sz").as("__sa"))
+      .crossJoin(sizes.select(col("__g").as("__gb"), col("__sz").as("__sb")))
+      .filter(col("__ga") < col("__gb"))
+    pairs.join(common, Seq("__ga", "__gb"), "left")
+      .withColumn("__i", coalesce(col("__inter"), lit(0L)))
+      .select(col("__ga").as("group_a"), col("__gb").as("group_b"),
+        col("__i").as("n_common"),
+        (col("__sa") + col("__sb") - col("__i")).as("n_union"),
+        round(col("__i").cast(DoubleType)
+          / (col("__sa") + col("__sb") - col("__i")), 6).as("jaccard"))
+      .orderBy("group_a", "group_b")
+  }
+
   /** GLOBAL shard planning — [[chunkAssignments]] without a group key:
     * lay the WHOLE corpus end to end in `idCol` order and assign each
     * document the output shard its first token lands in (shard =

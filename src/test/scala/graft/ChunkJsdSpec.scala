@@ -126,6 +126,25 @@ class ChunkJsdSpec extends AnyFunSuite {
     assert(top1.head.getAs[String]("t1") == "a", top1.mkString(", "))
   }
 
+  test("groupTokenJaccard: hand-computed thirds, identical → 1, disjoint → 0 row kept") {
+    val df = Seq(
+      ("a", "x y"), ("b", "x z"),       // |A∩B|=1, |A∪B|=3 → 1/3
+      ("c", "x y"),                      // identical set to a → 1
+      ("d", "p q")                       // disjoint from a → 0 (row kept)
+    ).toDF("g", "text")
+    val out = TextAnalysis.groupTokenJaccard(df, "g", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out(("a", "b")) == (1L, 3L, 0.333333))
+    assert(out(("a", "c")) == (2L, 2L, 1.0))
+    assert(out(("a", "d")) == (0L, 4L, 0.0))
+    assert(out.size == 6) // all C(4,2) pairs present
+    // duplicate tokens in a doc count once (SET semantics)
+    val dup = Seq(("a", "x x x y"), ("b", "x z")).toDF("g", "text")
+    val r = TextAnalysis.groupTokenJaccard(dup, "g", "text").head()
+    assert(r.getLong(2) == 1L && r.getLong(3) == 3L)
+  }
+
   test("groupJsDivergence: group totals broadcast; join is vocab-keyed") {
     val docs = (1 to 300).map(i =>
       (s"g${i % 5}", s"tok${i % 40} tok${i % 17} common")).toDF("g", "text")
