@@ -6784,8 +6784,10 @@ object SparkEntry {
          FROM pairs LEFT JOIN com ON pairs.ga = com.ga AND pairs.gb = com.gb
          ORDER BY group_a, group_b""",
     // same ln2-reduction and literal ln2 divisor as the Spark side; the ln
-    // argument is one division of two exact BIGINT products, per-token
-    // terms fixed to integer nanos before the sum (q_token_entropy doctrine)
+    // argument's cross products are DOUBLE·DOUBLE (each factor cast before
+    // the multiply — the identical IEEE expression shape as the Spark plan,
+    // immune to BIGINT wrap at any corpus size), per-token terms fixed to
+    // integer nanos before the sum (q_token_entropy doctrine)
     "q_js_divergence" ->
       """WITH tok AS (
            SELECT source AS g,
@@ -6798,11 +6800,13 @@ object SparkEntry {
            SELECT a.g AS ga, b.g AS gb,
              CAST(round((
                CAST(a.c AS DOUBLE) / ta.t
-                 * ln(CAST(a.c * tb.t AS DOUBLE)
-                     / CAST(a.c * tb.t + b.c * ta.t AS DOUBLE))
+                 * ln((CAST(a.c AS DOUBLE) * CAST(tb.t AS DOUBLE))
+                     / (CAST(a.c AS DOUBLE) * CAST(tb.t AS DOUBLE)
+                        + CAST(b.c AS DOUBLE) * CAST(ta.t AS DOUBLE)))
                + CAST(b.c AS DOUBLE) / tb.t
-                 * ln(CAST(b.c * ta.t AS DOUBLE)
-                     / CAST(a.c * tb.t + b.c * ta.t AS DOUBLE))
+                 * ln((CAST(b.c AS DOUBLE) * CAST(ta.t AS DOUBLE))
+                     / (CAST(a.c AS DOUBLE) * CAST(tb.t AS DOUBLE)
+                        + CAST(b.c AS DOUBLE) * CAST(ta.t AS DOUBLE)))
              ) * 1e9) AS BIGINT) AS tn
            FROM dist a JOIN dist b ON a.term = b.term AND a.g < b.g
            JOIN tot ta ON ta.g = a.g JOIN tot tb ON tb.g = b.g),

@@ -18,7 +18,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Semantics match DuckDB's `jaro_winkler_similarity` (the verification
   * oracle) exactly, pinned empirically:
-  *   - either side empty → 0.0 (including both empty);
+  *   - either side empty → 0.0 (including both empty — re-verified against
+  *     a live DuckDB 1.0.0: `jaro_winkler_similarity('','')` = 0.0, NOT the
+  *     rapidfuzz-conventional 1.0);
   *   - Jaro match window = max(len1,len2)/2 - 1 (integer division, floor 0 —
   *     equal-length-2 anagrams like "ab"/"ba" score 0);
   *   - transpositions = half the positional mismatches between the two

@@ -1091,7 +1091,9 @@ object Profiling {
     require(confidence > 0 && confidence < 1,
       s"writeFrequencyStore: confidence $confidence")
     frequencySketchRow(df, valueExpr, eps, confidence, seed, batchTag = -1L)
-      .write.format("parquet").saveAsTable(store)
+      .write.format("parquet")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite) // rebuild replaces, like every other store writer
+      .saveAsTable(store)
     Dedup.setStoreParams(df.sparkSession, store,
       Map("kind" -> "frequency_cms", "eps" -> eps,
         "confidence" -> confidence, "seed" -> seed, "enc" -> "cms_v1"))

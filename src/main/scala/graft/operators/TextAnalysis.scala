@@ -497,9 +497,12 @@ object TextAnalysis {
       t => length(t) > lit(0))
     df.select(col(idCol), toks.as("__toks"))
       .withColumn("__n", size(col("__toks")).cast(LongType))
+      // integer `div`, not true-division + truncating cast: exact by
+      // construction (and textually the oracle's `//` form) instead of
+      // leaning on correctly-rounded double division below ~2^52 tokens
       .withColumn("__nchunks",
-        (lit(1L) + (greatest(col("__n") - chunkTokens, lit(0L))
-          + lit(strideTokens - 1)) / strideTokens).cast(LongType))
+        lit(1L) + expr(s"(greatest(__n - ${chunkTokens}L, 0L) " +
+          s"+ ${strideTokens - 1}L) div ${strideTokens}L"))
       .select(col(idCol), col("__toks"), col("__n"),
         explode(sequence(lit(0L), col("__nchunks") - 1)).as("chunk_idx"))
       .withColumn("start_token", col("chunk_idx") * strideTokens)
@@ -527,8 +530,11 @@ object TextAnalysis {
     * Integer-NANOS doctrine (the q_token_entropy pattern): each per-token
     * term is fixed to a BIGINT nanos value before the sum, making the
     * aggregate order-independent and cross-engine exact; the ln argument is
-    * a single division of two exact long products (c_a·t_b vs the pooled
-    * denominator), so both engines round the same rational to double.
+    * a ratio of cross products c_a·t_b vs the pooled denominator, each
+    * factor cast to DOUBLE BEFORE the multiply (the topPmiBigrams shape —
+    * a long·long product would silently wrap past 2^63 in non-ANSI Spark
+    * while the oracle's HUGEINT would not; double·double is the identical
+    * IEEE op on both engines at any corpus size).
     *
     * Scale shape: one (group, token) hash aggregate with map-side combine,
     * a vocabulary-sized self-join on the token key (never corpus-sized),
@@ -546,13 +552,12 @@ object TextAnalysis {
     val b = dist.join(broadcast(totals), "__g").select(
       col("__g").as("__gb"), col("__term"),
       col("__c").as("__cb"), col("__t").as("__tb"))
-    val den = (col("__ca") * col("__tb") + col("__cb") * col("__ta"))
-      .cast(DoubleType)
+    val pa = col("__ca").cast(DoubleType) * col("__tb").cast(DoubleType)
+    val pb = col("__cb").cast(DoubleType) * col("__ta").cast(DoubleType)
+    val den = pa + pb
     val termNanos = round((
-      col("__ca").cast(DoubleType) / col("__ta")
-        * log((col("__ca") * col("__tb")).cast(DoubleType) / den)
-      + col("__cb").cast(DoubleType) / col("__tb")
-        * log((col("__cb") * col("__ta")).cast(DoubleType) / den)
+      col("__ca").cast(DoubleType) / col("__ta") * log(pa / den)
+      + col("__cb").cast(DoubleType) / col("__tb") * log(pb / den)
       ) * lit(1e9)).cast(LongType)
     val common = a.join(b, Seq("__term"))
       .filter(col("__ga") < col("__gb"))
