@@ -2037,6 +2037,25 @@ object SparkEntry {
             "src_host", "html"),
           iterations = 3)
         .orderBy("host")),
+    "q_host_rank_dangling" -> ((s, dir) =>
+      // the full random-surfer model: hub/portal sinks' rank mass is
+      // redistributed uniformly each iteration (D_t from one hosts-sized
+      // anti-join aggregate, broadcast back) instead of leaking — total
+      // mass conserved up to floor residue, ranks comparable across
+      // graphs; same exact-integer unroll, oracle replays every iteration
+      LinkGraph.pageRankHostsDangling(
+          LinkGraph.hostEdges(plantLinkedPages(rd(s, dir, "documents")),
+            "src_host", "html"),
+          iterations = 3)
+        .orderBy("host")),
+    "q_rank_convergence" -> ((s, dir) =>
+      // the stopping-evidence report: per-iteration dangling inflow and
+      // L1 rank delta, exact integer nanos — callers read the decay curve
+      // to pick `iterations` instead of guessing
+      LinkGraph.pageRankDanglingReport(
+          LinkGraph.hostEdges(plantLinkedPages(rd(s, dir, "documents")),
+            "src_host", "html"),
+          iterations = 3)),
     "q_anchor_text" -> ((s, dir) =>
       // anchor-text postings by target host — the retrieval-corpus mining
       // signal (anchor text ≈ human queries for the target page). Two
@@ -4557,6 +4576,72 @@ object SparkEntry {
        FROM it$iterations ORDER BY host"""
   }
 
+  /** the dangling-variant CTE chain shared by q_host_rank_dangling and
+    * q_rank_convergence: each iteration k gets a dg$k scalar (the previous
+    * ranks' mass on hosts with no out-edge) redistributed uniformly —
+    * `(17·dm) // (20·n)` per node, the same integer floor the Spark plan
+    * takes — so ranks AND the per-iteration report replay bit-for-bit. */
+  private def hostRankDanglingCtes(iterations: Int): String = {
+    val steps = (1 to iterations).map { k =>
+      val prev = if (k == 1) "r0" else s"it${k - 1}"
+      s"""dg$k AS (
+           SELECT CAST(coalesce(sum(rank_nanos), 0) AS BIGINT) AS dm
+           FROM $prev r
+           WHERE r.host NOT IN (SELECT src_host FROM out_t)),
+         it$k AS (
+           SELECT nd.host,
+             (3000000000 // (20 * p.n)) +
+               (17 * coalesce(s.sm, CAST(0 AS BIGINT))) // 20 +
+               (17 * d.dm) // (20 * p.n) AS rank_nanos
+           FROM nodes nd CROSS JOIN params p CROSS JOIN dg$k d
+           LEFT JOIN (
+             SELECT e.dst_host AS host,
+               sum((r.rank_nanos * e.n_links) // o.outn) AS sm
+             FROM e JOIN out_t o USING (src_host)
+                    JOIN $prev r ON r.host = e.src_host
+             GROUP BY 1) s ON s.host = nd.host)"""
+    }.mkString(", ")
+    s"""WITH $LinkPagesSql,
+       links AS (
+         SELECT src_host,
+           unnest(regexp_extract_all(html, '$HrefPatternSql', 1)) AS url
+         FROM pages),
+       e0 AS (
+         SELECT src_host,
+           lower(regexp_extract(url, '$HostPatternSql', 1)) AS dst_host
+         FROM links),
+       e AS (
+         SELECT src_host, dst_host, count(*) AS n_links
+         FROM e0 WHERE dst_host <> '' AND dst_host <> src_host
+         GROUP BY 1, 2),
+       out_t AS (SELECT src_host, sum(n_links) AS outn FROM e GROUP BY 1),
+       nodes AS (SELECT DISTINCT host FROM (
+         SELECT src_host AS host FROM e
+         UNION ALL SELECT dst_host FROM e)),
+       params AS (SELECT count(*) AS n FROM nodes),
+       r0 AS (SELECT host, 1000000000 // p.n AS rank_nanos
+              FROM nodes CROSS JOIN params p),
+       $steps"""
+  }
+
+  private def hostRankDanglingOracleSql(iterations: Int): String =
+    s"""${hostRankDanglingCtes(iterations)}
+       SELECT host, CAST(rank_nanos AS BIGINT) AS rank_nanos
+       FROM it$iterations ORDER BY host"""
+
+  private def rankConvergenceOracleSql(iterations: Int): String = {
+    val rows = (1 to iterations).map { k =>
+      val prev = if (k == 1) "r0" else s"it${k - 1}"
+      s"""SELECT CAST($k AS BIGINT) AS iteration,
+           (SELECT dm FROM dg$k) AS dangling_in_nanos,
+           CAST((SELECT sum(abs(a.rank_nanos - b.rank_nanos))
+                 FROM it$k a JOIN $prev b USING (host)) AS BIGINT)
+             AS l1_delta_nanos"""
+    }.mkString(" UNION ALL ")
+    s"""${hostRankDanglingCtes(iterations)}
+       SELECT * FROM ($rows) ORDER BY iteration"""
+  }
+
   /** q_bpe_count's generated oracle: per-doc BPE token counts from the
     * independently-coded sequential encoder
     * ([[graft.verify.IndependentOracles.bpeCounts]]) over the SAME
@@ -5843,6 +5928,8 @@ object SparkEntry {
          FROM e0 WHERE dst_host <> '' AND dst_host <> src_host
          GROUP BY 1, 2 ORDER BY src_host, dst_host""",
     "q_host_rank" -> hostRankOracleSql(3),
+    "q_host_rank_dangling" -> hostRankDanglingOracleSql(3),
+    "q_rank_convergence" -> rankConvergenceOracleSql(3),
     // anchor-text replay: the same two-group pattern, lists zipped
     // positionally (numeric struct indexes — DuckDB list_zip structs are
     // unnamed), self-loops kept by construction

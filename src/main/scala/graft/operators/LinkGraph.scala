@@ -131,4 +131,86 @@ object LinkGraph {
     }
     ranks.select(col("host"), col("rank_nanos"))
   }
+
+  /** [[pageRankHosts]] with the dangling-mass term RESTORED: hosts with no
+    * out-edges (link sinks — in a real web graph, a large fraction) leak
+    * their whole rank each iteration under the simplified variant, so total
+    * mass decays and ranks are not comparable across graphs or iteration
+    * counts. Here each iteration redistributes the danglings' mass
+    * uniformly: rank_{t+1}(v) = (1−d)/N + d·Σ contribs + d·D_t/N with
+    * D_t = Σ_{dangling u} rank_t(u) — the full Brin-Page random-surfer
+    * model. Still exact-integer: D_t is a single hosts-sized aggregate
+    * (one extra tiny job per iteration, broadcast back as a 1-row frame),
+    * and the per-node dangling share is one more integer floor division
+    * ((17·D_t) div (20·N)), so the oracle unrolls bit-for-bit as before.
+    *
+    * Scale shape unchanged from [[pageRankHosts]]: the edge table is never
+    * re-keyed; the additions are hosts-sized (the anti-join against the
+    * out-degree table) or 1-row (the broadcast scalar). */
+  def pageRankHostsDangling(edges: DataFrame, iterations: Int = 3): DataFrame =
+    pageRankDanglingLoop(edges, iterations)._1
+
+  /** per-iteration convergence evidence for [[pageRankHostsDangling]]:
+    * (iteration, dangling_in_nanos, l1_delta_nanos) where
+    * dangling_in_nanos = D_{t−1} (the mass redistributed INTO that
+    * iteration) and l1_delta_nanos = Σ_v |rank_t(v) − rank_{t−1}(v)| — the
+    * standard stopping diagnostic, so callers pick `iterations` from a
+    * measured decay curve instead of folklore. Exact integers end to end
+    * (sums of abs-differences of nanos), so the report is oracle-pinnable
+    * like the ranks themselves. Output is iterations-sized. */
+  def pageRankDanglingReport(edges: DataFrame, iterations: Int = 3): DataFrame =
+    pageRankDanglingLoop(edges, iterations)._2
+
+  private def pageRankDanglingLoop(edges: DataFrame,
+                                   iterations: Int): (DataFrame, DataFrame) = {
+    require(iterations >= 1 && iterations <= 20,
+      s"pageRankHostsDangling: iterations must be in [1,20], got $iterations")
+    val e = edges
+      .select(col("src_host"), col("dst_host"),
+        col("n_links").cast(LongType).as("n_links"))
+      .filter(col("src_host") =!= col("dst_host"))
+      .localCheckpoint()
+    val out = e.groupBy("src_host")
+      .agg(sum("n_links").as("__out")).localCheckpoint()
+    val nodes = e.select(col("src_host").as("host"))
+      .unionAll(e.select(col("dst_host").as("host")))
+      .distinct().localCheckpoint()
+    val n = nodes.count()
+    require(n > 0, "pageRankHostsDangling: empty edge set")
+    val init = 1000000000L / n
+    val base = (3L * 1000000000L) / (20L * n) // (1−d)/N in nanos, d=17/20
+    var ranks = nodes.withColumn("rank_nanos", lit(init)).localCheckpoint()
+    val reports = Vector.newBuilder[DataFrame]
+    (1 to iterations).foreach { k =>
+      // D_{t−1}: rank mass sitting on hosts with no out-edge — one
+      // hosts-sized anti-join + scalar aggregate, broadcast back
+      val dang = ranks
+        .join(out.select(col("src_host").as("host")), Seq("host"), "left_anti")
+        .agg(coalesce(sum("rank_nanos"), lit(0L)).cast(LongType).as("__dang"))
+      val contribs = e
+        .join(out, Seq("src_host"))
+        .join(ranks.withColumnRenamed("host", "src_host"), Seq("src_host"))
+        .select(col("dst_host").as("host"),
+          expr("(rank_nanos * n_links) div __out").as("__c"))
+      val agged = contribs.groupBy("host").agg(sum("__c").as("__sum"))
+      val next = nodes.join(agged, Seq("host"), "left")
+        .crossJoin(broadcast(dang))
+        .select(col("host"),
+          (lit(base) +
+            expr("(17 * coalesce(__sum, CAST(0 AS BIGINT))) div 20") +
+            expr(s"(17 * __dang) div ${20L * n}"))
+            .cast(LongType).as("rank_nanos"))
+        .localCheckpoint()
+      reports += next
+        .join(ranks.withColumnRenamed("rank_nanos", "__prev"), Seq("host"))
+        .agg(sum(abs(col("rank_nanos") - col("__prev")))
+          .cast(LongType).as("l1_delta_nanos"))
+        .crossJoin(broadcast(dang))
+        .select(lit(k.toLong).as("iteration"),
+          col("__dang").as("dangling_in_nanos"), col("l1_delta_nanos"))
+      ranks = next
+    }
+    (ranks.select(col("host"), col("rank_nanos")),
+      reports.result().reduce(_ unionByName _).orderBy("iteration"))
+  }
 }

@@ -1017,7 +1017,8 @@ object Profiling {
       required = Set("enc"))
     val seen = spark.table(store).select("__batch").distinct()
       .collect().map(_.getLong(0)).toSet
-    if (!seen.contains(batchTag)) {
+    if (batchTag > compactedWatermark(spark, store) &&
+        !seen.contains(batchTag)) {
       graft.sources.Sources.writeBucketed(
         cardinalitySketchRows(df, groupCol, valueExpr, lgK, batchTag),
         store, "__g", nBuckets = 8,
@@ -1113,11 +1114,122 @@ object Profiling {
       required = Set("enc"))
     val seen = spark.table(store).select("__batch").distinct()
       .collect().map(_.getLong(0)).toSet
-    if (!seen.contains(batchTag)) {
+    if (batchTag > compactedWatermark(spark, store) &&
+        !seen.contains(batchTag)) {
       frequencySketchRow(df, valueExpr, eps, confidence, seed, batchTag)
         .write.format("parquet").mode(org.apache.spark.sql.SaveMode.Append)
         .saveAsTable(store)
     }
+  }
+
+  /** the highest batch tag folded away by a compaction (Long.MinValue when
+    * the store has never compacted): a replayed tag at or below it has been
+    * applied even though its row no longer exists — the IN-DATA replay
+    * guard the accreting appends consult alongside the live tag set. */
+  private def compactedWatermark(spark: SparkSession, store: String): Long =
+    spark.sql(s"SHOW TBLPROPERTIES $store").collect()
+      .collectFirst {
+        case r if r.getString(0) == "graft.compacted_watermark" =>
+          r.getString(1).toLong
+      }.getOrElse(Long.MinValue)
+
+  /** Compact an accreting cardinality store IN PLACE: merge every group's
+    * batch rows into ONE row. HLL union is max-per-register — associative,
+    * commutative, lossless — so every estimate the store can ever serve is
+    * PROVABLY unchanged (parity-asserted in ProfilingSpec); what changes is
+    * the probe's read cost, from groups×batches sketch rows (365× the
+    * groups-sized read after a year of daily batches) back to groups. The
+    * missing maintenance verb every other store modality already had
+    * ([[graft.sources.Sources.compactBucketed]] precedent: staging write +
+    * drop→rename swap, crash-repaired by recoverStoreSwap, `graft.*`
+    * properties re-applied).
+    *
+    * Replay contract after compaction: the folded batches' tags survive as
+    * the `graft.compacted_watermark` property (= their max) — the appends
+    * skip any tag ≤ watermark, so redelivery of a compacted batch is still
+    * an exact no-op. Requires batch tags nondecreasing across a compaction
+    * boundary, which the streaming twins' monotone batchIds guarantee (and
+    * the maintenance-window doctrine: compact between ingest passes, like
+    * every other store maintainer). `n_batches` in the estimates probe
+    * counts surviving MERGE UNITS (1 per group after compaction) — the
+    * estimates and n_rows are the preserved quantities. */
+  def compactCardinalityStore(spark: SparkSession, store: String,
+                              nBuckets: Int = 8): Unit = {
+    graft.sources.Sources.recoverStoreSwap(spark, store)
+    Dedup.checkStoreParams(spark, store,
+      Map("kind" -> "cardinality_hll"), required = Set.empty)
+    val props = spark.sql(s"SHOW TBLPROPERTIES $store").collect()
+      .map(r => r.getString(0) -> r.getString(1))
+      .filter(_._1.startsWith("graft."))
+    val staging = s"${store}__compacting"
+    spark.sql(s"DROP TABLE IF EXISTS $staging")
+    val merged = spark.table(store).groupBy("__g")
+      .agg(hll_union_agg(col("__sketch")).as("__sketch"),
+        sum("__n").cast(LongType).as("__n"),
+        max("__batch").cast(LongType).as("__batch"))
+      .localCheckpoint()
+    val watermark = merged.agg(max("__batch")).collect().headOption
+      .flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
+      .getOrElse(Long.MinValue)
+    // one file per bucket: repartition on the bucketed writer's own
+    // bucket-id assignment (the compactBucketed small-files doctrine)
+    graft.sources.Sources.writeBucketed(
+      merged.repartition(nBuckets, pmod(hash(col("__g")), lit(nBuckets))),
+      staging, "__g", nBuckets)
+    merged.unpersist()
+    spark.sql(s"DROP TABLE $store")
+    spark.sql(s"ALTER TABLE $staging RENAME TO $store")
+    val newProps = props.toMap +
+      ("graft.compacted_watermark" -> watermark.toString)
+    spark.sql(s"ALTER TABLE $store SET TBLPROPERTIES (" +
+      newProps.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"'$k' = '$v'" }.mkString(", ") + ")")
+  }
+
+  /** [[compactCardinalityStore]]'s CMS sibling: fold every batch row of an
+    * accreting frequency store into ONE row. CMS merge is cell-wise
+    * addition — exact and order-independent — so all estimates are
+    * provably unchanged while [[mergedFrequencySketch]]'s per-probe
+    * collect+merge drops from batches rows to one. The merge itself runs
+    * driver-side over kilobyte sketch rows (exactly what every probe
+    * already does once); the swap/watermark/crash contract matches the
+    * cardinality compactor. */
+  def compactFrequencyStore(spark: SparkSession, store: String): Unit = {
+    graft.sources.Sources.recoverStoreSwap(spark, store)
+    Dedup.checkStoreParams(spark, store,
+      Map("kind" -> "frequency_cms"), required = Set.empty)
+    val props = spark.sql(s"SHOW TBLPROPERTIES $store").collect()
+      .map(r => r.getString(0) -> r.getString(1))
+      .filter(_._1.startsWith("graft."))
+    val rows = spark.table(store).select("__sketch", "__n", "__batch")
+      .collect()
+    require(rows.nonEmpty, s"compactFrequencyStore: $store is empty")
+    val merged = org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(rows.head.getAs[Array[Byte]](0))
+    rows.tail.foreach { r =>
+      merged.mergeInPlace(org.apache.spark.util.sketch.CountMinSketch
+        .readFrom(r.getAs[Array[Byte]](0)))
+    }
+    val n = rows.map(_.getLong(1)).sum
+    val watermark = rows.map(_.getLong(2)).max
+    val one = spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(
+        merged.toByteArray, n, watermark)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__sketch",
+          org.apache.spark.sql.types.BinaryType),
+        org.apache.spark.sql.types.StructField("__n", LongType),
+        org.apache.spark.sql.types.StructField("__batch", LongType))))
+    val staging = s"${store}__compacting"
+    spark.sql(s"DROP TABLE IF EXISTS $staging")
+    one.write.format("parquet").saveAsTable(staging)
+    spark.sql(s"DROP TABLE $store")
+    spark.sql(s"ALTER TABLE $staging RENAME TO $store")
+    val newProps = props.toMap +
+      ("graft.compacted_watermark" -> watermark.toString)
+    spark.sql(s"ALTER TABLE $store SET TBLPROPERTIES (" +
+      newProps.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"'$k' = '$v'" }.mkString(", ") + ")")
   }
 
   private def frequencySketchRow(df: DataFrame, valueExpr: Column,

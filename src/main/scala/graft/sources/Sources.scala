@@ -402,18 +402,30 @@ object Sources {
     * elide on BOTH sides (proven in SourcesAndUdafSpec) and the merge
     * reads each bucket pair once; a typical delta is also ≪ base, so the
     * unbucketed case broadcasts the delta keys. */
-  def mergeSnapshot(base: DataFrame, delta: DataFrame, keyCol: String,
-                    opCol: String = "op"): DataFrame = {
-    val ops = delta.select(col(opCol)).distinct()
-    // cheap contract guard: unknown op values silently dropping rows is
-    // the worst failure mode for a store maintainer (delta is small)
-    val bad = ops.filter(!col(opCol).isin("upsert", "delete")).take(1)
-    require(bad.isEmpty,
-      s"mergeSnapshot: delta.$opCol has values outside {upsert, delete}: " +
-        bad.mkString(", "))
-    base.join(delta.select(keyCol), Seq(keyCol), "left_anti")
-      .unionByName(delta.filter(col(opCol) === "upsert").drop(opCol))
+  /** IN-PLAN op-domain guard (the containment massGuard precedent,
+    * [[graft.operators.Dedup]]'s fail-fast raise_error projection): rides
+    * the delta's key projection, so EVERY delta row — upsert, delete, or
+    * garbage — is validated by the merge job itself as it scans the delta.
+    * An unknown op silently dropping rows is the worst failure mode for a
+    * store maintainer; the old eager distinct+take(1) caught it at the same
+    * loudness but cost two extra driver round-trips PER MERGE — at a
+    * many-batch CDC cadence that is pure maintenance-window overhead. */
+  private def guardedKeys(delta: DataFrame, keyCol: String, opCol: String,
+                          fn: String): DataFrame = {
+    import org.apache.spark.sql.functions.{format_string, lit, raise_error, when}
+    delta.select(col(keyCol),
+        when(col(opCol).isin("upsert", "delete"), lit(true))
+          .otherwise(raise_error(format_string(
+            s"$fn: delta.$opCol has a value outside {upsert, delete}: %s",
+            col(opCol))).cast("boolean")).as("__op_ok"))
+      .filter(col("__op_ok")).select(keyCol)
   }
+
+  def mergeSnapshot(base: DataFrame, delta: DataFrame, keyCol: String,
+                    opCol: String = "op"): DataFrame =
+    base.join(guardedKeys(delta, keyCol, opCol, "mergeSnapshot"),
+        Seq(keyCol), "left_anti")
+      .unionByName(delta.filter(col(opCol) === "upsert").drop(opCol))
 
   /** Apply a changeset to a bucketed store table IN PLACE: read, merge
     * ([[mergeSnapshot]] — co-bucketed anti-join, no base shuffle), write
@@ -470,12 +482,10 @@ object Sources {
   def scd2Merge(history: DataFrame, delta: DataFrame, keyCol: String,
                 batch: Long, opCol: String = "op"): DataFrame = {
     import org.apache.spark.sql.functions.{lit, when}
-    val ops = delta.select(col(opCol)).distinct()
-    val bad = ops.filter(!col(opCol).isin("upsert", "delete")).take(1)
-    require(bad.isEmpty,
-      s"scd2Merge: delta.$opCol has values outside {upsert, delete}: " +
-        bad.mkString(", "))
-    val touched = delta.select(col(keyCol)).distinct()
+    // op-domain validation is IN the close-join's build side
+    // ([[guardedKeys]]): every delta row flows through it, so a bad op
+    // fails the merge job loudly with zero eager driver actions
+    val touched = guardedKeys(delta, keyCol, opCol, "scd2Merge").distinct()
       .withColumn("__touched", lit(true))
     val closed = history.join(touched, Seq(keyCol), "left")
       .withColumn("valid_to",

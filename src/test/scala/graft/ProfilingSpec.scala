@@ -217,9 +217,13 @@ class ProfilingSpec extends AnyFunSuite {
   test("mergeSnapshot: unknown op value fails loudly instead of dropping rows") {
     val base = Seq((1L, "one")).toDF("k", "v")
     val delta = Seq((1L, "x", "update")).toDF("k", "v", "op")
-    val e = intercept[IllegalArgumentException](
+    // the guard is IN-PLAN (raise_error riding the delta key projection —
+    // zero eager driver actions per merge), so it fires at action time
+    val e = intercept[Exception](
       Sources.mergeSnapshot(base, delta, "k").collect())
-    assert(e.getMessage.contains("update"))
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "|" + chain(t.getCause)
+    assert(chain(e).contains("update"))
   }
 
   test("mergeIntoStore: bucketed round trip, second merge composes") {
@@ -637,6 +641,25 @@ class ProfilingSpec extends AnyFunSuite {
     val wrong = exact.withColumn("exact_cnt", col("exact_cnt") + 1000L)
     assert(Profiling.frequencyEstimatesChecked(spark, store, wrong,
       "item", eps = 0.01).collect().forall(!_.getBoolean(2)))
+    // COMPACTION parity: CMS merge is cell-wise exact — estimates
+    // bit-identical, store collapses to ONE row
+    val preCompact = est(store)
+    Profiling.compactFrequencyStore(spark, store)
+    assert(spark.table(store).count() == 1L, "one merged sketch row")
+    assert(est(store) == preCompact, "estimates changed across compaction")
+    // folded tag redelivery still a no-op; a new batch still appends
+    Profiling.appendFrequencySketch(spark, store, b2, col("v"),
+      eps = 0.01, confidence = 0.99, seed = 42, batchTag = 1L)
+    assert(spark.table(store).count() == 1L, "replayed folded tag must no-op")
+    val b3 = (1 to 100).map(i => (s"v${i % 11}")).toDF("v")
+    Profiling.appendFrequencySketch(spark, store, b3, col("v"),
+      eps = 0.01, confidence = 0.99, seed = 42, batchTag = 2L)
+    val three = "graft_freq_store_spec_three"
+    spark.sql(s"DROP TABLE IF EXISTS $three")
+    Profiling.writeFrequencyStore(b1.union(b2).union(b3), col("v"), three,
+      eps = 0.01)
+    assert(est(store) == est(three),
+      "post-compaction append diverged from the 3-batch one-shot")
   }
 
   test("cardinality sketch store: accretion ≡ one-shot, replay idempotent, lgK refusal") {
@@ -686,5 +709,34 @@ class ProfilingSpec extends AnyFunSuite {
     val bad = Profiling.cardinalityEstimatesChecked(spark, store, wrong,
       lgK = 12).collect()
     assert(bad.forall(!_.getBoolean(4)), bad.mkString(", "))
+    // COMPACTION parity: HLL union is lossless — estimates bit-identical,
+    // store collapses from groups×batches rows to groups rows
+    val preCompact = Profiling.cardinalityEstimates(spark, store).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    Profiling.compactCardinalityStore(spark, store)
+    assert(spark.table(store).count() == 3L, "one merged row per group")
+    val postCompact = Profiling.cardinalityEstimates(spark, store).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(postCompact == preCompact,
+      s"estimates/n_rows changed across compaction: $postCompact vs $preCompact")
+    // a FOLDED tag's redelivery is still an exact no-op (the
+    // compacted_watermark guard — its row no longer exists to match on)
+    Profiling.appendCardinalitySketches(spark, store, b2, "g", col("v"),
+      lgK = 12, batchTag = 1L)
+    assert(spark.table(store).count() == 3L, "replayed folded tag must no-op")
+    // a genuinely NEW batch appends and unions exactly as before
+    val b3 = (1 to 90).map(i => (s"g${i % 3}", s"x${i % 30}")).toDF("g", "v")
+    Profiling.appendCardinalitySketches(spark, store, b3, "g", col("v"),
+      lgK = 12, batchTag = 2L)
+    val three = "graft_card_store_spec_three"
+    spark.sql(s"DROP TABLE IF EXISTS $three")
+    Profiling.writeCardinalityStore(b1.union(b2).union(b3), "g", col("v"),
+      three, lgK = 12)
+    val afterNew = Profiling.cardinalityEstimates(spark, store).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val oneShot3 = Profiling.cardinalityEstimates(spark, three).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(afterNew == oneShot3,
+      "post-compaction append diverged from the 3-batch one-shot")
   }
 }

@@ -55,10 +55,14 @@ class Scd2AndMixSpec extends AnyFunSuite {
 
   test("scd2Merge rejects unknown op values") {
     val bad = Seq((2L, "x", "replace")).toDF("id", "v", "op")
-    val e = intercept[IllegalArgumentException] {
-      Sources.scd2Merge(hist0, bad, "id", 1L)
+    // guard moved in-plan (raise_error on the close-join's build side):
+    // same loud failure, now at action time with zero eager driver actions
+    val e = intercept[Exception] {
+      Sources.scd2Merge(hist0, bad, "id", 1L).collect()
     }
-    assert(e.getMessage.contains("replace"))
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "|" + chain(t.getCause)
+    assert(chain(e).contains("replace"))
   }
 
   test("scd2MergeIntoStore: bucketed table round-trips the merge") {
