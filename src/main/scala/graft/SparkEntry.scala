@@ -292,7 +292,7 @@ object SparkEntry {
     budgetBpeRatesMemo.getOrElseUpdate(dir, {
       val docs = rd(s, dir, "documents")
       val counted = docs.select(col("doc_id"), col("source"))
-        .join(graft.operators.Bpe.tokenCounts(docs, "doc_id", "text",
+        .join(graft.operators.Bpe.tokenCountsDict(docs, "doc_id", "text",
           bpeModelFor(s, dir)), Seq("doc_id"))
       Sampling.tokenBudgetRates(counted, col("n_bpe"), "source",
         budgetTokens = 10000L,
@@ -2182,12 +2182,15 @@ object SparkEntry {
         .select("doc_id", "source").orderBy("doc_id")),
     "q_bpe_count" -> ((s, dir) => {
       // REAL BPE token counts per doc (round 18): the distributed GPT-2
-      // encode loop under the corpus-learned 200-merge table, with a
-      // per-partition word memo. Oracle = memo-free sequential recompute
-      // by an independently-coded encoder over the SAME merges table,
-      // embedded as per-doc literals — diverges if the kernel's memo ever
-      // leaked or partitions mixed rows (the q_compress_ratio doctrine)
-      graft.operators.Bpe.tokenCounts(rd(s, dir, "documents"), "doc_id",
+      // encode loop under the corpus-learned 200-merge table, via the
+      // DICTIONARY-JOIN path: each distinct word encodes exactly once
+      // (vocab-bounded — the q_pmi cost law — vs the memo kernel's
+      // measured 14.6x at 100x when the memo hit rate collapsed), then
+      // per-word lengths join back to (doc, word) counts. Oracle =
+      // memo-free sequential recompute by an independently-coded encoder
+      // over the SAME merges table, embedded as per-doc literals —
+      // diverges if the join path ever mis-counts or drops a word
+      graft.operators.Bpe.tokenCountsDict(rd(s, dir, "documents"), "doc_id",
           "text", bpeModelFor(s, dir))
         .orderBy("doc_id")
     }),

@@ -44,6 +44,13 @@ class BpeSpec extends AnyFunSuite {
     // q_bpe_count oracle contract)
     val indep = graft.verify.IndependentOracles.bpeCounts(docs, m.merges).toMap
     assert(indep == got, s"independent recompute diverged: $indep vs $got")
+    // the dictionary-join batch path is result-identical by construction
+    // (each distinct word encoded once, lengths joined back), including the
+    // empty doc's 0 row — and stays identical under repartitioning
+    val dict = Bpe.tokenCountsDict(docs.toDF("doc_id", "text").repartition(3),
+        "doc_id", "text", m)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dict == got, s"dict path diverged from memo kernel: $dict vs $got")
   }
 
   test("fit: end-to-end on a frame, merges deterministic, refines subwordCount") {
