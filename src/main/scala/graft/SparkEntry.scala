@@ -2006,6 +2006,23 @@ object SparkEntry {
           sampleFraction = 0.5)
         .select("doc_id", "source").orderBy("doc_id")
     }),
+    "q_curation_ppl" -> ((s, dir) => {
+      // curation with the CCNet-style perplexity gate UP FRONT: only
+      // fluent docs (kept under the corpus bigram LM) enter the verified
+      // gate→dedup→sample chain. Discriminative composition: the ppl
+      // threshold sits at the corpus median, so the fluency gate halves
+      // the curation input and every downstream stage sees different
+      // frequencies than q_curation's
+      val docs = rd(s, dir, "documents")
+      val fluent = TextAnalysis.lmPerplexityFilter(docs, "doc_id", "text",
+          maxPpl = LmPerplexityMaxPpl)
+        .filter(col("kept")).select("doc_id")
+      graft.operators.Curation.curate(
+          docs.join(fluent, Seq("doc_id"), "left_semi"),
+          "doc_id", "text", lang = "en", minQuality = 0.6,
+          nearDupThreshold = 0.5, sampleFraction = 0.5)
+        .select("doc_id", "source").orderBy("doc_id")
+    }),
     "q_link_extract" -> ((s, dir) => {
       // anchor-href extraction over synthetic linked pages (round 18):
       // every href surfaces with its position and lowercased host —
@@ -2110,6 +2127,14 @@ object SparkEntry {
       // bigram table — row-local pair HOF, two Zipf-bounded aggregates off
       // one exploded pass, per-pair nanos before the per-doc sum
       TextAnalysis.bigramLogProb(rd(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+    "q_lm_perplexity" -> ((s, dir) =>
+      // the CCNet-style perplexity GATE the LM family feeds: add-one
+      // smoothed bigram LM, per-pair nanos terms, keep ⇔ −Σ ≤ ln(maxPpl)·n
+      // in exact integers (threshold literal shared with the oracle);
+      // short docs (no bigram) score NULL and drop
+      TextAnalysis.lmPerplexityFilter(rd(s, dir, "documents"),
+          "doc_id", "text", maxPpl = LmPerplexityMaxPpl)
         .orderBy("doc_id")),
     "q_pack_chunks" -> ((s, dir) =>
       TextAnalysis.chunkAssignments(rd(s, dir, "documents"),
@@ -3060,6 +3085,75 @@ object SparkEntry {
                   len(list_filter(tt, x -> list_contains(['el','los','las','es'], x))) AS hs,
                   len(list_filter(tt, x -> list_contains(['le','les','est','une'], x))) AS hf,
                   len(list_filter(tt, x -> list_contains(['der','die','das','ist'], x))) AS hd)) = 'en')"""
+
+  /** q_lm_perplexity's threshold, ln-fixed at plan time and shared with
+    * the oracle (the rboWeightsNanos literal-sharing pattern). Chosen so
+    * the fixture corpus SPLITS (both kept outcomes occur at every test
+    * SF) — a threshold past the distribution edge would verify the gate
+    * vacuously. */
+  private val LmPerplexityMaxPpl: Double = 30.0
+
+  /** the add-one-smoothed bigram scoring CTEs over `src` (ends with `sc`:
+    * doc_id, n_bigrams, sn) — shared by q_lm_perplexity and the composed
+    * q_curation_ppl so the gate and its composition cannot drift. Same
+    * tok/pairs/pc/uc shapes as q_bigram_lm; V = context-vocabulary size
+    * rides as a 1-row cross join. */
+  private def lmPplChainSql(src: String): String =
+    s"""ptok AS (
+         SELECT doc_id, u['t'] AS t, u['p'] AS p FROM (
+           SELECT doc_id, unnest(list_transform(
+             string_split_regex(lower(trim(text)), '\\s+'),
+             (x, i) -> {'t': x, 'p': i})) AS u
+           FROM $src)
+         WHERE len(u['t']) > 0),
+       ppairs AS (
+         SELECT a.doc_id, a.t AS t1, a.t || ' ' || b.t AS pair
+         FROM ptok a JOIN ptok b ON a.doc_id = b.doc_id AND b.p = a.p + 1),
+       ppc AS (SELECT pair, count(*) AS cnt_ab FROM ppairs GROUP BY pair),
+       puc AS (SELECT t1, count(*) AS cnt_a FROM ppairs GROUP BY t1),
+       pvv AS (SELECT CAST(count(*) AS BIGINT) AS v FROM puc),
+       sc AS (
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           sum(CAST(round(ln((CAST(cnt_ab AS DOUBLE) + 1.0)
+               / (CAST(cnt_a AS DOUBLE) + CAST(v AS DOUBLE))) * 1e9)
+             AS BIGINT)) AS sn
+         FROM ppairs JOIN ppc USING (pair) JOIN puc USING (t1)
+         CROSS JOIN pvv
+         GROUP BY doc_id)"""
+
+  private def LmPerplexityOracle: String = {
+    val lnMaxNanos = math.round(math.log(LmPerplexityMaxPpl) * 1e9)
+    s"""WITH ${lmPplChainSql("documents")}
+       SELECT d.doc_id,
+         coalesce(sc.n_bigrams, 0) AS n_bigrams,
+         round(-CAST(sc.sn AS DOUBLE) / sc.n_bigrams / 1e9, 6) AS ln_ppl,
+         coalesce(-sc.sn <= $lnMaxNanos * sc.n_bigrams, false) AS kept
+       FROM documents d LEFT JOIN sc USING (doc_id)
+       ORDER BY d.doc_id"""
+  }
+
+  /** q_curation_ppl in DuckDB: the perplexity gate ([[lmPplChainSql]],
+    * same integer threshold literal) feeding the SAME composed curation
+    * chain as [[CurationOracle]] — the fluent survivors are the chain's
+    * input corpus. */
+  private def CurationPplOracle: String = {
+    val lnMaxNanos = math.round(math.log(LmPerplexityMaxPpl) * 1e9)
+    s"""WITH ${lmPplChainSql("documents")},
+       fluent AS (
+         SELECT d.* FROM documents d JOIN sc USING (doc_id)
+         WHERE -sc.sn <= $lnMaxNanos * sc.n_bigrams),
+       ${gateCte("fluent")},
+       exact AS (
+         SELECT doc_id, text, source FROM gate WHERE doc_id IN (
+           SELECT min(doc_id) FROM gate
+           GROUP BY md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))))),
+       ${minhashDedupChainSql("exact", 0.5)}
+       SELECT doc_id, source FROM exact
+       WHERE doc_id NOT IN (SELECT id_b FROM dups)
+         AND CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 10000 < 5000
+       ORDER BY doc_id"""
+  }
 
   /** q_curation in DuckDB: the COMPOSED curation pass — quality + language
     * gates (the q_quality_score / q_lang_guess CASE logic), fingerprint
@@ -4793,6 +4887,7 @@ object SparkEntry {
          ORDER BY p.doc_id""",
     "q_dedup_incr_exact" -> DedupIncrExactOracle,
     "q_curation" -> CurationOracle,
+    "q_curation_ppl" -> CurationPplOracle,
     "q_curation_full" -> CurationFullOracle,
     "q_cluster_dedup" -> ClusterDedupOracle,
     "q_cluster_keep_best" -> ClusterKeepBestOracle,
@@ -6016,6 +6111,7 @@ object SparkEntry {
     // split can't produce interior empties, so filtered positions stay
     // adjacent); context counts from the SAME pair table (per-context
     // probabilities sum to 1); per-pair ln in integer nanos, like unigram
+    "q_lm_perplexity" -> LmPerplexityOracle,
     "q_bigram_lm" ->
       """WITH tok AS (
            SELECT doc_id, u['t'] AS t, u['p'] AS p FROM (

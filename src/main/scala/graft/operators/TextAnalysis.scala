@@ -390,6 +390,67 @@ object TextAnalysis {
           .cast(DoubleType) / count(lit(1)) / 1e9, 6).as("avg_logp"))
   }
 
+  /** CCNet-style LM-PERPLEXITY quality filter — the step the n-gram LM
+    * family ([[unigramLogProb]]/[[bigramLogProb]]) stops short of: score
+    * each document's mean per-bigram negative log-likelihood under the
+    * corpus's own add-one-smoothed bigram LM and GATE on a perplexity
+    * threshold (fluent text ≈ low perplexity; gibberish, boilerplate
+    * soup, and wrong-language residue score high — the Wenzek et al.
+    * CCNet filter, with the corpus's own LM standing in for the external
+    * Wikipedia model, which composes identically).
+    *
+    * Add-k smoothing with k = 1 (Laplace) keeps every probability a ratio
+    * of two exact longs — p(b|a) = (c(ab)+1)/(c(a)+V), V = the context
+    * vocabulary size — and each per-pair ln is nanos-fixed before the
+    * per-doc sum (the PMI determinism doctrine); the KEEP decision then
+    * compares exact integers (−Σ ≤ ln(maxPpl)·n, the plan-time literal
+    * shared with the oracle), immune to last-ulp drift. Documents with no
+    * bigram (< 2 tokens) cannot be scored: ln_ppl NULL, kept false — the
+    * agreementKappa degenerate-case doctrine.
+    *
+    * Scale shape: ONE tokenize+pair pass (checkpointed — the
+    * bigramLogProb precedent), two vocab-bounded count aggregates, the
+    * pair join back, one per-doc aggregate; V rides as a broadcast 1-row
+    * frame. Output is docs-sized. */
+  def lmPerplexityFilter(df: DataFrame, idCol: String, textCol: String,
+                         maxPpl: Double = 500.0): DataFrame = {
+    require(maxPpl > 1.0, s"lmPerplexityFilter: maxPpl must be > 1: $maxPpl")
+    val lnMaxNanos = math.round(math.log(maxPpl) * 1e9)
+    val t = col("__toks")
+    val pairsArr = when(size(t) >= 2,
+        zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+          (a, b) => struct(a.as("t1"),
+            concat(a, lit(" "), b).as("pair"))))
+      .otherwise(array().cast("array<struct<t1:string,pair:string>>"))
+    val prs = df
+      .select(col(idCol),
+        filter(tokens(col(textCol)), x => length(x) > 0).as("__toks"))
+      .select(col(idCol), explode(pairsArr).as("p"))
+      .select(col(idCol), col("p.t1").as("t1"), col("p.pair").as("pair"))
+      .localCheckpoint()
+    val pairCnt = prs.groupBy("pair").agg(count(lit(1)).as("cnt_ab"))
+    val ctxCnt = prs.groupBy("t1").agg(count(lit(1)).as("cnt_a"))
+    val v = ctxCnt.agg(count(lit(1)).cast(LongType).as("__v"))
+    // ln p under add-one smoothing: both operands exact longs cast to
+    // double BEFORE the division (the groupJsDivergence IEEE-shape rule)
+    val termNanos = round(log(
+        (col("cnt_ab").cast(DoubleType) + lit(1.0)) /
+          (col("cnt_a").cast(DoubleType) + col("__v").cast(DoubleType)))
+      * lit(1e9)).cast(LongType)
+    val scored = prs.join(pairCnt, Seq("pair")).join(ctxCnt, Seq("t1"))
+      .crossJoin(broadcast(v))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast(LongType).as("n_bigrams"),
+        sum(termNanos).as("__sn"))
+    df.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        round(-col("__sn").cast(DoubleType) / col("n_bigrams") / 1e9, 6)
+          .as("ln_ppl"),
+        coalesce(-col("__sn") <= lit(lnMaxNanos) * col("n_bigrams"),
+          lit(false)).as("kept"))
+  }
+
   /** Top-k PMI collocations: adjacent token pairs ranked by pointwise
     * mutual information PMI(a,b) = ln(p(a,b)/(p(a)p(b))) with p(a,b) over
     * the bigram table and p(·) over unigrams — the corpus-analysis pass
