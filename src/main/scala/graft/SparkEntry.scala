@@ -1638,6 +1638,42 @@ object SparkEntry {
           Multimodal.encodeSyntheticPng(rd(s, dir, "documents"), "doc_id"))
         .toDF().orderBy("media_id")
     }),
+    "q_image_dhash" -> ((s, dir) =>
+      // 64-bit perceptual dHash through the REAL codec path: genuine
+      // 18×16 PNGs (grouped multiplicative pixel law), ImageIO decode,
+      // integer NN 9×8 grid, gradient bits — the oracle replays the whole
+      // chain through the pixel law bit for bit
+      Multimodal.imageDHash(
+          Multimodal.encodeSyntheticPngGroups(rd(s, dir, "documents"),
+            "doc_id"))
+        .orderBy("media_id")),
+    "q_image_dedup" -> ((s, dir) =>
+      // image near-dup dedup — the missing image-side dedup modality:
+      // dHash signatures into the Manku banded hamming search (text
+      // SimHash machinery reused; never all-pairs), keep-min survivors.
+      // The fixture plants groups of four (one-pixel perturbations,
+      // hamming ≤ 4 intra-group vs ~32 across), so each group keeps its
+      // smallest id; the oracle replays hash + ALL-pairs hamming (its
+      // corpus is test-sized) — pigeonhole completeness makes banding ≡
+      // all-pairs at hamming ≤ 6
+      Dedup.imageDedupFromHashes(
+          Multimodal.imageDHash(
+            Multimodal.encodeSyntheticPngGroups(rd(s, dir, "documents"),
+              "doc_id")),
+          "media_id", "dhash", maxHamming = 6)
+        .orderBy("media_id")),
+    "q_image_dedup_wide" -> ((s, dir) =>
+      // the corpus-SCALED image dedup profile: 120-bit wide dHash (16×8
+      // grid) through the two-long Manku banding — same hamming ≤ 6
+      // budget, ~17-bit band buckets instead of the 64-bit profile's
+      // 9-bit ones (the signature-width law, measured at 100x). Same
+      // keep-min survivors, all-pairs-replayed by the oracle
+      Dedup.imageDedupFromHashesWide(
+          Multimodal.imageDHashWide(
+            Multimodal.encodeSyntheticPngGroups(rd(s, dir, "documents"),
+              "doc_id")),
+          "media_id", maxHamming = 6)
+        .orderBy("media_id")),
     "q_running_totals" -> ((s, dir) => {
       import s.implicits._
       val ds = rdEvents(s, dir)
@@ -3131,6 +3167,99 @@ object SparkEntry {
        FROM documents d LEFT JOIN sc USING (doc_id)
        ORDER BY d.doc_id"""
   }
+
+  /** the q_image_* oracle chain: replay of encodeSyntheticPngGroups'
+    * grouped multiplicative pixel law through the 9×8 NN sampling (source
+    * pixel (2x, 2y) of the 18×16 raster — the same integer mapping the
+    * Scala kernel applies) into gradient bits and the packed 64-bit
+    * dHash. Bit 63 is the BIGINT sign bit: DuckDB refuses 1 << 63, so it
+    * lands as the Long.MinValue literal (same two's-complement value the
+    * JVM shift produces). */
+  private val ImageDHashChainSql: String =
+    """im AS (
+         SELECT doc_id AS media_id,
+           CAST(doc_id % 4 AS BIGINT) AS mm,
+           2 * (((doc_id - doc_id % 4) * 2654435761) % 127) + 1 AS kk,
+           ((doc_id - doc_id % 4) * 40503) % 251 AS cc,
+           ((doc_id - doc_id % 4) * 69069) % 256 AS k3
+         FROM documents),
+       ig AS (
+         SELECT media_id, x, y,
+           ((2*x + 36*y + 1) * (2*x + 36*y + 1) * kk
+            + (2*x + 36*y + 1) * cc + (2*y) * (2*y) * k3
+            + CASE WHEN x = mm AND y = mm THEN 128 ELSE 0 END) % 256 AS v
+         FROM im, range(0, 9) rx(x), range(0, 8) ry(y)),
+       ib AS (
+         SELECT a.media_id, a.y * 8 + a.x AS bit
+         FROM ig a JOIN ig c ON a.media_id = c.media_id AND c.y = a.y
+           AND c.x = a.x + 1
+         WHERE a.x < 8 AND a.v < c.v),
+       ihash AS (
+         SELECT im.media_id,
+           coalesce(bit_or(CASE WHEN ib.bit = 63
+               THEN CAST(-9223372036854775808 AS BIGINT)
+               ELSE CAST(1 AS BIGINT) << ib.bit END), CAST(0 AS BIGINT))
+             AS dhash
+         FROM im LEFT JOIN ib USING (media_id) GROUP BY im.media_id)"""
+
+  private val ImageDHashOracle: String =
+    s"""WITH $ImageDHashChainSql
+       SELECT media_id, CAST(dhash AS BIGINT) AS dhash
+       FROM ihash ORDER BY media_id"""
+
+  /** q_image_dedup's oracle verifies the BANDED search against ALL-pairs
+    * hamming (affordable at the oracle's test-sized corpus): pigeonhole
+    * completeness means the Spark banding must land on exactly this
+    * survivor set. */
+  private val ImageDedupOracle: String =
+    s"""WITH $ImageDHashChainSql,
+       ip AS (
+         SELECT b.media_id AS id_b
+         FROM ihash a JOIN ihash b ON a.media_id < b.media_id
+         WHERE bit_count(xor(a.dhash, b.dhash)) <= 6)
+       SELECT media_id FROM ihash
+       WHERE media_id NOT IN (SELECT id_b FROM ip)
+       ORDER BY media_id"""
+
+  /** q_image_dedup_wide's oracle: the 16×8 grid's NN source is
+    * ((x·18) // 16, 2y), bits pack into the (lo: 0–59, hi: 60–119)
+    * two-long layout (every shift < 60 — no sign-bit workaround needed),
+    * and the survivor rule replays as all-pairs two-long hamming. */
+  private val ImageDedupWideOracle: String =
+    """WITH im AS (
+         SELECT doc_id AS media_id,
+           CAST(doc_id % 4 AS BIGINT) AS mm,
+           2 * (((doc_id - doc_id % 4) * 2654435761) % 127) + 1 AS kk,
+           ((doc_id - doc_id % 4) * 40503) % 251 AS cc,
+           ((doc_id - doc_id % 4) * 69069) % 256 AS k3
+         FROM documents),
+       iw AS (
+         SELECT media_id, x, y,
+           (((x*18)//16 + 36*y + 1) * ((x*18)//16 + 36*y + 1) * kk
+            + ((x*18)//16 + 36*y + 1) * cc + (2*y) * (2*y) * k3
+            + CASE WHEN (x*18)//16 = 2*mm AND y = mm THEN 128 ELSE 0 END)
+             % 256 AS v
+         FROM im, range(0, 16) rx(x), range(0, 8) ry(y)),
+       iwb AS (
+         SELECT a.media_id, a.y * 15 + a.x AS bit
+         FROM iw a JOIN iw c ON a.media_id = c.media_id AND c.y = a.y
+           AND c.x = a.x + 1
+         WHERE a.x < 15 AND a.v < c.v),
+       iwh AS (
+         SELECT im.media_id,
+           coalesce(bit_or(CASE WHEN bit < 60
+               THEN CAST(1 AS BIGINT) << bit END), CAST(0 AS BIGINT)) AS lo,
+           coalesce(bit_or(CASE WHEN bit >= 60
+               THEN CAST(1 AS BIGINT) << (bit - 60) END), CAST(0 AS BIGINT))
+             AS hi
+         FROM im LEFT JOIN iwb USING (media_id) GROUP BY im.media_id),
+       iwp AS (
+         SELECT b.media_id AS id_b
+         FROM iwh a JOIN iwh b ON a.media_id < b.media_id
+         WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 6)
+       SELECT media_id FROM iwh
+       WHERE media_id NOT IN (SELECT id_b FROM iwp)
+       ORDER BY media_id"""
 
   /** q_curation_ppl in DuckDB: the perplexity gate ([[lmPplChainSql]],
     * same integer threshold literal) feeding the SAME composed curation
@@ -5724,6 +5853,9 @@ object SparkEntry {
     // (Multimodal.synthDims/synthGray): the engine renders REAL PNGs from
     // this law and decodes them with the real javax.imageio codec — the
     // oracle recomputes what a correct decode must see, pixel by pixel
+    "q_image_dhash" -> ImageDHashOracle,
+    "q_image_dedup" -> ImageDedupOracle,
+    "q_image_dedup_wide" -> ImageDedupWideOracle,
     "q_media_decode" ->
       """WITH m AS (
            SELECT doc_id AS media_id,

@@ -1369,6 +1369,112 @@ object Dedup {
       nBits = if (portable) 60 else 64, maxHamming = maxHamming)
   }
 
+  /** IMAGE near-dup dedup over 64-bit perceptual-hash signatures
+    * ([[graft.operators.Multimodal.imageDHash]] dHashes) — the one dedup
+    * modality that was missing an image-side instance: Manku banded
+    * hamming search ([[simhashHammingPairsFromSigs]], the text SimHash
+    * machinery reused verbatim — a dHash IS a 64-bit locality signature)
+    * finds pairs within `maxHamming`, then survivors keep the smallest id
+    * per near-dup relation (drop every id_b — the MinHash-chain keep-min
+    * convention, `WHERE id NOT IN (SELECT id_b FROM dups)`).
+    *
+    * NULL hashes (undecodable blobs) are excluded from matching and from
+    * the survivor set — count them upstream via the hash frame. Signatures
+    * are checkpointed first so the expensive DECODE runs once, not once
+    * per banding/anti-join reference (ids + longs — kilobytes per million
+    * images). Never all-pairs: candidates come from the pigeonhole band
+    * buckets, the same linear-candidate guarantee as text SimHash. */
+  def imageDedupFromHashes(hashes: DataFrame, idCol: String,
+                           hashCol: String,
+                           maxHamming: Int = 6,
+                           maxCandidateMass: Long = 200000000L): DataFrame = {
+    val sigs = hashes.filter(col(hashCol).isNotNull).localCheckpoint()
+    imageCandidateMassGuard("imageDedupFromHashes",
+      simhashBandedForGuard(sigs, idCol, hashCol, 64, maxHamming),
+      maxCandidateMass,
+      "switch to the WIDE profile (Multimodal.imageDHashWide + " +
+        "imageDedupFromHashesWide — 120-bit signatures keep the band " +
+        "buckets ~17 bits at the same hamming budget)")
+    val dups = simhashHammingPairsFromSigs(sigs, idCol, hashCol,
+        nBits = 64, maxHamming = maxHamming)
+      .select(col("id_b").as(idCol)).distinct()
+    sigs.join(dups, Seq(idCol), "left_anti").select(idCol)
+  }
+
+  /** the banded (band, band_bits) keys alone, for the mass guard — same
+    * band construction as [[simhashHammingPairsFromSigs]]. */
+  private def simhashBandedForGuard(sigs: DataFrame, idCol: String,
+                                    sigCol: String, nBits: Int,
+                                    maxHamming: Int): DataFrame = {
+    val bands = maxHamming + 1
+    val base = nBits / bands
+    val rem = nBits % bands
+    val widths = (0 until bands).map(b => base + (if (b < rem) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    val bandCols = (0 until bands).map { b =>
+      shiftrightunsigned(col(sigCol), offsets(b))
+        .bitwiseAND(lit(bandMask(widths(b))))
+    }
+    sigs.select(posexplode(array(bandCols: _*)).as(Seq("band", "band_bits")))
+  }
+
+  /** fail-fast EXACT candidate-mass guard (the containment lossless-profile
+    * precedent, measured: the 64-bit dHash banding at hamming ≤ 6 has
+    * 9-bit band buckets and went quadratic-DNF at 100x data): Σ over band
+    * buckets of c² bounds the banded self-join's output; abort with
+    * profile advice instead of spilling for minutes before dying. One
+    * bucket-histogram aggregate over n·bands key rows — linear, tiny next
+    * to the join it guards. */
+  private def imageCandidateMassGuard(fn: String, bandedKeys: DataFrame,
+                                      maxCandidateMass: Long,
+                                      advice: String): Unit = {
+    val mass: java.math.BigDecimal = Option(
+      bandedKeys.groupBy("band", "band_bits")
+        .agg(count(lit(1)).cast(DecimalType(38, 0)).as("__c"))
+        .agg(sum(col("__c") * col("__c"))).head().getDecimal(0))
+      .getOrElse(java.math.BigDecimal.ZERO)
+    require(mass.compareTo(new java.math.BigDecimal(maxCandidateMass)) <= 0,
+      s"$fn: banded candidate mass $mass exceeds " +
+        s"maxCandidateMass=$maxCandidateMass — the bucket self-join would " +
+        s"go quadratic. $advice; or raise maxCandidateMass explicitly " +
+        "for an audit run")
+  }
+
+  /** [[imageDedupFromHashes]] over WIDE (120-bit) dHashes
+    * ([[graft.operators.Multimodal.imageDHashWide]]) — the corpus-scaled
+    * image-dedup profile: same keep-min survivor rule, but banding runs
+    * through [[simhashHammingPairsWideFromSigs]] (7 ~17-bit bands at
+    * hamming ≤ 6 → ≈131k buckets vs the 64-bit profile's 512 — the
+    * measured 100x-data quadratic fixed by signature WIDTH, not by
+    * dropping the hamming budget). Input columns: (idCol, dh_lo, dh_hi);
+    * NULL-hash rows (undecodable) are excluded as in the 64-bit form. */
+  def imageDedupFromHashesWide(hashes: DataFrame, idCol: String,
+                               maxHamming: Int = 6,
+                               maxCandidateMass: Long = 200000000L): DataFrame = {
+    val sigs = hashes.filter(col("dh_lo").isNotNull)
+      .select(col(idCol), col("dh_lo").as("sim_lo"),
+        col("dh_hi").as("sim_hi"))
+      .localCheckpoint()
+    val bands = maxHamming + 1
+    val base = 120 / bands
+    val rem = 120 % bands
+    val widths = (0 until bands).map(b => base + (if (b < rem) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    val bandCols = (0 until bands).map { b =>
+      wideBandBits(col("sim_lo"), col("sim_hi"), offsets(b), widths(b))
+    }
+    imageCandidateMassGuard("imageDedupFromHashesWide",
+      sigs.select(posexplode(array(bandCols: _*))
+        .as(Seq("band", "band_bits"))),
+      maxCandidateMass,
+      "the corpus is clustered past even 17-bit buckets — pre-block on " +
+        "metadata (dims/source) before hashing")
+    val dups = simhashHammingPairsWideFromSigs(sigs, idCol,
+        nBits = 120, maxHamming = maxHamming)
+      .select(col("id_b").as(idCol)).distinct()
+    sigs.join(dups, Seq(idCol), "left_anti").select(idCol)
+  }
+
   /** WIDE (two-long) SimHash signatures (idCol, sim_lo, sim_hi) — the
     * corpus-scaled signature ([[graft.functions.SimHashWideExpr]]): sig_lo
     * carries bits 0-59, sig_hi bits 60..nBits−1 (0 when nBits ≤ 60). Same

@@ -178,6 +178,193 @@ object Multimodal {
       }
   }
 
+  /** NEAR-DUP PNG fixture generator for the image perceptual-hash dedup
+    * family: one genuine 18×16 grayscale PNG per row, pixel law
+    * (i²·k + i·c + y²·k3 + bump) mod 256 with i = x + 18y + 1 and all
+    * three coefficients derived from the row's GROUP (base = id − id mod
+    * 4; k = 2·((base·2654435761) mod 127) + 1, c = (base·40503) mod 251,
+    * k3 = (base·69069) mod 256). The QUADRATIC i² term makes the
+    * per-pixel step k·(2i+1) vary along the raster — gradient bits come
+    * out near-balanced for every k (a LINEAR law's bits are wrap-position
+    * indicators: biased for small k, and constant offsets are mere
+    * brightness shifts that dHash rightly ignores — measured as a 100x
+    * bucket-collapse before this law); the c and k3 terms vary the step
+    * pattern per class, so the ~125k-group GenScale corpus lands every
+    * group a DISTINCT base hash (simulated: max class multiplicity 2,
+    * banded candidate mass under the production cap at 100x). bump = 128
+    * at the single pixel (2m, 2m), m = id mod 4 — a one-pixel member
+    * perturbation that flips at most two dHash bits, planting hamming ≤ 4
+    * within each group of four against ~32 expected across groups. All
+    * integer arithmetic, replayed exactly by the q_image_* oracles. */
+  def encodeSyntheticPngGroups(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val encoded = df.select(col(idCol).cast(LongType)).as[Long]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { id =>
+          require(id >= 0, s"encodeSyntheticPngGroups: ids must be " +
+            s"non-negative (got $id) — the pixel law's div/mod identities " +
+            "across engines hold only there")
+          val base = id - id % 4
+          val k = (2L * ((base * 2654435761L) % 127L) + 1L).toInt
+          val c = ((base * 40503L) % 251L).toInt
+          val k3 = ((base * 69069L) % 256L).toInt
+          val m = (id % 4).toInt
+          val img = new java.awt.image.BufferedImage(18, 16,
+            java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val raster = img.getRaster
+          var y = 0
+          while (y < 16) {
+            var x = 0
+            while (x < 18) {
+              val bump = if (x == 2 * m && y == 2 * m) 128 else 0
+              val i = x + 18 * y + 1
+              raster.setSample(x, y, 0,
+                (i * i * k + i * c + y * y * k3 + bump) % 256)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream(512)
+          javax.imageio.ImageIO.write(img, "png", bos)
+          (id, bos.toByteArray)
+        }
+      }
+    encoded.select(
+      col("_1").as("media_id"),
+      lit("image").as("kind"),
+      col("_2").as("bytes"),
+      octet_length(col("_2")).cast(LongType).as("n_bytes"),
+      lit("image/png").as("mime"))
+  }
+
+  /** 64-bit difference hash (dHash) of each image — the standard
+    * perceptual fingerprint for image near-dup detection: decode with the
+    * real `javax.imageio` codec, nearest-neighbor-sample a 9×8 grayscale
+    * grid (the EXACT integer mapping [[resizeImages]] uses — source pixel
+    * (⌊x·w/9⌋, ⌊y·h/8⌋), band 0), then bit y·8+x = 1 iff grid(x,y) <
+    * grid(x+1,y). Gradient direction survives brightness/contrast shifts
+    * and lossy re-encodes, which is why dHash (not a byte hash) is the
+    * image dedup signature. Integer-exact end to end, so a SQL oracle
+    * replays it through the synthetic pixel law bit for bit.
+    *
+    * Undecodable blobs hash NULL (mark, not kill — the [[decodeFeatures]]
+    * convention); dedup consumers drop NULLs and count them upstream.
+    * Same batched mapPartitions shape as decode: one codec init per
+    * partition, no shuffle, pipelines with the scan. */
+  def imageDHash(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast(LongType), col("bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, bytes) =>
+          val img =
+            try javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(
+                Option(bytes).getOrElse(Array.empty)))
+            catch { case _: Exception => null }
+          if (img == null || img.getWidth < 1 || img.getHeight < 1)
+            (id, None: Option[Long])
+          else {
+            val (w, h) = (img.getWidth, img.getHeight)
+            val r = img.getRaster
+            val g = Array.ofDim[Int](8, 9)
+            var y = 0
+            while (y < 8) {
+              val sy = (y.toLong * h / 8).toInt
+              var x = 0
+              while (x < 9) {
+                val sx = (x.toLong * w / 9).toInt
+                g(y)(x) = r.getSample(sx, sy, 0)
+                x += 1
+              }
+              y += 1
+            }
+            var hash = 0L
+            y = 0
+            while (y < 8) {
+              var x = 0
+              while (x < 8) {
+                if (g(y)(x) < g(y)(x + 1)) hash |= 1L << (y * 8 + x)
+                x += 1
+              }
+              y += 1
+            }
+            (id, Some(hash))
+          }
+        }
+      }
+      .select(col("_1").as("media_id"), col("_2").as("dhash"))
+  }
+
+  /** WIDE (120-bit) difference hash — [[imageDHash]]'s corpus-scaled twin
+    * (the SimHashWide doctrine made image-side: "a larger corpus wants a
+    * WIDER signature, not a lower maxHamming"). The 64-bit dHash banded at
+    * hamming ≤ 6 has only ⌊64/7⌋ ≈ 9-bit band buckets — 512 of them, a
+    * measured quadratic blow-up at 100x data — while 120 bits give 7
+    * ~17-bit bands (≈131k buckets), restoring linear candidates at the
+    * same hamming budget. Grid is 16×8 (NN source (⌊x·w/16⌋, ⌊y·h/8⌋)),
+    * bit y·15+x = 1 iff grid(x,y) < grid(x+1,y): 15 comparisons × 8 rows
+    * = 120 bits, packed (dh_lo bits 0–59, dh_hi bits 60–119 — the
+    * two-long layout [[graft.operators.Dedup.simhashHammingPairsWideFromSigs]]
+    * bands over, every shift < 60 so both engines stay sign-safe).
+    * Undecodable blobs emit NULL lo/hi. */
+  def imageDHashWide(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast(LongType), col("bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, bytes) =>
+          val img =
+            try javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(
+                Option(bytes).getOrElse(Array.empty)))
+            catch { case _: Exception => null }
+          if (img == null || img.getWidth < 1 || img.getHeight < 1)
+            (id, None: Option[Long], None: Option[Long])
+          else {
+            val (w, h) = (img.getWidth, img.getHeight)
+            val r = img.getRaster
+            val g = Array.ofDim[Int](8, 16)
+            var y = 0
+            while (y < 8) {
+              val sy = (y.toLong * h / 8).toInt
+              var x = 0
+              while (x < 16) {
+                val sx = (x.toLong * w / 16).toInt
+                g(y)(x) = r.getSample(sx, sy, 0)
+                x += 1
+              }
+              y += 1
+            }
+            var lo = 0L
+            var hi = 0L
+            y = 0
+            while (y < 8) {
+              var x = 0
+              while (x < 15) {
+                if (g(y)(x) < g(y)(x + 1)) {
+                  val idx = y * 15 + x
+                  if (idx < 60) lo |= 1L << idx
+                  else hi |= 1L << (idx - 60)
+                }
+                x += 1
+              }
+              y += 1
+            }
+            (id, Some(lo), Some(hi))
+          }
+        }
+      }
+      .select(col("_1").as("media_id"), col("_2").as("dh_lo"),
+        col("_3").as("dh_hi"))
+  }
+
   /** byte-budget blob cap: deterministic truncation of the blob to
     * maxBytes, with the metadata kept consistent — the guard in front of a
     * downstream stage that must bound per-row bytes (e.g. feed at most 1 MB

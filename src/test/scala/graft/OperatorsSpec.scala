@@ -994,6 +994,78 @@ class OperatorsSpec extends AnyFunSuite {
       anchors.toString)
   }
 
+  test("imageDHash: codec round-trip matches the closed-form law; groups plant near-dups") {
+    import graft.operators.{Dedup, Multimodal}
+    val docs = (0L until 16L).toDF("doc_id")
+    val hashes = Multimodal.imageDHash(
+        Multimodal.encodeSyntheticPngGroups(docs, "doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // independent sequential recompute: the pixel law through the exact
+    // NN mapping (source (2x, 2y)) into gradient bits — the real
+    // PNG-encode → ImageIO-decode round trip must land on these exactly
+    def law(id: Long): Long = {
+      val base = id - id % 4
+      val k = (2L * ((base * 2654435761L) % 127L) + 1L).toInt
+      val c = ((base * 40503L) % 251L).toInt
+      val k3 = ((base * 69069L) % 256L).toInt
+      val m = (id % 4).toInt
+      def p(x: Int, y: Int): Int = {
+        val i = x + 18 * y + 1
+        (i * i * k + i * c + y * y * k3 +
+          (if (x == 2 * m && y == 2 * m) 128 else 0)) % 256
+      }
+      var h = 0L
+      for (y <- 0 until 8; x <- 0 until 8)
+        if (p(2 * x, 2 * y) < p(2 * (x + 1), 2 * y)) h |= 1L << (y * 8 + x)
+      h
+    }
+    (0L until 16L).foreach(id =>
+      assert(hashes(id) == law(id), s"id $id: ${hashes(id)} != law ${law(id)}"))
+    // the planted structure: one-pixel member perturbations flip ≤ 4 bits
+    for (b <- Seq(0L, 4L, 8L, 12L); m <- 1 to 3)
+      assert(java.lang.Long.bitCount(hashes(b) ^ hashes(b + m)) <= 4,
+        s"group $b member $m drifted past 4 bits")
+    // undecodable blobs hash NULL and are excluded from the survivor set
+    val junk = Seq((99L, "image", "nope".getBytes("UTF-8")))
+      .toDF("media_id", "kind", "bytes")
+    val jh = Multimodal.imageDHash(junk).collect()
+    assert(jh.length == 1 && jh.head.isNullAt(1), "junk must hash NULL")
+    val survivors = Dedup.imageDedupFromHashes(
+        Multimodal.imageDHash(Multimodal.encodeSyntheticPngGroups(docs,
+          "doc_id")).unionByName(Multimodal.imageDHash(junk)),
+        "media_id", "dhash", maxHamming = 6)
+      .collect().map(_.getLong(0)).toSet
+    assert(!survivors.contains(99L), "undecodable id must not survive")
+    // non-min members are always within hamming 4 of their group min, so
+    // only group mins can survive; a min survives iff no SMALLER group
+    // shares its k class (same k + unperturbed base member ⇒ hamming 0)
+    assert(survivors.subsetOf(Set(0L, 4L, 8L, 12L)), survivors.toString)
+    assert(survivors.size ==
+      Seq(0L, 4L, 8L, 12L)
+        .map(b => ((b * 2654435761L) % 127L, (b * 40503L) % 251L,
+          (b * 69069L) % 256L))
+        .distinct.length,
+      s"one survivor per distinct (k, c, k3) class: $survivors")
+    // the WIDE (120-bit) profile sees the same group structure (one-pixel
+    // perturbations still flip ≤ 2 bits; same-k groups still collide on
+    // the unperturbed base) → identical survivor set on this fixture
+    val wide = Dedup.imageDedupFromHashesWide(
+        Multimodal.imageDHashWide(
+          Multimodal.encodeSyntheticPngGroups(docs, "doc_id")),
+        "media_id", maxHamming = 6)
+      .collect().map(_.getLong(0)).toSet
+    assert(wide == survivors, s"wide survivors $wide != narrow $survivors")
+    // the candidate-mass guard aborts fast with profile advice instead of
+    // letting a clustered corpus go quadratic (the containment precedent)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.imageDedupFromHashes(
+        Multimodal.imageDHash(Multimodal.encodeSyntheticPngGroups(docs,
+          "doc_id")),
+        "media_id", "dhash", maxHamming = 6, maxCandidateMass = 1L)
+    }
+    assert(e.getMessage.contains("imageDHashWide"), e.getMessage)
+  }
+
   test("pageRankHostsDangling: sink mass redistributed, total conserved, report exact") {
     import graft.operators.LinkGraph
     val edges = Seq(("a.x", "b.x", 1L), ("a.x", "c.x", 3L),

@@ -695,4 +695,32 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(blocks.contains("codegen id"),
       s"block extraction fell out of codegen:\n$blocks")
   }
+
+  test("image dHash dedup: banded candidates, never all-pairs; decode runs pre-shuffle") {
+    import graft.operators.{Dedup, Multimodal}
+    val docs = (0L until 24L).toDF("doc_id")
+    val hashes = Multimodal.imageDHash(
+      Multimodal.encodeSyntheticPngGroups(docs, "doc_id"))
+    // the hash kernel itself: decode + NN grid + bit pack is one pure
+    // mapPartitions projection — blob bytes never enter an Exchange
+    val hp = finalPlan(hashes)
+    assert(!hp.contains("Exchange"),
+      s"dHash kernel shuffles blob bytes:\n$hp")
+    val plan = finalPlan(
+      Dedup.imageDedupFromHashes(hashes, "media_id", "dhash", maxHamming = 6))
+    // Manku banding: candidates from band-bucket equality, NEVER a
+    // cartesian; the join keys are (band, band_bits)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"image dedup degenerated to all-pairs:\n$plan")
+    // the wide (120-bit) scaled profile: same banded-join shape over the
+    // two-long signature
+    val wide = finalPlan(Dedup.imageDedupFromHashesWide(
+      Multimodal.imageDHashWide(
+        Multimodal.encodeSyntheticPngGroups(docs, "doc_id")),
+      "media_id", maxHamming = 6))
+    assert(!wide.contains("CartesianProduct") &&
+      !wide.contains("BroadcastNestedLoopJoin"),
+      s"wide image dedup degenerated to all-pairs:\n$wide")
+  }
 }
