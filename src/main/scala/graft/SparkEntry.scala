@@ -1674,6 +1674,27 @@ object SparkEntry {
               "doc_id")),
           "media_id", maxHamming = 6)
         .orderBy("media_id")),
+    "q_image_store" -> ((s, dir) => {
+      // the IMAGE member of the incremental store family: banded wide
+      // dHashes persisted bucketed on band_bits, new batch probed without
+      // reshuffling the store. Split is id mod 8: even groups-of-4 seed
+      // their first two members (their probed members 2,3 land within
+      // hamming ≤ 4 of a stored group-mate and drop); odd groups are
+      // unseeded and survive whole — both outcomes exercised, replayed by
+      // the oracle as all-pairs probe-vs-seed hamming
+      val hashes = Multimodal.imageDHashWide(
+          Multimodal.encodeSyntheticPngGroups(rd(s, dir, "documents"),
+            "doc_id"))
+        .localCheckpoint()
+      Dedup.writeImageHashStore(
+        hashes.filter(pmod(col("media_id"), lit(8)) < 2),
+        "media_id", "graft_img_store", maxHamming = 6, nBuckets = 4)
+      Dedup.imageDedupAgainst(
+          hashes.filter(pmod(col("media_id"), lit(8)) >= 2),
+          "media_id", "graft_img_store", maxHamming = 6,
+          updateStore = false)
+        .orderBy("media_id")
+    }),
     "q_running_totals" -> ((s, dir) => {
       import s.implicits._
       val ds = rdEvents(s, dir)
@@ -3225,8 +3246,11 @@ object SparkEntry {
     * ((x·18) // 16, 2y), bits pack into the (lo: 0–59, hi: 60–119)
     * two-long layout (every shift < 60 — no sign-bit workaround needed),
     * and the survivor rule replays as all-pairs two-long hamming. */
-  private val ImageDedupWideOracle: String =
-    """WITH im AS (
+  /** the WIDE (16×8 grid, 120-bit) hash chain, ending at
+    * `iwh (media_id, lo, hi)` — shared by q_image_dedup_wide and
+    * q_image_store. */
+  private val ImageWideHashChainSql: String =
+    """im AS (
          SELECT doc_id AS media_id,
            CAST(doc_id % 4 AS BIGINT) AS mm,
            2 * (((doc_id - doc_id % 4) * 2654435761) % 127) + 1 AS kk,
@@ -3252,13 +3276,31 @@ object SparkEntry {
            coalesce(bit_or(CASE WHEN bit >= 60
                THEN CAST(1 AS BIGINT) << (bit - 60) END), CAST(0 AS BIGINT))
              AS hi
-         FROM im LEFT JOIN iwb USING (media_id) GROUP BY im.media_id),
+         FROM im LEFT JOIN iwb USING (media_id) GROUP BY im.media_id)"""
+
+  private val ImageDedupWideOracle: String =
+    s"""WITH $ImageWideHashChainSql,
        iwp AS (
          SELECT b.media_id AS id_b
          FROM iwh a JOIN iwh b ON a.media_id < b.media_id
          WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 6)
        SELECT media_id FROM iwh
        WHERE media_id NOT IN (SELECT id_b FROM iwp)
+       ORDER BY media_id"""
+
+  /** q_image_store's oracle: the probe slice against the seed slice as
+    * all-pairs two-long hamming — banding completeness (pigeonhole at the
+    * store's persisted band layout) makes the Spark probe ≡ this. */
+  private val ImageStoreOracle: String =
+    s"""WITH $ImageWideHashChainSql,
+       seedh AS (SELECT * FROM iwh WHERE media_id % 8 < 2),
+       newh AS (SELECT * FROM iwh WHERE media_id % 8 >= 2),
+       dropd AS (
+         SELECT DISTINCT n.media_id
+         FROM newh n JOIN seedh s
+           ON bit_count(xor(n.lo, s.lo)) + bit_count(xor(n.hi, s.hi)) <= 6)
+       SELECT media_id FROM newh
+       WHERE media_id NOT IN (SELECT media_id FROM dropd)
        ORDER BY media_id"""
 
   /** q_curation_ppl in DuckDB: the perplexity gate ([[lmPplChainSql]],
@@ -5856,6 +5898,7 @@ object SparkEntry {
     "q_image_dhash" -> ImageDHashOracle,
     "q_image_dedup" -> ImageDedupOracle,
     "q_image_dedup_wide" -> ImageDedupWideOracle,
+    "q_image_store" -> ImageStoreOracle,
     "q_media_decode" ->
       """WITH m AS (
            SELECT doc_id AS media_id,

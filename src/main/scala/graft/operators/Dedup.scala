@@ -1455,17 +1455,9 @@ object Dedup {
       .select(col(idCol), col("dh_lo").as("sim_lo"),
         col("dh_hi").as("sim_hi"))
       .localCheckpoint()
-    val bands = maxHamming + 1
-    val base = 120 / bands
-    val rem = 120 % bands
-    val widths = (0 until bands).map(b => base + (if (b < rem) 1 else 0))
-    val offsets = widths.scanLeft(0)(_ + _)
-    val bandCols = (0 until bands).map { b =>
-      wideBandBits(col("sim_lo"), col("sim_hi"), offsets(b), widths(b))
-    }
     imageCandidateMassGuard("imageDedupFromHashesWide",
-      sigs.select(posexplode(array(bandCols: _*))
-        .as(Seq("band", "band_bits"))),
+      wideBandedFrame(sigs, idCol, 120, maxHamming)
+        .select("band", "band_bits"),
       maxCandidateMass,
       "the corpus is clustered past even 17-bit buckets — pre-block on " +
         "metadata (dims/source) before hashing")
@@ -1473,6 +1465,81 @@ object Dedup {
         nBits = 120, maxHamming = maxHamming)
       .select(col("id_b").as(idCol)).distinct()
     sigs.join(dups, Seq(idCol), "left_anti").select(idCol)
+  }
+
+  /** create/replace the incremental IMAGE-HASH near-dup store — the image
+    * modality joining the exact/bloom/simhash/minhash/embedding store
+    * family: one bucketed table `<store>_bands (band, band_bits, sim_lo,
+    * sim_hi)` of banded WIDE (120-bit) dHashes
+    * ([[graft.operators.Multimodal.imageDHashWide]] — the scale profile is
+    * the only sensible store basis), bucketed on `band_bits` so a probe's
+    * candidate join never reshuffles the store. `maxHamming` is a BUILD
+    * parameter (it fixes the band layout) — persisted and validated at
+    * probe time like every other store's build parameters. */
+  def writeImageHashStore(hashes: DataFrame, idCol: String, store: String,
+                          maxHamming: Int = 6, nBuckets: Int = 8): Unit = {
+    val sigs = hashes.filter(col("dh_lo").isNotNull)
+      .select(col(idCol), col("dh_lo").as("sim_lo"),
+        col("dh_hi").as("sim_hi"))
+    Sources.writeBucketed(
+      wideBandedFrame(sigs, idCol, 120, maxHamming)
+        .select(col("band"), col("band_bits"), col("sim_lo"), col("sim_hi"))
+        .distinct(),
+      s"${store}_bands", "band_bits", nBuckets)
+    setStoreParams(hashes.sparkSession, s"${store}_bands",
+      Map("kind" -> "image_dhash", "maxHamming" -> maxHamming,
+        "nBuckets" -> nBuckets, "enc" -> "dhash120_v1"))
+  }
+
+  /** incremental IMAGE near-dup dedup against [[writeImageHashStore]]: the
+    * new batch's wide dHashes are banded with the SAME layout, candidates
+    * come from the (band, band_bits) match against the store's bucketed
+    * bands table (the store never reshuffles; only the new batch does),
+    * verification is the two-long bit_count on the join output, and every
+    * new id within `maxHamming` of ANY stored hash is dropped. Survivors'
+    * bands append as new bucket files when `updateStore` — append ≡
+    * rebuild, the store-family contract. In-batch near-dups are the
+    * caller's batch-level pass ([[imageDedupFromHashesWide]]) — the same
+    * division of labor as the simhash/minhash stores. NULL hashes
+    * (undecodable) are excluded from probing and from the survivor set. */
+  def imageDedupAgainst(newHashes: DataFrame, idCol: String, store: String,
+                        maxHamming: Int = 6,
+                        updateStore: Boolean = true): DataFrame = {
+    val spark = newHashes.sparkSession
+    checkStoreParams(spark, s"${store}_bands",
+      Map("kind" -> "image_dhash", "maxHamming" -> maxHamming,
+        "enc" -> "dhash120_v1"),
+      required = Set("enc"))
+    // appends must match the table's persisted bucket spec — read it back
+    // rather than trusting a caller parameter to agree with the build
+    val nBuckets = spark.sql(s"SHOW TBLPROPERTIES ${store}_bands").collect()
+      .collectFirst {
+        case r if r.getString(0) == "graft.nBuckets" => r.getString(1).toInt
+      }.getOrElse(8)
+    val sigs = newHashes.filter(col("dh_lo").isNotNull)
+      .select(col(idCol), col("dh_lo").as("sim_lo"),
+        col("dh_hi").as("sim_hi"))
+      .localCheckpoint()
+    val stored = spark.table(s"${store}_bands")
+      .withColumnRenamed("sim_lo", "__s_lo")
+      .withColumnRenamed("sim_hi", "__s_hi")
+    val dupIds = wideBandedFrame(sigs, idCol, 120, maxHamming)
+      .join(stored, Seq("band", "band_bits"))
+      .filter((bit_count(col("sim_lo").bitwiseXOR(col("__s_lo"))) +
+        bit_count(col("sim_hi").bitwiseXOR(col("__s_hi"))))
+        .cast(LongType) <= maxHamming)
+      .select(col(idCol)).distinct()
+    val survivors = sigs.join(dupIds, Seq(idCol), "left_anti")
+    if (updateStore) {
+      val s = survivors.localCheckpoint()
+      Sources.writeBucketed(
+        wideBandedFrame(s, idCol, 120, maxHamming)
+          .select(col("band"), col("band_bits"), col("sim_lo"),
+            col("sim_hi"))
+          .distinct(),
+        s"${store}_bands", "band_bits", nBuckets, SaveMode.Append)
+      s.select(col(idCol))
+    } else survivors.select(col(idCol))
   }
 
   /** WIDE (two-long) SimHash signatures (idCol, sim_lo, sim_hi) — the
@@ -1514,8 +1581,12 @@ object Dedup {
     * 15-bit legacy bands hold ~4.6 docs per bucket on a uniform corpus and
     * far more under replica clustering (measured 15.1× at 30× data);
     * 21-bit bands put expected occupancy back under 0.1. */
-  def simhashHammingPairsWideFromSigs(sigs: DataFrame, idCol: String,
-                                      nBits: Int, maxHamming: Int): DataFrame = {
+  /** the exploded (idCol, sim_lo, sim_hi, band, band_bits) frame for a
+    * wide two-long signature — shared by the pair search, the image-hash
+    * store build/probe, and the candidate-mass guard. */
+  private[graft] def wideBandedFrame(sigs: DataFrame, idCol: String,
+                                     nBits: Int,
+                                     maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming < nBits,
       s"maxHamming ($maxHamming) must be in [0, nBits=$nBits)")
     require(nBits <= 120, s"wide signature supports ≤ 120 bits, got $nBits")
@@ -1530,8 +1601,13 @@ object Dedup {
     val bandCols = (0 until bands).map { b =>
       wideBandBits(col("sim_lo"), col("sim_hi"), offsets(b), widths(b))
     }
-    val banded = sigs.select(col(idCol), col("sim_lo"), col("sim_hi"),
+    sigs.select(col(idCol), col("sim_lo"), col("sim_hi"),
       posexplode(array(bandCols: _*)).as(Seq("band", "band_bits")))
+  }
+
+  def simhashHammingPairsWideFromSigs(sigs: DataFrame, idCol: String,
+                                      nBits: Int, maxHamming: Int): DataFrame = {
+    val banded = wideBandedFrame(sigs, idCol, nBits, maxHamming)
     val ham = bit_count(col("l.sim_lo").bitwiseXOR(col("r.sim_lo"))) +
       bit_count(col("l.sim_hi").bitwiseXOR(col("r.sim_hi")))
     banded.as("l").join(banded.as("r"),

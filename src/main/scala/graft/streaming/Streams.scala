@@ -561,6 +561,55 @@ object Streams {
     q.stop()
   }
 
+  /** one pass of streaming IMAGE ingest against the perceptual-hash store
+    * ([[graft.operators.Dedup.writeImageHashStore]]) — the image member of
+    * the streaming store-twin family: each micro-batch of media rows is
+    * wide-dHashed (real decode in the micro-batch's own executors), probed
+    * against the banded store, and the surviving (genuinely new) images'
+    * ids land in `outDir` while their banded hashes append to the store —
+    * so the next micro-batch and the next restart dedup against them too.
+    *
+    * At-least-once safety is CONTENT-keyed, the strongest form in the twin
+    * family: a re-delivered batch's every hash is hamming-0 against its
+    * own previously appended store row, so the probe drops the whole
+    * replay and the append is EMPTY — no marker ordering or batch tag is
+    * load-bearing (duplicate band rows couldn't change an anti-join
+    * anyway). The commit markers remain as the fast path (a marked batch
+    * skips decode + probe entirely), and the survivor manifest overwrites
+    * its own `__batch` partition (dynamic overwrite) like the fingerprint
+    * twin. */
+  def runImageIngestOnce(spark: SparkSession, inDir: String, outDir: String,
+                         checkpointDir: String, store: String,
+                         maxHamming: Int = 6): Unit = {
+    val schema = spark.read.parquet(inDir).schema
+    spark.catalog.refreshTable(s"${store}_bands")
+    val markers = new org.apache.hadoop.fs.Path(checkpointDir, "img_commits")
+    val q = spark.readStream.schema(schema).parquet(inDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val s = batch.sparkSession
+        val fs = markers.getFileSystem(s.sessionState.newHadoopConf())
+        val marker = new org.apache.hadoop.fs.Path(markers, batchId.toString)
+        if (!fs.exists(marker)) {
+          val survivors = graft.operators.Dedup.imageDedupAgainst(
+            graft.operators.Multimodal.imageDHashWide(batch.toDF()),
+            "media_id", store, maxHamming, updateStore = true)
+          survivors.withColumn("__batch", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch").parquet(outDir)
+          fs.mkdirs(markers)
+          fs.createNewFile(marker)
+          s.catalog.refreshTable(s"${store}_bands")
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** one pass of streaming ingest into the SEARCH index: each micro-batch's
     * postings append to the inverted index ([[graft.operators.Search
     * .appendInvertedIndex]] — bucket spec from the store's own metadata).

@@ -1066,6 +1066,49 @@ class OperatorsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("imageDHashWide"), e.getMessage)
   }
 
+  test("image hash store: probe ≡ brute force, appended survivors block replays, params validated") {
+    import graft.operators.{Dedup, Multimodal}
+    val docs = (0L until 16L).toDF("doc_id")
+    val hashes = Multimodal.imageDHashWide(
+        Multimodal.encodeSyntheticPngGroups(docs, "doc_id"))
+      .localCheckpoint()
+    val all = hashes.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def ham(a: (Long, Long, Long), b: (Long, Long, Long)) =
+      java.lang.Long.bitCount(a._2 ^ b._2) + java.lang.Long.bitCount(a._3 ^ b._3)
+    val store = "graft_img_store_spec"
+    spark.sql(s"DROP TABLE IF EXISTS ${store}_bands")
+    Dedup.writeImageHashStore(hashes.filter(col("media_id") < 8), "media_id",
+      store, maxHamming = 6, nBuckets = 2)
+    val seed = all.filter(_._1 < 8)
+    val probe = all.filter(_._1 >= 8)
+    val expected = probe.filter(p => !seed.exists(s => ham(p, s) <= 6))
+      .map(_._1).toSet
+    val got = Dedup.imageDedupAgainst(hashes.filter(col("media_id") >= 8),
+        "media_id", store, maxHamming = 6, updateStore = true)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == expected, s"probe $got != brute force $expected")
+    // survivors were APPENDED: replaying the same batch (fresh ids so the
+    // anti-join can't hide a miss behind id equality — matching is by
+    // hash, ids never join) now drops everything that survived
+    import org.apache.spark.sql.functions.{col => c}
+    val replay = Dedup.imageDedupAgainst(
+        hashes.filter(col("media_id") >= 8)
+          .select((c("media_id") + 100L).as("media_id"), c("dh_lo"),
+            c("dh_hi")),
+        "media_id", store, maxHamming = 6, updateStore = false)
+      .collect().map(_.getLong(0)).toSet
+    // every replayed row is hamming 0 from its own appended hash (if it
+    // survived) or still within 6 of the seed (if it didn't) → empty
+    assert(replay.isEmpty, s"replay must drop everything: $replay")
+    // mismatched build parameter refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      Dedup.imageDedupAgainst(hashes, "media_id", store, maxHamming = 3)
+    }
+    assert(e.getMessage.contains("maxHamming"), e.getMessage)
+    spark.sql(s"DROP TABLE IF EXISTS ${store}_bands")
+  }
+
   test("pageRankHostsDangling: sink mass redistributed, total conserved, report exact") {
     import graft.operators.LinkGraph
     val edges = Seq(("a.x", "b.x", 1L), ("a.x", "c.x", 3L),

@@ -978,6 +978,47 @@ class StreamsSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming image ingest: store probe drops near-dups, replay is content-keyed no-op") {
+    import graft.operators.{Dedup, Multimodal}
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_imging").toString
+    val (inDir, outDir, ckpt) = (s"$base/in", s"$base/out", s"$base/ckpt")
+    val store = "graft_imging_store"
+    spark.sql(s"DROP TABLE IF EXISTS ${store}_bands")
+    // seed: groups 0 and 1 (ids 0-7); stream: ids 8-15 (groups 2, 3)
+    val media = Multimodal.encodeSyntheticPngGroups(
+      (0L until 16L).toDF("doc_id"), "doc_id").localCheckpoint()
+    Dedup.writeImageHashStore(
+      Multimodal.imageDHashWide(media.filter(col("media_id") < 8)),
+      "media_id", store, maxHamming = 6, nBuckets = 2)
+    media.filter(col("media_id") >= 8)
+      .write.mode("append").parquet(inDir)
+    Streams.runImageIngestOnce(spark, inDir, outDir, ckpt, store)
+    try {
+      val streamed = spark.read.parquet(outDir)
+        .select("media_id").collect().map(_.getLong(0)).toSet
+      // ≡ the batch probe against the same seed store contents
+      val all = Multimodal.imageDHashWide(media).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      def ham(a: (Long, Long, Long), b: (Long, Long, Long)) =
+        java.lang.Long.bitCount(a._2 ^ b._2) +
+          java.lang.Long.bitCount(a._3 ^ b._3)
+      val seed = all.filter(_._1 < 8)
+      val expected = all.filter(_._1 >= 8)
+        .filter(p => !seed.exists(s => ham(p, s) <= 6)).map(_._1).toSet
+      assert(streamed == expected, s"streamed $streamed != $expected")
+      val bandRows = spark.table(s"${store}_bands").count()
+      // lose the checkpoint entirely: redelivery re-decodes and re-probes,
+      // but every replayed hash is hamming-0 against its own appended row
+      // — the append is empty and the manifest partition just rewrites
+      Streams.runImageIngestOnce(spark, inDir, outDir, s"$base/ckpt2", store)
+      assert(spark.table(s"${store}_bands").count() == bandRows,
+        "content-keyed replay must append nothing")
+      assert(spark.read.parquet(outDir).select("media_id")
+        .collect().map(_.getLong(0)).toSet == expected)
+    } finally spark.sql(s"DROP TABLE IF EXISTS ${store}_bands")
+  }
+
   test("streaming frequency (CMS) ingest: estimates equal a rebuild, replay-idempotent") {
     import graft.operators.Profiling
     import spark.implicits._
@@ -1008,6 +1049,17 @@ class StreamsSpec extends AnyFunSuite {
         "graft_freqing_rebuild", eps = 0.01)
       assert(afterStream == est("graft_freqing_rebuild"),
         "incremental store diverged from rebuild")
+      // COMPACT mid-lifecycle: one merged row, estimates unchanged, and a
+      // fresh-checkpoint replay still no-ops via the compacted watermark
+      Profiling.compactFrequencyStore(spark, "graft_freqing_store")
+      assert(spark.table("graft_freqing_store").count() == 1L)
+      assert(est("graft_freqing_store") == afterStream,
+        "compaction changed estimates")
+      Streams.runFreqIngestOnce(spark, inDir, s"$base/ckpt3",
+        "graft_freqing_store", "v", eps = 0.01, confidence = 0.99,
+        seed = 42)
+      assert(est("graft_freqing_store") == afterStream,
+        "post-compaction replay double-appended")
     } finally {
       spark.sql("DROP TABLE IF EXISTS graft_freqing_store")
       spark.sql("DROP TABLE IF EXISTS graft_freqing_rebuild")
@@ -1047,6 +1099,32 @@ class StreamsSpec extends AnyFunSuite {
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       assert(afterStream == rebuilt,
         s"incremental $afterStream diverged from rebuild $rebuilt")
+      // COMPACT mid-lifecycle: estimates unchanged, and a replayed stream
+      // pass (fresh checkpoint — batchIds restart at 0, the folded rows
+      // are GONE) still no-ops through the compacted-watermark guard
+      Profiling.compactCardinalityStore(spark, "graft_carding_store")
+      assert(est == afterStream, "compaction changed estimates")
+      assert(spark.table("graft_carding_store").count() == 2L,
+        "one merged row per group after compaction")
+      Streams.runCardIngestOnce(spark, inDir, s"$base/ckpt3",
+        "graft_carding_store", "g", "v", lgK = 12)
+      assert(est == afterStream, "post-compaction replay double-appended")
+      // the ingest lifecycle CONTINUES past a compaction: a genuinely new
+      // batch file (tag 1 > watermark 0) appends, and the accreted store
+      // still equals a from-scratch rebuild over all three batches
+      val b2 = (1 to 200).map(i => (s"g${i % 2}", s"u${i % 20}"))
+        .toDF("g", "v")
+      b2.write.mode("append").parquet(inDir)
+      Streams.runCardIngestOnce(spark, inDir, s"$base/ckpt3",
+        "graft_carding_store", "g", "v", lgK = 12)
+      spark.sql("DROP TABLE IF EXISTS graft_carding_rebuild")
+      Profiling.writeCardinalityStore(seed.unionAll(b1).unionAll(b2), "g",
+        col("v"), "graft_carding_rebuild", lgK = 12)
+      val rebuilt3 = Profiling.cardinalityEstimates(spark,
+          "graft_carding_rebuild")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(est == rebuilt3,
+        s"post-compaction append diverged from 3-batch rebuild")
     } finally {
       spark.sql("DROP TABLE IF EXISTS graft_carding_store")
       spark.sql("DROP TABLE IF EXISTS graft_carding_rebuild")
