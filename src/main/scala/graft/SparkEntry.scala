@@ -1695,6 +1695,18 @@ object SparkEntry {
           updateStore = false)
         .orderBy("media_id")
     }),
+    "q_audio_dedup" -> ((s, dir) =>
+      // AUDIO near-dup dedup — the last dedup-less modality closed: real
+      // RIFF/WAVE clips (grouped quadratic PCM law), energy-envelope
+      // gradient hash over 121 windows, the SAME modality-agnostic
+      // wide-hash banding engine as images (never all-pairs, mass-
+      // guarded); oracle replays decode→energies→bits→pack→all-pairs
+      Dedup.wideHashDedup(
+          Multimodal.audioEnergyHashWide(
+            Multimodal.encodeSyntheticWavGroups(rd(s, dir, "documents"),
+              "doc_id")),
+          "media_id", maxHamming = 6, fn = "audioDedup")
+        .orderBy("media_id")),
     "q_running_totals" -> ((s, dir) => {
       import s.implicits._
       val ds = rdEvents(s, dir)
@@ -3301,6 +3313,41 @@ object SparkEntry {
            ON bit_count(xor(n.lo, s.lo)) + bit_count(xor(n.hi, s.hi)) <= 6)
        SELECT media_id FROM newh
        WHERE media_id NOT IN (SELECT media_id FROM dropd)
+       ORDER BY media_id"""
+
+  /** q_audio_dedup's oracle: the grouped PCM law through 16-sample window
+    * energies into gradient bits, two-long pack, all-pairs hamming — the
+    * audio mirror of [[ImageDedupWideOracle]]. */
+  private val AudioDedupOracle: String =
+    """WITH am AS (
+         SELECT doc_id AS media_id, CAST(doc_id % 4 AS BIGINT) AS mm,
+           2 * (((doc_id - doc_id % 4) * 2654435761) % 127) + 1 AS kk,
+           ((doc_id - doc_id % 4) * 40503) % 251 AS cc
+         FROM documents),
+       ae AS (
+         SELECT media_id, i // 16 AS w,
+           sum(abs(CASE WHEN i = mm * 16 THEN 2000
+               ELSE ((i+1)*(i+1)*kk + (i+1)*cc) % 4001 - 2000 END)) AS e
+         FROM am, range(0, 1936) r(i)
+         GROUP BY media_id, w),
+       ab AS (
+         SELECT a.media_id, a.w AS bit
+         FROM ae a JOIN ae b ON b.media_id = a.media_id AND b.w = a.w + 1
+         WHERE a.w < 120 AND a.e < b.e),
+       ah AS (
+         SELECT am.media_id,
+           coalesce(bit_or(CASE WHEN bit < 60
+               THEN CAST(1 AS BIGINT) << bit END), CAST(0 AS BIGINT)) AS lo,
+           coalesce(bit_or(CASE WHEN bit >= 60
+               THEN CAST(1 AS BIGINT) << (bit - 60) END), CAST(0 AS BIGINT))
+             AS hi
+         FROM am LEFT JOIN ab USING (media_id) GROUP BY am.media_id),
+       ap AS (
+         SELECT b.media_id AS id_b
+         FROM ah a JOIN ah b ON a.media_id < b.media_id
+         WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 6)
+       SELECT media_id FROM ah
+       WHERE media_id NOT IN (SELECT id_b FROM ap)
        ORDER BY media_id"""
 
   /** q_curation_ppl in DuckDB: the perplexity gate ([[lmPplChainSql]],
@@ -5899,6 +5946,7 @@ object SparkEntry {
     "q_image_dedup" -> ImageDedupOracle,
     "q_image_dedup_wide" -> ImageDedupWideOracle,
     "q_image_store" -> ImageStoreOracle,
+    "q_audio_dedup" -> AudioDedupOracle,
     "q_media_decode" ->
       """WITH m AS (
            SELECT doc_id AS media_id,

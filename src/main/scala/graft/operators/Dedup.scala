@@ -1450,17 +1450,32 @@ object Dedup {
     * NULL-hash rows (undecodable) are excluded as in the 64-bit form. */
   def imageDedupFromHashesWide(hashes: DataFrame, idCol: String,
                                maxHamming: Int = 6,
-                               maxCandidateMass: Long = 200000000L): DataFrame = {
+                               maxCandidateMass: Long = 200000000L): DataFrame =
+    wideHashDedup(hashes, idCol, maxHamming, maxCandidateMass,
+      fn = "imageDedupFromHashesWide",
+      adviceOnBlowup = "the corpus is clustered past even 17-bit buckets " +
+        "— pre-block on metadata (dims/source) before hashing")
+
+  /** modality-agnostic wide-hash (120-bit two-long) near-dup dedup — the
+    * shared engine under [[imageDedupFromHashesWide]] (dHash) and the
+    * audio energy-hash dedup: any perceptual signature expressed as
+    * (idCol, dh_lo, dh_hi) gets the same Manku banding, exact
+    * candidate-mass fail-fast, and keep-min survivor rule. NULL-lo rows
+    * (undecodable media) are excluded from matching and survival. */
+  def wideHashDedup(hashes: DataFrame, idCol: String,
+                    maxHamming: Int = 6,
+                    maxCandidateMass: Long = 200000000L,
+                    fn: String = "wideHashDedup",
+                    adviceOnBlowup: String =
+                      "pre-block on metadata before hashing"): DataFrame = {
     val sigs = hashes.filter(col("dh_lo").isNotNull)
       .select(col(idCol), col("dh_lo").as("sim_lo"),
         col("dh_hi").as("sim_hi"))
       .localCheckpoint()
-    imageCandidateMassGuard("imageDedupFromHashesWide",
+    imageCandidateMassGuard(fn,
       wideBandedFrame(sigs, idCol, 120, maxHamming)
         .select("band", "band_bits"),
-      maxCandidateMass,
-      "the corpus is clustered past even 17-bit buckets — pre-block on " +
-        "metadata (dims/source) before hashing")
+      maxCandidateMass, adviceOnBlowup)
     val dups = simhashHammingPairsWideFromSigs(sigs, idCol,
         nBits = 120, maxHamming = maxHamming)
       .select(col("id_b").as(idCol)).distinct()

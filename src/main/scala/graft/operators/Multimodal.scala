@@ -826,6 +826,102 @@ object Multimodal {
       lit("audio/wav").as("mime"))
   }
 
+  /** NEAR-DUP WAV fixture generator for the audio perceptual-hash dedup
+    * family — the audio sibling of [[encodeSyntheticPngGroups]]: one
+    * genuine 1936-sample mono PCM16 8 kHz RIFF/WAVE clip per row, sample
+    * i (0-based) carrying ((i+1)²·k + (i+1)·c) mod 4001 − 2000 with
+    * (k, c) derived from the row's GROUP (base = id − id mod 4;
+    * k = 2·((base·2654435761) mod 127) + 1, c = (base·40503) mod 251 —
+    * the quadratic step makes window energies pseudo-random, and unlike
+    * the image law's brightness-shift trap, c here PHASES the mod-4001
+    * values so every (k, c) class gets a distinct energy hash — simulated:
+    * all 31877 classes distinct, banded mass under the production cap at
+    * 100x GenScale). Member m = id mod 4 REPLACES sample m·16 (the first
+    * sample of window m) with the peak value 2000 — perturbing one
+    * window's energy flips at most two energy-hash bits, planting hamming
+    * ≤ 4 within each group of four. */
+  def encodeSyntheticWavGroups(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val encoded = df.select(col(idCol).cast(LongType)).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          require(id >= 0, s"encodeSyntheticWavGroups: ids must be " +
+            "non-negative — the sample law's mod identities across " +
+            "engines hold only there")
+          val base = id - id % 4
+          val k = (2L * ((base * 2654435761L) % 127L) + 1L).toInt
+          val c = ((base * 40503L) % 251L).toInt
+          val m = (id % 4).toInt
+          val n = 1936
+          val pcm = new Array[Byte](n * 2)
+          var i = 0
+          while (i < n) {
+            val raw = (((i + 1).toLong * (i + 1) * k + (i + 1).toLong * c)
+              % 4001L - 2000L).toShort
+            val v: Short = if (i == m * 16) 2000 else raw
+            pcm(2 * i) = (v & 0xff).toByte
+            pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+            i += 1
+          }
+          (id, wavBytes(pcm, 8000, 1))
+        }
+      }
+    encoded.select(
+      col("_1").as("media_id"),
+      lit("audio").as("kind"),
+      col("_2").as("bytes"),
+      octet_length(col("_2")).cast(LongType).as("n_bytes"),
+      lit("audio/wav").as("mime"))
+  }
+
+  /** WIDE (120-bit) audio ENERGY HASH — the audio perceptual fingerprint
+    * feeding [[graft.operators.Dedup.wideHashDedup]]: decode to PCM16
+    * (RIFF fast path, service-layer fallback), sum |sample| over 121
+    * consecutive 16-sample windows of the first 1936 samples, and set bit
+    * w = 1 iff energy(w) < energy(w+1) — the energy-envelope gradient, the
+    * same robustness idea as the image dHash (level shifts and
+    * re-encodings preserve gradient direction). Exact integer energies →
+    * a SQL oracle replays the whole chain. Clips shorter than 1936
+    * samples, multi-channel clips, and undecodable blobs hash NULL (mark,
+    * not kill). Packed (dh_lo bits 0–59, dh_hi 60–119), the two-long
+    * wide-banding layout. */
+  def audioEnergyHashWide(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast(LongType), col("bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          decodePcm16(bytes) match {
+            case Some((_, channels, data))
+                if channels == 1 && data.length >= 1936 * 2 =>
+              val e = new Array[Long](121)
+              var i = 0
+              while (i < 1936) {
+                val v = ((data(2 * i) & 0xff) |
+                  (data(2 * i + 1) << 8)).toShort.toLong
+                e(i / 16) += math.abs(v)
+                i += 1
+              }
+              var lo = 0L
+              var hi = 0L
+              var w = 0
+              while (w < 120) {
+                if (e(w) < e(w + 1)) {
+                  if (w < 60) lo |= 1L << w else hi |= 1L << (w - 60)
+                }
+                w += 1
+              }
+              (id, Some(lo), Some(hi))
+            case _ => (id, None: Option[Long], None: Option[Long])
+          }
+        }
+      }
+      .select(col("_1").as("media_id"), col("_2").as("dh_lo"),
+        col("_3").as("dh_hi"))
+  }
+
   /** decoded-audio feature row: container-declared format (rate, channels)
     * plus exact integer statistics over the decoded PCM16 samples —
     * `sample_sum` (the oracle-checkable raw statistic), `peak` (max |s|,

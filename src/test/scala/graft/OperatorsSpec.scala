@@ -1066,6 +1066,52 @@ class OperatorsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("imageDHashWide"), e.getMessage)
   }
 
+  test("audioEnergyHashWide: codec round-trip matches the energy law; groups plant near-dups") {
+    import graft.operators.{Dedup, Multimodal}
+    val docs = (0L until 16L).toDF("doc_id")
+    val hashes = Multimodal.audioEnergyHashWide(
+        Multimodal.encodeSyntheticWavGroups(docs, "doc_id"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // independent sequential recompute of PCM law → window energies →
+    // gradient bits → two-long pack (the real RIFF encode/decode round
+    // trip must land exactly here)
+    def law(id: Long): (Long, Long) = {
+      val base = id - id % 4
+      val k = (2L * ((base * 2654435761L) % 127L) + 1L).toInt
+      val c = ((base * 40503L) % 251L).toInt
+      val m = (id % 4).toInt
+      val e = new Array[Long](121)
+      for (i <- 0 until 1936) {
+        val raw = ((i + 1).toLong * (i + 1) * k + (i + 1).toLong * c) % 4001L - 2000L
+        val v = if (i == m * 16) 2000L else raw
+        e(i / 16) += math.abs(v)
+      }
+      var lo = 0L; var hi = 0L
+      for (w <- 0 until 120 if e(w) < e(w + 1))
+        if (w < 60) lo |= 1L << w else hi |= 1L << (w - 60)
+      (lo, hi)
+    }
+    (0L until 16L).foreach(id =>
+      assert(hashes(id) == law(id), s"id $id: ${hashes(id)} != ${law(id)}"))
+    // one-window member perturbation flips ≤ 4 bits within each group
+    for (b <- Seq(0L, 4L, 8L, 12L); m <- 1 to 3) {
+      val (al, ah) = hashes(b); val (bl, bh) = hashes(b + m)
+      assert(java.lang.Long.bitCount(al ^ bl) +
+        java.lang.Long.bitCount(ah ^ bh) <= 4,
+        s"group $b member $m drifted past 4 bits")
+    }
+    // non-WAV bytes and short clips hash NULL; survivors = group mins
+    val junk = Seq((99L, "audio", "nope".getBytes("UTF-8")))
+      .toDF("media_id", "kind", "bytes")
+    assert(Multimodal.audioEnergyHashWide(junk).collect().head.isNullAt(1))
+    val survivors = Dedup.wideHashDedup(
+        Multimodal.audioEnergyHashWide(
+          Multimodal.encodeSyntheticWavGroups(docs, "doc_id")),
+        "media_id", maxHamming = 6)
+      .collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(0L, 4L, 8L, 12L), survivors.toString)
+  }
+
   test("image hash store: probe ≡ brute force, appended survivors block replays, params validated") {
     import graft.operators.{Dedup, Multimodal}
     val docs = (0L until 16L).toDF("doc_id")
