@@ -1695,6 +1695,21 @@ object SparkEntry {
           updateStore = false)
         .orderBy("media_id")
     }),
+    "q_video_dedup" -> ((s, dir) =>
+      // VIDEO clip-level near-dup dedup — aligned-copy detection: per
+      // sampled frame a wide dHash (real container parse + per-frame
+      // decode), clips match when ≥ 3 of 4 frames agree at the same index
+      // within hamming 6. The fixture scrambles frame 0 of non-base
+      // members (exactly 3 matching frames), so the threshold is
+      // exercised, not vacuous; oracle replays per-frame law → hashes →
+      // frame-aligned pair counts
+      Dedup.videoDedupFromFrameHashes(
+          Multimodal.videoDHashWide(
+            Multimodal.encodeSyntheticAviGroups(rd(s, dir, "documents"),
+              "doc_id"),
+            everyK = 1),
+          "media_id", maxHamming = 6, minMatchedFrames = 3)
+        .orderBy("media_id")),
     "q_audio_dedup" -> ((s, dir) =>
       // AUDIO near-dup dedup — the last dedup-less modality closed: real
       // RIFF/WAVE clips (grouped quadratic PCM law), energy-envelope
@@ -3348,6 +3363,54 @@ object SparkEntry {
          WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 6)
        SELECT media_id FROM ah
        WHERE media_id NOT IN (SELECT id_b FROM ap)
+       ORDER BY media_id"""
+
+  /** q_video_dedup's oracle: per-frame grouped pixel law (frame-0
+    * scramble for non-base members, per-frame phase c + 11f) through the
+    * wide-hash grid into frame-aligned pair matching — dup ⇔ ≥ 3 of 4
+    * frames within hamming 6. */
+  private val VideoDedupOracle: String =
+    """WITH vm AS (
+         SELECT doc_id AS media_id, CAST(doc_id % 4 AS BIGINT) AS mm,
+           2 * (((doc_id - doc_id % 4) * 2654435761) % 127) + 1 AS kk,
+           ((doc_id - doc_id % 4) * 40503) % 251 AS cc,
+           ((doc_id - doc_id % 4) * 69069) % 256 AS k3
+         FROM documents),
+       vfp AS (
+         SELECT media_id, mm, k3, f,
+           CASE WHEN f = 0 AND mm > 0 THEN kk + 2*mm ELSE kk END AS kf,
+           cc + 11*f AS cf
+         FROM vm, range(0, 4) rf(f)),
+       vw AS (
+         SELECT media_id, f, x, y,
+           (((x*18)//16 + 36*y + 1) * ((x*18)//16 + 36*y + 1) * kf
+            + ((x*18)//16 + 36*y + 1) * cf + (2*y)*(2*y)*k3
+            + CASE WHEN (x*18)//16 = 2*mm AND y = mm THEN 128 ELSE 0 END)
+             % 256 AS v
+         FROM vfp, range(0, 16) rx(x), range(0, 8) ry(y)),
+       vb AS (
+         SELECT a.media_id, a.f, a.y * 15 + a.x AS bit
+         FROM vw a JOIN vw c ON a.media_id = c.media_id AND c.f = a.f
+           AND c.y = a.y AND c.x = a.x + 1
+         WHERE a.x < 15 AND a.v < c.v),
+       vh AS (
+         SELECT q.media_id, q.f,
+           coalesce(bit_or(CASE WHEN bit < 60
+               THEN CAST(1 AS BIGINT) << bit END), CAST(0 AS BIGINT)) AS lo,
+           coalesce(bit_or(CASE WHEN bit >= 60
+               THEN CAST(1 AS BIGINT) << (bit - 60) END), CAST(0 AS BIGINT))
+             AS hi
+         FROM (SELECT DISTINCT media_id, f FROM vfp) q
+         LEFT JOIN vb ON vb.media_id = q.media_id AND vb.f = q.f
+         GROUP BY q.media_id, q.f),
+       vp AS (
+         SELECT a.media_id AS id_a, b.media_id AS id_b, count(*) AS mf
+         FROM vh a JOIN vh b ON a.media_id < b.media_id AND a.f = b.f
+         WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 6
+         GROUP BY 1, 2),
+       vd AS (SELECT DISTINCT id_b FROM vp WHERE mf >= 3)
+       SELECT media_id FROM (SELECT DISTINCT media_id FROM vh)
+       WHERE media_id NOT IN (SELECT id_b FROM vd)
        ORDER BY media_id"""
 
   /** q_curation_ppl in DuckDB: the perplexity gate ([[lmPplChainSql]],
@@ -5947,6 +6010,7 @@ object SparkEntry {
     "q_image_dedup_wide" -> ImageDedupWideOracle,
     "q_image_store" -> ImageStoreOracle,
     "q_audio_dedup" -> AudioDedupOracle,
+    "q_video_dedup" -> VideoDedupOracle,
     "q_media_decode" ->
       """WITH m AS (
            SELECT doc_id AS media_id,

@@ -1482,6 +1482,62 @@ object Dedup {
     sigs.join(dups, Seq(idCol), "left_anti").select(idCol)
   }
 
+  /** VIDEO clip-level near-dup dedup over per-frame wide dHashes
+    * ([[graft.operators.Multimodal.videoDHashWide]]) — the aligned-copy
+    * detector that closes the last dedup-less modality: two clips are
+    * near-dups when at least `minMatchedFrames` of their sampled frames
+    * match at the SAME frame index within `maxHamming` bits (re-encodes,
+    * brightness shifts, and single-frame edits survive; temporal
+    * re-cuts are out of scope by contract — that is shot-level matching,
+    * a different operator). Candidates come from the wide Manku banding
+    * keyed on (frame_no, band, band_bits) — frame-aligned, so the
+    * candidate space is per-frame-corpus-sized, never clips² — and the
+    * per-pair frame-match count is one hash aggregate over verified
+    * candidates. Keep-min survivors (drop id_b), NULL-hash frames
+    * excluded, the family conventions throughout. */
+  def videoDedupFromFrameHashes(frameHashes: DataFrame, idCol: String,
+                                maxHamming: Int = 6,
+                                minMatchedFrames: Int = 3,
+                                // the signature table is frames-per-clip×
+                                // larger than a per-item hash table, and
+                                // candidate mass scales linearly with it
+                                // (measured: 4-frame clips at 100x = 5.9e8
+                                // vs the image profile's 1.5e8) — the
+                                // default budget scales the same way
+                                maxCandidateMass: Long = 800000000L): DataFrame = {
+    require(minMatchedFrames >= 1,
+      s"videoDedupFromFrameHashes: minMatchedFrames $minMatchedFrames")
+    val sigs = frameHashes.filter(col("dh_lo").isNotNull)
+      .select(col(idCol), col("frame_no"), col("dh_lo").as("sim_lo"),
+        col("dh_hi").as("sim_hi"))
+      .localCheckpoint()
+    val banded = wideBandedFrame(sigs, idCol, 120, maxHamming,
+      carryCols = Seq("frame_no"))
+    imageCandidateMassGuard("videoDedupFromFrameHashes",
+      banded.select(concat_ws("#", col("frame_no"), col("band"))
+        .as("band"), col("band_bits")),
+      maxCandidateMass,
+      "pre-block on clip metadata (duration/dims/source) before hashing")
+    val matched = banded.as("l").join(banded.as("r"),
+        col("l.frame_no") === col("r.frame_no") &&
+          col("l.band") === col("r.band") &&
+          col("l.band_bits") === col("r.band_bits") &&
+          col(s"l.$idCol") < col(s"r.$idCol"))
+      .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"),
+        col("l.frame_no").as("frame_no"),
+        (bit_count(col("l.sim_lo").bitwiseXOR(col("r.sim_lo"))) +
+          bit_count(col("l.sim_hi").bitwiseXOR(col("r.sim_hi"))))
+          .cast(LongType).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "frame_no").distinct()
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("__mf"))
+    val dups = matched.filter(col("__mf") >= minMatchedFrames)
+      .select(col("id_b").as(idCol)).distinct()
+    sigs.select(col(idCol)).distinct()
+      .join(dups, Seq(idCol), "left_anti")
+  }
+
   /** create/replace the incremental IMAGE-HASH near-dup store — the image
     * modality joining the exact/bloom/simhash/minhash/embedding store
     * family: one bucketed table `<store>_bands (band, band_bits, sim_lo,
@@ -1600,8 +1656,8 @@ object Dedup {
     * wide two-long signature — shared by the pair search, the image-hash
     * store build/probe, and the candidate-mass guard. */
   private[graft] def wideBandedFrame(sigs: DataFrame, idCol: String,
-                                     nBits: Int,
-                                     maxHamming: Int): DataFrame = {
+                                     nBits: Int, maxHamming: Int,
+                                     carryCols: Seq[String] = Nil): DataFrame = {
     require(maxHamming >= 0 && maxHamming < nBits,
       s"maxHamming ($maxHamming) must be in [0, nBits=$nBits)")
     require(nBits <= 120, s"wide signature supports ≤ 120 bits, got $nBits")
@@ -1616,8 +1672,9 @@ object Dedup {
     val bandCols = (0 until bands).map { b =>
       wideBandBits(col("sim_lo"), col("sim_hi"), offsets(b), widths(b))
     }
-    sigs.select(col(idCol), col("sim_lo"), col("sim_hi"),
-      posexplode(array(bandCols: _*)).as(Seq("band", "band_bits")))
+    sigs.select(col(idCol) +: carryCols.map(col) :+ col("sim_lo") :+
+      col("sim_hi") :+
+      posexplode(array(bandCols: _*)).as(Seq("band", "band_bits")): _*)
   }
 
   def simhashHammingPairsWideFromSigs(sigs: DataFrame, idCol: String,

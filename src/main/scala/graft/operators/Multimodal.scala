@@ -328,41 +328,150 @@ object Multimodal {
           if (img == null || img.getWidth < 1 || img.getHeight < 1)
             (id, None: Option[Long], None: Option[Long])
           else {
-            val (w, h) = (img.getWidth, img.getHeight)
-            val r = img.getRaster
-            val g = Array.ofDim[Int](8, 16)
-            var y = 0
-            while (y < 8) {
-              val sy = (y.toLong * h / 8).toInt
-              var x = 0
-              while (x < 16) {
-                val sx = (x.toLong * w / 16).toInt
-                g(y)(x) = r.getSample(sx, sy, 0)
-                x += 1
-              }
-              y += 1
-            }
-            var lo = 0L
-            var hi = 0L
-            y = 0
-            while (y < 8) {
-              var x = 0
-              while (x < 15) {
-                if (g(y)(x) < g(y)(x + 1)) {
-                  val idx = y * 15 + x
-                  if (idx < 60) lo |= 1L << idx
-                  else hi |= 1L << (idx - 60)
-                }
-                x += 1
-              }
-              y += 1
-            }
+            val (lo, hi) = wideDHashOfImage(img)
             (id, Some(lo), Some(hi))
           }
         }
       }
       .select(col("_1").as("media_id"), col("_2").as("dh_lo"),
         col("_3").as("dh_hi"))
+  }
+
+  /** the 120-bit wide dHash of one decoded image (16×8 NN grid, band 0)
+    * — shared by [[imageDHashWide]] and the per-frame video hash. */
+  private def wideDHashOfImage(img: java.awt.image.BufferedImage): (Long, Long) = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val r = img.getRaster
+    val g = Array.ofDim[Int](8, 16)
+    var y = 0
+    while (y < 8) {
+      val sy = (y.toLong * h / 8).toInt
+      var x = 0
+      while (x < 16) {
+        val sx = (x.toLong * w / 16).toInt
+        g(y)(x) = r.getSample(sx, sy, 0)
+        x += 1
+      }
+      y += 1
+    }
+    var lo = 0L
+    var hi = 0L
+    y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 15) {
+        if (g(y)(x) < g(y)(x + 1)) {
+          val idx = y * 15 + x
+          if (idx < 60) lo |= 1L << idx
+          else hi |= 1L << (idx - 60)
+        }
+        x += 1
+      }
+      y += 1
+    }
+    (lo, hi)
+  }
+
+  /** per-sampled-frame WIDE dHashes of each video clip: parse the AVI
+    * container, keep every `everyK`-th frame, decode ONLY those (the
+    * [[videoFrames]] sampling economics), and emit
+    * (media_id, frame_no, dh_lo, dh_hi) — the frame-level perceptual
+    * signature table [[graft.operators.Dedup.videoDedupFromFrameHashes]]
+    * matches clips on. Undecodable containers emit one marker row
+    * (frame_no = −1, NULL hashes); an undecodable individual frame
+    * marks NULL at its own frame_no. No shuffle — flatMap inside
+    * mapPartitions, pipelines with the scan. */
+  def videoDHashWide(media: DataFrame, everyK: Int = 1): DataFrame = {
+    require(everyK >= 1, s"videoDHashWide: everyK must be >= 1, got $everyK")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast(LongType), col("bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.flatMap { case (id, bytes) =>
+          parseAviFrames(bytes) match {
+            case None =>
+              Iterator.single((id, -1, None: Option[Long], None: Option[Long]))
+            case Some((_, _, _, payloads)) =>
+              payloads.iterator.zipWithIndex
+                .filter(_._2 % everyK == 0)
+                .map { case (payload, f) =>
+                  val img =
+                    try javax.imageio.ImageIO.read(
+                      new java.io.ByteArrayInputStream(payload))
+                    catch { case _: Exception => null }
+                  if (img == null || img.getWidth < 1 || img.getHeight < 1)
+                    (id, f, None: Option[Long], None: Option[Long])
+                  else {
+                    val (lo, hi) = wideDHashOfImage(img)
+                    (id, f, Some(lo), Some(hi))
+                  }
+                }
+          }
+        }
+      }
+      .select(col("_1").as("media_id"), col("_2").as("frame_no"),
+        col("_3").as("dh_lo"), col("_4").as("dh_hi"))
+  }
+
+  /** NEAR-DUP AVI fixture generator — the video sibling of
+    * [[encodeSyntheticPngGroups]]: one genuine 4-frame MPNG-in-AVI clip
+    * per row, frame f's 18×16 pixels following the grouped quadratic law
+    * with a per-frame PHASE (i²·k_f + i·(c + 11f) + y²·k3 + bump) mod 256,
+    * where (k, c, k3) derive from base = id − id mod 4 exactly as the
+    * image fixture and bump = 128 at (2m, 2m), m = id mod 4. Frame 0 of
+    * NON-BASE members uses k_0 = k + 2m (still odd — a structurally
+    * different frame): members therefore match their group base on
+    * EXACTLY frames 1–3, so a `minMatchedFrames = 3` clip-dedup catches
+    * every intra-group pair while a 4-frame requirement would not — the
+    * threshold is exercised, not vacuous. */
+  def encodeSyntheticAviGroups(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val encoded = df.select(col(idCol).cast(LongType)).as[Long]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { id =>
+          require(id >= 0, s"encodeSyntheticAviGroups: ids must be " +
+            "non-negative — the pixel law's div/mod identities across " +
+            "engines hold only there")
+          val base = id - id % 4
+          val k = (2L * ((base * 2654435761L) % 127L) + 1L).toInt
+          val c = ((base * 40503L) % 251L).toInt
+          val k3 = ((base * 69069L) % 256L).toInt
+          val m = (id % 4).toInt
+          val frames = (0 until 4).map { f =>
+            val kf = if (f == 0 && m > 0) k + 2 * m else k
+            val cf = c + 11 * f
+            val img = new java.awt.image.BufferedImage(18, 16,
+              java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+            val raster = img.getRaster
+            var y = 0
+            while (y < 16) {
+              var x = 0
+              while (x < 18) {
+                val bump = if (x == 2 * m && y == 2 * m) 128 else 0
+                val i = x + 18 * y + 1
+                raster.setSample(x, y, 0,
+                  (i * i * kf + i * cf + y * y * k3 + bump) % 256)
+                x += 1
+              }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream(512)
+            javax.imageio.ImageIO.write(img, "png", bos)
+            bos.toByteArray
+          }
+          (id, aviBytes(frames, 18, 16))
+        }
+      }
+    encoded.select(
+      col("_1").as("media_id"),
+      lit("video").as("kind"),
+      col("_2").as("bytes"),
+      octet_length(col("_2")).cast(LongType).as("n_bytes"),
+      lit("video/avi").as("mime"))
   }
 
   /** byte-budget blob cap: deterministic truncation of the blob to

@@ -1112,6 +1112,38 @@ class OperatorsSpec extends AnyFunSuite {
     assert(survivors == Set(0L, 4L, 8L, 12L), survivors.toString)
   }
 
+  test("videoDedupFromFrameHashes: frame-aligned matching, threshold exercised, junk marks") {
+    import graft.operators.{Dedup, Multimodal}
+    val docs = (0L until 16L).toDF("doc_id")
+    val fh = Multimodal.videoDHashWide(
+        Multimodal.encodeSyntheticAviGroups(docs, "doc_id"), everyK = 1)
+      .localCheckpoint()
+    // the fixture plants EXACTLY 3 matching frames per intra-group pair
+    // (frame 0 of non-base members is structurally scrambled): at
+    // minMatchedFrames = 3 each group collapses to its min id...
+    val at3 = Dedup.videoDedupFromFrameHashes(fh, "media_id",
+        maxHamming = 6, minMatchedFrames = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(at3 == Set(0L, 4L, 8L, 12L), at3.toString)
+    // ...while demanding all 4 frames keeps every clip — the threshold is
+    // load-bearing, not vacuous
+    val at4 = Dedup.videoDedupFromFrameHashes(fh, "media_id",
+        maxHamming = 6, minMatchedFrames = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(at4 == (0L until 16L).toSet, at4.toString)
+    // an unparseable container marks (frame_no −1, NULL hashes) and is
+    // excluded from matching and survival
+    val junk = Seq((99L, "video", "not-avi".getBytes("UTF-8")))
+      .toDF("media_id", "kind", "bytes")
+    val jh = Multimodal.videoDHashWide(junk).collect()
+    assert(jh.length == 1 && jh.head.getInt(1) == -1 && jh.head.isNullAt(2))
+    val withJunk = Dedup.videoDedupFromFrameHashes(
+        fh.unionByName(Multimodal.videoDHashWide(junk)), "media_id",
+        maxHamming = 6, minMatchedFrames = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(withJunk == Set(0L, 4L, 8L, 12L), withJunk.toString)
+  }
+
   test("image hash store: probe ≡ brute force, appended survivors block replays, params validated") {
     import graft.operators.{Dedup, Multimodal}
     val docs = (0L until 16L).toDF("doc_id")

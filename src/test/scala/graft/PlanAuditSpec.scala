@@ -722,5 +722,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!wide.contains("CartesianProduct") &&
       !wide.contains("BroadcastNestedLoopJoin"),
       s"wide image dedup degenerated to all-pairs:\n$wide")
+    // audio + video ride the same banded engine: never all-pairs
+    val audio = finalPlan(Dedup.wideHashDedup(
+      Multimodal.audioEnergyHashWide(
+        Multimodal.encodeSyntheticWavGroups(docs, "doc_id")),
+      "media_id", maxHamming = 6))
+    assert(!audio.contains("CartesianProduct") &&
+      !audio.contains("BroadcastNestedLoopJoin"),
+      s"audio dedup degenerated to all-pairs:\n$audio")
+    val video = finalPlan(Dedup.videoDedupFromFrameHashes(
+      Multimodal.videoDHashWide(
+        Multimodal.encodeSyntheticAviGroups(docs, "doc_id")),
+      "media_id", maxHamming = 6, minMatchedFrames = 3))
+    assert(!video.contains("CartesianProduct") &&
+      !video.contains("BroadcastNestedLoopJoin"),
+      s"video dedup degenerated to all-pairs:\n$video")
   }
 }
