@@ -1695,6 +1695,47 @@ object SparkEntry {
           updateStore = false)
         .orderBy("media_id")
     }),
+    "q_audio_store" -> ((s, dir) => {
+      // the AUDIO member of the incremental store family — the q_image_store
+      // seed/probe split (id mod 8: even groups-of-4 seed members 0,1;
+      // their probed members 2,3 self-group-match and drop; odd groups are
+      // unseeded and survive whole) over energy-envelope hashes through the
+      // SAME generic wide-hash store engine; oracle = all-pairs
+      // probe-vs-seed hamming over the audio chain
+      val hashes = Multimodal.audioEnergyHashWide(
+          Multimodal.encodeSyntheticWavGroups(rd(s, dir, "documents"),
+            "doc_id"))
+        .localCheckpoint()
+      Dedup.writeAudioHashStore(
+        hashes.filter(pmod(col("media_id"), lit(8)) < 2),
+        "media_id", "graft_aud_store", maxHamming = 6, nBuckets = 4)
+      Dedup.audioDedupAgainst(
+          hashes.filter(pmod(col("media_id"), lit(8)) >= 2),
+          "media_id", "graft_aud_store", maxHamming = 6,
+          updateStore = false)
+        .orderBy("media_id")
+    }),
+    "q_video_store" -> ((s, dir) => {
+      // the VIDEO member of the incremental store family: banded PER-FRAME
+      // wide dHashes persisted with their clip id (__sid — the probe's
+      // ≥ min(3, n_frames) vote needs per-stored-clip match counts), same
+      // seed/probe split; a probed clip drops when ≥ 3 of its 4 frames
+      // match one stored clip at the same index within hamming 6. Oracle
+      // replays frame-aligned all-pairs hamming + the vote
+      val hashes = Multimodal.videoDHashWide(
+          Multimodal.encodeSyntheticAviGroups(rd(s, dir, "documents"),
+            "doc_id"),
+          everyK = 1)
+        .localCheckpoint()
+      Dedup.writeVideoHashStore(
+        hashes.filter(pmod(col("media_id"), lit(8)) < 2),
+        "media_id", "graft_vid_store", maxHamming = 6, nBuckets = 4)
+      Dedup.videoDedupAgainst(
+          hashes.filter(pmod(col("media_id"), lit(8)) >= 2),
+          "media_id", "graft_vid_store", maxHamming = 6,
+          minMatchedFrames = 3, updateStore = false)
+        .orderBy("media_id")
+    }),
     "q_video_dedup" -> ((s, dir) =>
       // VIDEO clip-level near-dup dedup — aligned-copy detection: per
       // sampled frame a wide dHash (real container parse + per-frame
@@ -3330,11 +3371,11 @@ object SparkEntry {
        WHERE media_id NOT IN (SELECT media_id FROM dropd)
        ORDER BY media_id"""
 
-  /** q_audio_dedup's oracle: the grouped PCM law through 16-sample window
-    * energies into gradient bits, two-long pack, all-pairs hamming — the
-    * audio mirror of [[ImageDedupWideOracle]]. */
-  private val AudioDedupOracle: String =
-    """WITH am AS (
+  /** the audio energy-hash chain (grouped PCM law → 16-sample window
+    * energies → gradient bits → two-long pack), ending at
+    * `ah (media_id, lo, hi)` — shared by q_audio_dedup and q_audio_store. */
+  private val AudioWideHashChainSql: String =
+    """am AS (
          SELECT doc_id AS media_id, CAST(doc_id % 4 AS BIGINT) AS mm,
            2 * (((doc_id - doc_id % 4) * 2654435761) % 127) + 1 AS kk,
            ((doc_id - doc_id % 4) * 40503) % 251 AS cc
@@ -3356,7 +3397,13 @@ object SparkEntry {
            coalesce(bit_or(CASE WHEN bit >= 60
                THEN CAST(1 AS BIGINT) << (bit - 60) END), CAST(0 AS BIGINT))
              AS hi
-         FROM am LEFT JOIN ab USING (media_id) GROUP BY am.media_id),
+         FROM am LEFT JOIN ab USING (media_id) GROUP BY am.media_id)"""
+
+  /** q_audio_dedup's oracle: the grouped PCM law through 16-sample window
+    * energies into gradient bits, two-long pack, all-pairs hamming — the
+    * audio mirror of [[ImageDedupWideOracle]]. */
+  private val AudioDedupOracle: String =
+    s"""WITH $AudioWideHashChainSql,
        ap AS (
          SELECT b.media_id AS id_b
          FROM ah a JOIN ah b ON a.media_id < b.media_id
@@ -3365,12 +3412,32 @@ object SparkEntry {
        WHERE media_id NOT IN (SELECT id_b FROM ap)
        ORDER BY media_id"""
 
+  /** q_audio_store's oracle: the probe slice against the seed slice as
+    * all-pairs two-long hamming over the audio chain — banding completeness
+    * makes the Spark probe ≡ this (the [[ImageStoreOracle]] argument at the
+    * audio modality). */
+  private val AudioStoreOracle: String =
+    s"""WITH $AudioWideHashChainSql,
+       seedh AS (SELECT * FROM ah WHERE media_id % 8 < 2),
+       newh AS (SELECT * FROM ah WHERE media_id % 8 >= 2),
+       dropd AS (
+         SELECT DISTINCT n.media_id
+         FROM newh n JOIN seedh s
+           ON bit_count(xor(n.lo, s.lo)) + bit_count(xor(n.hi, s.hi)) <= 6)
+       SELECT media_id FROM newh
+       WHERE media_id NOT IN (SELECT media_id FROM dropd)
+       ORDER BY media_id"""
+
   /** q_video_dedup's oracle: per-frame grouped pixel law (frame-0
     * scramble for non-base members, per-frame phase c + 11f) through the
     * wide-hash grid into frame-aligned pair matching — dup ⇔ ≥ 3 of 4
     * frames within hamming 6. */
-  private val VideoDedupOracle: String =
-    """WITH vm AS (
+  /** the per-frame video hash chain (grouped pixel law with frame-0
+    * scramble + per-frame phase, 16×8 wide-dHash grid, two-long pack),
+    * ending at `vh (media_id, f, lo, hi)` — shared by q_video_dedup and
+    * q_video_store. */
+  private val VideoWideHashChainSql: String =
+    """vm AS (
          SELECT doc_id AS media_id, CAST(doc_id % 4 AS BIGINT) AS mm,
            2 * (((doc_id - doc_id % 4) * 2654435761) % 127) + 1 AS kk,
            ((doc_id - doc_id % 4) * 40503) % 251 AS cc,
@@ -3402,7 +3469,29 @@ object SparkEntry {
              AS hi
          FROM (SELECT DISTINCT media_id, f FROM vfp) q
          LEFT JOIN vb ON vb.media_id = q.media_id AND vb.f = q.f
-         GROUP BY q.media_id, q.f),
+         GROUP BY q.media_id, q.f)"""
+
+  /** q_video_store's oracle: probe clips against seed clips as
+    * frame-aligned all-pairs hamming with the ≥ least(3, n_frames) vote —
+    * every fixture clip has 4 sampled frames, so the clamp resolves to 3
+    * here (the short-clip arm is exercised by OperatorsSpec + the
+    * streaming replay test, not the oracle). */
+  private val VideoStoreOracle: String =
+    s"""WITH $VideoWideHashChainSql,
+       seedh AS (SELECT * FROM vh WHERE media_id % 8 < 2),
+       newh AS (SELECT * FROM vh WHERE media_id % 8 >= 2),
+       vsp AS (
+         SELECT n.media_id, s.media_id AS sid, count(*) AS mf
+         FROM newh n JOIN seedh s ON n.f = s.f
+         WHERE bit_count(xor(n.lo, s.lo)) + bit_count(xor(n.hi, s.hi)) <= 6
+         GROUP BY 1, 2),
+       dropd AS (SELECT DISTINCT media_id FROM vsp WHERE mf >= 3)
+       SELECT media_id FROM (SELECT DISTINCT media_id FROM newh)
+       WHERE media_id NOT IN (SELECT media_id FROM dropd)
+       ORDER BY media_id"""
+
+  private val VideoDedupOracle: String =
+    s"""WITH $VideoWideHashChainSql,
        vp AS (
          SELECT a.media_id AS id_a, b.media_id AS id_b, count(*) AS mf
          FROM vh a JOIN vh b ON a.media_id < b.media_id AND a.f = b.f
@@ -6010,7 +6099,9 @@ object SparkEntry {
     "q_image_dedup_wide" -> ImageDedupWideOracle,
     "q_image_store" -> ImageStoreOracle,
     "q_audio_dedup" -> AudioDedupOracle,
+    "q_audio_store" -> AudioStoreOracle,
     "q_video_dedup" -> VideoDedupOracle,
+    "q_video_store" -> VideoStoreOracle,
     "q_media_decode" ->
       """WITH m AS (
            SELECT doc_id AS media_id,

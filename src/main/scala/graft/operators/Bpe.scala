@@ -54,8 +54,12 @@ object Bpe {
   }
 
   private[graft] def preTokens(text: String): Iterator[String] = {
+    // Locale.ROOT, matching the dictionary path's Spark lower() (locale-
+    // independent): under e.g. a Turkish default locale 'I' would lower to
+    // dotless i here only, silently breaking the documented result-identity
+    // between tokenCounts and tokenCountsDict
     val m = java.util.regex.Pattern.compile(PreTokenPattern)
-      .matcher(Option(text).getOrElse("").toLowerCase)
+      .matcher(Option(text).getOrElse("").toLowerCase(java.util.Locale.ROOT))
     new Iterator[String] {
       private var has = m.find()
       def hasNext: Boolean = has

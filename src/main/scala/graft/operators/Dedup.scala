@@ -1538,17 +1538,20 @@ object Dedup {
       .join(dups, Seq(idCol), "left_anti")
   }
 
-  /** create/replace the incremental IMAGE-HASH near-dup store — the image
-    * modality joining the exact/bloom/simhash/minhash/embedding store
-    * family: one bucketed table `<store>_bands (band, band_bits, sim_lo,
-    * sim_hi)` of banded WIDE (120-bit) dHashes
-    * ([[graft.operators.Multimodal.imageDHashWide]] — the scale profile is
-    * the only sensible store basis), bucketed on `band_bits` so a probe's
-    * candidate join never reshuffles the store. `maxHamming` is a BUILD
-    * parameter (it fixes the band layout) — persisted and validated at
-    * probe time like every other store's build parameters. */
-  def writeImageHashStore(hashes: DataFrame, idCol: String, store: String,
-                          maxHamming: Int = 6, nBuckets: Int = 8): Unit = {
+  /** create/replace an incremental WIDE-HASH near-dup store — the
+    * modality-agnostic deployment shape under the image/audio members of
+    * the store family: one bucketed table `<store>_bands (band, band_bits,
+    * sim_lo, sim_hi)` of banded WIDE (120-bit two-long) perceptual hashes
+    * (any signature expressed as (idCol, dh_lo, dh_hi) — the same
+    * generalization as [[wideHashDedup]] over the batch path), bucketed on
+    * `band_bits` so a probe's candidate join never reshuffles the store.
+    * `maxHamming` is a BUILD parameter (it fixes the band layout) —
+    * persisted and validated at probe time like every other store's build
+    * parameters; `kind` tags the modality so an audio probe against an
+    * image store refuses instead of matching garbage. */
+  def writeWideHashStore(hashes: DataFrame, idCol: String, store: String,
+                         kind: String, maxHamming: Int = 6,
+                         nBuckets: Int = 8): Unit = {
     val sigs = hashes.filter(col("dh_lo").isNotNull)
       .select(col(idCol), col("dh_lo").as("sim_lo"),
         col("dh_hi").as("sim_hi"))
@@ -1558,35 +1561,69 @@ object Dedup {
         .distinct(),
       s"${store}_bands", "band_bits", nBuckets)
     setStoreParams(hashes.sparkSession, s"${store}_bands",
-      Map("kind" -> "image_dhash", "maxHamming" -> maxHamming,
+      Map("kind" -> kind, "maxHamming" -> maxHamming,
         "nBuckets" -> nBuckets, "enc" -> "dhash120_v1"))
   }
 
-  /** incremental IMAGE near-dup dedup against [[writeImageHashStore]]: the
-    * new batch's wide dHashes are banded with the SAME layout, candidates
-    * come from the (band, band_bits) match against the store's bucketed
-    * bands table (the store never reshuffles; only the new batch does),
-    * verification is the two-long bit_count on the join output, and every
-    * new id within `maxHamming` of ANY stored hash is dropped. Survivors'
-    * bands append as new bucket files when `updateStore` — append ≡
-    * rebuild, the store-family contract. In-batch near-dups are the
-    * caller's batch-level pass ([[imageDedupFromHashesWide]]) — the same
-    * division of labor as the simhash/minhash stores. NULL hashes
-    * (undecodable) are excluded from probing and from the survivor set. */
-  def imageDedupAgainst(newHashes: DataFrame, idCol: String, store: String,
-                        maxHamming: Int = 6,
-                        updateStore: Boolean = true): DataFrame = {
-    val spark = newHashes.sparkSession
-    checkStoreParams(spark, s"${store}_bands",
-      Map("kind" -> "image_dhash", "maxHamming" -> maxHamming,
-        "enc" -> "dhash120_v1"),
-      required = Set("enc"))
-    // appends must match the table's persisted bucket spec — read it back
-    // rather than trusting a caller parameter to agree with the build
-    val nBuckets = spark.sql(s"SHOW TBLPROPERTIES ${store}_bands").collect()
+  /** the table's persisted bucket count — appends must match the bucket
+    * spec the table was BUILT with, so this refuses (with rebuild advice,
+    * the checkStoreParams doctrine) when the property is missing rather
+    * than guessing: an append bucketed differently from the table's actual
+    * spec can fail late or silently break the no-shuffle probe contract. */
+  private def storedNBuckets(spark: SparkSession, table: String): Int =
+    spark.sql(s"SHOW TBLPROPERTIES $table").collect()
       .collectFirst {
         case r if r.getString(0) == "graft.nBuckets" => r.getString(1).toInt
-      }.getOrElse(8)
+      }.getOrElse(sys.error(
+        s"$table has no graft.nBuckets property — it predates the bucket-" +
+          "spec contract, so an append cannot know the table's bucket " +
+          "count. Rebuild the store with its write* entry point"))
+
+  /** append a batch of wide hashes' bands to [[writeWideHashStore]]'s bands
+    * table — the store half of `updateStore = true`, exposed so streaming
+    * ingest can order its writes crash-safely (survivor manifest FIRST,
+    * then this append — see [[graft.streaming.Streams.runImageIngestOnce]]).
+    * Validates build params; duplicate band rows from an at-least-once
+    * replay are harmless (they cannot change an anti-join). */
+  def appendWideHashes(hashes: DataFrame, idCol: String, store: String,
+                       kind: String, maxHamming: Int = 6): Unit = {
+    val spark = hashes.sparkSession
+    checkStoreParams(spark, s"${store}_bands",
+      Map("kind" -> kind, "maxHamming" -> maxHamming,
+        "enc" -> "dhash120_v1"),
+      required = Set("enc"))
+    val sigs = hashes.filter(col("dh_lo").isNotNull)
+      .select(col(idCol), col("dh_lo").as("sim_lo"),
+        col("dh_hi").as("sim_hi"))
+    Sources.writeBucketed(
+      wideBandedFrame(sigs, idCol, 120, maxHamming)
+        .select(col("band"), col("band_bits"), col("sim_lo"), col("sim_hi"))
+        .distinct(),
+      s"${store}_bands", "band_bits",
+      storedNBuckets(spark, s"${store}_bands"), SaveMode.Append)
+  }
+
+  /** incremental wide-hash near-dup dedup against [[writeWideHashStore]]:
+    * the new batch's wide hashes are banded with the SAME layout,
+    * candidates come from the (band, band_bits) match against the store's
+    * bucketed bands table (the store never reshuffles; only the new batch
+    * does), verification is the two-long bit_count on the join output, and
+    * every new id within `maxHamming` of ANY stored hash is dropped.
+    * Survivors' bands append as new bucket files when `updateStore` —
+    * append ≡ rebuild, the store-family contract. In-batch near-dups are
+    * the caller's batch-level pass ([[wideHashDedup]]) — the same division
+    * of labor as the simhash/minhash stores. NULL hashes (undecodable) are
+    * excluded from probing and from the survivor set. */
+  def wideHashDedupAgainst(newHashes: DataFrame, idCol: String,
+                           store: String, kind: String,
+                           maxHamming: Int = 6,
+                           updateStore: Boolean = true): DataFrame = {
+    val spark = newHashes.sparkSession
+    checkStoreParams(spark, s"${store}_bands",
+      Map("kind" -> kind, "maxHamming" -> maxHamming,
+        "enc" -> "dhash120_v1"),
+      required = Set("enc"))
+    val nBuckets = storedNBuckets(spark, s"${store}_bands")
     val sigs = newHashes.filter(col("dh_lo").isNotNull)
       .select(col(idCol), col("dh_lo").as("sim_lo"),
         col("dh_hi").as("sim_hi"))
@@ -1611,6 +1648,154 @@ object Dedup {
         s"${store}_bands", "band_bits", nBuckets, SaveMode.Append)
       s.select(col(idCol))
     } else survivors.select(col(idCol))
+  }
+
+  /** the IMAGE member of the incremental wide-hash store family —
+    * [[writeWideHashStore]] over WIDE dHashes
+    * ([[graft.operators.Multimodal.imageDHashWide]] — the scale profile is
+    * the only sensible store basis). */
+  def writeImageHashStore(hashes: DataFrame, idCol: String, store: String,
+                          maxHamming: Int = 6, nBuckets: Int = 8): Unit =
+    writeWideHashStore(hashes, idCol, store, "image_dhash", maxHamming,
+      nBuckets)
+
+  /** incremental IMAGE near-dup dedup against [[writeImageHashStore]] —
+    * [[wideHashDedupAgainst]] at the image modality tag. */
+  def imageDedupAgainst(newHashes: DataFrame, idCol: String, store: String,
+                        maxHamming: Int = 6,
+                        updateStore: Boolean = true): DataFrame =
+    wideHashDedupAgainst(newHashes, idCol, store, "image_dhash", maxHamming,
+      updateStore)
+
+  /** the AUDIO member of the incremental wide-hash store family —
+    * [[writeWideHashStore]] over energy-envelope hashes
+    * ([[graft.operators.Multimodal.audioEnergyHashWide]]). */
+  def writeAudioHashStore(hashes: DataFrame, idCol: String, store: String,
+                          maxHamming: Int = 6, nBuckets: Int = 8): Unit =
+    writeWideHashStore(hashes, idCol, store, "audio_ehash", maxHamming,
+      nBuckets)
+
+  /** incremental AUDIO near-dup dedup against [[writeAudioHashStore]] —
+    * [[wideHashDedupAgainst]] at the audio modality tag. */
+  def audioDedupAgainst(newHashes: DataFrame, idCol: String, store: String,
+                        maxHamming: Int = 6,
+                        updateStore: Boolean = true): DataFrame =
+    wideHashDedupAgainst(newHashes, idCol, store, "audio_ehash", maxHamming,
+      updateStore)
+
+  /** create/replace the incremental VIDEO frame-hash near-dup store: one
+    * bucketed table `<store>_bands (__sid, frame_no, band, band_bits,
+    * sim_lo, sim_hi)` of banded per-frame WIDE dHashes
+    * ([[graft.operators.Multimodal.videoDHashWide]]). Unlike the scalar
+    * wide-hash stores the stored CLIP id (`__sid`) is kept: the probe's
+    * ≥ `minMatchedFrames` vote counts matched frames per (new clip, stored
+    * clip) PAIR, which an anonymous hash bag cannot express. Bucketed on
+    * `band_bits` (the probe join key with the highest cardinality), so a
+    * probe's candidate join never reshuffles the store. */
+  def writeVideoHashStore(frameHashes: DataFrame, idCol: String,
+                          store: String, maxHamming: Int = 6,
+                          nBuckets: Int = 8): Unit = {
+    Sources.writeBucketed(
+      videoBandedRows(frameHashes, idCol, maxHamming),
+      s"${store}_bands", "band_bits", nBuckets)
+    setStoreParams(frameHashes.sparkSession, s"${store}_bands",
+      Map("kind" -> "video_dhash", "maxHamming" -> maxHamming,
+        "nBuckets" -> nBuckets, "enc" -> "dhash120_v1"))
+  }
+
+  private def videoBandedRows(frameHashes: DataFrame, idCol: String,
+                              maxHamming: Int): DataFrame = {
+    val sigs = frameHashes.filter(col("dh_lo").isNotNull)
+      .select(col(idCol), col("frame_no"), col("dh_lo").as("sim_lo"),
+        col("dh_hi").as("sim_hi"))
+    wideBandedFrame(sigs, idCol, 120, maxHamming,
+        carryCols = Seq("frame_no"))
+      .select(col(idCol).as("__sid"), col("frame_no"), col("band"),
+        col("band_bits"), col("sim_lo"), col("sim_hi"))
+      .distinct()
+  }
+
+  /** append a batch of clips' banded frame hashes to
+    * [[writeVideoHashStore]]'s bands table — the video form of
+    * [[appendWideHashes]], exposed for crash-safe streaming write order. */
+  def appendVideoFrameHashes(frameHashes: DataFrame, idCol: String,
+                             store: String, maxHamming: Int = 6): Unit = {
+    val spark = frameHashes.sparkSession
+    checkStoreParams(spark, s"${store}_bands",
+      Map("kind" -> "video_dhash", "maxHamming" -> maxHamming,
+        "enc" -> "dhash120_v1"),
+      required = Set("enc"))
+    Sources.writeBucketed(
+      videoBandedRows(frameHashes, idCol, maxHamming),
+      s"${store}_bands", "band_bits",
+      storedNBuckets(spark, s"${store}_bands"), SaveMode.Append)
+  }
+
+  /** incremental VIDEO clip-level near-dup dedup against
+    * [[writeVideoHashStore]]: the new batch's per-frame wide dHashes are
+    * banded with the store's layout, candidates come from the (frame_no,
+    * band, band_bits) match against the bucketed bands table —
+    * frame-aligned, so the candidate space is per-frame-corpus-sized,
+    * never clips² — verification is the per-frame two-long bit_count, and
+    * a new clip is dropped when ≥ min(`minMatchedFrames`, its own frame
+    * count) of its frames match a SINGLE stored clip at the same frame
+    * index within `maxHamming` (the [[videoDedupFromFrameHashes]] vote,
+    * replayed against the store). The `least` clamp is load-bearing, not
+    * a convenience: it makes the probe CONTENT-keyed under at-least-once
+    * replay — a re-delivered clip's every frame self-matches its stored
+    * rows, and without the clamp a clip shorter than `minMatchedFrames`
+    * frames could never accumulate enough votes to recognize ITSELF, so
+    * a replayed micro-batch would emit a different survivor set than the
+    * original run (the streaming twin's idempotence contract). Survivors'
+    * banded frame rows append when `updateStore` — append ≡ rebuild.
+    * NULL-hash frames excluded throughout. */
+  def videoDedupAgainst(newFrameHashes: DataFrame, idCol: String,
+                        store: String, maxHamming: Int = 6,
+                        minMatchedFrames: Int = 3,
+                        updateStore: Boolean = true): DataFrame = {
+    require(minMatchedFrames >= 1,
+      s"videoDedupAgainst: minMatchedFrames $minMatchedFrames")
+    val spark = newFrameHashes.sparkSession
+    checkStoreParams(spark, s"${store}_bands",
+      Map("kind" -> "video_dhash", "maxHamming" -> maxHamming,
+        "enc" -> "dhash120_v1"),
+      required = Set("enc"))
+    val nBuckets = storedNBuckets(spark, s"${store}_bands")
+    val sigs = newFrameHashes.filter(col("dh_lo").isNotNull)
+      .select(col(idCol), col("frame_no"), col("dh_lo").as("sim_lo"),
+        col("dh_hi").as("sim_hi"))
+      .localCheckpoint()
+    val stored = spark.table(s"${store}_bands")
+      .withColumnRenamed("sim_lo", "__s_lo")
+      .withColumnRenamed("sim_hi", "__s_hi")
+    val newFrameCounts = sigs.select(col(idCol), col("frame_no")).distinct()
+      .groupBy(col(idCol)).agg(count(lit(1)).as("__nf"))
+    val dupIds = wideBandedFrame(sigs, idCol, 120, maxHamming,
+        carryCols = Seq("frame_no"))
+      .join(stored, Seq("frame_no", "band", "band_bits"))
+      .filter((bit_count(col("sim_lo").bitwiseXOR(col("__s_lo"))) +
+        bit_count(col("sim_hi").bitwiseXOR(col("__s_hi"))))
+        .cast(LongType) <= maxHamming)
+      // a band match is evidence once per (new clip, stored clip, frame);
+      // count DISTINCT matched frames per pair, then vote with the
+      // short-clip clamp (see the docstring — replay idempotence)
+      .select(col(idCol), col("__sid"), col("frame_no")).distinct()
+      .groupBy(col(idCol), col("__sid"))
+      .agg(count(lit(1)).as("__mf"))
+      .join(newFrameCounts, Seq(idCol))
+      .filter(col("__mf") >= least(lit(minMatchedFrames.toLong), col("__nf")))
+      .select(col(idCol)).distinct()
+    val survivors = sigs.join(dupIds, Seq(idCol), "left_anti")
+    if (updateStore) {
+      val s = survivors.localCheckpoint()
+      Sources.writeBucketed(
+        videoBandedRows(
+          s.select(col(idCol), col("frame_no"),
+            col("sim_lo").as("dh_lo"), col("sim_hi").as("dh_hi")),
+          idCol, maxHamming),
+        s"${store}_bands", "band_bits", nBuckets, SaveMode.Append)
+      s.select(col(idCol)).distinct()
+    } else survivors.select(col(idCol)).distinct()
   }
 
   /** WIDE (two-long) SimHash signatures (idCol, sim_lo, sim_hi) — the

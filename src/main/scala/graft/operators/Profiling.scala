@@ -20,6 +20,27 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType, LongTyp
   * reproduces results bit-for-bit.
   */
 object Profiling {
+  private val slog = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** shared by the accreting-sketch appends: decide whether `batchTag` is
+    * new, and LOG when it is skipped as at-or-below the compacted
+    * watermark — streaming batchIds restart at 0 on a fresh checkpoint, so
+    * after a compaction a legitimately restarted ingest carrying NEW data
+    * is indistinguishable from a replay here; the log line is the
+    * operator's only way to notice (the fix is a fresh store or tags from
+    * a store-side monotone counter, not checkpoint-relative batchIds). */
+  private def shouldAppendTag(spark: SparkSession, store: String,
+                              batchTag: Long, seen: Set[Long]): Boolean = {
+    val wm = compactedWatermark(spark, store)
+    if (batchTag <= wm) {
+      slog.warn(s"$store: skipping append with batchTag=$batchTag at or " +
+        s"below compacted watermark $wm — if this ingest RESTARTED from a " +
+        "fresh checkpoint (batchIds reset to 0) this is NEW data being " +
+        "dropped as a replay; restart against a fresh store or derive " +
+        "tags from a store-side monotone counter")
+      false
+    } else !seen.contains(batchTag)
+  }
 
   /** One-pass whole-table column profile: for every column, its null count
     * and distinct count, plus the table row count — the "is this dataset
@@ -1017,8 +1038,7 @@ object Profiling {
       required = Set("enc"))
     val seen = spark.table(store).select("__batch").distinct()
       .collect().map(_.getLong(0)).toSet
-    if (batchTag > compactedWatermark(spark, store) &&
-        !seen.contains(batchTag)) {
+    if (shouldAppendTag(spark, store, batchTag, seen)) {
       graft.sources.Sources.writeBucketed(
         cardinalitySketchRows(df, groupCol, valueExpr, lgK, batchTag),
         store, "__g", nBuckets = 8,
@@ -1114,8 +1134,7 @@ object Profiling {
       required = Set("enc"))
     val seen = spark.table(store).select("__batch").distinct()
       .collect().map(_.getLong(0)).toSet
-    if (batchTag > compactedWatermark(spark, store) &&
-        !seen.contains(batchTag)) {
+    if (shouldAppendTag(spark, store, batchTag, seen)) {
       frequencySketchRow(df, valueExpr, eps, confidence, seed, batchTag)
         .write.format("parquet").mode(org.apache.spark.sql.SaveMode.Append)
         .saveAsTable(store)

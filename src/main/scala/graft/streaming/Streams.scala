@@ -561,29 +561,38 @@ object Streams {
     q.stop()
   }
 
-  /** one pass of streaming IMAGE ingest against the perceptual-hash store
-    * ([[graft.operators.Dedup.writeImageHashStore]]) — the image member of
-    * the streaming store-twin family: each micro-batch of media rows is
-    * wide-dHashed (real decode in the micro-batch's own executors), probed
-    * against the banded store, and the surviving (genuinely new) images'
-    * ids land in `outDir` while their banded hashes append to the store —
-    * so the next micro-batch and the next restart dedup against them too.
+  /** the shared engine under the MEDIA streaming store-twins
+    * ([[runImageIngestOnce]] / [[runAudioIngestOnce]] /
+    * [[runVideoIngestOnce]]): each micro-batch of media rows is hashed
+    * (`hashFn` — real decode in the micro-batch's own executors), probed
+    * against the banded store WITHOUT updating it (`probe` at
+    * updateStore = false), the surviving (genuinely new) ids land in
+    * `outDir`, and only THEN do the survivors' banded hashes append to the
+    * store — so the next micro-batch and the next restart dedup against
+    * them too.
     *
-    * At-least-once safety is CONTENT-keyed, the strongest form in the twin
-    * family: a re-delivered batch's every hash is hamming-0 against its
-    * own previously appended store row, so the probe drops the whole
-    * replay and the append is EMPTY — no marker ordering or batch tag is
-    * load-bearing (duplicate band rows couldn't change an anti-join
-    * anyway). The commit markers remain as the fast path (a marked batch
-    * skips decode + probe entirely), and the survivor manifest overwrites
-    * its own `__batch` partition (dynamic overwrite) like the fingerprint
-    * twin. */
-  def runImageIngestOnce(spark: SparkSession, inDir: String, outDir: String,
-                         checkpointDir: String, store: String,
-                         maxHamming: Int = 6): Unit = {
+    * At-least-once safety is CONTENT-keyed: a re-delivered batch's every
+    * hash is hamming-0 against its own previously appended store row, so
+    * the probe drops the whole replay and the dynamic-overwrite manifest
+    * write emits no partitions (an empty frame overwrites nothing — the
+    * original partition stays). The manifest-BEFORE-append order is
+    * load-bearing for the other crash window: with append first, a crash
+    * before the manifest write would make redelivery self-match and drop
+    * the batch with its manifest partition never written — the survivors
+    * permanently lost. Survivor ids are localCheckpoint-pinned so the
+    * append cannot re-run the probe against the store it is mutating.
+    * The commit markers remain as the fast path (a marked batch skips
+    * decode + probe entirely). */
+  private def runMediaIngestOnce(spark: SparkSession, inDir: String,
+                                 outDir: String, checkpointDir: String,
+                                 store: String, markerDirName: String,
+                                 idCol: String,
+                                 hashFn: DataFrame => DataFrame,
+                                 probe: DataFrame => DataFrame,
+                                 append: DataFrame => Unit): Unit = {
     val schema = spark.read.parquet(inDir).schema
     spark.catalog.refreshTable(s"${store}_bands")
-    val markers = new org.apache.hadoop.fs.Path(checkpointDir, "img_commits")
+    val markers = new org.apache.hadoop.fs.Path(checkpointDir, markerDirName)
     val q = spark.readStream.schema(schema).parquet(inDir)
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -591,13 +600,13 @@ object Streams {
         val fs = markers.getFileSystem(s.sessionState.newHadoopConf())
         val marker = new org.apache.hadoop.fs.Path(markers, batchId.toString)
         if (!fs.exists(marker)) {
-          val survivors = graft.operators.Dedup.imageDedupAgainst(
-            graft.operators.Multimodal.imageDHashWide(batch.toDF()),
-            "media_id", store, maxHamming, updateStore = true)
-          survivors.withColumn("__batch", lit(batchId))
+          val hashes = hashFn(batch.toDF()).localCheckpoint()
+          val survivorIds = probe(hashes).localCheckpoint()
+          survivorIds.withColumn("__batch", lit(batchId))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("__batch").parquet(outDir)
+          append(hashes.join(survivorIds, Seq(idCol), "left_semi"))
           fs.mkdirs(markers)
           fs.createNewFile(marker)
           s.catalog.refreshTable(s"${store}_bands")
@@ -609,6 +618,55 @@ object Streams {
     q.processAllAvailable()
     q.stop()
   }
+
+  /** one pass of streaming IMAGE ingest against the perceptual-hash store
+    * ([[graft.operators.Dedup.writeImageHashStore]]) — the image member of
+    * the streaming store-twin family (engine + crash-safety contract:
+    * [[runMediaIngestOnce]]). */
+  def runImageIngestOnce(spark: SparkSession, inDir: String, outDir: String,
+                         checkpointDir: String, store: String,
+                         maxHamming: Int = 6): Unit =
+    runMediaIngestOnce(spark, inDir, outDir, checkpointDir, store,
+      "img_commits", "media_id",
+      b => graft.operators.Multimodal.imageDHashWide(b),
+      h => graft.operators.Dedup.imageDedupAgainst(
+        h, "media_id", store, maxHamming, updateStore = false),
+      h => graft.operators.Dedup.appendWideHashes(
+        h, "media_id", store, "image_dhash", maxHamming))
+
+  /** one pass of streaming AUDIO ingest against the energy-envelope hash
+    * store ([[graft.operators.Dedup.writeAudioHashStore]]) — the audio
+    * member of the streaming store-twin family (engine + crash-safety
+    * contract: [[runMediaIngestOnce]]). */
+  def runAudioIngestOnce(spark: SparkSession, inDir: String, outDir: String,
+                         checkpointDir: String, store: String,
+                         maxHamming: Int = 6): Unit =
+    runMediaIngestOnce(spark, inDir, outDir, checkpointDir, store,
+      "aud_commits", "media_id",
+      b => graft.operators.Multimodal.audioEnergyHashWide(b),
+      h => graft.operators.Dedup.audioDedupAgainst(
+        h, "media_id", store, maxHamming, updateStore = false),
+      h => graft.operators.Dedup.appendWideHashes(
+        h, "media_id", store, "audio_ehash", maxHamming))
+
+  /** one pass of streaming VIDEO ingest against the per-frame hash store
+    * ([[graft.operators.Dedup.writeVideoHashStore]]) — the video member of
+    * the streaming store-twin family (engine + crash-safety contract:
+    * [[runMediaIngestOnce]]; the probe's short-clip vote clamp in
+    * [[graft.operators.Dedup.videoDedupAgainst]] is what makes a replayed
+    * clip self-match regardless of its frame count). */
+  def runVideoIngestOnce(spark: SparkSession, inDir: String, outDir: String,
+                         checkpointDir: String, store: String,
+                         maxHamming: Int = 6,
+                         minMatchedFrames: Int = 3): Unit =
+    runMediaIngestOnce(spark, inDir, outDir, checkpointDir, store,
+      "vid_commits", "media_id",
+      b => graft.operators.Multimodal.videoDHashWide(b, everyK = 1),
+      h => graft.operators.Dedup.videoDedupAgainst(
+        h, "media_id", store, maxHamming, minMatchedFrames,
+        updateStore = false),
+      h => graft.operators.Dedup.appendVideoFrameHashes(
+        h, "media_id", store, maxHamming))
 
   /** one pass of streaming ingest into the SEARCH index: each micro-batch's
     * postings append to the inverted index ([[graft.operators.Search

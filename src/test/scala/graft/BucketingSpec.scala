@@ -518,4 +518,91 @@ class BucketingSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS graft_cmp_em_vecs")
     }
   }
+
+  test("compactBucketed parity: audio wide-hash store") {
+    import graft.operators.Multimodal
+    def hashes(ids: Seq[Long]) = Multimodal.audioEnergyHashWide(
+      Multimodal.encodeSyntheticWavGroups(ids.toDF("doc_id"), "doc_id"))
+    try {
+      Dedup.writeAudioHashStore(hashes(0L to 39L), "media_id",
+        "graft_cmp_au", maxHamming = 6, nBuckets = 2)
+      compactionParity(Seq(("graft_cmp_au_bands", "band_bits")), 2) {
+        b => Dedup.audioDedupAgainst(hashes(100L * b to 100L * b + 9),
+          "media_id", "graft_cmp_au", maxHamming = 6,
+          updateStore = true).count()
+      } {
+        // group-mates of a seed clip and of an appended clip drop
+        // (identical group law => hamming 0-ish); a far-group clip passes
+        // iff brute force says so -- expectation computed, not hardcoded
+        val probeIds = Seq(2L, 402L, 777779L)
+        val probe = hashes(probeIds).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        val storedIds = (0L to 39L) ++
+          (1 to 4).flatMap(b => 100L * b to 100L * b + 9)
+        val stored = hashes(storedIds).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        def ham(a: (Long, Long, Long), b: (Long, Long, Long)) =
+          java.lang.Long.bitCount(a._2 ^ b._2) +
+            java.lang.Long.bitCount(a._3 ^ b._3)
+        val expected = probe
+          .filter(p => !stored.exists(s => ham(p, s) <= 6)).map(_._1).toSet
+        val kept = Dedup.audioDedupAgainst(hashes(probeIds), "media_id",
+            "graft_cmp_au", maxHamming = 6, updateStore = false)
+          .select("media_id").as[Long].collect().toSet
+        assert(kept == expected, s"probe after compaction kept $kept != $expected")
+        assert(expected == Set(777779L), s"fixture drift: $expected")
+      }
+    } finally spark.sql("DROP TABLE IF EXISTS graft_cmp_au_bands")
+  }
+
+  test("compactBucketed parity: video frame-hash store") {
+    import graft.operators.Multimodal
+    def hashes(ids: Seq[Long]) = Multimodal.videoDHashWide(
+      Multimodal.encodeSyntheticAviGroups(ids.toDF("doc_id"), "doc_id"),
+      everyK = 1)
+    try {
+      Dedup.writeVideoHashStore(hashes(0L to 39L), "media_id",
+        "graft_cmp_vi", maxHamming = 6, nBuckets = 2)
+      compactionParity(Seq(("graft_cmp_vi_bands", "band_bits")), 2) {
+        b => Dedup.videoDedupAgainst(hashes(100L * b to 100L * b + 9),
+          "media_id", "graft_cmp_vi", maxHamming = 6, minMatchedFrames = 3,
+          updateStore = true).count()
+      } {
+        // a group-mate of a seed clip (>= 3 of 4 frames match its stored
+        // group base) and of an appended clip drop; a far-group clip passes
+        val kept = Dedup.videoDedupAgainst(
+            hashes(Seq(2L, 402L, 777779L)), "media_id", "graft_cmp_vi",
+            maxHamming = 6, minMatchedFrames = 3, updateStore = false)
+          .select("media_id").as[Long].collect().toSet
+        assert(kept == Set(777779L), s"probe after compaction kept $kept")
+      }
+    } finally spark.sql("DROP TABLE IF EXISTS graft_cmp_vi_bands")
+  }
+
+  test("videoDedupAgainst short-clip vote clamp: a clip with fewer frames than minMatchedFrames can still self-match") {
+    try {
+      // stored clip 1 has TWO frames; probe clip 2 duplicates both frame
+      // hashes exactly. min(minMatchedFrames=3, n_frames=2) = 2 => dropped.
+      // Without the clamp mf=2 < 3 would let the duplicate through -- and a
+      // replayed streaming micro-batch would emit a different survivor set
+      // than its first delivery (the content-keyed idempotence contract).
+      val stored = Seq((1L, 0L, 0x3c3c3cL, 0x5a5aL),
+          (1L, 1L, 0x111111L, 0x2222L))
+        .toDF("media_id", "frame_no", "dh_lo", "dh_hi")
+      Dedup.writeVideoHashStore(stored, "media_id", "graft_clamp_vi",
+        maxHamming = 6, nBuckets = 2)
+      val probe = Seq(
+          (2L, 0L, 0x3c3c3cL, 0x5a5aL), (2L, 1L, 0x111111L, 0x2222L),
+          // clip 3: four frames, only frame 0 matches stored clip 1 ->
+          // mf=1 < min(3, 4) -> survives
+          (3L, 0L, 0x3c3c3cL, 0x5a5aL), (3L, 1L, 0x777777L, 0x1111L),
+          (3L, 2L, 0x0f0f0fL, 0x3333L), (3L, 3L, 0x123456L, 0x4444L))
+        .toDF("media_id", "frame_no", "dh_lo", "dh_hi")
+      val kept = Dedup.videoDedupAgainst(probe, "media_id",
+          "graft_clamp_vi", maxHamming = 6, minMatchedFrames = 3,
+          updateStore = false)
+        .select("media_id").as[Long].collect().toSet
+      assert(kept == Set(3L), s"clamp probe kept $kept")
+    } finally spark.sql("DROP TABLE IF EXISTS graft_clamp_vi_bands")
+  }
 }

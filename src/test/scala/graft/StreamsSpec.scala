@@ -1019,6 +1019,90 @@ class StreamsSpec extends AnyFunSuite {
     } finally spark.sql(s"DROP TABLE IF EXISTS ${store}_bands")
   }
 
+  test("streaming audio ingest: store probe drops near-dups, replay is content-keyed no-op") {
+    import graft.operators.{Dedup, Multimodal}
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_auding").toString
+    val (inDir, outDir, ckpt) = (s"$base/in", s"$base/out", s"$base/ckpt")
+    val store = "graft_auding_store"
+    spark.sql(s"DROP TABLE IF EXISTS ${store}_bands")
+    val media = Multimodal.encodeSyntheticWavGroups(
+      (0L until 16L).toDF("doc_id"), "doc_id").localCheckpoint()
+    Dedup.writeAudioHashStore(
+      Multimodal.audioEnergyHashWide(media.filter(col("media_id") < 8)),
+      "media_id", store, maxHamming = 6, nBuckets = 2)
+    media.filter(col("media_id") >= 8)
+      .write.mode("append").parquet(inDir)
+    Streams.runAudioIngestOnce(spark, inDir, outDir, ckpt, store)
+    try {
+      val streamed = spark.read.parquet(outDir)
+        .select("media_id").collect().map(_.getLong(0)).toSet
+      val all = Multimodal.audioEnergyHashWide(media).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      def ham(a: (Long, Long, Long), b: (Long, Long, Long)) =
+        java.lang.Long.bitCount(a._2 ^ b._2) +
+          java.lang.Long.bitCount(a._3 ^ b._3)
+      val seed = all.filter(_._1 < 8)
+      val expected = all.filter(_._1 >= 8)
+        .filter(p => !seed.exists(s => ham(p, s) <= 6)).map(_._1).toSet
+      assert(streamed == expected, s"streamed $streamed != $expected")
+      val bandRows = spark.table(s"${store}_bands").count()
+      // fresh checkpoint: redelivery re-probes, every replayed hash is
+      // hamming-0 against its own appended row -- append empty, manifest
+      // partition untouched (empty dynamic overwrite writes nothing)
+      Streams.runAudioIngestOnce(spark, inDir, outDir, s"$base/ckpt2", store)
+      assert(spark.table(s"${store}_bands").count() == bandRows,
+        "content-keyed replay must append nothing")
+      assert(spark.read.parquet(outDir).select("media_id")
+        .collect().map(_.getLong(0)).toSet == expected)
+    } finally spark.sql(s"DROP TABLE IF EXISTS ${store}_bands")
+  }
+
+  test("streaming video ingest: frame-voted store probe, replay is content-keyed no-op") {
+    import graft.operators.{Dedup, Multimodal}
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_viding").toString
+    val (inDir, outDir, ckpt) = (s"$base/in", s"$base/out", s"$base/ckpt")
+    val store = "graft_viding_store"
+    spark.sql(s"DROP TABLE IF EXISTS ${store}_bands")
+    val media = Multimodal.encodeSyntheticAviGroups(
+      (0L until 16L).toDF("doc_id"), "doc_id").localCheckpoint()
+    Dedup.writeVideoHashStore(
+      Multimodal.videoDHashWide(media.filter(col("media_id") < 8), everyK = 1),
+      "media_id", store, maxHamming = 6, nBuckets = 2)
+    media.filter(col("media_id") >= 8)
+      .write.mode("append").parquet(inDir)
+    Streams.runVideoIngestOnce(spark, inDir, outDir, ckpt, store)
+    try {
+      val streamed = spark.read.parquet(outDir)
+        .select("media_id").collect().map(_.getLong(0)).toSet
+      // expected: frame-aligned >= min(3, n_frames) vote against the seeds
+      val all = Multimodal.videoDHashWide(media, everyK = 1).collect()
+        .map(r => (r.getLong(0), r.getAs[Number](1).longValue,
+          r.getLong(2), r.getLong(3)))
+      val seed = all.filter(_._1 < 8)
+      val probe = all.filter(_._1 >= 8)
+      val nf = probe.groupBy(_._1).map { case (id, fs) =>
+        id -> fs.map(_._2).distinct.size }
+      val dropped = probe.groupBy(_._1).filter { case (id, fs) =>
+        seed.groupBy(_._1).exists { case (_, sfs) =>
+          val mf = fs.count(p => sfs.exists(q => q._2 == p._2 &&
+            java.lang.Long.bitCount(p._3 ^ q._3) +
+              java.lang.Long.bitCount(p._4 ^ q._4) <= 6))
+          mf >= math.min(3, nf(id))
+        }
+      }.keySet
+      val expected = probe.map(_._1).toSet -- dropped
+      assert(streamed == expected, s"streamed $streamed != $expected")
+      val bandRows = spark.table(s"${store}_bands").count()
+      Streams.runVideoIngestOnce(spark, inDir, outDir, s"$base/ckpt2", store)
+      assert(spark.table(s"${store}_bands").count() == bandRows,
+        "content-keyed replay must append nothing")
+      assert(spark.read.parquet(outDir).select("media_id")
+        .collect().map(_.getLong(0)).toSet == expected)
+    } finally spark.sql(s"DROP TABLE IF EXISTS ${store}_bands")
+  }
+
   test("streaming frequency (CMS) ingest: estimates equal a rebuild, replay-idempotent") {
     import graft.operators.Profiling
     import spark.implicits._
