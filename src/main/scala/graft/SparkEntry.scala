@@ -2253,6 +2253,41 @@ object SparkEntry {
       // one exploded pass, per-pair nanos before the per-doc sum
       TextAnalysis.bigramLogProb(rd(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
+    "q_lm_store" -> ((s, dir) => {
+      // the PERSISTED corpus LM (CCNet deployment shape): fit on src0 in
+      // TWO tagged batches (doc_id parity — accretion exercised: a
+      // dropped/doubled batch changes counts and the oracle hash), then
+      // gate the whole corpus against the FIXED store — absolute
+      // threshold, one corpus scan, unseen pairs at the add-one floor
+      val docs = rd(s, dir, "documents")
+      val ref = docs.filter(col("source") === "src0")
+      TextAnalysis.writeLmStore(
+        ref.filter(pmod(col("doc_id"), lit(2)) === 0), "text",
+        "graft_lm_store", nBuckets = 4)
+      TextAnalysis.appendLmCounts(s, "graft_lm_store",
+        ref.filter(pmod(col("doc_id"), lit(2)) === 1), "text", batchTag = 0L)
+      TextAnalysis.lmPerplexityAgainst(docs, "doc_id", "text",
+          "graft_lm_store", maxPpl = LmStoreMaxPpl)
+        .orderBy("doc_id")
+    }),
+    "q_curation_ppl_store" -> ((s, dir) => {
+      // q_curation_ppl's PRODUCTION twin: the fluency gate reads the
+      // persisted src0-fit LM instead of refitting from its own input —
+      // one corpus tokenize pass in the gate (the refit path pays two)
+      // and CCNet's absolute-threshold semantics (the gate no longer
+      // moves with batch composition)
+      val docs = rd(s, dir, "documents")
+      TextAnalysis.writeLmStore(docs.filter(col("source") === "src0"),
+        "text", "graft_lm_cur", nBuckets = 4)
+      val fluent = TextAnalysis.lmPerplexityAgainst(docs, "doc_id", "text",
+          "graft_lm_cur", maxPpl = LmStoreMaxPpl)
+        .filter(col("kept")).select("doc_id")
+      graft.operators.Curation.curate(
+          docs.join(fluent, Seq("doc_id"), "left_semi"),
+          "doc_id", "text", lang = "en", minQuality = 0.6,
+          nearDupThreshold = 0.5, sampleFraction = 0.5)
+        .select("doc_id", "source").orderBy("doc_id")
+    }),
     "q_lm_perplexity" -> ((s, dir) =>
       // the CCNet-style perplexity GATE the LM family feeds: add-one
       // smoothed bigram LM, per-pair nanos terms, keep ⇔ −Σ ≤ ln(maxPpl)·n
@@ -2415,6 +2450,24 @@ object SparkEntry {
       // verbatim run with a lower-id'd doc
       Dedup.spanDedup(rd(s, dir, "documents"), "doc_id", "text", minRun = 8)
         .select("doc_id", "source").orderBy("doc_id")),
+    "q_span_excise" -> ((s, dir) =>
+      // the ExactSubstr REMEDY: cut each ≥8-token shared run out of the
+      // later doc and keep the reassembled remainder (one row per input
+      // doc, empty text when fully excised) — the oracle replays cut
+      // positions and reassembly order, not just survivor ids
+      Dedup.spanExcise(rd(s, dir, "documents"), "doc_id", "text",
+          minRun = 8)
+        .orderBy("doc_id")),
+    "q_curation_excise" -> ((s, dir) => {
+      // curateFull with the substring stage upgraded to span EXCISION:
+      // boilerplate-sharing docs lose the run, not the document; empty
+      // husks gated out before the final hash sample
+      val docs = rd(s, dir, "documents")
+      graft.operators.Curation.curateFullExcise(docs, "doc_id", "text",
+          docs.filter(col("source") === "src0"), "text",
+          TextAnalysis.syntheticQualityModel(), keepLogit = -0.15)
+        .orderBy("doc_id")
+    }),
     "q_contamination" -> ((s, dir) => {
       // benchmark-overlap scores: src0 plays the eval set; every doc scores
       // |shingles ∩ pooled-src0-shingles| / |shingles| in one broadcast pass
@@ -3218,6 +3271,89 @@ object SparkEntry {
     * vacuously. */
   private val LmPerplexityMaxPpl: Double = 30.0
 
+  /** the store-gated twin's threshold (fit on src0, score everything):
+    * ln 34 ≈ 3.526 sits between the sf0.001 corpus median ln_ppl (3.541)
+    * and the sf0.01 one (3.514), so BOTH kept outcomes occur at every
+    * test SF on both sides of the median — the same split-the-fixture
+    * doctrine as [[LmPerplexityMaxPpl]]. */
+  private val LmStoreMaxPpl: Double = 34.0
+
+  /** add-one bigram scoring of `scoreSrc` against an LM fit on `fitSrc`
+    * (ends with `lsc`: doc_id, n_bigrams, sn) — the persisted-LM (CCNet)
+    * shape: unseen pairs/contexts coalesce to count 0 (the add-one
+    * floor). Shared by q_lm_store and the composed q_curation_ppl_store.
+    * Replays the ACCRETED store exactly: batch-split fit counts sum to
+    * these whole-fit counts, so a dropped or double-applied batch surfaces
+    * as a hash mismatch. */
+  private def lmStoreChainSql(fitSrc: String, scoreSrc: String): String =
+    s"""lftok AS (
+         SELECT doc_id, u['t'] AS t, u['p'] AS p FROM (
+           SELECT doc_id, unnest(list_transform(
+             string_split_regex(lower(trim(text)), '\\s+'),
+             (x, i) -> {'t': x, 'p': i})) AS u
+           FROM $fitSrc)
+         WHERE len(u['t']) > 0),
+       lfpairs AS (
+         SELECT a.doc_id, a.t AS t1, a.t || ' ' || b.t AS pair
+         FROM lftok a JOIN lftok b ON a.doc_id = b.doc_id AND b.p = a.p + 1),
+       lfpc AS (SELECT pair, count(*) AS cnt_ab FROM lfpairs GROUP BY pair),
+       lfuc AS (SELECT t1, count(*) AS cnt_a FROM lfpairs GROUP BY t1),
+       lfvv AS (SELECT CAST(count(*) AS BIGINT) AS v FROM lfuc),
+       lstok AS (
+         SELECT doc_id, u['t'] AS t, u['p'] AS p FROM (
+           SELECT doc_id, unnest(list_transform(
+             string_split_regex(lower(trim(text)), '\\s+'),
+             (x, i) -> {'t': x, 'p': i})) AS u
+           FROM $scoreSrc)
+         WHERE len(u['t']) > 0),
+       lspairs AS (
+         SELECT a.doc_id, a.t AS t1, a.t || ' ' || b.t AS pair
+         FROM lstok a JOIN lstok b ON a.doc_id = b.doc_id AND b.p = a.p + 1),
+       lsc AS (
+         SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           sum(CAST(round(ln((CAST(coalesce(lfpc.cnt_ab, 0) AS DOUBLE) + 1.0)
+               / (CAST(coalesce(lfuc.cnt_a, 0) AS DOUBLE)
+                  + CAST(lfvv.v AS DOUBLE))) * 1e9)
+             AS BIGINT)) AS sn
+         FROM lspairs s LEFT JOIN lfpc USING (pair) LEFT JOIN lfuc USING (t1)
+         CROSS JOIN lfvv
+         GROUP BY s.doc_id)"""
+
+  private def LmStoreOracle: String = {
+    val lnMaxNanos = math.round(math.log(LmStoreMaxPpl) * 1e9)
+    s"""WITH ${lmStoreChainSql(
+        "(SELECT * FROM documents WHERE source = 'src0')", "documents")}
+       SELECT d.doc_id,
+         coalesce(lsc.n_bigrams, 0) AS n_bigrams,
+         round(-CAST(lsc.sn AS DOUBLE) / lsc.n_bigrams / 1e9, 6) AS ln_ppl,
+         coalesce(-lsc.sn <= $lnMaxNanos * lsc.n_bigrams, false) AS kept
+       FROM documents d LEFT JOIN lsc USING (doc_id)
+       ORDER BY d.doc_id"""
+  }
+
+  /** q_curation_ppl_store in DuckDB: the persisted-LM gate (fit on src0,
+    * absolute threshold) feeding the SAME composed curation chain as
+    * [[CurationPplOracle]]. */
+  private def CurationPplStoreOracle: String = {
+    val lnMaxNanos = math.round(math.log(LmStoreMaxPpl) * 1e9)
+    s"""WITH ${lmStoreChainSql(
+        "(SELECT * FROM documents WHERE source = 'src0')", "documents")},
+       fluent AS (
+         SELECT d.* FROM documents d JOIN lsc USING (doc_id)
+         WHERE -lsc.sn <= $lnMaxNanos * lsc.n_bigrams),
+       ${gateCte("fluent")},
+       exact AS (
+         SELECT doc_id, text, source FROM gate WHERE doc_id IN (
+           SELECT min(doc_id) FROM gate
+           GROUP BY md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))))),
+       ${minhashDedupChainSql("exact", 0.5)}
+       SELECT doc_id, source FROM exact
+       WHERE doc_id NOT IN (SELECT id_b FROM dups)
+         AND CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 10000 < 5000
+       ORDER BY doc_id"""
+  }
+
   /** the add-one-smoothed bigram scoring CTEs over `src` (ends with `sc`:
     * doc_id, n_bigrams, sn) — shared by q_lm_perplexity and the composed
     * q_curation_ppl so the gate and its composition cannot drift. Same
@@ -3569,7 +3705,11 @@ object SparkEntry {
     * near-dedup → shared-span (8-token window) dedup → hash sample. Every
     * fragment is an already-verified oracle chain; the composition verifies
     * the stages CHAIN in the order the Spark pipeline runs them. */
-  private val CurationFullOracle: String = {
+  /** the shared full-curation prefix (gate → learned filter →
+    * decontamination → fingerprint dedup → MinHash near-dedup), ending at
+    * `near (doc_id, text, source)` — q_curation_full appends the span
+    * doc-DROP tail, q_curation_excise the span EXCISION tail. */
+  private val CurationFullChainSql: String = {
     val qvals = TextAnalysis.syntheticQualityModel().zipWithIndex
       .map { case (w, b) => s"($b, $w)" }.mkString(", ")
     s"""WITH ${gateCte("documents")},
@@ -3633,7 +3773,10 @@ object SparkEntry {
                        trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
                        '\\s+') AS t
                      FROM near) stk
-               WHERE len(t) >= 8) ssg),
+               WHERE len(t) >= 8) ssg)"""
+  }
+
+  private val CurationFullOracle: String = CurationFullChainSql + """,
        sfl AS (
          SELECT DISTINCT b.doc_id AS id_b
          FROM ssh a JOIN ssh b ON a.s = b.s AND a.doc_id < b.doc_id)
@@ -3642,7 +3785,38 @@ object SparkEntry {
          AND CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
                % 10000 < 5000
        ORDER BY doc_id"""
-  }
+
+  /** q_curation_excise in DuckDB: the same composed prefix, with the span
+    * stage upgraded from doc-drop to EXCISION — matched-window coverage in
+    * the later doc, ordered reassembly, empty-husk gate, then the same
+    * hash sample. */
+  private val CurationExciseOracle: String = CurationFullChainSql + """,
+       sm AS (
+         SELECT b.doc_id AS id_b, b.pos AS pb
+         FROM ssh a JOIN ssh b ON a.s = b.s AND a.doc_id < b.doc_id),
+       scov AS (
+         SELECT DISTINCT id_b AS doc_id, pb + j AS pos
+         FROM sm, range(0, 8) rj(j)),
+       ntk AS (
+         SELECT doc_id, i AS pos, t[i+1] AS tok
+         FROM (SELECT doc_id, t, unnest(range(0, len(t))) AS i
+               FROM (SELECT doc_id, string_split_regex(
+                       trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+                       '\s+') AS t
+                     FROM near) ntk0) ntk1),
+       keptn AS (
+         SELECT n.doc_id, n.pos, n.tok
+         FROM ntk n LEFT JOIN scov c ON c.doc_id = n.doc_id AND c.pos = n.pos
+         WHERE c.doc_id IS NULL),
+       aggn AS (
+         SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text
+         FROM keptn GROUP BY doc_id)
+       SELECT n.doc_id, coalesce(aggn.text, '') AS text
+       FROM near n LEFT JOIN aggn USING (doc_id)
+       WHERE length(coalesce(aggn.text, '')) > 0
+         AND CAST(concat('0x', substr(md5(CAST(n.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 10000 < 5000
+       ORDER BY n.doc_id"""
 
   /** transitive (connected-components) MinHash-LSH dedup in DuckDB SQL —
     * same seed-42 portable pipeline as MinhashOracle up to the thresholded
@@ -4170,6 +4344,33 @@ object SparkEntry {
   private val SpanDedupOracle: String = SpanOverlapCte + """
        SELECT doc_id, source FROM documents
        WHERE doc_id NOT IN (SELECT DISTINCT id_b FROM m)
+       ORDER BY doc_id"""
+
+  /** q_span_excise's oracle: the same detection chain, then the REMEDY —
+    * coverage = union of [pb, pb+8) over each matched window's position in
+    * the LATER doc, ordered reassembly of the uncovered normalized tokens,
+    * one row per input doc (empty text when fully excised). Verifies cut
+    * positions AND reassembly order, not just survivor ids. */
+  private val SpanExciseOracle: String = SpanOverlapCte + """,
+       cov AS (
+         SELECT DISTINCT id_b AS doc_id, pa - d + j AS pos
+         FROM m, range(0, 8) rj(j)),
+       dtk AS (
+         SELECT doc_id, i AS pos, t[i+1] AS tok
+         FROM (SELECT doc_id, t, unnest(range(0, len(t))) AS i
+               FROM (SELECT doc_id, string_split_regex(
+                       trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+                       '\s+') AS t
+                     FROM documents) dtk0) dtk1),
+       keptx AS (
+         SELECT n.doc_id, n.pos, n.tok
+         FROM dtk n LEFT JOIN cov c ON c.doc_id = n.doc_id AND c.pos = n.pos
+         WHERE c.doc_id IS NULL),
+       aggx AS (
+         SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text
+         FROM keptx GROUP BY doc_id)
+       SELECT d.doc_id, coalesce(aggx.text, '') AS text
+       FROM documents d LEFT JOIN aggx USING (doc_id)
        ORDER BY doc_id"""
 
   /** q_decontaminate_exact's STRING-exact ground truth: corpus and
@@ -5258,6 +5459,8 @@ object SparkEntry {
     "q_dedup_incr_exact" -> DedupIncrExactOracle,
     "q_curation" -> CurationOracle,
     "q_curation_ppl" -> CurationPplOracle,
+    "q_lm_store" -> LmStoreOracle,
+    "q_curation_ppl_store" -> CurationPplStoreOracle,
     "q_curation_full" -> CurationFullOracle,
     "q_cluster_dedup" -> ClusterDedupOracle,
     "q_cluster_keep_best" -> ClusterKeepBestOracle,
@@ -6598,6 +6801,8 @@ object SparkEntry {
     "q_containment_capped" -> NgramContainmentPrefixOracle,
     "q_span_overlap" -> SpanOverlapOracle,
     "q_span_dedup" -> SpanDedupOracle,
+    "q_span_excise" -> SpanExciseOracle,
+    "q_curation_excise" -> CurationExciseOracle,
     "q_decontaminate_exact" -> ExactDecontaminateOracle,
     "q_contamination" -> ContaminationOracle,
     "q_decontaminate" ->

@@ -92,4 +92,46 @@ object Curation {
     val span = Dedup.spanDedup(near, idCol, textCol, minRun)
     Sampling.hashSample(span, col(idCol), sampleFraction)
   }
+
+  /** [[curateFull]] with the substring stage upgraded from doc-drop to
+    * span EXCISION ([[Dedup.spanExcise]] — the Lee et al. ExactSubstr
+    * remedy): documents sharing a ≥ `minRun`-token verbatim run with an
+    * earlier doc lose the RUN, not the document, so yield survives
+    * boilerplate sharing. Because excision is a text TRANSFORM, the
+    * output contract narrows to (idCol, textCol) with the excised
+    * (normalized-token) text; fully-excised husks are dropped by an
+    * explicit empty-text gate before the final sample — the only stage
+    * where this pipeline discards a substring-flagged document. */
+  def curateFullExcise(df: DataFrame, idCol: String, textCol: String,
+                       bench: DataFrame, benchTextCol: String,
+                       modelWeightsMicros: Seq[Long],
+                       keepLogit: Double = 0.0,
+                       lang: String = "en", minQuality: Double = 0.6,
+                       maxContamination: Double = 0.8,
+                       nearDupThreshold: Double = 0.5,
+                       minRun: Int = 8,
+                       sampleFraction: Double = 0.5): DataFrame = {
+    val gated = df.filter(
+      TextAnalysis.langId(col(textCol)) === lang &&
+        TextAnalysis.qualityScore(col(textCol)) >= minQuality)
+      .localCheckpoint()
+    val keepIds = TextAnalysis.hashedQualityScore(gated, idCol, textCol,
+        modelWeightsMicros, keepLogit)
+      .filter(col("keep")).select(col(idCol))
+    val modeled = gated.join(keepIds, Seq(idCol), "left_semi")
+    val cleaned = Dedup.decontaminate(modeled, idCol, textCol,
+        bench, benchTextCol, maxContamination)
+      .localCheckpoint()
+    val exact = Dedup.exactDedup(
+        cleaned.withColumn("__fp", TextAnalysis.fingerprint(col(textCol))),
+        col("__fp"), idCol)
+      .drop("__fp")
+      .localCheckpoint()
+    val near = Dedup.minhashDedupPortable(exact, idCol, textCol,
+        nearDupThreshold)
+      .localCheckpoint()
+    val excised = Dedup.spanExcise(near, idCol, textCol, minRun)
+      .filter(length(col(textCol)) > 0)
+    Sampling.hashSample(excised, col(idCol), sampleFraction)
+  }
 }

@@ -1570,7 +1570,7 @@ object Dedup {
     * the checkStoreParams doctrine) when the property is missing rather
     * than guessing: an append bucketed differently from the table's actual
     * spec can fail late or silently break the no-shuffle probe contract. */
-  private def storedNBuckets(spark: SparkSession, table: String): Int =
+  private[operators] def storedNBuckets(spark: SparkSession, table: String): Int =
     spark.sql(s"SHOW TBLPROPERTIES $table").collect()
       .collectFirst {
         case r if r.getString(0) == "graft.nBuckets" => r.getString(1).toInt
@@ -2431,6 +2431,69 @@ object Dedup {
     val flagged = spanWindowMatches(df, idCol, textCol, minRun, maxWindowDocFreq)
       .select(col("id_b").as(idCol)).distinct()
     df.join(flagged, Seq(idCol), "left_anti")
+  }
+
+  /** substring span EXCISION — the Lee et al. 2021 ExactSubstr REMEDY that
+    * [[spanDedup]]'s whole-doc drop only approximates: cut every shared
+    * ≥ `minRun`-token verbatim run out of the LATER document of each
+    * matched pair (keep-first precedent — the earlier document keeps the
+    * text) and reassemble the remaining tokens in order, so a long book
+    * sharing one boilerplate paragraph loses the paragraph, not the book
+    * (at 100 TB the yield difference is the whole point of the remedy).
+    *
+    * Output contract: one row per INPUT document, (idCol, text), where
+    * `text` is the space-joined remaining NORMALIZED tokens — the
+    * transform normalizes uniformly (unmatched documents too), which is
+    * what makes it IDEMPOTENT: excising an excised corpus is a no-op on
+    * the fixture (OperatorsSpec pins this; re-tokenizing a reassembled
+    * text yields the same token list). A fully-excised document keeps an
+    * EMPTY-text row rather than disappearing — span excision is a
+    * transform, not a filter; compose a length gate downstream to drop
+    * husks.
+    *
+    * Cut-set identity: a shared run of L ≥ k tokens is covered exactly by
+    * its L−k+1 matched k-windows, so the union of [pb, pb+k) over matched
+    * window positions IS the shared-run token coverage — no explicit
+    * islands/interval-merge stage is needed. Scale shape: the
+    * explode-and-reassemble path (the only shuffling stage) runs ONLY over
+    * FLAGGED documents — in a healthy crawl a small fraction of the corpus
+    * — while every untouched document takes a row-local normalize
+    * projection (codegen'd, no explode, no shuffle); the coverage explode
+    * is O(matched windows · k), and candidate generation inherits
+    * [[spanWindowMatches]]'s freq ≥ 2 + doc-freq ≤ `maxWindowDocFreq`
+    * pruning. */
+  def spanExcise(df: DataFrame, idCol: String, textCol: String,
+                 minRun: Int = 8,
+                 maxWindowDocFreq: Int = 1000): DataFrame = {
+    require(minRun >= 2, s"minRun must be >= 2, got $minRun")
+    require(maxWindowDocFreq >= 2,
+      s"maxWindowDocFreq must be >= 2, got $maxWindowDocFreq")
+    val k = minRun
+    val covered = spanWindowMatches(df, idCol, textCol, k, maxWindowDocFreq)
+      .select(col("id_b").as(idCol), (col("__pa") - col("__d")).as("__pb"))
+      .distinct()
+      .select(col(idCol),
+        explode(sequence(col("__pb"), col("__pb") + lit(k - 1))).as("__pos"))
+      .distinct()
+      .localCheckpoint()
+    val flaggedIds = covered.select(col(idCol)).distinct()
+    val normToks =
+      TextAnalysis.tokens(TextAnalysis.normalized(col(textCol)))
+    val rebuilt = df.join(flaggedIds, Seq(idCol), "left_semi")
+      .select(col(idCol), posexplode(normToks).as(Seq("__pos", "__tok")))
+      .join(covered, Seq(idCol, "__pos"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("__pos"), col("__tok")))),
+          s => s.getField("__tok"))).as("__text"))
+    // fully-excised docs vanish from the grouped reassembly — restore them
+    // as empty-text rows (excision is a transform, not a filter)
+    val excised = flaggedIds
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("__text"), lit("")).as(textCol))
+    val untouched = df.join(flaggedIds, Seq(idCol), "left_anti")
+      .select(col(idCol), concat_ws(" ", normToks).as(textCol))
+    untouched.unionByName(excised)
   }
 
   /** EXACT substring decontamination against a benchmark set: drop every

@@ -415,29 +415,51 @@ object TextAnalysis {
   def lmPerplexityFilter(df: DataFrame, idCol: String, textCol: String,
                          maxPpl: Double = 500.0): DataFrame = {
     require(maxPpl > 1.0, s"lmPerplexityFilter: maxPpl must be > 1: $maxPpl")
-    val lnMaxNanos = math.round(math.log(maxPpl) * 1e9)
+    val prs = lmPairRows(df, Seq(col(idCol)), textCol).localCheckpoint()
+    val pairCnt = prs.groupBy("pair").agg(count(lit(1)).as("cnt_ab"))
+    val ctxCnt = prs.groupBy("t1").agg(count(lit(1)).as("cnt_a"))
+    // own-corpus fit: every scored pair exists in the counts, so the plain
+    // inner joins here and lmPerplexityAgainst's coalesced left joins are
+    // the SAME scoring function — parity asserted in ProfilingSpec
+    lmScore(df, idCol, prs, pairCnt, ctxCnt, maxPpl)
+  }
+
+  /** the (t1, pair) adjacent-bigram rows under the LM tokenization —
+    * shared by [[lmPerplexityFilter]] and the persisted-LM store family so
+    * fit and gate can never tokenize differently. */
+  private def lmPairRows(df: DataFrame, keep: Seq[Column],
+                         textCol: String): DataFrame = {
     val t = col("__toks")
     val pairsArr = when(size(t) >= 2,
         zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
           (a, b) => struct(a.as("t1"),
             concat(a, lit(" "), b).as("pair"))))
       .otherwise(array().cast("array<struct<t1:string,pair:string>>"))
-    val prs = df
-      .select(col(idCol),
-        filter(tokens(col(textCol)), x => length(x) > 0).as("__toks"))
-      .select(col(idCol), explode(pairsArr).as("p"))
-      .select(col(idCol), col("p.t1").as("t1"), col("p.pair").as("pair"))
-      .localCheckpoint()
-    val pairCnt = prs.groupBy("pair").agg(count(lit(1)).as("cnt_ab"))
-    val ctxCnt = prs.groupBy("t1").agg(count(lit(1)).as("cnt_a"))
+    df.select(keep :+
+        filter(tokens(col(textCol)), x => length(x) > 0).as("__toks"): _*)
+      .select(keep :+ explode(pairsArr).as("p"): _*)
+      .select(keep :+ col("p.t1").as("t1") :+ col("p.pair").as("pair"): _*)
+  }
+
+  /** score `prs` (the per-doc pair rows) against bigram/context count
+    * tables and emit the (idCol, n_bigrams, ln_ppl, kept) gate frame —
+    * the shared scoring tail of the refit and store-backed paths. Counts
+    * are LEFT-joined and coalesced to 0 so a pair the LM has never seen
+    * scores ln(1/(c(a)+V)) — the add-one floor — instead of dropping. */
+  private def lmScore(df: DataFrame, idCol: String, prs: DataFrame,
+                      pairCnt: DataFrame, ctxCnt: DataFrame,
+                      maxPpl: Double): DataFrame = {
+    val lnMaxNanos = math.round(math.log(maxPpl) * 1e9)
     val v = ctxCnt.agg(count(lit(1)).cast(LongType).as("__v"))
     // ln p under add-one smoothing: both operands exact longs cast to
     // double BEFORE the division (the groupJsDivergence IEEE-shape rule)
     val termNanos = round(log(
-        (col("cnt_ab").cast(DoubleType) + lit(1.0)) /
-          (col("cnt_a").cast(DoubleType) + col("__v").cast(DoubleType)))
+        (coalesce(col("cnt_ab"), lit(0L)).cast(DoubleType) + lit(1.0)) /
+          (coalesce(col("cnt_a"), lit(0L)).cast(DoubleType) +
+            col("__v").cast(DoubleType)))
       * lit(1e9)).cast(LongType)
-    val scored = prs.join(pairCnt, Seq("pair")).join(ctxCnt, Seq("t1"))
+    val scored = prs.join(pairCnt, Seq("pair"), "left")
+      .join(ctxCnt, Seq("t1"), "left")
       .crossJoin(broadcast(v))
       .groupBy(col(idCol))
       .agg(count(lit(1)).cast(LongType).as("n_bigrams"),
@@ -449,6 +471,89 @@ object TextAnalysis {
           .as("ln_ppl"),
         coalesce(-col("__sn") <= lit(lnMaxNanos) * col("n_bigrams"),
           lit(false)).as("kept"))
+  }
+
+  /** create/replace the PERSISTED corpus LM — the deployment shape CCNet
+    * gating actually runs on (Wenzek et al.: the perplexity LM is FIXED,
+    * fit once on a reference corpus, and every curation pass gates against
+    * it), where [[lmPerplexityFilter]] refits from its own input per
+    * invocation (batch-relative semantics — the threshold moves with batch
+    * composition). Two accreting bucketed count tables, the
+    * frequency-store pattern with EXACT adds: `<store>_pairs (pair, cnt,
+    * __batch)` and `<store>_ctx (t1, cnt, __batch)`; estimates over the
+    * store sum counts across batches, so append ≡ rebuild exactly (exact
+    * integers, no sketch error). Bucketed on the probe join keys so a
+    * gate's count joins never reshuffle the store. */
+  def writeLmStore(df: DataFrame, textCol: String, store: String,
+                   nBuckets: Int = 8): Unit = {
+    val spark = df.sparkSession
+    val prs = lmPairRows(df, Seq.empty, textCol).localCheckpoint()
+    graft.sources.Sources.writeBucketed(
+      prs.groupBy("pair").agg(count(lit(1)).as("cnt"))
+        .withColumn("__batch", lit(-1L)),
+      s"${store}_pairs", "pair", nBuckets)
+    graft.sources.Sources.writeBucketed(
+      prs.groupBy("t1").agg(count(lit(1)).as("cnt"))
+        .withColumn("__batch", lit(-1L)),
+      s"${store}_ctx", "t1", nBuckets)
+    Seq(s"${store}_pairs", s"${store}_ctx").foreach(t =>
+      Dedup.setStoreParams(spark, t,
+        Map("kind" -> "lm_bigram", "nBuckets" -> nBuckets,
+          "enc" -> "lm_v1")))
+  }
+
+  /** append one ingest batch's pair/context counts (idempotent under
+    * `batchTag` PER TABLE — the appendInvertedIndex doctrine: a crash
+    * between the two appends recovers exactly, each table skips the tag it
+    * already holds). Estimates downstream sum across batches, so a
+    * replayed tag would double every count it touches — the tag gate is
+    * correctness, not hygiene. */
+  def appendLmCounts(spark: org.apache.spark.sql.SparkSession, store: String,
+                     df: DataFrame, textCol: String, batchTag: Long): Unit = {
+    Seq(s"${store}_pairs", s"${store}_ctx").foreach(t =>
+      Dedup.checkStoreParams(spark, t,
+        Map("kind" -> "lm_bigram", "enc" -> "lm_v1"),
+        required = Set("enc")))
+    val prs = lmPairRows(df, Seq.empty, textCol).localCheckpoint()
+    def appendTo(table: String, agg: DataFrame, bucketCol: String): Unit = {
+      val seen = spark.table(table).select("__batch").distinct()
+        .collect().map(_.getLong(0)).toSet
+      if (!seen.contains(batchTag)) {
+        graft.sources.Sources.writeBucketed(
+          agg.withColumn("__batch", lit(batchTag)),
+          table, bucketCol, Dedup.storedNBuckets(spark, table),
+          org.apache.spark.sql.SaveMode.Append)
+      }
+    }
+    appendTo(s"${store}_pairs",
+      prs.groupBy("pair").agg(count(lit(1)).as("cnt")), "pair")
+    appendTo(s"${store}_ctx",
+      prs.groupBy("t1").agg(count(lit(1)).as("cnt")), "t1")
+  }
+
+  /** the perplexity gate against the PERSISTED LM ([[writeLmStore]]) —
+    * CCNet semantics: the threshold is absolute (the LM does not move with
+    * batch composition), the corpus pays ONE tokenize+pair pass, and the
+    * count joins read the bucketed store without reshuffling it. Pairs and
+    * contexts the LM has never seen score at the add-one floor (cnt 0);
+    * output shape is [[lmPerplexityFilter]]'s, and gating a corpus against
+    * a store fit on that same corpus is EXACTLY the refit filter (parity
+    * asserted in ProfilingSpec). */
+  def lmPerplexityAgainst(df: DataFrame, idCol: String, textCol: String,
+                          store: String,
+                          maxPpl: Double = 500.0): DataFrame = {
+    require(maxPpl > 1.0, s"lmPerplexityAgainst: maxPpl must be > 1: $maxPpl")
+    val spark = df.sparkSession
+    Seq(s"${store}_pairs", s"${store}_ctx").foreach(t =>
+      Dedup.checkStoreParams(spark, t,
+        Map("kind" -> "lm_bigram", "enc" -> "lm_v1"),
+        required = Set("enc")))
+    val prs = lmPairRows(df, Seq(col(idCol)), textCol).localCheckpoint()
+    val pairCnt = spark.table(s"${store}_pairs")
+      .groupBy("pair").agg(sum("cnt").as("cnt_ab"))
+    val ctxCnt = spark.table(s"${store}_ctx")
+      .groupBy("t1").agg(sum("cnt").as("cnt_a"))
+    lmScore(df, idCol, prs, pairCnt, ctxCnt, maxPpl)
   }
 
   /** Top-k PMI collocations: adjacent token pairs ranked by pointwise

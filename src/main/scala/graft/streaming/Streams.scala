@@ -668,6 +668,45 @@ object Streams {
       h => graft.operators.Dedup.appendVideoFrameHashes(
         h, "media_id", store, maxHamming))
 
+  /** one pass of STREAMING CURATION gated by the persisted corpus LM
+    * ([[graft.operators.TextAnalysis.writeLmStore]]): each micro-batch is
+    * perplexity-gated against the FIXED store
+    * ([[graft.operators.TextAnalysis.lmPerplexityAgainst]] — CCNet
+    * semantics; a refit-per-micro-batch gate would move its threshold
+    * with every batch's composition, which is exactly what a streaming
+    * pass cannot tolerate) and the kept rows land in `outDir`.
+    * Idempotence is trivial by READ-ONLY construction: the store is never
+    * written, the gate is a pure function of (batch, store), and the
+    * survivor manifest overwrites its own `__batch` partition — a
+    * re-delivered batch rewrites identical content. */
+  def runLmGateOnce(spark: SparkSession, inDir: String, outDir: String,
+                    checkpointDir: String, store: String,
+                    maxPpl: Double,
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): Unit = {
+    val schema = spark.read.parquet(inDir).schema
+    Seq(s"${store}_pairs", s"${store}_ctx")
+      .foreach(t => spark.catalog.refreshTable(t))
+    val q = spark.readStream.schema(schema).parquet(inDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val b = batch.toDF()
+        val kept = graft.operators.TextAnalysis.lmPerplexityAgainst(
+            b, idCol, textCol, store, maxPpl)
+          .filter(col("kept")).select(idCol)
+        b.join(kept, Seq(idCol), "left_semi")
+          .withColumn("__batch", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__batch").parquet(outDir)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** one pass of streaming ingest into the SEARCH index: each micro-batch's
     * postings append to the inverted index ([[graft.operators.Search
     * .appendInvertedIndex]] — bucket spec from the store's own metadata).

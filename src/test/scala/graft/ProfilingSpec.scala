@@ -739,4 +739,47 @@ class ProfilingSpec extends AnyFunSuite {
     assert(afterNew == oneShot3,
       "post-compaction append diverged from the 3-batch one-shot")
   }
+
+  test("LM store: gate against own-corpus store == refit filter; append == rebuild; replayed tag no-op") {
+    import graft.operators.TextAnalysis
+    def mkDoc(i: Int, extra: String) =
+      (i.toLong, s"the cat sat on mat $i and $extra words flow here t${i % 7} t${(i * 3) % 11}")
+    val corpus = (1 to 60).map(i => mkDoc(i, s"c$i")).toDF("doc_id", "text")
+    Seq("graft_lm_spec", "graft_lm_spec_rebuild").foreach { st =>
+      spark.sql(s"DROP TABLE IF EXISTS ${st}_pairs")
+      spark.sql(s"DROP TABLE IF EXISTS ${st}_ctx")
+    }
+    def gateMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), Option(r.get(2)).map(_.toString), r.getBoolean(3)))
+      .toMap
+    // own-corpus identity: store fit on X, gating X == the refit filter
+    TextAnalysis.writeLmStore(corpus, "text", "graft_lm_spec", nBuckets = 2)
+    val viaStore = gateMap(TextAnalysis.lmPerplexityAgainst(
+      corpus, "doc_id", "text", "graft_lm_spec", maxPpl = 20.0))
+    val viaRefit = gateMap(TextAnalysis.lmPerplexityFilter(
+      corpus, "doc_id", "text", maxPpl = 20.0))
+    assert(viaStore == viaRefit, "store-gated != refit on the fit corpus")
+    // append == rebuild: two tagged batches vs a one-shot fit; score a
+    // THIRD corpus (unseen pairs exercise the add-one floor)
+    val b2 = (100 to 130).map(i => mkDoc(i, s"b$i")).toDF("doc_id", "text")
+    val probe = (500 to 520)
+      .map(i => (i.toLong, s"utterly novel z$i q$i tokens the cat sat"))
+      .toDF("doc_id", "text")
+    TextAnalysis.appendLmCounts(spark, "graft_lm_spec", b2, "text",
+      batchTag = 0L)
+    TextAnalysis.writeLmStore(corpus.unionAll(b2), "text",
+      "graft_lm_spec_rebuild", nBuckets = 2)
+    val accreted = gateMap(TextAnalysis.lmPerplexityAgainst(
+      probe, "doc_id", "text", "graft_lm_spec", maxPpl = 20.0))
+    val rebuilt = gateMap(TextAnalysis.lmPerplexityAgainst(
+      probe, "doc_id", "text", "graft_lm_spec_rebuild", maxPpl = 20.0))
+    assert(accreted == rebuilt, "accreted store diverged from rebuild")
+    // replayed tag: counts unchanged (a double append would double them)
+    TextAnalysis.appendLmCounts(spark, "graft_lm_spec", b2, "text",
+      batchTag = 0L)
+    assert(gateMap(TextAnalysis.lmPerplexityAgainst(
+      probe, "doc_id", "text", "graft_lm_spec", maxPpl = 20.0)) == rebuilt,
+      "replayed batch tag double-applied")
+  }
 }

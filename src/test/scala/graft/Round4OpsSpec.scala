@@ -641,6 +641,36 @@ class Round4OpsSpec extends AnyFunSuite {
     assert(kept == Seq(1L, 3L))
   }
 
+  test("spanExcise cuts planted 12/8-token runs from later docs, keeps 7-token runs, is idempotent") {
+    val r12 = (1 to 12).map(i => s"dup$i").mkString(" ")
+    val r8 = (1 to 8).map(i => s"oct$i").mkString(" ")
+    val r7 = (1 to 7).map(i => s"sep$i").mkString(" ")
+    def filler(p: String, n: Int) = (1 to n).map(j => s"$p$j").mkString(" ")
+    val docs = Seq(
+      // doc 1 (earliest) carries all three runs and KEEPS its text
+      (1L, s"${filler("a", 4)} $r12 $r8 $r7 ${filler("b", 3)}"),
+      // doc 2 shares the 12-token run: exactly those 12 tokens cut,
+      // prefix + suffix reassembled in order
+      (2L, s"${filler("c", 5)} $r12 ${filler("d", 5)}"),
+      // doc 3 IS the 8-token run: fully excised -> EMPTY-text row kept
+      (3L, r8),
+      // doc 4 shares only the 7-token run (< minRun=8): untouched
+      (4L, s"${filler("e", 5)} $r7 ${filler("f", 5)}")
+    ).toDF("doc_id", "text")
+    val once = Dedup.spanExcise(docs, "doc_id", "text", minRun = 8)
+    val got = once.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == s"${filler("a", 4)} $r12 $r8 $r7 ${filler("b", 3)}")
+    assert(got(2L) == s"${filler("c", 5)} ${filler("d", 5)}",
+      s"12-run not cut cleanly: '${got(2L)}'")
+    assert(got(3L) == "", s"fully-excised doc must keep an empty row: '${got(3L)}'")
+    assert(got(4L) == s"${filler("e", 5)} $r7 ${filler("f", 5)}")
+    // idempotence: excising the excised corpus changes nothing (the
+    // reassembled texts re-tokenize to themselves; no new >=8 shared runs)
+    val twice = Dedup.spanExcise(once, "doc_id", "text", minRun = 8)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(twice == got, s"not idempotent: ${twice.toSet -- got.toSet}")
+  }
+
   test("span dedup maxWindowDocFreq drops planted boilerplate, keeps genuine runs") {
     // 60 docs all ending in the SAME template 8-gram (footer boilerplate);
     // docs 1,2 additionally share a RARE 10-token run (genuine duplication).

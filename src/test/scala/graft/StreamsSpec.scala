@@ -1103,6 +1103,45 @@ class StreamsSpec extends AnyFunSuite {
     } finally spark.sql(s"DROP TABLE IF EXISTS ${store}_bands")
   }
 
+  test("streaming LM-gated curation: micro-batches gate against the FIXED store, replay rewrites identically") {
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_lmgate").toString
+    val (inDir, outDir, ckpt) = (s"$base/in", s"$base/out", s"$base/ckpt")
+    val store = "graft_lmgate_store"
+    spark.sql(s"DROP TABLE IF EXISTS ${store}_pairs")
+    spark.sql(s"DROP TABLE IF EXISTS ${store}_ctx")
+    def mkDoc(i: Int, p: String) =
+      (i.toLong, s"the cat sat on the mat $p$i and the dog ran t${i % 5}")
+    val ref = (1 to 50).map(i => mkDoc(i, "r")).toDF("doc_id", "text")
+    TextAnalysis.writeLmStore(ref, "text", store, nBuckets = 2)
+    // stream: fluent docs (reference-like) + junk (all-unseen bigrams)
+    val streamDocs = ((100 to 109).map(i => mkDoc(i, "s")) ++
+      (200 to 204).map(i => (i.toLong, s"zz$i yy$i xx$i ww$i vv$i uu$i")))
+      .toDF("doc_id", "text")
+    streamDocs.write.mode("append").parquet(inDir)
+    Streams.runLmGateOnce(spark, inDir, outDir, ckpt, store, maxPpl = 30.0)
+    val streamed = spark.read.parquet(outDir)
+      .select("doc_id").as[Long].collect().toSet
+    // == the batch gate against the same store
+    val expected = TextAnalysis.lmPerplexityAgainst(streamDocs, "doc_id",
+        "text", store, maxPpl = 30.0)
+      .filter(col("kept")).select("doc_id").as[Long].collect().toSet
+    assert(streamed == expected, s"streamed $streamed != $expected")
+    assert(expected.nonEmpty && expected != streamDocs.select("doc_id")
+      .as[Long].collect().toSet, "gate must split the stream fixture")
+    // store untouched by gating; fresh-checkpoint replay rewrites the
+    // same partitions (read-only store => pure function of the batch)
+    val pairRows = spark.table(s"${store}_pairs").count()
+    Streams.runLmGateOnce(spark, inDir, outDir, s"$base/ckpt2", store,
+      maxPpl = 30.0)
+    assert(spark.table(s"${store}_pairs").count() == pairRows)
+    assert(spark.read.parquet(outDir).select("doc_id").as[Long]
+      .collect().toSet == expected)
+    spark.sql(s"DROP TABLE IF EXISTS ${store}_pairs")
+    spark.sql(s"DROP TABLE IF EXISTS ${store}_ctx")
+  }
+
   test("streaming frequency (CMS) ingest: estimates equal a rebuild, replay-idempotent") {
     import graft.operators.Profiling
     import spark.implicits._
