@@ -1138,6 +1138,21 @@ object SparkEntry {
           "embedding", q, k = 10, lambda = 0.7, m = 3)
         .orderBy("pos")
     }),
+    "q_mmr_pooled" -> ((s, dir) => {
+      // the PRODUCTION MMR composition BASELINE documents but round 19
+      // never registered: relevance top-200 shortlist FIRST, then batched
+      // MMR over the pool — per-round rescans become pool-sized (the
+      // corpus is touched once, by the shortlist pass), where q_mmr_batched
+      // rescans the whole corpus per round (10.5x at 100x data). Oracle =
+      // Spark-independent shortlist + batched recompute over the pool
+      lastMmrDir = Some(dir)
+      val emb = rd(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 1).select("embedding")
+        .head().getSeq[Float](0).map(_.toDouble)
+      Similarity.mmrSelectPooled(emb.filter(col("vec_id") =!= 1), "vec_id",
+          "embedding", q, k = 10, lambda = 0.7, m = 3, poolSize = 200)
+        .orderBy("pos")
+    }),
     "q_ann_int8_store" -> ((s, dir) => {
       // the STORE twin: identical results by construction (quantization is
       // deterministic and happened at store-write time), but the timed
@@ -1751,6 +1766,19 @@ object SparkEntry {
             everyK = 1),
           "media_id", maxHamming = 6, minMatchedFrames = 3)
         .orderBy("media_id")),
+    "q_video_dedup_scaled" -> ((s, dir) =>
+      // the knob-HONEST video profile: vote threshold scaled to clip
+      // length (ceil(3/4 · min frames) per pair) over a GROUP-VARYING
+      // length fixture (3/4/5-frame groups) — 3-frame group members
+      // survive (2 matched < 3) while 4/5-frame members drop, so the
+      // scaled threshold is exercised in both directions, not vacuous
+      Dedup.videoDedupFromFrameHashesFrac(
+          Multimodal.videoDHashWide(
+            Multimodal.encodeSyntheticAviGroupsVar(rd(s, dir, "documents"),
+              "doc_id"),
+            everyK = 1),
+          "media_id", maxHamming = 6, matchFrac = 0.75)
+        .orderBy("media_id")),
     "q_audio_dedup" -> ((s, dir) =>
       // AUDIO near-dup dedup — the last dedup-less modality closed: real
       // RIFF/WAVE clips (grouped quadratic PCM law), energy-envelope
@@ -2253,6 +2281,19 @@ object SparkEntry {
       // one exploded pass, per-pair nanos before the per-doc sum
       TextAnalysis.bigramLogProb(rd(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
+    "q_curation_mm" -> ((s, dir) => {
+      // MULTIMODAL (caption+image) curation — the LAION shape: language +
+      // quality gates and caption fingerprint dedup shrink the pairs
+      // BEFORE any image decode (plan-audited: the decode mapPartitions
+      // sits above the text survivors' semi-join), then wide-dHash image
+      // near-dedup; a pair survives iff BOTH modalities survive. Oracle
+      // composes the verified gate/fingerprint/image-hash CTE fragments
+      val docs = rd(s, dir, "documents")
+      graft.operators.Curation.curateMultimodal(docs, "doc_id", "text",
+          Multimodal.encodeSyntheticPngGroups(docs, "doc_id"), "media_id",
+          lang = "en", minQuality = 0.6, maxHamming = 6)
+        .select("doc_id", "source").orderBy("doc_id")
+    }),
     "q_lm_store" -> ((s, dir) => {
       // the PERSISTED corpus LM (CCNet deployment shape): fit on src0 in
       // TWO tagged batches (doc_id parity — accretion exercised: a
@@ -3626,6 +3667,60 @@ object SparkEntry {
        WHERE media_id NOT IN (SELECT media_id FROM dropd)
        ORDER BY media_id"""
 
+  /** q_video_dedup_scaled's oracle: the grouped pixel law with
+    * GROUP-VARYING frame count nf = 3 + (group index) % 3, frame-aligned
+    * pair matching, and the fraction vote — dup ⇔ matched ≥
+    * ceil(0.75 · min(nf_a, nf_b)). 0.75 is dyadic and nf ≤ 5, so the
+    * product is IEEE-exact in both engines. */
+  private val VideoDedupScaledOracle: String =
+    """WITH vsm AS (
+         SELECT doc_id AS media_id, CAST(doc_id % 4 AS BIGINT) AS mm,
+           2 * (((doc_id - doc_id % 4) * 2654435761) % 127) + 1 AS kk,
+           ((doc_id - doc_id % 4) * 40503) % 251 AS cc,
+           ((doc_id - doc_id % 4) * 69069) % 256 AS k3,
+           3 + ((doc_id - doc_id % 4) // 4) % 3 AS nf
+         FROM documents),
+       vsfp AS (
+         SELECT media_id, mm, k3, f,
+           CASE WHEN f = 0 AND mm > 0 THEN kk + 2*mm ELSE kk END AS kf,
+           cc + 11*f AS cf
+         FROM vsm, range(0, 5) rf(f) WHERE f < nf),
+       vsw AS (
+         SELECT media_id, f, x, y,
+           (((x*18)//16 + 36*y + 1) * ((x*18)//16 + 36*y + 1) * kf
+            + ((x*18)//16 + 36*y + 1) * cf + (2*y)*(2*y)*k3
+            + CASE WHEN (x*18)//16 = 2*mm AND y = mm THEN 128 ELSE 0 END)
+             % 256 AS v
+         FROM vsfp, range(0, 16) rx(x), range(0, 8) ry(y)),
+       vsb AS (
+         SELECT a.media_id, a.f, a.y * 15 + a.x AS bit
+         FROM vsw a JOIN vsw c ON a.media_id = c.media_id AND c.f = a.f
+           AND c.y = a.y AND c.x = a.x + 1
+         WHERE a.x < 15 AND a.v < c.v),
+       vsh AS (
+         SELECT q.media_id, q.f,
+           coalesce(bit_or(CASE WHEN bit < 60
+               THEN CAST(1 AS BIGINT) << bit END), CAST(0 AS BIGINT)) AS lo,
+           coalesce(bit_or(CASE WHEN bit >= 60
+               THEN CAST(1 AS BIGINT) << (bit - 60) END), CAST(0 AS BIGINT))
+             AS hi
+         FROM (SELECT DISTINCT media_id, f FROM vsfp) q
+         LEFT JOIN vsb ON vsb.media_id = q.media_id AND vsb.f = q.f
+         GROUP BY q.media_id, q.f),
+       vsp AS (
+         SELECT a.media_id AS id_a, b.media_id AS id_b, count(*) AS mf
+         FROM vsh a JOIN vsh b ON a.media_id < b.media_id AND a.f = b.f
+         WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 6
+         GROUP BY 1, 2),
+       vsd AS (
+         SELECT DISTINCT p.id_b
+         FROM vsp p JOIN vsm a ON a.media_id = p.id_a
+           JOIN vsm b ON b.media_id = p.id_b
+         WHERE p.mf >= ceil(0.75 * least(a.nf, b.nf)))
+       SELECT media_id FROM (SELECT DISTINCT media_id FROM vsh)
+       WHERE media_id NOT IN (SELECT id_b FROM vsd)
+       ORDER BY media_id"""
+
   private val VideoDedupOracle: String =
     s"""WITH $VideoWideHashChainSql,
        vp AS (
@@ -3817,6 +3912,30 @@ object SparkEntry {
          AND CAST(concat('0x', substr(md5(CAST(n.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
                % 10000 < 5000
        ORDER BY n.doc_id"""
+
+  /** q_curation_mm in DuckDB: the gate + caption-fingerprint-dedup
+    * fragments of [[CurationOracle]], the wide image-hash chain
+    * ([[ImageWideHashChainSql]]) restricted to the text survivors, keep-min
+    * image near-dedup within them — a pair survives iff BOTH modalities
+    * survive. A def (not val): it references ImageWideHashChainSql, which
+    * is declared later in the object. */
+  private def CurationMmOracle: String =
+    s"""WITH ${gateCte("documents")},
+       exact AS (
+         SELECT doc_id, text, source FROM gate WHERE doc_id IN (
+           SELECT min(doc_id) FROM gate
+           GROUP BY md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))))),
+       $ImageWideHashChainSql,
+       mmh AS (
+         SELECT iwh.media_id, iwh.lo, iwh.hi
+         FROM iwh JOIN exact ON iwh.media_id = exact.doc_id),
+       mmp AS (
+         SELECT b.media_id AS id_b
+         FROM mmh a JOIN mmh b ON a.media_id < b.media_id
+         WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 6)
+       SELECT doc_id, source FROM exact
+       WHERE doc_id NOT IN (SELECT id_b FROM mmp)
+       ORDER BY doc_id"""
 
   /** transitive (connected-components) MinHash-LSH dedup in DuckDB SQL —
     * same seed-42 portable pipeline as MinhashOracle up to the thresholded
@@ -5392,7 +5511,14 @@ object SparkEntry {
         IndependentOracles.mmrOrder(pool, query, k = 10, lambda = 0.7)),
       "q_mmr_batched" -> valuesSql(
         IndependentOracles.mmrOrderBatched(pool, query, k = 10,
-          lambda = 0.7, m = 3)))
+          lambda = 0.7, m = 3)),
+      "q_mmr_pooled" -> valuesSql {
+        val shortlist =
+          IndependentOracles.cosineTopK(pool, query, n = 200).toSet
+        IndependentOracles.mmrOrderBatched(
+          pool.filter(p => shortlist(p._1)), query, k = 10,
+          lambda = 0.7, m = 3)
+      })
   }
 
   private[graft] def sketchOracles(dir: String): Map[String, String] = {
@@ -5461,6 +5587,7 @@ object SparkEntry {
     "q_curation_ppl" -> CurationPplOracle,
     "q_lm_store" -> LmStoreOracle,
     "q_curation_ppl_store" -> CurationPplStoreOracle,
+    "q_curation_mm" -> CurationMmOracle,
     "q_curation_full" -> CurationFullOracle,
     "q_cluster_dedup" -> ClusterDedupOracle,
     "q_cluster_keep_best" -> ClusterKeepBestOracle,
@@ -6304,6 +6431,7 @@ object SparkEntry {
     "q_audio_dedup" -> AudioDedupOracle,
     "q_audio_store" -> AudioStoreOracle,
     "q_video_dedup" -> VideoDedupOracle,
+    "q_video_dedup_scaled" -> VideoDedupScaledOracle,
     "q_video_store" -> VideoStoreOracle,
     "q_media_decode" ->
       """WITH m AS (

@@ -134,4 +134,40 @@ object Curation {
       .filter(length(col(textCol)) > 0)
     Sampling.hashSample(excised, col(idCol), sampleFraction)
   }
+
+  /** MULTIMODAL curation over caption+image PAIRS — the LAION-shape
+    * pipeline: text gates + caption (fingerprint) dedup on the caption
+    * side, perceptual wide-dHash near-dedup on the image side, ONE
+    * survivor set — a pair survives only if BOTH modalities survive.
+    *
+    * Stage order is the cost law: the codegen'd language/quality gates and
+    * the caption fingerprint dedup shrink the pair set BEFORE any image
+    * byte is decoded (the decode mapPartitions is the expensive stage at
+    * 100 TB — images are ~10³× caption bytes), so the image chain hashes
+    * only text-surviving pairs. Image near-dups are therefore resolved
+    * WITHIN the text survivors (keep-min), which is the right semantics
+    * for pairs: an image whose only duplicates were text-dropped carries
+    * no remaining pair-level redundancy. `media` joins `docs` by id
+    * (caption i ↔ media i). Returns the surviving caption rows unchanged. */
+  def curateMultimodal(docs: DataFrame, idCol: String, textCol: String,
+                       media: DataFrame, mediaIdCol: String,
+                       lang: String = "en", minQuality: Double = 0.6,
+                       maxHamming: Int = 6): DataFrame = {
+    val gated = docs.filter(
+      TextAnalysis.langId(col(textCol)) === lang &&
+        TextAnalysis.qualityScore(col(textCol)) >= minQuality)
+      .localCheckpoint()
+    val textKept = Dedup.exactDedup(
+        gated.withColumn("__fp", TextAnalysis.fingerprint(col(textCol))),
+        col("__fp"), idCol)
+      .drop("__fp")
+      .localCheckpoint()
+    val gatedMedia = media.join(
+      textKept.select(col(idCol).as(mediaIdCol)), Seq(mediaIdCol),
+      "left_semi")
+    val mediaKept = Dedup.imageDedupFromHashesWide(
+      Multimodal.imageDHashWide(gatedMedia), mediaIdCol, maxHamming)
+    textKept.join(mediaKept.select(col(mediaIdCol).as(idCol)),
+      Seq(idCol), "left_semi")
+  }
 }

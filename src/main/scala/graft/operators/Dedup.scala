@@ -1538,6 +1538,61 @@ object Dedup {
       .join(dups, Seq(idCol), "left_anti")
   }
 
+  /** [[videoDedupFromFrameHashes]] with the vote threshold SCALED to clip
+    * length — the knob-honest profile: a fixed `minMatchedFrames` both
+    * dilutes on long clips (3 shared frames flag a 100-frame clip) and
+    * over-reaches on short ones, so the per-PAIR threshold here is
+    * ceil(matchFrac * min(n_frames_a, n_frames_b)) — the fraction vote
+    * over the frames the SHORTER clip can even offer. `matchFrac` should
+    * be a dyadic rational (3/4, 7/8): the product is then IEEE-exact for
+    * any frame count an engine can hold, so the threshold replays exactly
+    * in the oracle (the fixture-doctrine rule). Same frame-aligned banding
+    * + mass guard + keep-min survivors as the fixed-vote form. */
+  def videoDedupFromFrameHashesFrac(frameHashes: DataFrame, idCol: String,
+                                    maxHamming: Int = 6,
+                                    matchFrac: Double = 0.75,
+                                    maxCandidateMass: Long = 800000000L): DataFrame = {
+    require(matchFrac > 0.0 && matchFrac <= 1.0,
+      s"videoDedupFromFrameHashesFrac: matchFrac $matchFrac not in (0, 1]")
+    val sigs = frameHashes.filter(col("dh_lo").isNotNull)
+      .select(col(idCol), col("frame_no"), col("dh_lo").as("sim_lo"),
+        col("dh_hi").as("sim_hi"))
+      .localCheckpoint()
+    val banded = wideBandedFrame(sigs, idCol, 120, maxHamming,
+      carryCols = Seq("frame_no"))
+    imageCandidateMassGuard("videoDedupFromFrameHashesFrac",
+      banded.select(concat_ws("#", col("frame_no"), col("band"))
+        .as("band"), col("band_bits")),
+      maxCandidateMass,
+      "pre-block on clip metadata (duration/dims/source) before hashing")
+    val nf = sigs.select(col(idCol), col("frame_no")).distinct()
+      .groupBy(col(idCol)).agg(count(lit(1)).as("__nf"))
+    val matched = banded.as("l").join(banded.as("r"),
+        col("l.frame_no") === col("r.frame_no") &&
+          col("l.band") === col("r.band") &&
+          col("l.band_bits") === col("r.band_bits") &&
+          col(s"l.$idCol") < col(s"r.$idCol"))
+      .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"),
+        col("l.frame_no").as("frame_no"),
+        (bit_count(col("l.sim_lo").bitwiseXOR(col("r.sim_lo"))) +
+          bit_count(col("l.sim_hi").bitwiseXOR(col("r.sim_hi"))))
+          .cast(LongType).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "frame_no").distinct()
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("__mf"))
+    val dups = matched
+      .join(nf.select(col(idCol).as("id_a"), col("__nf").as("__nfa")),
+        Seq("id_a"))
+      .join(nf.select(col(idCol).as("id_b"), col("__nf").as("__nfb")),
+        Seq("id_b"))
+      .filter(col("__mf") >=
+        ceil(lit(matchFrac) * least(col("__nfa"), col("__nfb"))))
+      .select(col("id_b").as(idCol)).distinct()
+    sigs.select(col(idCol)).distinct()
+      .join(dups, Seq(idCol), "left_anti")
+  }
+
   /** create/replace an incremental WIDE-HASH near-dup store — the
     * modality-agnostic deployment shape under the image/audio members of
     * the store family: one bucketed table `<store>_bands (band, band_bits,

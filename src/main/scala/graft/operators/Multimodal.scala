@@ -426,6 +426,64 @@ object Multimodal {
     * EXACTLY frames 1–3, so a `minMatchedFrames = 3` clip-dedup catches
     * every intra-group pair while a 4-frame requirement would not — the
     * threshold is exercised, not vacuous. */
+  /** [[encodeSyntheticAviGroups]] with GROUP-VARYING clip length — the
+    * fixture for the fraction-vote dedup profile
+    * ([[graft.operators.Dedup.videoDedupFromFrameHashesFrac]]): group g
+    * (base = id − id%4, g = base/4) renders nf = 3 + g%3 frames (3, 4, or
+    * 5), same pixel law (frame-0 scramble for members m > 0, per-frame
+    * phase c + 11f, member bump). With matchFrac = 3/4 the non-base
+    * members of 3-frame groups SURVIVE (2 matched < ceil(9/4) = 3) while
+    * 4- and 5-frame members DROP (3 ≥ 3, 4 ≥ 4) — the clip-length-scaled
+    * threshold is exercised in both directions by construction. */
+  def encodeSyntheticAviGroupsVar(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val encoded = df.select(col(idCol).cast(LongType)).as[Long]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { id =>
+          require(id >= 0, s"encodeSyntheticAviGroupsVar: ids must be " +
+            "non-negative — the pixel law's div/mod identities across " +
+            "engines hold only there")
+          val base = id - id % 4
+          val k = (2L * ((base * 2654435761L) % 127L) + 1L).toInt
+          val c = ((base * 40503L) % 251L).toInt
+          val k3 = ((base * 69069L) % 256L).toInt
+          val m = (id % 4).toInt
+          val nf = (3 + (base / 4) % 3).toInt
+          val frames = (0 until nf).map { f =>
+            val kf = if (f == 0 && m > 0) k + 2 * m else k
+            val cf = c + 11 * f
+            val img = new java.awt.image.BufferedImage(18, 16,
+              java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+            val raster = img.getRaster
+            var y = 0
+            while (y < 16) {
+              var x = 0
+              while (x < 18) {
+                val bump = if (x == 2 * m && y == 2 * m) 128 else 0
+                val i = x + 18 * y + 1
+                raster.setSample(x, y, 0,
+                  (i * i * kf + i * cf + y * y * k3 + bump) % 256)
+                x += 1
+              }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream(512)
+            javax.imageio.ImageIO.write(img, "png", bos)
+            bos.toByteArray
+          }
+          (id, aviBytes(frames, 18, 16))
+        }
+      }
+    encoded.select(
+      col("_1").as("media_id"),
+      lit("video").as("kind"),
+      col("_2").as("bytes"),
+      octet_length(col("_2")).cast(LongType).as("n_bytes"),
+      lit("video/avi").as("mime"))
+  }
+
   def encodeSyntheticAviGroups(df: DataFrame, idCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._

@@ -197,6 +197,31 @@ object Similarity {
       .toDF(idCol, "pos")
   }
 
+  /** POOL-NARROWED MMR — the documented production composition: narrow the
+    * corpus to the `poolSize` most query-relevant vectors FIRST (one
+    * relevance top-k pass — swap in [[ivfTopKAgainstStore]] upstream when
+    * an IVF store exists; any (idCol) shortlist frame works), then run
+    * [[mmrSelectBatched]] over the POOL. The per-round rescans that make
+    * the raw batched form ~linear in CORPUS size (measured 10.5x at 100x
+    * data) become pool-sized: each of the ⌈k/m⌉ rounds scores `poolSize`
+    * rows however large the corpus grows — the corpus is touched exactly
+    * once, by the shortlist pass. Semantics note (inherent to pooling, not
+    * this implementation): MMR diversity is computed WITHIN the pool, so a
+    * diverse-but-irrelevant vector outside the top-`poolSize` can no
+    * longer be selected; keep poolSize ≫ k (the 10k-for-k-in-the-hundreds
+    * production shape). */
+  def mmrSelectPooled(emb: DataFrame, idCol: String, vecCol: String,
+                      query: Seq[Double], k: Int, lambda: Double = 0.7,
+                      m: Int = 1, poolSize: Int = 10000): DataFrame = {
+    require(poolSize >= k,
+      s"poolSize ($poolSize) must be >= k ($k) — the pool is the MMR input")
+    val pool = bruteForceTopK(emb, idCol, vecCol, query, poolSize)
+      .select(col(idCol))
+    mmrSelectBatched(emb.join(pool, Seq(idCol), "left_semi")
+        .localCheckpoint(),
+      idCol, vecCol, query, k, lambda, m)
+  }
+
   /** free the block-manager storage behind a localCheckpoint'd frame.
     * `Dataset.unpersist` only drops `cache()` entries (CacheManager); a
     * local checkpoint's blocks belong to the UNDERLYING RDD captured in

@@ -333,6 +333,30 @@ object IndependentOracles {
     if (zeroes == 0 && e >= 5.0d * m) Some(Math.round(e)) else None
   }
 
+  /** plain-Scala relevance shortlist — the Spark-independent mirror of
+    * [[graft.operators.Similarity.bruteForceTopK]]'s contract (6-dp
+    * HALF_UP cosine DESC, id ASC ties): the pool stage of the pooled-MMR
+    * oracle. */
+  def cosineTopK(vecs: Seq[(Long, Array[Double])], query: Array[Double],
+                 n: Int): Seq[Long] = {
+    def cos(x: Array[Double], y: Array[Double]): Double = {
+      val nn = math.min(x.length, y.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < nn) {
+        val xv = x(i); val yv = y(i)
+        dot += xv * yv; na += xv * xv; nb += yv * yv
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def r6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    vecs.map { case (id, v) => (id, r6(cos(v, query))) }
+      .sortBy { case (id, c) => (-c, id) }
+      .take(n).map(_._1)
+  }
+
   /** plain-Scala greedy MMR — the Spark-independent mirror of
     * [[graft.operators.Similarity.mmrSelect]], sharing NOTHING with it but
     * the spec: cosine as the same left-to-right fused loop the native

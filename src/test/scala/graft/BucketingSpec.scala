@@ -579,6 +579,25 @@ class BucketingSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS graft_cmp_vi_bands")
   }
 
+  test("videoDedupFromFrameHashesFrac: threshold scales with the SHORTER clip of each pair") {
+    // clip 1: 4 frames. clip 2: 2 frames, both matching clip 1 ->
+    // min(4,2)=2, ceil(0.75*2)=2 <= 2 matched -> drops. clip 3: 4 frames,
+    // only frames 2-3 matching clip 1 (nothing shared with clip 2) ->
+    // ceil(0.75*4)=3 > 2 -> survives (a fixed minMatchedFrames=2 knob
+    // would have dropped it).
+    val hashes = Seq(
+        (1L, 0L, 0x111111L, 0x1L), (1L, 1L, 0x222222L, 0x2L),
+        (1L, 2L, 0x333333L, 0x3L), (1L, 3L, 0x444444L, 0x4L),
+        (2L, 0L, 0x111111L, 0x1L), (2L, 1L, 0x222222L, 0x2L),
+        (3L, 0L, 0xccccccL, 0xcL), (3L, 1L, 0xddddddL, 0xdL),
+        (3L, 2L, 0x333333L, 0x3L), (3L, 3L, 0x444444L, 0x4L))
+      .toDF("media_id", "frame_no", "dh_lo", "dh_hi")
+    val kept = Dedup.videoDedupFromFrameHashesFrac(hashes, "media_id",
+        maxHamming = 6, matchFrac = 0.75)
+      .select("media_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L), s"frac vote kept $kept")
+  }
+
   test("videoDedupAgainst short-clip vote clamp: a clip with fewer frames than minMatchedFrames can still self-match") {
     try {
       // stored clip 1 has TWO frames; probe clip 2 duplicates both frame
