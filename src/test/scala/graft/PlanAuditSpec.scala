@@ -696,6 +696,31 @@ class PlanAuditSpec extends AnyFunSuite {
       s"block extraction fell out of codegen:\n$blocks")
   }
 
+  test("curateMultimodal: image decode consumes the TEXT-GATED semi-join; no all-pairs anywhere") {
+    import graft.operators.{Curation, Multimodal}
+    import spark.implicits._
+    val docs = (0L until 24L)
+      .map(i => (i, s"the quick brown fox document number $i runs and jumps over things", "srcA"))
+      .toDF("doc_id", "text", "source")
+    val media = Multimodal.encodeSyntheticPngGroups(
+      docs.select("doc_id"), "doc_id")
+    // the decode fragment: MapPartitions must sit ABOVE the left-semi gate
+    // (cheap text filters first — image bytes of text-dropped pairs are
+    // never decoded); in the plan string a parent prints before its child
+    val ids = docs.select(col("doc_id").as("media_id")).limit(10)
+    val frag = finalPlan(Multimodal.imageDHashWide(
+      media.join(ids, Seq("media_id"), "left_semi")))
+    val mp = frag.indexOf("MapPartitions")
+    val semi = frag.indexOf("LeftSemi")
+    assert(mp >= 0 && semi >= 0 && mp < semi,
+      s"decode does not consume the gated side:\n$frag")
+    val full = finalPlan(Curation.curateMultimodal(
+      docs, "doc_id", "text", media, "media_id", minQuality = 0.0))
+    assert(!full.contains("CartesianProduct") &&
+      !full.contains("BroadcastNestedLoopJoin"),
+      s"multimodal curation degenerated to all-pairs:\n$full")
+  }
+
   test("image dHash dedup: banded candidates, never all-pairs; decode runs pre-shuffle") {
     import graft.operators.{Dedup, Multimodal}
     val docs = (0L until 24L).toDF("doc_id")
