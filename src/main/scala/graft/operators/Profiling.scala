@@ -29,7 +29,7 @@ object Profiling {
     * is indistinguishable from a replay here; the log line is the
     * operator's only way to notice (the fix is a fresh store or tags from
     * a store-side monotone counter, not checkpoint-relative batchIds). */
-  private def shouldAppendTag(spark: SparkSession, store: String,
+  private[operators] def shouldAppendTag(spark: SparkSession, store: String,
                               batchTag: Long, seen: Set[Long]): Boolean = {
     val wm = compactedWatermark(spark, store)
     if (batchTag <= wm) {
@@ -1145,7 +1145,7 @@ object Profiling {
     * the store has never compacted): a replayed tag at or below it has been
     * applied even though its row no longer exists — the IN-DATA replay
     * guard the accreting appends consult alongside the live tag set. */
-  private def compactedWatermark(spark: SparkSession, store: String): Long =
+  private[operators] def compactedWatermark(spark: SparkSession, store: String): Long =
     spark.sql(s"SHOW TBLPROPERTIES $store").collect()
       .collectFirst {
         case r if r.getString(0) == "graft.compacted_watermark" =>

@@ -518,7 +518,11 @@ object TextAnalysis {
     def appendTo(table: String, agg: DataFrame, bucketCol: String): Unit = {
       val seen = spark.table(table).select("__batch").distinct()
         .collect().map(_.getLong(0)).toSet
-      if (!seen.contains(batchTag)) {
+      // the compacted-watermark guard (Profiling.shouldAppendTag — logs
+      // the restarted-checkpoint trap): after compactLmStore folds the
+      // batch rows away, a replayed tag's row no longer exists to dedupe
+      // against, so the watermark is what keeps replay ≠ double-count
+      if (Profiling.shouldAppendTag(spark, table, batchTag, seen)) {
         graft.sources.Sources.writeBucketed(
           agg.withColumn("__batch", lit(batchTag)),
           table, bucketCol, Dedup.storedNBuckets(spark, table),
@@ -529,6 +533,54 @@ object TextAnalysis {
       prs.groupBy("pair").agg(count(lit(1)).as("cnt")), "pair")
     appendTo(s"${store}_ctx",
       prs.groupBy("t1").agg(count(lit(1)).as("cnt")), "t1")
+  }
+
+  /** Compact an accreting LM store IN PLACE: fold every key's batch rows
+    * into ONE row per pair / context. The fold is an exact integer SUM —
+    * every count [[lmPerplexityAgainst]] can ever read is provably
+    * unchanged — while the gate's count joins drop from keys×batches rows
+    * to keys. DISTRIBUTED, unlike the sketch compactors (whose rows are
+    * kilobyte sketches): the pairs table is vocabulary-bounded but a
+    * vocabulary at web scale is not driver-sized. Crash contract matches
+    * the sketch compactors: staged bucketed rewrite + swap
+    * ([[graft.sources.Sources.recoverStoreSwap]] heals a crash between
+    * DROP and RENAME), and the folded-away max batch tag persists as
+    * `graft.compacted_watermark` so a replayed tag at/below it is a no-op
+    * in [[appendLmCounts]] rather than a double count. */
+  def compactLmStore(spark: org.apache.spark.sql.SparkSession,
+                     store: String): Unit = {
+    Seq((s"${store}_pairs", "pair"), (s"${store}_ctx", "t1")).foreach {
+      case (t, key) =>
+        graft.sources.Sources.recoverStoreSwap(spark, t)
+        Dedup.checkStoreParams(spark, t,
+          Map("kind" -> "lm_bigram", "enc" -> "lm_v1"),
+          required = Set("enc"))
+        val props = spark.sql(s"SHOW TBLPROPERTIES $t").collect()
+          .map(r => r.getString(0) -> r.getString(1))
+          .filter(_._1.startsWith("graft."))
+        val nBuckets = Dedup.storedNBuckets(spark, t)
+        val staging = s"${t}__compacting"
+        spark.sql(s"DROP TABLE IF EXISTS $staging")
+        val merged = spark.table(t).groupBy(col(key))
+          .agg(sum("cnt").cast(LongType).as("cnt"),
+            max("__batch").cast(LongType).as("__batch"))
+          .localCheckpoint()
+        val watermark = merged.agg(max("__batch")).collect().headOption
+          .flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
+          .getOrElse(Long.MinValue)
+        // one file per bucket (the compactBucketed small-files doctrine)
+        graft.sources.Sources.writeBucketed(
+          merged.repartition(nBuckets, pmod(hash(col(key)), lit(nBuckets))),
+          staging, key, nBuckets)
+        merged.unpersist()
+        spark.sql(s"DROP TABLE $t")
+        spark.sql(s"ALTER TABLE $staging RENAME TO $t")
+        val newProps = props.toMap +
+          ("graft.compacted_watermark" -> watermark.toString)
+        spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES (" +
+          newProps.toSeq.sortBy(_._1)
+            .map { case (k, v) => s"'$k' = '$v'" }.mkString(", ") + ")")
+    }
   }
 
   /** the perplexity gate against the PERSISTED LM ([[writeLmStore]]) —

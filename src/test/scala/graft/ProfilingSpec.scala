@@ -781,5 +781,33 @@ class ProfilingSpec extends AnyFunSuite {
     assert(gateMap(TextAnalysis.lmPerplexityAgainst(
       probe, "doc_id", "text", "graft_lm_spec", maxPpl = 20.0)) == rebuilt,
       "replayed batch tag double-applied")
+    // COMPACT mid-lifecycle: one row per key, gate results bit-identical,
+    // and a folded-tag replay still no-ops via the compacted watermark
+    TextAnalysis.compactLmStore(spark, "graft_lm_spec")
+    val pairRows = spark.table("graft_lm_spec_pairs")
+    assert(pairRows.count() ==
+      pairRows.select("pair").distinct().count(),
+      "compaction left multiple batch rows for a pair")
+    assert(gateMap(TextAnalysis.lmPerplexityAgainst(
+      probe, "doc_id", "text", "graft_lm_spec", maxPpl = 20.0)) == rebuilt,
+      "compaction changed the gate")
+    TextAnalysis.appendLmCounts(spark, "graft_lm_spec", b2, "text",
+      batchTag = 0L)
+    assert(gateMap(TextAnalysis.lmPerplexityAgainst(
+      probe, "doc_id", "text", "graft_lm_spec", maxPpl = 20.0)) == rebuilt,
+      "folded-tag replay re-applied after compaction")
+    // post-compaction appends with NEW tags still accrete == rebuild
+    val b3 = (300 to 310).map(i => mkDoc(i, s"d$i")).toDF("doc_id", "text")
+    TextAnalysis.appendLmCounts(spark, "graft_lm_spec", b3, "text",
+      batchTag = 1L)
+    spark.sql("DROP TABLE IF EXISTS graft_lm_spec_r3_pairs")
+    spark.sql("DROP TABLE IF EXISTS graft_lm_spec_r3_ctx")
+    TextAnalysis.writeLmStore(corpus.unionAll(b2).unionAll(b3), "text",
+      "graft_lm_spec_r3", nBuckets = 2)
+    assert(gateMap(TextAnalysis.lmPerplexityAgainst(
+      probe, "doc_id", "text", "graft_lm_spec", maxPpl = 20.0)) ==
+      gateMap(TextAnalysis.lmPerplexityAgainst(
+        probe, "doc_id", "text", "graft_lm_spec_r3", maxPpl = 20.0)),
+      "post-compaction append diverged from the 3-batch rebuild")
   }
 }
