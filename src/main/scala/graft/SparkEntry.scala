@@ -1703,7 +1703,7 @@ object SparkEntry {
         .localCheckpoint()
       Dedup.writeImageHashStore(
         hashes.filter(pmod(col("media_id"), lit(8)) < 2),
-        "media_id", "graft_img_store", maxHamming = 6, nBuckets = 4)
+        "media_id", "graft_img_store", maxHamming = 6, nBuckets = 32)
       Dedup.imageDedupAgainst(
           hashes.filter(pmod(col("media_id"), lit(8)) >= 2),
           "media_id", "graft_img_store", maxHamming = 6,
@@ -1723,7 +1723,7 @@ object SparkEntry {
         .localCheckpoint()
       Dedup.writeAudioHashStore(
         hashes.filter(pmod(col("media_id"), lit(8)) < 2),
-        "media_id", "graft_aud_store", maxHamming = 6, nBuckets = 4)
+        "media_id", "graft_aud_store", maxHamming = 6, nBuckets = 32)
       Dedup.audioDedupAgainst(
           hashes.filter(pmod(col("media_id"), lit(8)) >= 2),
           "media_id", "graft_aud_store", maxHamming = 6,
@@ -1744,7 +1744,7 @@ object SparkEntry {
         .localCheckpoint()
       Dedup.writeVideoHashStore(
         hashes.filter(pmod(col("media_id"), lit(8)) < 2),
-        "media_id", "graft_vid_store", maxHamming = 6, nBuckets = 4)
+        "media_id", "graft_vid_store", maxHamming = 6, nBuckets = 32)
       Dedup.videoDedupAgainst(
           hashes.filter(pmod(col("media_id"), lit(8)) >= 2),
           "media_id", "graft_vid_store", maxHamming = 6,

@@ -1593,13 +1593,25 @@ object Dedup {
       .join(dups, Seq(idCol), "left_anti")
   }
 
+  /** the store family's single JOIN KEY: (band, band_bits) packed into one
+    * long (band_bits < 2^30 by the wideBandBits width cap, so the packing
+    * is injective). One bucketed equi-key is what lets the probe's
+    * candidate join read the store's buckets WITHOUT reshuffling them — a
+    * two-column join on a one-column bucket spec forces Spark to
+    * re-exchange BOTH sides on the full key pair (measured: 2 exchanges
+    * in the pre-fix plan, BucketingSpec pins 1), and at 100 TB the store
+    * is the big side. The same design as the minhash store's band_hash. */
+  private def packedBandKey(band: Column, bandBits: Column): Column =
+    band.cast(LongType) * lit(1L << 30) + bandBits
+
   /** create/replace an incremental WIDE-HASH near-dup store — the
     * modality-agnostic deployment shape under the image/audio members of
-    * the store family: one bucketed table `<store>_bands (band, band_bits,
-    * sim_lo, sim_hi)` of banded WIDE (120-bit two-long) perceptual hashes
+    * the store family: one bucketed table `<store>_bands (__bk, sim_lo,
+    * sim_hi)` of banded WIDE (120-bit two-long) perceptual hashes
     * (any signature expressed as (idCol, dh_lo, dh_hi) — the same
-    * generalization as [[wideHashDedup]] over the batch path), bucketed on
-    * `band_bits` so a probe's candidate join never reshuffles the store.
+    * generalization as [[wideHashDedup]] over the batch path), keyed and
+    * bucketed on the PACKED band key ([[packedBandKey]]) so a probe's
+    * candidate join never reshuffles the store (plan-pinned).
     * `maxHamming` is a BUILD parameter (it fixes the band layout) —
     * persisted and validated at probe time like every other store's build
     * parameters; `kind` tags the modality so an audio probe against an
@@ -1612,12 +1624,13 @@ object Dedup {
         col("dh_hi").as("sim_hi"))
     Sources.writeBucketed(
       wideBandedFrame(sigs, idCol, 120, maxHamming)
-        .select(col("band"), col("band_bits"), col("sim_lo"), col("sim_hi"))
+        .select(packedBandKey(col("band"), col("band_bits")).as("__bk"),
+          col("sim_lo"), col("sim_hi"))
         .distinct(),
-      s"${store}_bands", "band_bits", nBuckets)
+      s"${store}_bands", "__bk", nBuckets)
     setStoreParams(hashes.sparkSession, s"${store}_bands",
       Map("kind" -> kind, "maxHamming" -> maxHamming,
-        "nBuckets" -> nBuckets, "enc" -> "dhash120_v1"))
+        "nBuckets" -> nBuckets, "enc" -> "dhash120_v2"))
   }
 
   /** the table's persisted bucket count — appends must match the bucket
@@ -1645,16 +1658,17 @@ object Dedup {
     val spark = hashes.sparkSession
     checkStoreParams(spark, s"${store}_bands",
       Map("kind" -> kind, "maxHamming" -> maxHamming,
-        "enc" -> "dhash120_v1"),
+        "enc" -> "dhash120_v2"),
       required = Set("enc"))
     val sigs = hashes.filter(col("dh_lo").isNotNull)
       .select(col(idCol), col("dh_lo").as("sim_lo"),
         col("dh_hi").as("sim_hi"))
     Sources.writeBucketed(
       wideBandedFrame(sigs, idCol, 120, maxHamming)
-        .select(col("band"), col("band_bits"), col("sim_lo"), col("sim_hi"))
+        .select(packedBandKey(col("band"), col("band_bits")).as("__bk"),
+          col("sim_lo"), col("sim_hi"))
         .distinct(),
-      s"${store}_bands", "band_bits",
+      s"${store}_bands", "__bk",
       storedNBuckets(spark, s"${store}_bands"), SaveMode.Append)
   }
 
@@ -1676,7 +1690,7 @@ object Dedup {
     val spark = newHashes.sparkSession
     checkStoreParams(spark, s"${store}_bands",
       Map("kind" -> kind, "maxHamming" -> maxHamming,
-        "enc" -> "dhash120_v1"),
+        "enc" -> "dhash120_v2"),
       required = Set("enc"))
     val nBuckets = storedNBuckets(spark, s"${store}_bands")
     val sigs = newHashes.filter(col("dh_lo").isNotNull)
@@ -1686,8 +1700,13 @@ object Dedup {
     val stored = spark.table(s"${store}_bands")
       .withColumnRenamed("sim_lo", "__s_lo")
       .withColumnRenamed("sim_hi", "__s_hi")
+    // single-key equi-join on the store's own bucket column: the store
+    // side reads its buckets in place, only the new batch exchanges
+    // (BucketingSpec pins the 1-exchange plan)
     val dupIds = wideBandedFrame(sigs, idCol, 120, maxHamming)
-      .join(stored, Seq("band", "band_bits"))
+      .select(col(idCol), col("sim_lo"), col("sim_hi"),
+        packedBandKey(col("band"), col("band_bits")).as("__bk"))
+      .join(stored, Seq("__bk"))
       .filter((bit_count(col("sim_lo").bitwiseXOR(col("__s_lo"))) +
         bit_count(col("sim_hi").bitwiseXOR(col("__s_hi"))))
         .cast(LongType) <= maxHamming)
@@ -1697,10 +1716,10 @@ object Dedup {
       val s = survivors.localCheckpoint()
       Sources.writeBucketed(
         wideBandedFrame(s, idCol, 120, maxHamming)
-          .select(col("band"), col("band_bits"), col("sim_lo"),
-            col("sim_hi"))
+          .select(packedBandKey(col("band"), col("band_bits")).as("__bk"),
+            col("sim_lo"), col("sim_hi"))
           .distinct(),
-        s"${store}_bands", "band_bits", nBuckets, SaveMode.Append)
+        s"${store}_bands", "__bk", nBuckets, SaveMode.Append)
       s.select(col(idCol))
     } else survivors.select(col(idCol))
   }
@@ -1739,34 +1758,53 @@ object Dedup {
       updateStore)
 
   /** create/replace the incremental VIDEO frame-hash near-dup store: one
-    * bucketed table `<store>_bands (__sid, frame_no, band, band_bits,
-    * sim_lo, sim_hi)` of banded per-frame WIDE dHashes
+    * bucketed table `<store>_bands (__sid, __bk, sim_lo, sim_hi)` of
+    * banded per-frame WIDE dHashes
     * ([[graft.operators.Multimodal.videoDHashWide]]). Unlike the scalar
     * wide-hash stores the stored CLIP id (`__sid`) is kept: the probe's
     * ≥ `minMatchedFrames` vote counts matched frames per (new clip, stored
-    * clip) PAIR, which an anonymous hash bag cannot express. Bucketed on
-    * `band_bits` (the probe join key with the highest cardinality), so a
-    * probe's candidate join never reshuffles the store. */
+    * clip) PAIR, which an anonymous hash bag cannot express. Keyed and
+    * bucketed on the frame-packed band key ([[videoPackedKey]]), so a
+    * probe's candidate join never reshuffles the store (plan-pinned). */
   def writeVideoHashStore(frameHashes: DataFrame, idCol: String,
                           store: String, maxHamming: Int = 6,
                           nBuckets: Int = 8): Unit = {
     Sources.writeBucketed(
       videoBandedRows(frameHashes, idCol, maxHamming),
-      s"${store}_bands", "band_bits", nBuckets)
+      s"${store}_bands", "__bk", nBuckets)
     setStoreParams(frameHashes.sparkSession, s"${store}_bands",
       Map("kind" -> "video_dhash", "maxHamming" -> maxHamming,
-        "nBuckets" -> nBuckets, "enc" -> "dhash120_v1"))
+        "nBuckets" -> nBuckets, "enc" -> "dhash120_v2"))
   }
+
+  /** the video key packs the FRAME index in with the band: one bucketed
+    * equi-key keeps the probe shuffle-free on the store side, and
+    * frame-alignment rides the key instead of a second join column.
+    * band < 8 (maxHamming ≤ 7 — the defaults) and frame_no < 2^20 keep
+    * the packing injective inside a long (guarded below). */
+  private def videoPackedKey(frameNo: Column, band: Column,
+                             bandBits: Column): Column =
+    (frameNo.cast(LongType) * lit(8L) + band.cast(LongType)) *
+      lit(1L << 30) + bandBits
 
   private def videoBandedRows(frameHashes: DataFrame, idCol: String,
                               maxHamming: Int): DataFrame = {
+    require(maxHamming <= 7,
+      s"video store: maxHamming $maxHamming > 7 breaks the packed band key")
     val sigs = frameHashes.filter(col("dh_lo").isNotNull)
-      .select(col(idCol), col("frame_no"), col("dh_lo").as("sim_lo"),
-        col("dh_hi").as("sim_hi"))
+      .select(col(idCol),
+        when(col("frame_no") < (1L << 20), col("frame_no"))
+          .otherwise(raise_error(concat(lit("video store: frame_no "),
+            col("frame_no").cast(StringType),
+            lit(" >= 2^20 breaks the packed band key"))))
+          .as("frame_no"),
+        col("dh_lo").as("sim_lo"), col("dh_hi").as("sim_hi"))
     wideBandedFrame(sigs, idCol, 120, maxHamming,
         carryCols = Seq("frame_no"))
-      .select(col(idCol).as("__sid"), col("frame_no"), col("band"),
-        col("band_bits"), col("sim_lo"), col("sim_hi"))
+      .select(col(idCol).as("__sid"),
+        videoPackedKey(col("frame_no"), col("band"), col("band_bits"))
+          .as("__bk"),
+        col("sim_lo"), col("sim_hi"))
       .distinct()
   }
 
@@ -1778,11 +1816,11 @@ object Dedup {
     val spark = frameHashes.sparkSession
     checkStoreParams(spark, s"${store}_bands",
       Map("kind" -> "video_dhash", "maxHamming" -> maxHamming,
-        "enc" -> "dhash120_v1"),
+        "enc" -> "dhash120_v2"),
       required = Set("enc"))
     Sources.writeBucketed(
       videoBandedRows(frameHashes, idCol, maxHamming),
-      s"${store}_bands", "band_bits",
+      s"${store}_bands", "__bk",
       storedNBuckets(spark, s"${store}_bands"), SaveMode.Append)
   }
 
@@ -1813,7 +1851,7 @@ object Dedup {
     val spark = newFrameHashes.sparkSession
     checkStoreParams(spark, s"${store}_bands",
       Map("kind" -> "video_dhash", "maxHamming" -> maxHamming,
-        "enc" -> "dhash120_v1"),
+        "enc" -> "dhash120_v2"),
       required = Set("enc"))
     val nBuckets = storedNBuckets(spark, s"${store}_bands")
     val sigs = newFrameHashes.filter(col("dh_lo").isNotNull)
@@ -1825,9 +1863,15 @@ object Dedup {
       .withColumnRenamed("sim_hi", "__s_hi")
     val newFrameCounts = sigs.select(col(idCol), col("frame_no")).distinct()
       .groupBy(col(idCol)).agg(count(lit(1)).as("__nf"))
+    // frame-alignment rides the packed key, so this is the same
+    // single-bucket-key equi-join as the scalar store — the store side
+    // never reshuffles
     val dupIds = wideBandedFrame(sigs, idCol, 120, maxHamming,
         carryCols = Seq("frame_no"))
-      .join(stored, Seq("frame_no", "band", "band_bits"))
+      .select(col(idCol), col("frame_no"), col("sim_lo"), col("sim_hi"),
+        videoPackedKey(col("frame_no"), col("band"), col("band_bits"))
+          .as("__bk"))
+      .join(stored, Seq("__bk"))
       .filter((bit_count(col("sim_lo").bitwiseXOR(col("__s_lo"))) +
         bit_count(col("sim_hi").bitwiseXOR(col("__s_hi"))))
         .cast(LongType) <= maxHamming)
@@ -1848,7 +1892,7 @@ object Dedup {
           s.select(col(idCol), col("frame_no"),
             col("sim_lo").as("dh_lo"), col("sim_hi").as("dh_hi")),
           idCol, maxHamming),
-        s"${store}_bands", "band_bits", nBuckets, SaveMode.Append)
+        s"${store}_bands", "__bk", nBuckets, SaveMode.Append)
       s.select(col(idCol)).distinct()
     } else survivors.select(col(idCol)).distinct()
   }

@@ -316,6 +316,69 @@ class BucketingSpec extends AnyFunSuite {
     }
   }
 
+  test("media wide-hash store probe never reshuffles the store side") {
+    import graft.operators.Multimodal
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    try {
+      val hashes = Multimodal.audioEnergyHashWide(
+        Multimodal.encodeSyntheticWavGroups((0L to 199L).toDF("doc_id"),
+          "doc_id"))
+      Dedup.writeAudioHashStore(hashes, "media_id", "graft_shuf_au",
+        maxHamming = 6, nBuckets = 4)
+      val probeSigs = Multimodal.audioEnergyHashWide(
+          Multimodal.encodeSyntheticWavGroups((300L to 359L).toDF("doc_id"),
+            "doc_id"))
+        .select(col("media_id"), col("dh_lo").as("sim_lo"),
+          col("dh_hi").as("sim_hi"))
+      // the candidate join of wideHashDedupAgainst: new bands x STORE
+      // bands on the store's OWN packed bucket key. At 100 TB the store
+      // is the big side - only the new batch may shuffle. (A two-column
+      // (band, band_bits) join on a band_bits-only bucket spec measured
+      // TWO exchanges - both sides re-keyed - which is why the key is
+      // packed.)
+      val joined = Dedup.wideBandedFrame(probeSigs, "media_id", 120, 6)
+        .select(col("media_id").as("new_id"),
+          (col("band").cast("long") * (1L << 30) + col("band_bits"))
+            .as("__bk"))
+        .join(spark.table("graft_shuf_au_bands"), Seq("__bk"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      val nExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(nExchanges == 1,
+        s"expected exactly 1 exchange (new side), got $nExchanges:\n$plan")
+      // the video store's frame-aligned probe rides the same single
+      // packed key (frame in the key) - same 1-exchange contract
+      val vh = Multimodal.videoDHashWide(
+        Multimodal.encodeSyntheticAviGroups((0L to 99L).toDF("doc_id"),
+          "doc_id"))
+      Dedup.writeVideoHashStore(vh, "media_id", "graft_shuf_vi",
+        maxHamming = 6, nBuckets = 4)
+      val vprobe = Multimodal.videoDHashWide(
+          Multimodal.encodeSyntheticAviGroups(
+            (300L to 319L).toDF("doc_id"), "doc_id"))
+        .select(col("media_id"), col("frame_no"),
+          col("dh_lo").as("sim_lo"), col("dh_hi").as("sim_hi"))
+      val vjoined = Dedup.wideBandedFrame(vprobe, "media_id", 120, 6,
+          carryCols = Seq("frame_no"))
+        .select(col("media_id").as("new_id"),
+          ((col("frame_no").cast("long") * 8L + col("band")) * (1L << 30)
+            + col("band_bits")).as("__bk"))
+        .join(spark.table("graft_shuf_vi_bands"), Seq("__bk"))
+      vjoined.collect()
+      val vplan = vjoined.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      val vEx = "Exchange hashpartitioning".r.findAllIn(vplan).length
+      assert(vEx == 1,
+        s"video probe: expected exactly 1 exchange, got $vEx:\n$vplan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS graft_shuf_au_bands")
+      spark.sql("DROP TABLE IF EXISTS graft_shuf_vi_bands")
+    }
+  }
+
   test("compactBucketed: many appended bucket files collapse to one per bucket, results and props intact") {
     import spark.implicits._
     def fps(lo: Long, hi: Long) =
@@ -526,7 +589,7 @@ class BucketingSpec extends AnyFunSuite {
     try {
       Dedup.writeAudioHashStore(hashes(0L to 39L), "media_id",
         "graft_cmp_au", maxHamming = 6, nBuckets = 2)
-      compactionParity(Seq(("graft_cmp_au_bands", "band_bits")), 2) {
+      compactionParity(Seq(("graft_cmp_au_bands", "__bk")), 2) {
         b => Dedup.audioDedupAgainst(hashes(100L * b to 100L * b + 9),
           "media_id", "graft_cmp_au", maxHamming = 6,
           updateStore = true).count()
@@ -563,7 +626,7 @@ class BucketingSpec extends AnyFunSuite {
     try {
       Dedup.writeVideoHashStore(hashes(0L to 39L), "media_id",
         "graft_cmp_vi", maxHamming = 6, nBuckets = 2)
-      compactionParity(Seq(("graft_cmp_vi_bands", "band_bits")), 2) {
+      compactionParity(Seq(("graft_cmp_vi_bands", "__bk")), 2) {
         b => Dedup.videoDedupAgainst(hashes(100L * b to 100L * b + 9),
           "media_id", "graft_cmp_vi", maxHamming = 6, minMatchedFrames = 3,
           updateStore = true).count()
