@@ -677,20 +677,38 @@ object Dedup {
     survivors.drop("__sig")
   }
 
+  /** the embedding bands table's single JOIN KEY: (band, sig) packed into
+    * one long — the same fix as [[packedBandKey]]: a two-column join on a
+    * sig-only bucket spec re-exchanged BOTH sides (the store included).
+    * Injective under lshBandSignatures' own `bandBits·bands ≤ 64` require
+    * (bands ≥ 2 ⇒ bandBits ≤ 32, so band·2^bandBits never overflows;
+    * bands = 1 ⇒ band = 0 and the key IS the sig). */
+  private def packedEmbBandKey(band: Column, sig: Column,
+                               bandBits: Int): Column =
+    if (bandBits >= 63) sig
+    else band.cast(LongType) * lit(1L << bandBits) + sig
+
   /** create/replace the EMBEDDING near-dup store — the fourth store member,
     * covering semantic/representation space: two bucketed tables,
-    * `<store>_bands (id, band, sig)` (banded hyperplane signatures, bucketed
-    * by sig — the candidate-join key) and `<store>_vecs (id, vec)` (bucketed
-    * by id — the exact-cosine verify side). Same banding math as
-    * [[embeddingNearDupLsh]]; `bandBits`/`bands`/`seed` must match between
-    * store build and probe. */
+    * `<store>_bands (id, __bs)` (banded hyperplane signatures under the
+    * packed band key [[packedEmbBandKey]], bucketed by `__bs` — ONE
+    * equi-key, so the probe's candidate join reads the store's buckets
+    * without reshuffling them, plan-pinned in BucketingSpec) and
+    * `<store>_vecs (id, vec)` (bucketed by id — the exact-cosine verify
+    * side). Same banding math as [[embeddingNearDupLsh]];
+    * `bandBits`/`bands`/`seed` must match between store build and probe.
+    * Bands tables written before the packed key (layout (id, band, sig))
+    * refuse at probe time with rebuild advice — unlike the vecs-side
+    * fullsig upgrade, the key layout cannot be bridged at read time. */
   def writeEmbeddingStore(df: DataFrame, idCol: String, vecCol: String,
                           store: String, dim: Int, bandBits: Int = 16,
                           bands: Int = 4, seed: Long = 42L,
                           nBuckets: Int = 8): Unit = {
     Sources.writeBucketed(
-      Similarity.lshBandSignatures(df, idCol, vecCol, dim, bandBits, bands, seed),
-      s"${store}_bands", "sig", nBuckets)
+      Similarity.lshBandSignatures(df, idCol, vecCol, dim, bandBits, bands, seed)
+        .select(col(idCol),
+          packedEmbBandKey(col("band"), col("sig"), bandBits).as("__bs")),
+      s"${store}_bands", "__bs", nBuckets)
     // the pooled full signature is persisted alongside the vector: the
     // STREAMING twin equi-joins on it every micro-batch, and recomputing
     // bandBits×bands dot products over the whole store per trigger is
@@ -702,13 +720,14 @@ object Dedup {
       s"${store}_vecs", idCol, nBuckets)
     setStoreParams(df.sparkSession, s"${store}_bands",
       Map("dim" -> dim, "bandBits" -> bandBits, "bands" -> bands,
-        "seed" -> seed))
+        "seed" -> seed, "enc" -> "bands_packed_v2"))
   }
 
   /** incremental EMBEDDING near-dup against [[writeEmbeddingStore]]: new
     * vectors are banded with the SAME planes, candidates come from the
-    * band+sig match against the store's banded table (bucketed on sig — the
-    * store never reshuffles; only the new batch does), the exact-cosine
+    * packed band-key match against the store's banded table (bucketed on
+    * `__bs` — the store never reshuffles; only the new batch does,
+    * plan-pinned), the exact-cosine
     * verify joins the store's vecs table on its id bucket, and every new
     * id with cosine ≥ threshold against ANY stored vector is dropped.
     * Survivors' bands and vectors append as new bucket files when
@@ -722,13 +741,16 @@ object Dedup {
     val spark = newBatch.sparkSession
     checkStoreParams(spark, s"${store}_bands",
       Map("dim" -> dim, "bandBits" -> bandBits, "bands" -> bands,
-        "seed" -> seed))
+        "seed" -> seed, "enc" -> "bands_packed_v2"),
+      required = Set("enc"))
     val newBands = Similarity.lshBandSignatures(newBatch, idCol, vecCol, dim,
-      bandBits, bands, seed)
+        bandBits, bands, seed)
+      .select(col(idCol),
+        packedEmbBandKey(col("band"), col("sig"), bandBits).as("__bs"))
     val cands = newBands
       .join(spark.table(s"${store}_bands")
           .withColumnRenamed(idCol, "__sid"),
-        Seq("band", "sig"))
+        Seq("__bs"))
       .select(col(idCol), col("__sid")).distinct()
     val dupIds0 = cands
       .join(newBatch.select(col(idCol), col(vecCol).as("__nv")), idCol)
@@ -746,8 +768,10 @@ object Dedup {
         .localCheckpoint()
       Sources.writeBucketed(
         Similarity.lshBandSignatures(surv, idCol, vecCol, dim, bandBits,
-          bands, seed),
-        s"${store}_bands", "sig", nBuckets, SaveMode.Append)
+            bands, seed)
+          .select(col(idCol),
+            packedEmbBandKey(col("band"), col("sig"), bandBits).as("__bs")),
+        s"${store}_bands", "__bs", nBuckets, SaveMode.Append)
       // upgrade contract: checkStoreParams accepts stores written before
       // the fullsig column existed (the read side falls back — see
       // Streams.scala). Appending a 3-column frame to such a 2-column

@@ -372,10 +372,33 @@ class BucketingSpec extends AnyFunSuite {
       val vEx = "Exchange hashpartitioning".r.findAllIn(vplan).length
       assert(vEx == 1,
         s"video probe: expected exactly 1 exchange, got $vEx:\n$vplan")
+      // the embedding store's packed (band, sig) key: same contract
+      import graft.operators.Similarity
+      def unit(i: Int): Seq[Float] =
+        Seq.tabulate(8)(j => if (j == i % 8) (1.0f + i) else 0.1f * i)
+      val vecs = (0 to 199).map(i => (i.toLong, unit(i)))
+        .toDF("vec_id", "embedding")
+      Dedup.writeEmbeddingStore(vecs, "vec_id", "embedding",
+        "graft_shuf_em", dim = 8, bandBits = 4, bands = 2, nBuckets = 4)
+      val eprobe = (300 to 359).map(i => (i.toLong, unit(i)))
+        .toDF("vec_id", "embedding")
+      val ejoined = Similarity.lshBandSignatures(eprobe, "vec_id",
+          "embedding", dim = 8, bandBits = 4, bands = 2)
+        .select(col("vec_id").as("new_id"),
+          (col("band").cast("long") * 16L + col("sig")).as("__bs"))
+        .join(spark.table("graft_shuf_em_bands"), Seq("__bs"))
+      ejoined.collect()
+      val eplan = ejoined.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      val eEx = "Exchange hashpartitioning".r.findAllIn(eplan).length
+      assert(eEx == 1,
+        s"embedding probe: expected exactly 1 exchange, got $eEx:\n$eplan")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
       spark.sql("DROP TABLE IF EXISTS graft_shuf_au_bands")
       spark.sql("DROP TABLE IF EXISTS graft_shuf_vi_bands")
+      spark.sql("DROP TABLE IF EXISTS graft_shuf_em_bands")
+      spark.sql("DROP TABLE IF EXISTS graft_shuf_em_vecs")
     }
   }
 
@@ -559,7 +582,7 @@ class BucketingSpec extends AnyFunSuite {
       Dedup.writeEmbeddingStore(emb(1, 40), "vec_id", "embedding",
         "graft_cmp_em", dim = 8, bandBits = 4, bands = 4, nBuckets = 2)
       compactionParity(
-        Seq(("graft_cmp_em_bands", "sig"), ("graft_cmp_em_vecs", "vec_id")), 2) {
+        Seq(("graft_cmp_em_bands", "__bs"), ("graft_cmp_em_vecs", "vec_id")), 2) {
         b => Dedup.embeddingNearDupAgainst(emb(100L * b, 100L * b + 9),
           "vec_id", "embedding", "graft_cmp_em", threshold = 0.999,
           dim = 8, bandBits = 4, bands = 4, updateStore = true,
