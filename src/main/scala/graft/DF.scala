@@ -449,7 +449,15 @@ final class DF private (private[graft] val inner: DataFrame,
       throw new IllegalArgumentException(
         s"map-df: ${rks.length} result keys but ${resultTypes.length} result types")
     val d = densified.inner
-    val src = d.select((ks :+ ROW_ID).map(d.col): _*)
+    // fan out AFTER ids are assigned (row ids ride along and fn is
+    // row-wise) — the lambda otherwise runs single-task on an unsplittable
+    // single-file scan (r21 profile: 1.3 s of q_map_df's 2.3 s wall in one
+    // task). The checkpointed result is put back into ONE partition in
+    // ROW_ID order below, so downstream order-sensitive semantics (ties
+    // under a non-unique ORDER BY follow input order) are bit-identical to
+    // the unfanned form.
+    val src = graft.operators.Fan.out(
+      d.select((ks :+ ROW_ID).map(d.col): _*))
     val nIn = ks.length
     // Type inference samples ONE row and invokes fn on the driver; that
     // (row id, output) is shipped in the closure and REUSED on the executor
@@ -487,7 +495,15 @@ final class DF private (private[graft] val inner: DataFrame,
     // even a single sort re-runs it for range-partition sampling — which is
     // unsafe for side-effecting lambdas. Blocks are freed by the
     // ContextCleaner once the frame is unreferenced.
-    new DF(spark.createDataFrame(applied, schema).localCheckpoint(), Ids.Dense)
+    val applied32 = spark.createDataFrame(applied, schema).localCheckpoint()
+    // restore the pre-fan-out physical state exactly: coalesce(1) reads the
+    // checkpointed partitions in index order (deterministic) and the local
+    // sort puts rows back in ROW_ID = original input order — so the frame
+    // is byte-for-byte the single ordered partition the unfanned plan
+    // produced, at the cost of one cheap single-task merge of the already-
+    // computed rows (the lambda itself ran wide at the checkpoint above)
+    new DF(applied32.coalesce(1).sortWithinPartitions(ROW_ID)
+      .localCheckpoint(), Ids.Dense)
   }
 
   /** side-effecting in-order traversal, first→last (cl-data-frame.lisp:518-526). */

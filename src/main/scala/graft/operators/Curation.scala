@@ -30,9 +30,9 @@ object Curation {
     // this the gates re-run over the corpus per reference (measured 8.7 s
     // vs 2 s at sf0.1). At 100 TB this is the standard "write the filtered
     // corpus once" checkpoint between pipeline phases.
-    val gated = df.filter(
+    val gated = Fan.out(df.filter(
       TextAnalysis.langId(col(textCol)) === lang &&
-        TextAnalysis.qualityScore(col(textCol)) >= minQuality)
+        TextAnalysis.qualityScore(col(textCol)) >= minQuality))
       .localCheckpoint()
     // the exact-dedup survivors feed the near-dedup stage TWICE (signature
     // build + final anti-join); checkpoint them once so the fingerprint
@@ -70,9 +70,9 @@ object Curation {
                  nearDupThreshold: Double = 0.5,
                  minRun: Int = 8,
                  sampleFraction: Double = 0.5): DataFrame = {
-    val gated = df.filter(
+    val gated = Fan.out(df.filter(
       TextAnalysis.langId(col(textCol)) === lang &&
-        TextAnalysis.qualityScore(col(textCol)) >= minQuality)
+        TextAnalysis.qualityScore(col(textCol)) >= minQuality))
       .localCheckpoint()
     val keepIds = TextAnalysis.hashedQualityScore(gated, idCol, textCol,
         modelWeightsMicros, keepLogit)
@@ -111,9 +111,9 @@ object Curation {
                        nearDupThreshold: Double = 0.5,
                        minRun: Int = 8,
                        sampleFraction: Double = 0.5): DataFrame = {
-    val gated = df.filter(
+    val gated = Fan.out(df.filter(
       TextAnalysis.langId(col(textCol)) === lang &&
-        TextAnalysis.qualityScore(col(textCol)) >= minQuality)
+        TextAnalysis.qualityScore(col(textCol)) >= minQuality))
       .localCheckpoint()
     val keepIds = TextAnalysis.hashedQualityScore(gated, idCol, textCol,
         modelWeightsMicros, keepLogit)
@@ -153,9 +153,9 @@ object Curation {
                        media: DataFrame, mediaIdCol: String,
                        lang: String = "en", minQuality: Double = 0.6,
                        maxHamming: Int = 6): DataFrame = {
-    val gated = docs.filter(
+    val gated = Fan.out(docs.filter(
       TextAnalysis.langId(col(textCol)) === lang &&
-        TextAnalysis.qualityScore(col(textCol)) >= minQuality)
+        TextAnalysis.qualityScore(col(textCol)) >= minQuality))
       .localCheckpoint()
     val textKept = Dedup.exactDedup(
         gated.withColumn("__fp", TextAnalysis.fingerprint(col(textCol))),

@@ -2329,7 +2329,7 @@ object Dedup {
     // none at any tested SF) and the STRING-exact ground-truth oracle
     // would catch it as a hash mismatch, so the shortcut is verified, not
     // assumed.
-    val sh = df
+    val sh = Fan.out(df.select(col(idCol), col(textCol)))
       .select(col(idCol),
         TextAnalysis.tokens(TextAnalysis.normalized(col(textCol))).as("__toks"))
       .select(col(idCol), array_distinct(transform(
@@ -2482,8 +2482,11 @@ object Dedup {
     // checkpoint the PER-DOC hashed-window arrays (doc-sized rows, the
     // containment `sh` pattern) — they feed the shared-vocab aggregate and
     // BOTH self-join sides, so without this the tokenize+hash projection
-    // runs three times; the cheap posexplode re-runs per consumer instead
-    val sh = df
+    // runs three times; the cheap posexplode re-runs per consumer instead.
+    // Fan.out before the tokenize: the projection is the query's single
+    // heaviest stage (r21 profile: 0.98 s single-task on the unsplittable
+    // fixture scan) and is partitioning-independent.
+    val sh = Fan.out(df.select(col(idCol), col(textCol)))
       .select(col(idCol),
         TextAnalysis.tokens(TextAnalysis.normalized(col(textCol))).as("__toks"))
       .filter(size(col("__toks")) >= k)
@@ -2602,7 +2605,12 @@ object Dedup {
     val flaggedIds = covered.select(col(idCol)).distinct()
     val normToks =
       TextAnalysis.tokens(TextAnalysis.normalized(col(textCol)))
-    val rebuilt = df.join(flaggedIds, Seq(idCol), "left_semi")
+    // the reassembly (flagged docs) and the untouched-doc normalize below
+    // both re-tokenize from the corpus — fan the (id, text) projection so
+    // the normalize pass isn't serialized on the unsplittable fixture scan
+    // (both consumers are id-keyed joins/aggregates: partitioning-free)
+    val base = Fan.out(df.select(col(idCol), col(textCol)))
+    val rebuilt = base.join(flaggedIds, Seq(idCol), "left_semi")
       .select(col(idCol), posexplode(normToks).as(Seq("__pos", "__tok")))
       .join(covered, Seq(idCol, "__pos"), "left_anti")
       .groupBy(col(idCol))
@@ -2614,7 +2622,7 @@ object Dedup {
     val excised = flaggedIds
       .join(rebuilt, Seq(idCol), "left")
       .select(col(idCol), coalesce(col("__text"), lit("")).as(textCol))
-    val untouched = df.join(flaggedIds, Seq(idCol), "left_anti")
+    val untouched = base.join(flaggedIds, Seq(idCol), "left_anti")
       .select(col(idCol), concat_ws(" ", normToks).as(textCol))
     untouched.unionByName(excised)
   }
@@ -2663,7 +2671,12 @@ object Dedup {
           shinglesFromTokens(col("__toks"), minRun, distinct = false),
           s => xxhash64(s)))).as("__s"): _*)
     val bw = windowRows(bench, benchTextCol, Seq.empty).distinct()
-    val cw = windowRows(corpus, textCol, Seq(col(idCol)))
+    // fan the corpus side only: its tokenize+window+hash projection is the
+    // whole query's cost (r21 profile: 0.9 s of 1.8 s wall, one task) and
+    // everything downstream is a broadcast semi-join + id aggregate; the
+    // benchmark side is small by contract and feeds a broadcast build
+    val cw = windowRows(Fan.out(corpus.select(col(idCol), col(textCol))),
+      textCol, Seq(col(idCol)))
     val flagged = cw.join(broadcast(bw), Seq("__s"), "left_semi")
       .select(idCol).distinct()
     corpus.join(flagged, Seq(idCol), "left_anti")
@@ -2691,7 +2704,11 @@ object Dedup {
     val benchSh = bench
       .select(explode(shingles(col(benchTextCol), ngram)).as("__s"))
       .distinct().withColumn("__hit", lit(1))
-    val ex = corpus
+    // fan the corpus projection before the tokenize+shingle pass (the cost
+    // of the whole score: one row-local projection otherwise serialized on
+    // an unsplittable single-file scan); the per-doc aggregate below keys
+    // by id, so partitioning does not affect results
+    val ex = Fan.out(corpus.select(col(idCol), col(textCol)))
       .select(col(idCol),
         TextAnalysis.tokens(TextAnalysis.normalized(col(textCol))).as("__toks"))
       .select(col(idCol),

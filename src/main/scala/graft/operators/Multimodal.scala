@@ -93,7 +93,7 @@ object Multimodal {
   def encodeSyntheticPng(df: DataFrame, idCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val encoded = df.select(col(idCol).cast(LongType)).as[Long]
+    val encoded = Fan.out(df.select(col(idCol).cast(LongType))).as[Long]
       .mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false) // no temp-file cache churn
         it.map { id =>
@@ -438,7 +438,7 @@ object Multimodal {
   def encodeSyntheticAviGroupsVar(df: DataFrame, idCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val encoded = df.select(col(idCol).cast(LongType)).as[Long]
+    val encoded = Fan.out(df.select(col(idCol).cast(LongType))).as[Long]
       .mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false)
         it.map { id =>
@@ -487,7 +487,7 @@ object Multimodal {
   def encodeSyntheticAviGroups(df: DataFrame, idCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val encoded = df.select(col(idCol).cast(LongType)).as[Long]
+    val encoded = Fan.out(df.select(col(idCol).cast(LongType))).as[Long]
       .mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false)
         it.map { id =>
@@ -748,7 +748,7 @@ object Multimodal {
   def encodeSyntheticAvi(df: DataFrame, idCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val encoded = df.select(col(idCol).cast(LongType)).as[Long]
+    val encoded = Fan.out(df.select(col(idCol).cast(LongType))).as[Long]
       .mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false)
         it.map { id =>

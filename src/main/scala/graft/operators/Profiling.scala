@@ -72,7 +72,11 @@ object Profiling {
          else approx_count_distinct(col(c))).cast(LongType)
           .as(s"__dist_$c"))
     } :+ count(lit(1)).cast(LongType).as("__n")
-    val agged = df.agg(aggs.head, aggs.tail: _*)
+    // fan out the partial-aggregation pass (guide §2.5 input skew): on an
+    // unsplittable single-file scan the k-column sketch/Expand partials
+    // otherwise run in ONE task (r21 profile: 2.35 s of q_profile_approx's
+    // 4.3 s wall); aggregation results are partitioning-independent
+    val agged = Fan.out(df).agg(aggs.head, aggs.tail: _*)
     val stackArgs = cols
       .map(c => s"'$c', `__nulls_$c`, `__dist_$c`")
       .mkString(", ")
@@ -115,7 +119,7 @@ object Profiling {
         countDistinct(col(c)).cast(LongType).as(s"__ex_$c"),
         approx_count_distinct(col(c), rsd).cast(LongType).as(s"__ap_$c"))
     } :+ count(lit(1)).cast(LongType).as("__n")
-    val agged = df.agg(aggs.head, aggs.tail: _*)
+    val agged = Fan.out(df).agg(aggs.head, aggs.tail: _*)
     val stackArgs = cols
       .map(c => s"'$c', `__nulls_$c`, `__ex_$c`, `__ap_$c`")
       .mkString(", ")
@@ -276,7 +280,9 @@ object Profiling {
           i <- names.indices; j <- i until names.size
         } yield sum(dec(col(names(i))) * dec(col(names(j))))
           .as(s"__p_${names(i)}__${names(j)}"))
-    val rawAgged = base.agg(aggs.head, aggs.tail: _*)
+    // one partial-agg pass over the fanned projection (exact DECIMAL sums
+    // are partitioning-independent; unsplittable-scan remedy, guide §2.5)
+    val rawAgged = Fan.out(base).agg(aggs.head, aggs.tail: _*)
     // fail-loud guards, one projection over the single aggregated row:
     //  - PARTIAL NULLs: sum()/count(col) SKIP nulls, so a column with some
     //    NULL values would silently correlate over the non-null subset
@@ -354,8 +360,13 @@ object Profiling {
     val bounds = base.agg(
       expr(s"percentile(v, array(${probs.mkString(", ")}))").as("__b"))
     base.crossJoin(broadcast(bounds))
+      // indicator SUM, not size(filter(...)): the filter HOF is
+      // CodegenFallback and drops the whole binning projection out of
+      // whole-stage codegen; Σ 1[v ≥ b_i] is the same count
       .withColumn("bin",
-        size(filter(col("__b"), b => col("v") >= b)).cast(LongType))
+        probs.indices.map(i =>
+            when(col("v") >= col("__b").getItem(i), 1L).otherwise(0L))
+          .reduce(_ + _).cast(LongType))
       .groupBy("bin")
       .agg(count(lit(1)).cast(LongType).as("n"),
         min("v").cast(LongType).as("min_v"),
@@ -391,7 +402,9 @@ object Profiling {
         .as("__b"))
     base.crossJoin(broadcast(bounds))
       .withColumn("bin",
-        size(filter(col("__b"), b => col("v") >= b)).cast(LongType))
+        probs.indices.map(i =>
+            when(col("v") >= col("__b").getItem(i), 1L).otherwise(0L))
+          .reduce(_ + _).cast(LongType))
       .groupBy("bin")
       .agg(count(lit(1)).cast(LongType).as("n"),
         min("v").cast(LongType).as("min_v"),

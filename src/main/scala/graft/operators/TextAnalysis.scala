@@ -47,11 +47,24 @@ object TextAnalysis {
   val Stopwords: Seq[String] = Seq(
     "the", "a", "an", "of", "to", "and", "in", "is", "it", "that")
 
-  def stopwordRatio(text: Column): Column = {
-    val toks = tokens(text)
-    round(size(filter(toks, t => t.isin(Stopwords.map(lit(_)): _*)))
-      .cast(DoubleType) / size(toks), 6)
+  /** count of tokens exactly equal to one of `words`, as ONE codegen'd
+    * regexp pass instead of a `filter` higher-order function: HOF
+    * expressions (ArrayFilter/ArrayAggregate/ZipWith) are CodegenFallback —
+    * the whole projection containing one drops out of whole-stage codegen
+    * and evaluates interpreted per row (r21 measurement: the curation gate
+    * stage alone was 0.52 s of single-task CPU at sf0.1). Tokens are
+    * maximal non-`\s` runs of the lowercased trimmed text, so "token == w"
+    * ⇔ "w flanked by \s (or string edge)" on the space-padded text —
+    * zero-width lookarounds keep adjacent hits countable ("of of of" = 3).
+    * Words are Pattern.quote'd so the rewrite accepts any literal token. */
+  private[operators] def tokenHits(text: Column, words: Seq[String]): Column = {
+    val pat = words.map(java.util.regex.Pattern.quote)
+      .mkString("(?<=\\s)(?:", "|", ")(?=\\s)")
+    regexp_count(concat(lit(" "), lower(trim(text)), lit(" ")), lit(pat))
   }
+
+  def stopwordRatio(text: Column): Column =
+    round(tokenHits(text, Stopwords).cast(DoubleType) / size(tokens(text)), 6)
 
   /** composite quality score in [0,1]: length band + stopword presence +
     * punctuation sanity. Deterministic, closed-form, oracle-expressible. */
@@ -81,28 +94,25 @@ object TextAnalysis {
     "fr" -> Seq("le", "les", "est", "une"),
     "de" -> Seq("der", "die", "das", "ist"))
 
-  def markerHits(text: Column, markers: Seq[String]): Column = {
-    val toks = tokens(text)
-    size(filter(toks, t => t.isin(markers.map(lit(_)): _*)))
-  }
+  def markerHits(text: Column, markers: Seq[String]): Column =
+    tokenHits(text, markers)
 
   def langId(text: Column): Column = {
-    // argmax as ONE aggregate-HOF fold over an array of (score, lang)
-    // structs: every markerHits runs EXACTLY ONCE per row (array
-    // construction, outside the lambda). The previous when-chain fold
-    // nested each partial best inside the next comparison, duplicating
-    // score subtrees ~2^|langs|-fold — interpreted eval (this expression
-    // is CodegenFallback via the filter HOF) re-tokenized the text ~15×
-    // per row (measured 8× on q_kappa's contingency pass). Semantics are
-    // identical: strictly-greater wins, scan order = marker-list order,
-    // 'und' when every score is 0.
-    val entries = LangMarkers.map { case (langCode, ms) =>
-      struct(markerHits(text, ms).as("s"), lit(langCode).as("l"))
+    // argmax as `greatest` over (score, -index, lang) structs — fully
+    // whole-stage-codegen'd (the r20 aggregate-HOF fold was CodegenFallback
+    // via filter/aggregate: the gate projection evaluated interpreted,
+    // re-splitting the text once per language; r21 profile: 0.52 s
+    // single-task CPU on 5000 docs). Semantics are identical to the fold:
+    // struct comparison is lexicographic, so max (s, -i) = highest score
+    // with ties broken by marker-list order (earlier language wins —
+    // strictly-greater never displaced it in the fold); 'und' when every
+    // score is 0, and for NULL text `s > 0` is NULL so the otherwise
+    // branch returns 'und' exactly like the fold's never-displaced init. */
+    val entries = LangMarkers.zipWithIndex.map { case ((langCode, ms), i) =>
+      struct(tokenHits(text, ms).as("s"), lit(-i).as("r"), lit(langCode).as("l"))
     }
-    val init = struct(lit(0).as("s"), lit("und").as("l"))
-    aggregate(array(entries: _*), init,
-      (acc, x) => when(x.getField("s") > acc.getField("s"), x).otherwise(acc))
-      .getField("l")
+    val best = greatest(entries: _*)
+    when(best.getField("s") > 0, best.getField("l")).otherwise(lit("und"))
   }
 
   /** normalization for fingerprinting: lowercase, strip non-alphanumerics to
@@ -435,7 +445,11 @@ object TextAnalysis {
           (a, b) => struct(a.as("t1"),
             concat(a, lit(" "), b).as("pair"))))
       .otherwise(array().cast("array<struct<t1:string,pair:string>>"))
-    df.select(keep :+
+    // fan before the tokenize+pair projection: the pass is the LM family's
+    // cost center (r21 profile: 0.57 s single-task in q_lm_store) and both
+    // downstream count aggregates / per-doc scores are key-based
+    Fan.out(df.select(keep :+ col(textCol): _*))
+      .select(keep :+
         filter(tokens(col(textCol)), x => length(x) > 0).as("__toks"): _*)
       .select(keep :+ explode(pairsArr).as("p"): _*)
       .select(keep :+ col("p.t1").as("t1") :+ col("p.pair").as("pair"): _*)
@@ -1197,9 +1211,12 @@ object TextAnalysis {
                 keyLen: Int = 40): DataFrame = {
     require(maxDist >= 0, s"fuzzyJoin: maxDist < 0: $maxDist")
     require(keyLen > 0, s"fuzzyJoin: keyLen must be positive: $keyLen")
-    val base = df.select(col(idCol).as("__id"),
+    // fan the probe projection: at fixture scale the block join broadcasts
+    // its build side, so the O(keyLen²) verify otherwise runs on the
+    // unsplittable scan's single task (r21 profile: 1.7 s of 2.3 s wall)
+    val base = Fan.out(df.select(col(idCol).as("__id"),
       substring(keyExpr, 1, keyLen).as("__k"),
-      blockExpr.as("__blk"))
+      blockExpr.as("__blk")))
     val a = base.select(col("__id").as("id_a"), col("__k").as("__ka"),
       col("__blk"))
     val b = base.select(col("__id").as("id_b"), col("__k").as("__kb"),
@@ -1245,9 +1262,9 @@ object TextAnalysis {
     require(minSimMicros >= 0 && minSimMicros <= 1000000L,
       s"jaroWinklerLinkage: minSimMicros out of [0, 1e6]: $minSimMicros")
     require(keyLen > 0, s"jaroWinklerLinkage: keyLen must be positive: $keyLen")
-    val base = df.select(col(idCol).as("__id"),
+    val base = Fan.out(df.select(col(idCol).as("__id"),
       substring(keyExpr, 1, keyLen).as("__k"),
-      blockExpr.as("__blk"))
+      blockExpr.as("__blk")))
     val a = base.select(col("__id").as("id_a"), col("__k").as("__ka"),
       col("__blk"))
     val b = base.select(col("__id").as("id_b"), col("__k").as("__kb"),
@@ -1270,9 +1287,9 @@ object TextAnalysis {
   def jaroWinklerBestMatch(df: DataFrame, idCol: String, keyExpr: Column,
                            blockExpr: Column, minSimMicros: Long,
                            keyLen: Int = 40): DataFrame = {
-    val base = df.select(col(idCol).as("__id"),
+    val base = Fan.out(df.select(col(idCol).as("__id"),
       substring(keyExpr, 1, keyLen).as("__k"),
-      blockExpr.as("__blk"))
+      blockExpr.as("__blk")))
     val a = base.select(col("__id").as("id"), col("__k").as("__ka"),
       col("__blk"))
     val b = base.select(col("__id").as("match_id"), col("__k").as("__kb"),
