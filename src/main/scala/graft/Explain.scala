@@ -22,6 +22,11 @@ object Explain {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // temp managed-table warehouse, like Verify/Bench/ProbeCompare:
+      // store-backed queries otherwise leave tables under ./spark-warehouse
+      // and a SECOND Explain run dies on LOCATION_ALREADY_EXISTS
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_warehouse").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     names.foreach { name =>

@@ -149,7 +149,10 @@ object Dedup {
                   numHashes: Int = 64, shingleSize: Int = 3): DataFrame = {
     import org.apache.spark.sql.GraftSqlBridge
     val toks = TextAnalysis.tokens(TextAnalysis.normalized(col(textCol)))
-    df.select(col(idCol),
+    // fan before the fused kernel: the projection is the pipeline's single
+    // heaviest per-row stage and otherwise rides the unsplittable scan's
+    // one task (r21 profile; every consumer is an id-keyed join/aggregate)
+    Fan.out(df.select(col(idCol), col(textCol))).select(col(idCol),
       GraftSqlBridge.column(graft.functions.MinHashTokensSigExpr(
         GraftSqlBridge.expression(toks), shingleSize, numHashes)).as("sig"))
   }
@@ -272,7 +275,7 @@ object Dedup {
                           numHashes: Int = 16, shingleSize: Int = 3): DataFrame = {
     import org.apache.spark.sql.GraftSqlBridge
     val toks = TextAnalysis.tokens(TextAnalysis.normalized(col(textCol)))
-    df.select(col(idCol),
+    Fan.out(df.select(col(idCol), col(textCol))).select(col(idCol),
       GraftSqlBridge.column(graft.functions.MinHashTokensSigExpr(
         GraftSqlBridge.expression(toks), shingleSize, numHashes,
         md5Portable = true)).as("sig"))
@@ -1278,7 +1281,8 @@ object Dedup {
   }
 
   def simhashSigs(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol), simhashCol(col(textCol)).as("simhash"))
+    Fan.out(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), simhashCol(col(textCol)).as("simhash"))
 
   /** SimHash via explode + majority-vote hash aggregates — the shape for
     * inputs that arrive as one-row-per-token tables; for per-doc text input
@@ -1302,7 +1306,10 @@ object Dedup {
     * signature. For hamming distance > 0 (real Manku-style near-dup
     * matching) use [[simhashHammingPairs]] / [[simhashDedupHamming]]. */
   def simhashDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val sig = simhashSigs(df, idCol, textCol)
+    // unfanned sigs on purpose: hamming-0 dedup is one projection + a tiny
+    // groupBy — the fan-out's per-task constant exceeds the kernel cost
+    // here (measured +0.4 s at sf0.1), unlike the banded-hamming paths
+    val sig = df.select(col(idCol), simhashCol(col(textCol)).as("simhash"))
     exactDedup(sig, col("simhash"), idCol).join(df, Seq(idCol))
   }
 
@@ -1311,14 +1318,17 @@ object Dedup {
     * replicate (first 15 md5 hex chars = 60 bits keeps the value positive in
     * a signed BIGINT for both engines). */
   def simhashSigsPortable(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol), simhashCol(col(textCol), portable = true).as("simhash"))
+    Fan.out(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), simhashCol(col(textCol), portable = true).as("simhash"))
 
   /** 60-bit SimHash dedup on md5-derived token hashes — as [[simhashDedup]]
     * (hamming distance 0) on [[simhashSigsPortable]] signatures, so the
     * whole pipeline gets an exact SQL oracle. The explode+vote aggregate
     * formulation it replaced survives as the oracle's CTE chain. */
   def simhashDedupPortable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val sig = simhashSigsPortable(df, idCol, textCol)
+    // unfanned for the same reason as [[simhashDedup]]
+    val sig = df.select(col(idCol),
+      simhashCol(col(textCol), portable = true).as("simhash"))
     exactDedup(sig, col("simhash"), idCol).join(df, Seq(idCol))
   }
 
@@ -1792,13 +1802,19 @@ object Dedup {
     * probe's candidate join never reshuffles the store (plan-pinned). */
   def writeVideoHashStore(frameHashes: DataFrame, idCol: String,
                           store: String, maxHamming: Int = 6,
-                          nBuckets: Int = 8): Unit = {
+                          nBuckets: Int = 8, everyK: Int = 1): Unit = {
+    require(everyK >= 1, s"writeVideoHashStore: everyK $everyK")
     Sources.writeBucketed(
       videoBandedRows(frameHashes, idCol, maxHamming),
       s"${store}_bands", "__bk", nBuckets)
+    // everyK (the frame-sampling rate the hashes were built with) is a
+    // BUILD parameter like maxHamming: probing a store built from
+    // everyK > 1 hashes with differently-sampled frames misaligns frame_no
+    // keys and silently dilutes the match vote — persist it so
+    // checkStoreParams refuses loudly on mismatch instead
     setStoreParams(frameHashes.sparkSession, s"${store}_bands",
       Map("kind" -> "video_dhash", "maxHamming" -> maxHamming,
-        "nBuckets" -> nBuckets, "enc" -> "dhash120_v2"))
+        "nBuckets" -> nBuckets, "everyK" -> everyK, "enc" -> "dhash120_v2"))
   }
 
   /** the video key packs the FRAME index in with the band: one bucketed
@@ -1836,11 +1852,12 @@ object Dedup {
     * [[writeVideoHashStore]]'s bands table — the video form of
     * [[appendWideHashes]], exposed for crash-safe streaming write order. */
   def appendVideoFrameHashes(frameHashes: DataFrame, idCol: String,
-                             store: String, maxHamming: Int = 6): Unit = {
+                             store: String, maxHamming: Int = 6,
+                             everyK: Int = 1): Unit = {
     val spark = frameHashes.sparkSession
     checkStoreParams(spark, s"${store}_bands",
       Map("kind" -> "video_dhash", "maxHamming" -> maxHamming,
-        "enc" -> "dhash120_v2"),
+        "everyK" -> everyK, "enc" -> "dhash120_v2"),
       required = Set("enc"))
     Sources.writeBucketed(
       videoBandedRows(frameHashes, idCol, maxHamming),
@@ -1869,18 +1886,28 @@ object Dedup {
   def videoDedupAgainst(newFrameHashes: DataFrame, idCol: String,
                         store: String, maxHamming: Int = 6,
                         minMatchedFrames: Int = 3,
-                        updateStore: Boolean = true): DataFrame = {
+                        updateStore: Boolean = true,
+                        everyK: Int = 1): DataFrame = {
     require(minMatchedFrames >= 1,
       s"videoDedupAgainst: minMatchedFrames $minMatchedFrames")
     val spark = newFrameHashes.sparkSession
     checkStoreParams(spark, s"${store}_bands",
       Map("kind" -> "video_dhash", "maxHamming" -> maxHamming,
-        "enc" -> "dhash120_v2"),
+        "everyK" -> everyK, "enc" -> "dhash120_v2"),
       required = Set("enc"))
     val nBuckets = storedNBuckets(spark, s"${store}_bands")
+    // the PROBE side gets the same frame_no < 2^20 injectivity guard the
+    // build side enforces in videoBandedRows: an unguarded probe clip with
+    // an aliased (frame, band) packed key would silently match wrong frame
+    // alignments (possible over-drop) where the build side fails loudly
     val sigs = newFrameHashes.filter(col("dh_lo").isNotNull)
-      .select(col(idCol), col("frame_no"), col("dh_lo").as("sim_lo"),
-        col("dh_hi").as("sim_hi"))
+      .select(col(idCol),
+        when(col("frame_no") < (1L << 20), col("frame_no"))
+          .otherwise(raise_error(concat(lit("video store probe: frame_no "),
+            col("frame_no").cast(StringType),
+            lit(" >= 2^20 breaks the packed band key"))))
+          .as("frame_no"),
+        col("dh_lo").as("sim_lo"), col("dh_hi").as("sim_hi"))
       .localCheckpoint()
     val stored = spark.table(s"${store}_bands")
       .withColumnRenamed("sim_lo", "__s_lo")
@@ -1931,7 +1958,8 @@ object Dedup {
     val toks = TextAnalysis.tokens(TextAnalysis.normalized(col(textCol)))
     val sig = GraftSqlBridge.column(graft.functions.SimHashWideExpr(
       GraftSqlBridge.expression(toks), nBits, md5Portable = portable))
-    df.select(col(idCol), sig.getItem(0).as("sim_lo"), sig.getItem(1).as("sim_hi"))
+    Fan.out(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), sig.getItem(0).as("sim_lo"), sig.getItem(1).as("sim_hi"))
   }
 
   /** one band's bucket key sliced out of the two-long signature — band
@@ -2131,7 +2159,8 @@ object Dedup {
     * the standalone [[verifyJaccardPairs]]/[[verifyContainmentPairs]]
     * composition instead — same results, candidate-bounded IO. */
   private def shingleArrays(df: DataFrame, idCol: String, textCol: String,
-                            ngram: Int): DataFrame = df
+                            ngram: Int): DataFrame =
+    Fan.out(df.select(col(idCol), col(textCol)))
     .select(col(idCol),
       TextAnalysis.tokens(TextAnalysis.normalized(col(textCol))).as("__toks"))
     .select(col(idCol),

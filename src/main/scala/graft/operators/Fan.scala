@@ -56,7 +56,8 @@ object Fan {
 
   def out(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (target > 1 && isNarrow(df) && df.rdd.getNumPartitions * 2 <= target)
+    if (!df.isStreaming && target > 1 && isNarrow(df) &&
+        df.rdd.getNumPartitions * 2 <= target)
       df.repartition(target)
     else df
   }

@@ -112,14 +112,26 @@ object Profiling {
     require(cols.nonEmpty, "profileTableApproxChecked: no columns")
     require(cols.forall(c => !c.contains("'") && !c.contains("`")),
       s"profileTableApproxChecked: quote chars in column names: $cols")
-    val aggs = cols.flatMap { c =>
+    // TWO aggregates, not one: mixing count(DISTINCT) with
+    // approx_count_distinct in a single agg makes Catalyst's
+    // RewriteDistinctAggregates Expand carry EVERY aggregate's buffer per
+    // (gid, distinct-value) group — i.e. one kB-sized HLL++ sketch buffer
+    // per column per distinct value (~150k groups × k sketches at sf0.1:
+    // 24 s of measured CPU churn for a 150k-row table). Split, the
+    // HLL+null pass has no Expand at all and the exact-distinct pass's
+    // per-group state is k longs; the two 1-row results cross-join back.
+    // Same values, same output — the contract is unchanged.
+    val approxAggs = cols.flatMap { c =>
       Seq(
         sum(when(col(c).isNull, 1L).otherwise(0L)).cast(LongType)
           .as(s"__nulls_$c"),
-        countDistinct(col(c)).cast(LongType).as(s"__ex_$c"),
         approx_count_distinct(col(c), rsd).cast(LongType).as(s"__ap_$c"))
     } :+ count(lit(1)).cast(LongType).as("__n")
-    val agged = Fan.out(df).agg(aggs.head, aggs.tail: _*)
+    val exactAggs = cols.map(c =>
+      countDistinct(col(c)).cast(LongType).as(s"__ex_$c"))
+    val fanned = Fan.out(df)
+    val agged = fanned.agg(approxAggs.head, approxAggs.tail: _*)
+      .crossJoin(broadcast(fanned.agg(exactAggs.head, exactAggs.tail: _*)))
     val stackArgs = cols
       .map(c => s"'$c', `__nulls_$c`, `__ex_$c`, `__ap_$c`")
       .mkString(", ")

@@ -575,14 +575,25 @@ object Streams {
     * hash is hamming-0 against its own previously appended store row, so
     * the probe drops the whole replay and the dynamic-overwrite manifest
     * write emits no partitions (an empty frame overwrites nothing — the
-    * original partition stays). The manifest-BEFORE-append order is
-    * load-bearing for the other crash window: with append first, a crash
-    * before the manifest write would make redelivery self-match and drop
-    * the batch with its manifest partition never written — the survivors
-    * permanently lost. Survivor ids are localCheckpoint-pinned so the
-    * append cannot re-run the probe against the store it is mutating.
-    * The commit markers remain as the fast path (a marked batch skips
-    * decode + probe entirely). */
+    * original partition stays). The manifest-BEFORE-append order closes
+    * the TOTAL-loss crash window: with append first, a crash before the
+    * manifest write would make redelivery self-match and drop the batch
+    * with its manifest partition never written — the survivors
+    * permanently lost. A PARTIAL window remains, documented honestly: if
+    * the store append itself crashes after some of its task files became
+    * visible, redelivery self-matches those hashes and the
+    * dynamic-overwrite manifest rewrite replaces the batch partition with
+    * the reduced survivor set — ids whose hashes landed in the store
+    * vanish from the manifest. Skipping the rewrite when the partition
+    * already exists would close it but opens the restarted-checkpoint
+    * trap (a fresh checkpoint reuses batchId 0 with different data and
+    * the stale partition would mask it), so the residual is accepted:
+    * it requires a crash INSIDE one append job, and recovery is
+    * re-running the batch after deleting its partition + store batch
+    * rows in the maintenance window. Survivor ids are
+    * localCheckpoint-pinned so the append cannot re-run the probe
+    * against the store it is mutating. The commit markers remain as the
+    * fast path (a marked batch skips decode + probe entirely). */
   private def runMediaIngestOnce(spark: SparkSession, inDir: String,
                                  outDir: String, checkpointDir: String,
                                  store: String, markerDirName: String,
@@ -658,15 +669,20 @@ object Streams {
   def runVideoIngestOnce(spark: SparkSession, inDir: String, outDir: String,
                          checkpointDir: String, store: String,
                          maxHamming: Int = 6,
-                         minMatchedFrames: Int = 3): Unit =
+                         minMatchedFrames: Int = 3,
+                         // the frame-sampling rate — persisted as a store
+                         // build param, so a stream probing a store built
+                         // at a different everyK refuses loudly instead of
+                         // silently diluting the frame-aligned vote
+                         everyK: Int = 1): Unit =
     runMediaIngestOnce(spark, inDir, outDir, checkpointDir, store,
       "vid_commits", "media_id",
-      b => graft.operators.Multimodal.videoDHashWide(b, everyK = 1),
+      b => graft.operators.Multimodal.videoDHashWide(b, everyK = everyK),
       h => graft.operators.Dedup.videoDedupAgainst(
         h, "media_id", store, maxHamming, minMatchedFrames,
-        updateStore = false),
+        updateStore = false, everyK = everyK),
       h => graft.operators.Dedup.appendVideoFrameHashes(
-        h, "media_id", store, maxHamming))
+        h, "media_id", store, maxHamming, everyK = everyK))
 
   /** one pass of STREAMING CURATION gated by the persisted corpus LM
     * ([[graft.operators.TextAnalysis.writeLmStore]]): each micro-batch is

@@ -710,4 +710,46 @@ class BucketingSpec extends AnyFunSuite {
       assert(kept == Set(3L), s"clamp probe kept $kept")
     } finally spark.sql("DROP TABLE IF EXISTS graft_clamp_vi_bands")
   }
+
+  test("video store everyK is persisted and a mismatched probe refuses loudly") {
+    try {
+      val stored = Seq((1L, 0L, 0x3c3c3cL, 0x5a5aL))
+        .toDF("media_id", "frame_no", "dh_lo", "dh_hi")
+      Dedup.writeVideoHashStore(stored, "media_id", "graft_ek_vi",
+        maxHamming = 6, nBuckets = 2, everyK = 2)
+      val probe = Seq((2L, 0L, 0x3c3c3cL, 0x5a5aL))
+        .toDF("media_id", "frame_no", "dh_lo", "dh_hi")
+      // matching everyK probes fine
+      Dedup.videoDedupAgainst(probe, "media_id", "graft_ek_vi",
+        maxHamming = 6, minMatchedFrames = 3, updateStore = false,
+        everyK = 2).count()
+      // a probe sampled at a different rate would misalign frame_no keys
+      // and silently dilute the vote — must refuse at checkStoreParams
+      val e = intercept[IllegalArgumentException] {
+        Dedup.videoDedupAgainst(probe, "media_id", "graft_ek_vi",
+          maxHamming = 6, minMatchedFrames = 3, updateStore = false,
+          everyK = 1).count()
+      }
+      assert(e.getMessage.contains("everyK"), s"wrong refusal: ${e.getMessage}")
+    } finally spark.sql("DROP TABLE IF EXISTS graft_ek_vi_bands")
+  }
+
+  test("videoDedupAgainst probe refuses frame_no >= 2^20 (packed-key aliasing)") {
+    try {
+      val stored = Seq((1L, 0L, 0x3c3c3cL, 0x5a5aL))
+        .toDF("media_id", "frame_no", "dh_lo", "dh_hi")
+      Dedup.writeVideoHashStore(stored, "media_id", "graft_fg_vi",
+        maxHamming = 6, nBuckets = 2)
+      val probe = Seq((2L, 1L << 20, 0x3c3c3cL, 0x5a5aL))
+        .toDF("media_id", "frame_no", "dh_lo", "dh_hi")
+      val e = intercept[Exception] {
+        Dedup.videoDedupAgainst(probe, "media_id", "graft_fg_vi",
+          maxHamming = 6, minMatchedFrames = 3, updateStore = false).count()
+      }
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+        .mkString(" | ")
+      assert(msgs.contains("2^20"), s"wrong refusal: $msgs")
+    } finally spark.sql("DROP TABLE IF EXISTS graft_fg_vi_bands")
+  }
 }
