@@ -250,7 +250,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -259,7 +259,14 @@ object Bench {
       // managed-table warehouse (the q_dedup_incremental signature store)
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft_warehouse").toString)
-      .getOrCreate()
+    // config A/B surface for LOCAL tuning experiments only (r21):
+    // "k=v;k=v" pairs applied on top of the contract config above. NEVER
+    // set by the driver — the default bench config is unchanged; measured
+    // experiments and their outcomes live in OPTIMIZATION_r21.md.
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2); builder.config(k, v)
+    })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm the session once (scheduler, parquet reader, codegen bootstrap,
     // and every heavy expression family — see warmup) so no timed query is
