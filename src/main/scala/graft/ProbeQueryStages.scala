@@ -19,10 +19,16 @@ import scala.collection.mutable
   */
 object ProbeQueryStages {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: ProbeQueryStages <query> <sfDir> [reps]")
-    val (qname, dir) = (args(0), args(1))
+    require(args.length >= 2,
+      "usage: ProbeQueryStages <query>[,<query2>,...] <sfDir> [reps]")
+    // comma-separated list: profile several queries in ONE JVM (each still
+    // gets its own untimed warm rep) — a per-query JVM pays ~60 s of sbt +
+    // session + warmup for every data point, which throttles the r22
+    // measure-first loop to a crawl
+    val (qnames, dir) = (args(0).split(",").map(_.trim).toSeq, args(1))
     val reps = if (args.length >= 3) args(2).toInt else 1
-    require(SparkEntry.queries.contains(qname), s"unknown query '$qname'")
+    qnames.foreach(q =>
+      require(SparkEntry.queries.contains(q), s"unknown query '$q'"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -68,33 +74,35 @@ object ProbeQueryStages {
         }
     }
 
-    // untimed warm rep so codegen/JIT/planning first-touch doesn't pollute
-    // the profiled rep (same contract as Bench.warmup, scoped to this query)
-    SparkEntry.queries(qname)(spark, dir).count()
-    spark.catalog.clearCache(); System.gc()
-
     spark.sparkContext.addSparkListener(listener)
-    var lastWall = 0.0
-    (1 to reps).foreach { i =>
-      stages.clear(); jobs = 0
-      val t0 = System.nanoTime()
-      val n = SparkEntry.queries(qname)(spark, dir).count()
-      lastWall = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(400) // let the listener bus drain (private API in Spark 4)
-      println(f"\n=== $qname rep $i: wall $lastWall%.3f s, rows $n, jobs $jobs ===")
-      println(f"${"stage"}%-7s ${"tasks"}%5s ${"sum_s"}%8s ${"max_s"}%7s " +
-        f"${"cpu_s"}%7s ${"in_MB"}%7s ${"shR_MB"}%7s ${"shW_MB"}%7s ${"spill"}%6s  name")
-      val rows = stages.toSeq.sortBy(-_._2.sumMs)
-      rows.foreach { case (id, a) =>
-        println(f"$id%-7d ${a.tasks}%5d ${a.sumMs / 1e3}%8.2f ${a.maxMs / 1e3}%7.2f " +
-          f"${a.cpuMs / 1e3}%7.2f ${a.inputMB}%7.1f ${a.shufReadMB}%7.1f " +
-          f"${a.shufWriteMB}%7.1f ${a.spillMB}%6.1f  ${a.name}")
-      }
-      val sumAll = stages.values.map(_.sumMs).sum / 1e3
-      val cpuAll = stages.values.map(_.cpuMs).sum / 1e3
-      println(f"TOTAL task-time $sumAll%.2f s, cpu $cpuAll%.2f s over wall " +
-        f"$lastWall%.3f s (parallelism used = ${sumAll / lastWall}%.1f of $cpus cores)")
+    qnames.foreach { qname =>
+      // untimed warm rep so codegen/JIT/planning first-touch doesn't pollute
+      // the profiled rep (same contract as Bench.warmup, scoped to this query)
+      SparkEntry.queries(qname)(spark, dir).count()
       spark.catalog.clearCache(); System.gc()
+
+      var lastWall = 0.0
+      (1 to reps).foreach { i =>
+        stages.clear(); jobs = 0
+        val t0 = System.nanoTime()
+        val n = SparkEntry.queries(qname)(spark, dir).count()
+        lastWall = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(400) // let the listener bus drain (private API in Spark 4)
+        println(f"\n=== $qname rep $i: wall $lastWall%.3f s, rows $n, jobs $jobs ===")
+        println(f"${"stage"}%-7s ${"tasks"}%5s ${"sum_s"}%8s ${"max_s"}%7s " +
+          f"${"cpu_s"}%7s ${"in_MB"}%7s ${"shR_MB"}%7s ${"shW_MB"}%7s ${"spill"}%6s  name")
+        val rows = stages.toSeq.sortBy(-_._2.sumMs)
+        rows.foreach { case (id, a) =>
+          println(f"$id%-7d ${a.tasks}%5d ${a.sumMs / 1e3}%8.2f ${a.maxMs / 1e3}%7.2f " +
+            f"${a.cpuMs / 1e3}%7.2f ${a.inputMB}%7.1f ${a.shufReadMB}%7.1f " +
+            f"${a.shufWriteMB}%7.1f ${a.spillMB}%6.1f  ${a.name}")
+        }
+        val sumAll = stages.values.map(_.sumMs).sum / 1e3
+        val cpuAll = stages.values.map(_.cpuMs).sum / 1e3
+        println(f"TOTAL task-time $sumAll%.2f s, cpu $cpuAll%.2f s over wall " +
+          f"$lastWall%.3f s (parallelism used = ${sumAll / lastWall}%.1f of $cpus cores)")
+        spark.catalog.clearCache(); System.gc()
+      }
     }
     spark.stop()
   }
