@@ -455,10 +455,17 @@ object Dedup {
   def writeMinhashStore(sigs: DataFrame, idCol: String, store: String,
                         bands: Int, numHashes: Int = 64,
                         nBuckets: Int = 8): Unit = {
-    Sources.writeBucketed(sigs, s"${store}_sigs", idCol, nBuckets)
-    Sources.writeBucketed(
-      lshBands(sigs, idCol, "sig", bands, numHashes).select(col(idCol), col("band_hash")),
-      s"${store}_bands", "band_hash", nBuckets)
+    // materialize the signature kernel ONCE — both table writes consume it
+    // (the un-checkpointed form re-ran the minhash kernel per write) — then
+    // overlap the two independent writes (guide §2.6; r22)
+    val s = sigs.localCheckpoint()
+    Sources.writeConcurrently(
+      () => Sources.writeBucketed(s, s"${store}_sigs", idCol, nBuckets),
+      () => Sources.writeBucketed(
+        lshBands(s, idCol, "sig", bands, numHashes)
+          .select(col(idCol), col("band_hash")),
+        s"${store}_bands", "band_hash", nBuckets))
+    s.unpersist(blocking = false)
     setStoreParams(sigs.sparkSession, s"${store}_sigs",
       Map("numHashes" -> numHashes, "bands" -> bands))
   }
@@ -489,13 +496,16 @@ object Dedup {
     // checkpoint only when consumed twice (anti-join + store append)
     val dupIds = if (updateStore) dupIds0.localCheckpoint() else dupIds0
     if (updateStore) {
+      // both appends derive from the checkpointed newSigs/dupIds — overlap
+      // them (guide §2.6); per-table append idempotency is order-free
       val survSigs = newSigs.join(dupIds, Seq(idCol), "left_anti")
-      Sources.writeBucketed(survSigs, s"${store}_sigs", idCol, nBuckets,
-        SaveMode.Append)
-      Sources.writeBucketed(
-        lshBands(survSigs, idCol, "sig", bands, numHashes)
-          .select(col(idCol), col("band_hash")),
-        s"${store}_bands", "band_hash", nBuckets, SaveMode.Append)
+      Sources.writeConcurrently(
+        () => Sources.writeBucketed(survSigs, s"${store}_sigs", idCol,
+          nBuckets, SaveMode.Append),
+        () => Sources.writeBucketed(
+          lshBands(survSigs, idCol, "sig", bands, numHashes)
+            .select(col(idCol), col("band_hash")),
+          s"${store}_bands", "band_hash", nBuckets, SaveMode.Append))
     }
     newBatch.join(dupIds, Seq(idCol), "left_anti")
   }
@@ -507,9 +517,13 @@ object Dedup {
   def writeMinhashStorePortable(sigs: DataFrame, idCol: String, store: String,
                                 bands: Int, numHashes: Int = 16,
                                 nBuckets: Int = 8): Unit = {
-    Sources.writeBucketed(sigs, s"${store}_sigs", idCol, nBuckets)
-    Sources.writeBucketed(portableBands(sigs, idCol, numHashes, bands),
-      s"${store}_bands", "band_key", nBuckets)
+    // same one-kernel + overlapped-writes shape as [[writeMinhashStore]]
+    val s = sigs.localCheckpoint()
+    Sources.writeConcurrently(
+      () => Sources.writeBucketed(s, s"${store}_sigs", idCol, nBuckets),
+      () => Sources.writeBucketed(portableBands(s, idCol, numHashes, bands),
+        s"${store}_bands", "band_key", nBuckets))
+    s.unpersist(blocking = false)
     setStoreParams(sigs.sparkSession, s"${store}_sigs",
       Map("numHashes" -> numHashes, "bands" -> bands))
   }
@@ -536,11 +550,14 @@ object Dedup {
       Seq("band", "band_key"), threshold, numHashes)
     val dupIds = if (updateStore) dupIds0.localCheckpoint() else dupIds0
     if (updateStore) {
+      // overlapped like [[minhashDedupAgainst]]'s append branch (§2.6)
       val survSigs = newSigs.join(dupIds, Seq(idCol), "left_anti")
-      Sources.writeBucketed(survSigs, s"${store}_sigs", idCol, nBuckets,
-        SaveMode.Append)
-      Sources.writeBucketed(portableBands(survSigs, idCol, numHashes, bands),
-        s"${store}_bands", "band_key", nBuckets, SaveMode.Append)
+      Sources.writeConcurrently(
+        () => Sources.writeBucketed(survSigs, s"${store}_sigs", idCol,
+          nBuckets, SaveMode.Append),
+        () => Sources.writeBucketed(
+          portableBands(survSigs, idCol, numHashes, bands),
+          s"${store}_bands", "band_key", nBuckets, SaveMode.Append))
     }
     newBatch.join(dupIds, Seq(idCol), "left_anti")
   }
@@ -707,20 +724,22 @@ object Dedup {
                           store: String, dim: Int, bandBits: Int = 16,
                           bands: Int = 4, seed: Long = 42L,
                           nBuckets: Int = 8): Unit = {
-    Sources.writeBucketed(
-      Similarity.lshBandSignatures(df, idCol, vecCol, dim, bandBits, bands, seed)
-        .select(col(idCol),
-          packedEmbBandKey(col("band"), col("sig"), bandBits).as("__bs")),
-      s"${store}_bands", "__bs", nBuckets)
-    // the pooled full signature is persisted alongside the vector: the
-    // STREAMING twin equi-joins on it every micro-batch, and recomputing
-    // bandBits×bands dot products over the whole store per trigger is
-    // exactly the per-batch cost a precomputed column exists to avoid
-    Sources.writeBucketed(
-      df.select(col(idCol), col(vecCol).as("vec"),
-        Similarity.lshSignature(col(vecCol), dim, bandBits * bands, seed)
-          .as("fullsig")),
-      s"${store}_vecs", idCol, nBuckets)
+    // the two table writes are independent — overlap them (guide §2.6, r22)
+    Sources.writeConcurrently(
+      () => Sources.writeBucketed(
+        Similarity.lshBandSignatures(df, idCol, vecCol, dim, bandBits, bands, seed)
+          .select(col(idCol),
+            packedEmbBandKey(col("band"), col("sig"), bandBits).as("__bs")),
+        s"${store}_bands", "__bs", nBuckets),
+      // the pooled full signature is persisted alongside the vector: the
+      // STREAMING twin equi-joins on it every micro-batch, and recomputing
+      // bandBits×bands dot products over the whole store per trigger is
+      // exactly the per-batch cost a precomputed column exists to avoid
+      () => Sources.writeBucketed(
+        df.select(col(idCol), col(vecCol).as("vec"),
+          Similarity.lshSignature(col(vecCol), dim, bandBits * bands, seed)
+            .as("fullsig")),
+        s"${store}_vecs", idCol, nBuckets))
     setStoreParams(df.sparkSession, s"${store}_bands",
       Map("dim" -> dim, "bandBits" -> bandBits, "bands" -> bands,
         "seed" -> seed, "enc" -> "bands_packed_v2"))
@@ -769,12 +788,6 @@ object Dedup {
       // kernel over the batch
       val surv = newBatch.join(dupIds0, Seq(idCol), "left_anti")
         .localCheckpoint()
-      Sources.writeBucketed(
-        Similarity.lshBandSignatures(surv, idCol, vecCol, dim, bandBits,
-            bands, seed)
-          .select(col(idCol),
-            packedEmbBandKey(col("band"), col("sig"), bandBits).as("__bs")),
-        s"${store}_bands", "__bs", nBuckets, SaveMode.Append)
       // upgrade contract: checkStoreParams accepts stores written before
       // the fullsig column existed (the read side falls back — see
       // Streams.scala). Appending a 3-column frame to such a 2-column
@@ -787,8 +800,16 @@ object Dedup {
       val vecsOut =
         if (vecsCols.contains("fullsig")) vecsOut0
         else vecsOut0.drop("fullsig")
-      Sources.writeBucketed(vecsOut, s"${store}_vecs", idCol, nBuckets,
-        SaveMode.Append)
+      // both appends read the checkpointed survivors — overlap them (§2.6)
+      Sources.writeConcurrently(
+        () => Sources.writeBucketed(
+          Similarity.lshBandSignatures(surv, idCol, vecCol, dim, bandBits,
+              bands, seed)
+            .select(col(idCol),
+              packedEmbBandKey(col("band"), col("sig"), bandBits).as("__bs")),
+          s"${store}_bands", "__bs", nBuckets, SaveMode.Append),
+        () => Sources.writeBucketed(vecsOut, s"${store}_vecs", idCol,
+          nBuckets, SaveMode.Append))
       surv
     } else newBatch.join(dupIds0, Seq(idCol), "left_anti")
   }

@@ -50,14 +50,18 @@ object Search {
     * it. */
   def writeInvertedIndex(df: DataFrame, idCol: String, textCol: String,
                          store: String, nBuckets: Int = 64): Unit = {
-    val posts = postingsOf(df, idCol, textCol)
-    graft.sources.Sources.writeBucketed(
-      posts.withColumn("__batch", lit(-1L)),
-      s"${store}_postings", "term", nBuckets)
-    graft.sources.Sources.writeBucketed(
-      posts.groupBy("term").agg(count(lit(1)).as("df"))
-        .withColumn("__batch", lit(-1L)),
-      s"${store}_terms", "term", nBuckets)
+    // materialize the postings once (both table writes consume them — the
+    // unmaterialized form re-ran the tokenize+explode per write), then
+    // overlap the two independent writes (guide §2.6, r22)
+    val posts = postingsOf(df, idCol, textCol).localCheckpoint()
+    graft.sources.Sources.writeConcurrently(
+      () => graft.sources.Sources.writeBucketed(
+        posts.withColumn("__batch", lit(-1L)),
+        s"${store}_postings", "term", nBuckets),
+      () => graft.sources.Sources.writeBucketed(
+        posts.groupBy("term").agg(count(lit(1)).as("df"))
+          .withColumn("__batch", lit(-1L)),
+        s"${store}_terms", "term", nBuckets))
     // corpus stats for BM25 length normalization (docCount incl. token-less
     // docs, total token count) — two exact longs in table properties, so a
     // probe never scans the corpus (or the full postings) to learn avgdl

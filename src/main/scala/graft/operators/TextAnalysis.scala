@@ -502,14 +502,17 @@ object TextAnalysis {
                    nBuckets: Int = 8): Unit = {
     val spark = df.sparkSession
     val prs = lmPairRows(df, Seq.empty, textCol).localCheckpoint()
-    graft.sources.Sources.writeBucketed(
-      prs.groupBy("pair").agg(count(lit(1)).as("cnt"))
-        .withColumn("__batch", lit(-1L)),
-      s"${store}_pairs", "pair", nBuckets)
-    graft.sources.Sources.writeBucketed(
-      prs.groupBy("t1").agg(count(lit(1)).as("cnt"))
-        .withColumn("__batch", lit(-1L)),
-      s"${store}_ctx", "t1", nBuckets)
+    // both count tables aggregate the same checkpointed pair rows and are
+    // independent — overlap the writes (guide §2.6, r22)
+    graft.sources.Sources.writeConcurrently(
+      () => graft.sources.Sources.writeBucketed(
+        prs.groupBy("pair").agg(count(lit(1)).as("cnt"))
+          .withColumn("__batch", lit(-1L)),
+        s"${store}_pairs", "pair", nBuckets),
+      () => graft.sources.Sources.writeBucketed(
+        prs.groupBy("t1").agg(count(lit(1)).as("cnt"))
+          .withColumn("__batch", lit(-1L)),
+        s"${store}_ctx", "t1", nBuckets))
     Seq(s"${store}_pairs", s"${store}_ctx").foreach(t =>
       Dedup.setStoreParams(spark, t,
         Map("kind" -> "lm_bigram", "nBuckets" -> nBuckets,
@@ -543,10 +546,14 @@ object TextAnalysis {
           org.apache.spark.sql.SaveMode.Append)
       }
     }
-    appendTo(s"${store}_pairs",
-      prs.groupBy("pair").agg(count(lit(1)).as("cnt")), "pair")
-    appendTo(s"${store}_ctx",
-      prs.groupBy("t1").agg(count(lit(1)).as("cnt")), "t1")
+    // each table's tag gate is independent — overlap the two appends
+    // (§2.6); the crash contract is unchanged (each table skips the tag it
+    // already holds, regardless of which append lands first)
+    graft.sources.Sources.writeConcurrently(
+      () => appendTo(s"${store}_pairs",
+        prs.groupBy("pair").agg(count(lit(1)).as("cnt")), "pair"),
+      () => appendTo(s"${store}_ctx",
+        prs.groupBy("t1").agg(count(lit(1)).as("cnt")), "t1"))
   }
 
   /** Compact an accreting LM store IN PLACE: fold every key's batch rows

@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, hash, lit, pmod}
 import org.apache.spark.sql.types.StructType
 
 /** [EXT] Sources and sinks (SURVEY §2.9 row 42). The reference has no IO at
@@ -78,9 +78,51 @@ object Sources {
     * a persisted store grows incrementally without rewriting history. */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
                     nBuckets: Int, mode: SaveMode = SaveMode.Overwrite): Unit =
-    df.write.mode(mode)
+    // repartition ON the bucket id before the write (the compactBucketed
+    // idiom, hoisted to write time — r22): a bucketed saveAsTable writes one
+    // file per (writing task × bucket present in it), so an N-partition
+    // frame emits up to N × nBuckets files per write — ~1024 for the
+    // media stores (32-partition checkpoints, nBuckets = 32) — and every
+    // subsequent probe/scan pays the per-file open + footer cost (guide §6
+    // small-files). Grouping each bucket's rows into one task first caps the
+    // write at nBuckets files total for ONE extra shuffle of the batch —
+    // the batch is the small side by the store-family contract, and at
+    // production scale a bucketed store's write parallelism is nBuckets by
+    // design. pmod(hash(col), n) is exactly Spark's bucket assignment, so
+    // each bucket lands whole in one task (collisions merge tasks, never
+    // split a bucket — total files stay ≤ nBuckets; BucketingSpec pins the
+    // collapse for the compactors that already used this idiom).
+    df.repartition(nBuckets, pmod(hash(col(bucketCol)), lit(nBuckets)))
+      .write.mode(mode)
       .bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
       .format("parquet").saveAsTable(table)
+
+  /** run independent store-table writes CONCURRENTLY (guide §2.6 "overlap
+    * independent jobs"): Spark's scheduler runs several jobs in one
+    * application happily — actions are sequential only because driver code
+    * calls them sequentially. The two-table store writers (minhash
+    * sigs+bands, embedding bands+vecs, LM pairs+ctx, index pos+len) each
+    * issue two writes whose inputs are the SAME materialized checkpoint,
+    * so the second job's tasks back-fill executors freed by the first's
+    * tail instead of waiting for it to finish. Callers must pass writes
+    * with no mutual ordering contract (append idempotency per table — the
+    * appendLmCounts batch-tag doctrine — is unaffected by order). Failures
+    * propagate: the first exception rethrows after all writes settle, so a
+    * crash leaves the same recoverable per-table states as the sequential
+    * form. */
+  def writeConcurrently(writes: (() => Unit)*): Unit = {
+    if (writes.length <= 1) { writes.foreach(_()); return }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(writes.length)
+    try {
+      val futures = writes.map(w => pool.submit(new java.util.concurrent.Callable[Unit] {
+        override def call(): Unit = w()
+      }))
+      // get() each: rethrows the first failure AFTER every write settled
+      futures.foreach(f =>
+        try f.get()
+        catch { case e: java.util.concurrent.ExecutionException => throw e.getCause })
+    } finally pool.shutdown()
+  }
 
   /** compact a bucketed store table in place: every per-batch
     * `SaveMode.Append` adds one file per bucket per writing task, so a
@@ -440,10 +482,13 @@ object Sources {
     val staging = s"${table}__merging"
     recoverStoreSwap(spark, table) // an interrupted predecessor's swap
     spark.sql(s"DROP TABLE IF EXISTS $staging")
-    val merged =
-      mergeSnapshot(spark.table(table), delta, keyCol, opCol).localCheckpoint()
-    writeBucketed(merged, staging, keyCol, nBuckets)
-    merged.unpersist()
+    // no checkpoint before the staging write (r22): the write is the merge
+    // plan's ONLY consumer and it reads the OLD table, which stays intact
+    // until the swap below — the pre-r22 localCheckpoint materialized the
+    // merged history twice (once into block storage, once into the staging
+    // files) for no reader
+    writeBucketed(mergeSnapshot(spark.table(table), delta, keyCol, opCol),
+      staging, keyCol, nBuckets)
     spark.sql(s"DROP TABLE $table")
     spark.sql(s"ALTER TABLE $staging RENAME TO $table")
   }
@@ -515,10 +560,12 @@ object Sources {
     val staging = s"${table}__merging"
     recoverStoreSwap(spark, table) // an interrupted predecessor's swap
     spark.sql(s"DROP TABLE IF EXISTS $staging")
-    val merged = scd2Merge(spark.table(table), delta, keyCol, batch, opCol)
-      .localCheckpoint()
-    writeBucketed(merged, staging, keyCol, nBuckets)
-    merged.unpersist()
+    // same staging-write-is-the-only-consumer argument as [[mergeIntoStore]]
+    // (r22): the close-join reads the OLD bucketed table in place and the
+    // result flows straight into the staging write — no intermediate
+    // materialization
+    writeBucketed(scd2Merge(spark.table(table), delta, keyCol, batch, opCol),
+      staging, keyCol, nBuckets)
     spark.sql(s"DROP TABLE $table")
     spark.sql(s"ALTER TABLE $staging RENAME TO $table")
   }
