@@ -448,7 +448,20 @@ final class DF private (private[graft] val inner: DataFrame,
     if (resultTypes.nonEmpty && resultTypes.length != rks.length)
       throw new IllegalArgumentException(
         s"map-df: ${rks.length} result keys but ${resultTypes.length} result types")
-    val d = densified.inner
+    // project to the asked-for columns BEFORE any row-id densify: for an
+    // id-less frame, densified would zipWithIndex the FULL row through the
+    // RDD boundary (external-Row conversion of every column) and only then
+    // project — on q_map_df that conversion of 16-column lineitem rows to
+    // feed a 4-column lambda was most of the fan's 1.5 s single-task map
+    // side (r22 probe). Attaching the id to the narrow projection yields
+    // the SAME dense ids (a projection preserves row order). Frames that
+    // already carry ids keep the old path (their ROW_ID must be reused).
+    val narrow = ids match {
+      case Ids.None => DF.attachId(inner.select(ks.map(inner.col): _*))
+      case _ =>
+        val d = densified.inner
+        d.select((ks :+ ROW_ID).map(d.col): _*)
+    }
     // fan out AFTER ids are assigned (row ids ride along and fn is
     // row-wise) — the lambda otherwise runs single-task on an unsplittable
     // single-file scan (r21 profile: 1.3 s of q_map_df's 2.3 s wall in one
@@ -456,8 +469,7 @@ final class DF private (private[graft] val inner: DataFrame,
     // ROW_ID order below, so downstream order-sensitive semantics (ties
     // under a non-unique ORDER BY follow input order) are bit-identical to
     // the unfanned form.
-    val src = graft.operators.Fan.out(
-      d.select((ks :+ ROW_ID).map(d.col): _*))
+    val src = graft.operators.Fan.out(narrow)
     val nIn = ks.length
     // Type inference samples ONE row and invokes fn on the driver; that
     // (row id, output) is shipped in the closure and REUSED on the executor

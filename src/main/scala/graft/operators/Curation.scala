@@ -74,10 +74,14 @@ object Curation {
       TextAnalysis.langId(col(textCol)) === lang &&
         TextAnalysis.qualityScore(col(textCol)) >= minQuality))
       .localCheckpoint()
-    val keepIds = TextAnalysis.hashedQualityScore(gated, idCol, textCol,
-        modelWeightsMicros, keepLogit)
-      .filter(col("keep")).select(col(idCol))
-    val modeled = gated.join(keepIds, Seq(idCol), "left_semi")
+    // the learned-quality stage as a ROW-LOCAL codegen'd filter (r22): the
+    // hashedQualityScore + semi-join form shuffled the gated corpus through
+    // an explode + hash aggregate and joined it back — for a per-row
+    // decision. Same kernel, same keep set (NULL for token-less docs drops
+    // under filter exactly as absence dropped under the semi-join).
+    val modeled = gated.filter(
+      TextAnalysis.hashedQualityKeep(col(textCol), modelWeightsMicros,
+        keepLogit))
     val cleaned = Dedup.decontaminate(modeled, idCol, textCol,
         bench, benchTextCol, maxContamination)
       .localCheckpoint()
@@ -115,10 +119,14 @@ object Curation {
       TextAnalysis.langId(col(textCol)) === lang &&
         TextAnalysis.qualityScore(col(textCol)) >= minQuality))
       .localCheckpoint()
-    val keepIds = TextAnalysis.hashedQualityScore(gated, idCol, textCol,
-        modelWeightsMicros, keepLogit)
-      .filter(col("keep")).select(col(idCol))
-    val modeled = gated.join(keepIds, Seq(idCol), "left_semi")
+    // the learned-quality stage as a ROW-LOCAL codegen'd filter (r22): the
+    // hashedQualityScore + semi-join form shuffled the gated corpus through
+    // an explode + hash aggregate and joined it back — for a per-row
+    // decision. Same kernel, same keep set (NULL for token-less docs drops
+    // under filter exactly as absence dropped under the semi-join).
+    val modeled = gated.filter(
+      TextAnalysis.hashedQualityKeep(col(textCol), modelWeightsMicros,
+        keepLogit))
     val cleaned = Dedup.decontaminate(modeled, idCol, textCol,
         bench, benchTextCol, maxContamination)
       .localCheckpoint()

@@ -42,16 +42,26 @@ object Fan {
     * the upstream job twice. */
   private def isNarrow(df: DataFrame): Boolean = {
     import org.apache.spark.sql.catalyst.plans.logical._
-    df.queryExecution.optimizedPlan.collectFirst {
-      case _: Join => false
-      case _: Aggregate => false
-      case _: Window => false
-      case _: Sort => false
-      case _: Distinct => false
-      case _: Deduplicate => false
-      case _: GlobalLimit => false
-      case _: RepartitionOperation => false
-    }.isEmpty
+    import org.apache.spark.sql.execution.LogicalRDD
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+    // ALLOW-list of known row-local nodes (r22, ADVICE item): the r21
+    // deny-list (Join/Aggregate/Window/...) classified every OTHER
+    // exchange-introducing node as narrow — and then the partition-count
+    // probe below could execute upstream query stages under AQE, the exact
+    // hazard the scaladoc warns about. Anything unrecognized now counts as
+    // NOT narrow (Fan.out degrades to a no-op — safe in both directions:
+    // no early execution, no fan above a shuffle). The listed nodes cover
+    // every current call site's inputs: parquet/file scans (v1 relation or
+    // v2 scan), localCheckpoint results (LogicalRDD), projections,
+    // deterministic filters, explodes (Generate), unions of those, and
+    // literal relations.
+    !df.queryExecution.optimizedPlan.exists {
+      case _: Project | _: Filter | _: Generate | _: Union |
+           _: LogicalRDD | _: LogicalRelation | _: DataSourceV2ScanRelation |
+           _: LocalRelation | _: OneRowRelation => false
+      case _ => true
+    }
   }
 
   def out(df: DataFrame): DataFrame = {

@@ -921,19 +921,44 @@ object TextAnalysis {
                                      nTokens: Column): Column =
     round(sumMicros.cast(DoubleType) / nTokens).cast(LongType) / lit(1e6)
 
+  /** the fused per-row (n_tokens, sum_micros) kernel —
+    * [[graft.functions.HashedQualityExpr]] over the token array; NULL for
+    * docs with no tokens (they must vanish from the score, the explode
+    * form's absence semantics). */
+  private def hashedQualityNS(textCol: Column,
+                              weightsMicros: Seq[Long]): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(graft.functions.HashedQualityExpr(
+      GraftSqlBridge.expression(tokens(normalized(textCol))),
+      weightsMicros.toArray))
+  }
+
   def hashedQualityScore(df: DataFrame, idCol: String, textCol: String,
                          weightsMicros: Seq[Long],
                          keepThreshold: Double = 0.0): DataFrame = {
-    val nb = weightsMicros.length
-    require(nb > 0, "hashedQualityScore requires a non-empty weight vector")
-    val wLit = array(weightsMicros.map(lit): _*)
-    df.select(col(idCol), explode(tokens(normalized(col(textCol)))).as("__t"))
-      .select(col(idCol), tokenWeightMicros(col("__t"), wLit, nb).as("__w"))
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_tokens"), sum(col("__w")).as("__s"))
-      .withColumn("logit", logitFromMicros(col("__s"), col("n_tokens")))
+    require(weightsMicros.nonEmpty,
+      "hashedQualityScore requires a non-empty weight vector")
+    // one codegen'd row-local kernel (r22) instead of explode + hash-
+    // aggregate shuffle: the score never needs to leave its row. Same
+    // bucket math, same rounding, same output frame — docs with no tokens
+    // score NULL and are dropped, exactly the explode form's absence
+    df.select(col(idCol),
+        hashedQualityNS(col(textCol), weightsMicros).as("__ns"))
+      .filter(col("__ns").isNotNull)
+      .select(col(idCol), col("__ns").getItem(0).as("n_tokens"),
+        logitFromMicros(col("__ns").getItem(1), col("__ns").getItem(0))
+          .as("logit"))
       .withColumn("keep", col("logit") >= keepThreshold)
-      .select(col(idCol), col("n_tokens"), col("logit"), col("keep"))
+  }
+
+  /** [[hashedQualityScore]]'s KEEP decision as a row-local boolean Column —
+    * what the curation compositions filter on directly (r22: the agg +
+    * semi-join form shuffled the corpus to compute a per-row predicate).
+    * NULL (→ filter-drop) for token-less docs, like the score's absence. */
+  def hashedQualityKeep(textCol: Column, weightsMicros: Seq[Long],
+                        keepThreshold: Double): Column = {
+    val ns = hashedQualityNS(textCol, weightsMicros)
+    logitFromMicros(ns.getItem(1), ns.getItem(0)) >= keepThreshold
   }
 
   /** multi-class hashed-BOW linear classifier — the DOMAIN-TAGGING stage

@@ -320,26 +320,18 @@ object Streams {
     val gated = docs.filter(
       TextAnalysis.langId(col(textCol)) === lang &&
         TextAnalysis.qualityScore(col(textCol)) >= minQuality)
-    // the model score as a pure per-row expression (no aggregate): the
-    // hashed-bucket weight mean via a HOF aggregate() over the token
-    // array — streamable because it never leaves the row. The per-token
-    // math and the micros→logit rounding are TextAnalysis's own helpers
-    // (tokenWeightMicros / logitFromMicros), so this form cannot drift
-    // from the batch aggregate's. The token array is PROJECTED ONCE
-    // (`__toks`): expressions referenced inside HOF lambdas are not
-    // subexpression-eliminated, so inlining tokens(normalized(…)) would
-    // re-run the regex/split chain per reference (the shinglesFromTokens
-    // rule)
-    val nb = modelWeightsMicros.length
-    val wLit = array(modelWeightsMicros.map(lit): _*)
-    val sumMicros = aggregate(col("__toks"), lit(0L),
-      (acc, t) => acc + TextAnalysis.tokenWeightMicros(t, wLit, nb))
-    val logit = TextAnalysis.logitFromMicros(sumMicros, size(col("__toks")))
-    val kept = gated
-      .withColumn("__toks",
-        TextAnalysis.tokens(TextAnalysis.normalized(col(textCol))))
-      .filter(size(col("__toks")) > 0 && logit >= keepLogit)
-      .drop("__toks")
+    // the model score as a pure per-row expression (no aggregate) —
+    // streamable because it never leaves the row. r22: the interpreted HOF
+    // aggregate() form (CodegenFallback md5 per token per row) is replaced
+    // by the SAME codegen'd kernel the batch scorer now runs
+    // ([[graft.operators.TextAnalysis.hashedQualityKeep]] →
+    // HashedQualityExpr), so the batch/stream logit-parity pin in
+    // StreamsSpec is equality of one shared kernel, not of two
+    // formulations. NULL text scores NULL and filter-drops, like the old
+    // size(__toks) > 0 gate (split never yields an empty array).
+    val kept = gated.filter(
+      TextAnalysis.hashedQualityKeep(col(textCol), modelWeightsMicros,
+        keepLogit))
     streamingSimhashDedup(kept, textCol, tsCol, delay)
   }
 
