@@ -262,10 +262,20 @@ object Bench {
     // config A/B surface for LOCAL tuning experiments only (r21):
     // "k=v;k=v" pairs applied on top of the contract config above. NEVER
     // set by the driver — the default bench config is unchanged; measured
-    // experiments and their outcomes live in OPTIMIZATION_r21.md.
-    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";").foreach { kv =>
-      val Array(k, v) = kv.split("=", 2); builder.config(k, v)
-    })
+    // experiments and their outcomes live in OPTIMIZATION_r2*.md. The
+    // applied pairs are ECHOED into the emitted JSON (r22 ADVICE item): a
+    // committed BENCH_*.json from an altered-config run must be
+    // distinguishable from a contract-config draw, and a malformed pair
+    // fails with a named error instead of a destructuring MatchError.
+    val extraConf: Seq[(String, String)] =
+      sys.env.get("SPARK_GRAFT_EXTRA_CONF").toSeq.flatMap(_.split(";").map { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) if k.nonEmpty => (k, v)
+          case _ => throw new IllegalArgumentException(
+            s"SPARK_GRAFT_EXTRA_CONF: malformed pair '$kv' (expected key=value)")
+        }
+      })
+    extraConf.foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm the session once (scheduler, parquet reader, codegen bootstrap,
@@ -318,7 +328,13 @@ object Bench {
         "\"" + k + "\":\"" + m.replaceAll("[\"\\\\\\n\\r\\t]", " ") + "\""
       }.mkString(""","errors":{""", ",", "}")
     val total = ok.map(_._2).sum
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$errsJson,"sf":"$sfDir"}"""
+    // any non-contract config rides in the JSON so the draw self-labels
+    val extraJson =
+      if (extraConf.isEmpty) ""
+      else extraConf.map { case (k, v) =>
+        "\"" + k + "\":\"" + v.replaceAll("[\"\\\\\\n\\r\\t]", " ") + "\""
+      }.mkString(""","extra_conf":{""", ",", "}")
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$errsJson$extraJson,"sf":"$sfDir"}"""
     println(line)
     // ALWAYS also write the line to a dedicated file: the round-16 driver
     // captured only a truncated stdout TAIL (BENCH_r16.json "parsed": null)

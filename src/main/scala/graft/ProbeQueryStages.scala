@@ -49,7 +49,8 @@ object ProbeQueryStages {
                         var sumMs: Long = 0, var maxMs: Long = 0,
                         var cpuMs: Long = 0, var shufReadMB: Double = 0,
                         var shufWriteMB: Double = 0, var inputMB: Double = 0,
-                        var spillMB: Double = 0)
+                        var spillMB: Double = 0, var gcMs: Long = 0,
+                        var deserMs: Long = 0)
     val stages = mutable.LinkedHashMap[Int, StageAgg]()
     var jobs = 0
     val listener = new SparkListener {
@@ -65,6 +66,8 @@ object ProbeQueryStages {
           a.shufWriteMB += m.shuffleWriteMetrics.bytesWritten / 1e6
           a.inputMB += m.inputMetrics.bytesRead / 1e6
           a.spillMB += m.diskBytesSpilled / 1e6
+          a.gcMs += m.jvmGCTime
+          a.deserMs += m.executorDeserializeTime
         }
       }
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
@@ -90,11 +93,12 @@ object ProbeQueryStages {
         Thread.sleep(400) // let the listener bus drain (private API in Spark 4)
         println(f"\n=== $qname rep $i: wall $lastWall%.3f s, rows $n, jobs $jobs ===")
         println(f"${"stage"}%-7s ${"tasks"}%5s ${"sum_s"}%8s ${"max_s"}%7s " +
-          f"${"cpu_s"}%7s ${"in_MB"}%7s ${"shR_MB"}%7s ${"shW_MB"}%7s ${"spill"}%6s  name")
+          f"${"cpu_s"}%7s ${"gc_s"}%6s ${"dsr_s"}%6s ${"in_MB"}%7s ${"shR_MB"}%7s ${"shW_MB"}%7s ${"spill"}%6s  name")
         val rows = stages.toSeq.sortBy(-_._2.sumMs)
         rows.foreach { case (id, a) =>
           println(f"$id%-7d ${a.tasks}%5d ${a.sumMs / 1e3}%8.2f ${a.maxMs / 1e3}%7.2f " +
-            f"${a.cpuMs / 1e3}%7.2f ${a.inputMB}%7.1f ${a.shufReadMB}%7.1f " +
+            f"${a.cpuMs / 1e3}%7.2f ${a.gcMs / 1e3}%6.2f ${a.deserMs / 1e3}%6.2f " +
+            f"${a.inputMB}%7.1f ${a.shufReadMB}%7.1f " +
             f"${a.shufWriteMB}%7.1f ${a.spillMB}%6.1f  ${a.name}")
         }
         val sumAll = stages.values.map(_.sumMs).sum / 1e3

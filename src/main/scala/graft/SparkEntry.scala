@@ -2170,8 +2170,14 @@ object SparkEntry {
       val fluent = TextAnalysis.lmPerplexityFilter(docs, "doc_id", "text",
           maxPpl = LmPerplexityMaxPpl)
         .filter(col("kept")).select("doc_id")
+      // fan the corpus scan BEFORE the semi-join (r22): curate's own gate
+      // fan-out refuses join-rooted inputs (Fan.isNarrow), so the gate +
+      // survivor checkpoint otherwise run single-task on the unsplittable
+      // scan (probe: 0.58 s serial). The fluent id set broadcasts, so the
+      // fanned width flows through the join into the gate stage.
       graft.operators.Curation.curate(
-          docs.join(fluent, Seq("doc_id"), "left_semi"),
+          graft.operators.Fan.out(docs).join(fluent, Seq("doc_id"),
+            "left_semi"),
           "doc_id", "text", lang = "en", minQuality = 0.6,
           nearDupThreshold = 0.5, sampleFraction = 0.5)
         .select("doc_id", "source").orderBy("doc_id")

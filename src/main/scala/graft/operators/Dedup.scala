@@ -2202,10 +2202,33 @@ object Dedup {
 
   /** exact jaccard ≥ threshold over candidate pairs, joining each side to its
     * PRE-MATERIALIZED distinct shingle array (idCol, __sh) — no re-tokenize. */
+  /** spread a candidate-pair verify across the session's cores (r22, guide
+    * §2.5/§2.2): the paired shingle ARRAYS are few megabytes, so AQE's
+    * byte-based partition coalescing squeezes the verify join's output to
+    * 1-2 tasks — but each row costs an array_intersect over hundreds of
+    * longs, so the stage is CPU-dense far beyond its bytes (measured:
+    * q_containment_capped's verify ran 2 tasks, 2.3 s task time, 1.2 s
+    * straggler). An explicit hash repartition on the pair key pins the
+    * stage's width to defaultParallelism — scale-adaptive, not a local
+    * constant, and the same mismatch exists at any scale because advisory
+    * sizes are bytes while this cost is CPU. Applied to the PAIRS table
+    * (16 bytes/row) before the array joins, so the shuffle moves ids only
+    * and the broadcast-hash array lookups + intersect all run at the
+    * fanned width — the §8 "decide on light rows, move heavy bytes once"
+    * shape. ROUND-ROBIN, not hash-by-pair: the candidate distinct() above
+    * already hash-partitions by (id_a, id_b) at shuffle.partitions, so a
+    * same-key repartition is elided by EnsureRequirements at plan time and
+    * the verify silently inherits the distinct's AQE-coalesced width (the
+    * measured 2-task stage) — round-robin with an explicit count can never
+    * be satisfied-away or coalesced. Downstream is a row-local projection
+    * + filter, so partitioning is semantics-free. */
+  private def fanPairs(pairs: DataFrame): DataFrame =
+    pairs.repartition(pairs.sparkSession.sparkContext.defaultParallelism)
+
   private def verifyJaccardOnShingleArrays(sh: DataFrame, idCol: String,
                                            pairs: DataFrame,
                                            threshold: Double): DataFrame = {
-    val joined = pairs.select("id_a", "id_b")
+    val joined = fanPairs(pairs.select("id_a", "id_b"))
       .join(sh.select(col(idCol).as("id_a"), col("__sh").as("__ta")), "id_a")
       .join(sh.select(col(idCol).as("id_b"), col("__sh").as("__tb")), "id_b")
     val sa = size(col("__ta")).cast(DoubleType)
@@ -2224,7 +2247,7 @@ object Dedup {
   private def verifyContainmentOnShingleArrays(sh: DataFrame, idCol: String,
                                                pairs: DataFrame,
                                                threshold: Double): DataFrame = {
-    val joined = pairs.select("id_a", "id_b")
+    val joined = fanPairs(pairs.select("id_a", "id_b"))
       .join(sh.select(col(idCol).as("id_a"), col("__sh").as("__ta")), "id_a")
       .join(sh.select(col(idCol).as("id_b"), col("__sh").as("__tb")), "id_b")
     val inter = size(array_intersect(col("__ta"), col("__tb"))).cast(DoubleType)

@@ -105,7 +105,14 @@ object Profiling {
     * tiny-cardinality columns (estimate error is integer-quantized) out of
     * false alarms; slack = 4 standard deviations makes a legitimate sketch
     * failing the gate a ~1e-4 event per column, and for FIXED data it
-    * either passes forever or fails forever — no flakiness. */
+    * either passes forever or fails forever — no flakiness. SINGLE-SNAPSHOT
+    * assumption (r22 ADVICE note): the exact and approx sides are two
+    * separate jobs over the same input plan; on an immutable source
+    * (parquet fixtures, any snapshot-isolated table) they see identical
+    * data and the no-flakiness claim holds, but a source that can change
+    * between the two passes (a concurrently appended live table) could
+    * flip `dist_ok` spuriously — run it on a pinned snapshot, which is
+    * what a verification pass is by definition. */
   def profileTableApproxChecked(df: DataFrame, rsd: Double = 0.05,
                                 slack: Double = 4.0): DataFrame = {
     val cols = df.columns.toSeq
@@ -833,19 +840,23 @@ object Profiling {
                         refValueExpr: Column): DataFrame = {
     val refV = ref.select(refValueExpr.cast(LongType).as("__rv"))
       .groupBy("__rv").agg(count(lit(1)).cast(LongType).as("__c"))
-    val refCum = Relational.globalPrefixSum(refV, "__rv", "__c", "__p")
+    // n_ref comes from the prefix scan's OWN partials collect (r22): the
+    // old max(__p + __c) aggregate re-ran the whole un-checkpointed prefix
+    // chain (bounds + partials + window) a second time just to rebuild the
+    // total the driver had already summed, then broadcast one number.
+    val (refCum, totals) = Relational.globalPrefixSums(refV, "__rv",
+      Seq("__c"), Seq("__p"))
+    val nRef = totals.head
     val lookup = refCum.select(col("__rv"),
       explode(sequence(col("__p") + lit(1L), col("__p") + col("__c")))
         .as("__k"))
-    val nRef = refCum.agg(max(col("__p") + col("__c")).as("__nref"))
     val wG = Window.partitionBy("__g").orderBy("__v", "__id")
     cur.select(col(idCol).as("__id"), col(groupCol).as("__g"),
         valueExpr.cast(LongType).as("__v"))
       .withColumn("__rn", row_number().over(wG))
       .withColumn("__n", count(lit(1)).over(Window.partitionBy("__g")))
-      .crossJoin(broadcast(nRef))
       .withColumn("__k",
-        expr("(__rn * __nref + __n - 1L) div __n"))
+        expr(s"(__rn * ${nRef}L + __n - 1L) div __n"))
       .join(lookup, Seq("__k"))
       .select(col("__id").as(idCol), col("__g").as(groupCol),
         col("__v").as("value"), col("__rv").as("calibrated"))

@@ -408,29 +408,62 @@ object Relational {
     * bucket) or pre-map ids. */
   def globalPrefixSum(df: DataFrame, orderCol: String, valueCol: String,
                       prefixCol: String = "prefix",
-                      nBuckets: Int = 256): DataFrame = {
+                      nBuckets: Int = 256): DataFrame =
+    globalPrefixSums(df, orderCol, Seq(valueCol), Seq(prefixCol), nBuckets)._1
+
+  /** multi-column twin of [[globalPrefixSum]] (r22, guide §1.2 step 1):
+    * N prefix sums over the SAME `orderCol` share the bucketing, so the
+    * bounds job, the partials collect, the broadcast and the per-bucket
+    * window sort run ONCE for all of them instead of once each — two
+    * sequential calls cost ~2x the driver round-trips for the identical
+    * row order. Also returns each column's TOTAL, folded on the driver
+    * from the already-collected partials: callers needing grand totals
+    * (a CDF's denominator) get them for zero extra jobs instead of a
+    * separate aggregate-and-broadcast pass. Same contract as the
+    * single-column form; result proven equal to sequential single-column
+    * calls in the spec. */
+  def globalPrefixSums(df: DataFrame, orderCol: String,
+                       valueCols: Seq[String], prefixCols: Seq[String],
+                       nBuckets: Int = 256): (DataFrame, Seq[Long]) = {
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    require(valueCols.nonEmpty && valueCols.length == prefixCols.length,
+      s"valueCols (${valueCols.length}) and prefixCols (${prefixCols.length}) " +
+        "must pair up")
     val spark = df.sparkSession
     val bounds = df.agg(min(col(orderCol)).cast("long"),
       max(col(orderCol)).cast("long")).head()
     if (bounds.isNullAt(0)) // empty input: schema-stable, zero rows
-      return df.withColumn(prefixCol, lit(0L))
+      return (prefixCols.foldLeft(df)((d, p) => d.withColumn(p, lit(0L))),
+        valueCols.map(_ => 0L))
     val lo = bounds.getLong(0)
     val width = math.max(1L, (bounds.getLong(1) - lo) / nBuckets + 1)
     val bucketed = df.withColumn("__bucket",
       expr(s"(CAST(`$orderCol` AS BIGINT) - ${lo}L) div ${width}L"))
+    val aggs = valueCols.map(c => sum(col(c)).cast("long").as(s"__s_$c"))
     val partials = bucketed.groupBy("__bucket")
-      .agg(sum(col(valueCol)).cast("long").as("__s"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
-    val offsets = partials.map(_._1)
-      .zip(partials.scanLeft(0L) { case (acc, (_, s)) => acc + s })
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .map(r => (r.getLong(0), valueCols.indices.map(i => r.getLong(i + 1))))
+      .sortBy(_._1)
+    val totals = valueCols.indices.map(i => partials.map(_._2(i)).sum)
+    // exclusive running offset per column, one scan of the sorted partials
+    val offsets = partials.map(_._1).zip(
+      partials.scanLeft(valueCols.map(_ => 0L).toIndexedSeq) {
+        case (acc, (_, sums)) => acc.lazyZip(sums).map(_ + _)
+      })
     import spark.implicits._
-    val offDf = offsets.toSeq.toDF("__bucket", "__off")
+    val offDf = offsets.toSeq
+      .map { case (b, offs) => (b, offs.toArray) }
+      .toDF("__bucket", "__offs")
     val w = Window.partitionBy("__bucket").orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, -1)
-    bucketed.join(broadcast(offDf), Seq("__bucket"))
-      .withColumn(prefixCol,
-        coalesce(sum(col(valueCol)).over(w), lit(0L)) + col("__off"))
-      .drop("__bucket", "__off")
+    val joined = bucketed.join(broadcast(offDf), Seq("__bucket"))
+    val withPrefixes = valueCols.zip(prefixCols).zipWithIndex
+      .foldLeft(joined) { case (d, ((v, p), i)) =>
+        d.withColumn(p,
+          coalesce(sum(col(v)).over(w), lit(0L)) +
+            element_at(col("__offs"), i + 1))
+      }
+    (withPrefixes.drop("__bucket", "__offs"), totals)
   }
 }

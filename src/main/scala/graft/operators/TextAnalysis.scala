@@ -47,20 +47,30 @@ object TextAnalysis {
   val Stopwords: Seq[String] = Seq(
     "the", "a", "an", "of", "to", "and", "in", "is", "it", "that")
 
-  /** count of tokens exactly equal to one of `words`, as ONE codegen'd
-    * regexp pass instead of a `filter` higher-order function: HOF
-    * expressions (ArrayFilter/ArrayAggregate/ZipWith) are CodegenFallback —
-    * the whole projection containing one drops out of whole-stage codegen
-    * and evaluates interpreted per row (r21 measurement: the curation gate
-    * stage alone was 0.52 s of single-task CPU at sf0.1). Tokens are
-    * maximal non-`\s` runs of the lowercased trimmed text, so "token == w"
-    * ⇔ "w flanked by \s (or string edge)" on the space-padded text —
-    * zero-width lookarounds keep adjacent hits countable ("of of of" = 3).
-    * Words are Pattern.quote'd so the rewrite accepts any literal token. */
+  /** count of tokens exactly equal to one of `words` — a codegen'd
+    * single-scan kernel ([[graft.functions.TokenSetHitsExpr]]) over the
+    * lowered trimmed text. History of this hot spot: the r20 `filter` HOF
+    * was CodegenFallback (interpreted, 0.52 s single-task gate stage at
+    * sf0.1); the r21 `regexp_count` rewrite restored codegen but paid one
+    * FULL alternation-regex scan of the document per word set — langId +
+    * qualityScore together ran 5+ regex passes on the serial scan side of
+    * every curation query (r22 probe: 0.73 s single-task). The kernel
+    * tokenizes once (byte scan over `\s` runs — the exact java-regex
+    * class `tokens` splits on) and does one hash-set lookup per token.
+    * Semantics are the same "token == w" ⇔ "w flanked by \s on the padded
+    * text" equivalence the r21 rewrite proved; NULL text → NULL, like the
+    * regex form's NULL propagation through concat. The whole-token
+    * contract (non-empty, whitespace-free words — the r21 ADVICE item) is
+    * require-pinned here and in the kernel: a whitespace-carrying marker
+    * would have matched across token boundaries under the regex form and
+    * can never equal a token, so it is a caller bug either way. */
   private[operators] def tokenHits(text: Column, words: Seq[String]): Column = {
-    val pat = words.map(java.util.regex.Pattern.quote)
-      .mkString("(?<=\\s)(?:", "|", ")(?=\\s)")
-    regexp_count(concat(lit(" "), lower(trim(text)), lit(" ")), lit(pat))
+    require(words.forall(w => w.nonEmpty && !w.exists(_.isWhitespace)),
+      s"tokenHits: words must be non-empty and whitespace-free, got $words")
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(graft.functions.TokenSetHitsExpr(
+      GraftSqlBridge.expression(lower(trim(text))),
+      Array(words.toArray))).getItem(0)
   }
 
   def stopwordRatio(text: Column): Column =
@@ -108,8 +118,19 @@ object TextAnalysis {
     // strictly-greater never displaced it in the fold); 'und' when every
     // score is 0, and for NULL text `s > 0` is NULL so the otherwise
     // branch returns 'und' exactly like the fold's never-displaced init. */
-    val entries = LangMarkers.zipWithIndex.map { case ((langCode, ms), i) =>
-      struct(tokenHits(text, ms).as("s"), lit(-i).as("r"), lit(langCode).as("l"))
+    // all four marker sets in ONE TokenSetHitsExpr scan (r22): separate
+    // tokenHits calls would be four kernel instances with different sets —
+    // subexpression elimination cannot merge them, so the text would be
+    // tokenized four times. One multi-set kernel tokenizes once; the four
+    // getItem references share the one instance (content-based equals).
+    val hits = {
+      import org.apache.spark.sql.GraftSqlBridge
+      GraftSqlBridge.column(graft.functions.TokenSetHitsExpr(
+        GraftSqlBridge.expression(lower(trim(text))),
+        LangMarkers.map(_._2.toArray).toArray))
+    }
+    val entries = LangMarkers.zipWithIndex.map { case ((langCode, _), i) =>
+      struct(hits.getItem(i).as("s"), lit(-i).as("r"), lit(langCode).as("l"))
     }
     val best = greatest(entries: _*)
     when(best.getField("s") > 0, best.getField("l")).otherwise(lit("und"))

@@ -1624,6 +1624,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(shards == Map(1L -> 0L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("globalPrefixSums: fused multi-column ≡ sequential singles + totals") {
+    import graft.operators.Relational
+    val ids = (Seq(2L, 7L, 9L) ++ (100L to 160L by 9) ++ Seq(5000L)).distinct
+    val df = ids.map(i => (i, i % 5, i % 3)).toDF("id", "a", "b")
+      .repartition(5)
+    val seqA = Relational.globalPrefixSum(df, "id", "a", "pa")
+    val seqBoth = Relational.globalPrefixSum(seqA, "id", "b", "pb")
+      .select("id", "pa", "pb").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val (fused, totals) = Relational.globalPrefixSums(df, "id",
+      Seq("a", "b"), Seq("pa", "pb"))
+    val got = fused.select("id", "pa", "pb").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(got == seqBoth, "fused prefixes diverge from sequential calls")
+    assert(totals == Seq(ids.map(_ % 5).sum, ids.map(_ % 3).sum),
+      "totals must equal the grand sums, for zero extra jobs")
+    // empty input: schema-stable, zero rows, zero totals
+    val (empty, et) = Relational.globalPrefixSums(
+      df.filter(col("id") < 0), "id", Seq("a", "b"), Seq("pa", "pb"))
+    assert(empty.columns.contains("pa") && empty.count() == 0 &&
+      et == Seq(0L, 0L))
+  }
+
   test("searchBM25: Okapi ranking with inline dl, nanos-exact scores") {
     import graft.operators.Search
     val d = Seq(
