@@ -1044,10 +1044,16 @@ object SparkEntry {
       // group per partition, vs the window row_number form (q_top_per_group)
       // that sorts and shuffles every row — the 100 TB shape for small k
       val topk = udaf(graft.functions.Aggregators.TopK(5))
-      rd(s, dir, "lineitem")
+      // fan the narrow projection before the UDAF partial pass (r22, the
+      // §2.5 single-row-group remedy at the r21 ≳1 s work bar): the
+      // ObjectHashAggregate partial ran as a 3-task scan-rooted stage with
+      // a 1.09 s straggler — per-row UDAF invocation is the cost, and a
+      // partial top-k is partitioning-independent (each task ships ≤ k
+      // rows per group regardless of how rows are spread)
+      graft.operators.Fan.out(rd(s, dir, "lineitem")
         .select(col("l_returnflag"),
           col("l_extendedprice").cast("double").as("price"),
-          (col("l_orderkey") * 100 + col("l_linenumber")).cast(LongType).as("lid"))
+          (col("l_orderkey") * 100 + col("l_linenumber")).cast(LongType).as("lid")))
         .groupBy("l_returnflag")
         .agg(topk(col("price"), col("lid")).as("tk"))
         .select(col("l_returnflag"), explode(col("tk")).as("e"))

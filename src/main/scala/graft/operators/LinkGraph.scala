@@ -100,15 +100,20 @@ object LinkGraph {
   def pageRankHosts(edges: DataFrame, iterations: Int = 3): DataFrame = {
     require(iterations >= 1 && iterations <= 20,
       s"pageRankHosts: iterations must be in [1,20], got $iterations")
-    val e = edges
+    val e0 = edges
       .select(col("src_host"), col("dst_host"),
         col("n_links").cast(LongType).as("n_links"))
       .filter(col("src_host") =!= col("dst_host"))
       .localCheckpoint() // reused every iteration: scan once
-    val out = e.groupBy("src_host")
+    val out = e0.groupBy("src_host")
       .agg(sum("n_links").as("__out")).localCheckpoint()
-    val nodes = e.select(col("src_host").as("host"))
-      .unionAll(e.select(col("dst_host").as("host")))
+    // fold the LOOP-INVARIANT out-degree join into the edge table ONCE
+    // (r22, guide §2.4): e⋈out inside the loop re-built the same broadcast
+    // relation every iteration — one join (and its broadcast-build job)
+    // per iteration for a table that never changes.
+    val e = e0.join(out, Seq("src_host")).localCheckpoint()
+    val nodes = e0.select(col("src_host").as("host"))
+      .unionAll(e0.select(col("dst_host").as("host")))
       .distinct().localCheckpoint()
     val n = nodes.count()
     require(n > 0, "pageRankHosts: empty edge set")
@@ -117,7 +122,6 @@ object LinkGraph {
     var ranks = nodes.withColumn("rank_nanos", lit(init))
     (1 to iterations).foreach { _ =>
       val contribs = e
-        .join(out, Seq("src_host"))
         .join(ranks.withColumnRenamed("host", "src_host"), Seq("src_host"))
         .select(col("dst_host").as("host"),
           expr("(rank_nanos * n_links) div __out").as("__c"))
@@ -165,15 +169,18 @@ object LinkGraph {
                                    iterations: Int): (DataFrame, DataFrame) = {
     require(iterations >= 1 && iterations <= 20,
       s"pageRankHostsDangling: iterations must be in [1,20], got $iterations")
-    val e = edges
+    val e0 = edges
       .select(col("src_host"), col("dst_host"),
         col("n_links").cast(LongType).as("n_links"))
       .filter(col("src_host") =!= col("dst_host"))
       .localCheckpoint()
-    val out = e.groupBy("src_host")
+    val out = e0.groupBy("src_host")
       .agg(sum("n_links").as("__out")).localCheckpoint()
-    val nodes = e.select(col("src_host").as("host"))
-      .unionAll(e.select(col("dst_host").as("host")))
+    // loop-invariant out-degree join hoisted out of the loop — see
+    // [[pageRankHosts]] (r22, guide §2.4)
+    val e = e0.join(out, Seq("src_host")).localCheckpoint()
+    val nodes = e0.select(col("src_host").as("host"))
+      .unionAll(e0.select(col("dst_host").as("host")))
       .distinct().localCheckpoint()
     val n = nodes.count()
     require(n > 0, "pageRankHostsDangling: empty edge set")
@@ -188,7 +195,6 @@ object LinkGraph {
         .join(out.select(col("src_host").as("host")), Seq("host"), "left_anti")
         .agg(coalesce(sum("rank_nanos"), lit(0L)).cast(LongType).as("__dang"))
       val contribs = e
-        .join(out, Seq("src_host"))
         .join(ranks.withColumnRenamed("host", "src_host"), Seq("src_host"))
         .select(col("dst_host").as("host"),
           expr("(rank_nanos * n_links) div __out").as("__c"))
