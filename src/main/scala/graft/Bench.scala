@@ -123,6 +123,17 @@ object Bench {
         TextAnalysis.hashedQualityScore(docs, "doc_id", "text",
           TextAnalysis.syntheticQualityModel()).count()
       }),
+      // r22 kernels: the single-scan token gates (TokenSetHitsExpr inside
+      // langId/stopwordRatio/qualityScore via docStats) and the K-class
+      // classifier (HashedClassifyExpr) — first-touch class loading and
+      // codegen warm here, not inside the first timed curation query
+      "token_gates_classify" -> (() => {
+        import graft.operators.TextAnalysis
+        TextAnalysis.docStats(docs, "doc_id", "text").count() +
+          TextAnalysis.hashedClassify(docs, "doc_id", "text",
+            Seq("a" -> TextAnalysis.syntheticQualityModel(),
+              "b" -> TextAnalysis.syntheticQualityModel(seed = 7L))).count()
+      }),
       "interval_join" -> (() => {
         import graft.streaming.Streams
         val ev = docs.select(col("doc_id").as("event_id"),

@@ -1007,16 +1007,23 @@ object TextAnalysis {
     val nb = classWeights.head._2.length
     require(nb > 0 && classWeights.forall(_._2.length == nb),
       "all class weight vectors must share one nonzero bucket count")
-    val toks = df.select(col(idCol),
-      explode(tokens(normalized(col(textCol)))).as("__t"))
-    val wCols = classWeights.zipWithIndex.map { case ((_, ws), k) =>
-      tokenWeightMicros(col("__t"), array(ws.map(lit): _*), nb).as(s"__w$k")
+    // one codegen'd row-local kernel (r22, the hashedQualityScore rewrite
+    // at K classes): the explode + K-sum hash-aggregate shuffled the
+    // corpus — and re-derived the md5 bucket once PER CLASS per token —
+    // for per-row scores. Same bucket math, same rounding, same output;
+    // token-less docs score NULL and filter-drop, exactly the explode
+    // form's absence (see the precondition above).
+    val ns = {
+      import org.apache.spark.sql.GraftSqlBridge
+      GraftSqlBridge.column(graft.functions.HashedClassifyExpr(
+        GraftSqlBridge.expression(tokens(normalized(col(textCol)))),
+        classWeights.map(_._2.toArray).toArray))
     }
-    val sums = classWeights.indices.map(k =>
-      sum(col(s"__w$k")).as(s"__s$k"))
-    val scored = toks.select(col(idCol) +: wCols: _*)
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_tokens"), sums: _*)
+    val scored = df.select(col(idCol), ns.as("__ns"))
+      .filter(col("__ns").isNotNull)
+      .select(col(idCol) +: col("__ns").getItem(0).as("n_tokens") +:
+        classWeights.indices.map(k =>
+          col("__ns").getItem(k + 1).as(s"__s$k")): _*)
     val logits = classWeights.indices.map(k =>
       logitFromMicros(col(s"__s$k"), col("n_tokens")).as(s"__l$k"))
     // argmax with first-class-wins ties: array_max over (logit, -k, label)

@@ -255,7 +255,7 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("SinglePartition"), s"global exchange in:\n$plan")
   }
 
-  test("hashedClassify: one aggregate pass, no weights join, K sums in the shuffle") {
+  test("hashedClassify: row-local kernel projection, no aggregate, no join") {
     import graft.operators.TextAnalysis
     val corpus = spark.read.parquet(docsDir)
     val models = Seq(
@@ -264,12 +264,17 @@ class PlanAuditSpec extends AnyFunSuite {
       "c" -> TextAnalysis.syntheticQualityModel(64, 3L))
     val plan = finalSection(finalPlan(
       TextAnalysis.hashedClassify(corpus, "doc_id", "text", models)))
-    // weights are plan literals: classification must be scan → explode →
-    // ONE partial+final aggregate → argmax projection, with NO join
+    // weights are plan literals riding the HashedClassifyExpr kernel (r22):
+    // classification must be scan → kernel filter/projection — per-class
+    // sums never leave their row, so NO join, NO aggregate, NO exchange
     assert(!plan.contains("Join"), s"unexpected join (weights should be literals):\n$plan")
-    val aggs = "HashAggregate".r.findAllIn(plan).size
-    assert(aggs == 2, s"expected one partial+final aggregate pair, got $aggs:\n$plan")
-    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(!plan.contains("HashAggregate") && !plan.contains("Exchange"),
+      s"classification must be row-local (r22 kernel), got:\n$plan")
+    assert(plan.contains("graft_hashed_classify"),
+      s"expected the fused kernel in the plan:\n$plan")
+    // exchange-free plans print tree AND numbered details in one section —
+    // count the numbered operator headers, not every textual mention
+    val scans = """\(\d+\) Scan parquet""".r.findAllIn(plan).size
     assert(scans == 1, s"expected 1 corpus scan, got $scans:\n$plan")
   }
 
